@@ -1,0 +1,159 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Result of a featurization step: the augmented frame plus the running
+  * list of created feature column names (mirrors the reference's
+  * `(data, feature_names)` convention, featurize.py:29-34).
+  */
+final case class FeatureResult(df: DataFrame, featureNames: Seq[String]) {
+  def andThen(f: DataFrame => FeatureResult): FeatureResult = {
+    val next = f(df)
+    FeatureResult(next.df, featureNames ++ next.featureNames)
+  }
+}
+
+/** Spark-native re-expression of reichlab/timeseriesutils
+  * `featurize.py`. The reference assumes the frame is pre-sorted per
+  * group; Spark has no row order, so every op takes explicit
+  * `orderCols`. All ops share one `Window.partitionBy(groupCols)
+  * .orderBy(orderCols)` — Catalyst collapses the whole feature pipeline
+  * into a single Exchange + Sort, so a multi-feature pipeline costs one
+  * shuffle at any scale (the pandas reference does one groupby pass per
+  * feature).
+  *
+  * Insufficient-window cells are NULL (the reference uses NaN; NULL is
+  * the Spark-native missing marker and what the DuckDB oracle emits).
+  */
+object Featurize {
+
+  /** Per-group ordered window, the one shared sort of the pipeline. */
+  def seriesWindow(groupCols: Seq[String], orderCols: Seq[String]): WindowSpec = {
+    val w = if (groupCols.isEmpty) Window.partitionBy() else Window.partitionBy(groupCols.map(col): _*)
+    w.orderBy(orderCols.map(col): _*)
+  }
+
+  /** Lagged copies of `columns` (reference featurize.py:174 `lag`).
+    * Feature names: `{c}_lag{k}`.
+    */
+  def lagFeatures(
+      df: DataFrame,
+      columns: Seq[String],
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      lags: Seq[Int]): FeatureResult = {
+    val win = seriesWindow(groupCols, orderCols)
+    val feats = for (c <- columns; k <- lags) yield s"${c}_lag$k" -> lag(col(c), k).over(win)
+    FeatureResult(feats.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e) }, feats.map(_._1))
+  }
+
+  /** Trailing rolling mean (reference featurize.py:116 `rollmean`).
+    * Feature names: `{c}_rollmean_w{w}`. `minPeriods=None` in the
+    * reference means "full window required" (pandas semantics) →
+    * `minPeriods` defaults to the window size here.
+    *
+    * Implemented as an explicit lag-sum rather than `avg().over(rows
+    * frame)` so the summation order is fixed left-to-right — the DuckDB
+    * oracle (OracleGen.rollmeanExpr) emits the identical association,
+    * giving bit-equal doubles. All lag terms share the window spec, so
+    * this is still a single Window operator inside whole-stage codegen.
+    */
+  def rollmean(
+      df: DataFrame,
+      columns: Seq[String],
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      windowSizes: Seq[Int],
+      minPeriods: Option[Int] = None): FeatureResult = {
+    val win = seriesWindow(groupCols, orderCols)
+    val feats = for (c <- columns; w <- windowSizes) yield {
+      val minP = minPeriods.getOrElse(w)
+      def term(i: Int): Column = if (i == 0) col(c) else lag(col(c), i).over(win)
+      val total = (0 until w).map(i => coalesce(term(i).cast("double"), lit(0.0))).reduceLeft(_ + _)
+      val cnt = (0 until w).map(i => when(term(i).isNotNull, 1).otherwise(0)).reduceLeft(_ + _)
+      s"${c}_rollmean_w$w" -> when(cnt >= minP, total / cnt)
+    }
+    FeatureResult(feats.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e) }, feats.map(_._1))
+  }
+
+  /** Forecast targets h steps ahead (reference featurize.py:230
+    * `horizon_targets`). `wide` adds `{c}_target{h}` lead columns;
+    * `long` stacks one copy of the frame per horizon with a `horizon`
+    * column and `{c}_target` leads (long adds `horizon` to the feature
+    * list, wide adds nothing — reference behavior).
+    */
+  def horizonTargets(
+      df: DataFrame,
+      columns: Seq[String],
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      horizons: Seq[Int],
+      layout: String = "long"): FeatureResult = {
+    val win = seriesWindow(groupCols, orderCols)
+    layout match {
+      case "wide" =>
+        val out = (for (c <- columns; h <- horizons) yield (c, h)).foldLeft(df) {
+          case (d, (c, h)) => d.withColumn(s"${c}_target$h", lead(col(c), h).over(win))
+        }
+        FeatureResult(out, Nil)
+      case "long" =>
+        val frames = horizons.map { h =>
+          columns.foldLeft(df) { (d, c) =>
+            d.withColumn(s"${c}_target", lead(col(c), h).over(win))
+          }.withColumn("horizon", lit(h))
+        }
+        FeatureResult(frames.reduceLeft(_ unionByName _), Seq("horizon"))
+      case other => throw new IllegalArgumentException(s"layout must be 'long' or 'wide', got $other")
+    }
+  }
+
+  /** Declarative feature spec, mirroring the reference's
+    * `{'fun': ..., 'args': {...}}` dictionaries (featurize.py:7
+    * `featurize_data`).
+    */
+  sealed trait Feature
+  final case class Lag(columns: Seq[String], lags: Seq[Int]) extends Feature
+  final case class Rollmean(columns: Seq[String], windowSizes: Seq[Int], minPeriods: Option[Int] = None)
+      extends Feature
+  final case class HorizonTargets(columns: Seq[String], horizons: Seq[Int], layout: String = "long")
+      extends Feature
+  final case class WindowedTaylorCoefs(
+      columns: Seq[String],
+      taylorDegree: Int = 1,
+      windowSizes: Seq[Int] = Seq(21),
+      windowAligns: Seq[String] = Seq("centered"),
+      ewSpans: Seq[Option[Int]] = Seq(None),
+      fillEdges: Boolean = true) extends Feature
+  final case class Domfreq(
+      columns: Seq[String],
+      windowSizes: Seq[Int] = Seq(21),
+      windowAligns: Seq[String] = Seq("centered"),
+      nDomfreq: Int = 5,
+      fs: Double = 1.0) extends Feature
+
+  /** Apply a list of feature specs, accumulating feature names —
+    * the Spark analogue of `featurize_data` (featurize.py:7).
+    */
+  def featurizeData(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      features: Seq[Feature]): FeatureResult =
+    features.foldLeft(FeatureResult(df, Nil)) { (acc, f) =>
+      acc.andThen { d =>
+        f match {
+          case Lag(cs, ks)             => lagFeatures(d, cs, groupCols, orderCols, ks)
+          case Rollmean(cs, ws, mp)    => rollmean(d, cs, groupCols, orderCols, ws, mp)
+          case HorizonTargets(cs, hs, l) => horizonTargets(d, cs, groupCols, orderCols, hs, l)
+          case t: WindowedTaylorCoefs =>
+            Taylor.windowedTaylorCoefs(d, t.columns, groupCols, orderCols,
+              t.taylorDegree, t.windowSizes, t.windowAligns, t.ewSpans, t.fillEdges)
+          case fq: Domfreq =>
+            DomFreq.domfreq(d, fq.columns, groupCols, orderCols,
+              fq.windowSizes, fq.windowAligns, fq.nDomfreq, fq.fs)
+        }
+      }
+    }
+}
