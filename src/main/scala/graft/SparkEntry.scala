@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ts.{Featurize, OracleGen}
+import graft.ts.{Featurize, OracleGen, Taylor}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -65,7 +65,30 @@ object SparkEntry {
       Featurize.horizonTargets(ev, Seq("value"), evGroup, evOrder, Seq(1, 2, 3), "long")
         .df.orderBy("horizon", "user_id", "ts_us", "event_id")
     },
+    "ts_taylor_trailing" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      Taylor.windowedTaylorCoefs(ev, Seq("value"), evGroup, evOrder,
+        taylorDegree = 2, Seq(14), Seq("trailing"), Seq(None), fillEdges = false)
+        .df.orderBy("user_id", "ts_us", "event_id")
+    },
+    "ts_taylor_centered" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      Taylor.windowedTaylorCoefs(ev, Seq("value"), evGroup, evOrder,
+        taylorDegree = 1, Seq(21), Seq("centered"), Seq(None), fillEdges = true)
+        .df.orderBy("user_id", "ts_us", "event_id")
+    },
+    "ts_taylor_ew" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      Taylor.windowedTaylorCoefs(ev, Seq("value"), evGroup, evOrder,
+        taylorDegree = 1, Seq(9), Seq("trailing"), Seq(Some(7)), fillEdges = true)
+        .df.orderBy("user_id", "ts_us", "event_id")
+    },
   )
+
+  private def taylorOracle(spec: ts.TaylorBasis.Spec): String = {
+    val exprs = OracleGen.taylorExprs(spec, evOver, Seq("user_id")).mkString(",\n ")
+    s"select user_id, epoch_us(ts) as ts_us, event_id, value,\n $exprs\nfrom events\norder by $evKeys"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -100,5 +123,11 @@ object SparkEntry {
       }
       parts.mkString("", "\nunion all\n", s"\norder by horizon, $evKeys")
     },
+    "ts_taylor_trailing" -> taylorOracle(
+      ts.TaylorBasis.Spec("value", 2, 14, "trailing", None, fillEdges = false)),
+    "ts_taylor_centered" -> taylorOracle(
+      ts.TaylorBasis.Spec("value", 1, 21, "centered", None, fillEdges = true)),
+    "ts_taylor_ew" -> taylorOracle(
+      ts.TaylorBasis.Spec("value", 1, 9, "trailing", Some(7), fillEdges = true)),
   )
 }

@@ -29,9 +29,54 @@ object OracleGen {
   def leadExpr(c: String, h: Int, ov: String, alias: String): String =
     s"lead($c, $h) over $ov as $alias"
 
-  /** Render a double exactly as Spark's `lit(d)` does (Java
-    * Double.toString round-trips), so literals match bit-for-bit.
+  /** Render a double so DuckDB parses it to the exact same IEEE bits as
+    * Spark's `lit(d)`. The exponent is load-bearing: without one DuckDB
+    * types a long literal as DECIMAL(17,17), whose cast to DOUBLE is
+    * not correctly rounded (the scaled integer exceeds 2^53) — observed
+    * 1-ulp drift. With an exponent the literal is parsed as DOUBLE via
+    * strtod, which round-trips Java's shortest representation exactly.
     */
-  def litD(d: Double): String =
-    if (d == Math.rint(d) && math.abs(d) < 1e15) s"${d.toLong}.0" else d.toString
+  def litD(d: Double): String = {
+    val s = d.toString
+    if (s.contains('E') || s.contains('e')) s else s + "E0"
+  }
+
+  /** Mirrors Taylor.windowedTaylorCoefs: same branches, same
+    * left-associated weighted sums (TaylorBasis is the single source of
+    * the weights). Returns one `CASE … END as featName` per degree.
+    */
+  def taylorExprs(spec: TaylorBasis.Spec, ov: String, groupCols: Seq[String]): Seq[String] = {
+    import TaylorBasis._
+    val c = spec.column
+    val cntOver =
+      if (groupCols.isEmpty) "(count(*) over ())" else s"(count(*) over (partition by ${groupCols.mkString(", ")}))"
+    val pos = s"(row_number() over $ov - 1)"
+    val rpos = s"($cntOver - 1 - $pos)"
+    def term(l: Int): String =
+      if (l < 0) s"lag($c, ${-l}) over $ov" else if (l > 0) s"lead($c, $l) over $ov" else c
+    def branchSum(br: Branch, d: Int): String =
+      if (br.lags.isEmpty) "0.0"
+      else br.lags.indices.map(j => s"(${litD(br.m(d)(j))} * ${term(br.lags(j))})")
+        .reduceLeft((a, b) => s"($a + $b)")
+    val h = (spec.windowSize - 1) / 2
+    def cond(cd: Cond): String = cd match {
+      case NullAt(i) => s"$rpos = $i"
+      case RposEq(i) => s"$rpos = $i"
+      case PosEq(i)  => s"$pos = $i"
+      case Interior =>
+        if (spec.align == "trailing") s"$pos >= ${spec.windowSize}"
+        else s"$pos >= $h and $rpos >= ${h + 1}"
+    }
+    val brs = branches(spec)
+    (0 to spec.degree).map { d =>
+      val whens = brs.map { br =>
+        val v = br.cond match {
+          case NullAt(_) => "cast(null as double)"
+          case _         => branchSum(br, d)
+        }
+        s"when ${cond(br.cond)} then $v"
+      }.mkString(" ")
+      s"case $whens end as ${spec.featName(d)}"
+    }
+  }
 }

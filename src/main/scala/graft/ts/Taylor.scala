@@ -1,12 +1,32 @@
 package graft.ts
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** Rolling windowed Taylor-polynomial coefficient estimation
-  * (reference featurize.py:300 taylor_coefs_one_column_grp,
-  * featurize.py:428 windowed_taylor_coefs). Implemented next step.
+import TaylorBasis._
+
+/** Rolling windowed Taylor-polynomial coefficients (reference
+  * featurize.py:428 windowed_taylor_coefs). See TaylorBasis for the
+  * closed-form design: every coefficient is a constant-weighted sum of
+  * lag/lead columns selected by a CASE on the row's position in its
+  * group — no UDF, no per-window solve, fully codegen'd, one shared
+  * window sort for the whole pipeline.
   */
 object Taylor {
+
+  private def term(c: String, l: Int, win: org.apache.spark.sql.expressions.WindowSpec): Column =
+    if (l < 0) lag(col(c), -l).over(win)
+    else if (l > 0) lead(col(c), l).over(win)
+    else col(c)
+
+  /** Σ_j m(d)(j)·value(t+lags(j)), left-associated to mirror
+    * OracleGen.taylorExprs exactly.
+    */
+  private def branchSum(br: Branch, d: Int, c: String, win: org.apache.spark.sql.expressions.WindowSpec): Column =
+    if (br.lags.isEmpty) lit(0.0)
+    else br.lags.indices.map(j => lit(br.m(d)(j)) * term(c, br.lags(j), win)).reduceLeft(_ + _)
+
   def windowedTaylorCoefs(
       df: DataFrame,
       columns: Seq[String],
@@ -16,6 +36,44 @@ object Taylor {
       windowSizes: Seq[Int],
       windowAligns: Seq[String],
       ewSpans: Seq[Option[Int]],
-      fillEdges: Boolean): FeatureResult =
-    throw new NotImplementedError("Taylor.windowedTaylorCoefs: next milestone")
+      fillEdges: Boolean): FeatureResult = {
+    val win = Featurize.seriesWindow(groupCols, orderCols)
+    val cntWin = if (groupCols.isEmpty) Window.partitionBy() else Window.partitionBy(groupCols.map(col): _*)
+    val pos = row_number().over(win) - 1
+    val rpos = count(lit(1)).over(cntWin) - 1 - pos
+
+    def condCol(spec: Spec, cond: Cond): Column = {
+      val h = (spec.windowSize - 1) / 2
+      cond match {
+        case NullAt(i) => rpos === i
+        case RposEq(i) => rpos === i
+        case PosEq(i)  => pos === i
+        case Interior =>
+          if (spec.align == "trailing") pos >= spec.windowSize
+          else pos >= h && rpos >= h + 1
+      }
+    }
+
+    val specs = for {
+      c <- columns; w <- windowSizes; a <- windowAligns; s <- ewSpans
+    } yield Spec(c, taylorDegree, w, a, s, fillEdges)
+
+    val feats = specs.flatMap { spec =>
+      val brs = branches(spec)
+      (0 to taylorDegree).map { d =>
+        val chain = brs.map { br =>
+          val v = br.cond match {
+            case NullAt(_) => lit(null).cast("double")
+            case _         => branchSum(br, d, spec.column, win)
+          }
+          (condCol(spec, br.cond), v)
+        }
+        val expr = chain.tail.foldLeft(when(chain.head._1, chain.head._2)) {
+          case (acc, (cnd, v)) => acc.when(cnd, v)
+        }
+        spec.featName(d) -> expr
+      }
+    }
+    FeatureResult(feats.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e) }, feats.map(_._1))
+  }
 }
