@@ -41,6 +41,17 @@ object OracleGen {
     if (s.contains('E') || s.contains('e')) s else s + "E0"
   }
 
+  /** Mirrors TimeOps.ewmaTruncated: same term order and association. */
+  def ewmaTruncExpr(c: String, alpha: Double, k: Int, ov: String, alias: String): String = {
+    val beta = 1.0 - alpha
+    def term(i: Int): String = if (i == 0) c else s"lag($c, $i) over $ov"
+    val num = (0 until k).map(i => s"(${litD(math.pow(beta, i))} * coalesce(cast(${term(i)} as double), 0.0))")
+      .reduceLeft((a, b) => s"($a + $b)")
+    val den = (0 until k).map(i => s"(case when ${term(i)} is not null then ${litD(math.pow(beta, i))} else 0.0 end)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    s"$num / $den as $alias"
+  }
+
   /** Mirrors Taylor.windowedTaylorCoefs: same branches, same
     * left-associated weighted sums (TaylorBasis is the single source of
     * the weights). Returns one `CASE … END as featName` per degree.

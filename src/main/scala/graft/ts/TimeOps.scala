@@ -1,0 +1,147 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+
+/** Time-series engine operators beyond the reference surface: the ops a
+  * TS engine needs to be usable as a daily driver (SURVEY.md §2,
+  * rows 11-15). All are single-shuffle designs: one hash partition by
+  * series key + one sort, then streaming per-partition evaluation.
+  */
+object TimeOps {
+
+  /** Session ids per key: a new session starts when the gap since the
+    * previous event exceeds `gapMicros`. Pure window composition —
+    * lag + running sum — so it scales as one partition sort.
+    */
+  def sessionize(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      tsCol: String,
+      gapMicros: Long,
+      out: String = "session_id"): DataFrame = {
+    val win = Featurize.seriesWindow(groupCols, orderCols)
+    val prev = lag(col(tsCol), 1).over(win)
+    val isNew = when(prev.isNull || col(tsCol) - prev > gapMicros, 1L).otherwise(0L)
+    df.withColumn(out, sum(isNew).over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Tumbling-window bucket start (arithmetic form, µs epoch): the
+    * batch twin of Structured Streaming's `window()` grouping.
+    */
+  def tumblingBucket(tsCol: String, widthMicros: Long): Column =
+    col(tsCol) - (col(tsCol) % widthMicros)
+
+  /** As-of join expressed as a single window pass instead of a join:
+    * carry the most recent (inclusive) value of `valueCol` from rows
+    * satisfying `cond` forward along each series. Equivalent to
+    * `events ASOF LEFT JOIN (SELECT .. WHERE cond)` on (key, ts<=ts) —
+    * but costs ZERO extra shuffle at 100 TB: the probe and build sides
+    * are the same partition-sorted stream.
+    */
+  def asofCarry(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      cond: Column,
+      valueCol: String,
+      out: String): DataFrame = {
+    val win = Featurize.seriesWindow(groupCols, orderCols)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(out, last(when(cond, col(valueCol)), ignoreNulls = true).over(win))
+  }
+
+  /** Per-key regular spine (bucketed time) with forward-fill of the
+    * last observed value. Spine generation is per-key `sequence` +
+    * `explode` (distributed, no driver loop); fill is one window pass.
+    */
+  def resampleFfill(
+      df: DataFrame,
+      groupCols: Seq[String],
+      tsCol: String,
+      stepMicros: Long,
+      aggValue: Column,
+      out: String = "filled_value"): DataFrame = {
+    val bucket = tumblingBucket(tsCol, stepMicros)
+    val perBucket = df.withColumn("bucket", bucket)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(aggValue.as("bucket_value"))
+    val spine = perBucket
+      .groupBy(groupCols.map(col): _*)
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .select(groupCols.map(col) :+
+        explode(sequence(col("b0"), col("b1"), lit(stepMicros))).as("bucket"): _*)
+    val joined = spine.join(perBucket, groupCols :+ "bucket", "left")
+    val win = Featurize.seriesWindow(groupCols, Seq("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined.withColumn(out, last(col("bucket_value"), ignoreNulls = true).over(win))
+  }
+
+  /** Exact recursive EWMA (pandas `ewm(alpha).mean()` semantics,
+    * adjust=true: y_t = Σ_i (1-α)^i x_{t-i} / Σ_i (1-α)^i).
+    *
+    * Recursion cannot be expressed with bounded-memory window
+    * functions, so this is the one deliberately imperative op:
+    * repartition by key + sortWithinPartitions + a streaming
+    * per-partition scan (state = two running scalars per key, O(1)
+    * memory, no collect). Input may have any schema; `groupCols`
+    * change resets the state (secondary-sort pattern).
+    */
+  def ewma(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      alpha: Double,
+      out: String = "ewma"): DataFrame = {
+    val sorted = df
+      .repartition(groupCols.map(col): _*)
+      .sortWithinPartitions((groupCols ++ orderCols).map(col): _*)
+    val schema = StructType(sorted.schema.fields :+ StructField(out, DoubleType, nullable = true))
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val gIdx = groupCols.map(sorted.schema.fieldIndex)
+    sorted.mapPartitions { iter =>
+      var key: Seq[Any] = null
+      var num = 0.0
+      var den = 0.0
+      val beta = 1.0 - alpha
+      iter.map { row =>
+        val k = gIdx.map(row.get)
+        if (key == null || k != key) { key = k; num = 0.0; den = 0.0 }
+        val x = row.getDouble(vIdx)
+        num = beta * num + x
+        den = beta * den + 1.0
+        Row.fromSeq(row.toSeq :+ (num / den))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Truncated EWMA: the adjust=true estimator restricted to the last
+    * `k` observations — a fixed linear combination of lags, which keeps
+    * it a pure codegen window expression AND lets the DuckDB oracle
+    * reproduce it bit-for-bit (same association order; see
+    * OracleGen.ewmaTruncExpr). For (1-α)^k ≪ 1 it converges to the
+    * exact EWMA; as an operator in its own right it is the
+    * bounded-memory variant you'd actually run on an unbounded stream.
+    */
+  def ewmaTruncated(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      alpha: Double,
+      k: Int,
+      out: String): DataFrame = {
+    val win = Featurize.seriesWindow(groupCols, orderCols)
+    def term(i: Int): Column = if (i == 0) col(valueCol) else lag(col(valueCol), i).over(win)
+    val beta = 1.0 - alpha
+    val num = (0 until k).map(i => lit(math.pow(beta, i)) * coalesce(term(i).cast("double"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val den = (0 until k).map(i => when(term(i).isNotNull, lit(math.pow(beta, i))).otherwise(lit(0.0)))
+      .reduceLeft(_ + _)
+    df.withColumn(out, num / den)
+  }
+}
