@@ -3,6 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ts.{Featurize, OracleGen, Taylor, TimeOps}
+import graft.functions.{SqlTwins, TextOps, VectorOps}
+import graft.dedup.Dedup
+import graft.ann.Ann
+import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -180,7 +184,77 @@ object SparkEntry {
         count(lit(1)).as("n"))
         .orderBy("event_type")
     },
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exact(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
+    "dedup_minhash" -> { (s, dir) =>
+      Dedup.minhashDupOf(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashDupOf(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5, maxShingleFreq = 100L)
+        .orderBy("id_a", "id_b")
+    },
+    "dedup_embcos" -> { (s, dir) =>
+      val sub = Tables.embeddings(s, dir).where(pmod(col("vec_id"), lit(10L)) === 0)
+      Dedup.embeddingCosinePairs(sub, "vec_id", "embedding", threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    },
+    "ann_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Ann.bruteTopK(emb, q, "vec_id", "embedding", "qid", k = 10)
+        .select("qid", "rank", "vec_id", "cos")
+        .orderBy("qid", "rank")
+    },
+    "ann_lsh" -> { (s, dir) =>
+      Ann.buckets(Tables.embeddings(s, dir), "vec_id", "embedding", annPlanes)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec_id"))
+        .orderBy("bucket")
+    },
+    "text_langid" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.langid(TextOps.tokens(col("text"))).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+    "text_quality" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+    "text_tokens" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.bpeishCount(col("text")).as("n_bpeish"))
+        .orderBy("doc_id")
+    },
+    "text_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp"))
+        .orderBy("doc_id")
+    },
+    "mm_meta" -> { (s, dir) =>
+      val withBin = Multimodal.withBinary(Tables.documents(s, dir), "text")
+      val (nBytes, width, height, nFrames) = Multimodal.fakeMeta(col("payload"))
+      withBin.select(col("doc_id"), nBytes.as("n_bytes"), width.as("width"),
+        height.as("height"), nFrames.as("n_frames"))
+        .orderBy("doc_id")
+    },
+    "mm_frames" -> { (s, dir) =>
+      Multimodal.sampleFrames(Tables.documents(s, dir), "doc_id", "text", frameChars = 128, every = 2)
+        .orderBy("doc_id", "frame_idx")
+    },
   )
+
+  /** Shared constants between Spark queries and SQL oracles. */
+  private val mhK = 16
+  private val mhParams = TextOps.minhashParams(mhK)
+  private val annPlanes = VectorOps.lshPlanes(8, 64)
 
   private def taylorOracle(spec: ts.TaylorBasis.Spec): String = {
     val exprs = OracleGen.taylorExprs(spec, evOver, Seq("user_id")).mkString(",\n ")
@@ -288,7 +362,7 @@ object SparkEntry {
     "q_topn" ->
       """select * from (
         |  select c_nationkey, c_custkey, spend,
-        |    row_number() over (partition by c_nationkey order by spend desc, c_custkey) as rn
+        |    cast(row_number() over (partition by c_nationkey order by spend desc, c_custkey) as int) as rn
         |  from (select c_nationkey, c_custkey, round(sum(o_totalprice), 4) as spend
         |        from orders join customer on o_custkey = c_custkey
         |        group by c_nationkey, c_custkey))
@@ -304,5 +378,122 @@ object SparkEntry {
         |from events
         |group by event_type
         |order by event_type""".stripMargin,
+    "dedup_exact" ->
+      s"""with d as (select doc_id, ${SqlTwins.norm("text")} as k from documents)
+         |select doc_id,
+         | count(*) over (partition by k) as group_size,
+         | case when min(doc_id) over (partition by k) < doc_id
+         |      then min(doc_id) over (partition by k) end as dup_of
+         |from d order by doc_id""".stripMargin,
+    "dedup_minhash" -> {
+      val mhs = mhParams.zipWithIndex
+        .map { case ((a, b), i) => s"${SqlTwins.minhashOne("s", a, b)} as mh$i" }.mkString(",\n  ")
+      val bandSelects = (0 until mhK / 4).map { bnd =>
+        val key = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
+        s"select doc_id, $bnd as band_idx, concat_ws('_', $key) as band_key from sig where mh0 is not null"
+      }.mkString("\n  union all ")
+      s"""with t as (select doc_id, ${SqlTwins.toks("text")} as t from documents),
+         |sh as (select doc_id, ${SqlTwins.shingles("t", 3)} as s from t),
+         |sig as (select doc_id,
+         |  $mhs
+         |from sh),
+         |bands as (
+         |  $bandSelects
+         |),
+         |buddies as (
+         |  select a.doc_id as doc_id, min(b.doc_id) as dup_of
+         |  from bands a join bands b
+         |    on a.band_idx = b.band_idx and a.band_key = b.band_key and b.doc_id < a.doc_id
+         |  group by a.doc_id)
+         |select d.doc_id, buddies.dup_of
+         |from (select doc_id from documents) d left join buddies using (doc_id)
+         |order by doc_id""".stripMargin
+    },
+    "dedup_simhash" ->
+      s"""with sig as (select doc_id, ${SqlTwins.simhash32(SqlTwins.toks("text"))} as simhash from documents),
+         |bands as (
+         |  select doc_id, simhash, v.band_idx, (simhash >> (v.band_idx * 8)) & 255 as band_key
+         |  from sig cross join (values (0), (1), (2), (3)) as v(band_idx)),
+         |buddies as (
+         |  select a.doc_id as doc_id, min(b.doc_id) as dup_of
+         |  from bands a join bands b
+         |    on a.band_idx = b.band_idx and a.band_key = b.band_key and b.doc_id < a.doc_id
+         |  where bit_count(xor(a.simhash, b.simhash)) <= 3
+         |  group by a.doc_id)
+         |select sig.doc_id, sig.simhash, buddies.dup_of
+         |from sig left join buddies using (doc_id)
+         |order by doc_id""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""with t as (select doc_id, ${SqlTwins.toks("text")} as t from documents),
+         |sh0 as (select doc_id, ${SqlTwins.shingles("t", 3)} as s from t),
+         |sh as (select distinct doc_id, unnest(s) as sh from sh0),
+         |counts as (select doc_id, count(*) as n_sh from sh group by doc_id),
+         |freqok as (select sh from sh group by sh having count(*) <= 100),
+         |f as (select sh.doc_id, sh.sh from sh join freqok using (sh)),
+         |pairs as (
+         |  select a.doc_id as id_a, b.doc_id as id_b, count(*) as shared
+         |  from f a join f b on a.sh = b.sh and a.doc_id < b.doc_id
+         |  group by a.doc_id, b.doc_id),
+         |j as (
+         |  select id_a, id_b, shared,
+         |    cast(shared as double) / cast(ca.n_sh + cb.n_sh - shared as double) as jaccard
+         |  from pairs
+         |  join counts ca on ca.doc_id = id_a
+         |  join counts cb on cb.doc_id = id_b)
+         |select id_a, id_b, shared, jaccard from j
+         |where jaccard >= 0.5E0
+         |order by id_a, id_b""".stripMargin,
+    "dedup_embcos" ->
+      s"""with e as (select vec_id, embedding from embeddings where vec_id % 10 = 0),
+         |p as (
+         |  select a.vec_id as id_a, b.vec_id as id_b,
+         |    ${SqlTwins.cosine("a.embedding", "b.embedding", 64)} as cos
+         |  from e a join e b on a.vec_id < b.vec_id)
+         |select id_a, id_b, cos from p
+         |where cos >= 0.3E0
+         |order by id_a, id_b""".stripMargin,
+    "ann_topk" ->
+      s"""with q as (select vec_id as qid, embedding as qv from embeddings where vec_id < 3),
+         |scored as (
+         |  select q.qid, e.vec_id, ${SqlTwins.cosine("e.embedding", "q.qv", 64)} as cos
+         |  from embeddings e cross join q),
+         |r as (select qid, vec_id, cos,
+         |  cast(row_number() over (partition by qid order by cos desc, vec_id) as int) as rank
+         |  from scored)
+         |select qid, rank, vec_id, cos from r where rank <= 10
+         |order by qid, rank""".stripMargin,
+    "ann_lsh" ->
+      s"""select cast(${SqlTwins.lshBucket("embedding", annPlanes)} as bigint) as bucket,
+         | count(*) as n_vecs, min(vec_id) as min_vec_id
+         |from embeddings
+         |group by 1
+         |order by bucket""".stripMargin,
+    "text_langid" ->
+      s"select doc_id, ${SqlTwins.langidSelect("text")} as lang_pred\nfrom documents order by doc_id",
+    "text_quality" ->
+      s"select doc_id, ${SqlTwins.qualityScore("text")} as quality\nfrom documents order by doc_id",
+    "text_tokens" ->
+      s"""select doc_id,
+         | cast(len(${SqlTwins.toks("text")}) as int) as n_tokens,
+         | cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) as int) as n_bpeish
+         |from documents order by doc_id""".stripMargin,
+    "text_fingerprint" ->
+      s"select doc_id, ${SqlTwins.fingerprint(SqlTwins.toks("text"))} as fp\nfrom documents order by doc_id",
+    // DuckDB md5() only takes VARCHAR; md5(text) hashes the same UTF-8
+    // bytes Spark's md5(encode(text,'UTF-8')) does.
+    "mm_meta" ->
+      s"""with b as (select doc_id, text, encode(text) as payload from documents)
+         |select doc_id,
+         | octet_length(payload) as n_bytes,
+         | 16 + (${SqlTwins.h60("text")} & 1023) as width,
+         | 16 + ((${SqlTwins.h60("text")} >> 10) & 1023) as height,
+         | 1 + (octet_length(payload) >> 12) as n_frames
+         |from b order by doc_id""".stripMargin,
+    "mm_frames" ->
+      """with n as (select doc_id, text, (length(text) + 127) // 128 as nf from documents),
+        |fr as (select doc_id, text, unnest(range(0, nf)) as frame_idx from n)
+        |select doc_id, frame_idx, md5(substr(text, cast(frame_idx * 128 + 1 as int), 128)) as frame_md5
+        |from fr where frame_idx % 2 = 0
+        |order by doc_id, frame_idx""".stripMargin,
   )
 }

@@ -1,0 +1,61 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (SURVEY.md §2 rows 25-26).
+  *
+  * Brute force is the baseline: broadcast the (small) query set against
+  * the corpus — one scan, no corpus shuffle, exact answers. The LSH
+  * path trades recall for a bucket-equality pre-filter so the candidate
+  * set per query is a bucket, not the corpus — the 100 TB shape
+  * (bucket histogram ≈ corpus/2^planes per bucket).
+  */
+object Ann {
+
+  /** Exact top-k by cosine for each query vector. `queries` is expected
+    * to be small (it is broadcast); the corpus is never shuffled — the
+    * only exchange is the final per-query top-k (k rows per query).
+    */
+  def bruteTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qIdCol: String,
+      k: Int): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries.select(col(qIdCol), col(vecCol).as("__qv"))))
+      .select(col(qIdCol), col(idCol),
+        VectorOps.cosine(col(vecCol), col("__qv")).as("cos"))
+    val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** LSH bucket assignment for the corpus (random hyperplanes). */
+  def buckets(corpus: DataFrame, idCol: String, vecCol: String, planes: Seq[Array[Double]]): DataFrame =
+    corpus.select(col(idCol), col(vecCol), VectorOps.lshBucket(col(vecCol), planes).as("bucket"))
+
+  /** Bucket-restricted top-k: exact cosine, but only within the query's
+    * bucket. Probing neighbors of the bucket (hamming-1) would raise
+    * recall; kept single-bucket for determinism.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qIdCol: String,
+      k: Int,
+      planes: Seq[Array[Double]]): DataFrame = {
+    val cb = buckets(corpus, idCol, vecCol, planes)
+    val qb = buckets(queries, qIdCol, vecCol, planes)
+      .select(col(qIdCol), col(vecCol).as("__qv"), col("bucket"))
+    val scored = cb.join(broadcast(qb), "bucket")
+      .select(col(qIdCol), col(idCol), VectorOps.cosine(col(vecCol), col("__qv")).as("cos"))
+    val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+}

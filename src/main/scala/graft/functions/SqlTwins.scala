@@ -1,0 +1,94 @@
+package graft.functions
+
+import graft.ts.OracleGen.litD
+
+/** DuckDB SQL fragments mirroring TextOps/VectorOps/Dedup/Multimodal
+  * Column expressions term-for-term (same association order, E-notation
+  * double literals, 1-based list indexing on both engines). These exist
+  * so every LLM-pipeline operator keeps a hash-exact oracle.
+  */
+object SqlTwins {
+
+  /** TextOps.normalize — NOTE the 'g' flag: DuckDB regexp_replace is
+    * first-match-only by default, Spark replaces all.
+    */
+  def norm(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  def toks(c: String): String = s"string_split(${norm(c)}, ' ')"
+
+  /** TextOps.h60 */
+  def h60(s: String): String = s"cast(('0x' || substr(md5($s), 1, 15)) as bigint)"
+
+  /** TextOps.shingles (t = token-list sql, 1-based slicing both sides) */
+  def shingles(t: String, n: Int): String = {
+    val concat = (0 until n).map(k => s"$t[i + $k]").mkString(" || ' ' || ")
+    s"case when len($t) >= $n then list_transform(range(1, len($t) - ${n - 2}), i -> $concat) else [] end"
+  }
+
+  /** TextOps.minhashSig for one (a,b) permutation over shingle sql. */
+  def minhashOne(sh: String, a: Long, b: Long): String =
+    s"list_min(list_transform($sh, s -> ($a * (${h60("s")} % ${TextOps.MinhashMod}) + $b) % ${TextOps.MinhashMod}))"
+
+  /** TextOps.simhash32 over a token-list sql. */
+  def simhash32(t: String): String = {
+    val hs = s"list_transform($t, s -> ${h60("s")} % 4294967296)"
+    (0 until 32).map { j =>
+      s"(case when len(list_filter($hs, h -> ((h >> $j) & 1) = 1)) * 2 >= len($hs) then ${1L << j} else 0 end)"
+    }.reduceLeft((x, y) => s"($x + $y)")
+  }
+
+  /** TextOps.fingerprint: left fold (init 0 ≡ DuckDB's first-element
+    * init because (0*131 + h) % M = h for h < M).
+    */
+  def fingerprint(t: String): String =
+    s"list_reduce(list_transform($t, s -> ${h60("s")} % ${TextOps.FpMod}), (a, b) -> (a * 131 + b) % ${TextOps.FpMod})"
+
+  /** TextOps.stopwordHits */
+  def stopwordHits(t: String, words: Seq[String]): String = {
+    val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($t, x -> list_contains($arr, x)))"
+  }
+
+  /** TextOps.langid: first language (declaration order) reaching the
+    * max hit count; zero hits → 'und'. Equivalent to the strict-> fold.
+    */
+  def langidSelect(textCol: String): String = {
+    val t = toks(textCol)
+    val hits = TextOps.stopwords.map { case (l, ws) => l -> stopwordHits(t, ws) }
+    val g = hits.map(_._2).mkString("greatest(", ", ", ")")
+    val chain = hits.map { case (l, h) => s"when $h = $g then '$l'" }.mkString(" ")
+    s"case when $g = 0 then 'und' $chain end"
+  }
+
+  /** TextOps.qualityScore, identical association. */
+  def qualityScore(textCol: String): String = {
+    val t = toks(textCol)
+    val n = s"cast(len($t) as double)"
+    val chars = s"cast(length($textCol) as double)"
+    val alphaRatio = s"(cast(length(regexp_replace($textCol, '[^A-Za-z]', '', 'g')) as double) / $chars)"
+    val stopRatio = s"(cast(${stopwordHits(t, TextOps.stopwords.flatMap(_._2))} as double) / $n)"
+    val meanTokLen = s"(cast(length(regexp_replace(${norm(textCol)}, ' ', '', 'g')) as double) / $n)"
+    val lenScore = s"(case when $meanTokLen >= ${litD(3.0)} and $meanTokLen <= ${litD(8.0)} then ${litD(1.0)} else ${litD(0.5)} end)"
+    s"((($alphaRatio * ${litD(0.4)}) + (least($stopRatio * ${litD(4.0)}, ${litD(1.0)}) * ${litD(0.3)})) + ($lenScore * ${litD(0.3)}))"
+  }
+
+  /** VectorOps.dot for fixed dim: 0.0-seeded left fold ≡ list_reduce
+    * first-element init (0.0 + x == x in IEEE).
+    */
+  def dot(a: String, b: String, dim: Int): String =
+    s"list_reduce(list_transform(range(1, ${dim + 1}), i -> cast($a[i] as double) * cast($b[i] as double)), (x, y) -> x + y)"
+
+  def cosine(a: String, b: String, dim: Int): String =
+    s"(${dot(a, b, dim)} / (sqrt(${dot(a, a, dim)}) * sqrt(${dot(b, b, dim)})))"
+
+  /** VectorOps.planeDot / lshBucket with literal plane values. */
+  def planeDot(v: String, plane: Array[Double]): String =
+    plane.zipWithIndex.map { case (p, i) => s"(${litD(p)} * cast($v[${i + 1}] as double))" }
+      .reduceLeft((x, y) => s"($x + $y)")
+
+  def lshBucket(v: String, planes: Seq[Array[Double]]): String =
+    planes.zipWithIndex.map { case (plane, j) =>
+      s"(case when ${planeDot(v, plane)} >= ${litD(0.0)} then ${1L << j} else 0 end)"
+    }.reduceLeft((x, y) => s"($x + $y)")
+}

@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for the LLM-training-data pipeline
+  * (SURVEY.md §2 rows 27-30). Everything here is pure built-in Column
+  * composition — codegen'd, shuffle-free, scales linearly over
+  * documents. Each op has a DuckDB twin (see SparkEntry oracles) whose
+  * expressions mirror these term-for-term.
+  */
+object TextOps {
+
+  /** Canonical text normalization shared by all dedup/text ops:
+    * lowercase, strip non-alphanumerics, collapse whitespace.
+    */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  def tokens(c: Column): Column = split(normalize(c), " ")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count: letter runs, single digits, and isolated
+    * punctuation — a cheap stand-in for a real tokenizer's token count.
+    */
+  def bpeishCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** 60-bit deterministic string hash: the first 15 hex chars of md5.
+    * Chosen because BOTH engines compute it exactly: Spark
+    * `conv(substr(md5(x),1,15),16,10)`, DuckDB
+    * `('0x' || substr(md5(x),1,15))::bigint`. 60 bits keeps every
+    * downstream product `a*(h%M)` inside signed int64 (DuckDB errors on
+    * overflow rather than wrapping, so wraparound tricks are out).
+    */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Token-shingle strings of size `n` (space-joined), empty array when
+    * the document has fewer than `n` tokens. 1-based element_at keeps
+    * the indexing identical to DuckDB list slicing.
+    */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-language stopword sets for the language-ID heuristic. Tiny on
+    * purpose: language ID at 100 TB must be a cheap scan, not a model.
+    */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "por", "con"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein", "eine", "zu"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"))
+
+  /** Stopword-hit count for one language over a token array. */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  /** argmax language by stopword hits; ties and zero hits → "und"
+    * (undetermined). Deterministic: languages compared in declaration
+    * order, strict improvement required.
+    */
+  def langid(toks: Column): Column = {
+    val hits = stopwords.map { case (l, ws) => (l, stopwordHits(toks, ws)) }
+    val best = hits.foldLeft((lit("und"), lit(0))) { case ((bl, bh), (l, h)) =>
+      (when(h > bh, lit(l)).otherwise(bl), when(h > bh, h).otherwise(bh))
+    }
+    best._1
+  }
+
+  /** Heuristic quality score in [0,1]: mix of alpha ratio, stopword
+    * ratio, and mean token length sweet-spot. Formula is arbitrary but
+    * FIXED — the oracle reproduces it bit-for-bit.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val chars = length(text).cast("double")
+    val alphaRatio = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / chars
+    val stopRatio = stopwordHits(toks, stopwords.flatMap(_._2)).cast("double") / n
+    val meanTokLen = (length(regexp_replace(normalize(text), " ", "")).cast("double")) / n
+    val lenScore = when(meanTokLen >= 3.0 && meanTokLen <= 8.0, lit(1.0)).otherwise(lit(0.5))
+    (alphaRatio * lit(0.4)) + (least(stopRatio * lit(4.0), lit(1.0)) * lit(0.3)) + (lenScore * lit(0.3))
+  }
+
+  /** Rolling polynomial fingerprint over token hashes:
+    * fold h = (h*131 + (h60(tok) % M)) % M. Order-sensitive (unlike a
+    * bag-of-words hash) — reordered documents fingerprint differently.
+    */
+  val FpMod = 2147483647L
+  def fingerprint(toks: Column): Column =
+    aggregate(toks, lit(0L),
+      (acc, t) => pmod(acc * lit(131L) + pmod(h60(t), lit(FpMod)), lit(FpMod)))
+
+  /** 32-bit SimHash over the token multiset: bit j is the majority vote
+    * of bit j across per-token 32-bit hashes (h60 % 2^32); ties → 1.
+    */
+  def simhash32(toks: Column): Column = {
+    val hs = transform(toks, t => pmod(h60(t), lit(4294967296L)))
+    val n = size(hs)
+    (0 until 32).map { j =>
+      val setCnt = size(filter(hs, h => (shiftright(h, j).bitwiseAND(lit(1L))) === 1L))
+      when(setCnt * 2 >= n, lit(1L << j)).otherwise(lit(0L))
+    }.reduceLeft[Column](_ + _)
+  }
+
+  /** MinHash signature: k permutations h_i(x) = (a_i*(h60(x)%M)+b_i)%M
+    * over the shingle set; deterministic (a_i, b_i) from a fixed seed.
+    */
+  val MinhashMod = 2147483647L
+  def minhashParams(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L, rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  def minhashSig(shingleCol: Column, params: Seq[(Long, Long)]): Seq[Column] =
+    params.map { case (a, b) =>
+      array_min(transform(shingleCol,
+        s => pmod(lit(a) * pmod(h60(s), lit(MinhashMod)) + lit(b), lit(MinhashMod))))
+    }
+}
