@@ -112,6 +112,12 @@ object SparkEntry {
     "ts_pipeline" -> { (s, dir) =>
       pipelineDf(s, dir)._1.orderBy("user_id", "ts_us", "event_id")
     },
+    // rows-only oracle: no SQL DFT; semantics pinned by DomFreqSpec
+    "ts_domfreq" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      ts.DomFreq.domfreq(ev, Seq("value"), evGroup, evOrder, Seq(21), Seq("centered"))
+        .df.orderBy("user_id", "ts_us", "event_id")
+    },
     "ts_train_matrix" -> { (s, dir) =>
       val (df, feats) = pipelineDf(s, dir)
       df.na.drop(feats :+ "value_target7").orderBy("user_id", "ts_us", "event_id")
