@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twins of the batch featurize/TimeOps operators
+  * (SURVEY.md §streaming). Same column names and NULL semantics as the
+  * batch ops, so a pipeline can be developed in batch and deployed on a
+  * stream unchanged.
+  */
+case class Ev(user_id: Long, ts_us: Long, value: Double)
+case class RollFeat(
+    user_id: Long,
+    ts_us: Long,
+    value: Double,
+    value_lag1: Option[Double],
+    value_rollmean: Option[Double])
+/** Top-level on purpose: object-nested state classes produce
+  * `Outer$Inner` names the encoder's generated Java fails to resolve.
+  */
+case class RingState(ring: Array[Double])
+
+object StreamingFeaturize {
+
+  /** Per-key streaming lag/rollmean via flatMapGroupsWithState: state is
+    * a (w-1)-deep ring buffer per key — O(w) memory per key, unbounded
+    * stream. Events are processed in event-time order WITHIN each
+    * micro-batch; cross-batch late data is the watermarking layer's job
+    * (pair with withWatermark upstream).
+    *
+    * Emits the batch operators' exact semantics: `value_lag1` null for
+    * the first event of a key, `value_rollmean` null until a full
+    * window of w values exists (minPeriods = w).
+    */
+  def rollingFeatures(events: Dataset[Ev], w: Int): Dataset[RollFeat] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, evs: Iterator[Ev], state: GroupState[RingState]) => {
+          var ring: Vector[Double] = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty)
+          val out = evs.toSeq.sortBy(e => (e.ts_us, e.value)).map { e =>
+            val lag1 = ring.lastOption
+            val withCur = (ring :+ e.value).takeRight(w)
+            // newest-first summation: bit-identical to the batch
+            // rollmean's (current + lag1 + lag2 + …) fold order
+            val mean = if (withCur.size >= w) Some(withCur.reverseIterator.sum / w) else None
+            ring = withCur.takeRight(w - 1)
+            RollFeat(key, e.ts_us, e.value, lag1, mean)
+          }
+          state.update(RingState(ring.toArray))
+          out.iterator
+        })
+  }
+
+  /** Watermarked tumbling aggregation: the streaming twin of the batch
+    * ts_tumbling query (same 1-day buckets, count + sum).
+    */
+  def tumblingAgg(events: DataFrame, tsCol: String, watermark: String, windowLen: String): DataFrame =
+    events
+      .withColumn("__ts", timestamp_micros(col(tsCol)))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowLen), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("day_us"), col("user_id"),
+        col("n_events"), col("sum_value"))
+}

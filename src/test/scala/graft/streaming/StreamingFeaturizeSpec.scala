@@ -1,0 +1,67 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ts.Featurize
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingFeaturizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def evs(user: Long, n: Int): Seq[Ev] =
+    (0 until n).map(i => Ev(user, i.toLong * 1000000, math.sin(i * 0.5) * 10 + user))
+
+  test("streaming rollingFeatures equals batch lag+rollmean across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingFeaturize.rollingFeatures(input.toDS(), w = 4)
+      .writeStream.format("memory").queryName("roll_out").outputMode("append").start()
+    try {
+      val all = evs(1, 10) ++ evs(2, 7)
+      // three micro-batches, interleaving keys, in-order per key
+      input.addData(all.filter(e => e.ts_us < 3000000): _*)
+      q.processAllAvailable()
+      input.addData(all.filter(e => e.ts_us >= 3000000 && e.ts_us < 6000000): _*)
+      q.processAllAvailable()
+      input.addData(all.filter(e => e.ts_us >= 6000000): _*)
+      q.processAllAvailable()
+
+      val streamed = spark.table("roll_out")
+        .select("user_id", "ts_us", "value_lag1", "value_rollmean")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+
+      val batchDf = all.toDF("user_id", "ts_us", "value")
+      val lagged = Featurize.lagFeatures(batchDf, Seq("value"), Seq("user_id"), Seq("ts_us"), Seq(1))
+      val rolled = Featurize.rollmean(lagged.df, Seq("value"), Seq("user_id"), Seq("ts_us"), Seq(4))
+      val batch = rolled.df
+        .select("user_id", "ts_us", "value_lag1", "value_rollmean_w4")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("watermarked tumbling agg matches batch buckets after stream completion") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingFeaturize.tumblingAgg(input.toDF(), "ts_us", "1 hour", "1 day")
+      .writeStream.format("memory").queryName("tumble_out").outputMode("complete").start()
+    try {
+      val all = (0 until 50).map(i => Ev(1, i.toLong * 3600L * 1000000, i.toDouble))
+      input.addData(all: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("tumble_out")
+        .select("day_us", "user_id", "n_events", "sum_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = all.toDF("user_id", "ts_us", "value")
+        .groupBy((col("ts_us") - col("ts_us") % 86400000000L).as("day_us"), col("user_id"))
+        .agg(count(lit(1)).as("n"), sum("value").as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
