@@ -201,7 +201,7 @@ object SparkEntry {
     },
     "dedup_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        shingleSize = 3, threshold = 0.5, maxShingleFreq = 100L)
+        shingleSize = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")
     },
     "dedup_embcos" -> { (s, dir) =>
@@ -393,16 +393,17 @@ object SparkEntry {
          |from d order by doc_id""".stripMargin,
     "dedup_minhash" -> {
       val mhs = mhParams.zipWithIndex
-        .map { case ((a, b), i) => s"${SqlTwins.minhashOne("s", a, b)} as mh$i" }.mkString(",\n  ")
+        .map { case ((a, b), i) => s"${SqlTwins.minhashOne("hs", a, b)} as mh$i" }.mkString(",\n  ")
       val bandSelects = (0 until mhK / 4).map { bnd =>
         val key = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
         s"select doc_id, $bnd as band_idx, concat_ws('_', $key) as band_key from sig where mh0 is not null"
       }.mkString("\n  union all ")
       s"""with t as (select doc_id, ${SqlTwins.toks("text")} as t from documents),
          |sh as (select doc_id, ${SqlTwins.shingles("t", 3)} as s from t),
+         |h as (select doc_id, ${SqlTwins.shingleHashes("s")} as hs from sh),
          |sig as (select doc_id,
          |  $mhs
-         |from sh),
+         |from h),
          |bands as (
          |  $bandSelects
          |),
@@ -429,26 +430,39 @@ object SparkEntry {
          |select sig.doc_id, sig.simhash, buddies.dup_of
          |from sig left join buddies using (doc_id)
          |order by doc_id""".stripMargin,
-    "dedup_ngram_jaccard" ->
+    "dedup_ngram_jaccard" -> {
+      val mhs = mhParams.zipWithIndex
+        .map { case ((a, b), i) => s"${SqlTwins.minhashOne("hs", a, b)} as mh$i" }.mkString(",\n  ")
+      val bandSelects = (0 until mhK / 4).map { bnd =>
+        val key = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
+        s"select doc_id, $bnd as band_idx, concat_ws('_', $key) as band_key from sig where mh0 is not null"
+      }.mkString("\n  union all ")
       s"""with t as (select doc_id, ${SqlTwins.toks("text")} as t from documents),
          |sh0 as (select doc_id, ${SqlTwins.shingles("t", 3)} as s from t),
-         |sh as (select distinct doc_id, unnest(s) as sh from sh0),
-         |counts as (select doc_id, count(*) as n_sh from sh group by doc_id),
-         |freqok as (select sh from sh group by sh having count(*) <= 100),
-         |f as (select sh.doc_id, sh.sh from sh join freqok using (sh)),
-         |pairs as (
-         |  select a.doc_id as id_a, b.doc_id as id_b, count(*) as shared
-         |  from f a join f b on a.sh = b.sh and a.doc_id < b.doc_id
-         |  group by a.doc_id, b.doc_id),
+         |d as (select doc_id, list_distinct(s) as sh from sh0),
+         |h as (select doc_id, ${SqlTwins.shingleHashes("s")} as hs from sh0),
+         |sig as (select doc_id,
+         |  $mhs
+         |from h),
+         |bands as (
+         |  $bandSelects
+         |),
+         |cand as (
+         |  select distinct a.doc_id as id_a, b.doc_id as id_b
+         |  from bands a join bands b
+         |    on a.band_idx = b.band_idx and a.band_key = b.band_key and b.doc_id > a.doc_id),
          |j as (
-         |  select id_a, id_b, shared,
-         |    cast(shared as double) / cast(ca.n_sh + cb.n_sh - shared as double) as jaccard
-         |  from pairs
-         |  join counts ca on ca.doc_id = id_a
-         |  join counts cb on cb.doc_id = id_b)
+         |  select id_a, id_b,
+         |    len(list_intersect(da.sh, db.sh)) as shared,
+         |    cast(len(list_intersect(da.sh, db.sh)) as double)
+         |      / cast(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) as double) as jaccard
+         |  from cand
+         |  join d da on da.doc_id = id_a
+         |  join d db on db.doc_id = id_b)
          |select id_a, id_b, shared, jaccard from j
          |where jaccard >= 0.5E0
-         |order by id_a, id_b""".stripMargin,
+         |order by id_a, id_b""".stripMargin
+    },
     "dedup_embcos" ->
       s"""with e as (select vec_id, embedding from embeddings where vec_id % 10 = 0),
          |p as (

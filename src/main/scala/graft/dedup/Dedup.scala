@@ -37,8 +37,14 @@ object Dedup {
       shingleSize: Int,
       params: Seq[(Long, Long)]): DataFrame = {
     val sh = TextOps.shingles(TextOps.tokens(col(textCol)), shingleSize)
-    val sigs = TextOps.minhashSig(sh, params).zipWithIndex.map { case (c, i) => c.as(s"mh$i") }
-    docs.select(col(idCol) +: sigs: _*)
+    // materialize base hashes in their own projection so each shingle
+    // is md5'd once; then ONE custom-expression pass computes all k
+    // permutation minima (graft.plans.MinhashPerms)
+    val hashed = docs.select(col(idCol), TextOps.shingleHashes(sh).as("__hs"))
+    val allMins = graft.plans.HashExpressions.minhashPerms(col("__hs"), params, TextOps.MinhashMod)
+    val withSig = hashed.select(col(idCol), allMins.as("__mh"))
+    val sigs = params.indices.map(i => element_at(col("__mh"), i + 1).as(s"mh$i"))
+    withSig.select(col(idCol) +: sigs: _*)
   }
 
   /** LSH banding on a signature frame: rows (doc_id, band_idx,
@@ -59,6 +65,23 @@ object Dedup {
       .select(col(idCol), col("band.band_idx"), col("band.band_key"))
   }
 
+  /** Candidate pairs (id_a < id_b) from a banded frame WITHOUT a
+    * self-join: group by band key, collect the (tiny) per-bucket id
+    * list, explode its ordered pairs. Evaluates the signature plan
+    * exactly once (a self-join would run it for both sides) and the
+    * per-bucket pair fan-out is bounded by bucket size — the quantity
+    * LSH banding is tuned to keep small.
+    */
+  def bandCandidatePairs(bands: DataFrame, idCol: String): DataFrame =
+    bands.groupBy("band_idx", "band_key")
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(ids) - 1), " +
+          "i -> transform(slice(ids, i + 1, size(ids) - i), " +
+          "j -> struct(element_at(ids, i) as a, j as b))))")).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+
   /** doc_id → smallest banded buddy (null if none): the dedup verdict.
     * Shuffle cost: one exchange on band_key; candidate pair blow-up is
     * bounded by band selectivity (tune rowsPerBand for the corpus).
@@ -72,24 +95,49 @@ object Dedup {
       rowsPerBand: Int = 4): DataFrame = {
     val sig = minhashSignatures(docs, idCol, textCol, shingleSize, TextOps.minhashParams(k))
     val bands = lshBands(sig, idCol, k, rowsPerBand)
-    val a = bands.as("a")
-    val b = bands.as("b")
-    val buddies = a.join(b,
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_key") === col("b.band_key") &&
-        col(s"b.$idCol") < col(s"a.$idCol"))
-      .groupBy(col(s"a.$idCol").as(idCol))
-      .agg(min(col(s"b.$idCol")).as("dup_of"))
+    val buddies = bandCandidatePairs(bands, idCol)
+      .groupBy(col("id_b").as(idCol))
+      .agg(min(col("id_a")).as("dup_of"))
     docs.select(col(idCol)).join(buddies, Seq(idCol), "left")
   }
 
-  /** Exact n-gram Jaccard similarity for all candidate pairs sharing at
-    * least one shingle; `threshold` filters the verdict. The join key
-    * is the (distinct) shingle, so shuffle payload is (shingle hash,
-    * doc_id) — 100 TB-safe as long as stop-shingles are capped
-    * (maxShingleFreq guards frequency blow-up).
+  /** Exact n-gram Jaccard on MinHash-LSH candidate pairs: LSH banding
+    * proposes candidates (cheap, selective), then the exact verdict is
+    * computed per-pair with array_intersect on the distinct shingle
+    * sets — no shingle-explode self-join anywhere, so the only shuffles
+    * are the band-key exchange and two broadcast-joinable candidate
+    * lookups. This is the 100 TB shape; `ngramJaccardPairsExhaustive`
+    * below is the small-corpus exact-recall variant.
     */
   def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      k: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    val withShingles = docs.select(col(idCol),
+      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleSize)).as("sh"))
+    val sig = minhashSignatures(docs, idCol, textCol, shingleSize, TextOps.minhashParams(k))
+    val bands = lshBands(sig, idCol, k, rowsPerBand)
+    val cand = bandCandidatePairs(bands, idCol).distinct()
+    val pa = withShingles.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val pb = withShingles.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    cand.join(pa, "id_a").join(pb, "id_b")
+      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("shared").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("shared")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "shared", "jaccard")
+  }
+
+  /** All-pairs exact n-gram Jaccard via shingle self-join (exact
+    * recall; the shingle frequency cap guards blow-up). Quadratic in
+    * per-shingle frequency — use the LSH-candidate variant at scale.
+    */
+  def ngramJaccardPairsExhaustive(
       docs: DataFrame,
       idCol: String,
       textCol: String,
@@ -124,19 +172,29 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sig = docs.select(col(idCol), TextOps.simhash32(TextOps.tokens(col(textCol))).as("simhash"))
+    val sig = docs
+      .select(col(idCol), TextOps.tokenHashes32(TextOps.tokens(col(textCol))).as("__th"))
+      .select(col(idCol), graft.plans.HashExpressions.simhash32(col("__th")).as("simhash"))
     val bands = sig.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band_idx"), shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("band_key"))
       }: _*)).as("band"))
       .select(col(idCol), col("simhash"), col("band.band_idx"), col("band.band_key"))
-    val buddies = bands.as("a").join(bands.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-        col("a.band_key") === col("b.band_key") &&
-        col(s"b.$idCol") < col(s"a.$idCol"))
-      .where(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= maxHamming)
-      .groupBy(col(s"a.$idCol").as(idCol))
-      .agg(min(col(s"b.$idCol")).as("dup_of"))
+    // per-bucket pair explosion over (id, simhash) structs — bands plan
+    // evaluated once, no self-join
+    val pairs = bands.groupBy("band_idx", "band_key")
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh")))).as("xs"))
+      .where(size(col("xs")) > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(xs) - 1), " +
+          "i -> transform(slice(xs, i + 1, size(xs) - i), " +
+          "j -> struct(element_at(xs, i) as a, j as b))))")).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.a.sh").as("sh_a"),
+        col("p.b.id").as("id_b"), col("p.b.sh").as("sh_b"))
+    val buddies = pairs
+      .where(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
+      .groupBy(col("id_b").as(idCol))
+      .agg(min(col("id_a")).as("dup_of"))
     sig.join(buddies, Seq(idCol), "left").select(idCol, "simhash", "dup_of")
   }
 

@@ -26,9 +26,13 @@ object SqlTwins {
     s"case when len($t) >= $n then list_transform(range(1, len($t) - ${n - 2}), i -> $concat) else [] end"
   }
 
-  /** TextOps.minhashSig for one (a,b) permutation over shingle sql. */
-  def minhashOne(sh: String, a: Long, b: Long): String =
-    s"list_min(list_transform($sh, s -> ($a * (${h60("s")} % ${TextOps.MinhashMod}) + $b) % ${TextOps.MinhashMod}))"
+  /** TextOps.shingleHashes */
+  def shingleHashes(sh: String): String =
+    s"list_transform($sh, s -> ${h60("s")} % ${TextOps.MinhashMod})"
+
+  /** TextOps.minhashSig for one (a,b) permutation over pre-hashed sql. */
+  def minhashOne(hs: String, a: Long, b: Long): String =
+    s"list_min(list_transform($hs, h -> ($a * h + $b) % ${TextOps.MinhashMod}))"
 
   /** TextOps.simhash32 over a token-list sql. */
   def simhash32(t: String): String = {
@@ -44,10 +48,10 @@ object SqlTwins {
   def fingerprint(t: String): String =
     s"list_reduce(list_transform($t, s -> ${h60("s")} % ${TextOps.FpMod}), (a, b) -> (a * 131 + b) % ${TextOps.FpMod})"
 
-  /** TextOps.stopwordHits */
+  /** TextOps.stopwordHits (distinct-hit semantics via set intersect) */
   def stopwordHits(t: String, words: Seq[String]): String = {
     val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"len(list_filter($t, x -> list_contains($arr, x)))"
+    s"len(list_intersect($t, $arr))"
   }
 
   /** TextOps.langid: first language (declaration order) reaching the

@@ -38,14 +38,21 @@ object TextOps {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Token-shingle strings of size `n` (space-joined), empty array when
-    * the document has fewer than `n` tokens. 1-based element_at keeps
-    * the indexing identical to DuckDB list slicing.
+    * the document has fewer than `n` tokens.
+    *
+    * Built from `slice` + nested `zip_with`, NOT `element_at` inside a
+    * `transform` lambda: a lambda body re-evaluates any captured
+    * expression per element, so indexing an unmaterialized `toks`
+    * expression would re-run tokenization O(n_shingles × n) times per
+    * document (observed 30s for 5k docs). slice/zip_with children are
+    * evaluated once per row.
     */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
-      .otherwise(array().cast("array<string>"))
+  def shingles(toks: Column, n: Int): Column = {
+    val len = size(toks) - (n - 1)
+    val parts = (0 until n).map(k => slice(toks, lit(k + 1), len))
+    val joined = parts.reduceLeft((acc, p) => zip_with(acc, p, (a, b) => concat(a, lit(" "), b)))
+    when(size(toks) >= n, joined).otherwise(array().cast("array<string>"))
+  }
 
   /** Per-language stopword sets for the language-ID heuristic. Tiny on
     * purpose: language ID at 100 TB must be a cheap scan, not a model.
@@ -56,9 +63,14 @@ object TextOps {
     "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "ein", "eine", "zu"),
     "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "est", "que", "pour"))
 
-  /** Stopword-hit count for one language over a token array. */
+  /** DISTINCT stopword hits for one language over a token array.
+    * array_intersect (native set op), not filter+lambda: the
+    * interpreted per-token lambda was ~50× slower. Distinct-hit
+    * semantics are equivalent for argmax language ID with short word
+    * lists; the DuckDB twin uses list_intersect identically.
+    */
   def stopwordHits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+    size(array_intersect(toks, array(words.map(lit): _*)))
 
   /** argmax language by stopword hits; ties and zero hits → "und"
     * (undetermined). Deterministic: languages compared in declaration
@@ -96,17 +108,30 @@ object TextOps {
     aggregate(toks, lit(0L),
       (acc, t) => pmod(acc * lit(131L) + pmod(h60(t), lit(FpMod)), lit(FpMod)))
 
-  /** 32-bit SimHash over the token multiset: bit j is the majority vote
-    * of bit j across per-token 32-bit hashes (h60 % 2^32); ties → 1.
+  /** Per-token 32-bit hashes for simhash. Materialize this as its own
+    * column before calling simhash32FromHashes: the 32 bit-filters each
+    * re-evaluate their child, so hashing must sit behind a projection
+    * boundary (CollapseProject keeps multi-referenced non-cheap
+    * expressions un-inlined).
     */
-  def simhash32(toks: Column): Column = {
-    val hs = transform(toks, t => pmod(h60(t), lit(4294967296L)))
+  def tokenHashes32(toks: Column): Column =
+    transform(toks, t => pmod(h60(t), lit(4294967296L)))
+
+  /** 32-bit SimHash over pre-hashed tokens: bit j is the majority vote
+    * of bit j across token hashes; ties → 1.
+    */
+  def simhash32FromHashes(hs: Column): Column = {
     val n = size(hs)
     (0 until 32).map { j =>
       val setCnt = size(filter(hs, h => (shiftright(h, j).bitwiseAND(lit(1L))) === 1L))
       when(setCnt * 2 >= n, lit(1L << j)).otherwise(lit(0L))
     }.reduceLeft[Column](_ + _)
   }
+
+  /** Convenience single-expression form (fine for small frames/tests;
+    * prefer the two-projection form in pipelines).
+    */
+  def simhash32(toks: Column): Column = simhash32FromHashes(tokenHashes32(toks))
 
   /** MinHash signature: k permutations h_i(x) = (a_i*(h60(x)%M)+b_i)%M
     * over the shingle set; deterministic (a_i, b_i) from a fixed seed.
@@ -117,9 +142,15 @@ object TextOps {
     Seq.fill(k)((rnd.nextInt(Int.MaxValue - 1).toLong + 1L, rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  def minhashSig(shingleCol: Column, params: Seq[(Long, Long)]): Seq[Column] =
+  /** Base hashes for minhash: one md5 per shingle (the perms then work
+    * on int64s — 16 perms ≠ 16 md5 passes).
+    */
+  def shingleHashes(shingleCol: Column): Column =
+    transform(shingleCol, s => pmod(h60(s), lit(MinhashMod)))
+
+  /** Permuted minima over a pre-hashed shingle array (shingleHashes). */
+  def minhashSig(hashesCol: Column, params: Seq[(Long, Long)]): Seq[Column] =
     params.map { case (a, b) =>
-      array_min(transform(shingleCol,
-        s => pmod(lit(a) * pmod(h60(s), lit(MinhashMod)) + lit(b), lit(MinhashMod))))
+      array_min(transform(hashesCol, h => pmod(lit(a) * h + lit(b), lit(MinhashMod))))
     }
 }

@@ -1,0 +1,97 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for the dedup signature kernels.
+  *
+  * The declarative forms (k× `array_min(transform(...))`, 32×
+  * `size(filter(...))`) are interpreted lambda evaluations — k/32
+  * passes over every hash array with per-element closure overhead.
+  * These expressions compute the same values in ONE tight JVM pass per
+  * row (~10× observed). They are CodegenFallback: the inner loop is
+  * already compiled Scala, and one virtual call per row is noise
+  * compared to the loop body.
+  *
+  * Both must stay value-identical to their DuckDB SQL twins
+  * (SqlTwins.minhashOne / simhash32): pure int64 arithmetic, no FP.
+  */
+
+/** All k minhash permutation minima in one pass:
+  * out(j) = min_i (as(j)*h_i + bs(j)) % mod ; null on empty/null input
+  * (matching array_min-of-empty).
+  */
+case class MinhashPerms(child: Expression, as: Array[Long], bs: Array[Long], mod: Long)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val k = as.length
+    val out = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * h + bs(j)) % mod
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashPerms = copy(child = newChild)
+}
+
+/** 32-bit SimHash from a token-hash array in one pass: bit j set when
+  * 2·(#hashes with bit j) >= n (ties → 1, matching the declarative
+  * form).
+  */
+case class SimHash32(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 32) {
+        counts(j) += ((h >> j) & 1L).toInt
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 32) {
+      if (2 * counts(j) >= n) sim |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(sim)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash32 = copy(child = newChild)
+}
+
+object HashExpressions {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def minhashPerms(hashes: Column, params: Seq[(Long, Long)], mod: Long): Column =
+    column(MinhashPerms(expression(hashes), params.map(_._1).toArray, params.map(_._2).toArray, mod))
+
+  def simhash32(hashes: Column): Column = column(SimHash32(expression(hashes)))
+}
