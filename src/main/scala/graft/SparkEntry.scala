@@ -145,6 +145,18 @@ object SparkEntry {
       TimeOps.resampleFfill(ev, Seq("user_id"), "ts_us", 86400000000L, max(col("value")))
         .orderBy("user_id", "bucket")
     },
+    "ts_rollstats" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      Featurize.rollStats(ev, Seq("value"), evGroup, evOrder, Seq(7))
+        .df.orderBy("user_id", "ts_us", "event_id")
+    },
+    "ts_interpolate" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
+      val daily = TimeOps.resampleFfill(ev, Seq("user_id"), "ts_us", 86400000000L, max(col("value")))
+        .drop("filled_value")
+      TimeOps.interpolateLinear(daily, Seq("user_id"), "bucket", "bucket_value", "interp_value")
+        .orderBy("user_id", "bucket")
+    },
     "ts_ewma_trunc" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
       TimeOps.ewmaTruncated(ev, "value", evGroup, evOrder, alpha = 0.2, k = 32, out = "ewma_t")
@@ -349,6 +361,25 @@ object SparkEntry {
         |   rows between unbounded preceding and current row) as filled_value
         |from j
         |order by user_id, bucket""".stripMargin,
+    "ts_rollstats" -> {
+      val es = OracleGen.rollstatsExprs("value", 7, 7, evOver).mkString(",\n ")
+      s"select user_id, epoch_us(ts) as ts_us, event_id, value,\n $es\nfrom events\norder by $evKeys"
+    },
+    "ts_interpolate" -> {
+      val ov = "(partition by user_id order by bucket)"
+      val interp = OracleGen.interpolateExpr("bucket", "bucket_value", ov, "interp_value")
+      s"""with pb as (
+         |  select user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000) as bucket, max(value) as bucket_value
+         |  from events group by 1, 2),
+         |bounds as (select user_id, min(bucket) as b0, max(bucket) as b1 from pb group by 1),
+         |spine as (select user_id, unnest(generate_series(b0, b1, 86400000000)) as bucket from bounds),
+         |j as (select s.user_id, s.bucket, pb.bucket_value
+         |      from spine s left join pb on s.user_id = pb.user_id and s.bucket = pb.bucket)
+         |select user_id, bucket, bucket_value,
+         | $interp
+         |from j
+         |order by user_id, bucket""".stripMargin
+    },
     "ts_ewma_trunc" -> {
       val e = OracleGen.ewmaTruncExpr("value", 0.2, 32, evOver, "ewma_t")
       s"select user_id, epoch_us(ts) as ts_us, event_id, value,\n $e\nfrom events\norder by $evKeys"

@@ -109,6 +109,64 @@ object Featurize {
     }
   }
 
+  /** Rolling min/max/std over trailing windows (beyond the reference's
+    * rollmean — the rest of the rolling-stats family a TS engine
+    * needs). min/max are native window aggs (order-independent, exact
+    * on both engines); std uses the explicit two-sums formula with the
+    * same left-fold order as the DuckDB twin
+    * (OracleGen.rollstatsExprs): sqrt((Σx² − (Σx)²/n) / (n−1)).
+    */
+  def rollStats(
+      df: DataFrame,
+      columns: Seq[String],
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      windowSizes: Seq[Int],
+      minPeriods: Option[Int] = None): FeatureResult = {
+    val win = seriesWindow(groupCols, orderCols)
+    val feats = (for (c <- columns; w <- windowSizes) yield {
+      val minP = minPeriods.getOrElse(w)
+      val frame = win.rowsBetween(-(w - 1), Window.currentRow)
+      def term(i: Int): Column = if (i == 0) col(c) else lag(col(c), i).over(win)
+      val sum1 = (0 until w).map(i => coalesce(term(i).cast("double"), lit(0.0))).reduceLeft(_ + _)
+      val sum2 = (0 until w).map(i => coalesce(term(i).cast("double") * term(i).cast("double"), lit(0.0))).reduceLeft(_ + _)
+      val cnt = (0 until w).map(i => when(term(i).isNotNull, 1).otherwise(0)).reduceLeft(_ + _)
+      val std = sqrt((sum2 - (sum1 * sum1) / cnt) / (cnt - 1))
+      Seq(
+        s"${c}_rollmin_w$w" -> when(cnt >= minP, min(col(c)).over(frame)),
+        s"${c}_rollmax_w$w" -> when(cnt >= minP, max(col(c)).over(frame)),
+        s"${c}_rollstd_w$w" -> when(cnt >= greatest(lit(minP), lit(2)), std))
+    }).flatten
+    FeatureResult(feats.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e) }, feats.map(_._1))
+  }
+
+  /** Spark-native analogue of df_to_train_test_matrices
+    * (featurize.py:52): per-group order-sorted tensors
+    * `x: (T,P)  y: (T)` from the NaN-dropped frame, plus the feature
+    * vector at the global max order key (`x_T`). Assembly is fully
+    * distributed (groupBy + sort_array(collect_list)); only the final
+    * `collect` for ML handoff is driver-side — unlike the reference,
+    * which pivots the whole frame through a single pandas process.
+    */
+  def trainTestTensors(
+      df: DataFrame,
+      featureCols: Seq[String],
+      targetCol: String,
+      groupCols: Seq[String],
+      orderCol: String): DataFrame = {
+    val featArr = array(featureCols.map(c => col(c).cast("double")): _*)
+    val clean = df.na.drop(featureCols :+ targetCol)
+    val train = clean
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(
+        col(orderCol).as("t"), featArr.as("x"), col(targetCol).cast("double").as("y")))).as("rows"))
+      .select(groupCols.map(col) :+ col("rows.t").as("t") :+ col("rows.x").as("x") :+ col("rows.y").as("y"): _*)
+    val maxT = df.agg(max(col(orderCol))).head().get(0)
+    val xT = df.filter(col(orderCol) === lit(maxT))
+      .select(groupCols.map(col) :+ featArr.as("x_T"): _*)
+    train.join(xT, groupCols, "full")
+  }
+
   /** Declarative feature spec, mirroring the reference's
     * `{'fun': ..., 'args': {...}}` dictionaries (featurize.py:7
     * `featurize_data`).

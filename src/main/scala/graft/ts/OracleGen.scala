@@ -41,6 +41,37 @@ object OracleGen {
     if (s.contains('E') || s.contains('e')) s else s + "E0"
   }
 
+  /** Mirrors Featurize.rollStats: native windowed min/max + explicit
+    * two-sums std with identical fold order.
+    */
+  def rollstatsExprs(c: String, w: Int, minP: Int, ov: String): Seq[String] = {
+    def term(i: Int): String = if (i == 0) c else s"lag($c, $i) over $ov"
+    val frame = ov.dropRight(1) + s" rows between ${w - 1} preceding and current row)"
+    val sum1 = (0 until w).map(i => s"coalesce(cast(${term(i)} as double), 0.0)").reduceLeft((a, b) => s"($a + $b)")
+    val sum2 = (0 until w).map(i => s"coalesce(cast(${term(i)} as double) * cast(${term(i)} as double), 0.0)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    val cnt = (0 until w).map(i => s"(case when ${term(i)} is not null then 1 else 0 end)").reduceLeft((a, b) => s"($a + $b)")
+    val std = s"sqrt((($sum2 - (($sum1 * $sum1) / $cnt)) / ($cnt - 1)))"
+    Seq(
+      s"case when $cnt >= $minP then min($c) over $frame end as ${c}_rollmin_w$w",
+      s"case when $cnt >= $minP then max($c) over $frame end as ${c}_rollmax_w$w",
+      s"case when $cnt >= greatest($minP, 2) then $std end as ${c}_rollstd_w$w")
+  }
+
+  /** Mirrors TimeOps.interpolateLinear over (orderCol=t, valueCol=v). */
+  def interpolateExpr(t: String, v: String, ov: String, alias: String): String = {
+    val before = ov.dropRight(1) + " rows between unbounded preceding and current row)"
+    val after = ov.dropRight(1) + " rows between current row and unbounded following)"
+    val prevV = s"last_value($v ignore nulls) over $before"
+    val prevT = s"last_value(case when $v is not null then $t end ignore nulls) over $before"
+    val nextV = s"first_value($v ignore nulls) over $after"
+    val nextT = s"first_value(case when $v is not null then $t end ignore nulls) over $after"
+    val frac = s"(cast($t - $prevT as double) / cast($nextT - $prevT as double))"
+    s"""case when $v is not null then cast($v as double)
+       | when $prevV is not null and $nextV is not null then ($prevV + (($nextV - $prevV) * $frac))
+       | when $prevV is not null then $prevV end as $alias""".stripMargin
+  }
+
   /** Mirrors TimeOps.ewmaTruncated: same term order and association. */
   def ewmaTruncExpr(c: String, alpha: Double, k: Int, ov: String, alias: String): String = {
     val beta = 1.0 - alpha

@@ -39,8 +39,11 @@ object Taylor {
       fillEdges: Boolean): FeatureResult = {
     val win = Featurize.seriesWindow(groupCols, orderCols)
     val cntWin = if (groupCols.isEmpty) Window.partitionBy() else Window.partitionBy(groupCols.map(col): _*)
-    val pos = row_number().over(win) - 1
-    val rpos = count(lit(1)).over(cntWin) - 1 - pos
+    // materialize position/count ONCE: inlining them into every
+    // coefficient's CASE makes Catalyst plan a fresh
+    // Window(count)+Window(row_number) pair per output column
+    val pos = col("__pos")
+    val rpos = col("__cnt") - 1 - pos
 
     def condCol(spec: Spec, cond: Cond): Column = {
       val h = (spec.windowSize - 1) / 2
@@ -74,6 +77,11 @@ object Taylor {
         spec.featName(d) -> expr
       }
     }
-    FeatureResult(feats.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e) }, feats.map(_._1))
+    val withPos = df
+      .withColumn("__pos", row_number().over(win).cast("long") - 1)
+      .withColumn("__cnt", count(lit(1)).over(cntWin))
+    val out = feats.foldLeft(withPos) { case (d, (n, e)) => d.withColumn(n, e) }
+      .drop("__pos", "__cnt")
+    FeatureResult(out, feats.map(_._1))
   }
 }

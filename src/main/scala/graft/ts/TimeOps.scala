@@ -80,6 +80,34 @@ object TimeOps {
     joined.withColumn(out, last(col("bucket_value"), ignoreNulls = true).over(win))
   }
 
+  /** Linear interpolation of nulls along a numeric order key: bracketed
+    * gaps get the exact linear blend, trailing nulls forward-fill,
+    * leading nulls stay null (pandas-interpolate semantics). Two window
+    * passes over the shared partition sort; the DuckDB twin mirrors the
+    * blend expression term-for-term.
+    */
+  def interpolateLinear(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      valueCol: String,
+      out: String): DataFrame = {
+    val win = Featurize.seriesWindow(groupCols, Seq(orderCol))
+    val before = win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val after = win.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val t = col(orderCol)
+    val v = col(valueCol)
+    val prevV = last(v, ignoreNulls = true).over(before)
+    val prevT = last(when(v.isNotNull, t), ignoreNulls = true).over(before)
+    val nextV = first(v, ignoreNulls = true).over(after)
+    val nextT = first(when(v.isNotNull, t), ignoreNulls = true).over(after)
+    val frac = (t - prevT).cast("double") / (nextT - prevT).cast("double")
+    val interp = when(v.isNotNull, v.cast("double"))
+      .when(prevV.isNotNull && nextV.isNotNull, prevV + (nextV - prevV) * frac)
+      .when(prevV.isNotNull, prevV)
+    df.withColumn(out, interp)
+  }
+
   /** Exact recursive EWMA (pandas `ewm(alpha).mean()` semantics,
     * adjust=true: y_t = Σ_i (1-α)^i x_{t-i} / Σ_i (1-α)^i).
     *

@@ -1,0 +1,62 @@
+package graft.ts
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FeaturizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1, 0L, 2.0), (1, 1L, 4.0), (1, 2L, 6.0), (1, 3L, 100.0),
+    (2, 0L, 5.0), (2, 1L, 5.0))
+    .toDF("g", "t", "v")
+
+  test("rollStats: min/max/std over trailing windows with full-window gating") {
+    val res = Featurize.rollStats(df, Seq("v"), Seq("g"), Seq("t"), Seq(3))
+    val rows = res.df.filter($"g" === 1).orderBy("t")
+      .select("v_rollmin_w3", "v_rollmax_w3", "v_rollstd_w3").collect()
+    assert(rows(0).isNullAt(0) && rows(1).isNullAt(0), "first w-1 rows gated to null")
+    assert(rows(2).getDouble(0) == 2.0 && rows(2).getDouble(1) == 6.0)
+    assert(math.abs(rows(2).getDouble(2) - 2.0) < 1e-12) // std of 2,4,6
+    assert(rows(3).getDouble(1) == 100.0)
+  }
+
+  test("interpolateLinear: bracketed gaps linear, trailing ffill, leading null") {
+    val g = Seq((1, 0L, None), (1, 1L, Some(10.0)), (1, 2L, None), (1, 3L, None),
+      (1, 4L, Some(40.0)), (1, 5L, None))
+      .toDF("g", "t", "v")
+    val out = TimeOps.interpolateLinear(g, Seq("g"), "t", "v", "iv")
+      .orderBy("t").select("iv").collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq == Seq(None, Some(10.0), Some(20.0), Some(30.0), Some(40.0), Some(40.0)))
+  }
+
+  test("trainTestTensors: per-group (T,P) arrays + x_T at max order key") {
+    val feats = Featurize.lagFeatures(df, Seq("v"), Seq("g"), Seq("t"), Seq(1))
+    val tens = Featurize.trainTestTensors(feats.df, Seq("v_lag1"), "v", Seq("g"), "t")
+    val r1 = tens.filter($"g" === 1).head()
+    assert(r1.getSeq[Long](r1.fieldIndex("t")).toList == List(1L, 2L, 3L), "first row dropped by na.drop on lag")
+    val xs = r1.get(r1.fieldIndex("x")).asInstanceOf[scala.collection.Seq[Any]]
+      .map(_.asInstanceOf[scala.collection.Seq[Double]].toList).toList
+    assert(xs == List(List(2.0), List(4.0), List(6.0)))
+    assert(r1.getSeq[Double](r1.fieldIndex("y")).toList == List(4.0, 6.0, 100.0))
+    assert(r1.getSeq[Double](r1.fieldIndex("x_T")).toList == List(6.0), "x_T uses features at global max t")
+    // group 2 has no rows at global max t=3 → x_T null, train side present
+    val r2 = tens.filter($"g" === 2).head()
+    assert(r2.isNullAt(r2.fieldIndex("x_T")))
+  }
+
+  test("GraftFunctions SQL registration: graft_simhash32/graft_minhash16 usable from SQL") {
+    graft.plans.GraftFunctions.register(spark)
+    val out = Seq(("a b c d e")).toDF("text")
+      .createOrReplaceTempView("gf_docs")
+    val row = spark.sql(
+      """select graft_simhash32(transform(split(text, ' '),
+        |         t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % 4294967296)) as sh,
+        |       graft_minhash16(transform(split(text, ' '),
+        |         t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint) % 2147483647)) as mh
+        |from gf_docs""".stripMargin).head()
+    assert(row.getLong(0) != 0L)
+    assert(row.getSeq[Long](row.fieldIndex("mh")).size == 16)
+  }
+}
