@@ -1,0 +1,47 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.sources.Sources
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SkewSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedAgg equals direct groupBy for algebraic aggregates") {
+    val df = (1 to 5000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 50}", i.toDouble)).toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val salted = Skew.saltedAgg(df, Seq("k"), "v", Seq(
+      Skew.sumAgg("v", "s") -> "s", Skew.countAgg("n") -> "n",
+      Skew.minAgg("v", "mn") -> "mn", Skew.maxAgg("v", "mx") -> "mx"))
+      .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(salted.keySet == direct.keySet)
+    for (k <- direct.keySet) {
+      assert(math.abs(salted(k)._1 - direct(k)._1) < 1e-6, s"sum $k")
+      assert(salted(k)._2 == direct(k)._2 && salted(k)._3 == direct(k)._3 && salted(k)._4 == direct(k)._4)
+    }
+  }
+
+  test("partitioned parquet round-trip with partition pruning") {
+    val dir = Files.createTempDirectory("graft_src").toString
+    val df = Seq((1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)).toDF("id", "part", "v")
+    Sources.writePartitioned(df, s"$dir/t", Seq("part"))
+    val back = Sources.parquet(spark, s"$dir/t")
+    assert(back.count() == 3)
+    val pruned = back.filter($"part" === "a")
+    assert(pruned.count() == 2)
+    // partition filter must reach the scan, not a post-scan Filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(part"), plan.take(500))
+  }
+
+  test("csv with explicit schema round-trips") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val df = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "s", "v")
+    df.write.option("header", "true").csv(s"$dir/c")
+    val back = Sources.csv(spark, s"$dir/c", df.schema)
+    assert(back.as[(Long, String, Double)].collect().toSet == Set((1L, "x", 1.5), (2L, "y", 2.5)))
+  }
+}
