@@ -10,6 +10,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session warmup outside the timers: JVM/codegen/FileIndex costs
+    // otherwise land on whichever query happens to run first
+    Tables.lineitem(spark, sfDir).count()
+    Tables.events(spark, sfDir).count()
+    Tables.documents(spark, sfDir).count()
+    Tables.embeddings(spark, sfDir).count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune every

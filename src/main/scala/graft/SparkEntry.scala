@@ -384,6 +384,24 @@ object SparkEntry {
       val e = OracleGen.ewmaTruncExpr("value", 0.2, 32, evOver, "ewma_t")
       s"select user_id, epoch_us(ts) as ts_us, event_id, value,\n $e\nfrom events\norder by $evKeys"
     },
+    // exact recursive EWMA: DuckDB list_reduce is the same Horner fold
+    // (acc*beta + x, seeded by the first element ≡ beta*0 + x1) the
+    // mapPartitions scan performs — bit-identical doubles. O(n²) per
+    // key, fine at oracle scale (sf0.01).
+    "ts_ewma" -> {
+      val b = OracleGen.litD(1.0 - 0.2)
+      s"""with g as (select user_id,
+         |  list(value order by epoch_us(ts), event_id) as xs,
+         |  list(epoch_us(ts) order by epoch_us(ts), event_id) as tsl,
+         |  list(event_id order by epoch_us(ts), event_id) as eidl
+         |from events group by user_id)
+         |select user_id, unnest(tsl) as ts_us, unnest(eidl) as event_id, unnest(xs) as value,
+         | unnest(list_transform(range(1, len(xs) + 1), t ->
+         |   list_reduce(xs[1:t], (a, b) -> (a * $b) + b)
+         |   / list_reduce(list_transform(xs[1:t], x -> 1.0E0), (a, b) -> (a * $b) + b))) as ewma
+         |from g
+         |order by user_id, ts_us, event_id""".stripMargin
+    },
     "q3_join" ->
       """select l_orderkey, epoch_us(o_orderdate) as od_us,
         | round(sum(l_extendedprice * (1.0 - l_discount)), 4) as revenue
