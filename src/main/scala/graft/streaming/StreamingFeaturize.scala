@@ -10,6 +10,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * stream unchanged.
   */
 case class Ev(user_id: Long, ts_us: Long, value: Double)
+case class Doc(doc_id: Long, text: String)
+case class DedupVerdict(doc_id: Long, dup_of: Option[Long])
+case class SeenDoc(first_id: Long)
 case class RollFeat(
     user_id: Long,
     ts_us: Long,
@@ -50,6 +53,38 @@ object StreamingFeaturize {
             RollFeat(key, e.ts_us, e.value, lag1, mean)
           }
           state.update(RingState(ring.toArray))
+          out.iterator
+        })
+  }
+
+  /** Streaming exact dedup: the batch Dedup.exact twin for a document
+    * stream. State per normalized-text key = the first doc_id seen;
+    * later arrivals emit `dup_of = first`. The grouping key is the
+    * 60-bit content hash, NOT the text — state stays tiny and the
+    * shuffle carries (hash, id) only, same discipline as the batch
+    * path. (Hash collisions at 2^-60: acceptable for dedup; key by the
+    * normalized text itself if not.)
+    */
+  def streamingExactDedup(docs: Dataset[Doc]): Dataset[DedupVerdict] = {
+    import docs.sparkSession.implicits._
+    val hashed = docs
+      .withColumn("__k", graft.functions.TextOps.h60(graft.functions.TextOps.normalize(col("text"))))
+      .select(col("doc_id"), col("__k")).as[(Long, Long)]
+    hashed
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, rows: Iterator[(Long, Long)], state: GroupState[SeenDoc]) => {
+          val ids = rows.map(_._1).toSeq.sorted
+          var first = state.getOption.map(_.first_id)
+          val out = ids.map { id =>
+            first match {
+              case None =>
+                first = Some(id)
+                DedupVerdict(id, None)
+              case Some(f) => DedupVerdict(id, Some(f))
+            }
+          }
+          state.update(SeenDoc(first.get))
           out.iterator
         })
   }

@@ -28,26 +28,31 @@ import org.apache.spark.sql.functions._
   */
 object DomFreq {
 
-  /** scipy.signal.periodogram(x, fs, detrend='linear'), one-sided,
-    * returning the top-k (freq, log power) pairs, power-descending with
+  /** scipy.signal.periodogram(x, fs, detrend), one-sided, returning
+    * the top-k (freq, log power) pairs, power-descending with
     * bin-ascending tie-break. Output layout: [f1..fk, logp1..logpk].
+    * `detrend`: "linear" (LS line removed, scipy default), "constant"
+    * (mean removed), or "none".
     */
-  def periodogramTopK(x: Array[Double], fs: Double, k: Int): Array[Double] = {
+  def periodogramTopK(x: Array[Double], fs: Double, k: Int, detrend: String = "linear"): Array[Double] = {
     val n = x.length
-    // linear detrend: subtract the least-squares line over t = 0..n-1
     val tMean = (n - 1) / 2.0
     var xMean = 0.0
     var i = 0
     while (i < n) { xMean += x(i); i += 1 }
     xMean /= n
-    var sxy = 0.0
-    var sxx = 0.0
-    i = 0
-    while (i < n) { val dt = i - tMean; sxy += dt * (x(i) - xMean); sxx += dt * dt; i += 1 }
-    val slope = if (sxx > 0) sxy / sxx else 0.0
+    var slope = 0.0
+    if (detrend == "linear") {
+      var sxy = 0.0
+      var sxx = 0.0
+      i = 0
+      while (i < n) { val dt = i - tMean; sxy += dt * (x(i) - xMean); sxx += dt * dt; i += 1 }
+      if (sxx > 0) slope = sxy / sxx
+    }
+    val base = if (detrend == "none") 0.0 else xMean
     val y = new Array[Double](n)
     i = 0
-    while (i < n) { y(i) = x(i) - (xMean + slope * (i - tMean)); i += 1 }
+    while (i < n) { y(i) = x(i) - (base + slope * (i - tMean)); i += 1 }
     // one-sided periodogram, O(n^2) DFT (n ≤ 64 in practice)
     val nBins = n / 2 + 1
     val psd = new Array[Double](nBins)
@@ -87,10 +92,11 @@ object DomFreq {
       windowSizes: Seq[Int],
       windowAligns: Seq[String],
       nDomfreq: Int = 5,
-      fs: Double = 1.0): FeatureResult = {
+      fs: Double = 1.0,
+      detrend: String = "linear"): FeatureResult = {
     val specs = for (c <- columns; w <- windowSizes; a <- windowAligns) yield (c, w, a)
     specs.foldLeft(FeatureResult(df, Nil)) { case (acc, (c, w, a)) =>
-      acc.andThen(d => oneSpec(d, c, groupCols, orderCols, w, a, nDomfreq, fs))
+      acc.andThen(d => oneSpec(d, c, groupCols, orderCols, w, a, nDomfreq, fs, detrend))
     }
   }
 
@@ -102,7 +108,8 @@ object DomFreq {
       w: Int,
       align: String,
       nDomfreq: Int,
-      fs: Double): FeatureResult = {
+      fs: Double,
+      detrend: String = "linear"): FeatureResult = {
     require(align == "centered" || align == "trailing", s"bad align $align")
     require(align != "centered" || w % 2 == 1, "centered domfreq requires odd window (like the reference)")
     val win = Featurize.seriesWindow(groupCols, orderCols)
@@ -130,7 +137,7 @@ object DomFreq {
         (head.unionByName(main), -(w - 1), 0)
     }
     val extWin = Featurize.seriesWindow(groupCols, Seq("__ext")).rowsBetween(frameLo, frameHi)
-    val kernel = udf((xs: Seq[Double]) => periodogramTopK(xs.toArray, fs, nDomfreq))
+    val kernel = udf((xs: Seq[Double]) => periodogramTopK(xs.toArray, fs, nDomfreq, detrend))
     val withFeat = ext
       .withColumn("__win", collect_list(col(c).cast("double")).over(extWin))
       .where(col("__orig"))

@@ -189,7 +189,8 @@ object Featurize {
       windowSizes: Seq[Int] = Seq(21),
       windowAligns: Seq[String] = Seq("centered"),
       nDomfreq: Int = 5,
-      fs: Double = 1.0) extends Feature
+      fs: Double = 1.0,
+      detrend: String = "linear") extends Feature
 
   /** Apply a list of feature specs, accumulating feature names —
     * the Spark analogue of `featurize_data` (featurize.py:7).
@@ -210,7 +211,7 @@ object Featurize {
               t.taylorDegree, t.windowSizes, t.windowAligns, t.ewSpans, t.fillEdges)
           case fq: Domfreq =>
             DomFreq.domfreq(d, fq.columns, groupCols, orderCols,
-              fq.windowSizes, fq.windowAligns, fq.nDomfreq, fq.fs)
+              fq.windowSizes, fq.windowAligns, fq.nDomfreq, fq.fs, fq.detrend)
         }
       }
     }

@@ -1,0 +1,51 @@
+package graft.ann
+
+import graft.SparkSpec
+import graft.functions.VectorOps
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  // clustered corpus: 4 well-separated centers + noise
+  private lazy val corpus = {
+    val rnd = new Random(11)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian() * 5))
+    (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.zipWithIndex.map { case (v, d) => (v + rnd.nextGaussian() * 0.3).toFloat }.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("bruteTopK: exact, rank-1 neighbor of a vector is itself") {
+    val q = corpus.where($"vec_id" < 2).select($"vec_id".as("qid"), $"embedding")
+    val top = Ann.bruteTopK(corpus, q, "vec_id", "embedding", "qid", k = 5)
+    val r1 = top.where($"rank" === 1).select("qid", "vec_id").as[(Long, Long)].collect().toMap
+    assert(r1 == Map(0L -> 0L, 1L -> 1L))
+    // all rank-(<=5) neighbors of query 0 are in its cluster (ids ≡ 0 mod 4)
+    val n0 = top.where($"qid" === 0).select("vec_id").as[Long].collect()
+    assert(n0.forall(_ % 4 == 0), n0.mkString(","))
+  }
+
+  test("lshTopK: bucket-restricted search finds the same top-1 on clustered data") {
+    val planes = VectorOps.lshPlanes(6, 16, seed = 3L)
+    val q = corpus.where($"vec_id" < 4).select($"vec_id".as("qid"), $"embedding")
+    val brute = Ann.bruteTopK(corpus, q, "vec_id", "embedding", "qid", k = 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toMap
+    val lsh = Ann.lshTopK(corpus, q, "vec_id", "embedding", "qid", k = 1, planes)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toMap
+    // the query itself always shares its own bucket → top-1 is exact
+    assert(lsh == brute)
+  }
+
+  test("lsh buckets put near-identical vectors together") {
+    val planes = VectorOps.lshPlanes(8, 16, seed = 5L)
+    val b = Ann.buckets(corpus, "vec_id", "embedding", planes)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    // same-cluster vectors should collide far more than cross-cluster
+    val sameCluster = (0 until 196 by 4).count(i => b(i.toLong) == b((i + 4).toLong))
+    val crossCluster = (0 until 196 by 4).count(i => b(i.toLong) == b((i + 1).toLong))
+    assert(sameCluster > crossCluster * 2, s"same=$sameCluster cross=$crossCluster")
+  }
+}
