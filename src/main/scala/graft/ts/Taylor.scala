@@ -77,9 +77,11 @@ object Taylor {
         spec.featName(d) -> expr
       }
     }
-    val withPos = df
-      .withColumn("__pos", row_number().over(win).cast("long") - 1)
-      .withColumn("__cnt", count(lit(1)).over(cntWin))
+    // __cnt (a second, partition-only Window op) only exists when some
+    // spec is centered — trailing-only pipelines stay single-Window
+    val needsCnt = specs.exists(_.needsCount)
+    val withPos0 = df.withColumn("__pos", row_number().over(win).cast("long") - 1)
+    val withPos = if (needsCnt) withPos0.withColumn("__cnt", count(lit(1)).over(cntWin)) else withPos0
     val out = feats.foldLeft(withPos) { case (d, (n, e)) => d.withColumn(n, e) }
       .drop("__pos", "__cnt")
     FeatureResult(out, feats.map(_._1))

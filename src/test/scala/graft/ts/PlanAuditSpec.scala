@@ -1,0 +1,27 @@
+package graft.ts
+
+import graft.SparkSpec
+
+/** Regression guard for the core scale property: an arbitrary feature
+  * pipeline (lags + rollmean + trailing taylor + leads) must plan ONE
+  * hash exchange and one sort — features are projections over a single
+  * partition-sorted pass, at any feature count.
+  */
+class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trailing feature pipeline plans exactly one hash exchange") {
+    val df = (for (g <- 0 until 4; t <- 0 until 100) yield (g, t, math.sin(t * 0.1) + g))
+      .toDF("g", "t", "v")
+    val res = Featurize.featurizeData(df, Seq("g"), Seq("t"), Seq(
+      Featurize.Lag(Seq("v"), Seq(1, 2, 7)),
+      Featurize.Rollmean(Seq("v"), Seq(5, 9)),
+      Featurize.WindowedTaylorCoefs(Seq("v"), taylorDegree = 2, Seq(7), Seq("trailing"), Seq(None), fillEdges = true),
+      Featurize.HorizonTargets(Seq("v"), Seq(3), "wide")))
+    val plan = res.df.queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(1200)}")
+    val windows = "(?m)^\\s*(?:\\+- )?Window ".r.findAllIn(plan).length
+    assert(windows <= 2, s"expected <=2 Window ops for a trailing pipeline, got $windows")
+  }
+}
