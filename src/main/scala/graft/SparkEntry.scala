@@ -145,6 +145,16 @@ object SparkEntry {
       TimeOps.resampleFfill(ev, Seq("user_id"), "ts_us", 86400000000L, max(col("value")))
         .orderBy("user_id", "bucket")
     },
+    "ts_autocorr" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      Featurize.autocorr(ev, "value", evGroup, evOrder, lagK = 1, w = 14)
+        .df.orderBy("user_id", "ts_us", "event_id")
+    },
+    "ts_zscore" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      Featurize.zscore(ev, "value", evGroup, evOrder, w = 14)
+        .df.orderBy("user_id", "ts_us", "event_id")
+    },
     "ts_rollstats" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
       Featurize.rollStats(ev, Seq("value"), evGroup, evOrder, Seq(7))
@@ -364,6 +374,14 @@ object SparkEntry {
     "ts_rollstats" -> {
       val es = OracleGen.rollstatsExprs("value", 7, 7, evOver).mkString(",\n ")
       s"select user_id, epoch_us(ts) as ts_us, event_id, value,\n $es\nfrom events\norder by $evKeys"
+    },
+    "ts_autocorr" -> {
+      val e = OracleGen.autocorrExpr("value", 1, 14, evOver)
+      s"select user_id, epoch_us(ts) as ts_us, event_id, value,\n $e\nfrom events\norder by $evKeys"
+    },
+    "ts_zscore" -> {
+      val e = OracleGen.zscoreExpr("value", 14, evOver)
+      s"select user_id, epoch_us(ts) as ts_us, event_id, value,\n $e\nfrom events\norder by $evKeys"
     },
     "ts_interpolate" -> {
       val ov = "(partition by user_id order by bucket)"

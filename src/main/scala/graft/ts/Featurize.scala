@@ -140,6 +140,56 @@ object Featurize {
     FeatureResult(feats.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e) }, feats.map(_._1))
   }
 
+  /** Rolling autocorrelation at lag `k` over trailing windows of `w`
+    * pairs: Pearson r between (x_t-i, x_t-i-k) for i = 0..w-1, via the
+    * five-sums closed form with a fixed left fold — mirrored exactly by
+    * OracleGen.autocorrExpr. Null until the window has `w` full pairs.
+    */
+  def autocorr(
+      df: DataFrame,
+      c: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      lagK: Int,
+      w: Int): FeatureResult = {
+    val win = seriesWindow(groupCols, orderCols)
+    def x(i: Int): Column = if (i == 0) col(c) else lag(col(c), i).over(win)
+    def y(i: Int): Column = lag(col(c), i + lagK).over(win)
+    def pair(i: Int): Column = x(i).isNotNull && y(i).isNotNull
+    def fold(f: Int => Column): Column = (0 until w).map(f).reduceLeft(_ + _)
+    val n = fold(i => when(pair(i), 1).otherwise(0))
+    val nd = n.cast("double")
+    val sx = fold(i => when(pair(i), x(i).cast("double")).otherwise(lit(0.0)))
+    val sy = fold(i => when(pair(i), y(i).cast("double")).otherwise(lit(0.0)))
+    val sxx = fold(i => when(pair(i), x(i).cast("double") * x(i).cast("double")).otherwise(lit(0.0)))
+    val syy = fold(i => when(pair(i), y(i).cast("double") * y(i).cast("double")).otherwise(lit(0.0)))
+    val sxy = fold(i => when(pair(i), x(i).cast("double") * y(i).cast("double")).otherwise(lit(0.0)))
+    val r = (nd * sxy - sx * sy) / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    val name = s"${c}_autocorr_l${lagK}_w$w"
+    FeatureResult(df.withColumn(name, when(n >= w, r)), Seq(name))
+  }
+
+  /** Rolling z-score: (x − rolling mean) / rolling std over a trailing
+    * `w` window, same explicit-sums formulation as rollStats (OracleGen
+    * twin: zscoreExpr). Null until the window is full.
+    */
+  def zscore(
+      df: DataFrame,
+      c: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      w: Int): FeatureResult = {
+    val win = seriesWindow(groupCols, orderCols)
+    def term(i: Int): Column = if (i == 0) col(c) else lag(col(c), i).over(win)
+    val sum1 = (0 until w).map(i => coalesce(term(i).cast("double"), lit(0.0))).reduceLeft(_ + _)
+    val sum2 = (0 until w).map(i => coalesce(term(i).cast("double") * term(i).cast("double"), lit(0.0))).reduceLeft(_ + _)
+    val cnt = (0 until w).map(i => when(term(i).isNotNull, 1).otherwise(0)).reduceLeft(_ + _)
+    val mean = sum1 / cnt
+    val std = sqrt((sum2 - (sum1 * sum1) / cnt) / (cnt - 1))
+    val name = s"${c}_zscore_w$w"
+    FeatureResult(df.withColumn(name, when(cnt >= w, (col(c).cast("double") - mean) / std)), Seq(name))
+  }
+
   /** Spark-native analogue of df_to_train_test_matrices
     * (featurize.py:52): per-group order-sorted tensors
     * `x: (T,P)  y: (T)` from the NaN-dropped frame, plus the feature

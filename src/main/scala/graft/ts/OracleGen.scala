@@ -58,6 +58,37 @@ object OracleGen {
       s"case when $cnt >= greatest($minP, 2) then $std end as ${c}_rollstd_w$w")
   }
 
+  /** Mirrors Featurize.autocorr: five-sums Pearson r, same fold order. */
+  def autocorrExpr(c: String, lagK: Int, w: Int, ov: String): String = {
+    def x(i: Int): String = if (i == 0) c else s"lag($c, $i) over $ov"
+    def y(i: Int): String = s"lag($c, ${i + lagK}) over $ov"
+    def pair(i: Int): String = s"${x(i)} is not null and ${y(i)} is not null"
+    def fold(f: Int => String): String = (0 until w).map(f).reduceLeft((a, b) => s"($a + $b)")
+    val n = fold(i => s"(case when ${pair(i)} then 1 else 0 end)")
+    val nd = s"cast($n as double)"
+    def s(body: Int => String): String =
+      fold(i => s"(case when ${pair(i)} then ${body(i)} else 0.0 end)")
+    val sx = s(i => s"cast(${x(i)} as double)")
+    val sy = s(i => s"cast(${y(i)} as double)")
+    val sxx = s(i => s"cast(${x(i)} as double) * cast(${x(i)} as double)")
+    val syy = s(i => s"cast(${y(i)} as double) * cast(${y(i)} as double)")
+    val sxy = s(i => s"cast(${x(i)} as double) * cast(${y(i)} as double)")
+    val r = s"((($nd * $sxy) - ($sx * $sy)) / sqrt(((($nd * $sxx) - ($sx * $sx)) * (($nd * $syy) - ($sy * $sy)))))"
+    s"case when $n >= $w then $r end as ${c}_autocorr_l${lagK}_w$w"
+  }
+
+  /** Mirrors Featurize.zscore. */
+  def zscoreExpr(c: String, w: Int, ov: String): String = {
+    def term(i: Int): String = if (i == 0) c else s"lag($c, $i) over $ov"
+    val sum1 = (0 until w).map(i => s"coalesce(cast(${term(i)} as double), 0.0)").reduceLeft((a, b) => s"($a + $b)")
+    val sum2 = (0 until w).map(i => s"coalesce(cast(${term(i)} as double) * cast(${term(i)} as double), 0.0)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    val cnt = (0 until w).map(i => s"(case when ${term(i)} is not null then 1 else 0 end)").reduceLeft((a, b) => s"($a + $b)")
+    val mean = s"($sum1 / $cnt)"
+    val std = s"sqrt((($sum2 - (($sum1 * $sum1) / $cnt)) / ($cnt - 1)))"
+    s"case when $cnt >= $w then ((cast($c as double) - $mean) / $std) end as ${c}_zscore_w$w"
+  }
+
   /** Mirrors TimeOps.interpolateLinear over (orderCol=t, valueCol=v). */
   def interpolateExpr(t: String, v: String, ov: String, alias: String): String = {
     val before = ov.dropRight(1) + " rows between unbounded preceding and current row)"
