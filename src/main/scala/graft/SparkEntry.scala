@@ -26,10 +26,6 @@ object SparkEntry {
   /** DuckDB twin of Featurize.seriesWindow on events. */
   private val evOver = OracleGen.over(Seq("user_id"), Seq("epoch_us(ts)", "event_id"))
   private val evKeys = "user_id, ts_us, event_id"
-  /** events.ts is TIMESTAMP(NANOS) in parquet; both engines use int64
-    * epoch µs (see Tables.events for why not ns). */
-  private val evFrom = "select user_id, epoch_us(ts) as ts_us, event_id, value from events"
-
   /** Flagship: the full featurize_data pipeline on sf0.001 events. */
   def entry(spark: SparkSession): DataFrame =
     queries("ts_pipeline")(spark, "/root/testdata/sf0.001")
