@@ -21,8 +21,18 @@ object VectorOps {
 
   def norm2(a: Column): Column = dot(a, a)
 
-  def cosine(a: Column, b: Column): Column =
+  /** Declarative form: value-identical to `cosine` below; kept as the
+    * readable specification of the fold the custom expression mirrors.
+    */
+  def cosineDeclarative(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** One-pass custom expression (plans.CosineSim) — same doubles as the
+    * declarative form (same per-index accumulation order), ~6× fewer
+    * interpreted lambda passes per pair.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.HashExpressions.cosineSim(a, b)
 
   /** Random-hyperplane LSH signature: bit j = [plane_j · v >= 0].
     * Plane values are materialized Scala constants (fixed seed) so the

@@ -87,6 +87,41 @@ case class SimHash32(child: Expression) extends UnaryExpression with CodegenFall
   override protected def withNewChildInternal(newChild: Expression): SimHash32 = copy(child = newChild)
 }
 
+/** Cosine similarity between two float-array embeddings in one pass.
+  * Value-identical to the declarative
+  * `aggregate(zip_with(a,b,(x,y)->xd*yd), 0.0, +) / (sqrt(naa)*sqrt(nbb))`
+  * form and to SqlTwins.cosine: per-element float→double casts,
+  * 0.0-seeded in-order accumulation, dot/(sqrt·sqrt) — replacing six
+  * interpreted lambda passes per pair with one loop.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
 object HashExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -94,4 +129,6 @@ object HashExpressions {
     column(MinhashPerms(expression(hashes), params.map(_._1).toArray, params.map(_._2).toArray, mod))
 
   def simhash32(hashes: Column): Column = column(SimHash32(expression(hashes)))
+
+  def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
 }
