@@ -235,6 +235,14 @@ object SparkEntry {
         .select("qid", "rank", "vec_id", "cos")
         .orderBy("qid", "rank")
     },
+    "ann_ivf" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ann.ivfSeedCentroids(emb, "vec_id", "embedding", k = 16)
+      Ann.ivfAssign(emb, "vec_id", "embedding", cents)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec_id"))
+        .orderBy("cell")
+    },
     "ann_lsh" -> { (s, dir) =>
       Ann.buckets(Tables.embeddings(s, dir), "vec_id", "embedding", annPlanes)
         .groupBy("bucket")
@@ -545,6 +553,18 @@ object SparkEntry {
          |  from scored)
          |select qid, rank, vec_id, cos from r where rank <= 10
          |order by qid, rank""".stripMargin,
+    "ann_ivf" ->
+      s"""with c as (select vec_id as cid, embedding as cvec from embeddings order by vec_id limit 16),
+         |scored as (
+         |  select e.vec_id, c.cid, ${SqlTwins.cosine("e.embedding", "c.cvec", 64)} as ccos
+         |  from embeddings e cross join c),
+         |assigned as (
+         |  select vec_id, cid as cell from (
+         |    select vec_id, cid,
+         |      row_number() over (partition by vec_id order by ccos desc, cid) as r
+         |    from scored) where r = 1)
+         |select cell, count(*) as n_vecs, min(vec_id) as min_vec_id
+         |from assigned group by cell order by cell""".stripMargin,
     "ann_lsh" ->
       s"""select cast(${SqlTwins.lshBucket("embedding", annPlanes)} as bigint) as bucket,
          | count(*) as n_vecs, min(vec_id) as min_vec_id

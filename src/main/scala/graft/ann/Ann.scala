@@ -34,6 +34,54 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** Deterministic IVF seed centroids: the K lowest-id corpus vectors.
+    * A production build swaps in k-means|| centroids; the INDEX
+    * MECHANICS (assignment, inverted cells, nprobe search) are
+    * identical and that is what's exercised here.
+    */
+  def ivfSeedCentroids(corpus: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    corpus.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
+
+  /** Assign every corpus vector to its nearest centroid by cosine
+    * (ties → lowest cid). Broadcast the centroids; one corpus scan.
+    */
+  def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .select(col(idCol), col(vecCol),
+        col("cid"), VectorOps.cosine(col(vecCol), col("cvec")).as("ccos"))
+    val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cid"))
+    scored.withColumn("__r", row_number().over(w)).where(col("__r") === 1)
+      .select(col(idCol), col(vecCol), col("cid").as("cell"))
+  }
+
+  /** IVF top-k: probe the `nprobe` nearest cells per query, exact
+    * cosine within the probed cells. Per-query candidate set ≈
+    * nprobe/K of the corpus — the inverted-file scale shape.
+    */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qIdCol: String,
+      k: Int,
+      nCentroids: Int,
+      nprobe: Int): DataFrame = {
+    val centroids = ivfSeedCentroids(corpus, idCol, vecCol, nCentroids)
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+    val qScored = queries.crossJoin(broadcast(centroids))
+      .select(col(qIdCol), col(vecCol).as("__qv"), col("cid"),
+        VectorOps.cosine(col(vecCol), col("cvec")).as("ccos"))
+    val qw = Window.partitionBy(qIdCol).orderBy(col("ccos").desc, col("cid"))
+    val probes = qScored.withColumn("__r", row_number().over(qw)).where(col("__r") <= nprobe)
+      .select(col(qIdCol), col("__qv"), col("cid").as("cell"))
+    val scored = assigned.join(broadcast(probes), "cell")
+      .select(col(qIdCol), col(idCol), VectorOps.cosine(col(vecCol), col("__qv")).as("cos"))
+    val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** LSH bucket assignment for the corpus (random hyperplanes). */
   def buckets(corpus: DataFrame, idCol: String, vecCol: String, planes: Seq[Array[Double]]): DataFrame =
     corpus.select(col(idCol), col(vecCol), VectorOps.lshBucket(col(vecCol), planes).as("bucket"))

@@ -39,6 +39,27 @@ class AnnSpec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  test("ivfTopK: probing enough cells recovers the brute-force top-1") {
+    val q = corpus.where($"vec_id" >= 100 && $"vec_id" < 104)
+      .select($"vec_id".as("qid"), $"embedding")
+    val brute = Ann.bruteTopK(corpus, q, "vec_id", "embedding", "qid", k = 1)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toMap
+    val ivf = Ann.ivfTopK(corpus, q, "vec_id", "embedding", "qid", k = 1, nCentroids = 8, nprobe = 3)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toMap
+    assert(ivf == brute, s"ivf=$ivf brute=$brute")
+  }
+
+  test("ivfAssign groups cluster members into the same cell") {
+    val cents = Ann.ivfSeedCentroids(corpus, "vec_id", "embedding", 8)
+    val cells = Ann.ivfAssign(corpus, "vec_id", "embedding", cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    // ids ≡ j (mod 4) share a cluster. With 8 seed centroids over 4
+    // clusters, two seeds can split one cluster, so agreement is well
+    // below 100% — but must be far above the ~12% random baseline.
+    val agree = (0 until 196).count(i => cells(i.toLong) == cells((i + 4).toLong))
+    assert(agree > 90, s"same-cluster cell agreement too low: $agree/196")
+  }
+
   test("lsh buckets put near-identical vectors together") {
     val planes = VectorOps.lshPlanes(8, 16, seed = 5L)
     val b = Ann.buckets(corpus, "vec_id", "embedding", planes)
