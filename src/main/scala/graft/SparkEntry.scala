@@ -249,6 +249,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec_id"))
         .orderBy("bucket")
     },
+    "text_topterms" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(50)
+    },
+    "sess_agg" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.sessionize(ev, evGroup, evOrder, "ts_us", gapMicros = 1800000000L)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max("ts_us") - min("ts_us")).as("duration_us"),
+          round(sum("value"), 4).as("sum_value"))
+        .orderBy("user_id", "session_id")
+    },
     "text_langid" -> { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.langid(TextOps.tokens(col("text"))).as("lang_pred"))
@@ -571,6 +587,28 @@ object SparkEntry {
          |from embeddings
          |group by 1
          |order by bucket""".stripMargin,
+    "text_topterms" ->
+      s"""select term, count(*) as n
+         |from (select unnest(${SqlTwins.toks("text")}) as term from documents)
+         |group by term
+         |order by n desc, term
+         |limit 50""".stripMargin,
+    "sess_agg" ->
+      s"""with s as (
+         |  select user_id, ts_us, event_id, value,
+         |   cast(sum(is_new) over (partition by user_id order by ts_us, event_id
+         |     rows between unbounded preceding and current row) as bigint) as session_id
+         |  from (
+         |    select user_id, epoch_us(ts) as ts_us, event_id, value,
+         |     case when lag(epoch_us(ts), 1) over $evOver is null
+         |       or epoch_us(ts) - lag(epoch_us(ts), 1) over $evOver > 1800000000 then 1 else 0 end as is_new
+         |    from events))
+         |select user_id, session_id, count(*) as n_events,
+         | max(ts_us) - min(ts_us) as duration_us,
+         | round(sum(value), 4) as sum_value
+         |from s
+         |group by user_id, session_id
+         |order by user_id, session_id""".stripMargin,
     "text_langid" ->
       s"select doc_id, ${SqlTwins.langidSelect("text")} as lang_pred\nfrom documents order by doc_id",
     "text_quality" ->
