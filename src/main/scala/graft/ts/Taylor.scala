@@ -38,7 +38,11 @@ object Taylor {
       ewSpans: Seq[Option[Int]],
       fillEdges: Boolean): FeatureResult = {
     val win = Featurize.seriesWindow(groupCols, orderCols)
-    val cntWin = if (groupCols.isEmpty) Window.partitionBy() else Window.partitionBy(groupCols.map(col): _*)
+    // partition count expressed on the SAME ordered spec with an
+    // unbounded frame: identical value, but it shares the single Window
+    // operator with row_number and the lag/lead terms instead of
+    // planning a second partition-only Window (+ its own sort)
+    val cntWin = win.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     // materialize position/count ONCE: inlining them into every
     // coefficient's CASE makes Catalyst plan a fresh
     // Window(count)+Window(row_number) pair per output column
