@@ -472,7 +472,7 @@ object SparkEntry {
         |group by event_type
         |order by event_type""".stripMargin,
     "dedup_exact" ->
-      s"""with d as (select doc_id, ${SqlTwins.norm("text")} as k from documents)
+      s"""with d as (select doc_id, ${SqlTwins.h60(SqlTwins.norm("text"))} as k from documents)
          |select doc_id,
          | count(*) over (partition by k) as group_size,
          | case when min(doc_id) over (partition by k) < doc_id

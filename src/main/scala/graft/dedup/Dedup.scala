@@ -16,11 +16,18 @@ object Dedup {
   /** Exact dedup on normalized text. Returns `doc_id, group_size,
     * dup_of` where dup_of is the smallest doc_id sharing the text (null
     * for group representatives).
+    *
+    * The shuffle key is the 60-bit hash of the normalized text, NOT the
+    * text itself — the exchanged payload is (h60, doc_id) pairs, never
+    * the corpus (same discipline as the streaming twin,
+    * StreamingFeaturize.exactDedupStream). 60-bit collisions would
+    * conflate distinct texts; for a collision-paranoid pipeline compare
+    * the texts inside each hash group before declaring duplicates.
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy("__k")
     docs
-      .select(col(idCol), TextOps.normalize(col(textCol)).as("__k"))
+      .select(col(idCol), TextOps.h60(TextOps.normalize(col(textCol))).as("__k"))
       .withColumn("group_size", count(lit(1)).over(w))
       .withColumn("min_id", min(col(idCol)).over(w))
       .withColumn("dup_of", when(col("min_id") < col(idCol), col("min_id")))
@@ -66,14 +73,26 @@ object Dedup {
   }
 
   /** Candidate pairs (id_a < id_b) from a banded frame WITHOUT a
-    * self-join: group by band key, collect the (tiny) per-bucket id
-    * list, explode its ordered pairs. Evaluates the signature plan
-    * exactly once (a self-join would run it for both sides) and the
-    * per-bucket pair fan-out is bounded by bucket size — the quantity
-    * LSH banding is tuned to keep small.
+    * self-join: group by band key, collect the per-bucket id list,
+    * explode its ordered pairs. Evaluates the signature plan exactly
+    * once (a self-join would run it for both sides).
+    *
+    * `maxBucket` bounds both the collected list and the O(|bucket|²)
+    * pair fan-out: a duplicate-heavy corpus — dedup's own target
+    * workload — puts an entire dup cluster into one bucket in every
+    * band, which unbounded would be a single-row OOM at scale. Buckets
+    * over the cap keep their `maxBucket` smallest ids (deterministic);
+    * use `bandBucketStats` to monitor how much a corpus truncates.
+    * The cap is enforced BEFORE collection (row_number over the bucket,
+    * same exchange, one in-partition sort) so the agg buffer itself is
+    * bounded, not just the exploded output.
     */
-  def bandCandidatePairs(bands: DataFrame, idCol: String): DataFrame =
-    bands.groupBy("band_idx", "band_key")
+  def bandCandidatePairs(bands: DataFrame, idCol: String, maxBucket: Int = 1024): DataFrame = {
+    val w = Window.partitionBy("band_idx", "band_key").orderBy(col(idCol))
+    bands
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxBucket)
+      .groupBy("band_idx", "band_key")
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .where(size(col("ids")) > 1)
       .select(explode(expr(
@@ -81,10 +100,27 @@ object Dedup {
           "i -> transform(slice(ids, i + 1, size(ids) - i), " +
           "j -> struct(element_at(ids, i) as a, j as b))))")).as("p"))
       .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
+  }
+
+  /** Bucket-size distribution for a banded frame: run this (cheap, one
+    * exchange) to pick/validate `maxBucket` for a corpus — rows over
+    * the cap are what bandCandidatePairs truncates.
+    */
+  def bandBucketStats(bands: DataFrame, maxBucket: Int = 1024): DataFrame =
+    bands.groupBy("band_idx", "band_key")
+      .agg(count(lit(1)).as("bucket_size"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max("bucket_size").as("max_bucket_size"),
+        sum(when(col("bucket_size") > maxBucket, 1L).otherwise(0L)).as("n_over_cap"))
 
   /** doc_id → smallest banded buddy (null if none): the dedup verdict.
-    * Shuffle cost: one exchange on band_key; candidate pair blow-up is
-    * bounded by band selectivity (tune rowsPerBand for the corpus).
+    *
+    * Anchors every doc to its bucket MINIMUM instead of materializing
+    * all O(|bucket|²) pairs: min(dup_of) over all pair partners equals
+    * min over bucket minima, so this is value-identical to the pairwise
+    * form while shuffling only (band_key, doc_id) rows and keeping
+    * per-bucket work O(|bucket|) — no collect_list, no cap needed, a
+    * million-doc dup cluster costs a window min, not 10¹² pairs.
     */
   def minhashDupOf(
       docs: DataFrame,
@@ -95,9 +131,12 @@ object Dedup {
       rowsPerBand: Int = 4): DataFrame = {
     val sig = minhashSignatures(docs, idCol, textCol, shingleSize, TextOps.minhashParams(k))
     val bands = lshBands(sig, idCol, k, rowsPerBand)
-    val buddies = bandCandidatePairs(bands, idCol)
-      .groupBy(col("id_b").as(idCol))
-      .agg(min(col("id_a")).as("dup_of"))
+    val bw = Window.partitionBy("band_idx", "band_key")
+    val buddies = bands
+      .withColumn("__min", min(col(idCol)).over(bw))
+      .where(col("__min") < col(idCol))
+      .groupBy(col(idCol))
+      .agg(min(col("__min")).as("dup_of"))
     docs.select(col(idCol)).join(buddies, Seq(idCol), "left")
   }
 
@@ -171,7 +210,8 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 1024): DataFrame = {
     val sig = docs
       .select(col(idCol), TextOps.tokenHashes32(TextOps.tokens(col(textCol))).as("__th"))
       .select(col(idCol), graft.plans.HashExpressions.simhash32(col("__th")).as("simhash"))
@@ -181,8 +221,16 @@ object Dedup {
       }: _*)).as("band"))
       .select(col(idCol), col("simhash"), col("band.band_idx"), col("band.band_key"))
     // per-bucket pair explosion over (id, simhash) structs — bands plan
-    // evaluated once, no self-join
-    val pairs = bands.groupBy("band_idx", "band_key")
+    // evaluated once, no self-join. Unlike minhashDupOf, anchoring to
+    // the bucket minimum would change results here (the min might fail
+    // the hamming verify where another bucket member passes), so pairs
+    // are materialized but the bucket is capped to its maxBucket
+    // smallest ids BEFORE collection (see bandCandidatePairs).
+    val bw = Window.partitionBy("band_idx", "band_key").orderBy(col(idCol))
+    val pairs = bands
+      .withColumn("__rn", row_number().over(bw))
+      .where(col("__rn") <= maxBucket)
+      .groupBy("band_idx", "band_key")
       .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh")))).as("xs"))
       .where(size(col("xs")) > 1)
       .select(explode(expr(

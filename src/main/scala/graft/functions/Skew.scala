@@ -9,39 +9,42 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Algebraic aggregate spec: the partial (per-salt) expression and
-    * the merge expression applied to the partial column.
+  /** Algebraic aggregate spec: `partial` is the per-salt aggregate
+    * expression (over the source column it closes over), `merge` the
+    * expression applied to the partial column in stage 2.
     */
-  final case class AlgebraicAgg(name: String, partial: Column => Column, merge: Column => Column)
+  final case class AlgebraicAgg(name: String, partial: Column, merge: Column => Column)
 
-  def sumAgg(c: String, as: String): AlgebraicAgg =
-    AlgebraicAgg(as, v => sum(v), p => sum(p))
-  def countAgg(as: String): AlgebraicAgg =
-    AlgebraicAgg(as, v => count(lit(1)), p => sum(p))
-  def minAgg(c: String, as: String): AlgebraicAgg = AlgebraicAgg(as, v => min(v), p => min(p))
-  def maxAgg(c: String, as: String): AlgebraicAgg = AlgebraicAgg(as, v => max(v), p => max(p))
+  def sumAgg(c: String, as: String): AlgebraicAgg = AlgebraicAgg(as, sum(col(c)), p => sum(p))
+  def countAgg(as: String): AlgebraicAgg = AlgebraicAgg(as, count(lit(1)), p => sum(p))
+  def minAgg(c: String, as: String): AlgebraicAgg = AlgebraicAgg(as, min(col(c)), p => min(p))
+  def maxAgg(c: String, as: String): AlgebraicAgg = AlgebraicAgg(as, max(col(c)), p => max(p))
 
   /** Two-stage salted groupBy: stage 1 aggregates on
     * (keys…, salt = hash(row) % nSalts) spreading each hot key over
     * `nSalts` reducers; stage 2 merges the partials per key. Only valid
     * for algebraic aggregates (sum/count/min/max — anything with an
-    * associative merge). Same result as a direct groupBy; ~2× shuffle
-    * rows of the PARTIAL size (tiny) instead of one reducer per hot key.
+    * associative merge). ~2× shuffle rows of the PARTIAL size (tiny)
+    * instead of one reducer per hot key.
+    *
+    * FP caveat: for floating-point sums the two-stage merge changes the
+    * association order, so results can differ from a direct groupBy by
+    * normal summation rounding (~ulp-level). Integral aggregates and
+    * min/max are exactly equal.
     */
   def saltedAgg(
       df: DataFrame,
       keys: Seq[String],
-      valueCol: String,
-      aggs: Seq[(AlgebraicAgg, String)],
+      aggs: Seq[AlgebraicAgg],
       nSalts: Int = 32): DataFrame = {
     val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(nSalts.toLong)))
     val partials = salted
       .groupBy((keys :+ "__salt").map(col): _*)
-      .agg(aggs.head._1.partial(col(valueCol)).as(s"__p_${aggs.head._1.name}"),
-        aggs.tail.map { case (a, _) => a.partial(col(valueCol)).as(s"__p_${a.name}") }: _*)
+      .agg(aggs.head.partial.as(s"__p_${aggs.head.name}"),
+        aggs.tail.map(a => a.partial.as(s"__p_${a.name}")): _*)
     partials
       .groupBy(keys.map(col): _*)
-      .agg(aggs.head._1.merge(col(s"__p_${aggs.head._1.name}")).as(aggs.head._2),
-        aggs.tail.map { case (a, as) => a.merge(col(s"__p_${a.name}")).as(as) }: _*)
+      .agg(aggs.head.merge(col(s"__p_${aggs.head.name}")).as(aggs.head.name),
+        aggs.tail.map(a => a.merge(col(s"__p_${a.name}")).as(a.name)): _*)
   }
 }

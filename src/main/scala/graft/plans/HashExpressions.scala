@@ -93,16 +93,33 @@ case class SimHash32(child: Expression) extends UnaryExpression with CodegenFall
   * form and to SqlTwins.cosine: per-element float→double casts,
   * 0.0-seeded in-order accumulation, dot/(sqrt·sqrt) — replacing six
   * interpreted lambda passes per pair with one loop.
+  *
+  * Inputs are type-checked to array<float> (an array<double> argument
+  * fails analysis instead of silently reading garbage bytes); arrays of
+  * different lengths yield NULL, matching the declarative form (whose
+  * zip_with null-pads the shorter side, turning the dot into NULL).
   */
 case class CosineSim(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArray(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires array<float> inputs, got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0

@@ -99,12 +99,23 @@ object Featurize {
         }
         FeatureResult(out, Nil)
       case "long" =>
-        val frames = horizons.map { h =>
-          columns.foldLeft(df) { (d, c) =>
-            d.withColumn(s"${c}_target", lead(col(c), h).over(win))
-          }.withColumn("horizon", lit(h))
+        // ONE Window computes every horizon's lead, then explode fans
+        // the row out into (horizon, targets) copies — one scan + one
+        // sort for any horizon count (a union of per-horizon frames
+        // would re-scan and re-sort the input per horizon)
+        val copies = horizons.map { h =>
+          struct(lit(h).as("horizon") +:
+            columns.map(c => lead(col(c), h).over(win).as(s"${c}_target")): _*)
         }
-        FeatureResult(frames.reduceLeft(_ unionByName _), Seq("horizon"))
+        val names = columns.map(c => s"${c}_target") :+ "horizon"
+        // the window exprs must be projected before the Generate —
+        // explode() can't host them directly
+        val exploded = df.withColumn("__copies", array(copies: _*))
+          .withColumn("__h", explode(col("__copies"))).drop("__copies")
+        val out = names.foldLeft(exploded) {
+          (d, n) => d.withColumn(n, col(s"__h.$n"))
+        }.drop("__h")
+        FeatureResult(out, Seq("horizon"))
       case other => throw new IllegalArgumentException(s"layout must be 'long' or 'wide', got $other")
     }
   }

@@ -139,10 +139,19 @@ object TimeOps {
       iter.map { row =>
         val k = gIdx.map(row.get)
         if (key == null || k != key) { key = k; num = 0.0; den = 0.0 }
-        val x = row.getDouble(vIdx)
-        num = beta * num + x
-        den = beta * den + 1.0
-        Row.fromSeq(row.toSeq :+ (num / den))
+        // NULL value = missing observation (pandas ewm ignore_na=False):
+        // weights of prior observations still decay by beta, nothing is
+        // added, and the emitted mean is unchanged (beta·num/beta·den);
+        // null until the first observation arrives.
+        if (row.isNullAt(vIdx)) {
+          num = beta * num
+          den = beta * den
+        } else {
+          num = beta * num + row.getDouble(vIdx)
+          den = beta * den + 1.0
+        }
+        val y: Any = if (den > 0.0) num / den else null
+        Row.fromSeq(row.toSeq :+ y)
       }
     }(org.apache.spark.sql.Encoders.row(schema))
   }

@@ -13,9 +13,9 @@ class SkewSourcesSpec extends SparkSpec {
     val direct = df.groupBy("k")
       .agg(sum("v").as("s"), count(lit(1)).as("n"), min("v").as("mn"), max("v").as("mx"))
       .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
-    val salted = Skew.saltedAgg(df, Seq("k"), "v", Seq(
-      Skew.sumAgg("v", "s") -> "s", Skew.countAgg("n") -> "n",
-      Skew.minAgg("v", "mn") -> "mn", Skew.maxAgg("v", "mx") -> "mx"))
+    val salted = Skew.saltedAgg(df, Seq("k"), Seq(
+      Skew.sumAgg("v", "s"), Skew.countAgg("n"),
+      Skew.minAgg("v", "mn"), Skew.maxAgg("v", "mx")))
       .collect().map(r => (r.getString(0), (r.getDouble(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
     assert(salted.keySet == direct.keySet)
     for (k <- direct.keySet) {

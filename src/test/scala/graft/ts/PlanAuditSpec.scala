@@ -24,4 +24,17 @@ class PlanAuditSpec extends SparkSpec {
     val windows = "(?m)^\\s*(?:\\+- )?Window ".r.findAllIn(plan).length
     assert(windows <= 2, s"expected <=2 Window ops for a trailing pipeline, got $windows")
   }
+
+  test("long-layout horizon targets plan one exchange + one sort at any horizon count") {
+    val df = (for (g <- 0 until 4; t <- 0 until 100) yield (g, t, math.sin(t * 0.1) + g))
+      .toDF("g", "t", "v")
+    val res = Featurize.horizonTargets(df, Seq("v"), Seq("g"), Seq("t"), Seq(1, 2, 3, 7, 14), "long")
+    val plan = res.df.queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(1200)}")
+    val sorts = "(?m)^\\s*(?:\\+- )?\\*?\\(?\\d*\\)?\\s*Sort ".r.findAllIn(plan).length
+    assert(sorts <= 1, s"expected <=1 sort, got $sorts:\n${plan.take(1200)}")
+    // 5 horizons × every row
+    assert(res.df.count() == df.count() * 5)
+  }
 }
