@@ -128,11 +128,12 @@ object OracleGen {
     def term(l: Int): String =
       if (l < 0) s"lag($c, ${-l}) over $ov" else if (l > 0) s"lead($c, $l) over $ov" else c
     def branchSum(br: Branch, d: Int): String =
-      if (br.lags.isEmpty) "0.0"
+      if (br.lags.isEmpty || br.m(d).forall(_ == 0.0)) "0.0"
       else br.lags.indices.map(j => s"(${litD(br.m(d)(j))} * ${term(br.lags(j))})")
         .reduceLeft((a, b) => s"($a + $b)")
     val h = (spec.windowSize - 1) / 2
     def cond(cd: Cond): String = cd match {
+      case Overlap   => s"$pos < $h and $rpos < $h"
       case NullAt(i) => s"$rpos = $i"
       case RposEq(i) => s"$rpos = $i"
       case PosEq(i)  => s"$pos = $i"
@@ -143,10 +144,9 @@ object OracleGen {
     val brs = branches(spec)
     (0 to spec.degree).map { d =>
       val whens = brs.map { br =>
-        val v = br.cond match {
-          case NullAt(_) => "cast(null as double)"
-          case _         => branchSum(br, d)
-        }
+        val v =
+          if (br.nullRows(d)) "cast(null as double)"
+          else branchSum(br, d)
         s"when ${cond(br.cond)} then $v"
       }.mkString(" ")
       s"case $whens end as ${spec.featName(d)}"

@@ -21,10 +21,12 @@ object Taylor {
     else col(c)
 
   /** Σ_j m(d)(j)·value(t+lags(j)), left-associated to mirror
-    * OracleGen.taylorExprs exactly.
+    * OracleGen.taylorExprs exactly. Empty or all-zero weight rows emit
+    * literal 0.0 (a zero-weighted sum would produce ±0.0 or NULL
+    * instead of the reference's exact positive 0.0).
     */
   private def branchSum(br: Branch, d: Int, c: String, win: org.apache.spark.sql.expressions.WindowSpec): Column =
-    if (br.lags.isEmpty) lit(0.0)
+    if (br.lags.isEmpty || br.m(d).forall(_ == 0.0)) lit(0.0)
     else br.lags.indices.map(j => lit(br.m(d)(j)) * term(c, br.lags(j), win)).reduceLeft(_ + _)
 
   def windowedTaylorCoefs(
@@ -52,6 +54,7 @@ object Taylor {
     def condCol(spec: Spec, cond: Cond): Column = {
       val h = (spec.windowSize - 1) / 2
       cond match {
+        case Overlap   => pos < h && rpos < h
         case NullAt(i) => rpos === i
         case RposEq(i) => rpos === i
         case PosEq(i)  => pos === i
@@ -69,10 +72,9 @@ object Taylor {
       val brs = branches(spec)
       (0 to taylorDegree).map { d =>
         val chain = brs.map { br =>
-          val v = br.cond match {
-            case NullAt(_) => lit(null).cast("double")
-            case _         => branchSum(br, d, spec.column, win)
-          }
+          val v =
+            if (br.nullRows(d)) lit(null).cast("double")
+            else branchSum(br, d, spec.column, win)
           (condCol(spec, br.cond), v)
         }
         val expr = chain.tail.foldLeft(when(chain.head._1, chain.head._2)) {

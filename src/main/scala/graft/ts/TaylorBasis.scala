@@ -29,16 +29,26 @@ import graft.linalg.Linalg
 object TaylorBasis {
 
   /** One CASE branch: when `cond` holds, coefficient d is
-    * Σ_j m(d)(j) · value(t + lags(j)).
+    * Σ_j m(d)(j) · value(t + lags(j)), or NULL when nullRows(d).
     */
   sealed trait Cond
   case object Interior extends Cond
   final case class PosEq(i: Int) extends Cond
   final case class RposEq(i: Int) extends Cond
-  /** rpos == h for centered align: reference leaves it NaN even with fill_edges. */
+  /** rpos == h for centered align: reference leaves it NaN even with
+    * fill_edges — but ONLY for rows that are not left edges (pos >= h);
+    * in groups shorter than the window the left-edge fill covers it, so
+    * this branch is ordered after the PosEq branches.
+    */
   final case class NullAt(rpos: Int) extends Cond
+  /** pos < h && rpos < h (groups shorter than the window): the row is
+    * both a left and a right edge; either fit's y-slice has missing
+    * data, and numpy lstsq over NaN yields all-NaN (verified
+    * empirically against the reference — TaylorShortGroupSpec).
+    */
+  case object Overlap extends Cond
 
-  final case class Branch(cond: Cond, lags: Array[Int], m: Array[Array[Double]])
+  final case class Branch(cond: Cond, lags: Array[Int], m: Array[Array[Double]], nullRows: Array[Boolean])
 
   final case class Spec(
       column: String,
@@ -86,37 +96,73 @@ object TaylorBasis {
 
   private def factorial(d: Int): Double = (1 to d).foldLeft(1.0)(_ * _)
 
-  /** Ordered CASE branches. Order matters: the reference assigns
-    * interior first and then overwrites edges, so edge branches come
-    * before the interior here; the centered never-filled position
-    * (rpos==h) precedes everything.
+  /** Ordered CASE branches (first match wins), replicating the
+    * reference's final beta_hat cell-for-cell INCLUDING groups shorter
+    * than the window and the ew_span NaN-contamination quirk — all
+    * verified against the reference itself in TaylorShortGroupSpec:
+    *
+    *  - Overlap (pos<h && rpos<h, only possible when n < w): both
+    *    candidate edge fits solve a system with missing data → the
+    *    reference's lstsq returns NaN → NULL.
+    *  - Left edges (pos == i < h) INCLUDING rows whose rpos == h: in
+    *    short groups the left-edge fill covers the "never-filled"
+    *    position, so PosEq precedes NullAt.
+    *  - NullAt(h): rpos == h with pos >= h — never written by the
+    *    reference (its centered interior slice stops one short).
+    *  - Right edges, then interior.
+    *
+    * ew_span quirk (reference featurize.py:381-386): `y = W½ · y` is a
+    * full matrix product, so 0·NaN turns EVERY entry of a y column NaN
+    * whenever the row's FULL window extends past the group — even
+    * entries the edge sub-fit would use. LAPACK's min-norm solve of the
+    * all-NaN system returns NaN per coefficient except where the pinv
+    * row is structurally zero (exactly 0.0 there). Consequently, with
+    * ew_span set, an edge fit is only real when the full window is
+    * complete (trailing pos == w-1); all other filled edges emit NULL,
+    * or 0.0 for structurally-zero pinv rows.
     */
   def branches(spec: Spec): Seq[Branch] = {
     val w = spec.windowSize
     val lags = windowLags(w, spec.align)
     val weights = ewWeights(lags, spec.ewSpan)
     def slice(from: Int, until: Int) = sliceM(spec, lags, weights, from, until)
+    val noNull = Array.fill(spec.degree + 1)(false)
+    val allNull = Array.fill(spec.degree + 1)(true)
+    val mEmpty = Array.fill(spec.degree + 1)(Array.empty[Double])
+    // NaN-contaminated edge fit: NULL per coefficient unless the pinv
+    // row is structurally zero (→ exact 0.0). 1e-12 separates pinv's
+    // O(1) genuine entries from numerical zeros.
+    def ewEdge(cond: Cond, from: Int, until: Int): Branch = {
+      val m = slice(from, until).map(_.map(v => if (math.abs(v) < 1e-12) 0.0 else v))
+      Branch(cond, lags.slice(from, until), m, m.map(row => row.nonEmpty && row.exists(_ != 0.0)))
+    }
     spec.align match {
       case "trailing" =>
         val edges =
           if (!spec.fillEdges) Nil
           else (0 until w).map { i =>
             // rows (w-i)..(w-1) → lags (1-i)..0; i=0 is the empty system → zeros
-            Branch(PosEq(i), lags.slice(w - i, w), slice(w - i, w))
+            if (spec.ewSpan.isDefined && i < w - 1) ewEdge(PosEq(i), w - i, w)
+            else Branch(PosEq(i), lags.slice(w - i, w), slice(w - i, w), noNull)
           }
-        edges :+ Branch(Interior, lags, slice(0, w))
+        edges :+ Branch(Interior, lags, slice(0, w), noNull)
       case "centered" =>
         val h = (w - 1) / 2
-        val never = Branch(NullAt(h), Array.empty, Array.fill(spec.degree + 1)(Array.empty[Double]))
-        val edges =
-          if (!spec.fillEdges) Nil
-          else
-            (0 until h).map { i => // right edges first: reference's loop writes them last
-              Branch(RposEq(i), lags.slice(0, h + i + 1), slice(0, h + i + 1))
-            } ++ (0 until h).map { i =>
-              Branch(PosEq(i), lags.slice(h - i, w), slice(h - i, w))
-            }
-        (never +: edges) :+ Branch(Interior, lags, slice(0, w))
+        val never = Branch(NullAt(h), Array.empty, mEmpty, allNull)
+        if (!spec.fillEdges)
+          Seq(never, Branch(Interior, lags, slice(0, w), noNull))
+        else {
+          val overlap = Branch(Overlap, Array.empty, mEmpty, allNull)
+          val lefts = (0 until h).map { i =>
+            if (spec.ewSpan.isDefined) ewEdge(PosEq(i), h - i, w)
+            else Branch(PosEq(i), lags.slice(h - i, w), slice(h - i, w), noNull)
+          }
+          val rights = (0 until h).map { i =>
+            if (spec.ewSpan.isDefined) ewEdge(RposEq(i), 0, h + i + 1)
+            else Branch(RposEq(i), lags.slice(0, h + i + 1), slice(0, h + i + 1), noNull)
+          }
+          ((overlap +: lefts) :+ never) ++ rights :+ Branch(Interior, lags, slice(0, w), noNull)
+        }
     }
   }
 }
