@@ -108,11 +108,15 @@ object SparkEntry {
     "ts_pipeline" -> { (s, dir) =>
       pipelineDf(s, dir)._1.orderBy("user_id", "ts_us", "event_id")
     },
-    // rows-only oracle: no SQL DFT; semantics pinned by DomFreqSpec
+    // freq features exact vs the SQL DFT twin (identical literal trig
+    // tables, identical fold order); logpow rounded to 4dp on both
+    // sides (libm vs JVM log differ at ulp level)
     "ts_domfreq" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
-      ts.DomFreq.domfreq(ev, Seq("value"), evGroup, evOrder, Seq(21), Seq("centered"))
-        .df.orderBy("user_id", "ts_us", "event_id")
+      val res = ts.DomFreq.domfreq(ev, Seq("value"), evGroup, evOrder, Seq(21), Seq("centered"))
+      res.featureNames.filter(_.contains("logpow"))
+        .foldLeft(res.df)((d, n) => d.withColumn(n, round(col(n), 4)))
+        .orderBy("user_id", "ts_us", "event_id")
     },
     "ts_train_matrix" -> { (s, dir) =>
       val (df, feats) = pipelineDf(s, dir)
@@ -348,6 +352,12 @@ object SparkEntry {
       ts.TaylorBasis.Spec("value", 1, 21, "centered", None, fillEdges = true)),
     "ts_taylor_ew" -> taylorOracle(
       ts.TaylorBasis.Spec("value", 1, 9, "trailing", Some(7), fillEdges = true)),
+    "ts_domfreq" -> OracleGen.domfreqSql(
+      c = "value", w = 21, align = "centered", nDomfreq = 5, fs = 1.0, detrend = "linear",
+      part = "user_id", ordSql = "epoch_us(ts), event_id",
+      baseSelect = "user_id, epoch_us(ts) as ts_us, event_id, value",
+      keyCols = Seq("user_id", "ts_us", "event_id", "value"),
+      table = "events", orderBy = evKeys),
     "ts_pipeline" ->
       s"select user_id, epoch_us(ts) as ts_us, event_id, value,\n ${pipelineSelectExprs.mkString(",\n ")}\nfrom events\norder by $evKeys",
     "ts_train_matrix" -> {

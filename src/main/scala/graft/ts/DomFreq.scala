@@ -1,88 +1,113 @@
 package graft.ts
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+import scala.collection.mutable
 
 /** Periodogram dominant-frequency features (reference featurize.py:519
   * domfreq_one_window, :557 domfreq_one_column_grp, :604 domfreq).
   *
-  * Reference semantics, replicated:
+  * Reference semantics, replicated (and pinned by leak-probing the
+  * reference's rolling windows — see DomFreqSpec):
   *  - the series is PADDED per group before rolling: centered prepends
-  *    the first hw=(w-1)/2 rows and appends the last hw; trailing
-  *    prepends the first w rows (featurize.py:574-587). With odd w this
-  *    makes every original row's window exactly w values — no
-  *    truncated-window special cases.
+  *    the first hw = w/2 rows and appends the last hw (featurize.py:
+  *    576-581, hw = window_size // 2 — EVEN windows are legal and
+  *    window = positions [p-hw, p+w-1-hw]); trailing prepends the
+  *    first w rows. Every original row's window is then exactly w
+  *    values, recycling the pad rows near the edges.
+  *  - groups too short for the reference's slice/join to line up make
+  *    it raise (centered n < hw, trailing n < w) → NULL features here.
   *  - per window: scipy-periodogram with linear detrend, one-sided PSD
   *    (DC/Nyquist not doubled), top `nDomfreq` bins by power → freq and
   *    log(power) features named `{c}_domfreq{i}_w{w}{a}` /
   *    `{c}_domfreq{i}_logpow_w{w}{a}`.
   *
-  * Spark shape: one window pass for (pos,count), a 3-way union building
-  * the padded stream with synthetic order keys, one ordered
-  * collect_list window, then a per-row O(w²) DFT kernel (w ≤ 64). Two
-  * sorts total per spec; the kernel is the only non-codegen step and is
-  * embarrassingly parallel. The oracle is rows-only (no SQL DFT);
-  * correctness is pinned by an analytic ScalaTest (pure sine → exact
-  * bin).
+  * Spark shape: ONE pass — repartition by group + secondary sort, then
+  * a streaming per-partition scan (mapPartitions) holding O(w) state
+  * per group: the first min(w,n) values (`head`), a ring of the last w
+  * values, and a queue of ≤ w rows awaiting their look-ahead. No
+  * padded 3-way union (that planned the scan+window three times), no
+  * unbounded collect_list. The DFT kernel reads precomputed trig /
+  * detrend tables (DftTables) that ALSO drive the SQL oracle emitter
+  * (OracleGen.domfreqSql), so both engines combine identical doubles —
+  * only log() differs at ulp level, absorbed by round(…,4) on both
+  * sides.
   */
 object DomFreq {
+
+  /** Precomputed per-window-length tables shared by the Scala kernel
+    * and the DuckDB oracle emitter. Trig via StrictMath for platform
+    * determinism; sxx (detrend denominator) is data-independent.
+    */
+  final case class DftTables(n: Int, fs: Double, detrend: String) extends Serializable {
+    val tMean: Double = (n - 1) / 2.0
+    val dt: Array[Double] = Array.tabulate(n)(i => i - tMean)
+    val sxx: Double = { var s = 0.0; var i = 0; while (i < n) { s += dt(i) * dt(i); i += 1 }; s }
+    val nBins: Int = n / 2 + 1
+    val cosT: Array[Array[Double]] =
+      Array.tabulate(nBins, n)((k, i) => StrictMath.cos(-2.0 * math.Pi * k * i / n))
+    val sinT: Array[Array[Double]] =
+      Array.tabulate(nBins, n)((k, i) => StrictMath.sin(-2.0 * math.Pi * k * i / n))
+    val denom: Double = fs * n
+  }
 
   /** scipy.signal.periodogram(x, fs, detrend), one-sided, returning
     * the top-k (freq, log power) pairs, power-descending with
     * bin-ascending tie-break. Output layout: [f1..fk, logp1..logpk].
-    * `detrend`: "linear" (LS line removed, scipy default), "constant"
-    * (mean removed), or "none".
+    * Returns null for malformed windows (wrong length / NaN).
     */
-  def periodogramTopK(x: Array[Double], fs: Double, k: Int, detrend: String = "linear"): Array[Double] = {
-    val n = x.length
-    val tMean = (n - 1) / 2.0
+  def periodogramTopK(x: Array[Double], t: DftTables, k: Int): Array[Double] = {
+    val n = t.n
+    if (x.length != n) return null
     var xMean = 0.0
     var i = 0
-    while (i < n) { xMean += x(i); i += 1 }
+    while (i < n) { val v = x(i); if (v.isNaN) return null; xMean += v; i += 1 }
     xMean /= n
     var slope = 0.0
-    if (detrend == "linear") {
+    if (t.detrend == "linear") {
       var sxy = 0.0
-      var sxx = 0.0
       i = 0
-      while (i < n) { val dt = i - tMean; sxy += dt * (x(i) - xMean); sxx += dt * dt; i += 1 }
-      if (sxx > 0) slope = sxy / sxx
+      while (i < n) { sxy += t.dt(i) * (x(i) - xMean); i += 1 }
+      if (t.sxx > 0) slope = sxy / t.sxx
     }
-    val base = if (detrend == "none") 0.0 else xMean
+    val base = if (t.detrend == "none") 0.0 else xMean
     val y = new Array[Double](n)
     i = 0
-    while (i < n) { y(i) = x(i) - (base + slope * (i - tMean)); i += 1 }
-    // one-sided periodogram, O(n^2) DFT (n ≤ 64 in practice)
-    val nBins = n / 2 + 1
-    val psd = new Array[Double](nBins)
+    while (i < n) { y(i) = x(i) - (base + slope * t.dt(i)); i += 1 }
+    // one-sided periodogram, O(n^2) DFT via precomputed trig (n ≤ 64)
+    val psd = new Array[Double](t.nBins)
     var kk = 0
-    while (kk < nBins) {
+    while (kk < t.nBins) {
       var re = 0.0
       var im = 0.0
+      val ct = t.cosT(kk)
+      val st = t.sinT(kk)
       i = 0
       while (i < n) {
-        val ang = -2.0 * math.Pi * kk * i / n
-        re += y(i) * math.cos(ang)
-        im += y(i) * math.sin(ang)
+        re += y(i) * ct(i)
+        im += y(i) * st(i)
         i += 1
       }
-      var p = (re * re + im * im) / (fs * n)
+      var p = (re * re + im * im) / t.denom
       val isDc = kk == 0
       val isNyquist = n % 2 == 0 && kk == n / 2
       if (!isDc && !isNyquist) p *= 2.0
       psd(kk) = p
       kk += 1
     }
-    val kEff = math.min(k, nBins)
-    val order = (0 until nBins).sortBy(b => (-psd(b), b)).take(kEff)
+    val kEff = math.min(k, t.nBins)
+    val order = (0 until t.nBins).sortBy(b => (-psd(b), b)).take(kEff)
     val out = new Array[Double](2 * kEff)
     for ((b, j) <- order.zipWithIndex) {
-      out(j) = b * fs / n
+      out(j) = b * t.fs / n
       out(kEff + j) = math.log(psd(b))
     }
     out
   }
+
+  /** Convenience form building throwaway tables (tests / one-off). */
+  def periodogramTopK(x: Array[Double], fs: Double, k: Int, detrend: String = "linear"): Array[Double] =
+    periodogramTopK(x, DftTables(x.length, fs, detrend), k)
 
   def domfreq(
       df: DataFrame,
@@ -100,6 +125,10 @@ object DomFreq {
     }
   }
 
+  def featureNames(c: String, w: Int, align: String, nDomfreq: Int): Seq[String] =
+    (1 to nDomfreq).map(i => s"${c}_domfreq${i}_w$w${align.head}") ++
+      (1 to nDomfreq).map(i => s"${c}_domfreq${i}_logpow_w$w${align.head}")
+
   private def oneSpec(
       df: DataFrame,
       c: String,
@@ -109,45 +138,139 @@ object DomFreq {
       align: String,
       nDomfreq: Int,
       fs: Double,
-      detrend: String = "linear"): FeatureResult = {
+      detrend: String): FeatureResult = {
     require(align == "centered" || align == "trailing", s"bad align $align")
-    require(align != "centered" || w % 2 == 1, "centered domfreq requires odd window (like the reference)")
-    val win = Featurize.seriesWindow(groupCols, orderCols)
-    val cntWin = if (groupCols.isEmpty) Window.partitionBy() else Window.partitionBy(groupCols.map(col): _*)
-    val base = df
-      .withColumn("__pos", row_number().over(win).cast("long") - 1)
-      .withColumn("__cnt", count(lit(1)).over(cntWin))
-    val hw = (w - 1) / 2
-    // padded stream: __ext is the reference's concatenated frame index
-    val (ext, frameLo, frameHi) = align match {
-      case "centered" =>
-        val head = base.where(col("__pos") < hw)
-          .withColumn("__ext", col("__pos")).withColumn("__orig", lit(false))
-        val main = base
-          .withColumn("__ext", col("__pos") + hw).withColumn("__orig", lit(true))
-        val tail = base.where(col("__pos") >= col("__cnt") - hw)
-          .withColumn("__ext", col("__pos") + 2L * hw)
-          .withColumn("__orig", lit(false))
-        (head.unionByName(main).unionByName(tail), -hw, hw)
-      case "trailing" =>
-        val head = base.where(col("__pos") < w)
-          .withColumn("__ext", col("__pos")).withColumn("__orig", lit(false))
-        val main = base
-          .withColumn("__ext", col("__pos") + w).withColumn("__orig", lit(true))
-        (head.unionByName(main), -(w - 1), 0)
-    }
-    val extWin = Featurize.seriesWindow(groupCols, Seq("__ext")).rowsBetween(frameLo, frameHi)
-    val kernel = udf((xs: Seq[Double]) => periodogramTopK(xs.toArray, fs, nDomfreq, detrend))
-    val withFeat = ext
-      .withColumn("__win", collect_list(col(c).cast("double")).over(extWin))
-      .where(col("__orig"))
-      .withColumn("__df", kernel(col("__win")))
-    val names =
-      (1 to nDomfreq).map(i => s"${c}_domfreq${i}_w$w${align.head}") ++
-        (1 to nDomfreq).map(i => s"${c}_domfreq${i}_logpow_w$w${align.head}")
-    val out = names.zipWithIndex.foldLeft(withFeat) { case (d, (n, i)) =>
-      d.withColumn(n, element_at(col("__df"), i + 1))
-    }.drop("__pos", "__cnt", "__ext", "__orig", "__win", "__df")
+    val names = featureNames(c, w, align, nDomfreq)
+    val tables = DftTables(w, fs, detrend)
+    val kEff = math.min(nDomfreq, tables.nBins)
+    val hw = w / 2
+    val centered = align == "centered"
+
+    import org.apache.spark.sql.functions.col
+    val sorted = df
+      .repartition(groupCols.map(col): _*)
+      .sortWithinPartitions((groupCols ++ orderCols).map(col): _*)
+    val schema = StructType(sorted.schema.fields ++ names.map(StructField(_, DoubleType, nullable = true)))
+    val vIdx = sorted.schema.fieldIndex(c)
+    val gIdx = groupCols.map(sorted.schema.fieldIndex)
+    val nullFeats: Seq[Any] = Seq.fill(2 * kEff)(null)
+
+    val out = sorted.mapPartitions { iter =>
+      // per-group state: first min(w,n) values, ring of last w values,
+      // queue of rows awaiting their look-ahead. All O(w).
+      var key: Seq[Any] = null
+      val head = new mutable.ArrayBuffer[Double](w)
+      val ring = new Array[Double](w)
+      var p = -1L // last position seen in the current group
+      val pending = mutable.Queue.empty[(Row, Long)]
+      val emitted = mutable.Queue.empty[Row]
+
+      def x(j: Long): Double = if (j < w && j < head.length) head(j.toInt) else ring((j % w).toInt)
+
+      def emit(row: Row, xs: Array[Double]): Unit = {
+        val f = periodogramTopK(xs, tables, nDomfreq)
+        val feats: Seq[Any] = if (f == null) nullFeats else f.toIndexedSeq
+        emitted.enqueue(Row.fromSeq(row.toSeq ++ feats))
+      }
+
+      // window for row q once enough look-ahead exists (not a right
+      // edge): centered [q-hw .. q+w-1-hw] with head-pad recycling for
+      // q < hw; trailing [q-w+1 .. q] with head-pad recycling for
+      // q < w-1. All source indices are within head/ring by the
+      // finalization rules.
+      def assembleEarly(q: Long): Array[Double] = {
+        val xs = new Array[Double](w)
+        var o = 0
+        if (centered) {
+          if (q < hw) {
+            var j = q
+            while (j < hw) { xs(o) = head(j.toInt); o += 1; j += 1 } // pad: x_q..x_{hw-1}
+            j = 0
+            while (j <= q + w - 1 - hw) { xs(o) = head(j.toInt); o += 1; j += 1 }
+          } else {
+            var j = q - hw
+            while (j <= q + w - 1 - hw) { xs(o) = x(j); o += 1; j += 1 }
+          }
+        } else {
+          if (q < w - 1) {
+            var j = q + 1
+            while (j < w) { xs(o) = head(j.toInt); o += 1; j += 1 } // pad: x_{q+1}..x_{w-1}
+            j = 0
+            while (j <= q) { xs(o) = head(j.toInt); o += 1; j += 1 }
+          } else {
+            var j = q - w + 1
+            while (j <= q) { xs(o) = x(j); o += 1; j += 1 }
+          }
+        }
+        xs
+      }
+
+      // window for rows finalized at group end (right edges, short
+      // groups), n = group size: head ++ mid ++ tail parts with pad
+      // recycling, exactly the reference's padded-concat layout.
+      def assembleEnd(q: Long, n: Long): Array[Double] = {
+        if (centered) {
+          if (n < hw) return null
+          val buf = new mutable.ArrayBuffer[Double](w)
+          if (q < hw) { var j = q; while (j < hw) { buf += x(j); j += 1 } }
+          var j = math.max(q - hw, 0L)
+          val mEnd = math.min(q + w - 1 - hw, n - 1)
+          while (j <= mEnd) { buf += x(j); j += 1 }
+          if (q + w - hw > n) {
+            j = n - hw
+            val tEnd = q + w - 1 - 2L * hw
+            while (j <= tEnd) { buf += x(j); j += 1 }
+          }
+          buf.toArray
+        } else {
+          if (n < w) null // reference raises for trailing n < w
+          else assembleEarly(q)
+        }
+      }
+
+      def finalizable(q: Long): Boolean =
+        if (centered) p - q >= w - 1 - hw
+        else if (q >= w - 1) p >= q
+        else p >= w - 1
+
+      def flushGroup(): Unit = {
+        val n = p + 1
+        while (pending.nonEmpty) {
+          val (row, q) = pending.dequeue()
+          val xs = assembleEnd(q, n)
+          if (xs == null) emitted.enqueue(Row.fromSeq(row.toSeq ++ nullFeats))
+          else emit(row, xs)
+        }
+        head.clear()
+        p = -1L
+      }
+
+      val withSentinel = iter.map(Option(_)) ++ Iterator(None)
+      withSentinel.flatMap { rowOpt =>
+        rowOpt match {
+          case None => flushGroup()
+          case Some(row) =>
+            val k = gIdx.map(row.get)
+            if (key == null || k != key) { flushGroup(); key = k }
+            p += 1
+            val v = if (row.isNullAt(vIdx)) Double.NaN else
+              row.get(vIdx) match {
+                case d: java.lang.Double => d.doubleValue()
+                case f: java.lang.Float  => f.toDouble
+                case other               => other.toString.toDouble
+              }
+            if (p < w) head += v
+            ring((p % w).toInt) = v
+            pending.enqueue((row, p))
+            while (pending.nonEmpty && finalizable(pending.head._2)) {
+              val (r, q) = pending.dequeue()
+              emit(r, assembleEarly(q))
+            }
+        }
+        if (emitted.isEmpty) Iterator.empty
+        else { val drained = emitted.toList; emitted.clear(); drained.iterator }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
     FeatureResult(out, names)
   }
 }

@@ -114,6 +114,100 @@ object OracleGen {
     s"$num / $den as $alias"
   }
 
+  /** Mirrors DomFreq.oneSpec: the padded rolling window is rebuilt in
+    * SQL as slices of the per-group ordered value list (values equal to
+    * the streaming scan's windows by construction), and the DFT kernel
+    * is unrolled with the SAME literal trig/detrend tables
+    * (DomFreq.DftTables) the Scala kernel reads, identical fold order —
+    * every double is bit-equal except log(), which differs at ulp level
+    * between libm and the JVM and is rounded to 4dp on BOTH sides.
+    *
+    * Output: freq features exact, logpow features round(…,4); NULL for
+    * groups the reference cannot process (centered n < w/2, trailing
+    * n < w) via the len(xs) guard.
+    */
+  def domfreqSql(
+      c: String,
+      w: Int,
+      align: String,
+      nDomfreq: Int,
+      fs: Double,
+      detrend: String,
+      part: String,
+      ordSql: String,
+      baseSelect: String,
+      keyCols: Seq[String],
+      table: String,
+      orderBy: String): String = {
+    val t = DomFreq.DftTables(w, fs, detrend)
+    val hw = w / 2
+    val kEff = math.min(nDomfreq, t.nBins)
+    def fold(terms: Seq[String]): String = terms.reduceLeft((a, b) => s"($a + $b)")
+    val xs = align match {
+      case "centered" =>
+        s"""list_concat(list_concat(
+           |    case when pos < $hw then list_slice(fl, pos + 1, $hw) else [] end,
+           |    list_slice(fl, greatest(pos - $hw, 0) + 1, least(pos + ${w - 1 - hw}, cnt - 1) + 1)),
+           |    case when pos + ${w - hw} > cnt then list_slice(fl, cnt - $hw + 1, pos + ${w - 2 * hw}) else [] end)""".stripMargin
+      case "trailing" =>
+        s"""list_concat(
+           |    case when pos < ${w - 1} then list_slice(fl, pos + 2, $w) else [] end,
+           |    list_slice(fl, greatest(pos - ${w - 1}, 0) + 1, pos + 1))""".stripMargin
+    }
+    val xmean = s"${fold((1 to w).map(i => s"xs[$i]"))} / $w"
+    val (baseE, slopeE) = detrend match {
+      case "linear" =>
+        val sxy = fold((0 until w).map(i => s"(${litD(t.dt(i))} * (xs[${i + 1}] - xmean))"))
+        ("xmean", s"case when ${litD(t.sxx)} > 0.0E0 then $sxy / ${litD(t.sxx)} else 0.0E0 end")
+      case "constant" => ("xmean", "0.0E0")
+      case _          => ("0.0E0", "0.0E0")
+    }
+    val yCols = (0 until w)
+      .map(i => s"(xs[${i + 1}] - ($baseE + (slope * ${litD(t.dt(i))}))) as y$i").mkString(",\n  ")
+    val reIm = (0 until t.nBins).flatMap { k =>
+      Seq(
+        s"${fold((0 until w).map(i => s"(y$i * ${litD(t.cosT(k)(i))})"))} as re$k",
+        s"${fold((0 until w).map(i => s"(y$i * ${litD(t.sinT(k)(i))})"))} as im$k")
+    }.mkString(",\n  ")
+    val pCols = (0 until t.nBins).map { k =>
+      val core = s"(((re$k * re$k) + (im$k * im$k)) / ${litD(t.denom)})"
+      val isDc = k == 0
+      val isNyq = w % 2 == 0 && k == w / 2
+      (if (isDc || isNyq) core else s"($core * 2.0E0)") + s" as p$k"
+    }.mkString(",\n  ")
+    val structs = (0 until t.nBins).map(k => s"{'np': -p$k, 'b': $k, 'p': p$k}").mkString(", ")
+    val names = DomFreq.featureNames(c, w, align, nDomfreq)
+    val feats = (0 until kEff).flatMap { i =>
+      Seq(
+        s"(ord[${i + 1}].b * ${litD(fs)}) / $w as ${names(i)}",
+        s"round(case when ord[${i + 1}].p = 0.0E0 then cast('-infinity' as double) else ln(ord[${i + 1}].p) end, 4) as ${names(nDomfreq + i)}")
+    }.mkString(",\n ")
+    s"""with base as (
+       |  select $baseSelect,
+       |    cast(row_number() over (partition by $part order by $ordSql) as bigint) - 1 as pos,
+       |    count(*) over (partition by $part) as cnt,
+       |    list(cast($c as double)) over (partition by $part order by $ordSql
+       |      rows between unbounded preceding and unbounded following) as fl
+       |  from $table),
+       |wnd as (select *, $xs as xs from base),
+       |st as (select *, $xmean as xmean from wnd),
+       |sl as (select *, $slopeE as slope from st),
+       |ys as (select *,
+       |  $yCols
+       |from sl),
+       |bs as (select *,
+       |  $reIm
+       |from ys),
+       |ps as (select *,
+       |  $pCols
+       |from bs),
+       |srt as (select *, case when len(xs) = $w then list_sort([$structs]) end as ord from ps)
+       |select ${keyCols.mkString(", ")},
+       | $feats
+       |from srt
+       |order by $orderBy""".stripMargin
+  }
+
   /** Mirrors Taylor.windowedTaylorCoefs: same branches, same
     * left-associated weighted sums (TaylorBasis is the single source of
     * the weights). Returns one `CASE … END as featName` per degree.

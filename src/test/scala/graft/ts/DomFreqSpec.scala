@@ -36,6 +36,53 @@ class DomFreqSpec extends SparkSpec {
     assert(dom.forall(f => math.abs(f - 0.2) < 0.07), s"interior windows should peak near 0.2, got ${dom.distinct.mkString(",")}")
   }
 
+  /** Reference goldens (domfreq_ref_*.csv) produced by running the
+    * reference's domfreq_one_column_grp with a pure-numpy periodogram
+    * equivalent to scipy's (boxcar, one-sided, linear detrend) on
+    * v_t = sin(0.7t) + 0.05t. Covers odd windows, EVEN windows
+    * (hw = w//2 padding, window [p-hw, p+w-1-hw]), and the ts_domfreq
+    * query config (w=21, k=5). Tolerance 1e-8 absorbs rFFT-vs-DFT
+    * noise.
+    */
+  private def goldenCheck(res: String, w: Int, k: Int): Unit = {
+    val lines = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream(s"/$res")).getLines().toSeq
+    val header = lines.head.split(",")
+    val cols = header.drop(2) // t, v, then features
+    val data = lines.tail.map(_.split(",").map(_.toDouble))
+    val n = data.length
+    val df = data.map(r => (1, r(0).toInt, r(1))).toDF("g", "t", "v")
+    val out = DomFreq.domfreq(df, Seq("v"), Seq("g"), Seq("t"), Seq(w), Seq("centered"), nDomfreq = k)
+    assert(out.featureNames.toSet == cols.toSet, s"names ${out.featureNames} vs ${cols.toSeq}")
+    val got = out.df.orderBy("t").select(cols.map(org.apache.spark.sql.functions.col): _*).collect()
+    for (i <- 0 until n; j <- cols.indices) {
+      val exp = data(i)(2 + j)
+      val g = got(i).getDouble(j)
+      assert(math.abs(g - exp) < 1e-8, s"$res row $i col ${cols(j)}: got $g expected $exp")
+    }
+  }
+
+  test("centered domfreq matches the reference (odd w=9, k=2)") {
+    goldenCheck("domfreq_ref_w9k2.csv", 9, 2)
+  }
+
+  test("centered domfreq matches the reference (EVEN w=6, k=1)") {
+    goldenCheck("domfreq_ref_w6k1.csv", 6, 1)
+  }
+
+  test("centered domfreq matches the reference at the query config (w=21, k=5)") {
+    goldenCheck("domfreq_ref_w21k5.csv", 21, 5)
+  }
+
+  test("groups the reference cannot process yield NULL features (centered n<hw, trailing n<w)") {
+    val df = (for (t <- 0 until 3) yield (1, t, math.sin(t * 1.0))).toDF("g", "t", "v")
+    val cRes = DomFreq.domfreq(df, Seq("v"), Seq("g"), Seq("t"), Seq(8), Seq("centered"), nDomfreq = 2)
+    assert(cRes.df.count() == 3)
+    assert(cRes.df.select("v_domfreq1_w8c").na.drop().count() == 0, "centered n<hw -> null")
+    val tRes = DomFreq.domfreq(df, Seq("v"), Seq("g"), Seq("t"), Seq(5), Seq("trailing"), nDomfreq = 2)
+    assert(tRes.df.select("v_domfreq1_w5t").na.drop().count() == 0, "trailing n<w -> null")
+  }
+
   test("trailing domfreq emits one row per input and full windows") {
     val rows = for (t <- 0 until 30) yield (1, t, math.cos(t * 0.7))
     val res = DomFreq.domfreq(rows.toDF("g", "t", "v"), Seq("v"), Seq("g"), Seq("t"), Seq(8), Seq("trailing"), nDomfreq = 2)
