@@ -239,6 +239,29 @@ object SparkEntry {
         .select("qid", "rank", "vec_id", "cos")
         .orderBy("qid", "rank")
     },
+    // the 100 TB similarity-search paths, end-to-end through the
+    // user-facing operators (bucketed pair-join / lshTopK / ivfTopK)
+    "dedup_embcos_lsh" -> { (s, dir) =>
+      Dedup.embeddingCosinePairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.3, bucketed = true, planes = annPlanes)
+        .orderBy("id_a", "id_b")
+    },
+    "ann_lsh_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Ann.lshTopK(emb, q, "vec_id", "embedding", "qid", k = 10, planes = annPlanes)
+        .select("qid", "rank", "vec_id", "cos")
+        .orderBy("qid", "rank")
+    },
+    "ann_ivf_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Ann.ivfTopK(emb, q, "vec_id", "embedding", "qid", k = 10, nCentroids = 16, nprobe = 4)
+        .select("qid", "rank", "vec_id", "cos")
+        .orderBy("qid", "rank")
+    },
     "ann_ivf" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val cents = Ann.ivfSeedCentroids(emb, "vec_id", "embedding", k = 16)
@@ -597,6 +620,56 @@ object SparkEntry {
          |from embeddings
          |group by 1
          |order by bucket""".stripMargin,
+    "dedup_embcos_lsh" ->
+      s"""with e as (select vec_id, embedding,
+         |    ${SqlTwins.lshBucket("embedding", annPlanes)} as b from embeddings),
+         |p as (
+         |  select a.vec_id as id_a, b.vec_id as id_b,
+         |    ${SqlTwins.cosine("a.embedding", "b.embedding", 64)} as cos
+         |  from e a join e b on a.b = b.b and a.vec_id < b.vec_id)
+         |select id_a, id_b, cos from p
+         |where cos >= 0.3E0
+         |order by id_a, id_b""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""with cb as (select vec_id, embedding,
+         |    ${SqlTwins.lshBucket("embedding", annPlanes)} as bucket from embeddings),
+         |qb as (select vec_id as qid, embedding as qv,
+         |    ${SqlTwins.lshBucket("embedding", annPlanes)} as bucket from embeddings where vec_id < 3),
+         |scored as (
+         |  select qb.qid, cb.vec_id, ${SqlTwins.cosine("cb.embedding", "qb.qv", 64)} as cos
+         |  from cb join qb using (bucket)),
+         |r as (select qid, vec_id, cos,
+         |  cast(row_number() over (partition by qid order by cos desc, vec_id) as int) as rank
+         |  from scored)
+         |select qid, rank, vec_id, cos from r where rank <= 10
+         |order by qid, rank""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""with c as (select vec_id as cid, embedding as cvec from embeddings order by vec_id limit 16),
+         |ascored as (
+         |  select e.vec_id, e.embedding, c.cid, ${SqlTwins.cosine("e.embedding", "c.cvec", 64)} as ccos
+         |  from embeddings e cross join c),
+         |assigned as (
+         |  select vec_id, embedding, cid as cell from (
+         |    select vec_id, embedding, cid,
+         |      row_number() over (partition by vec_id order by ccos desc, cid) as r
+         |    from ascored) where r = 1),
+         |q as (select vec_id as qid, embedding as qv from embeddings where vec_id < 3),
+         |qscored as (
+         |  select q.qid, q.qv, c.cid, ${SqlTwins.cosine("q.qv", "c.cvec", 64)} as ccos
+         |  from q cross join c),
+         |probes as (
+         |  select qid, qv, cid as cell from (
+         |    select qid, qv, cid,
+         |      row_number() over (partition by qid order by ccos desc, cid) as r
+         |    from qscored) where r <= 4),
+         |scored as (
+         |  select p.qid, a.vec_id, ${SqlTwins.cosine("a.embedding", "p.qv", 64)} as cos
+         |  from assigned a join probes p using (cell)),
+         |r as (select qid, vec_id, cos,
+         |  cast(row_number() over (partition by qid order by cos desc, vec_id) as int) as rank
+         |  from scored)
+         |select qid, rank, vec_id, cos from r where rank <= 10
+         |order by qid, rank""".stripMargin,
     "text_topterms" ->
       s"""select term, count(*) as n
          |from (select unnest(${SqlTwins.toks("text")}) as term from documents)
