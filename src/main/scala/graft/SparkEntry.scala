@@ -122,6 +122,25 @@ object SparkEntry {
       val (df, feats) = pipelineDf(s, dir)
       df.na.drop(feats :+ "value_target7").orderBy("user_id", "ts_us", "event_id")
     },
+    // distributed (T,P) tensor assembly (trainTestTensors) verified
+    // through a flat posexplode projection: daily-resampled series →
+    // lag features → per-group sorted tensors + x_T at the global max
+    // day, one output row per (group, step)
+    "ts_tensors" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val daily = ev.withColumn("day_us", TimeOps.tumblingBucket("ts_us", 86400000000L))
+        .groupBy("user_id", "day_us").agg(round(sum("value"), 4).as("v"))
+      val fr = Featurize.featurizeData(daily, Seq("user_id"), Seq("day_us"), Seq(
+        Featurize.Lag(Seq("v"), Seq(1, 2)),
+        Featurize.HorizonTargets(Seq("v"), Seq(1), "wide")))
+      val tens = Featurize.trainTestTensors(fr.df, fr.featureNames, "v_target1", Seq("user_id"), "day_us")
+      tens.select(col("user_id"), col("x_T"),
+          posexplode(arrays_zip(col("t"), col("x"), col("y"))))
+        .select(col("user_id"), col("pos").cast("int").as("seq"),
+          col("col.t").as("t"), col("col.x")(0).as("x0"), col("col.x")(1).as("x1"),
+          col("col.y").as("y"), col("x_T")(0).as("xt0"), col("x_T")(1).as("xt1"))
+        .orderBy("user_id", "seq")
+    },
     "ts_sessionize" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id")
       TimeOps.sessionize(ev, evGroup, evOrder, "ts_us", gapMicros = 1800000000L)
@@ -209,6 +228,21 @@ object SparkEntry {
         round(expr("percentile(value, 0.5)"), 4).as("q50"),
         round(expr("percentile(value, 0.75)"), 4).as("q75"),
         round(expr("percentile(value, 0.95)"), 4).as("q95"),
+        count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+    // the 100 TB quantile path: approx_percentile keeps ~O(accuracy)
+    // samples per group (rank error <= n/accuracy) where exact
+    // `percentile` buffers every value; at oracle scale accuracy >= n
+    // makes it exact — element at rank ceil(p*n), which DuckDB's
+    // quantile_disc computes identically (QuantileApproxSpec pins both)
+    "q_quantiles_approx" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      ev.groupBy("event_type").agg(
+        expr("approx_percentile(value, 0.25, 1000000)").as("q25"),
+        expr("approx_percentile(value, 0.5, 1000000)").as("q50"),
+        expr("approx_percentile(value, 0.75, 1000000)").as("q75"),
+        expr("approx_percentile(value, 0.95, 1000000)").as("q95"),
         count(lit(1)).as("n"))
         .orderBy("event_type")
     },
@@ -389,6 +423,30 @@ object SparkEntry {
       val notNull = feats.map(f => s"$f is not null").mkString(" and ")
       s"select * from (select user_id, epoch_us(ts) as ts_us, event_id, value,\n ${pipelineSelectExprs.mkString(",\n ")}\nfrom events)\nwhere $notNull\norder by $evKeys"
     },
+    "ts_tensors" ->
+      """with daily as (
+        |  select user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000) as day_us,
+        |    round(sum(value), 4) as v
+        |  from events group by 1, 2),
+        |f as (
+        |  select user_id, day_us, v,
+        |    lag(v, 1) over w as v_lag1,
+        |    lag(v, 2) over w as v_lag2,
+        |    lead(v, 1) over w as v_target1
+        |  from daily window w as (partition by user_id order by day_us)),
+        |clean as (
+        |  select * from f
+        |  where v_lag1 is not null and v_lag2 is not null and v_target1 is not null),
+        |mx as (select max(day_us) as mt from daily),
+        |xt as (select user_id, v_lag1 as xt0, v_lag2 as xt1 from f, mx where day_us = mt),
+        |s as (
+        |  select user_id, day_us as t, v_lag1 as x0, v_lag2 as x1,
+        |    cast(v_target1 as double) as y,
+        |    cast(row_number() over (partition by user_id order by day_us) - 1 as int) as seq
+        |  from clean)
+        |select s.user_id, s.seq, s.t, s.x0, s.x1, s.y, xt.xt0, xt.xt1
+        |from s left join xt using (user_id)
+        |order by user_id, seq""".stripMargin,
     "ts_sessionize" ->
       s"""select user_id, ts_us, event_id,
          | cast(sum(is_new) over (partition by user_id order by ts_us, event_id
@@ -500,6 +558,16 @@ object SparkEntry {
         | round(quantile_cont(value, 0.5), 4) as q50,
         | round(quantile_cont(value, 0.75), 4) as q75,
         | round(quantile_cont(value, 0.95), 4) as q95,
+        | count(*) as n
+        |from events
+        |group by event_type
+        |order by event_type""".stripMargin,
+    "q_quantiles_approx" ->
+      """select event_type,
+        | quantile_disc(value, 0.25) as q25,
+        | quantile_disc(value, 0.5) as q50,
+        | quantile_disc(value, 0.75) as q75,
+        | quantile_disc(value, 0.95) as q95,
         | count(*) as n
         |from events
         |group by event_type

@@ -49,6 +49,17 @@ object Featurize {
     FeatureResult(feats.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e) }, feats.map(_._1))
   }
 
+  /** Reference convenience (featurize.py:220): when `lags` is omitted,
+    * compute every lag 1..windowSize.
+    */
+  def lagFeatures(
+      df: DataFrame,
+      columns: Seq[String],
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      windowSize: Int): FeatureResult =
+    lagFeatures(df, columns, groupCols, orderCols, 1 to windowSize)
+
   /** Trailing rolling mean (reference featurize.py:116 `rollmean`).
     * Feature names: `{c}_rollmean_w{w}`. `minPeriods=None` in the
     * reference means "full window required" (pandas semantics) →
@@ -222,10 +233,42 @@ object Featurize {
       .agg(sort_array(collect_list(struct(
         col(orderCol).as("t"), featArr.as("x"), col(targetCol).cast("double").as("y")))).as("rows"))
       .select(groupCols.map(col) :+ col("rows.t").as("t") :+ col("rows.x").as("x") :+ col("rows.y").as("y"): _*)
-    val maxT = df.agg(max(col(orderCol))).head().get(0)
-    val xT = df.filter(col(orderCol) === lit(maxT))
+    // global max order key via a broadcast-joined 1-row aggregate — no
+    // driver action mid-operator (a .head() here would force an eager
+    // job and break lazy composition)
+    val maxT = df.agg(max(col(orderCol)).as("__maxT"))
+    val xT = df.join(broadcast(maxT), col(orderCol) === col("__maxT"))
       .select(groupCols.map(col) :+ featArr.as("x_T"): _*)
     train.join(xT, groupCols, "full")
+  }
+
+  /** Per-group tensors collected to the driver: the explicit ML handoff
+    * (reference df_to_train_test_matrices returns numpy (L,T,P) arrays,
+    * featurize.py:52-113). Everything upstream stays distributed; this
+    * is the ONE deliberate driver materialization, sized L·T·P doubles
+    * — call it only when the tensors are meant to feed a local trainer.
+    */
+  final case class GroupTensors(
+      key: Seq[Any],
+      t: Array[Any],
+      x: Array[Array[Double]],
+      y: Array[Double],
+      xT: Array[Double])
+
+  def toLocalTensors(tensors: DataFrame, groupCols: Seq[String]): Seq[GroupTensors] = {
+    val cols = groupCols.map(col) ++ Seq(col("t"), col("x"), col("y"), col("x_T"))
+    tensors.select(cols: _*).collect().toSeq.map { r =>
+      val g = groupCols.indices.map(r.get)
+      val base = groupCols.length
+      def arr[T](i: Int)(f: Any => T)(implicit ct: scala.reflect.ClassTag[T]): Array[T] =
+        if (r.isNullAt(i)) Array.empty[T] else r.getSeq[Any](i).map(f).toArray
+      GroupTensors(
+        g,
+        arr[Any](base)(identity),
+        arr[Array[Double]](base + 1)(v => v.asInstanceOf[scala.collection.Seq[Double]].toArray),
+        arr[Double](base + 2)(_.asInstanceOf[Double]),
+        arr[Double](base + 3)(v => if (v == null) Double.NaN else v.asInstanceOf[Double]))
+    }
   }
 
   /** Declarative feature spec, mirroring the reference's
@@ -252,6 +295,12 @@ object Featurize {
       nDomfreq: Int = 5,
       fs: Double = 1.0,
       detrend: String = "linear") extends Feature
+  /** Arbitrary user feature step — the analogue of the reference
+    * accepting any callable in its spec list (featurize.py:43-44 `fun`).
+    * Receives (frame, groupCols, orderCols), returns the augmented
+    * frame plus its new feature names.
+    */
+  final case class Custom(f: (DataFrame, Seq[String], Seq[String]) => FeatureResult) extends Feature
 
   /** Apply a list of feature specs, accumulating feature names —
     * the Spark analogue of `featurize_data` (featurize.py:7).
@@ -273,6 +322,7 @@ object Featurize {
           case fq: Domfreq =>
             DomFreq.domfreq(d, fq.columns, groupCols, orderCols,
               fq.windowSizes, fq.windowAligns, fq.nDomfreq, fq.fs, fq.detrend)
+          case Custom(fn) => fn(d, groupCols, orderCols)
         }
       }
     }

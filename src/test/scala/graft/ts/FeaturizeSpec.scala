@@ -46,6 +46,47 @@ class FeaturizeSpec extends SparkSpec {
     assert(r2.isNullAt(r2.fieldIndex("x_T")))
   }
 
+  test("lagFeatures(windowSize): all lags 1..N when no explicit list (featurize.py:220)") {
+    val res = Featurize.lagFeatures(df, Seq("v"), Seq("g"), Seq("t"), windowSize = 3)
+    assert(res.featureNames == Seq("v_lag1", "v_lag2", "v_lag3"))
+    val r = res.df.filter($"g" === 1 && $"t" === 3).head()
+    assert(r.getDouble(r.fieldIndex("v_lag1")) == 6.0)
+    assert(r.getDouble(r.fieldIndex("v_lag3")) == 2.0)
+  }
+
+  test("featurizeData Custom step composes with built-ins and accumulates names") {
+    import org.apache.spark.sql.functions._
+    val res = Featurize.featurizeData(df, Seq("g"), Seq("t"), Seq(
+      Featurize.Lag(Seq("v"), Seq(1)),
+      Featurize.Custom { (d, groups, orders) =>
+        val win = Featurize.seriesWindow(groups, orders)
+        FeatureResult(d.withColumn("v_cumsum", sum("v").over(
+          win.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))),
+          Seq("v_cumsum"))
+      }))
+    assert(res.featureNames == Seq("v_lag1", "v_cumsum"))
+    val r = res.df.filter($"g" === 1 && $"t" === 3).head()
+    assert(r.getDouble(r.fieldIndex("v_cumsum")) == 112.0)
+  }
+
+  test("trainTestTensors composes lazily (no eager driver job) and toLocalTensors hands off") {
+    val feats = Featurize.lagFeatures(df, Seq("v"), Seq("g"), Seq("t"), Seq(1))
+    // composing the operator must not launch a Spark job (.head() used
+    // to force one mid-operator); composition after it must stay lazy
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val tens = Featurize.trainTestTensors(feats.df, Seq("v_lag1"), "v", Seq("g"), "t")
+      .filter($"g" === 1)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "operator composition launched a Spark job")
+    val local = Featurize.toLocalTensors(tens, Seq("g"))
+    assert(local.length == 1)
+    val g1 = local.head
+    assert(g1.key == Seq(1) && g1.t.toList == List(1L, 2L, 3L))
+    assert(g1.x.map(_.toList).toList == List(List(2.0), List(4.0), List(6.0)))
+    assert(g1.y.toList == List(4.0, 6.0, 100.0))
+    assert(g1.xT.toList == List(6.0))
+  }
+
   test("GraftFunctions SQL registration: graft_simhash32/graft_minhash16 usable from SQL") {
     graft.plans.GraftFunctions.register(spark)
     val out = Seq(("a b c d e")).toDF("text")
