@@ -16,7 +16,13 @@ object Bench {
     Tables.events(spark, sfDir).count()
     Tables.documents(spark, sfDir).count()
     Tables.embeddings(spark, sfDir).count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 restricts the run
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None        => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune every
       // feature column, which would benchmark an empty projection

@@ -63,12 +63,19 @@ object Dedup {
     val nBands = k / rowsPerBand
     val bands = (0 until nBands).map { b =>
       val key = concat_ws("_", (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
-      struct(lit(b).as("band_idx"), key.as("band_key"))
+      // `valid` rides INSIDE the generated struct: docs below the
+      // shingle size have all-null signatures (concat_ws would silently
+      // turn those into colliding "" keys) and must be dropped — but a
+      // plain `where(mh0.isNotNull)` on the signature frame gets
+      // substituted through the projection and pushed to the scan,
+      // re-evaluating the whole shingle+md5+minhash pipeline per row
+      // (observed 2× sig cost). A predicate on a generator output
+      // cannot cross the Generate, so the filter evaluates the struct
+      // field only.
+      struct(lit(b).as("band_idx"), key.as("band_key"), col("mh0").isNotNull.as("valid"))
     }
-    // docs below the shingle size have all-null signatures (concat_ws
-    // would silently turn those into colliding "" keys) — drop them here
-    sig.where(col("mh0").isNotNull)
-      .select(col(idCol), explode(array(bands: _*)).as("band"))
+    sig.select(col(idCol), explode(array(bands: _*)).as("band"))
+      .where(col("band.valid"))
       .select(col(idCol), col("band.band_idx"), col("band.band_key"))
   }
 
