@@ -29,6 +29,16 @@ object Taylor {
     if (br.lags.isEmpty || br.m(d).forall(_ == 0.0)) lit(0.0)
     else br.lags.indices.map(j => lit(br.m(d)(j)) * term(c, br.lags(j), win)).reduceLeft(_ + _)
 
+  /** `useKernel = true` (default) evaluates each (column, spec) with
+    * ONE sliding collect_list frame + the one-pass TaylorKernel
+    * expression — value-identical to the Column-expression form (same
+    * TaylorBasis tables, same fold order; TaylorKernelSpec pins
+    * bit-equality) but ~5× faster: WindowExec runs one frame processor
+    * instead of ~w lag/lead processors and the projection is a
+    * compiled loop instead of a thousand-node CASE tree.
+    * `useKernel = false` keeps the pure-Column form (readable spec,
+    * null-tolerant per-term).
+    */
   def windowedTaylorCoefs(
       df: DataFrame,
       columns: Seq[String],
@@ -38,8 +48,12 @@ object Taylor {
       windowSizes: Seq[Int],
       windowAligns: Seq[String],
       ewSpans: Seq[Option[Int]],
-      fillEdges: Boolean): FeatureResult = {
+      fillEdges: Boolean,
+      useKernel: Boolean = true): FeatureResult = {
     val win = Featurize.seriesWindow(groupCols, orderCols)
+    if (useKernel)
+      return kernelPath(df, columns, groupCols, orderCols, taylorDegree,
+        windowSizes, windowAligns, ewSpans, fillEdges, win)
     // partition count expressed on the SAME ordered spec with an
     // unbounded frame: identical value, but it shares the single Window
     // operator with row_number and the lag/lead terms instead of
@@ -90,6 +104,52 @@ object Taylor {
     val withPos = if (needsCnt) withPos0.withColumn("__cnt", count(lit(1)).over(cntWin)) else withPos0
     val out = feats.foldLeft(withPos) { case (d, (n, e)) => d.withColumn(n, e) }
       .drop("__pos", "__cnt")
+    FeatureResult(out, feats.map(_._1))
+  }
+
+  private def kernelPath(
+      df: DataFrame,
+      columns: Seq[String],
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      taylorDegree: Int,
+      windowSizes: Seq[Int],
+      windowAligns: Seq[String],
+      ewSpans: Seq[Option[Int]],
+      fillEdges: Boolean,
+      win: org.apache.spark.sql.expressions.WindowSpec): FeatureResult = {
+    val cntWin = win.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val specs = for {
+      c <- columns; w <- windowSizes; a <- windowAligns; s <- ewSpans
+    } yield Spec(c, taylorDegree, w, a, s, fillEdges)
+    // pos/cnt stay window EXPRESSIONS inside the single kernel select —
+    // materializing them in their own projection first would put the
+    // collect_list frames in a second Window op that CollapseWindow
+    // cannot merge through the intervening Project. __cnt (rpos source)
+    // is only needed by centered branch conditions.
+    val posCol = row_number().over(win).cast("long") - 1
+    val cntCol = if (specs.exists(_.needsCount)) count(lit(1)).over(cntWin) else lit(-1L)
+    // the kernel is INLINED per coefficient (identical deterministic
+    // subtrees → runtime subexpression elimination evaluates it once
+    // per row) rather than materialized in its own projection — a
+    // materialization barrier would stop CollapseProject from folding
+    // surrounding pipeline features into the same Window op
+    def kernelCol(spec: Spec): org.apache.spark.sql.Column = {
+      val wsize = spec.windowSize
+      val (lo, hi) =
+        if (spec.align == "trailing") (-(wsize - 1), 0)
+        else { val h = (wsize - 1) / 2; (-h, wsize - 1 - h) }
+      val xs = collect_list(col(spec.column).cast("double"))
+        .over(win.rowsBetween(lo, hi))
+      graft.plans.TaylorKernel.fromSpec(spec, xs, posCol, cntCol)
+    }
+    val feats = specs.flatMap { spec =>
+      (0 to taylorDegree).map(deg => spec.featName(deg) -> element_at(kernelCol(spec), deg + 1))
+    }
+    // ONE select for every coefficient — a withColumn fold would give
+    // each feature its own Project whose window expressions land in a
+    // separate stacked Window op
+    val out = df.select(col("*") +: feats.map { case (n, e) => e.as(n) }: _*)
     FeatureResult(out, feats.map(_._1))
   }
 }
