@@ -1,0 +1,134 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Trailing lag-fold statistics in ONE pass over the row's sliding
+  * window array, replacing w distinct lag() frame processors plus wide
+  * coalesce-fold projections in WindowExec.
+  *
+  * Value parity: every mode replicates its Column-expression twin's
+  * fold ORDER — terms newest→oldest, left-associated — so results are
+  * bit-identical to the expression forms and to the generated DuckDB
+  * oracles (which mirror those same folds) on null-free input. Missing
+  * leading lags (group edges) contribute nothing, exactly like the
+  * expressions' coalesce(x, 0) terms; input arrays are oldest-first
+  * (frame `rowsBetween(-(depth-1), 0)` of collect_list). NULL values
+  * inside a window shift the collected array instead of holding a
+  * place — null-free input is the documented contract.
+  *
+  * `right` = the row's own value (newest term), needed by zscore; pass
+  * any literal for other modes.
+  *
+  * Modes / outputs (array<double>, null elements where gated):
+  *  0 rollmean  → [mean]                 gate: cnt >= minP
+  *  1 rollstats → [min, max, std]        gates: cnt >= minP / max(minP,2)
+  *  2 zscore    → [(x-mean)/std]         gate: cnt >= w
+  *  3 ewmaTrunc → [num/den]              weights(i) = beta^i, no gate
+  *  4 autocorr  → [pearson r over pairs] gate: nPairs >= w; lagK set
+  */
+case class RollFoldKernel(
+    left: Expression,
+    right: Expression,
+    mode: Int,
+    w: Int,
+    minP: Int,
+    lagK: Int,
+    weights: Array[Double])
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+  private val D = java.lang.Double.valueOf(_: Double)
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val xsAny = left.eval(input)
+    if (xsAny == null) return null
+    val xs = xsAny.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    // newest→oldest left folds (i = 0 is the current row)
+    mode match {
+      case 0 =>
+        var s = 0.0; var i = n - 1
+        while (i >= 0) { s += xs.getDouble(i); i -= 1 }
+        new GenericArrayData(Array[Any](if (n >= minP) D(s / n) else null))
+      case 1 =>
+        var s1 = 0.0; var s2 = 0.0; var mn = Double.MaxValue; var mx = Double.MinValue
+        var i = n - 1
+        while (i >= 0) {
+          val v = xs.getDouble(i)
+          s1 += v; s2 += v * v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i -= 1
+        }
+        val std = math.sqrt((s2 - (s1 * s1) / n) / (n - 1))
+        new GenericArrayData(Array[Any](
+          if (n >= minP) D(mn) else null,
+          if (n >= minP) D(mx) else null,
+          if (n >= math.max(minP, 2)) D(std) else null))
+      case 2 =>
+        var s1 = 0.0; var s2 = 0.0; var i = n - 1
+        while (i >= 0) { val v = xs.getDouble(i); s1 += v; s2 += v * v; i -= 1 }
+        val out: Any =
+          if (n >= w) {
+            val rAny = right.eval(input)
+            if (rAny == null) null
+            else {
+              val x = rAny.asInstanceOf[Double]
+              val mean = s1 / n
+              val std = math.sqrt((s2 - (s1 * s1) / n) / (n - 1))
+              D((x - mean) / std)
+            }
+          } else null
+        new GenericArrayData(Array[Any](out))
+      case 3 =>
+        var num = 0.0; var den = 0.0; var i = 0
+        while (i < w) {
+          val idx = n - 1 - i
+          if (idx >= 0) { val wi = weights(i); num += wi * xs.getDouble(idx); den += wi }
+          i += 1
+        }
+        new GenericArrayData(Array[Any](D(num / den)))
+      case _ =>
+        var np = 0; var sx = 0.0; var sy = 0.0; var sxx = 0.0; var syy = 0.0; var sxy = 0.0
+        var i = 0
+        while (i < w) {
+          val xi = n - 1 - i
+          val yi = n - 1 - i - lagK
+          if (yi >= 0) {
+            val x = xs.getDouble(xi)
+            val y = xs.getDouble(yi)
+            np += 1; sx += x; sy += y; sxx += x * x; syy += y * y; sxy += x * y
+          }
+          i += 1
+        }
+        val nd = np.toDouble
+        val r = (nd * sxy - sx * sy) / math.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+        new GenericArrayData(Array[Any](if (np >= w) D(r) else null))
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RollFoldKernel =
+    copy(left = l, right = r)
+}
+
+object RollFoldKernel {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+  import org.apache.spark.sql.functions.lit
+
+  def rollmean(xs: Column, w: Int, minP: Int): Column =
+    column(RollFoldKernel(expression(xs), expression(lit(0)), 0, w, minP, 0, Array.empty))
+  def rollstats(xs: Column, w: Int, minP: Int): Column =
+    column(RollFoldKernel(expression(xs), expression(lit(0)), 1, w, minP, 0, Array.empty))
+  def zscore(xs: Column, current: Column, w: Int): Column =
+    column(RollFoldKernel(expression(xs), expression(current), 2, w, w, 0, Array.empty))
+  def ewmaTrunc(xs: Column, k: Int, beta: Double): Column =
+    column(RollFoldKernel(expression(xs), expression(lit(0)), 3, k, 0, 0,
+      Array.tabulate(k)(i => math.pow(beta, i))))
+  def autocorr(xs: Column, w: Int, lagK: Int): Column =
+    column(RollFoldKernel(expression(xs), expression(lit(0)), 4, w, w, lagK, Array.empty))
+}

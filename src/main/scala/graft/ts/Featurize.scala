@@ -77,8 +77,21 @@ object Featurize {
       groupCols: Seq[String],
       orderCols: Seq[String],
       windowSizes: Seq[Int],
-      minPeriods: Option[Int] = None): FeatureResult = {
+      minPeriods: Option[Int] = None,
+      useKernel: Boolean = true): FeatureResult = {
     val win = seriesWindow(groupCols, orderCols)
+    if (useKernel) {
+      // one sliding collect_list frame + one-pass fold kernel (same
+      // newest→oldest fold order → bit-identical, incl. null values:
+      // skipped elements ≡ the expression's coalesce(x,0) + count)
+      val feats = for (c <- columns; w <- windowSizes) yield {
+        val xs = collect_list(col(c).cast("double")).over(win.rowsBetween(-(w - 1), 0))
+        s"${c}_rollmean_w$w" ->
+          element_at(graft.plans.RollFoldKernel.rollmean(xs, w, minPeriods.getOrElse(w)), 1)
+      }
+      return FeatureResult(
+        df.select(col("*") +: feats.map { case (n, e) => e.as(n) }: _*), feats.map(_._1))
+    }
     val feats = for (c <- columns; w <- windowSizes) yield {
       val minP = minPeriods.getOrElse(w)
       def term(i: Int): Column = if (i == 0) col(c) else lag(col(c), i).over(win)
@@ -144,8 +157,21 @@ object Featurize {
       groupCols: Seq[String],
       orderCols: Seq[String],
       windowSizes: Seq[Int],
-      minPeriods: Option[Int] = None): FeatureResult = {
+      minPeriods: Option[Int] = None,
+      useKernel: Boolean = true): FeatureResult = {
     val win = seriesWindow(groupCols, orderCols)
+    if (useKernel) {
+      val feats = (for (c <- columns; w <- windowSizes) yield {
+        val minP = minPeriods.getOrElse(w)
+        val xs = collect_list(col(c).cast("double")).over(win.rowsBetween(-(w - 1), 0))
+        val k = graft.plans.RollFoldKernel.rollstats(xs, w, minP)
+        Seq(s"${c}_rollmin_w$w" -> element_at(k, 1),
+          s"${c}_rollmax_w$w" -> element_at(k, 2),
+          s"${c}_rollstd_w$w" -> element_at(k, 3))
+      }).flatten
+      return FeatureResult(
+        df.select(col("*") +: feats.map { case (n, e) => e.as(n) }: _*), feats.map(_._1))
+    }
     val feats = (for (c <- columns; w <- windowSizes) yield {
       val minP = minPeriods.getOrElse(w)
       val frame = win.rowsBetween(-(w - 1), Window.currentRow)
@@ -173,8 +199,15 @@ object Featurize {
       groupCols: Seq[String],
       orderCols: Seq[String],
       lagK: Int,
-      w: Int): FeatureResult = {
+      w: Int,
+      useKernel: Boolean = true): FeatureResult = {
     val win = seriesWindow(groupCols, orderCols)
+    if (useKernel) {
+      val name = s"${c}_autocorr_l${lagK}_w$w"
+      val xs = collect_list(col(c).cast("double")).over(win.rowsBetween(-(w + lagK - 1), 0))
+      val k = graft.plans.RollFoldKernel.autocorr(xs, w, lagK)
+      return FeatureResult(df.select(col("*"), element_at(k, 1).as(name)), Seq(name))
+    }
     def x(i: Int): Column = if (i == 0) col(c) else lag(col(c), i).over(win)
     def y(i: Int): Column = lag(col(c), i + lagK).over(win)
     def pair(i: Int): Column = x(i).isNotNull && y(i).isNotNull
@@ -200,8 +233,15 @@ object Featurize {
       c: String,
       groupCols: Seq[String],
       orderCols: Seq[String],
-      w: Int): FeatureResult = {
+      w: Int,
+      useKernel: Boolean = true): FeatureResult = {
     val win = seriesWindow(groupCols, orderCols)
+    if (useKernel) {
+      val name = s"${c}_zscore_w$w"
+      val xs = collect_list(col(c).cast("double")).over(win.rowsBetween(-(w - 1), 0))
+      val k = graft.plans.RollFoldKernel.zscore(xs, col(c).cast("double"), w)
+      return FeatureResult(df.select(col("*"), element_at(k, 1).as(name)), Seq(name))
+    }
     def term(i: Int): Column = if (i == 0) col(c) else lag(col(c), i).over(win)
     val sum1 = (0 until w).map(i => coalesce(term(i).cast("double"), lit(0.0))).reduceLeft(_ + _)
     val sum2 = (0 until w).map(i => coalesce(term(i).cast("double") * term(i).cast("double"), lit(0.0))).reduceLeft(_ + _)
@@ -309,21 +349,67 @@ object Featurize {
       df: DataFrame,
       groupCols: Seq[String],
       orderCols: Seq[String],
-      features: Seq[Feature]): FeatureResult =
-    features.foldLeft(FeatureResult(df, Nil)) { (acc, f) =>
-      acc.andThen { d =>
-        f match {
-          case Lag(cs, ks)             => lagFeatures(d, cs, groupCols, orderCols, ks)
-          case Rollmean(cs, ws, mp)    => rollmean(d, cs, groupCols, orderCols, ws, mp)
-          case HorizonTargets(cs, hs, l) => horizonTargets(d, cs, groupCols, orderCols, hs, l)
-          case t: WindowedTaylorCoefs =>
-            Taylor.windowedTaylorCoefs(d, t.columns, groupCols, orderCols,
-              t.taylorDegree, t.windowSizes, t.windowAligns, t.ewSpans, t.fillEdges)
-          case fq: Domfreq =>
-            DomFreq.domfreq(d, fq.columns, groupCols, orderCols,
-              fq.windowSizes, fq.windowAligns, fq.nDomfreq, fq.fs, fq.detrend)
-          case Custom(fn) => fn(d, groupCols, orderCols)
+      features: Seq[Feature]): FeatureResult = {
+    // Consecutive window-expressible features (Lag, Rollmean, wide
+    // HorizonTargets, WindowedTaylorCoefs) are FUSED into one select so
+    // their window expressions land in a single Window operator — the
+    // whole block costs one exchange + one sort + one pass at any
+    // feature count (PlanAuditSpec pins it). A feature reading an
+    // output of the current block, or a non-fusible step (long
+    // horizons, domfreq, Custom), flushes the block first.
+    val win = seriesWindow(groupCols, orderCols)
+    // (exprs, featureNames, inputColumns); exprs may outnumber names
+    // (wide targets add columns but no feature names — reference rule)
+    def fusible(f: Feature): Option[(Seq[(String, Column)], Seq[String], Seq[String])] = f match {
+      case Lag(cs, ks) =>
+        val es = for (c <- cs; k <- ks) yield s"${c}_lag$k" -> lag(col(c), k).over(win)
+        Some((es, es.map(_._1), cs))
+      case Rollmean(cs, ws, mp) =>
+        val es = for (c <- cs; w <- ws) yield {
+          val xs = collect_list(col(c).cast("double")).over(win.rowsBetween(-(w - 1), 0))
+          s"${c}_rollmean_w$w" ->
+            element_at(graft.plans.RollFoldKernel.rollmean(xs, w, mp.getOrElse(w)), 1)
         }
+        Some((es, es.map(_._1), cs))
+      case HorizonTargets(cs, hs, "wide") =>
+        val es = for (c <- cs; h <- hs) yield s"${c}_target$h" -> lead(col(c), h).over(win)
+        Some((es, Nil, cs))
+      case t: WindowedTaylorCoefs =>
+        val es = Taylor.kernelExprs(t.columns, t.taylorDegree, t.windowSizes,
+          t.windowAligns, t.ewSpans, t.fillEdges, win)
+        Some((es, es.map(_._1), t.columns))
+      case _ => None
+    }
+    var cur = FeatureResult(df, Nil)
+    val bufExprs = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+    val bufNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    def flush(): Unit = if (bufExprs.nonEmpty) {
+      cur = FeatureResult(
+        cur.df.select(col("*") +: bufExprs.toSeq.map { case (n, e) => e.as(n) }: _*),
+        cur.featureNames ++ bufNames)
+      bufExprs.clear(); bufNames.clear()
+    }
+    features.foreach { f =>
+      fusible(f) match {
+        case Some((exprs, names, inputs)) =>
+          val produced = bufExprs.map(_._1).toSet
+          if (inputs.exists(produced)) flush()
+          bufExprs ++= exprs; bufNames ++= names
+        case None =>
+          flush()
+          cur = cur.andThen { d =>
+            f match {
+              case HorizonTargets(cs, hs, l) => horizonTargets(d, cs, groupCols, orderCols, hs, l)
+              case fq: Domfreq =>
+                DomFreq.domfreq(d, fq.columns, groupCols, orderCols,
+                  fq.windowSizes, fq.windowAligns, fq.nDomfreq, fq.fs, fq.detrend)
+              case Custom(fn) => fn(d, groupCols, orderCols)
+              case other => throw new IllegalStateException(s"unexpected feature $other")
+            }
+          }
       }
     }
+    flush()
+    cur
+  }
 }

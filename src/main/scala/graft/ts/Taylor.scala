@@ -107,6 +107,37 @@ object Taylor {
     FeatureResult(out, feats.map(_._1))
   }
 
+  /** The kernel feature columns as (name, expr) pairs — used by the
+    * kernel path and by Featurize.featurizeData's fused feature block.
+    */
+  def kernelExprs(
+      columns: Seq[String],
+      taylorDegree: Int,
+      windowSizes: Seq[Int],
+      windowAligns: Seq[String],
+      ewSpans: Seq[Option[Int]],
+      fillEdges: Boolean,
+      win: org.apache.spark.sql.expressions.WindowSpec): Seq[(String, Column)] = {
+    val cntWin = win.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val specs = for {
+      c <- columns; w <- windowSizes; a <- windowAligns; s <- ewSpans
+    } yield Spec(c, taylorDegree, w, a, s, fillEdges)
+    val posCol = row_number().over(win).cast("long") - 1
+    val cntCol = if (specs.exists(_.needsCount)) count(lit(1)).over(cntWin) else lit(-1L)
+    def kernelCol(spec: Spec): Column = {
+      val wsize = spec.windowSize
+      val (lo, hi) =
+        if (spec.align == "trailing") (-(wsize - 1), 0)
+        else { val h = (wsize - 1) / 2; (-h, wsize - 1 - h) }
+      val xs = collect_list(col(spec.column).cast("double"))
+        .over(win.rowsBetween(lo, hi))
+      graft.plans.TaylorKernel.fromSpec(spec, xs, posCol, cntCol)
+    }
+    specs.flatMap { spec =>
+      (0 to taylorDegree).map(deg => spec.featName(deg) -> element_at(kernelCol(spec), deg + 1))
+    }
+  }
+
   private def kernelPath(
       df: DataFrame,
       columns: Seq[String],
@@ -118,38 +149,9 @@ object Taylor {
       ewSpans: Seq[Option[Int]],
       fillEdges: Boolean,
       win: org.apache.spark.sql.expressions.WindowSpec): FeatureResult = {
-    val cntWin = win.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val specs = for {
-      c <- columns; w <- windowSizes; a <- windowAligns; s <- ewSpans
-    } yield Spec(c, taylorDegree, w, a, s, fillEdges)
-    // pos/cnt stay window EXPRESSIONS inside the single kernel select —
-    // materializing them in their own projection first would put the
-    // collect_list frames in a second Window op that CollapseWindow
-    // cannot merge through the intervening Project. __cnt (rpos source)
-    // is only needed by centered branch conditions.
-    val posCol = row_number().over(win).cast("long") - 1
-    val cntCol = if (specs.exists(_.needsCount)) count(lit(1)).over(cntWin) else lit(-1L)
-    // the kernel is INLINED per coefficient (identical deterministic
-    // subtrees → runtime subexpression elimination evaluates it once
-    // per row) rather than materialized in its own projection — a
-    // materialization barrier would stop CollapseProject from folding
-    // surrounding pipeline features into the same Window op
-    def kernelCol(spec: Spec): org.apache.spark.sql.Column = {
-      val wsize = spec.windowSize
-      val (lo, hi) =
-        if (spec.align == "trailing") (-(wsize - 1), 0)
-        else { val h = (wsize - 1) / 2; (-h, wsize - 1 - h) }
-      val xs = collect_list(col(spec.column).cast("double"))
-        .over(win.rowsBetween(lo, hi))
-      graft.plans.TaylorKernel.fromSpec(spec, xs, posCol, cntCol)
-    }
-    val feats = specs.flatMap { spec =>
-      (0 to taylorDegree).map(deg => spec.featName(deg) -> element_at(kernelCol(spec), deg + 1))
-    }
-    // ONE select for every coefficient — a withColumn fold would give
-    // each feature its own Project whose window expressions land in a
-    // separate stacked Window op
-    val out = df.select(col("*") +: feats.map { case (n, e) => e.as(n) }: _*)
-    FeatureResult(out, feats.map(_._1))
+    val feats = kernelExprs(columns, taylorDegree, windowSizes, windowAligns, ewSpans, fillEdges, win)
+    FeatureResult(
+      df.select(col("*") +: feats.map { case (n, e) => e.as(n) }: _*), feats.map(_._1))
   }
+
 }

@@ -171,10 +171,20 @@ object TimeOps {
       orderCols: Seq[String],
       alpha: Double,
       k: Int,
-      out: String): DataFrame = {
+      out: String,
+      useKernel: Boolean = true): DataFrame = {
     val win = Featurize.seriesWindow(groupCols, orderCols)
-    def term(i: Int): Column = if (i == 0) col(valueCol) else lag(col(valueCol), i).over(win)
     val beta = 1.0 - alpha
+    if (useKernel) {
+      // one-pass fold kernel over a single sliding frame; weights are
+      // positional (beta^lag-distance), so null-free input is the
+      // contract (a null would shift the collected array)
+      val xs = org.apache.spark.sql.functions.collect_list(col(valueCol).cast("double"))
+        .over(win.rowsBetween(-(k - 1), 0))
+      val ker = graft.plans.RollFoldKernel.ewmaTrunc(xs, k, beta)
+      return df.select(col("*"), element_at(ker, 1).as(out))
+    }
+    def term(i: Int): Column = if (i == 0) col(valueCol) else lag(col(valueCol), i).over(win)
     val num = (0 until k).map(i => lit(math.pow(beta, i)) * coalesce(term(i).cast("double"), lit(0.0)))
       .reduceLeft(_ + _)
     val den = (0 until k).map(i => when(term(i).isNotNull, lit(math.pow(beta, i))).otherwise(lit(0.0)))

@@ -22,7 +22,7 @@ class PlanAuditSpec extends SparkSpec {
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(1200)}")
     val windows = "(?m)^\\s*(?:\\+- )?Window ".r.findAllIn(plan).length
-    assert(windows <= 2, s"expected <=2 Window ops for a trailing pipeline, got $windows")
+    assert(windows == 1, s"expected the fused feature block to plan ONE Window op, got $windows")
   }
 
   test("long-layout horizon targets plan one exchange + one sort at any horizon count") {
