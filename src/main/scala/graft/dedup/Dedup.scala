@@ -163,11 +163,19 @@ object Dedup {
       threshold: Double = 0.5,
       k: Int = 16,
       rowsPerBand: Int = 4): DataFrame = {
-    val withShingles = docs.select(col(idCol),
-      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleSize)).as("sh"))
     val sig = minhashSignatures(docs, idCol, textCol, shingleSize, TextOps.minhashParams(k))
     val bands = lshBands(sig, idCol, k, rowsPerBand)
     val cand = bandCandidatePairs(bands, idCol).distinct()
+    // compute exact shingle sets ONLY for candidate docs: semi-join the
+    // corpus down to the candidate ids BEFORE shingling, so the
+    // expensive tokenize+shingle+md5 pass over the full corpus happens
+    // once (for signatures), not three times — and at scale the shingle
+    // arrays of non-candidates never exist, let alone shuffle
+    val candIds = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol))).distinct()
+    val candDocs = docs.join(candIds, Seq(idCol), "left_semi")
+    val withShingles = candDocs.select(col(idCol),
+      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleSize)).as("sh"))
     val pa = withShingles.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val pb = withShingles.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
     cand.join(pa, "id_a").join(pb, "id_b")
@@ -254,8 +262,12 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: cosine >= threshold. `bucketed=true`
-    * restricts the pair join to matching LSH buckets (the 100 TB path);
-    * false brute-forces (oracle-friendly on subsamples).
+    * restricts pairs to matching LSH buckets (the 100 TB path): one
+    * bucket-assignment scan, one exchange on the bucket key, per-bucket
+    * pair explosion over (id, vec) structs — no self-join (which would
+    * evaluate the scan+bucket plan twice), bucket size capped like the
+    * banded text paths. `bucketed=false` brute-forces via a self-join
+    * (oracle-friendly on subsamples).
     */
   def embeddingCosinePairs(
       embs: DataFrame,
@@ -263,15 +275,33 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       bucketed: Boolean = false,
-      planes: Seq[Array[Double]] = VectorOps.lshPlanes(8, 64)): DataFrame = {
-    val base =
-      if (bucketed) embs.select(col(idCol), col(vecCol), VectorOps.lshBucket(col(vecCol), planes).as("__b"))
-      else embs.select(col(idCol), col(vecCol), lit(0L).as("__b"))
-    val pairs = base.as("a").join(base.as("b"),
-      col("a.__b") === col("b.__b") && col(s"a.$idCol") < col(s"b.$idCol"))
-    pairs
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
-        VectorOps.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos"))
-      .where(col("cos") >= threshold)
+      planes: Seq[Array[Double]] = VectorOps.lshPlanes(8, 64),
+      maxBucket: Int = 4096): DataFrame = {
+    if (bucketed) {
+      val base = embs.select(col(idCol), col(vecCol),
+        VectorOps.lshBucket(col(vecCol), planes).as("__b"))
+      val bw = Window.partitionBy("__b").orderBy(col(idCol))
+      val pairs = base
+        .withColumn("__rn", row_number().over(bw))
+        .where(col("__rn") <= maxBucket)
+        .groupBy("__b")
+        .agg(sort_array(collect_list(struct(col(idCol).as("id"), col(vecCol).as("v")))).as("xs"))
+        .where(size(col("xs")) > 1)
+        .select(explode(expr(
+          "flatten(transform(sequence(1, size(xs) - 1), " +
+            "i -> transform(slice(xs, i + 1, size(xs) - i), " +
+            "j -> struct(element_at(xs, i) as a, j as b))))")).as("p"))
+      pairs
+        .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+          VectorOps.cosine(col("p.a.v"), col("p.b.v")).as("cos"))
+        .where(col("cos") >= threshold)
+    } else {
+      val base = embs.select(col(idCol), col(vecCol))
+      val pairs = base.as("a").join(base.as("b"), col(s"a.$idCol") < col(s"b.$idCol"))
+      pairs
+        .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"),
+          VectorOps.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")).as("cos"))
+        .where(col("cos") >= threshold)
+    }
   }
 }
