@@ -108,6 +108,21 @@ object SparkEntry {
     "ts_pipeline" -> { (s, dir) =>
       pipelineDf(s, dir)._1.orderBy("user_id", "ts_us", "event_id")
     },
+    // the reference's full featurize_data surface in ONE pipeline:
+    // fused window block (lags+rollmean+centered taylor+target) then
+    // the domfreq streaming scan — 2 passes total at any feature count
+    "ts_pipeline_full" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      val res = Featurize.featurizeData(ev, evGroup, evOrder, Seq(
+        Featurize.Lag(Seq("value"), Seq(1, 7)),
+        Featurize.Rollmean(Seq("value"), Seq(7)),
+        Featurize.WindowedTaylorCoefs(Seq("value"), taylorDegree = 1, Seq(9), Seq("centered"), Seq(None), fillEdges = true),
+        Featurize.HorizonTargets(Seq("value"), Seq(7), "wide"),
+        Featurize.Domfreq(Seq("value"), Seq(9), Seq("centered"), nDomfreq = 2)))
+      res.featureNames.filter(_.contains("logpow"))
+        .foldLeft(res.df)((d, n) => d.withColumn(n, round(col(n), 4)))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
     // freq features exact vs the SQL DFT twin (identical literal trig
     // tables, identical fold order); logpow rounded to 4dp on both
     // sides (libm vs JVM log differ at ulp level)
@@ -417,6 +432,29 @@ object SparkEntry {
       table = "events", orderBy = evKeys),
     "ts_pipeline" ->
       s"select user_id, epoch_us(ts) as ts_us, event_id, value,\n ${pipelineSelectExprs.mkString(",\n ")}\nfrom events\norder by $evKeys",
+    "ts_pipeline_full" -> {
+      // domfreq CTE as the inner table, window features on top — the
+      // window exprs order by the same (user_id, ts_us, event_id) keys,
+      // so values equal computing them over events directly
+      val innerOver = OracleGen.over(Seq("user_id"), Seq("ts_us", "event_id"))
+      val inner = OracleGen.domfreqSql(
+        c = "value", w = 9, align = "centered", nDomfreq = 2, fs = 1.0, detrend = "linear",
+        part = "user_id", ordSql = "epoch_us(ts), event_id",
+        baseSelect = "user_id, epoch_us(ts) as ts_us, event_id, value",
+        keyCols = Seq("user_id", "ts_us", "event_id", "value"),
+        table = "events", orderBy = "user_id, ts_us, event_id")
+      val lags = Seq(1, 7).map(k => OracleGen.lagExpr("value", k, innerOver))
+      val roll = OracleGen.rollmeanExpr("value", 7, 7, innerOver)
+      val taylor = OracleGen.taylorExprs(
+        ts.TaylorBasis.Spec("value", 1, 9, "centered", None, fillEdges = true), innerOver, Seq("user_id"))
+      val lead7 = OracleGen.leadExpr("value", 7, innerOver, "value_target7")
+      s"""select *,
+         | ${(lags ++ Seq(roll) ++ taylor ++ Seq(lead7)).mkString(",\n ")}
+         |from (
+         |$inner
+         |)
+         |order by user_id, ts_us, event_id""".stripMargin
+    },
     "ts_train_matrix" -> {
       val feats = Seq("value_lag1", "value_lag7", "value_rollmean_w7",
         "value_taylor_d1_c0_w9t_sNone", "value_taylor_d1_c1_w9t_sNone", "value_target7")

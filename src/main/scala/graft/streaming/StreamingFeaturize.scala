@@ -23,6 +23,7 @@ case class RollFeat(
   * `Outer$Inner` names the encoder's generated Java fails to resolve.
   */
 case class RingState(ring: Array[Double])
+case class EwmaState(num: Double, den: Double)
 
 object StreamingFeaturize {
 
@@ -100,4 +101,46 @@ object StreamingFeaturize {
       .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
       .select(unix_micros(col("window.start")).as("day_us"), col("user_id"),
         col("n_events"), col("sum_value"))
+
+  /** Watermarked session rollups via `session_window`: the streaming
+    * twin of the batch sess_agg query (sessionize + per-session
+    * count/sum). Sessions close when the gap exceeds `gap`; emission
+    * waits for the watermark, exactly Structured Streaming's
+    * session-window contract.
+    */
+  def sessionAgg(events: DataFrame, tsCol: String, watermark: String, gap: String): DataFrame =
+    events
+      .withColumn("__ts", timestamp_micros(col(tsCol)))
+      .withWatermark("__ts", watermark)
+      .groupBy(session_window(col("__ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"), col("sum_value"))
+
+  /** Streaming exact recursive EWMA (pandas ewm adjust=true), the
+    * TimeOps.ewma twin: state per key = the two running scalars
+    * (num, den) — O(1) memory per key on an unbounded stream, same
+    * recurrence and therefore bit-identical values to the batch scan
+    * for in-order input (cross-batch late data is the watermark
+    * layer's job).
+    */
+  def streamingEwma(events: Dataset[Ev], alpha: Double): Dataset[RollFeat] = {
+    import events.sparkSession.implicits._
+    val beta = 1.0 - alpha
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, evs: Iterator[Ev], state: GroupState[EwmaState]) => {
+          var (num, den) = state.getOption.map(s => (s.num, s.den)).getOrElse((0.0, 0.0))
+          val out = evs.toSeq.sortBy(e => (e.ts_us, e.value)).map { e =>
+            num = beta * num + e.value
+            den = beta * den + 1.0
+            RollFeat(key, e.ts_us, e.value, None, Some(num / den))
+          }
+          state.update(EwmaState(num, den))
+          out.iterator
+        })
+  }
 }

@@ -45,6 +45,56 @@ class StreamingFeaturizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingEwma equals the batch recursive EWMA across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingFeaturize.streamingEwma(input.toDS(), alpha = 0.2)
+      .writeStream.format("memory").queryName("ewma_out").outputMode("append").start()
+    try {
+      val all = evs(1, 12) ++ evs(2, 8)
+      input.addData(all.filter(_.ts_us < 4000000): _*)
+      q.processAllAvailable()
+      input.addData(all.filter(_.ts_us >= 4000000): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ewma_out")
+        .select("user_id", "ts_us", "value_rollmean")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val batch = graft.ts.TimeOps.ewma(
+          all.toDF("user_id", "ts_us", "value"), "value", Seq("user_id"), Seq("ts_us"), alpha = 0.2)
+        .select("user_id", "ts_us", "ewma")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch, "streaming recurrence must be bit-identical to the batch scan")
+    } finally q.stop()
+  }
+
+  test("watermarked session rollups match the batch sess_agg shape") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingFeaturize.sessionAgg(input.toDF(), "ts_us", "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("sess_out").outputMode("complete").start()
+    try {
+      // two sessions for user 1 (gap > 30 min), one for user 2
+      val all = Seq(
+        Ev(1, 0L, 1.0), Ev(1, 60L * 1000000, 2.0), Ev(1, 120L * 1000000, 3.0),
+        Ev(1, 10000L * 1000000, 4.0), Ev(1, 10060L * 1000000, 5.0),
+        Ev(2, 0L, 7.0))
+      input.addData(all: _*)
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out")
+        .select("user_id", "n_events", "sum_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(sessions == Set((1L, 3L, 6.0), (1L, 2L, 9.0), (2L, 1L, 7.0)))
+      // session bounds: batch sessionize agrees on membership
+      val batch = graft.ts.TimeOps.sessionize(
+          all.toDF("user_id", "ts_us", "value"), Seq("user_id"), Seq("ts_us"), "ts_us",
+          gapMicros = 1800000000L)
+        .groupBy("user_id", "session_id").agg(count(lit(1)).as("n"), sum("value").as("s"))
+        .select("user_id", "n", "s")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(batch == sessions)
+    } finally q.stop()
+  }
+
   test("watermarked tumbling agg matches batch buckets after stream completion") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
