@@ -325,6 +325,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec_id"))
         .orderBy("bucket")
     },
+    // the canonical curation pass: ONE scan computes language, quality,
+    // token counts; one hash-keyed window adds the exact-dup verdict;
+    // `keep` is the end-to-end training-data filter decision
+    "text_curation" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val toks = TextOps.tokens(col("text"))
+      val scored = docs.select(col("doc_id"),
+        TextOps.h60(TextOps.normalize(col("text"))).as("__k"),
+        TextOps.langid(toks).as("lang_pred"),
+        round(TextOps.qualityScore(col("text")), 4).as("quality"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("__k")
+      scored
+        .withColumn("min_id", min(col("doc_id")).over(w))
+        .withColumn("dup_of", when(col("min_id") < col("doc_id"), col("min_id")))
+        .withColumn("keep",
+          col("dup_of").isNull && col("lang_pred") === "en" &&
+            col("quality") >= 0.5 && col("n_tokens") >= 10)
+        .select("doc_id", "lang_pred", "quality", "n_tokens", "dup_of", "keep")
+        .orderBy("doc_id")
+    },
     "text_topterms" -> { (s, dir) =>
       Tables.documents(s, dir)
         .select(explode(TextOps.tokens(col("text"))).as("term"))
@@ -776,6 +797,22 @@ object SparkEntry {
          |  from scored)
          |select qid, rank, vec_id, cos from r where rank <= 10
          |order by qid, rank""".stripMargin,
+    "text_curation" ->
+      s"""with scored as (
+         |  select doc_id,
+         |    ${SqlTwins.h60(SqlTwins.norm("text"))} as k,
+         |    ${SqlTwins.langidSelect("text")} as lang_pred,
+         |    round(${SqlTwins.qualityScore("text")}, 4) as quality,
+         |    cast(len(${SqlTwins.toks("text")}) as int) as n_tokens
+         |  from documents),
+         |d as (
+         |  select *, case when min(doc_id) over (partition by k) < doc_id
+         |    then min(doc_id) over (partition by k) end as dup_of
+         |  from scored)
+         |select doc_id, lang_pred, quality, n_tokens, dup_of,
+         |  (dup_of is null and lang_pred = 'en' and quality >= 0.5E0 and n_tokens >= 10) as keep
+         |from d
+         |order by doc_id""".stripMargin,
     "text_topterms" ->
       s"""select term, count(*) as n
          |from (select unnest(${SqlTwins.toks("text")}) as term from documents)
