@@ -303,6 +303,14 @@ object SparkEntry {
         .select("qid", "rank", "vec_id", "cos")
         .orderBy("qid", "rank")
     },
+    "ann_lsh_multiprobe" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding"))
+      Ann.lshTopKMultiProbe(emb, q, "vec_id", "embedding", "qid", k = 10, planes = annPlanes)
+        .select("qid", "rank", "vec_id", "cos")
+        .orderBy("qid", "rank")
+    },
     "ann_ivf_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val q = emb.where(col("vec_id") < 3)
@@ -770,6 +778,24 @@ object SparkEntry {
          |  from scored)
          |select qid, rank, vec_id, cos from r where rank <= 10
          |order by qid, rank""".stripMargin,
+    "ann_lsh_multiprobe" -> {
+      val masks = (0L +: annPlanes.indices.map(j => 1L << j)).map(m => s"($m)").mkString(", ")
+      s"""with cb as (select vec_id, embedding,
+         |    ${SqlTwins.lshBucket("embedding", annPlanes)} as bucket from embeddings),
+         |qb as (select vec_id as qid, embedding as qv,
+         |    ${SqlTwins.lshBucket("embedding", annPlanes)} as bucket from embeddings where vec_id < 3),
+         |probes as (
+         |  select qid, qv, xor(bucket, m.m) as bucket
+         |  from qb cross join (values $masks) as m(m)),
+         |scored as (
+         |  select p.qid, cb.vec_id, ${SqlTwins.cosine("cb.embedding", "p.qv", 64)} as cos
+         |  from cb join probes p using (bucket)),
+         |r as (select qid, vec_id, cos,
+         |  cast(row_number() over (partition by qid order by cos desc, vec_id) as int) as rank
+         |  from scored)
+         |select qid, rank, vec_id, cos from r where rank <= 10
+         |order by qid, rank""".stripMargin
+    },
     "ann_ivf_topk" ->
       s"""with c as (select vec_id as cid, embedding as cvec from embeddings order by vec_id limit 16),
          |ascored as (

@@ -86,9 +86,35 @@ object Ann {
   def buckets(corpus: DataFrame, idCol: String, vecCol: String, planes: Seq[Array[Double]]): DataFrame =
     corpus.select(col(idCol), col(vecCol), VectorOps.lshBucket(col(vecCol), planes).as("bucket"))
 
+  /** Multiprobe LSH top-k: probe the query's own bucket plus every
+    * hamming-1 neighbor (one plane bit flipped) — recall rises steeply
+    * (vectors near a hyperplane land one bit away) while the candidate
+    * set stays ~(nPlanes+1)/2^nPlanes of the corpus. Corpus buckets
+    * partition the data, so probed candidates are distinct — no dedup
+    * join. Deterministic given the fixed planes.
+    */
+  def lshTopKMultiProbe(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qIdCol: String,
+      k: Int,
+      planes: Seq[Array[Double]]): DataFrame = {
+    val cb = buckets(corpus, idCol, vecCol, planes)
+    val masks = lit(0L) +: planes.indices.map(j => lit(1L << j))
+    val qb = buckets(queries, qIdCol, vecCol, planes)
+      .select(col(qIdCol), col(vecCol).as("__qv"),
+        explode(array(masks: _*)).as("__m"), col("bucket"))
+      .select(col(qIdCol), col("__qv"), col("bucket").bitwiseXOR(col("__m")).as("bucket"))
+    val scored = cb.join(broadcast(qb), "bucket")
+      .select(col(qIdCol), col(idCol), VectorOps.cosine(col(vecCol), col("__qv")).as("cos"))
+    val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Bucket-restricted top-k: exact cosine, but only within the query's
-    * bucket. Probing neighbors of the bucket (hamming-1) would raise
-    * recall; kept single-bucket for determinism.
+    * bucket. See lshTopKMultiProbe for the recall-raising variant.
     */
   def lshTopK(
       corpus: DataFrame,

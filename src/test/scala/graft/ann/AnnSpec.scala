@@ -39,6 +39,19 @@ class AnnSpec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  test("lshTopKMultiProbe: hamming-1 probing recalls at least the single-bucket result set") {
+    val planes = VectorOps.lshPlanes(6, 16, seed = 3L)
+    val q = corpus.where($"vec_id" < 4).select($"vec_id".as("qid"), $"embedding")
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val single = hits(Ann.lshTopK(corpus, q, "vec_id", "embedding", "qid", k = 10, planes))
+    val multi = hits(Ann.lshTopKMultiProbe(corpus, q, "vec_id", "embedding", "qid", k = 10, planes))
+    val brute = hits(Ann.bruteTopK(corpus, q, "vec_id", "embedding", "qid", k = 10))
+    // multiprobe recall >= single-bucket recall, both bounded by brute
+    assert((multi intersect brute).size >= (single intersect brute).size)
+    assert((multi intersect brute).size > 0)
+  }
+
   test("ivfTopK: probing enough cells recovers the brute-force top-1") {
     val q = corpus.where($"vec_id" >= 100 && $"vec_id" < 104)
       .select($"vec_id".as("qid"), $"embedding")
