@@ -51,7 +51,16 @@ object VectorOps {
       lit(p) * element_at(v, i + 1).cast("double")
     }.reduceLeft(_ + _)
 
+  /** One-pass kernel (plans.LshBucketKernel): all plane dots + sign
+    * bits in a single loop over the array — value-identical to
+    * `lshBucketDeclarative` (same per-plane ascending folds; parity
+    * spec-pinned) without 512 element_at bounds checks per row.
+    */
   def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
+    graft.plans.HashExpressions.lshBucket(v, planes)
+
+  /** Readable specification of the bucket the kernel mirrors. */
+  def lshBucketDeclarative(v: Column, planes: Seq[Array[Double]]): Column =
     planes.zipWithIndex.map { case (plane, j) =>
       when(planeDot(v, plane) >= 0.0, lit(1L << j)).otherwise(lit(0L))
     }.reduceLeft[Column](_ + _)

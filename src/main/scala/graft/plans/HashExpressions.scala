@@ -139,6 +139,47 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All hyperplane dots + sign bits in one pass over the embedding:
+  * bucket = Σ_j [plane_j · v ≥ 0]·2^j. Value-identical to the unrolled
+  * `planeDot`/`lshBucket` Column form (same per-plane ascending fold of
+  * literal·element products; integer bit sum is order-exact): a vector
+  * shorter than a plane, or containing a NULL element, makes every
+  * declarative dot NULL and each `when` fall through to 0 — bucket 0 —
+  * which the kernel reproduces.
+  */
+case class LshBucketKernel(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val dim = if (planes.isEmpty) 0 else planes(0).length
+    if (arr.numElements() < dim) return java.lang.Long.valueOf(0L)
+    var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i)) return java.lang.Long.valueOf(0L)
+      i += 1
+    }
+    var b = 0L
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      var s = 0.0
+      i = 0
+      while (i < dim) {
+        s += p(i) * arr.getFloat(i).toDouble
+        i += 1
+      }
+      if (s >= 0.0) b |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(b)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketKernel = copy(child = newChild)
+}
+
 object HashExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -148,4 +189,7 @@ object HashExpressions {
   def simhash32(hashes: Column): Column = column(SimHash32(expression(hashes)))
 
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
+
+  def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
+    column(LshBucketKernel(expression(v), planes.toArray))
 }

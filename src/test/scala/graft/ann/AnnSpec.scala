@@ -73,6 +73,16 @@ class AnnSpec extends SparkSpec {
     assert(agree > 90, s"same-cluster cell agreement too low: $agree/196")
   }
 
+  test("LshBucketKernel equals the declarative plane-dot bucket bit-for-bit") {
+    val planes = VectorOps.lshPlanes(8, 16, seed = 21L)
+    val both = corpus.select($"vec_id",
+      VectorOps.lshBucket($"embedding", planes).as("k"),
+      VectorOps.lshBucketDeclarative($"embedding", planes).as("d"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2), s"vec ${r.getLong(0)}"))
+  }
+
   test("lsh buckets put near-identical vectors together") {
     val planes = VectorOps.lshPlanes(8, 16, seed = 5L)
     val b = Ann.buckets(corpus, "vec_id", "embedding", planes)
