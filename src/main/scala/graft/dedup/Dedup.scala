@@ -43,11 +43,14 @@ object Dedup {
       textCol: String,
       shingleSize: Int,
       params: Seq[(Long, Long)]): DataFrame = {
-    val sh = TextOps.shingles(TextOps.tokens(col(textCol)), shingleSize)
-    // materialize base hashes in their own projection so each shingle
-    // is md5'd once; then ONE custom-expression pass computes all k
+    // ONE kernel pass builds shingle strings and their 60-bit hashes
+    // straight from digest bytes (no intermediate shingle array, no
+    // hex-string round-trip — bit-equal to shingles+shingleHashes,
+    // spec-pinned); then ONE custom-expression pass computes all k
     // permutation minima (graft.plans.MinhashPerms)
-    val hashed = docs.select(col(idCol), TextOps.shingleHashes(sh).as("__hs"))
+    val hashed = docs.select(col(idCol),
+      graft.plans.TextHashKernels.shingleHash60(
+        TextOps.tokens(col(textCol)), shingleSize, TextOps.MinhashMod).as("__hs"))
     val allMins = graft.plans.HashExpressions.minhashPerms(col("__hs"), params, TextOps.MinhashMod)
     val withSig = hashed.select(col(idCol), allMins.as("__mh"))
     val sigs = params.indices.map(i => element_at(col("__mh"), i + 1).as(s"mh$i"))
@@ -228,7 +231,8 @@ object Dedup {
       maxHamming: Int = 3,
       maxBucket: Int = 1024): DataFrame = {
     val sig = docs
-      .select(col(idCol), TextOps.tokenHashes32(TextOps.tokens(col(textCol))).as("__th"))
+      .select(col(idCol), graft.plans.TextHashKernels.tokenHash60(
+        TextOps.tokens(col(textCol)), 4294967296L).as("__th"))
       .select(col(idCol), graft.plans.HashExpressions.simhash32(col("__th")).as("simhash"))
     val bands = sig.select(col(idCol), col("simhash"),
       explode(array((0 until 4).map { b =>

@@ -102,9 +102,15 @@ object TextOps {
   /** Rolling polynomial fingerprint over token hashes:
     * fold h = (h*131 + (h60(tok) % M)) % M. Order-sensitive (unlike a
     * bag-of-words hash) — reordered documents fingerprint differently.
+    * Evaluated by the one-pass FingerprintKernel (md5 from digest
+    * bytes, no hex-string round-trip); `fingerprintDeclarative` is the
+    * Column-form specification it mirrors bit-for-bit (spec-pinned).
     */
   val FpMod = 2147483647L
   def fingerprint(toks: Column): Column =
+    graft.plans.TextHashKernels.fingerprint(toks, FpMod)
+
+  def fingerprintDeclarative(toks: Column): Column =
     aggregate(toks, lit(0L),
       (acc, t) => pmod(acc * lit(131L) + pmod(h60(t), lit(FpMod)), lit(FpMod)))
 

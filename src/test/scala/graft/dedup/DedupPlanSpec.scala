@@ -23,7 +23,7 @@ class DedupPlanSpec extends SparkSpec {
     val plan = Dedup.minhashDupOf(docs, "doc_id", "text").queryExecution.executedPlan.toString
     assert("minhashperms".r.findAllIn(plan.toLowerCase).length == 1,
       "minhash signature expression must appear exactly once in the plan")
-    assert("md5".r.findAllIn(plan).length == 1,
+    assert("shinglehash60".r.findAllIn(plan.toLowerCase).length == 1,
       "shingle hashing must appear exactly once in the plan")
   }
 

@@ -1,0 +1,46 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The text-hash kernels must be bit-identical to the declarative
+  * Column forms (whose DuckDB twins the oracles embed): the 60-bit
+  * value from digest bytes == conv(substr(md5_hex,1,15),16,10).
+  */
+class TextHashKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b",
+    "",
+    "one",
+    "alpha beta gamma alpha beta gamma alpha",
+    "num3ric t0kens 42 and punctuation!!",
+    "ünïcode tökens stay bytes"
+  ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("ShingleHash60 == shingles + shingleHashes") {
+    val toks = TextOps.tokens(col("text"))
+    val rows = docs.select(
+      graft.plans.TextHashKernels.shingleHash60(toks, 3, TextOps.MinhashMod).as("k"),
+      TextOps.shingleHashes(TextOps.shingles(toks, 3)).as("d")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
+  }
+
+  test("TokenHash60 == tokenHashes32") {
+    val toks = TextOps.tokens(col("text"))
+    val rows = docs.select(
+      graft.plans.TextHashKernels.tokenHash60(toks, 4294967296L).as("k"),
+      TextOps.tokenHashes32(toks).as("d")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
+  }
+
+  test("FingerprintKernel == declarative aggregate fold") {
+    val toks = TextOps.tokens(col("text"))
+    val rows = docs.select(
+      TextOps.fingerprint(toks).as("k"),
+      TextOps.fingerprintDeclarative(toks).as("d")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+}
