@@ -45,14 +45,23 @@ object Ann {
 
   /** Assign every corpus vector to its nearest centroid by cosine
     * (ties → lowest cid). Broadcast the centroids; one corpus scan.
+    *
+    * The per-vector argmax is a map-side-combinable min_by aggregation
+    * — a row_number window here would exchange and SORT every
+    * (vector × centroid) row on the vector id, where the aggregate
+    * pre-combines to one row per vector before the shuffle. Ordering
+    * struct (-ccos, cid) ≡ (ccos DESC, cid ASC), deterministic because
+    * cid breaks all ties (NaN-free input assumed — a zero vector's NaN
+    * cosine would rank differently than the window form).
     */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
     val scored = corpus.crossJoin(broadcast(centroids))
       .select(col(idCol), col(vecCol),
         col("cid"), VectorOps.cosine(col(vecCol), col("cvec")).as("ccos"))
-    val w = Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cid"))
-    scored.withColumn("__r", row_number().over(w)).where(col("__r") === 1)
-      .select(col(idCol), col(vecCol), col("cid").as("cell"))
+    scored.groupBy(col(idCol))
+      .agg(min_by(struct(col(vecCol).as("v"), col("cid")),
+        struct((-col("ccos")).as("nc"), col("cid"))).as("__best"))
+      .select(col(idCol), col("__best.v").as(vecCol), col("__best.cid").as("cell"))
   }
 
   /** IVF top-k: probe the `nprobe` nearest cells per query, exact
