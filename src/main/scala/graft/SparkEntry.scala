@@ -206,6 +206,12 @@ object SparkEntry {
       TimeOps.ewmaTruncated(ev, "value", evGroup, evOrder, alpha = 0.2, k = 32, out = "ewma_t")
         .orderBy("user_id", "ts_us", "event_id")
     },
+    "ts_deltas" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.expanding(
+        TimeOps.deltas(ev, "value", evGroup, evOrder), "value", evGroup, evOrder)
+        .orderBy("user_id", "ts_us", "event_id")
+    },
     "ts_ewma" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
       TimeOps.ewma(ev, "value", evGroup, evOrder, alpha = 0.2)
@@ -580,6 +586,27 @@ object SparkEntry {
       val e = OracleGen.ewmaTruncExpr("value", 0.2, 32, evOver, "ewma_t")
       s"select user_id, epoch_us(ts) as ts_us, event_id, value,\n $e\nfrom events\norder by $evKeys"
     },
+    // running sums: DuckDB's windowed sum is a segment tree (different
+    // association order), so the oracle rebuilds Spark's sequential
+    // fold with per-prefix list_reduce — bit-exact, no rounding
+    // (same pattern as the ts_ewma oracle; O(n²) fine at oracle scale)
+    "ts_deltas" ->
+      """with g as (
+        |  select user_id,
+        |    list(value order by epoch_us(ts), event_id) as xs,
+        |    list(epoch_us(ts) order by epoch_us(ts), event_id) as tsl,
+        |    list(event_id order by epoch_us(ts), event_id) as eidl
+        |  from events group by user_id)
+        |select user_id,
+        |  unnest(tsl) as ts_us, unnest(eidl) as event_id, unnest(xs) as value,
+        |  unnest(list_transform(range(1, len(xs) + 1), t -> case when t > 1 then xs[t] - xs[t - 1] end)) as value_diff1,
+        |  unnest(list_transform(range(1, len(xs) + 1), t -> case when t > 1 then (xs[t] / xs[t - 1]) - 1.0E0 end)) as value_pct_change,
+        |  unnest(list_transform(range(1, len(xs) + 1), t -> list_reduce(xs[1:t], (a, b) -> a + b))) as value_cumsum,
+        |  unnest(list_transform(range(1, len(xs) + 1), t -> list_min(xs[1:t]))) as value_cummin,
+        |  unnest(list_transform(range(1, len(xs) + 1), t -> list_max(xs[1:t]))) as value_cummax,
+        |  unnest(list_transform(range(1, len(xs) + 1), t -> list_reduce(xs[1:t], (a, b) -> a + b) / t)) as value_expanding_mean
+        |from g
+        |order by user_id, ts_us, event_id""".stripMargin,
     // exact recursive EWMA: DuckDB list_reduce is the same Horner fold
     // (acc*beta + x, seeded by the first element ≡ beta*0 + x1) the
     // mapPartitions scan performs — bit-identical doubles. O(n²) per

@@ -108,6 +108,43 @@ object TimeOps {
     df.withColumn(out, interp)
   }
 
+  /** First differences and percent change (pandas diff/pct_change) —
+    * pure lag arithmetic, shares the pipeline's single window sort.
+    */
+  def deltas(
+      df: DataFrame,
+      c: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val win = Featurize.seriesWindow(groupCols, orderCols)
+    val prev = lag(col(c), 1).over(win)
+    df.select(col("*"),
+      (col(c) - prev).as(s"${c}_diff1"),
+      (col(c).cast("double") / prev.cast("double") - 1.0).as(s"${c}_pct_change"))
+  }
+
+  /** Expanding (cumulative) statistics (pandas expanding()): running
+    * sum/min/max/mean from the group start — unbounded-preceding
+    * frames, evaluated incrementally (sequential left-fold adds, O(1)
+    * state per key). The DuckDB oracle replicates the fold with
+    * per-prefix list_reduce (DuckDB's own windowed sum is a segment
+    * tree with a different association order), keeping results
+    * bit-exact with no rounding.
+    */
+  def expanding(
+      df: DataFrame,
+      c: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val f = Featurize.seriesWindow(groupCols, orderCols)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col("*"),
+      sum(col(c)).over(f).as(s"${c}_cumsum"),
+      min(col(c)).over(f).as(s"${c}_cummin"),
+      max(col(c)).over(f).as(s"${c}_cummax"),
+      (sum(col(c)).over(f) / count(col(c)).over(f)).as(s"${c}_expanding_mean"))
+  }
+
   /** Exact recursive EWMA (pandas `ewm(alpha).mean()` semantics,
     * adjust=true: y_t = Σ_i (1-α)^i x_{t-i} / Σ_i (1-α)^i).
     *
