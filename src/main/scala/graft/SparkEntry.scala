@@ -179,6 +179,15 @@ object SparkEntry {
       TimeOps.resampleFfill(ev, Seq("user_id"), "ts_us", 86400000000L, max(col("value")))
         .orderBy("user_id", "bucket")
     },
+    // the pandas fillna family on a regular spine: forward fill,
+    // backward fill, and constant fallback in one window pass each
+    "ts_fill" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
+      val daily = TimeOps.resampleFfill(ev, Seq("user_id"), "ts_us", 86400000000L, max(col("value")))
+      TimeOps.fillBackward(daily, Seq("user_id"), Seq("bucket"), "bucket_value", "bfilled_value")
+        .withColumn("const_filled", coalesce(col("bucket_value"), lit(0.0)))
+        .orderBy("user_id", "bucket")
+    },
     "ts_autocorr" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
       Featurize.autocorr(ev, "value", evGroup, evOrder, lagK = 1, w = 14)
@@ -553,6 +562,22 @@ object SparkEntry {
         |select user_id, bucket, bucket_value,
         | last_value(bucket_value ignore nulls) over (partition by user_id order by bucket
         |   rows between unbounded preceding and current row) as filled_value
+        |from j
+        |order by user_id, bucket""".stripMargin,
+    "ts_fill" ->
+      """with pb as (
+        |  select user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000) as bucket, max(value) as bucket_value
+        |  from events group by 1, 2),
+        |bounds as (select user_id, min(bucket) as b0, max(bucket) as b1 from pb group by 1),
+        |spine as (select user_id, unnest(generate_series(b0, b1, 86400000000)) as bucket from bounds),
+        |j as (select s.user_id, s.bucket, pb.bucket_value
+        |      from spine s left join pb on s.user_id = pb.user_id and s.bucket = pb.bucket)
+        |select user_id, bucket, bucket_value,
+        | last_value(bucket_value ignore nulls) over (partition by user_id order by bucket
+        |   rows between unbounded preceding and current row) as filled_value,
+        | first_value(bucket_value ignore nulls) over (partition by user_id order by bucket
+        |   rows between current row and unbounded following) as bfilled_value,
+        | coalesce(bucket_value, 0.0E0) as const_filled
         |from j
         |order by user_id, bucket""".stripMargin,
     "ts_rollstats" -> {

@@ -80,6 +80,21 @@ object TimeOps {
     joined.withColumn(out, last(col("bucket_value"), ignoreNulls = true).over(win))
   }
 
+  /** Backward fill (pandas bfill): each null takes the NEXT observed
+    * value in the series; trailing nulls stay null. One window pass on
+    * the shared sort, mirror image of the ffill in resampleFfill.
+    */
+  def fillBackward(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      valueCol: String,
+      out: String): DataFrame = {
+    val after = Featurize.seriesWindow(groupCols, orderCols)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    df.withColumn(out, first(col(valueCol), ignoreNulls = true).over(after))
+  }
+
   /** Linear interpolation of nulls along a numeric order key: bracketed
     * gaps get the exact linear blend, trailing nulls forward-fill,
     * leading nulls stay null (pandas-interpolate semantics). Two window
