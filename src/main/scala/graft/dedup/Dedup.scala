@@ -174,14 +174,17 @@ object Dedup {
     // expensive tokenize+shingle+md5 pass over the full corpus happens
     // once (for signatures), not three times — and at scale the shingle
     // arrays of non-candidates never exist, let alone shuffle
+    // candidate frames are ~band-selectivity of the corpus — broadcast
+    // them so the shingle frame never shuffles (its arrays are the
+    // only wide payload here)
     val candIds = cand.select(col("id_a").as(idCol))
       .union(cand.select(col("id_b").as(idCol))).distinct()
-    val candDocs = docs.join(candIds, Seq(idCol), "left_semi")
+    val candDocs = docs.join(broadcast(candIds), Seq(idCol), "left_semi")
     val withShingles = candDocs.select(col(idCol),
       array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleSize)).as("sh"))
     val pa = withShingles.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val pb = withShingles.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
-    cand.join(pa, "id_a").join(pb, "id_b")
+    broadcast(cand).join(pa, "id_a").join(pb, "id_b")
       .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",
         col("shared").cast("double") /
