@@ -87,6 +87,18 @@ class FeaturizeSpec extends SparkSpec {
     assert(g1.xT.toList == List(6.0))
   }
 
+  test("fused feature block flushes when a feature reads an earlier feature's output") {
+    // Rollmean over v_lag1 (produced by the previous Lag step in the
+    // same would-be fused block) must see the materialized column
+    val res = Featurize.featurizeData(df, Seq("g"), Seq("t"), Seq(
+      Featurize.Lag(Seq("v"), Seq(1)),
+      Featurize.Rollmean(Seq("v_lag1"), Seq(2), Some(2))))
+    assert(res.featureNames == Seq("v_lag1", "v_lag1_rollmean_w2"))
+    val r = res.df.filter($"g" === 1 && $"t" === 3).head()
+    // lag1 at t=3,2 are 6.0, 4.0 -> mean 5.0
+    assert(r.getDouble(r.fieldIndex("v_lag1_rollmean_w2")) == 5.0)
+  }
+
   test("GraftFunctions SQL registration: graft_simhash32/graft_minhash16 usable from SQL") {
     graft.plans.GraftFunctions.register(spark)
     val out = Seq(("a b c d e")).toDF("text")
