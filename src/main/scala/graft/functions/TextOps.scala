@@ -13,11 +13,20 @@ object TextOps {
 
   /** Canonical text normalization shared by all dedup/text ops:
     * lowercase, strip non-alphanumerics, collapse whitespace.
+    * Evaluated by the one-pass NormalizeKernel (single char loop for
+    * ASCII, exact JVM-call replication otherwise) — bit-identical to
+    * the declarative pipeline below (NormalizeTokensSpec pins it on
+    * edge strings and the real corpus).
     */
-  def normalize(c: Column): Column =
+  def normalize(c: Column): Column = graft.plans.NormalizeKernel.normalize(c)
+
+  def tokens(c: Column): Column = graft.plans.NormalizeKernel.tokens(c)
+
+  /** Declarative specifications the kernels mirror. */
+  def normalizeDeclarative(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
-  def tokens(c: Column): Column = split(normalize(c), " ")
+  def tokensDeclarative(c: Column): Column = split(normalizeDeclarative(c), " ")
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
