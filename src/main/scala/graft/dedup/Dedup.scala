@@ -242,30 +242,24 @@ object Dedup {
         struct(lit(b).as("band_idx"), shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("band_key"))
       }: _*)).as("band"))
       .select(col(idCol), col("simhash"), col("band.band_idx"), col("band.band_key"))
-    // per-bucket pair explosion over (id, simhash) structs — bands plan
-    // evaluated once, no self-join. Unlike minhashDupOf, anchoring to
-    // the bucket minimum would change results here (the min might fail
-    // the hamming verify where another bucket member passes), so pairs
-    // are materialized but the bucket is capped to its maxBucket
-    // smallest ids BEFORE collection (see bandCandidatePairs).
+    // window-mates form: every band row sees its bucket's id-sorted
+    // (id, simhash) list (capped to the maxBucket smallest ids), finds
+    // its smallest hamming-verified smaller-id mate, and the per-doc
+    // verdict is a groupBy min over its 4 band rows. ONE evaluation of
+    // the signature scan, no join-back (the old pair-explode + join
+    // re-ran the md5/simhash pipeline for the output's simhash column),
+    // per-bucket work still O(bucket²) bounded by the cap.
     val bw = Window.partitionBy("band_idx", "band_key").orderBy(col(idCol))
-    val pairs = bands
-      .withColumn("__rn", row_number().over(bw))
-      .where(col("__rn") <= maxBucket)
-      .groupBy("band_idx", "band_key")
-      .agg(sort_array(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh")))).as("xs"))
-      .where(size(col("xs")) > 1)
-      .select(explode(expr(
-        "flatten(transform(sequence(1, size(xs) - 1), " +
-          "i -> transform(slice(xs, i + 1, size(xs) - i), " +
-          "j -> struct(element_at(xs, i) as a, j as b))))")).as("p"))
-      .select(col("p.a.id").as("id_a"), col("p.a.sh").as("sh_a"),
-        col("p.b.id").as("id_b"), col("p.b.sh").as("sh_b"))
-    val buddies = pairs
-      .where(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= maxHamming)
-      .groupBy(col("id_b").as(idCol))
-      .agg(min(col("id_a")).as("dup_of"))
-    sig.join(buddies, Seq(idCol), "left").select(idCol, "simhash", "dup_of")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withMates = bands.withColumn("__mates",
+      slice(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh"))).over(bw), 1, maxBucket))
+    val buddy = array_min(expr(
+      s"transform(filter(__mates, m -> m.id < $idCol and " +
+        s"bit_count(m.sh ^ simhash) <= $maxHamming), m -> m.id)"))
+    withMates
+      .select(col(idCol), col("simhash"), buddy.as("__buddy"))
+      .groupBy(col(idCol))
+      .agg(first(col("simhash")).as("simhash"), min(col("__buddy")).as("dup_of"))
   }
 
   /** Embedding near-dup pairs: cosine >= threshold. `bucketed=true`
