@@ -133,6 +133,16 @@ object SparkEntry {
         .foldLeft(res.df)((d, n) => d.withColumn(n, round(col(n), 4)))
         .orderBy("user_id", "ts_us", "event_id")
     },
+    // trailing + EVEN window: undefined in the reference (its rolling
+    // iteration crashes on truncated trailing windows) — graft extends
+    // the semantics; the generated SQL twin pins them
+    "ts_domfreq_trailing" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      val res = ts.DomFreq.domfreq(ev, Seq("value"), evGroup, evOrder, Seq(16), Seq("trailing"), nDomfreq = 3)
+      res.featureNames.filter(_.contains("logpow"))
+        .foldLeft(res.df)((d, n) => d.withColumn(n, round(col(n), 4)))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
     "ts_train_matrix" -> { (s, dir) =>
       val (df, feats) = pipelineDf(s, dir)
       df.na.drop(feats :+ "value_target7").orderBy("user_id", "ts_us", "event_id")
@@ -470,6 +480,12 @@ object SparkEntry {
       ts.TaylorBasis.Spec("value", 1, 9, "trailing", Some(7), fillEdges = true)),
     "ts_domfreq" -> OracleGen.domfreqSql(
       c = "value", w = 21, align = "centered", nDomfreq = 5, fs = 1.0, detrend = "linear",
+      part = "user_id", ordSql = "epoch_us(ts), event_id",
+      baseSelect = "user_id, epoch_us(ts) as ts_us, event_id, value",
+      keyCols = Seq("user_id", "ts_us", "event_id", "value"),
+      table = "events", orderBy = evKeys),
+    "ts_domfreq_trailing" -> OracleGen.domfreqSql(
+      c = "value", w = 16, align = "trailing", nDomfreq = 3, fs = 1.0, detrend = "linear",
       part = "user_id", ordSql = "epoch_us(ts), event_id",
       baseSelect = "user_id, epoch_us(ts) as ts_us, event_id, value",
       keyCols = Seq("user_id", "ts_us", "event_id", "value"),
