@@ -641,7 +641,7 @@ object SparkEntry {
         |select user_id,
         |  unnest(tsl) as ts_us, unnest(eidl) as event_id, unnest(xs) as value,
         |  unnest(list_transform(range(1, len(xs) + 1), t -> case when t > 1 then xs[t] - xs[t - 1] end)) as value_diff1,
-        |  unnest(list_transform(range(1, len(xs) + 1), t -> case when t > 1 then (xs[t] / xs[t - 1]) - 1.0E0 end)) as value_pct_change,
+        |  unnest(list_transform(range(1, len(xs) + 1), t -> case when t > 1 and xs[t - 1] <> 0.0E0 then (xs[t] / xs[t - 1]) - 1.0E0 end)) as value_pct_change,
         |  unnest(list_transform(range(1, len(xs) + 1), t -> list_reduce(xs[1:t], (a, b) -> a + b))) as value_cumsum,
         |  unnest(list_transform(range(1, len(xs) + 1), t -> list_min(xs[1:t]))) as value_cummin,
         |  unnest(list_transform(range(1, len(xs) + 1), t -> list_max(xs[1:t]))) as value_cummax,

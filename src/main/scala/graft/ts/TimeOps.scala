@@ -125,6 +125,8 @@ object TimeOps {
 
   /** First differences and percent change (pandas diff/pct_change) —
     * pure lag arithmetic, shares the pipeline's single window sort.
+    * pct_change over a zero previous value is NULL (ANSI division
+    * guard; pandas would emit ±inf).
     */
   def deltas(
       df: DataFrame,
@@ -135,7 +137,8 @@ object TimeOps {
     val prev = lag(col(c), 1).over(win)
     df.select(col("*"),
       (col(c) - prev).as(s"${c}_diff1"),
-      (col(c).cast("double") / prev.cast("double") - 1.0).as(s"${c}_pct_change"))
+      when(prev =!= 0.0, col(c).cast("double") / prev.cast("double") - 1.0)
+        .as(s"${c}_pct_change"))
   }
 
   /** Expanding (cumulative) statistics (pandas expanding()): running
