@@ -26,9 +26,11 @@ object SparkEntry {
   /** DuckDB twin of Featurize.seriesWindow on events. */
   private val evOver = OracleGen.over(Seq("user_id"), Seq("epoch_us(ts)", "event_id"))
   private val evKeys = "user_id, ts_us, event_id"
-  /** Flagship: the full featurize_data pipeline on sf0.001 events. */
+  /** Flagship: the complete featurize_data surface (fused window block
+    * + domfreq scan) on sf0.001 events.
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("ts_pipeline")(spark, "/root/testdata/sf0.001")
+    queries("ts_pipeline_full")(spark, "/root/testdata/sf0.001")
 
   /** featurize_data spec shared by ts_pipeline and ts_train_matrix. */
   private val pipelineFeatures = Seq(
