@@ -429,12 +429,22 @@ object SparkEntry {
       Multimodal.sampleFrames(Tables.documents(s, dir), "doc_id", "text", frameChars = 128, every = 2)
         .orderBy("doc_id", "frame_idx")
     },
+    // multimodal → similarity composition: frame-hash pseudo-embedding
+    // (the encoder stand-in) bucketed by the same LSH path embeddings use
+    "mm_embed" -> { (s, dir) =>
+      val emb = Multimodal.frameEmbedding(Tables.documents(s, dir), "doc_id", "text",
+        dims = 8, frameChars = 64)
+      emb.withColumn("bucket",
+          graft.functions.VectorOps.lshBucket(array((0 until 8).map(j => col(s"e$j")): _*), mmPlanes))
+        .orderBy("doc_id")
+    },
   )
 
   /** Shared constants between Spark queries and SQL oracles. */
   private val mhK = 16
   private val mhParams = TextOps.minhashParams(mhK)
   private val annPlanes = VectorOps.lshPlanes(8, 64)
+  private val mmPlanes = VectorOps.lshPlanes(4, 8, seed = 13L)
 
   private def taylorOracle(spec: ts.TaylorBasis.Spec): String = {
     val exprs = OracleGen.taylorExprs(spec, evOver, Seq("user_id")).mkString(",\n ")
@@ -952,6 +962,18 @@ object SparkEntry {
          | 16 + ((${SqlTwins.h60("text")} >> 10) & 1023) as height,
          | 1 + (octet_length(payload) >> 12) as n_frames
          |from b order by doc_id""".stripMargin,
+    "mm_embed" -> {
+      val eCols = (0 until 8).map { j =>
+        s"cast((((${SqlTwins.h60(s"substr(text, ${j * 64 + 1}, 64)")}) % 10001) / 10000.0E0 - 0.5E0) as real) as e$j"
+      }.mkString(",\n ")
+      val vec = (0 until 8).map(j => s"e$j").mkString("[", ", ", "]")
+      s"""with f as (select doc_id,
+         | $eCols
+         |from documents)
+         |select doc_id, ${(0 until 8).map(j => s"e$j").mkString(", ")},
+         | cast(${SqlTwins.lshBucket(vec, mmPlanes)} as bigint) as bucket
+         |from f order by doc_id""".stripMargin
+    },
     "mm_frames" ->
       """with n as (select doc_id, text, (length(text) + 127) // 128 as nf from documents),
         |fr as (select doc_id, text, unnest(range(0, nf)) as frame_idx from n)

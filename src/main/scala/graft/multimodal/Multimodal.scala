@@ -72,6 +72,28 @@ object Multimodal {
     out
   }
 
+  /** Deterministic pseudo-embedding from per-frame content hashes:
+    * dimension j is the scaled 60-bit hash of frame j's md5 — a
+    * SQL-twinnable stand-in for a real visual/audio encoder. The
+    * surrounding plumbing (fixed-width float vector per payload,
+    * flowing into LSH buckets / cosine top-k) is the production
+    * multimodal-similarity shape; swap the hash for an encoder call
+    * and nothing downstream changes.
+    */
+  def frameEmbedding(
+      df: DataFrame,
+      idCol: String,
+      srcCol: String,
+      dims: Int,
+      frameChars: Int): DataFrame = {
+    val es = (0 until dims).map { j =>
+      val fm = md5(col(srcCol).substr(lit(j * frameChars + 1), lit(frameChars)))
+      val h = conv(substring(fm, 1, 15), 16, 10).cast("long")
+      ((pmod(h, lit(10001L)).cast("double") / 10000.0) - 0.5).cast("float").as(s"e$j")
+    }
+    df.select(col(idCol) +: es: _*)
+  }
+
   /** Fixed-width frame sampling over a payload, every `every`-th frame
     * — the video-frame-subsampling shape as pure relational ops
     * (sequence + explode + substr), no UDF.
