@@ -24,6 +24,7 @@ case class RollFeat(
   */
 case class RingState(ring: Array[Double])
 case class EwmaState(num: Double, den: Double)
+case class BandMin(min_id: Long)
 
 object StreamingFeaturize {
 
@@ -88,6 +89,44 @@ object StreamingFeaturize {
           state.update(SeenDoc(first.get))
           out.iterator
         })
+  }
+
+  /** Streaming MinHash near-dup: the batch minhashDupOf twin for a
+    * document stream. The batch signature/banding Column expressions
+    * run unchanged on the stream; state per (band_idx, band_key)
+    * bucket = the minimum doc_id seen (one long — the same anchored
+    * bucket-min discipline as the batch path), and the per-doc verdict
+    * aggregates the doc's band candidates (emitted together in its
+    * arrival micro-batch). First-seen wins: a doc's verdict reflects
+    * docs that arrived before it, which equals the batch verdict when
+    * arrival order follows id order (spec-pinned).
+    */
+  def streamingMinhashDedup(
+      docs: Dataset[Doc],
+      shingleSize: Int = 3,
+      k: Int = 16,
+      rowsPerBand: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    val sig = graft.dedup.Dedup.minhashSignatures(
+      docs.toDF(), "doc_id", "text", shingleSize, graft.functions.TextOps.minhashParams(k))
+    val bands = graft.dedup.Dedup.lshBands(sig, "doc_id", k, rowsPerBand)
+      .as[(Long, Int, String)]
+    val candidates = bands
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, String), rows: Iterator[(Long, Int, String)], state: GroupState[BandMin]) => {
+          val ids = rows.map(_._1).toSeq.sorted
+          var mn = state.getOption.map(_.min_id)
+          val out = ids.map { id =>
+            val cand = mn.filter(_ < id)
+            if (mn.forall(id < _)) mn = Some(id)
+            (id, cand)
+          }
+          state.update(BandMin(mn.get))
+          out.iterator
+        })
+      .toDF("doc_id", "cand")
+    candidates.groupBy("doc_id").agg(min("cand").as("dup_of"))
   }
 
   /** Watermarked tumbling aggregation: the streaming twin of the batch
