@@ -58,6 +58,11 @@ object TaylorBasis {
       ewSpan: Option[Int],
       fillEdges: Boolean) {
     require(align == "centered" || align == "trailing", s"bad align $align")
+    // centered lags are -(w-1)/2..(w-1)/2 — an even w would silently
+    // fit a (w-1)-wide window (the reference crashes on the shape
+    // mismatch); fail fast instead
+    require(align != "centered" || windowSize % 2 == 1,
+      s"centered taylor windows must be odd, got $windowSize")
     def featName(d: Int): String =
       s"${column}_taylor_d${degree}_c${d}_w$windowSize${align.head}_s${ewSpan.map(_.toString).getOrElse("None")}"
     def needsCount: Boolean = align == "centered"
