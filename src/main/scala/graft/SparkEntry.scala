@@ -349,7 +349,7 @@ object SparkEntry {
     "ann_ivf" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val cents = Ann.ivfSeedCentroids(emb, "vec_id", "embedding", k = 16)
-      Ann.ivfAssign(emb, "vec_id", "embedding", cents)
+      Ann.ivfAssignCells(emb, "vec_id", "embedding", cents)
         .groupBy("cell")
         .agg(count(lit(1)).as("n_vecs"), min("vec_id").as("min_vec_id"))
         .orderBy("cell")

@@ -64,6 +64,18 @@ object Ann {
       .select(col(idCol), col("__best.v").as(vecCol), col("__best.cid").as("cell"))
   }
 
+  /** Cell assignment WITHOUT carrying the vectors: for consumers that
+    * only need (id, cell) — e.g. cell histograms — the full form drags
+    * every embedding through the centroid cross-join (×K duplication)
+    * just to emit it; here the join payload per scored row is 24 bytes.
+    */
+  def ivfAssignCells(corpus: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(centroids))
+      .select(col(idCol), col("cid"), VectorOps.cosine(col(vecCol), col("cvec")).as("ccos"))
+    scored.groupBy(col(idCol))
+      .agg(min_by(col("cid"), struct((-col("ccos")).as("nc"), col("cid"))).as("cell"))
+  }
+
   /** IVF top-k: probe the `nprobe` nearest cells per query, exact
     * cosine within the probed cells. Per-query candidate set ≈
     * nprobe/K of the corpus — the inverted-file scale shape.
