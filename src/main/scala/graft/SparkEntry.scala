@@ -227,6 +227,16 @@ object SparkEntry {
       TimeOps.ewmaTruncated(ev, "value", evGroup, evOrder, alpha = 0.2, k = 32, out = "ewma_t")
         .orderBy("user_id", "ts_us", "event_id")
     },
+    "ts_moments" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      Featurize.rollMoments(ev, "value", evGroup, evOrder, w = 14)
+        .df.orderBy("user_id", "ts_us", "event_id")
+    },
+    "ts_rank" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.rankWithin(ev, evGroup, "value", Seq("event_id"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
     "ts_deltas" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
       TimeOps.expanding(
@@ -639,6 +649,16 @@ object SparkEntry {
       val e = OracleGen.ewmaTruncExpr("value", 0.2, 32, evOver, "ewma_t")
       s"select user_id, epoch_us(ts) as ts_us, event_id, value,\n $e\nfrom events\norder by $evKeys"
     },
+    "ts_moments" -> {
+      val es = OracleGen.momentsExprs("value", 14, evOver).mkString(",\n ")
+      s"select user_id, epoch_us(ts) as ts_us, event_id, value,\n $es\nfrom events\norder by $evKeys"
+    },
+    "ts_rank" ->
+      s"""select user_id, epoch_us(ts) as ts_us, event_id, value,
+         | cast(rank() over (partition by user_id order by value, event_id) as int) as value_rank,
+         | percent_rank() over (partition by user_id order by value, event_id) as value_pct_rank
+         |from events
+         |order by $evKeys""".stripMargin,
     // running sums: DuckDB's windowed sum is a segment tree (different
     // association order), so the oracle rebuilds Spark's sequential
     // fold with per-prefix list_reduce — bit-exact, no rounding

@@ -93,7 +93,7 @@ case class RollFoldKernel(
           i += 1
         }
         new GenericArrayData(Array[Any](D(num / den)))
-      case _ =>
+      case 4 =>
         var np = 0; var sx = 0.0; var sy = 0.0; var sxx = 0.0; var syy = 0.0; var sxy = 0.0
         var i = 0
         while (i < w) {
@@ -109,6 +109,30 @@ case class RollFoldKernel(
         val nd = np.toDouble
         val r = (nd * sxy - sx * sy) / math.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
         new GenericArrayData(Array[Any](if (np >= w) D(r) else null))
+      case _ =>
+        // mode 5: sample skewness + excess kurtosis over the full
+        // window (gate n >= w, so n == w and the bias-correction
+        // coefficients are the compile-time constants in `weights`:
+        // [skewCoef, kurtA, kurtB] — shared with the SQL emitter)
+        var s1 = 0.0; var s2 = 0.0; var s3 = 0.0; var s4 = 0.0
+        var i = n - 1
+        while (i >= 0) {
+          val v = xs.getDouble(i)
+          s1 += v; s2 += v * v; s3 += v * v * v; s4 += v * v * v * v
+          i -= 1
+        }
+        val out: (Any, Any) =
+          if (n >= w) {
+            val mean = s1 / n
+            val m2 = s2 / n - mean * mean
+            val m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean
+            val m4 = s4 / n - 4.0 * mean * (s3 / n) + 6.0 * (mean * mean) * (s2 / n) -
+              3.0 * (mean * mean) * (mean * mean)
+            val skew = weights(0) * (m3 / (m2 * math.sqrt(m2)))
+            val kurt = weights(1) * ((weights(2) * ((m4 / (m2 * m2)) - 3.0)) + 6.0)
+            (D(skew), D(kurt))
+          } else (null, null)
+        new GenericArrayData(Array[Any](out._1, out._2))
     }
   }
 
@@ -131,4 +155,17 @@ object RollFoldKernel {
       Array.tabulate(k)(i => math.pow(beta, i))))
   def autocorr(xs: Column, w: Int, lagK: Int): Column =
     column(RollFoldKernel(expression(xs), expression(lit(0)), 4, w, w, lagK, Array.empty))
+
+  /** Bias-correction constants for window length w, shared verbatim
+    * with OracleGen.momentsExprs.
+    */
+  def momentCoefs(w: Int): Array[Double] = Array(
+    math.sqrt(w.toDouble * (w - 1)) / (w - 2),     // skew
+    (w - 1).toDouble / ((w - 2) * (w - 3)),        // kurt outer
+    (w + 1).toDouble)                              // kurt inner
+
+  def moments(xs: Column, w: Int): Column = {
+    require(w >= 4, s"rolling moments need w >= 4, got $w")
+    column(RollFoldKernel(expression(xs), expression(lit(0)), 5, w, w, 0, momentCoefs(w)))
+  }
 }

@@ -188,6 +188,26 @@ object Featurize {
     FeatureResult(feats.foldLeft(df) { case (d, (n, e)) => d.withColumn(n, e) }, feats.map(_._1))
   }
 
+  /** Rolling sample skewness + excess kurtosis over trailing full
+    * windows (anomaly-shape detection): one fold-kernel pass computing
+    * the four power sums; bias-correction coefficients and every
+    * arithmetic step mirror OracleGen.momentsExprs exactly — bit-equal,
+    * no rounding. Null until the window is full.
+    */
+  def rollMoments(
+      df: DataFrame,
+      c: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      w: Int): FeatureResult = {
+    val win = seriesWindow(groupCols, orderCols)
+    val xs = collect_list(col(c).cast("double")).over(win.rowsBetween(-(w - 1), 0))
+    val k = graft.plans.RollFoldKernel.moments(xs, w)
+    val names = Seq(s"${c}_skew_w$w", s"${c}_kurt_w$w")
+    FeatureResult(
+      df.select(col("*"), element_at(k, 1).as(names(0)), element_at(k, 2).as(names(1))), names)
+  }
+
   /** Rolling autocorrelation at lag `k` over trailing windows of `w`
     * pairs: Pearson r between (x_t-i, x_t-i-k) for i = 0..w-1, via the
     * five-sums closed form with a fixed left fold — mirrored exactly by

@@ -77,6 +77,31 @@ object OracleGen {
     s"case when $n >= $w then $r end as ${c}_autocorr_l${lagK}_w$w"
   }
 
+  /** Mirrors Featurize.rollMoments: four power-sum folds (newest →
+    * oldest, left-associated, like the kernel's loop), then the exact
+    * arithmetic step order of RollFoldKernel mode 5, with the SAME
+    * bias-correction constants (RollFoldKernel.momentCoefs).
+    */
+  def momentsExprs(c: String, w: Int, ov: String): Seq[String] = {
+    val coefs = graft.plans.RollFoldKernel.momentCoefs(w)
+    def term(i: Int): String = if (i == 0) c else s"lag($c, $i) over $ov"
+    def fold(p: Int): String = (0 until w)
+      .map(i => s"coalesce(${(1 to p).map(_ => s"cast(${term(i)} as double)").mkString(" * ")}, 0.0)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    val cnt = (0 until w).map(i => s"(case when ${term(i)} is not null then 1 else 0 end)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    val (s1, s2, s3, s4) = (fold(1), fold(2), fold(3), fold(4))
+    val mean = s"($s1 / $w)"
+    val m2 = s"(($s2 / $w) - ($mean * $mean))"
+    val m3 = s"((($s3 / $w) - ((3.0E0 * $mean) * ($s2 / $w))) + (((2.0E0 * $mean) * $mean) * $mean))"
+    val m4 = s"(((($s4 / $w) - ((4.0E0 * $mean) * ($s3 / $w))) + ((6.0E0 * ($mean * $mean)) * ($s2 / $w))) - ((3.0E0 * ($mean * $mean)) * ($mean * $mean)))"
+    val skew = s"(${litD(coefs(0))} * ($m3 / ($m2 * sqrt($m2))))"
+    val kurt = s"(${litD(coefs(1))} * ((${litD(coefs(2))} * (($m4 / ($m2 * $m2)) - 3.0E0)) + 6.0E0))"
+    Seq(
+      s"case when $cnt >= $w then $skew end as ${c}_skew_w$w",
+      s"case when $cnt >= $w then $kurt end as ${c}_kurt_w$w")
+  }
+
   /** Mirrors Featurize.zscore. */
   def zscoreExpr(c: String, w: Int, ov: String): String = {
     def term(i: Int): String = if (i == 0) c else s"lag($c, $i) over $ov"

@@ -80,6 +80,22 @@ object TimeOps {
     joined.withColumn(out, last(col("bucket_value"), ignoreNulls = true).over(win))
   }
 
+  /** Group-wise value ranks (pandas rank/percent-rank): rank of each
+    * row's value within its group, deterministic via the tiebreak
+    * columns. Integer rank + (rank-1)/(n-1) percent rank — both exact
+    * across engines (small-int division), no rounding.
+    */
+  def rankWithin(
+      df: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      tiebreakCols: Seq[String]): DataFrame = {
+    val w = (if (groupCols.isEmpty) Window.partitionBy() else Window.partitionBy(groupCols.map(col): _*))
+      .orderBy((valueCol +: tiebreakCols).map(col): _*)
+    df.withColumn(s"${valueCol}_rank", rank().over(w))
+      .withColumn(s"${valueCol}_pct_rank", percent_rank().over(w))
+  }
+
   /** Backward fill (pandas bfill): each null takes the NEXT observed
     * value in the series; trailing nulls stay null. One window pass on
     * the shared sort, mirror image of the ffill in resampleFfill.

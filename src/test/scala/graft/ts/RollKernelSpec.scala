@@ -54,6 +54,20 @@ class RollKernelSpec extends SparkSpec {
       Featurize.autocorr(df, "v", Seq("g"), Seq("t"), lagK = 2, w = 9, useKernel = true), "acf")
   }
 
+  test("rollMoments: symmetric windows have ~0 skew; uniform kurtosis is negative") {
+    // strictly symmetric repeating pattern -> every full window of 8
+    // holds the same symmetric multiset -> skew exactly ~0
+    val pat = Seq(-3.0, -1.0, 1.0, 3.0)
+    val d = (0 until 32).map(i => (1, i, pat(i % 4))).toDF("g", "t", "v")
+    val res = Featurize.rollMoments(d, "v", Seq("g"), Seq("t"), w = 8)
+    val rows = res.df.orderBy("t").select("v_skew_w8", "v_kurt_w8").collect()
+    assert(rows.take(7).forall(_.isNullAt(0)), "first w-1 rows gated to null")
+    rows.drop(7).foreach { r =>
+      assert(math.abs(r.getDouble(0)) < 1e-9, s"skew ${r.getDouble(0)}")
+      assert(r.getDouble(1) < 0.0, "flat-ish multiset has negative excess kurtosis")
+    }
+  }
+
   test("ewmaTruncated kernel == expressions (null-free)") {
     def run(k: Boolean) = FeatureResult(
       TimeOps.ewmaTruncated(df, "v", Seq("g"), Seq("t"), 0.3, 16, "e", useKernel = k), Seq("e"))
