@@ -24,7 +24,16 @@ object Bench {
     }
     // deterministic name order: per-query timings stay comparable
     // across rounds as queries are added (Map hash order shifts)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val ordered = selected.toSeq.sortBy(_._1)
+    // one UNTIMED warm-up execution of the first query: whole-stage
+    // codegen + JIT of the shared operator paths otherwise land on
+    // whichever query sorts first (round 2 measured ~1-2 s of one-time
+    // cost polluting its row and every round-over-round delta)
+    ordered.headOption.foreach { case (_, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink, not count(): count() lets Catalyst prune every
       // feature column, which would benchmark an empty projection

@@ -301,6 +301,9 @@ object SparkEntry {
     "dedup_exact" -> { (s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
     },
+    "dedup_exact_verified" -> { (s, dir) =>
+      Dedup.exactVerified(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
     "dedup_minhash" -> { (s, dir) =>
       Dedup.minhashDupOf(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
     },
@@ -352,7 +355,8 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val q = emb.where(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding"))
-      Ann.ivfTopK(emb, q, "vec_id", "embedding", "qid", k = 10, nCentroids = 16, nprobe = 4)
+      Ann.ivfTopK(emb, q, "vec_id", "embedding", "qid", k = 10, nCentroids = 16, nprobe = 4,
+        centroids = Some(Ann.ivfSeedCentroids(emb, "vec_id", "embedding", k = 16)))
         .select("qid", "rank", "vec_id", "cos")
         .orderBy("qid", "rank")
     },
@@ -740,11 +744,18 @@ object SparkEntry {
         |group by event_type
         |order by event_type""".stripMargin,
     "dedup_exact" ->
-      s"""with d as (select doc_id, ${SqlTwins.h60(SqlTwins.norm("text"))} as k from documents)
+      s"""with d as (select doc_id, md5(${SqlTwins.norm("text")}) as k from documents)
          |select doc_id,
          | count(*) over (partition by k) as group_size,
          | case when min(doc_id) over (partition by k) < doc_id
          |      then min(doc_id) over (partition by k) end as dup_of
+         |from d order by doc_id""".stripMargin,
+    "dedup_exact_verified" ->
+      s"""with d as (select doc_id, ${SqlTwins.norm("text")} as t from documents)
+         |select doc_id,
+         | count(*) over (partition by t) as group_size,
+         | case when min(doc_id) over (partition by t) < doc_id
+         |      then min(doc_id) over (partition by t) end as dup_of
          |from d order by doc_id""".stripMargin,
     "dedup_minhash" -> {
       val mhs = mhParams.zipWithIndex

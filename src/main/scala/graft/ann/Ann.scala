@@ -43,18 +43,53 @@ object Ann {
     corpus.orderBy(col(idCol)).limit(k)
       .select(col(idCol).as("cid"), col(vecCol).as("cvec"))
 
+  /** Collect a (cid, cvec) centroid frame to the driver, cid-ascending
+    * — K rows, the IVF analogue of broadcasting a dim table — returning
+    * the centroid vectors (as doubles, the same values CosineSim casts
+    * to) and the cid literals in matching order.
+    */
+  private def collectCentroids(centroids: DataFrame): (Array[Array[Double]], Array[Column]) = {
+    val rows = centroids.select(col("cid"), col("cvec")).orderBy(col("cid")).collect()
+    require(rows.nonEmpty, "ivf: empty centroid frame")
+    val vecs = rows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val cids = rows.map(r => lit(r.get(0)))
+    (vecs, cids)
+  }
+
   /** Assign every corpus vector to its nearest centroid by cosine
-    * (ties → lowest cid). Broadcast the centroids; one corpus scan.
-    *
-    * The per-vector argmax is a map-side-combinable min_by aggregation
-    * — a row_number window here would exchange and SORT every
-    * (vector × centroid) row on the vector id, where the aggregate
-    * pre-combines to one row per vector before the shuffle. Ordering
-    * struct (-ccos, cid) ≡ (ccos DESC, cid ASC), deterministic because
-    * cid breaks all ties (NaN-free input assumed — a zero vector's NaN
-    * cosine would rank differently than the window form).
+    * (ties → lowest cid) with ZERO shuffle: the K centroids are plan
+    * literals inside a one-pass nearest-centroid kernel
+    * (plans.NearestCentroidKernel), so assignment is a map-only scan —
+    * no centroid cross-join, no per-vector argmax exchange. The kernel
+    * is value-identical to the cross-join + min_by spec form
+    * ([[ivfAssignShuffled]], parity spec-pinned): same cosine doubles,
+    * same lowest-cid tie-break (centroids enter the kernel
+    * cid-ascending).
     */
   def ivfAssign(corpus: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
+    val (vecs, cids) = collectCentroids(centroids)
+    val idx = graft.plans.HashExpressions.nearestCentroid(col(vecCol), vecs.toSeq)
+    corpus.select(col(idCol), col(vecCol), element_at(array(cids.toSeq: _*), idx + 1).as("cell"))
+  }
+
+  /** Cell assignment WITHOUT carrying the vectors: for consumers that
+    * only need (id, cell) — e.g. cell histograms. Same zero-shuffle
+    * kernel scan as [[ivfAssign]], minus the embedding column.
+    */
+  def ivfAssignCells(corpus: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
+    val (vecs, cids) = collectCentroids(centroids)
+    val idx = graft.plans.HashExpressions.nearestCentroid(col(vecCol), vecs.toSeq)
+    corpus.select(col(idCol), element_at(array(cids.toSeq: _*), idx + 1).as("cell"))
+  }
+
+  /** Spec twin of [[ivfAssign]]: the declarative cross-join + min_by
+    * argmax (one full-corpus exchange). Kept as the readable
+    * specification the kernel mirrors and for the parity spec; the
+    * kernel path is the production shape. Ordering struct (-ccos, cid)
+    * ≡ (ccos DESC, cid ASC), deterministic because cid breaks all ties
+    * (NaN-free input assumed).
+    */
+  def ivfAssignShuffled(corpus: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
     val scored = corpus.crossJoin(broadcast(centroids))
       .select(col(idCol), col(vecCol),
         col("cid"), VectorOps.cosine(col(vecCol), col("cvec")).as("ccos"))
@@ -64,21 +99,38 @@ object Ann {
       .select(col(idCol), col("__best.v").as(vecCol), col("__best.cid").as("cell"))
   }
 
-  /** Cell assignment WITHOUT carrying the vectors: for consumers that
-    * only need (id, cell) — e.g. cell histograms — the full form drags
-    * every embedding through the centroid cross-join (×K duplication)
-    * just to emit it; here the join payload per scored row is 24 bytes.
+  /** k-means|| trained centroids (MLlib KMeans) — the production
+    * quantizer: seed centroids give lousy cell balance on real corpora,
+    * collapsing nprobe recall. Training is one MLlib job over the
+    * vectors; the resulting (cid, cvec) frame plugs into the same
+    * ivfAssign/ivfTopK mechanics as any other quantizer. cids are the
+    * 0..k-1 cluster indices.
     */
-  def ivfAssignCells(corpus: DataFrame, idCol: String, vecCol: String, centroids: DataFrame): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(centroids))
-      .select(col(idCol), col("cid"), VectorOps.cosine(col(vecCol), col("cvec")).as("ccos"))
-    scored.groupBy(col(idCol))
-      .agg(min_by(col("cid"), struct((-col("ccos")).as("nc"), col("cid"))).as("cell"))
+  def kmeansCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      seed: Long = 1L,
+      maxIter: Int = 10): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    val feat = corpus.select(org.apache.spark.ml.functions.array_to_vector(col(vecCol)).as("__f"))
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).setFeaturesCol("__f").fit(feat)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.map(_.toFloat).toSeq) }
+      .toSeq.toDF("cid", "cvec")
   }
 
   /** IVF top-k: probe the `nprobe` nearest cells per query, exact
     * cosine within the probed cells. Per-query candidate set ≈
     * nprobe/K of the corpus — the inverted-file scale shape.
+    *
+    * The default quantizer TRAINS k-means|| centroids
+    * ([[kmeansCentroids]]); pass `centroids` explicitly for a
+    * deterministic quantizer (e.g. [[ivfSeedCentroids]], the
+    * oracle-reproducible path) or a pre-trained one.
     */
   def ivfTopK(
       corpus: DataFrame,
@@ -88,10 +140,11 @@ object Ann {
       qIdCol: String,
       k: Int,
       nCentroids: Int,
-      nprobe: Int): DataFrame = {
-    val centroids = ivfSeedCentroids(corpus, idCol, vecCol, nCentroids)
-    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
-    val qScored = queries.crossJoin(broadcast(centroids))
+      nprobe: Int,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(kmeansCentroids(corpus, idCol, vecCol, nCentroids))
+    val assigned = ivfAssign(corpus, idCol, vecCol, cents)
+    val qScored = queries.crossJoin(broadcast(cents))
       .select(col(qIdCol), col(vecCol).as("__qv"), col("cid"),
         VectorOps.cosine(col(vecCol), col("cvec")).as("ccos"))
     val qw = Window.partitionBy(qIdCol).orderBy(col("ccos").desc, col("cid"))

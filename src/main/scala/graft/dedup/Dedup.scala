@@ -17,17 +17,36 @@ object Dedup {
     * dup_of` where dup_of is the smallest doc_id sharing the text (null
     * for group representatives).
     *
-    * The shuffle key is the 60-bit hash of the normalized text, NOT the
-    * text itself — the exchanged payload is (h60, doc_id) pairs, never
-    * the corpus (same discipline as the streaming twin,
-    * StreamingFeaturize.exactDedupStream). 60-bit collisions would
-    * conflate distinct texts; for a collision-paranoid pipeline compare
-    * the texts inside each hash group before declaring duplicates.
+    * The shuffle key is the FULL 128-bit md5 digest of the normalized
+    * text (16-byte binary), NOT the text itself — the exchanged payload
+    * is (digest, doc_id) pairs, never the corpus. Distinct texts
+    * colliding at 128 bits is a non-event for non-adversarial corpora
+    * (birthday bound ~2⁻⁶⁴ across 10¹² docs); a corpus that may contain
+    * ADVERSARIAL md5 collision pairs should use [[exactVerified]],
+    * which compares the texts themselves.
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = Window.partitionBy("__k")
     docs
-      .select(col(idCol), TextOps.h60(TextOps.normalize(col(textCol))).as("__k"))
+      .select(col(idCol), unhex(md5(TextOps.normalize(col(textCol)))).as("__k"))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("min_id", min(col(idCol)).over(w))
+      .withColumn("dup_of", when(col("min_id") < col(idCol), col("min_id")))
+      .select(idCol, "group_size", "dup_of")
+  }
+
+  /** Collision-proof exact dedup: the duplicate verdict compares the
+    * normalized TEXTS, not a hash. The digest still leads the partition
+    * key (so the shuffle hashes 16 fixed bytes and text comparison only
+    * happens between same-digest rows), but the text rides along in the
+    * exchange — this is the price of by-construction exactness; prefer
+    * [[exact]] unless the corpus may contain engineered md5 collisions.
+    */
+  def exactVerified(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy("__k", "__t")
+    docs
+      .select(col(idCol), TextOps.normalize(col(textCol)).as("__t"))
+      .withColumn("__k", unhex(md5(col("__t"))))
       .withColumn("group_size", count(lit(1)).over(w))
       .withColumn("min_id", min(col(idCol)).over(w))
       .withColumn("dup_of", when(col("min_id") < col(idCol), col("min_id")))
@@ -165,26 +184,39 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.5,
       k: Int = 16,
-      rowsPerBand: Int = 4): DataFrame = {
+      rowsPerBand: Int = 4,
+      maxBroadcastCandidates: Long = 4000000L): DataFrame = {
     val sig = minhashSignatures(docs, idCol, textCol, shingleSize, TextOps.minhashParams(k))
     val bands = lshBands(sig, idCol, k, rowsPerBand)
+    // materialize the candidate pairs ONCE: they feed the plan twice
+    // (the id semi-join and the pair join), and their measured count
+    // decides the join strategy below. Persisting also stops the
+    // signature pipeline from being re-evaluated per consumer.
     val cand = bandCandidatePairs(bands, idCol).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCand = cand.count()
+    // candidate frames are ~band-selectivity of the corpus on a clean
+    // corpus — broadcast them so the shingle frame never shuffles (its
+    // arrays are the only wide payload here). But on a duplicate-HEAVY
+    // corpus — dedup's own target workload — candidates are O(corpus)
+    // and an unconditional broadcast would OOM the driver, so the hint
+    // is gated on the measured count and large candidate sets fall back
+    // to shuffle joins.
+    val useBroadcast = nCand <= maxBroadcastCandidates
+    def hint(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
     // compute exact shingle sets ONLY for candidate docs: semi-join the
     // corpus down to the candidate ids BEFORE shingling, so the
     // expensive tokenize+shingle+md5 pass over the full corpus happens
     // once (for signatures), not three times — and at scale the shingle
     // arrays of non-candidates never exist, let alone shuffle
-    // candidate frames are ~band-selectivity of the corpus — broadcast
-    // them so the shingle frame never shuffles (its arrays are the
-    // only wide payload here)
     val candIds = cand.select(col("id_a").as(idCol))
       .union(cand.select(col("id_b").as(idCol))).distinct()
-    val candDocs = docs.join(broadcast(candIds), Seq(idCol), "left_semi")
+    val candDocs = docs.join(hint(candIds), Seq(idCol), "left_semi")
     val withShingles = candDocs.select(col(idCol),
       array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleSize)).as("sh"))
     val pa = withShingles.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val pb = withShingles.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
-    broadcast(cand).join(pa, "id_a").join(pb, "id_b")
+    hint(cand).join(pa, "id_a").join(pb, "id_b")
       .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",
         col("shared").cast("double") /
@@ -249,13 +281,22 @@ object Dedup {
     // the signature scan, no join-back (the old pair-explode + join
     // re-ran the md5/simhash pipeline for the output's simhash column),
     // per-bucket work still O(bucket²) bounded by the cap.
-    val bw = Window.partitionBy("band_idx", "band_key").orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val withMates = bands.withColumn("__mates",
-      slice(collect_list(struct(col(idCol).as("id"), col("simhash").as("sh"))).over(bw), 1, maxBucket))
-    val buddy = array_min(expr(
-      s"transform(filter(__mates, m -> m.id < $idCol and " +
-        s"bit_count(m.sh ^ simhash) <= $maxHamming), m -> m.id)"))
+    // The cap is enforced BEFORE collection (entries past the
+    // maxBucket-th id are collected as NULL, which collect_list skips)
+    // so the window agg buffer itself is bounded — same discipline as
+    // bandCandidatePairs, same exchange, one shared in-partition sort.
+    val rw = Window.partitionBy("band_idx", "band_key").orderBy(col(idCol))
+    val bw = rw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withMates = bands
+      .withColumn("__rn", row_number().over(rw))
+      .withColumn("__mates",
+        collect_list(when(col("__rn") <= maxBucket,
+          struct(col(idCol).as("id"), col("simhash").as("sh")))).over(bw))
+    val buddy = array_min(transform(
+      filter(col("__mates"), m =>
+        m.getField("id") < col(idCol) &&
+          bit_count(m.getField("sh").bitwiseXOR(col("simhash"))) <= lit(maxHamming)),
+      m => m.getField("id")))
     withMates
       .select(col(idCol), col("simhash"), buddy.as("__buddy"))
       .groupBy(col(idCol))

@@ -150,7 +150,16 @@ case class CosineSim(left: Expression, right: Expression)
 case class LshBucketKernel(child: Expression, planes: Array[Array[Double]])
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType
-  override def nullable: Boolean = true
+  override def nullable: Boolean = false
+
+  // a NULL vector buckets to 0, exactly like the declarative form
+  // (every planeDot NULL → every `when` falls through to 0); the
+  // default UnaryExpression.eval would short-circuit NULL → NULL and
+  // silently drop such rows from bucket joins
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) java.lang.Long.valueOf(0L) else nullSafeEval(v)
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -180,6 +189,60 @@ case class LshBucketKernel(child: Expression, planes: Array[Array[Double]])
   override protected def withNewChildInternal(newChild: Expression): LshBucketKernel = copy(child = newChild)
 }
 
+/** 0-based index of the cosine-nearest centroid (ties → lowest index)
+  * in one pass over the embedding — the zero-shuffle IVF assignment.
+  *
+  * Value-identical to scoring the row against every centroid with
+  * CosineSim and taking `min_by(cid, struct(-ccos, cid))` over the
+  * corpus × centroids cross-join, PROVIDED the centroid array is
+  * ordered by ascending cell id: cosine arithmetic is the same
+  * index-ascending double accumulation (the norm hoists are bit-exact —
+  * each accumulator is independent, and IEEE multiplication commutes),
+  * and the strict `>` comparison keeps the first (lowest-index) maximum
+  * exactly as the ordering struct's cid tie-break does. A centroid
+  * whose length differs from the row vector is skipped (its CosineSim
+  * would be NULL); if no centroid matches, the result is NULL.
+  * NaN inputs are out of contract (as for the min_by form).
+  */
+case class NearestCentroidKernel(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  @transient private lazy val cnorms: Array[Double] = centroids.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var na = 0.0
+    var i = 0
+    while (i < n) { val x = arr.getFloat(i).toDouble; na += x * x; i += 1 }
+    val sna = math.sqrt(na)
+    var best = Double.NegativeInfinity
+    var bestIdx = -1
+    var j = 0
+    while (j < centroids.length) {
+      val c = centroids(j)
+      if (c.length == n) {
+        var dot = 0.0
+        i = 0
+        while (i < n) { dot += arr.getFloat(i).toDouble * c(i); i += 1 }
+        val cos = dot / (sna * cnorms(j))
+        if (cos > best) { best = cos; bestIdx = j }
+      }
+      j += 1
+    }
+    if (bestIdx < 0) null else java.lang.Integer.valueOf(bestIdx)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidKernel =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -192,4 +255,7 @@ object HashExpressions {
 
   def lshBucket(v: Column, planes: Seq[Array[Double]]): Column =
     column(LshBucketKernel(expression(v), planes.toArray))
+
+  def nearestCentroid(v: Column, centroids: Seq[Array[Double]]): Column =
+    column(NearestCentroidKernel(expression(v), centroids.toArray))
 }

@@ -147,13 +147,28 @@ object DomFreq {
     val centered = align == "centered"
 
     import org.apache.spark.sql.functions.col
-    val sorted = df
-      .repartition(groupCols.map(col): _*)
+    // empty groupCols would compile to RoundRobinPartitioning (rows of
+    // the single ungrouped series scattered across partitions → wrong
+    // windows at partition boundaries); an ungrouped series is one
+    // sequential scan by construction, so pin it to one partition
+    val partitioned =
+      if (groupCols.isEmpty) df.coalesce(1)
+      else df.repartition(groupCols.map(col): _*)
+    val sorted = partitioned
       .sortWithinPartitions((groupCols ++ orderCols).map(col): _*)
     val schema = StructType(sorted.schema.fields ++ names.map(StructField(_, DoubleType, nullable = true)))
     val vIdx = sorted.schema.fieldIndex(c)
     val gIdx = groupCols.map(sorted.schema.fieldIndex)
-    val nullFeats: Seq[Any] = Seq.fill(2 * kEff)(null)
+    // the schema always carries 2*nDomfreq feature columns; when the
+    // window has fewer bins than nDomfreq (kEff < nDomfreq) the missing
+    // bins are null, matching the element_at-past-end semantics of the
+    // declarative form
+    val nullFeats: Seq[Any] = Seq.fill(2 * nDomfreq)(null)
+    def padFeats(f: Array[Double]): Seq[Any] =
+      if (kEff == nDomfreq) f.toIndexedSeq
+      else
+        (0 until nDomfreq).map(j => if (j < kEff) (f(j): Any) else null) ++
+          (0 until nDomfreq).map(j => if (j < kEff) (f(kEff + j): Any) else null)
 
     val out = sorted.mapPartitions { iter =>
       // per-group state: first min(w,n) values, ring of last w values,
@@ -169,7 +184,7 @@ object DomFreq {
 
       def emit(row: Row, xs: Array[Double]): Unit = {
         val f = periodogramTopK(xs, tables, nDomfreq)
-        val feats: Seq[Any] = if (f == null) nullFeats else f.toIndexedSeq
+        val feats: Seq[Any] = if (f == null) nullFeats else padFeats(f)
         emitted.enqueue(Row.fromSeq(row.toSeq ++ feats))
       }
 

@@ -83,6 +83,41 @@ class AnnSpec extends SparkSpec {
     both.foreach(r => assert(r.getLong(1) == r.getLong(2), s"vec ${r.getLong(0)}"))
   }
 
+  test("ivfAssign kernel is value-identical to the cross-join+min_by spec form") {
+    val cents = Ann.ivfSeedCentroids(corpus, "vec_id", "embedding", 8)
+    val kernel = Ann.ivfAssign(corpus, "vec_id", "embedding", cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    val shuffled = Ann.ivfAssignShuffled(corpus, "vec_id", "embedding", cents)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(kernel == shuffled)
+    val cellsOnly = Ann.ivfAssignCells(corpus, "vec_id", "embedding", cents)
+      .as[(Long, Long)].collect().toMap
+    assert(cellsOnly == kernel)
+  }
+
+  test("ivfAssign plan is a map-only scan: zero exchanges before any consumer agg") {
+    val cents = Ann.ivfSeedCentroids(corpus, "vec_id", "embedding", 8)
+    val plan = Ann.ivfAssignCells(corpus, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must not shuffle:\n$plan")
+  }
+
+  test("LshBucketKernel buckets a NULL vector to 0, matching the declarative form") {
+    val planes = VectorOps.lshPlanes(4, 2, seed = 9L)
+    val df = Seq(
+      (1L, None: Option[Seq[Float]]),
+      (2L, Some(Seq(1.0f, -2.0f)))
+    ).toDF("vec_id", "embedding")
+    val both = df.select(
+      VectorOps.lshBucket($"embedding", planes).as("k"),
+      VectorOps.lshBucketDeclarative($"embedding", planes).as("d")).collect()
+    both.foreach { r =>
+      assert(!r.isNullAt(0) && !r.isNullAt(1))
+      assert(r.getLong(0) == r.getLong(1))
+    }
+    assert(both(0).getLong(0) == 0L)
+  }
+
   test("lsh buckets put near-identical vectors together") {
     val planes = VectorOps.lshPlanes(8, 16, seed = 5L)
     val b = Ann.buckets(corpus, "vec_id", "embedding", planes)

@@ -48,4 +48,36 @@ class DedupSpec extends SparkSpec {
     val lang = docs.select(TextOps.langid(TextOps.tokens($"text"))).head().getString(0)
     assert(lang == "en")
   }
+
+  test("exactVerified (text-compared) agrees with exact (digest-keyed) on a collision-free corpus") {
+    val a = Dedup.exact(docs, "doc_id", "text").orderBy("doc_id").collect().toSeq
+    val b = Dedup.exactVerified(docs, "doc_id", "text").orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("ngram jaccard: shuffle-join fallback is value-identical to the broadcast path on a dup-heavy corpus") {
+    // 50% duplicate corpus — the workload where unconditional broadcast
+    // of the candidate set would OOM a driver at scale
+    val heavy = (0 until 120).map { i =>
+      val base = s"shared duplicated content block number ${i % 60} with enough tokens to shingle cleanly"
+      (i.toLong, base)
+    }.toDF("doc_id", "text")
+    def run(gate: Long) =
+      Dedup.ngramJaccardPairs(heavy, "doc_id", "text", threshold = 0.5, maxBroadcastCandidates = gate)
+        .select("id_a", "id_b", "shared", "jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val broadcastPath = run(4000000L)
+    val shufflePath = run(0L) // gate forces the non-broadcast joins
+    assert(broadcastPath == shufflePath)
+    assert(broadcastPath.nonEmpty, "dup-heavy corpus must produce pairs")
+    // every doc i >= 60 duplicates doc i-60 → that pair must be found at jaccard 1.0
+    assert(broadcastPath.exists { case (a, b, _, j) => a == 0L && b == 60L && j == 1.0 })
+  }
+
+  test("simhashDupOf works with an id column name that needs quoting") {
+    val odd = docs.withColumnRenamed("doc_id", "doc id")
+    val out = Dedup.simhashDupOf(odd, "doc id", "text").orderBy(col("doc id")).collect()
+    val dupOf = out.map(r => if (r.isNullAt(2)) None else Some(r.getLong(2)))
+    assert(dupOf(1).contains(0L), "exact dup must be found under a quoted id column")
+  }
 }

@@ -83,6 +83,38 @@ class DomFreqSpec extends SparkSpec {
     assert(tRes.df.select("v_domfreq1_w5t").na.drop().count() == 0, "trailing n<w -> null")
   }
 
+  test("ungrouped series (groupCols = Nil) computes the same windows as a single-group run") {
+    val rows = (0 until 80).map(t => (1, t, math.sin(2 * math.Pi * t / 5.0)))
+    // repartition(4) scatters the input — the ungrouped path must still
+    // see ONE ordered series, not per-partition fragments
+    val df = rows.toDF("g", "t", "v").repartition(4)
+    val grouped = DomFreq.domfreq(df, Seq("v"), Seq("g"), Seq("t"), Seq(15), Seq("centered"), nDomfreq = 2)
+    val ungrouped = DomFreq.domfreq(df, Seq("v"), Nil, Seq("t"), Seq(15), Seq("centered"), nDomfreq = 2)
+    val cols = grouped.featureNames
+    assert(ungrouped.featureNames == cols)
+    val a = grouped.df.orderBy("t").select(cols.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+    val b = ungrouped.df.orderBy("t").select(cols.map(org.apache.spark.sql.functions.col): _*).collect().toSeq
+    assert(a == b)
+  }
+
+  test("nDomfreq beyond the window's bin count pads the extra feature columns with nulls") {
+    // w=6 → nBins = 4 < nDomfreq = 5: schema still has 2*5 feature
+    // columns; bins 5.. are null on every row
+    val rows = (0 until 30).map(t => (1, t, math.sin(2 * math.Pi * t / 3.0) + 0.1 * t))
+    val df = rows.toDF("g", "t", "v")
+    val res = DomFreq.domfreq(df, Seq("v"), Seq("g"), Seq("t"), Seq(6), Seq("centered"), nDomfreq = 5)
+    assert(res.featureNames.size == 10)
+    val out = res.df.orderBy("t").select(res.featureNames.map(org.apache.spark.sql.functions.col): _*).collect()
+    assert(out.length == 30)
+    out.foreach { r =>
+      // first 4 freq slots populated, 5th null; same for logpow slots
+      assert(!r.isNullAt(0) && !r.isNullAt(3), "real bins must be present")
+      assert(r.isNullAt(4), "freq slot 5 must be null")
+      assert(!r.isNullAt(5) && !r.isNullAt(8), "real logpow bins must be present")
+      assert(r.isNullAt(9), "logpow slot 5 must be null")
+    }
+  }
+
   test("trailing domfreq emits one row per input and full windows") {
     val rows = for (t <- 0 until 30) yield (1, t, math.cos(t * 0.7))
     val res = DomFreq.domfreq(rows.toDF("g", "t", "v"), Seq("v"), Seq("g"), Seq("t"), Seq(8), Seq("trailing"), nDomfreq = 2)
