@@ -7,6 +7,7 @@ import graft.functions.{SqlTwins, TextOps, VectorOps}
 import graft.dedup.Dedup
 import graft.ann.Ann
 import graft.multimodal.Multimodal
+import graft.streaming.{Doc, Ev, StreamRunner, StreamingFeaturize}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -26,6 +27,10 @@ object SparkEntry {
   /** DuckDB twin of Featurize.seriesWindow on events. */
   private val evOver = OracleGen.over(Seq("user_id"), Seq("epoch_us(ts)", "event_id"))
   private val evKeys = "user_id, ts_us, event_id"
+  /** Streaming-twin window: no event_id in the stream schema; safe
+    * because (user_id, ts) is unique in the generated events.
+    */
+  private val svOver = OracleGen.over(Seq("user_id"), Seq("epoch_us(ts)"))
   /** Flagship: the complete featurize_data surface (fused window block
     * + domfreq scan) on sf0.001 events.
     */
@@ -452,10 +457,100 @@ object SparkEntry {
           graft.functions.VectorOps.lshBucket(array((0 until 8).map(j => col(s"e$j")): _*), mmPlanes))
         .orderBy("doc_id")
     },
+    // ---- streaming twins, driven to completion over the batch tables
+    // (graft.streaming.StreamRunner) so the same DuckDB gate that checks
+    // the batch operators checks the incremental state machines too.
+    // Events replay in event-time order (the watermark layer's contract),
+    // documents in doc_id order (pins the first-seen-wins verdicts).
+    "stream_rollfeat" -> { (s, dir) =>
+      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+          StreamingFeaturize.rollingFeatures(ds, w = 7).toDF())
+        .orderBy("user_id", "ts_us")
+    },
+    "stream_ewma" -> { (s, dir) =>
+      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+          StreamingFeaturize.streamingEwma(ds, alpha = 0.2).toDF())
+        .select(col("user_id"), col("ts_us"), col("value"), col("value_rollmean").as("ewma"))
+        .orderBy("user_id", "ts_us")
+    },
+    "stream_dedup_exact" -> { (s, dir) =>
+      StreamRunner.run(s, streamDocs(s, dir), nChunks = 5, "append")(ds =>
+          StreamingFeaturize.streamingExactDedup(ds).toDF())
+        .orderBy("doc_id")
+    },
+    "stream_dedup_minhash" -> { (s, dir) =>
+      // complete mode: the trailing per-doc min over band candidates is a
+      // streaming aggregation; docs with no bands (null signature) come
+      // back via the left join, exactly like the batch query's doc spine
+      val verdicts = StreamRunner.run(s, streamDocs(s, dir), nChunks = 5, "complete")(ds =>
+        StreamingFeaturize.streamingMinhashDedup(ds))
+      Tables.documents(s, dir).select("doc_id")
+        .join(verdicts, Seq("doc_id"), "left")
+        .orderBy("doc_id")
+    },
+    "stream_tumbling" -> { (s, dir) =>
+      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "complete")(ds =>
+          StreamingFeaturize.tumblingAgg(ds.toDF(), "ts_us", "1 hour", "1 day"))
+        .select(col("user_id"), col("day_us"), col("n_events"),
+          round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("user_id", "day_us")
+    },
+    "stream_sessions" -> { (s, dir) =>
+      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "complete")(ds =>
+          StreamingFeaturize.sessionAgg(ds.toDF(), "ts_us", "1 hour", "30 minutes"))
+        .select(col("user_id"), col("session_start_us"), col("session_end_us"),
+          col("n_events"), round(col("sum_value"), 4).as("sum_value"))
+        .orderBy("user_id", "session_start_us")
+    },
   )
+
+  /** Replay feeds for the streaming twins: arrival order is event time
+    * for events (unique (user_id, ts_us) in the generated data, so this
+    * order is total per key) and doc_id for documents.
+    */
+  private implicit val evEnc: org.apache.spark.sql.Encoder[Ev] =
+    org.apache.spark.sql.Encoders.product[Ev]
+  private implicit val docEnc: org.apache.spark.sql.Encoder[Doc] =
+    org.apache.spark.sql.Encoders.product[Doc]
+  private def streamEvents(s: SparkSession, dir: String): Seq[Ev] =
+    Tables.events(s, dir).select("user_id", "ts_us", "value")
+      .orderBy("ts_us", "user_id").as[Ev].collect().toSeq
+  private def streamDocs(s: SparkSession, dir: String): Seq[Doc] =
+    Tables.documents(s, dir).select("doc_id", "text")
+      .orderBy("doc_id").as[Doc].collect().toSeq
 
   /** Shared constants between Spark queries and SQL oracles. */
   private val mhK = 16
+
+  /** Batch minhash dup-of verdict SQL — also the oracle for the
+    * streaming twin: with doc_id-ordered arrival, the bucket-min state
+    * machine's verdict equals the batch "min band-mate with smaller id".
+    */
+  private lazy val minhashDupOfSql: String = {
+    val mhs = mhParams.zipWithIndex
+      .map { case ((a, b), i) => s"${SqlTwins.minhashOne("hs", a, b)} as mh$i" }.mkString(",\n  ")
+    val bandSelects = (0 until mhK / 4).map { bnd =>
+      val key = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
+      s"select doc_id, $bnd as band_idx, concat_ws('_', $key) as band_key from sig where mh0 is not null"
+    }.mkString("\n  union all ")
+    s"""with t as (select doc_id, ${SqlTwins.toks("text")} as t from documents),
+       |sh as (select doc_id, ${SqlTwins.shingles("t", 3)} as s from t),
+       |h as (select doc_id, ${SqlTwins.shingleHashes("s")} as hs from sh),
+       |sig as (select doc_id,
+       |  $mhs
+       |from h),
+       |bands as (
+       |  $bandSelects
+       |),
+       |buddies as (
+       |  select a.doc_id as doc_id, min(b.doc_id) as dup_of
+       |  from bands a join bands b
+       |    on a.band_idx = b.band_idx and a.band_key = b.band_key and b.doc_id < a.doc_id
+       |  group by a.doc_id)
+       |select d.doc_id, buddies.dup_of
+       |from (select doc_id from documents) d left join buddies using (doc_id)
+       |order by doc_id""".stripMargin
+  }
   private val mhParams = TextOps.minhashParams(mhK)
   private val annPlanes = VectorOps.lshPlanes(8, 64)
   private val mmPlanes = VectorOps.lshPlanes(4, 8, seed = 13L)
@@ -757,31 +852,7 @@ object SparkEntry {
          | case when min(doc_id) over (partition by t) < doc_id
          |      then min(doc_id) over (partition by t) end as dup_of
          |from d order by doc_id""".stripMargin,
-    "dedup_minhash" -> {
-      val mhs = mhParams.zipWithIndex
-        .map { case ((a, b), i) => s"${SqlTwins.minhashOne("hs", a, b)} as mh$i" }.mkString(",\n  ")
-      val bandSelects = (0 until mhK / 4).map { bnd =>
-        val key = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
-        s"select doc_id, $bnd as band_idx, concat_ws('_', $key) as band_key from sig where mh0 is not null"
-      }.mkString("\n  union all ")
-      s"""with t as (select doc_id, ${SqlTwins.toks("text")} as t from documents),
-         |sh as (select doc_id, ${SqlTwins.shingles("t", 3)} as s from t),
-         |h as (select doc_id, ${SqlTwins.shingleHashes("s")} as hs from sh),
-         |sig as (select doc_id,
-         |  $mhs
-         |from h),
-         |bands as (
-         |  $bandSelects
-         |),
-         |buddies as (
-         |  select a.doc_id as doc_id, min(b.doc_id) as dup_of
-         |  from bands a join bands b
-         |    on a.band_idx = b.band_idx and a.band_key = b.band_key and b.doc_id < a.doc_id
-         |  group by a.doc_id)
-         |select d.doc_id, buddies.dup_of
-         |from (select doc_id from documents) d left join buddies using (doc_id)
-         |order by doc_id""".stripMargin
-    },
+    "dedup_minhash" -> minhashDupOfSql,
     "dedup_simhash" ->
       s"""with sig as (select doc_id, ${SqlTwins.simhash32(SqlTwins.toks("text"))} as simhash from documents),
          |bands as (
@@ -1011,5 +1082,62 @@ object SparkEntry {
         |select doc_id, frame_idx, md5(substr(text, cast(frame_idx * 128 + 1 as int), 128)) as frame_md5
         |from fr where frame_idx % 2 = 0
         |order by doc_id, frame_idx""".stripMargin,
+    // ---- streaming twins: the batch semantics ARE the oracle. The
+    // replay arrives in event-time order (unique (user_id, ts) in the
+    // data), so the stream's per-key fold order equals this window order.
+    "stream_rollfeat" -> {
+      val lag1 = OracleGen.lagExpr("value", 1, svOver)
+      val rm = OracleGen.rollmeanExpr("value", 7, 7, svOver)
+        .replace("as value_rollmean_w7", "as value_rollmean")
+      s"""select user_id, epoch_us(ts) as ts_us, value,
+         | $lag1,
+         | $rm
+         |from events
+         |order by user_id, ts_us""".stripMargin
+    },
+    "stream_ewma" -> {
+      val b = OracleGen.litD(1.0 - 0.2)
+      s"""with g as (select user_id,
+         |  list(value order by epoch_us(ts)) as xs,
+         |  list(epoch_us(ts) order by epoch_us(ts)) as tsl
+         |from events group by user_id)
+         |select user_id, unnest(tsl) as ts_us, unnest(xs) as value,
+         | unnest(list_transform(range(1, len(xs) + 1), t ->
+         |   list_reduce(xs[1:t], (a, b) -> (a * $b) + b)
+         |   / list_reduce(list_transform(xs[1:t], x -> 1.0E0), (a, b) -> (a * $b) + b))) as ewma
+         |from g
+         |order by user_id, ts_us""".stripMargin
+    },
+    "stream_dedup_exact" ->
+      s"""with d as (select doc_id, ${SqlTwins.h60(SqlTwins.norm("text"))} as k from documents)
+         |select doc_id,
+         | case when min(doc_id) over (partition by k) < doc_id
+         |      then min(doc_id) over (partition by k) end as dup_of
+         |from d order by doc_id""".stripMargin,
+    "stream_dedup_minhash" -> minhashDupOfSql,
+    "stream_tumbling" ->
+      """select user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000) as day_us,
+        | count(*) as n_events, round(sum(value), 4) as sum_value
+        |from events
+        |group by user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000)
+        |order by user_id, day_us""".stripMargin,
+    // session_window contract: end = last event + gap; min/count/sum per
+    // merged session — identical membership to the batch sessionize
+    "stream_sessions" ->
+      s"""with s as (
+         |  select user_id, ts_us, value,
+         |   cast(sum(is_new) over (partition by user_id order by ts_us
+         |     rows between unbounded preceding and current row) as bigint) as session_id
+         |  from (
+         |    select user_id, epoch_us(ts) as ts_us, value,
+         |     case when lag(epoch_us(ts), 1) over $svOver is null
+         |       or epoch_us(ts) - lag(epoch_us(ts), 1) over $svOver > 1800000000 then 1 else 0 end as is_new
+         |    from events))
+         |select user_id, min(ts_us) as session_start_us,
+         | max(ts_us) + 1800000000 as session_end_us,
+         | count(*) as n_events, round(sum(value), 4) as sum_value
+         |from s
+         |group by user_id, session_id
+         |order by user_id, session_start_us""".stripMargin,
   )
 }
