@@ -18,9 +18,13 @@ object Bench {
     Tables.embeddings(spark, sfDir).count()
     // dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 restricts the run
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // stream_* queries replay the table through a driver-fed
+    // MemoryStream (verification harness, ~3s of replay machinery per
+    // query at sf0.1) — they gate correctness in Verify, not throughput
+    // here
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None        => SparkEntry.queries
+      case None        => SparkEntry.queries.filter { case (n, _) => !n.startsWith("stream_") }
     }
     // deterministic name order: per-query timings stay comparable
     // across rounds as queries are added (Map hash order shifts)

@@ -457,6 +457,19 @@ object SparkEntry {
           graft.functions.VectorOps.lshBucket(array((0 until 8).map(j => col(s"e$j")): _*), mmPlanes))
         .orderBy("doc_id")
     },
+    // multi-column pipeline: every (column, window) rollmean shares ONE
+    // collect_list frame + ONE MultiRollKernel pass (the lags/leads ride
+    // the same Window operator) — the fused-block scale shape for
+    // pipelines over several value columns
+    "ts_pipeline_multi" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts_us"), col("event_id"),
+        col("value"), (col("value") * lit(1.7) + length(col("event_type")).cast("double")).as("v2"))
+      Featurize.featurizeData(ev, evGroup, evOrder, Seq(
+        Featurize.Lag(Seq("value", "v2"), Seq(1, 7)),
+        Featurize.Rollmean(Seq("value", "v2"), Seq(7, 28)),
+        Featurize.HorizonTargets(Seq("value"), Seq(7), "wide")))
+        .df.orderBy("user_id", "ts_us", "event_id")
+    },
     // ---- streaming twins, driven to completion over the batch tables
     // (graft.streaming.StreamRunner) so the same DuckDB gate that checks
     // the batch operators checks the incremental state machines too.
@@ -1082,6 +1095,17 @@ object SparkEntry {
         |select doc_id, frame_idx, md5(substr(text, cast(frame_idx * 128 + 1 as int), 128)) as frame_md5
         |from fr where frame_idx % 2 = 0
         |order by doc_id, frame_idx""".stripMargin,
+    "ts_pipeline_multi" -> {
+      val lags = for (c <- Seq("value", "v2"); k <- Seq(1, 7)) yield OracleGen.lagExpr(c, k, evOver)
+      val rms = for (c <- Seq("value", "v2"); w <- Seq(7, 28)) yield OracleGen.rollmeanExpr(c, w, w, evOver)
+      val tgt = OracleGen.leadExpr("value", 7, evOver, "value_target7")
+      s"""with e as (select user_id, ts, event_id, value,
+         |  value * ${OracleGen.litD(1.7)} + cast(length(event_type) as double) as v2 from events)
+         |select user_id, epoch_us(ts) as ts_us, event_id, value, v2,
+         | ${(lags ++ rms :+ tgt).mkString(",\n ")}
+         |from e
+         |order by $evKeys""".stripMargin
+    },
     // ---- streaming twins: the batch semantics ARE the oracle. The
     // replay arrives in event-time order (unique (user_id, ts) in the
     // data), so the stream's per-key fold order equals this window order.

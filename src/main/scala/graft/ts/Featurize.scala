@@ -35,6 +35,48 @@ object Featurize {
     w.orderBy(orderCols.map(col): _*)
   }
 
+  /** One roll-family feature against the shared multi-column frame:
+    * output names (1 per slot), source column, and the kernel-mode
+    * parameters (graft.plans.RollSpecDef numbering).
+    */
+  private final case class RollReq(
+      names: Seq[String],
+      src: String,
+      mode: Int,
+      w: Int,
+      minP: Int,
+      lagK: Int = 0,
+      weights: Array[Double] = Array.empty)
+
+  /** Project a family of trailing roll features through ONE shared
+    * collect_list frame (widest depth over the requests, elements =
+    * array of every distinct source column) and ONE MultiRollKernel
+    * pass — a single window aggregation buffer for the whole family,
+    * however many (column, spec) pairs it holds. `extra` rides the same
+    * select so its window expressions land in the same Window operator.
+    */
+  private def applyRollReqs(
+      df: DataFrame,
+      win: WindowSpec,
+      reqs: Seq[RollReq],
+      extra: Seq[(String, Column)]): DataFrame = {
+    import graft.plans.{MultiRollKernel, RollSpecDef}
+    val colsUsed = reqs.map(_.src).distinct
+    val specs = reqs.map(r => RollSpecDef(r.mode, colsUsed.indexOf(r.src), r.w, r.minP, r.lagK, r.weights))
+    val depth = specs.map(_.depth).max
+    val xs = collect_list(array(colsUsed.map(c => col(c).cast("double")): _*))
+      .over(win.rowsBetween(-(depth - 1), 0))
+    // two selects: the kernel array materializes ONCE, then per-feature
+    // element_at projections read it — same Window operator, and the
+    // kernel's O(specs × depth) fold runs once per row, not per feature
+    val withRoll = df.select(
+      col("*") +: (MultiRollKernel.of(xs, specs).as("__roll") +: extra.map { case (n, e) => e.as(n) }): _*)
+    val names = reqs.flatMap(_.names)
+    withRoll.select(
+      col("*") +: names.zipWithIndex.map { case (nm, i) => element_at(col("__roll"), i + 1).as(nm) }: _*)
+      .drop("__roll")
+  }
+
   /** Lagged copies of `columns` (reference featurize.py:174 `lag`).
     * Feature names: `{c}_lag{k}`.
     */
@@ -81,16 +123,13 @@ object Featurize {
       useKernel: Boolean = true): FeatureResult = {
     val win = seriesWindow(groupCols, orderCols)
     if (useKernel) {
-      // one sliding collect_list frame + one-pass fold kernel (same
-      // newest→oldest fold order → bit-identical, incl. null values:
-      // skipped elements ≡ the expression's coalesce(x,0) + count)
-      val feats = for (c <- columns; w <- windowSizes) yield {
-        val xs = collect_list(col(c).cast("double")).over(win.rowsBetween(-(w - 1), 0))
-        s"${c}_rollmean_w$w" ->
-          element_at(graft.plans.RollFoldKernel.rollmean(xs, w, minPeriods.getOrElse(w)), 1)
-      }
-      return FeatureResult(
-        df.select(col("*") +: feats.map { case (n, e) => e.as(n) }: _*), feats.map(_._1))
+      // ONE shared multi-column frame + one-pass fold kernel for every
+      // (column, window) pair (same newest→oldest fold order as the
+      // expression twin → bit-identical; nulls skipped per-fold ≡ the
+      // expression's coalesce(x,0) + count)
+      val reqs = for (c <- columns; w <- windowSizes)
+        yield RollReq(Seq(s"${c}_rollmean_w$w"), c, mode = 0, w = w, minP = minPeriods.getOrElse(w))
+      return FeatureResult(applyRollReqs(df, win, reqs, Nil), reqs.flatMap(_.names))
     }
     val feats = for (c <- columns; w <- windowSizes) yield {
       val minP = minPeriods.getOrElse(w)
@@ -161,16 +200,10 @@ object Featurize {
       useKernel: Boolean = true): FeatureResult = {
     val win = seriesWindow(groupCols, orderCols)
     if (useKernel) {
-      val feats = (for (c <- columns; w <- windowSizes) yield {
-        val minP = minPeriods.getOrElse(w)
-        val xs = collect_list(col(c).cast("double")).over(win.rowsBetween(-(w - 1), 0))
-        val k = graft.plans.RollFoldKernel.rollstats(xs, w, minP)
-        Seq(s"${c}_rollmin_w$w" -> element_at(k, 1),
-          s"${c}_rollmax_w$w" -> element_at(k, 2),
-          s"${c}_rollstd_w$w" -> element_at(k, 3))
-      }).flatten
-      return FeatureResult(
-        df.select(col("*") +: feats.map { case (n, e) => e.as(n) }: _*), feats.map(_._1))
+      val reqs = for (c <- columns; w <- windowSizes) yield RollReq(
+        Seq(s"${c}_rollmin_w$w", s"${c}_rollmax_w$w", s"${c}_rollstd_w$w"),
+        c, mode = 1, w = w, minP = minPeriods.getOrElse(w))
+      return FeatureResult(applyRollReqs(df, win, reqs, Nil), reqs.flatMap(_.names))
     }
     val feats = (for (c <- columns; w <- windowSizes) yield {
       val minP = minPeriods.getOrElse(w)
@@ -378,43 +411,47 @@ object Featurize {
     // output of the current block, or a non-fusible step (long
     // horizons, domfreq, Custom), flushes the block first.
     val win = seriesWindow(groupCols, orderCols)
-    // (exprs, featureNames, inputColumns); exprs may outnumber names
-    // (wide targets add columns but no feature names — reference rule)
-    def fusible(f: Feature): Option[(Seq[(String, Column)], Seq[String], Seq[String])] = f match {
-      case Lag(cs, ks) =>
-        val es = for (c <- cs; k <- ks) yield s"${c}_lag$k" -> lag(col(c), k).over(win)
-        Some((es, es.map(_._1), cs))
-      case Rollmean(cs, ws, mp) =>
-        val es = for (c <- cs; w <- ws) yield {
-          val xs = collect_list(col(c).cast("double")).over(win.rowsBetween(-(w - 1), 0))
-          s"${c}_rollmean_w$w" ->
-            element_at(graft.plans.RollFoldKernel.rollmean(xs, w, mp.getOrElse(w)), 1)
-        }
-        Some((es, es.map(_._1), cs))
-      case HorizonTargets(cs, hs, "wide") =>
-        val es = for (c <- cs; h <- hs) yield s"${c}_target$h" -> lead(col(c), h).over(win)
-        Some((es, Nil, cs))
-      case t: WindowedTaylorCoefs =>
-        val es = Taylor.kernelExprs(t.columns, t.taylorDegree, t.windowSizes,
-          t.windowAligns, t.ewSpans, t.fillEdges, win)
-        Some((es, es.map(_._1), t.columns))
-      case _ => None
-    }
+    // (exprs, rollReqs, featureNames, inputColumns); exprs may outnumber
+    // names (wide targets add columns but no feature names — reference
+    // rule). Roll-family features across the WHOLE block share one
+    // multi-column frame + kernel pass (applyRollReqs), so e.g. rollmeans
+    // over several value columns and window sizes cost ONE window
+    // aggregation buffer, not one per (column, w).
+    def fusible(f: Feature): Option[(Seq[(String, Column)], Seq[RollReq], Seq[String], Seq[String])] =
+      f match {
+        case Lag(cs, ks) =>
+          val es = for (c <- cs; k <- ks) yield s"${c}_lag$k" -> lag(col(c), k).over(win)
+          Some((es, Nil, es.map(_._1), cs))
+        case Rollmean(cs, ws, mp) =>
+          val reqs = for (c <- cs; w <- ws)
+            yield RollReq(Seq(s"${c}_rollmean_w$w"), c, mode = 0, w = w, minP = mp.getOrElse(w))
+          Some((Nil, reqs, reqs.flatMap(_.names), cs))
+        case HorizonTargets(cs, hs, "wide") =>
+          val es = for (c <- cs; h <- hs) yield s"${c}_target$h" -> lead(col(c), h).over(win)
+          Some((es, Nil, Nil, cs))
+        case t: WindowedTaylorCoefs =>
+          val es = Taylor.kernelExprs(t.columns, t.taylorDegree, t.windowSizes,
+            t.windowAligns, t.ewSpans, t.fillEdges, win)
+          Some((es, Nil, es.map(_._1), t.columns))
+        case _ => None
+      }
     var cur = FeatureResult(df, Nil)
     val bufExprs = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
+    val bufRoll = scala.collection.mutable.ArrayBuffer.empty[RollReq]
     val bufNames = scala.collection.mutable.ArrayBuffer.empty[String]
-    def flush(): Unit = if (bufExprs.nonEmpty) {
-      cur = FeatureResult(
-        cur.df.select(col("*") +: bufExprs.toSeq.map { case (n, e) => e.as(n) }: _*),
-        cur.featureNames ++ bufNames)
-      bufExprs.clear(); bufNames.clear()
+    def flush(): Unit = if (bufExprs.nonEmpty || bufRoll.nonEmpty) {
+      val d =
+        if (bufRoll.nonEmpty) applyRollReqs(cur.df, win, bufRoll.toSeq, bufExprs.toSeq)
+        else cur.df.select(col("*") +: bufExprs.toSeq.map { case (n, e) => e.as(n) }: _*)
+      cur = FeatureResult(d, cur.featureNames ++ bufNames)
+      bufExprs.clear(); bufRoll.clear(); bufNames.clear()
     }
     features.foreach { f =>
       fusible(f) match {
-        case Some((exprs, names, inputs)) =>
-          val produced = bufExprs.map(_._1).toSet
+        case Some((exprs, reqs, names, inputs)) =>
+          val produced = (bufExprs.map(_._1) ++ bufRoll.flatMap(_.names)).toSet
           if (inputs.exists(produced)) flush()
-          bufExprs ++= exprs; bufNames ++= names
+          bufExprs ++= exprs; bufRoll ++= reqs; bufNames ++= names
         case None =>
           flush()
           cur = cur.andThen { d =>
