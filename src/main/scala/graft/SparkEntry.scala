@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ts.{Featurize, OracleGen, Taylor, TimeOps}
-import graft.functions.{SqlTwins, TextOps, VectorOps}
+import graft.functions.{Sampling, SqlTwins, TextOps, VectorOps}
 import graft.dedup.Dedup
 import graft.ann.Ann
 import graft.multimodal.Multimodal
@@ -469,6 +469,32 @@ object SparkEntry {
         Featurize.Rollmean(Seq("value", "v2"), Seq(7, 28)),
         Featurize.HorizonTargets(Seq("value"), Seq(7), "wide")))
         .df.orderBy("user_id", "ts_us", "event_id")
+    },
+    // rolling cross-correlation between two columns — lives on the
+    // fused multi-column kernel (one shared frame reads both columns)
+    "ts_crosscorr" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts_us"), col("event_id"),
+        col("value"), length(col("event_type")).cast("double").as("v2"))
+      Featurize.crossCorr(ev, "value", "v2", evGroup, evOrder, w = 14)
+        .df.orderBy("user_id", "ts_us", "event_id")
+    },
+    // deterministic hash sampling + split: every row's fate is a pure
+    // function of its id — reproducible across runs and engines, zero
+    // shuffle
+    "sample_split" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Sampling.split(Sampling.sampleByHash(docs, "doc_id", 0.8), "doc_id", 0.7, 0.15)
+        .select(col("doc_id"), Sampling.hashBucket(col("doc_id"), 10000).as("bucket"), col("split"))
+        .orderBy("doc_id")
+    },
+    // PQ code assignment: m=4 subspaces x k=4 seed centroids, squared-L2
+    // nearest-code kernel per subspace — map-only, zero shuffle
+    "ann_pq_codes" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val books = Ann.pqSeedCodebooks(emb, "vec_id", "embedding", m = 4, k = 4)
+      Ann.pqCodes(emb, "vec_id", "embedding", books)
+        .select(col("vec_id") +: (0 until 4).map(j => col(s"code$j").cast("long").as(s"code$j")): _*)
+        .orderBy("vec_id")
     },
     // ---- streaming twins, driven to completion over the batch tables
     // (graft.streaming.StreamRunner) so the same DuckDB gate that checks
@@ -1105,6 +1131,54 @@ object SparkEntry {
          | ${(lags ++ rms :+ tgt).mkString(",\n ")}
          |from e
          |order by $evKeys""".stripMargin
+    },
+    "ts_crosscorr" -> {
+      val cc = OracleGen.crosscorrExpr("value", "v2", 14, evOver)
+      s"""with e as (select user_id, ts, event_id, value,
+         |  cast(length(event_type) as double) as v2 from events)
+         |select user_id, epoch_us(ts) as ts_us, event_id, value, v2,
+         | $cc
+         |from e
+         |order by $evKeys""".stripMargin
+    },
+    "sample_split" -> {
+      val bucket = s"${SqlTwins.h60("cast(doc_id as varchar)")} % 10000"
+      s"""with d as (select doc_id, $bucket as bucket from documents)
+         |select doc_id, bucket,
+         | case when bucket < 7000 then 'train'
+         |      when bucket < 8500 then 'valid'
+         |      else 'test' end as split
+         |from d where bucket < 8000
+         |order by doc_id""".stripMargin
+    },
+    // PQ oracle rebuilds the seed codebooks (4 lowest-id subvectors) in
+    // SQL and replicates the kernel's exact fold: left-assoc sum of
+    // (x-c)^2 terms in index order, argmin with lowest-code tie-break
+    "ann_pq_codes" -> {
+      def t(sub: String) =
+        s"(cast(e.embedding[$sub * 16 + i] as double) - cast(c.cvec[$sub * 16 + i] as double))"
+      s"""with cb as (
+         |  select row_number() over (order by vec_id) - 1 as cid, embedding as cvec
+         |  from (select vec_id, embedding from embeddings order by vec_id limit 4)),
+         |d as (
+         |  select e.vec_id, s.sub, c.cid,
+         |    list_reduce(list_transform(range(1, 17), i ->
+         |      ${t("s.sub")} * ${t("s.sub")}), (a, b) -> a + b) as dist
+         |  from embeddings e
+         |  cross join (values (0), (1), (2), (3)) as s(sub)
+         |  cross join cb c),
+         |picked as (
+         |  select vec_id, sub, cid,
+         |    row_number() over (partition by vec_id, sub order by dist, cid) as rn
+         |  from d)
+         |select vec_id,
+         | cast(max(case when sub = 0 then cid end) as bigint) as code0,
+         | cast(max(case when sub = 1 then cid end) as bigint) as code1,
+         | cast(max(case when sub = 2 then cid end) as bigint) as code2,
+         | cast(max(case when sub = 3 then cid end) as bigint) as code3
+         |from picked where rn = 1
+         |group by vec_id
+         |order by vec_id""".stripMargin
     },
     // ---- streaming twins: the batch semantics ARE the oracle. The
     // replay arrives in event-time order (unique (user_id, ts) in the

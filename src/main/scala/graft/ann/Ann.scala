@@ -206,4 +206,50 @@ object Ann {
     val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  // ---- product quantization: the embedding-compression path. At 100 TB
+  // an fp32 corpus rarely fits the budget; PQ codes (m sub-codes of
+  // log2(k) bits each) cut a 64-dim vector from 256 bytes to m bytes
+  // while keeping ANN-usable geometry.
+
+  /** Deterministic PQ codebooks: for each of the `m` subspaces, the
+    * sub-vectors of the `k` lowest-id corpus rows (same seed discipline
+    * as ivfSeedCentroids — production swaps in per-subspace k-means,
+    * the CODE ASSIGNMENT mechanics are identical and oracle-checked).
+    * Returns codebooks(j)(c) = centroid c of subspace j, as doubles.
+    */
+  def pqSeedCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int): Array[Array[Array[Double]]] = {
+    val rows = corpus.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
+    require(rows.nonEmpty, "pq: empty corpus")
+    val dim = rows.head.getSeq[Float](0).length
+    require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    Array.tabulate(m) { j =>
+      rows.map(_.getSeq[Float](0).slice(j * sub, (j + 1) * sub).map(_.toDouble).toArray)
+    }
+  }
+
+  /** PQ code assignment with ZERO shuffle: per subspace, a slice of the
+    * embedding runs through the squared-L2 nearest-centroid kernel
+    * (ties → lowest code) against the broadcast codebook — a map-only
+    * scan emitting `code0..code{m-1}`, the same plan shape as ivfAssign.
+    */
+  def pqCodes(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val codes = (0 until m).map { j =>
+      val sl = slice(col(vecCol), j * sub + 1, sub)
+      graft.plans.HashExpressions.nearestCentroidL2(sl, codebooks(j).toSeq).as(s"code$j")
+    }
+    corpus.select(col(idCol) +: codes: _*)
+  }
 }

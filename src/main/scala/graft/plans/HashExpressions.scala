@@ -204,7 +204,10 @@ case class LshBucketKernel(child: Expression, planes: Array[Array[Double]])
   * would be NULL); if no centroid matches, the result is NULL.
   * NaN inputs are out of contract (as for the min_by form).
   */
-case class NearestCentroidKernel(child: Expression, centroids: Array[Array[Double]])
+case class NearestCentroidKernel(
+    child: Expression,
+    centroids: Array[Array[Double]],
+    l2: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
@@ -218,6 +221,25 @@ case class NearestCentroidKernel(child: Expression, centroids: Array[Array[Doubl
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    if (l2) {
+      // squared-L2 argmin, ties → lowest index (strict < keeps the
+      // first minimum); index-ascending left-fold of (x-c)² terms, the
+      // association the generated SQL twin replicates verbatim
+      var best = Double.PositiveInfinity
+      var bestIdx = -1
+      var j = 0
+      while (j < centroids.length) {
+        val c = centroids(j)
+        if (c.length == n) {
+          var d = 0.0
+          var i = 0
+          while (i < n) { val t = arr.getFloat(i).toDouble - c(i); d += t * t; i += 1 }
+          if (d < best) { best = d; bestIdx = j }
+        }
+        j += 1
+      }
+      return if (bestIdx < 0) null else java.lang.Integer.valueOf(bestIdx)
+    }
     var na = 0.0
     var i = 0
     while (i < n) { val x = arr.getFloat(i).toDouble; na += x * x; i += 1 }
@@ -258,4 +280,7 @@ object HashExpressions {
 
   def nearestCentroid(v: Column, centroids: Seq[Array[Double]]): Column =
     column(NearestCentroidKernel(expression(v), centroids.toArray))
+
+  def nearestCentroidL2(v: Column, centroids: Seq[Array[Double]]): Column =
+    column(NearestCentroidKernel(expression(v), centroids.toArray, l2 = true))
 }

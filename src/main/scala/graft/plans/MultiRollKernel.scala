@@ -7,9 +7,12 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** One roll-family feature request against the shared multi-column
-  * frame: `mode` selects the RollFoldKernel fold (same numbering),
-  * `colIdx` the source column inside each frame element, and
-  * `(w, minP, lagK, weights)` carry the per-mode parameters.
+  * frame: `mode` selects the RollFoldKernel fold (same numbering, plus
+  * mode 6 = rolling cross-correlation, which only exists fused — it
+  * inherently reads TWO columns), `colIdx` the source column inside
+  * each frame element, and `(w, minP, lagK, weights)` carry the
+  * per-mode parameters (for mode 6, `lagK` is the SECOND column's
+  * index).
   */
 final case class RollSpecDef(
     mode: Int,
@@ -128,6 +131,25 @@ case class MultiRollKernel(child: Expression, specs: Array[RollSpecDef])
             if (yi >= start && !nul(xi) && !nul(yi)) {
               val x = at(xi)
               val y = at(yi)
+              np += 1; sx += x; sy += y; sxx += x * x; syy += y * y; sxy += x * y
+            }
+            i += 1
+          }
+          val nd = np.toDouble
+          val r = (nd * sxy - sx * sy) / math.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+          out(o) = if (np >= sp.w) D(r) else null
+          o += 1
+        case 6 => // rolling cross-correlation col[colIdx] vs col[lagK]
+          val c2 = sp.lagK
+          @inline def nul2(i: Int): Boolean = xs.getArray(i).isNullAt(c2)
+          @inline def at2(i: Int): Double = xs.getArray(i).getDouble(c2)
+          var np = 0; var sx = 0.0; var sy = 0.0; var sxx = 0.0; var syy = 0.0; var sxy = 0.0
+          var i = 0
+          while (i < sp.w) {
+            val xi = n - 1 - i
+            if (xi >= start && !nul(xi) && !nul2(xi)) {
+              val x = at(xi)
+              val y = at2(xi)
               np += 1; sx += x; sy += y; sxx += x * x; syy += y * y; sxy += x * y
             }
             i += 1

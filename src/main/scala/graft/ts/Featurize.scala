@@ -46,7 +46,8 @@ object Featurize {
       w: Int,
       minP: Int,
       lagK: Int = 0,
-      weights: Array[Double] = Array.empty)
+      weights: Array[Double] = Array.empty,
+      src2: Option[String] = None)
 
   /** Project a family of trailing roll features through ONE shared
     * collect_list frame (widest depth over the requests, elements =
@@ -61,8 +62,12 @@ object Featurize {
       reqs: Seq[RollReq],
       extra: Seq[(String, Column)]): DataFrame = {
     import graft.plans.{MultiRollKernel, RollSpecDef}
-    val colsUsed = reqs.map(_.src).distinct
-    val specs = reqs.map(r => RollSpecDef(r.mode, colsUsed.indexOf(r.src), r.w, r.minP, r.lagK, r.weights))
+    val colsUsed = (reqs.map(_.src) ++ reqs.flatMap(_.src2)).distinct
+    val specs = reqs.map { r =>
+      // mode 6 (cross-corr) carries its second column's index in lagK
+      val lk = r.src2.map(colsUsed.indexOf).getOrElse(r.lagK)
+      RollSpecDef(r.mode, colsUsed.indexOf(r.src), r.w, r.minP, lk, r.weights)
+    }
     val depth = specs.map(_.depth).max
     val xs = collect_list(array(colsUsed.map(c => col(c).cast("double")): _*))
       .over(win.rowsBetween(-(depth - 1), 0))
@@ -275,6 +280,27 @@ object Featurize {
     val r = (nd * sxy - sx * sy) / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
     val name = s"${c}_autocorr_l${lagK}_w$w"
     FeatureResult(df.withColumn(name, when(n >= w, r)), Seq(name))
+  }
+
+  /** Rolling cross-correlation between TWO columns over trailing `w`
+    * rows: Pearson r of (cx_t-i, cy_t-i) pairs, i = 0..w-1, five-sums
+    * closed form with a fixed newest→oldest left fold — mirrored
+    * exactly by OracleGen.crosscorrExpr. Null until the window holds
+    * `w` complete (both-non-null) pairs. Lives only on the fused
+    * multi-column kernel: the op inherently reads two columns from the
+    * same frame, the shape MultiRollKernel exists for.
+    */
+  def crossCorr(
+      df: DataFrame,
+      cx: String,
+      cy: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      w: Int): FeatureResult = {
+    val win = seriesWindow(groupCols, orderCols)
+    val name = s"${cx}_${cy}_crosscorr_w$w"
+    val reqs = Seq(RollReq(Seq(name), cx, mode = 6, w = w, minP = w, src2 = Some(cy)))
+    FeatureResult(applyRollReqs(df, win, reqs, Nil), Seq(name))
   }
 
   /** Rolling z-score: (x − rolling mean) / rolling std over a trailing

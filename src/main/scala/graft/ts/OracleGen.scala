@@ -77,6 +77,28 @@ object OracleGen {
     s"case when $n >= $w then $r end as ${c}_autocorr_l${lagK}_w$w"
   }
 
+  /** Mirrors Featurize.crossCorr (MultiRollKernel mode 6): five-sums
+    * Pearson r between two columns over the trailing w rows, same
+    * newest→oldest left fold.
+    */
+  def crosscorrExpr(cx: String, cy: String, w: Int, ov: String): String = {
+    def x(i: Int): String = if (i == 0) cx else s"lag($cx, $i) over $ov"
+    def y(i: Int): String = if (i == 0) cy else s"lag($cy, $i) over $ov"
+    def pair(i: Int): String = s"${x(i)} is not null and ${y(i)} is not null"
+    def fold(f: Int => String): String = (0 until w).map(f).reduceLeft((a, b) => s"($a + $b)")
+    val n = fold(i => s"(case when ${pair(i)} then 1 else 0 end)")
+    val nd = s"cast($n as double)"
+    def s(body: Int => String): String =
+      fold(i => s"(case when ${pair(i)} then ${body(i)} else 0.0 end)")
+    val sx = s(i => s"cast(${x(i)} as double)")
+    val sy = s(i => s"cast(${y(i)} as double)")
+    val sxx = s(i => s"cast(${x(i)} as double) * cast(${x(i)} as double)")
+    val syy = s(i => s"cast(${y(i)} as double) * cast(${y(i)} as double)")
+    val sxy = s(i => s"cast(${x(i)} as double) * cast(${y(i)} as double)")
+    val r = s"((($nd * $sxy) - ($sx * $sy)) / sqrt(((($nd * $sxx) - ($sx * $sx)) * (($nd * $syy) - ($sy * $sy)))))"
+    s"case when $n >= $w then $r end as ${cx}_${cy}_crosscorr_w$w"
+  }
+
   /** Mirrors Featurize.rollMoments: four power-sum folds (newest →
     * oldest, left-associated, like the kernel's loop), then the exact
     * arithmetic step order of RollFoldKernel mode 5, with the SAME

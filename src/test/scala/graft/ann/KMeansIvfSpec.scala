@@ -52,4 +52,21 @@ class KMeansIvfSpec extends SparkSpec {
     }
     assert(ivf == brute, s"single-probe kmeans IVF should be exact on clean clusters: ivf=$ivf brute=$brute")
   }
+
+  test("default ivfTopK (trained k-means quantizer) recalls brute top-5 on clustered data") {
+    val rnd = new Random(41)
+    val centers = Array.fill(4)(Array.fill(8)(rnd.nextGaussian() * 6))
+    val corpus = (0 until 160).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => (v + rnd.nextGaussian() * 0.2).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val q = corpus.where($"vec_id" < 3).select($"vec_id".as("qid"), $"embedding")
+    // no centroids argument: the user path trains k-means|| internally
+    val ivf = Ann.ivfTopK(corpus, q, "vec_id", "embedding", "qid", k = 5, nCentroids = 4, nprobe = 2)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val brute = Ann.bruteTopK(corpus, q, "vec_id", "embedding", "qid", k = 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"trained-quantizer recall@5 must be >= 0.9, got $recall")
+  }
 }
