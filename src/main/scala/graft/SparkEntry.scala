@@ -496,6 +496,18 @@ object SparkEntry {
         .select(col("vec_id") +: (0 until 4).map(j => col(s"code$j").cast("long").as(s"code$j")): _*)
         .orderBy("vec_id")
     },
+    // PQ ADC top-k: the scan reads 4-byte codes, never raw vectors —
+    // per-query m×k distance tables ride the broadcast query frame and
+    // scoring is m array lookups per row
+    "ann_pq_adc" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val books = Ann.pqSeedCodebooks(emb, "vec_id", "embedding", m = 4, k = 4)
+      val codes = Ann.pqCodes(emb, "vec_id", "embedding", books)
+      val q = emb.where(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding"))
+      Ann.pqTopK(codes, q, "vec_id", "embedding", "qid", k = 10, books)
+        .select("qid", "rank", "vec_id", "adc")
+        .orderBy("qid", "rank")
+    },
     // ---- streaming twins, driven to completion over the batch tables
     // (graft.streaming.StreamRunner) so the same DuckDB gate that checks
     // the batch operators checks the incremental state machines too.
@@ -1179,6 +1191,56 @@ object SparkEntry {
          |from picked where rn = 1
          |group by vec_id
          |order by vec_id""".stripMargin
+    },
+    // ADC oracle: same seed codebooks + code argmin CTEs as
+    // ann_pq_codes, then per-query distance tables and the identical
+    // left-assoc 4-term lookup sum (no FP rounding — fold parity by
+    // construction)
+    "ann_pq_adc" -> {
+      def t(owner: String, sub: String) =
+        s"(cast($owner[$sub * 16 + i] as double) - cast(c.cvec[$sub * 16 + i] as double))"
+      s"""with cb as (
+         |  select row_number() over (order by vec_id) - 1 as cid, embedding as cvec
+         |  from (select vec_id, embedding from embeddings order by vec_id limit 4)),
+         |d as (
+         |  select e.vec_id, s.sub, c.cid,
+         |    list_reduce(list_transform(range(1, 17), i ->
+         |      ${t("e.embedding", "s.sub")} * ${t("e.embedding", "s.sub")}), (a, b) -> a + b) as dist
+         |  from embeddings e
+         |  cross join (values (0), (1), (2), (3)) as s(sub)
+         |  cross join cb c),
+         |codes as (
+         |  select vec_id,
+         |   max(case when sub = 0 then cid end) as code0,
+         |   max(case when sub = 1 then cid end) as code1,
+         |   max(case when sub = 2 then cid end) as code2,
+         |   max(case when sub = 3 then cid end) as code3
+         |  from (select vec_id, sub, cid,
+         |          row_number() over (partition by vec_id, sub order by dist, cid) as rn
+         |        from d)
+         |  where rn = 1 group by vec_id),
+         |q as (select vec_id as qid, embedding as qv from embeddings where vec_id < 3),
+         |qd as (
+         |  select q.qid, s.sub, c.cid,
+         |    list_reduce(list_transform(range(1, 17), i ->
+         |      ${t("q.qv", "s.sub")} * ${t("q.qv", "s.sub")}), (a, b) -> a + b) as d
+         |  from q
+         |  cross join (values (0), (1), (2), (3)) as s(sub)
+         |  cross join cb c),
+         |scored as (
+         |  select q.qid, cs.vec_id, (((d0.d + d1.d) + d2.d) + d3.d) as adc
+         |  from codes cs
+         |  cross join q
+         |  join qd d0 on d0.qid = q.qid and d0.sub = 0 and d0.cid = cs.code0
+         |  join qd d1 on d1.qid = q.qid and d1.sub = 1 and d1.cid = cs.code1
+         |  join qd d2 on d2.qid = q.qid and d2.sub = 2 and d2.cid = cs.code2
+         |  join qd d3 on d3.qid = q.qid and d3.sub = 3 and d3.cid = cs.code3)
+         |select qid, rank, vec_id, adc from (
+         |  select qid, vec_id, adc,
+         |   cast(row_number() over (partition by qid order by adc, vec_id) as int) as rank
+         |  from scored)
+         |where rank <= 10
+         |order by qid, rank""".stripMargin
     },
     // ---- streaming twins: the batch semantics ARE the oracle. The
     // replay arrives in event-time order (unique (user_id, ts) in the

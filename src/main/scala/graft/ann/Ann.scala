@@ -252,4 +252,43 @@ object Ann {
     }
     corpus.select(col(idCol) +: codes: _*)
   }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: per query, an m×k
+    * distance table (query sub-vector → every codebook entry) rides the
+    * broadcast query frame; scoring a corpus row is then m array
+    * lookups summed — the scan reads CODES, never the raw vectors,
+    * which is the whole point of PQ at 100 TB (4 bytes/row here vs 256).
+    * Smallest approximate L2 wins; ties → lowest id. The only exchange
+    * is the final per-query top-k.
+    *
+    * The distance entries are the same left-assoc Σ(x−c)² fold as
+    * pqCodes' kernel (aggregate over zip_with, seed 0.0), which the SQL
+    * oracle replicates term-for-term.
+    */
+  def pqTopK(
+      codes: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qIdCol: String,
+      k: Int,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    def l2(qslice: Column, cent: Array[Double]): Column =
+      aggregate(
+        zip_with(qslice.cast("array<double>"), lit(cent), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, t) => acc + t)
+    val dtables = (0 until m).map { j =>
+      val qs = slice(col(vecCol), j * sub + 1, sub)
+      array(codebooks(j).map(cent => l2(qs, cent)).toIndexedSeq: _*).as(s"__dt$j")
+    }
+    val qWith = broadcast(queries.select(col(qIdCol) +: dtables: _*))
+    val adc = (0 until m).map(j => element_at(col(s"__dt$j"), col(s"code$j") + 1))
+      .reduceLeft[Column](_ + _)
+    val scored = codes.crossJoin(qWith)
+      .select(col(qIdCol), col(idCol), adc.as("adc"))
+    val w = Window.partitionBy(qIdCol).orderBy(col("adc"), col(idCol))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
 }

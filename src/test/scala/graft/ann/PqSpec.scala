@@ -37,6 +37,28 @@ class PqSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(600))
   }
 
+  test("pqTopK (ADC over codes) recovers the query's cluster members") {
+    val books = Ann.pqSeedCodebooks(corpus, "vec_id", "embedding", m = 4, k = 4)
+    val codes = Ann.pqCodes(corpus, "vec_id", "embedding", books)
+    val q = corpus.where($"vec_id" < 2).select($"vec_id".as("qid"), $"embedding")
+    val top = Ann.pqTopK(codes, q, "vec_id", "embedding", "qid", k = 10, books)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    assert(top.length == 20)
+    // every ADC hit for query q must come from q's cluster (clusters are
+    // far apart, so cross-cluster ADC distances dominate)
+    top.foreach { case (qid, vid) => assert(vid % 4 == qid % 4, s"q$qid hit $vid") }
+  }
+
+  test("pqTopK plans no corpus shuffle: only the final top-k exchanges") {
+    val books = Ann.pqSeedCodebooks(corpus, "vec_id", "embedding", m = 4, k = 4)
+    val codes = Ann.pqCodes(corpus, "vec_id", "embedding", books)
+    val q = corpus.where($"vec_id" < 2).select($"vec_id".as("qid"), $"embedding")
+    val plan = Ann.pqTopK(codes, q, "vec_id", "embedding", "qid", k = 5, books)
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected only the top-k window exchange, got $hashEx:\n${plan.take(1000)}")
+  }
+
   test("L2 nearest-centroid kernel breaks ties toward the lowest code") {
     val v = Seq((1L, Seq(1.0f, 1.0f))).toDF("id", "v")
     val cents = Seq(Array(0.0, 0.0), Array(2.0, 2.0)) // equidistant from (1,1)
