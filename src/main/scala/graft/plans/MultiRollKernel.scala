@@ -52,7 +52,7 @@ final case class RollSpecDef(
   * zscore's current row) keep the null-free contract of their
   * single-column kernels.
   */
-case class MultiRollKernel(child: Expression, specs: Array[RollSpecDef])
+case class MultiRollKernel(child: Expression, specs: Array[RollSpecDef], bare: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
@@ -71,10 +71,14 @@ case class MultiRollKernel(child: Expression, specs: Array[RollSpecDef])
       val c = sp.colIdx
       val avail = math.min(sp.depth, n)
       val start = n - avail
-      // a frame element is an array of column casts; a null slot is a
-      // null source value at that row
-      @inline def nul(i: Int): Boolean = xs.getArray(i).isNullAt(c)
-      @inline def at(i: Int): Double = xs.getArray(i).getDouble(c)
+      // wrapped frame: elements are arrays of column casts (null slot =
+      // null source value, row keeps its position). bare frame: plain
+      // doubles from a single column — collect_list has already dropped
+      // nulls, i.e. the original RollFoldKernel contract (the builder
+      // only uses bare when every spec's depth equals the frame depth,
+      // so the compacted array IS the spec's whole window)
+      @inline def nul(i: Int): Boolean = if (bare) xs.isNullAt(i) else xs.getArray(i).isNullAt(c)
+      @inline def at(i: Int): Double = if (bare) xs.getDouble(i) else xs.getArray(i).getDouble(c)
       sp.mode match {
         case 0 => // rollmean: newest→oldest sum over non-nulls, gate cnt >= minP
           var acc = 0.0; var cnt = 0; var i = n - 1
@@ -194,4 +198,11 @@ object MultiRollKernel {
 
   def of(xs: Column, specs: Seq[RollSpecDef]): Column =
     column(MultiRollKernel(expression(xs), specs.toArray))
+
+  /** Single-column fast path: `xs` is a plain collect_list(double)
+    * frame (no per-row array wrapper). Caller contract: every spec's
+    * depth equals the frame depth.
+    */
+  def ofBare(xs: Column, specs: Seq[RollSpecDef]): Column =
+    column(MultiRollKernel(expression(xs), specs.toArray, bare = true))
 }

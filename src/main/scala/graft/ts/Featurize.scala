@@ -63,23 +63,43 @@ object Featurize {
       extra: Seq[(String, Column)]): DataFrame = {
     import graft.plans.{MultiRollKernel, RollSpecDef}
     val colsUsed = (reqs.map(_.src) ++ reqs.flatMap(_.src2)).distinct
-    val specs = reqs.map { r =>
-      // mode 6 (cross-corr) carries its second column's index in lagK
-      val lk = r.src2.map(colsUsed.indexOf).getOrElse(r.lagK)
-      RollSpecDef(r.mode, colsUsed.indexOf(r.src), r.w, r.minP, lk, r.weights)
-    }
-    val depth = specs.map(_.depth).max
-    val xs = collect_list(array(colsUsed.map(c => col(c).cast("double")): _*))
-      .over(win.rowsBetween(-(depth - 1), 0))
-    // two selects: the kernel array materializes ONCE, then per-feature
-    // element_at projections read it — same Window operator, and the
+    // (kernelColumn, reqs in its slot order) — one shared wrapped frame
+    // when several columns are read; per-depth BARE frames (plain
+    // collect_list(double), no per-row array allocation — and the exact
+    // null contract of the original single-column kernels) otherwise
+    val kernels: Seq[(Column, Seq[RollReq])] =
+      if (colsUsed.size == 1) {
+        val c = colsUsed.head
+        reqs.groupBy(r => RollSpecDef(r.mode, 0, r.w, r.minP, r.lagK, r.weights).depth)
+          .toSeq.sortBy(_._1).map { case (depth, rs) =>
+            val xs = collect_list(col(c).cast("double")).over(win.rowsBetween(-(depth - 1), 0))
+            val specs = rs.map(r => RollSpecDef(r.mode, 0, r.w, r.minP, r.lagK, r.weights))
+            (MultiRollKernel.ofBare(xs, specs), rs)
+          }
+      } else {
+        val specs = reqs.map { r =>
+          // mode 6 (cross-corr) carries its second column's index in lagK
+          val lk = r.src2.map(colsUsed.indexOf).getOrElse(r.lagK)
+          RollSpecDef(r.mode, colsUsed.indexOf(r.src), r.w, r.minP, lk, r.weights)
+        }
+        val depth = specs.map(_.depth).max
+        val xs = collect_list(array(colsUsed.map(c => col(c).cast("double")): _*))
+          .over(win.rowsBetween(-(depth - 1), 0))
+        Seq((MultiRollKernel.of(xs, specs), reqs))
+      }
+    // two selects: the kernel arrays materialize ONCE, then per-feature
+    // element_at projections read them — same Window operator, and each
     // kernel's O(specs × depth) fold runs once per row, not per feature
+    val rollCols = kernels.zipWithIndex.map { case ((k, _), i) => k.as(s"__roll$i") }
     val withRoll = df.select(
-      col("*") +: (MultiRollKernel.of(xs, specs).as("__roll") +: extra.map { case (n, e) => e.as(n) }): _*)
-    val names = reqs.flatMap(_.names)
-    withRoll.select(
-      col("*") +: names.zipWithIndex.map { case (nm, i) => element_at(col("__roll"), i + 1).as(nm) }: _*)
-      .drop("__roll")
+      col("*") +: (rollCols ++ extra.map { case (n, e) => e.as(n) }): _*)
+    val featProjs = kernels.zipWithIndex.flatMap { case ((_, rs), i) =>
+      rs.flatMap(_.names).zipWithIndex.map { case (nm, slot) =>
+        element_at(col(s"__roll$i"), slot + 1).as(nm)
+      }
+    }
+    withRoll.select(col("*") +: featProjs: _*)
+      .drop(kernels.indices.map(i => s"__roll$i"): _*)
   }
 
   /** Lagged copies of `columns` (reference featurize.py:174 `lag`).
