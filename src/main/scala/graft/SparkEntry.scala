@@ -478,6 +478,30 @@ object SparkEntry {
       Featurize.crossCorr(ev, "value", "v2", evGroup, evOrder, w = 14)
         .df.orderBy("user_id", "ts_us", "event_id")
     },
+    // per-group exact-percentile winsorization: the clip bounds ride an
+    // unbounded window agg on the same group partition — no extra join
+    "ts_winsorize" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      // round(4) on both sides: the engines' percentile interpolation
+      // arithmetic differs in the last ulp (same rule as q_quantiles)
+      TimeOps.winsorize(ev, "value", Seq("user_id"), 0.05, 0.95, "value_winsor")
+        .withColumn("value_winsor", round(col("value_winsor"), 4))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+    // arithmetic calendar features (µs-epoch div/mod + engine Gregorian
+    // month/year) — the standard tabular-ML time covariates
+    "ts_calendar" -> { (s, dir) =>
+      TimeOps.calendarFeatures(Tables.events(s, dir).select("event_id", "ts_us"), "ts_us")
+        .orderBy("event_id")
+    },
+    // Gopher-style duplicate n-gram fractions — boilerplate/degenerate
+    // generation signal for curation
+    "text_repetition" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextOps.repetitionRatio(col("text"), 2).as("rep2"),
+        TextOps.repetitionRatio(col("text"), 3).as("rep3"))
+        .orderBy("doc_id")
+    },
     // deterministic hash sampling + split: every row's fate is a pure
     // function of its id — reproducible across runs and engines, zero
     // shuffle
@@ -1152,6 +1176,31 @@ object SparkEntry {
          | $cc
          |from e
          |order by $evKeys""".stripMargin
+    },
+    "ts_winsorize" ->
+      """select user_id, epoch_us(ts) as ts_us, event_id, value,
+        | round(greatest(quantile_cont(value, 0.05E0) over (partition by user_id),
+        |   least(quantile_cont(value, 0.95E0) over (partition by user_id),
+        |         cast(value as double))), 4) as value_winsor
+        |from events
+        |order by user_id, ts_us, event_id""".stripMargin,
+    "ts_calendar" ->
+      """select event_id, epoch_us(ts) as ts_us,
+        | cast(epoch_us(ts) // 86400000000 as bigint) as day_idx,
+        | cast((epoch_us(ts) // 86400000000 + 3) % 7 as int) as dow,
+        | ((epoch_us(ts) // 86400000000 + 3) % 7) >= 5 as is_weekend,
+        | cast((epoch_us(ts) // 3600000000) % 24 as int) as hour_of_day,
+        | cast(month(ts) as int) as month,
+        | cast(year(ts) as int) as year
+        |from events
+        |order by event_id""".stripMargin,
+    "text_repetition" -> {
+      def rep(sh: String) =
+        s"case when len($sh) > 0 then 1.0E0 - cast(len(list_distinct($sh)) as double) / cast(len($sh) as double) else 0.0E0 end"
+      s"""with t as (select doc_id, ${SqlTwins.toks("text")} as t from documents),
+         |sh as (select doc_id, ${SqlTwins.shingles("t", 2)} as s2, ${SqlTwins.shingles("t", 3)} as s3 from t)
+         |select doc_id, ${rep("s2")} as rep2, ${rep("s3")} as rep3
+         |from sh order by doc_id""".stripMargin
     },
     "sample_split" -> {
       val bucket = s"${SqlTwins.h60("cast(doc_id as varchar)")} % 10000"

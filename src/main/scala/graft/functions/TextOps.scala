@@ -97,6 +97,20 @@ object TextOps {
     * ratio, and mean token length sweet-spot. Formula is arbitrary but
     * FIXED — the oracle reproduces it bit-for-bit.
     */
+  /** Gopher/C4-style repetition signal: the fraction of n-gram
+    * occurrences that are duplicates of an earlier occurrence in the
+    * same document — `1 − distinct/total` over the token n-grams.
+    * High values flag boilerplate and degenerate generations. 0.0 for
+    * documents with fewer than n tokens (no n-grams ⇒ nothing
+    * repeated). Exact ratios of small ints, engine-identical.
+    */
+  def repetitionRatio(text: Column, n: Int): Column = {
+    val sh = shingles(tokens(text), n)
+    when(size(sh) > 0,
+      lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
   def qualityScore(text: Column): Column = {
     val toks = tokens(text)
     val n = size(toks).cast("double")

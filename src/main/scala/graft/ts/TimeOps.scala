@@ -262,4 +262,46 @@ object TimeOps {
       .reduceLeft(_ + _)
     df.withColumn(out, num / den)
   }
+
+  /** Per-group winsorization: clip `c` to its group's [lo, hi] exact
+    * percentiles (pandas-style outlier taming before model features).
+    * The percentiles ride an unbounded window aggregate over the same
+    * group partition every other feature uses — no extra join, one
+    * shuffle. Exact percentile = the showcase-correct form (bit-parity
+    * with DuckDB quantile_cont); at 100 TB swap `percentile` for
+    * `approx_percentile` exactly as q_quantiles_approx documents.
+    */
+  def winsorize(
+      df: DataFrame,
+      c: String,
+      groupCols: Seq[String],
+      lo: Double,
+      hi: Double,
+      out: String): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1, got ($lo, $hi)")
+    val w =
+      if (groupCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupCols.map(col): _*)
+    val pLo = expr(s"percentile($c, ${OracleGen.litD(lo)})").over(w)
+    val pHi = expr(s"percentile($c, ${OracleGen.litD(hi)})").over(w)
+    df.withColumn(out, greatest(pLo, least(pHi, col(c).cast("double"))))
+  }
+
+  /** Calendar features from a µs-epoch timestamp — pure integer
+    * arithmetic where possible (day index, Monday-based weekday,
+    * weekend flag, hour of day: engine-independent by construction;
+    * 1970-01-01 was a Thursday, hence the +3) plus Gregorian month and
+    * year via the engine's UTC calendar (integers, engine-identical).
+    */
+  def calendarFeatures(df: DataFrame, tsUsCol: String): DataFrame = {
+    // integer division (`div`), not floor(double /): exact at any epoch
+    val day = expr(s"$tsUsCol div 86400000000")
+    val ts = timestamp_micros(col(tsUsCol))
+    df.withColumn("day_idx", day.cast("long"))
+      .withColumn("dow", pmod(day + 3, lit(7)).cast("int"))
+      .withColumn("is_weekend", pmod(day + 3, lit(7)) >= 5)
+      .withColumn("hour_of_day", pmod(expr(s"$tsUsCol div 3600000000"), lit(24)).cast("int"))
+      .withColumn("month", month(ts))
+      .withColumn("year", year(ts))
+  }
 }
