@@ -494,6 +494,13 @@ object SparkEntry {
       TimeOps.calendarFeatures(Tables.events(s, dir).select("event_id", "ts_us"), "ts_us")
         .orderBy("event_id")
     },
+    // token-distribution Shannon entropy — vocabulary-diversity signal
+    // (round 4dp: ln differs in the last ulp across engines)
+    "text_entropy" -> { (s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        round(TextOps.tokenEntropy(col("text")), 4).as("entropy"))
+        .orderBy("doc_id")
+    },
     // Gopher-style duplicate n-gram fractions — boilerplate/degenerate
     // generation signal for curation
     "text_repetition" -> { (s, dir) =>
@@ -1194,6 +1201,19 @@ object SparkEntry {
         | cast(year(ts) as int) as year
         |from events
         |order by event_id""".stripMargin,
+    // entropy oracle: per-doc term counts, list ordered by term (ASCII
+    // ⇒ same order as the kernel's TreeMap), identical left-assoc fold;
+    // + 0.0E0 canonicalizes -0.0 like the kernel
+    "text_entropy" ->
+      s"""with t as (select doc_id, unnest(${SqlTwins.toks("text")}) as term from documents),
+         |c as (select doc_id, term, count(*) as c from t group by doc_id, term),
+         |e as (select doc_id, list(c order by term) as cs, sum(c) as n from c group by doc_id)
+         |select d.doc_id,
+         | round(coalesce(-list_reduce(list_transform(e.cs, x ->
+         |   (x / cast(e.n as double)) * ln(x / cast(e.n as double))), (a, b) -> a + b), 0.0E0)
+         |   + 0.0E0, 4) as entropy
+         |from (select doc_id from documents) d left join e using (doc_id)
+         |order by doc_id""".stripMargin,
     "text_repetition" -> {
       def rep(sh: String) =
         s"case when len($sh) > 0 then 1.0E0 - cast(len(list_distinct($sh)) as double) / cast(len($sh) as double) else 0.0E0 end"

@@ -97,6 +97,14 @@ object TextOps {
     * ratio, and mean token length sweet-spot. Formula is arbitrary but
     * FIXED — the oracle reproduces it bit-for-bit.
     */
+  /** Shannon entropy (nats) of the token distribution — vocabulary
+    * diversity; low entropy flags repetitive/degenerate text. One-pass
+    * kernel (plans.TokenEntropy), lex-ordered fold shared with the SQL
+    * twin.
+    */
+  def tokenEntropy(text: Column): Column =
+    graft.plans.TextHashKernels.tokenEntropy(tokens(text))
+
   /** Gopher/C4-style repetition signal: the fraction of n-gram
     * occurrences that are duplicates of an earlier occurrence in the
     * same document — `1 − distinct/total` over the token n-grams.

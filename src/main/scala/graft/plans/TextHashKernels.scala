@@ -112,6 +112,44 @@ case class FingerprintKernel(child: Expression, mod: Long)
   override protected def withNewChildInternal(newChild: Expression): FingerprintKernel = copy(child = newChild)
 }
 
+/** Shannon entropy (nats) of the token distribution — the vocabulary-
+  * diversity quality signal (low entropy ⇒ repetitive/degenerate text).
+  * One pass builds the count map; the sum −Σ (c/n)·ln(c/n) iterates
+  * terms in LEXICOGRAPHIC order so the fold order is deterministic and
+  * reproducible by the SQL twin's `list(c order by term)` — tokens are
+  * normalized ASCII, where Java UTF-16 order ≡ DuckDB byte order. 0.0
+  * for an empty token list.
+  */
+case class TokenEntropy(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return java.lang.Double.valueOf(0.0)
+    val counts = new java.util.TreeMap[String, Int]()
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i).toString
+      counts.merge(t, 1, (a, b) => a + b)
+      i += 1
+    }
+    val nd = n.toDouble
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / nd
+      h += p * math.log(p)
+    }
+    // + 0.0 canonicalizes the single-token case's -0.0 to 0.0
+    java.lang.Double.valueOf(-h + 0.0)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenEntropy = copy(child = newChild)
+}
+
 object TextHashKernels {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -121,4 +159,6 @@ object TextHashKernels {
     column(TokenHash60(expression(tokens), mod))
   def fingerprint(tokens: Column, mod: Long): Column =
     column(FingerprintKernel(expression(tokens), mod))
+  def tokenEntropy(tokens: Column): Column =
+    column(TokenEntropy(expression(tokens)))
 }
