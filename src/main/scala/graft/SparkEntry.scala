@@ -478,6 +478,20 @@ object SparkEntry {
       Featurize.crossCorr(ev, "value", "v2", evGroup, evOrder, w = 14)
         .df.orderBy("user_id", "ts_us", "event_id")
     },
+    // bucketed point-in-interval join (events → their session's bounds):
+    // an equi-join on (user, bucket) + exact BETWEEN filter, NOT the
+    // BroadcastNestedLoopJoin Spark would plan for a bare range predicate
+    "ts_range_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id")
+      val iv = TimeOps.sessionize(ev, evGroup, evOrder, "ts_us", gapMicros = 1800000000L)
+        .groupBy("user_id", "session_id")
+        .agg(min("ts_us").as("s_start"), max("ts_us").as("s_end"))
+        .select("user_id", "s_start", "s_end")
+      TimeOps.rangeJoin(ev, "ts_us", iv, "s_start", "s_end", Seq("user_id"),
+          bucketWidth = 1800000000L)
+        .select("user_id", "event_id", "ts_us", "s_start", "s_end")
+        .orderBy("user_id", "ts_us", "event_id")
+    },
     // per-group exact-percentile winsorization: the clip bounds ride an
     // unbounded window agg on the same group partition — no extra join
     "ts_winsorize" -> { (s, dir) =>
@@ -1184,6 +1198,23 @@ object SparkEntry {
          |from e
          |order by $evKeys""".stripMargin
     },
+    "ts_range_join" ->
+      s"""with s as (
+         |  select user_id, ts_us, event_id,
+         |   cast(sum(is_new) over (partition by user_id order by ts_us, event_id
+         |     rows between unbounded preceding and current row) as bigint) as session_id
+         |  from (
+         |    select user_id, epoch_us(ts) as ts_us, event_id,
+         |     case when lag(epoch_us(ts), 1) over $evOver is null
+         |       or epoch_us(ts) - lag(epoch_us(ts), 1) over $evOver > 1800000000 then 1 else 0 end as is_new
+         |    from events)),
+         |iv as (select user_id, session_id, min(ts_us) as s_start, max(ts_us) as s_end
+         |       from s group by user_id, session_id)
+         |select e.user_id, e.event_id, epoch_us(e.ts) as ts_us, iv.s_start, iv.s_end
+         |from events e
+         |join iv on e.user_id = iv.user_id
+         |  and epoch_us(e.ts) between iv.s_start and iv.s_end
+         |order by e.user_id, ts_us, e.event_id""".stripMargin,
     "ts_winsorize" ->
       """select user_id, epoch_us(ts) as ts_us, event_id, value,
         | round(greatest(quantile_cont(value, 0.05E0) over (partition by user_id),
@@ -1218,7 +1249,9 @@ object SparkEntry {
       def rep(sh: String) =
         s"case when len($sh) > 0 then 1.0E0 - cast(len(list_distinct($sh)) as double) / cast(len($sh) as double) else 0.0E0 end"
       s"""with t as (select doc_id, ${SqlTwins.toks("text")} as t from documents),
-         |sh as (select doc_id, ${SqlTwins.shingles("t", 2)} as s2, ${SqlTwins.shingles("t", 3)} as s3 from t)
+         |sh as (select doc_id,
+         |  ${SqlTwins.shingleHashes(SqlTwins.shingles("t", 2))} as s2,
+         |  ${SqlTwins.shingleHashes(SqlTwins.shingles("t", 3))} as s3 from t)
          |select doc_id, ${rep("s2")} as rep2, ${rep("s3")} as rep3
          |from sh order by doc_id""".stripMargin
     },

@@ -113,7 +113,12 @@ object TextOps {
     * repeated). Exact ratios of small ints, engine-identical.
     */
   def repetitionRatio(text: Column, n: Int): Column = {
-    val sh = shingles(tokens(text), n)
+    // distinct over 60-bit shingle HASHES via the one-pass ShingleHash60
+    // kernel (no shingle-string arrays, no interpreted zip_with chain —
+    // ~6× cheaper); the SQL twin distincts the same hashes, so the
+    // ratio is identical by construction (a 2^-60 collision would
+    // change both sides the same way)
+    val sh = graft.plans.TextHashKernels.shingleHash60(tokens(text), n, MinhashMod)
     when(size(sh) > 0,
       lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
       .otherwise(lit(0.0))

@@ -263,6 +263,35 @@ object TimeOps {
     df.withColumn(out, num / den)
   }
 
+  /** Scale-aware point-in-interval join: Spark plans a bare
+    * `ts BETWEEN start AND end` join as BroadcastNestedLoopJoin —
+    * O(points × intervals) and a driver OOM once intervals outgrow the
+    * broadcast cap. This rewrites it as an EQUI-join: each interval is
+    * exploded into the time buckets it overlaps, points map to their
+    * single bucket, and the join runs on (keys…, bucket) through a
+    * normal shuffle/sort-merge plan, with the exact BETWEEN kept as a
+    * post-join filter. Cost: O(points + Σ interval_span/bucketWidth) —
+    * pick bucketWidth near the typical interval length so intervals
+    * explode into a handful of copies. A point lies in exactly one
+    * bucket, so matches are emitted once (no dedup pass).
+    */
+  def rangeJoin(
+      points: DataFrame,
+      tsCol: String,
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      keys: Seq[String],
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0)
+    val bInts = intervals.withColumn("__b",
+      explode(sequence(expr(s"$startCol div $bucketWidth"), expr(s"$endCol div $bucketWidth"))))
+    val bPts = points.withColumn("__b", expr(s"$tsCol div $bucketWidth"))
+    bPts.join(bInts, keys :+ "__b")
+      .where(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__b")
+  }
+
   /** Per-group winsorization: clip `c` to its group's [lo, hi] exact
     * percentiles (pandas-style outlier taming before model features).
     * The percentiles ride an unbounded window aggregate over the same
