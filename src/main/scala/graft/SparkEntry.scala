@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ts.{Featurize, OracleGen, Taylor, TimeOps}
-import graft.functions.{Sampling, SqlTwins, TextOps, VectorOps}
+import graft.functions.{Profile, Sampling, SqlTwins, TextOps, VectorOps}
 import graft.dedup.Dedup
 import graft.ann.Ann
 import graft.multimodal.Multimodal
@@ -501,6 +501,20 @@ object SparkEntry {
       TimeOps.winsorize(ev, "value", Seq("user_id"), 0.05, 0.95, "value_winsor")
         .withColumn("value_winsor", round(col("value_winsor"), 4))
         .orderBy("user_id", "ts_us", "event_id")
+    },
+    // MAD-based robust z-score: outlier-resistant anomaly flagging;
+    // exact group median + MAD as window aggs, one shuffle, round(4)
+    // like every percentile query
+    "ts_robust_zscore" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.robustZscore(ev, "value", Seq("user_id"), "rz")
+        .withColumn("rz", round(col("rz"), 4))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+    // one-scan dataset profile: per-column counts/nulls/min/max/mean/
+    // std/exact-distinct, unpivoted to a row per column
+    "stats_profile" -> { (s, dir) =>
+      Profile.profile(Tables.events(s, dir), Seq("user_id", "value"))
     },
     // arithmetic calendar features (µs-epoch div/mod + engine Gregorian
     // month/year) — the standard tabular-ML time covariates
@@ -1222,6 +1236,28 @@ object SparkEntry {
         |         cast(value as double))), 4) as value_winsor
         |from events
         |order by user_id, ts_us, event_id""".stripMargin,
+    "ts_robust_zscore" ->
+      """with m as (
+        |  select user_id, epoch_us(ts) as ts_us, event_id, value,
+        |   quantile_cont(value, 0.5E0) over (partition by user_id) as med
+        |  from events),
+        |d as (select *, abs(cast(value as double) - med) as dev from m)
+        |select user_id, ts_us, event_id, value,
+        | round((cast(value as double) - med)
+        |   / (1.4826E0 * (quantile_cont(dev, 0.5E0) over (partition by user_id))), 4) as rz
+        |from d
+        |order by user_id, ts_us, event_id""".stripMargin,
+    "stats_profile" -> {
+      def row(c: String) =
+        s"""select '$c' as col_name, count(*) as n_rows,
+           | count(*) - count($c) as n_null,
+           | cast(min($c) as double) as min, cast(max($c) as double) as max,
+           | round(avg(cast($c as double)), 4) as mean,
+           | round(stddev_samp(cast($c as double)), 4) as std,
+           | count(distinct $c) as n_distinct
+           |from events""".stripMargin
+      s"${row("user_id")}\nunion all\n${row("value")}\norder by col_name"
+    },
     "ts_calendar" ->
       """select event_id, epoch_us(ts) as ts_us,
         | cast(epoch_us(ts) // 86400000000 as bigint) as day_idx,

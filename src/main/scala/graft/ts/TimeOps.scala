@@ -316,6 +316,33 @@ object TimeOps {
     df.withColumn(out, greatest(pLo, least(pHi, col(c).cast("double"))))
   }
 
+  /** Robust z-score: (x − median) / (1.4826·MAD) per group — the
+    * outlier-resistant anomaly score (median and MAD don't move when
+    * the outliers themselves do, unlike ts_zscore's mean/std). Two
+    * window passes over the SAME group partition: the group median,
+    * then the median absolute deviation — one shuffle total, no joins.
+    * Exact percentiles (oracle bit-path); swap approx_percentile at
+    * 100 TB per the q_quantiles_approx note. The 1.4826 constant makes
+    * MAD a consistent σ estimator under normality.
+    */
+  def robustZscore(
+      df: DataFrame,
+      c: String,
+      groupCols: Seq[String],
+      out: String): DataFrame = {
+    val w =
+      if (groupCols.isEmpty) Window.partitionBy()
+      else Window.partitionBy(groupCols.map(col): _*)
+    val med = expr(s"percentile($c, ${OracleGen.litD(0.5)})").over(w)
+    val withDev = df.withColumn("__med", med)
+      .withColumn("__dev", abs(col(c).cast("double") - col("__med")))
+    val mad = expr(s"percentile(__dev, ${OracleGen.litD(0.5)})").over(w)
+    withDev
+      .withColumn(out,
+        (col(c).cast("double") - col("__med")) / (lit(1.4826) * mad))
+      .drop("__med", "__dev")
+  }
+
   /** Calendar features from a µs-epoch timestamp — pure integer
     * arithmetic where possible (day index, Monday-based weekday,
     * weekend flag, hour of day: engine-independent by construction;
