@@ -196,8 +196,14 @@ object TimeOps {
       orderCols: Seq[String],
       alpha: Double,
       out: String = "ewma"): DataFrame = {
-    val sorted = df
-      .repartition(groupCols.map(col): _*)
+    // groupCols empty = ONE series: repartition() with zero exprs would
+    // round-robin the rows and each task would EWMA its arbitrary subset
+    // (silently wrong). A single series is inherently sequential, so
+    // coalesce(1) — the same guard DomFreq uses.
+    val parted =
+      if (groupCols.isEmpty) df.coalesce(1)
+      else df.repartition(groupCols.map(col): _*)
+    val sorted = parted
       .sortWithinPartitions((groupCols ++ orderCols).map(col): _*)
     val schema = StructType(sorted.schema.fields :+ StructField(out, DoubleType, nullable = true))
     val vIdx = sorted.schema.fieldIndex(valueCol)

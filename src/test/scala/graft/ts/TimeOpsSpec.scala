@@ -18,6 +18,18 @@ class TimeOpsSpec extends SparkSpec {
     }
   }
 
+  test("ewma ungrouped (groupCols empty) is exact on a multi-partition single series") {
+    val vals = Seq(3.0, 1.0, 4.0, 1.5, 9.0, 2.6, 5.3)
+    // scatter the series across many partitions up front: the op must
+    // still treat it as ONE sequential series, not 8 independent ones
+    val df = vals.zipWithIndex.map { case (v, i) => (i, v) }.toDF("t", "v").repartition(8)
+    val out = TimeOps.ewma(df, "v", Seq.empty, Seq("t"), alpha = 0.2)
+    val expected = Seq(3.0, 1.888888888889, 2.754098360656, 2.329268292683,
+      4.313660161828, 3.849162980311, 4.216331125184)
+    val got = out.orderBy("t").select("ewma").as[Double].collect()
+    assertApprox(got.map(Some(_)).toSeq, expected.map(Some(_)), 1e-9, "ungrouped")
+  }
+
   test("ewmaTruncated converges to exact ewma deep into the series") {
     val vals = (0 until 100).map(i => math.sin(i * 0.3) * 10 + i * 0.1)
     val df = vals.zipWithIndex.map { case (v, i) => (1, i, v) }.toDF("g", "t", "v")
