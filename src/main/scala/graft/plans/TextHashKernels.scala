@@ -31,6 +31,17 @@ object TextHash {
     v % mod
   }
   def digest(): java.security.MessageDigest = java.security.MessageDigest.getInstance("MD5")
+
+  private val tlDigest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest = digest()
+  }
+
+  /** Thread-cached MD5 for call sites invoked once per row (the
+    * KernelRuntime static forwarders called from generated code):
+    * `h60mod` resets before each digest, so cross-row reuse is safe,
+    * and executor threads are long-lived so the cache never leaks.
+    */
+  def localDigest(): java.security.MessageDigest = tlDigest.get()
 }
 
 /** Token-shingle 60-bit hashes in one pass: shingle string
