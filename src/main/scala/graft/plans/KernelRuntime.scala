@@ -11,8 +11,11 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   * This is what replaces CodegenFallback for the hot kernels: the child
   * expression is evaluated by generated code (no interpreted tree walk,
   * no boxing of the input), and the per-row work is ONE JIT-compiled
-  * static call. The loops themselves are identical to the former
-  * nullSafeEval bodies — bit-identical outputs by construction.
+  * static call. These are the ONLY copies of the kernel loops — the
+  * Expressions' `nullSafeEval` and their `doGenCode` output both call
+  * here, so interpreted and codegen paths are bit-identical by
+  * construction (RollKernelSpec / TextHashKernelSpec pin parity with
+  * the declarative Column forms).
   */
 object KernelRuntime {
   private val D = java.lang.Double.valueOf(_: Double)

@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** One-pass kernels for the text-hash pipelines.
@@ -50,49 +50,30 @@ object TextHash {
   * (matching the declarative `when(size < n, array())`).
   */
 case class ShingleHash60(child: Expression, n: Int, mod: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val nt = arr.numElements()
-    if (nt < n) return new GenericArrayData(Array.empty[Long])
-    val md = TextHash.digest()
-    val out = new Array[Long](nt - n + 1)
-    val toks = new Array[String](nt)
-    var i = 0
-    while (i < nt) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
-    i = 0
-    while (i <= nt - n) {
-      val sb = new java.lang.StringBuilder(toks(i))
-      var j = 1
-      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
-      out(i) = TextHash.h60mod(md,
-        org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString), mod)
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    KernelRuntime.shingleHash60(input.asInstanceOf[ArrayData], n, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.KernelRuntime.shingleHash60($c, $n, ${mod}L)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHash60 = copy(child = newChild)
 }
 
 /** Per-token h60 % mod array (simhash's token hashes, mod 2^32). */
 case class TokenHash60(child: Expression, mod: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val md = TextHash.digest()
-    val out = new Array[Long](n)
-    var i = 0
-    while (i < n) { out(i) = TextHash.h60mod(md, arr.getUTF8String(i), mod); i += 1 }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    KernelRuntime.tokenHash60(input.asInstanceOf[ArrayData], mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.KernelRuntime.tokenHash60($c, ${mod}L)")
 
   override protected def withNewChildInternal(newChild: Expression): TokenHash60 = copy(child = newChild)
 }
@@ -103,22 +84,15 @@ case class TokenHash60(child: Expression, mod: Long)
   * fold.
   */
 case class FingerprintKernel(child: Expression, mod: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val md = TextHash.digest()
-    var h = 0L
-    var i = 0
-    while (i < n) {
-      h = (h * 131L + TextHash.h60mod(md, arr.getUTF8String(i), mod)) % mod
-      i += 1
-    }
-    java.lang.Long.valueOf(h)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(KernelRuntime.fingerprint(input.asInstanceOf[ArrayData], mod))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.KernelRuntime.fingerprint($c, ${mod}L)")
 
   override protected def withNewChildInternal(newChild: Expression): FingerprintKernel = copy(child = newChild)
 }
@@ -132,31 +106,15 @@ case class FingerprintKernel(child: Expression, mod: Long)
   * for an empty token list.
   */
 case class TokenEntropy(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    if (n == 0) return java.lang.Double.valueOf(0.0)
-    val counts = new java.util.TreeMap[String, Int]()
-    var i = 0
-    while (i < n) {
-      val t = arr.getUTF8String(i).toString
-      counts.merge(t, 1, (a, b) => a + b)
-      i += 1
-    }
-    val nd = n.toDouble
-    var h = 0.0
-    val it = counts.values().iterator()
-    while (it.hasNext) {
-      val p = it.next().toDouble / nd
-      h += p * math.log(p)
-    }
-    // + 0.0 canonicalizes the single-token case's -0.0 to 0.0
-    java.lang.Double.valueOf(-h + 0.0)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Double.valueOf(KernelRuntime.tokenEntropy(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.KernelRuntime.tokenEntropy($c)")
 
   override protected def withNewChildInternal(newChild: Expression): TokenEntropy = copy(child = newChild)
 }

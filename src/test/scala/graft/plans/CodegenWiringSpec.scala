@@ -1,0 +1,91 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins the doGenCode wiring of the hot kernels: (a) the generated code
+  * really contains the `graft.plans.KernelRuntime` static calls (i.e.
+  * the kernels sit INSIDE whole-stage codegen, not on the interpreted
+  * CodegenFallback path), and (b) codegen-only results are bit-equal to
+  * interpreted (NO_CODEGEN) results — both paths call the same
+  * KernelRuntime body, so any divergence means the glue is wrong.
+  *
+  * `factoryMode=CODEGEN_ONLY` + `codegen.fallback=false` make a janino
+  * compile failure a hard test failure rather than a silent fallback.
+  */
+class CodegenWiringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withCodegen[T](mode: String)(f: => T): T = {
+    spark.conf.set("spark.sql.codegen.factoryMode", mode)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try f
+    finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  private def toksDf: DataFrame =
+    Seq((1, Seq("the", "quick", "brown", "fox", "jumps", "the", "quick")),
+      (2, Seq("a", "b")), (3, Seq.empty[String]))
+      .toDF("id", "toks")
+      .union(Seq((4, null.asInstanceOf[Seq[String]])).toDF("id", "toks"))
+      // break ConvertToLocalRelation so the project is a real codegen stage
+      .repartition(2)
+
+  private val mod = (1L << 60) - 1
+
+  private def textQuery: DataFrame = toksDf.select(
+    $"id",
+    TextHashKernels.shingleHash60($"toks", 3, mod).as("sh"),
+    TextHashKernels.tokenHash60($"toks", mod).as("th"),
+    TextHashKernels.fingerprint($"toks", mod).as("fp"),
+    TextHashKernels.tokenEntropy($"toks").as("ent"))
+
+  private def rollQuery: DataFrame = {
+    val d = (for (g <- 0 until 2; t <- 0 until 30)
+      yield (g, t, math.sin(t * 0.3) + g)).toDF("g", "t", "v")
+      .withColumn("v", when($"t" % 7 === 0, lit(null)).otherwise($"v"))
+    val specs = Seq(
+      RollSpecDef(0, 0, 5, 2, 0, Array.empty),
+      RollSpecDef(1, 0, 6, 3, 0, Array.empty),
+      RollSpecDef(2, 0, 4, 4, 0, Array.empty))
+    val depth = specs.map(_.depth).max
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("t").rowsBetween(-(depth - 1), 0)
+    d.select($"g", $"t",
+      MultiRollKernel.of(collect_list(array($"v".cast("double"))).over(win), specs).as("r"))
+  }
+
+  test("generated code calls KernelRuntime (kernels are inside codegen)") {
+    // AQE wraps the un-executed plan in AdaptiveSparkPlanExec, which hides
+    // the codegen subtrees from codegenString — turn it off for the pin.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val gen = org.apache.spark.sql.execution.debug.codegenString(
+        textQuery.queryExecution.executedPlan)
+      for (m <- Seq("KernelRuntime.shingleHash60", "KernelRuntime.tokenHash60",
+        "KernelRuntime.fingerprint", "KernelRuntime.tokenEntropy"))
+        assert(gen.contains(s"graft.plans.$m"), s"generated code lacks $m")
+      val genRoll = org.apache.spark.sql.execution.debug.codegenString(
+        rollQuery.queryExecution.executedPlan)
+      assert(genRoll.contains("graft.plans.KernelRuntime.multiRoll"),
+        "generated code lacks KernelRuntime.multiRoll")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("text kernels: CODEGEN_ONLY equals NO_CODEGEN (incl. null/empty rows)") {
+    val a = withCodegen("CODEGEN_ONLY")(textQuery.orderBy("id").collect().toSeq)
+    val b = withCodegen("NO_CODEGEN")(textQuery.orderBy("id").collect().toSeq)
+    assert(a == b)
+    assert(a.exists(_.isNullAt(1)), "null toks row must stay null")
+  }
+
+  test("multiRoll: CODEGEN_ONLY equals NO_CODEGEN") {
+    val a = withCodegen("CODEGEN_ONLY")(rollQuery.orderBy("g", "t").collect().toSeq)
+    val b = withCodegen("NO_CODEGEN")(rollQuery.orderBy("g", "t").collect().toSeq)
+    assert(a == b)
+  }
+}
