@@ -234,6 +234,67 @@ object Ann {
     }
   }
 
+  /** Trained PQ codebooks — the production quantizer: per subspace, a
+    * k-means|| fit (MLlib, squared-L2 objective, matching the ADC/code
+    * metric) over that subspace's slice of every corpus vector. Seed
+    * slices ([[pqSeedCodebooks]]) keep the oracle deterministic; real
+    * corpora need trained centroids or within-cluster ADC distances
+    * collapse to ties and recall dies (same argument as
+    * [[kmeansCentroids]] for IVF).
+    *
+    * All m subspace slices are materialized in ONE pass over the corpus
+    * and cached, so the m fits iterate over an in-memory projection of
+    * m×sub doubles per row, not m parquet scans of the full embedding.
+    * At 100 TB you would fit on a sampled fraction — pass
+    * `corpus.sample(f)`; the codebooks (m·k·sub doubles) are
+    * driver-side literals either way, exactly like the IVF centroids.
+    */
+  def pqTrainedCodebooks(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      seed: Long = 1L,
+      maxIter: Int = 10): Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val feats = corpus.select((0 until m).map { j =>
+      org.apache.spark.ml.functions.array_to_vector(
+        slice(col(vecCol), j * sub + 1, sub).cast("array<double>")).as(s"__f$j")
+    }: _*).cache()
+    try {
+      Array.tabulate(m) { j =>
+        new KMeans().setK(k).setSeed(seed + j).setMaxIter(maxIter)
+          .setFeaturesCol(s"__f$j").fit(feats)
+          .clusterCenters.map(_.toArray)
+      }
+    } finally { feats.unpersist(); () }
+  }
+
+  /** End-to-end PQ search: code the corpus, then ADC top-k. The default
+    * quantizer TRAINS per-subspace k-means ([[pqTrainedCodebooks]]);
+    * pass `codebooks` explicitly for a deterministic quantizer
+    * ([[pqSeedCodebooks]], the oracle-reproducible path) or a
+    * pre-trained one — mirroring [[ivfTopK]]'s contract.
+    */
+  def pqSearch(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qIdCol: String,
+      k: Int,
+      m: Int,
+      nCodes: Int,
+      codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val books = codebooks.getOrElse(pqTrainedCodebooks(corpus, idCol, vecCol, m, nCodes))
+    val codes = pqCodes(corpus, idCol, vecCol, books)
+    pqTopK(codes, queries, idCol, vecCol, qIdCol, k, books)
+  }
+
   /** PQ code assignment with ZERO shuffle: per subspace, a slice of the
     * embedding runs through the squared-L2 nearest-centroid kernel
     * (ties → lowest code) against the broadcast codebook — a map-only

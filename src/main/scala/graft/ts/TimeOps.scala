@@ -199,7 +199,14 @@ object TimeOps {
     // groupCols empty = ONE series: repartition() with zero exprs would
     // round-robin the rows and each task would EWMA its arbitrary subset
     // (silently wrong). A single series is inherently sequential, so
-    // coalesce(1) — the same guard DomFreq uses.
+    // coalesce(1) — the same guard DomFreq uses. Deliberately NOT
+    // repartition(1): that would keep upstream stages parallel (a real
+    // win when a heavy pipeline feeds an ungrouped ewma) but makes the
+    // single partition's pre-sort row order depend on shuffle arrival,
+    // so rows tied on (groupCols ++ orderCols) could swap and the
+    // recursion is order-sensitive; coalesce merges partitions in
+    // deterministic order. Callers with a heavy upstream and a total
+    // ordering key can repartition(1) themselves before calling.
     val parted =
       if (groupCols.isEmpty) df.coalesce(1)
       else df.repartition(groupCols.map(col): _*)

@@ -59,6 +59,44 @@ class PqSpec extends SparkSpec {
     assert(hashEx == 1, s"expected only the top-k window exchange, got $hashEx:\n${plan.take(1000)}")
   }
 
+  test("trained codebooks: ADC top-k recalls exact-L2 top-k and beats seed codebooks") {
+    // jitter is deliberately LARGE (1.5 vs the 0.05 of the seed-codebook
+    // fixture): with one code per cluster every member quantizes to the
+    // same ADC distance and ranking degenerates to the id tie-break, so
+    // the recall signal needs k-means to subdivide clusters (m=8 fine subspaces, 32 codes
+    // over 4 clusters) and capture within-cluster structure.
+    val rnd = new Random(97)
+    val centers = Array.fill(4)(Array.fill(32)(rnd.nextGaussian() * 5))
+    val data = (0 until 120).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => (v + rnd.nextGaussian() * 1.5).toFloat).toSeq)
+    }
+    val corpus = data.toDF("vec_id", "embedding")
+    val q = corpus.where($"vec_id" < 4).select($"vec_id".as("qid"), $"embedding")
+
+    // exact squared-L2 top-10 per query, computed driver-side (120 rows)
+    val vecs = data.toMap
+    def exactTop(qid: Long): Set[Long] = {
+      val qv = vecs(qid)
+      data.map { case (id, v) =>
+        id -> v.zip(qv).map { case (a, b) => (a - b).toDouble * (a - b) }.sum
+      }.sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    }
+
+    def recallOf(books: Array[Array[Array[Double]]]): Double = {
+      val got = Ann.pqSearch(corpus, q, "vec_id", "embedding", "qid", k = 10,
+        m = 4, nCodes = 32, codebooks = Some(books))
+        .select("qid", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      (0L until 4L).map(qid => (got(qid) intersect exactTop(qid)).size / 10.0).sum / 4.0
+    }
+
+    val trained = recallOf(Ann.pqTrainedCodebooks(corpus, "vec_id", "embedding", m = 8, k = 32))
+    val seeded = recallOf(Ann.pqSeedCodebooks(corpus, "vec_id", "embedding", m = 8, k = 32))
+    assert(trained >= 0.7, s"trained-codebook ADC recall@10 must be >= 0.7, got $trained")
+    assert(trained >= seeded, s"training must not lose to seed slices: $trained < $seeded")
+  }
+
   test("L2 nearest-centroid kernel breaks ties toward the lowest code") {
     val v = Seq((1L, Seq(1.0f, 1.0f))).toDF("id", "v")
     val cents = Seq(Array(0.0, 0.0), Array(2.0, 2.0)) // equidistant from (1,1)
