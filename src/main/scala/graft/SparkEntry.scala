@@ -598,6 +598,19 @@ object SparkEntry {
         .join(verdicts, Seq("doc_id"), "left")
         .orderBy("doc_id")
     },
+    "stream_taylor" -> { (s, dir) =>
+      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+          StreamingFeaturize.streamingTaylor(ds,
+            ts.TaylorBasis.Spec("value", 2, 14, "trailing", None, fillEdges = false)))
+        .orderBy("user_id", "ts_us")
+    },
+    "stream_domfreq" -> { (s, dir) =>
+      val res = StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+        StreamingFeaturize.streamingDomfreq(ds, w = 16, nDomfreq = 3))
+      ts.DomFreq.featureNames("value", 16, "trailing", 3).filter(_.contains("logpow"))
+        .foldLeft(res)((d, n) => d.withColumn(n, round(col(n), 4)))
+        .orderBy("user_id", "ts_us")
+    },
     "stream_tumbling" -> { (s, dir) =>
       StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "complete")(ds =>
           StreamingFeaturize.tumblingAgg(ds.toDF(), "ts_us", "1 hour", "1 day"))
@@ -1413,6 +1426,21 @@ object SparkEntry {
          |      then min(doc_id) over (partition by k) end as dup_of
          |from d order by doc_id""".stripMargin,
     "stream_dedup_minhash" -> minhashDupOfSql,
+    // trailing taylor branch conditions are pure functions of pos, so
+    // the batch window exprs ARE the streaming oracle (order by ts only
+    // — the replay feed has no event_id)
+    "stream_taylor" -> {
+      val exprs = OracleGen.taylorExprs(
+        ts.TaylorBasis.Spec("value", 2, 14, "trailing", None, fillEdges = false),
+        svOver, Seq("user_id")).mkString(",\n ")
+      s"select user_id, epoch_us(ts) as ts_us, value,\n $exprs\nfrom events\norder by user_id, ts_us"
+    },
+    "stream_domfreq" -> OracleGen.domfreqSql(
+      c = "value", w = 16, align = "trailing_causal", nDomfreq = 3, fs = 1.0, detrend = "linear",
+      part = "user_id", ordSql = "epoch_us(ts)",
+      baseSelect = "user_id, epoch_us(ts) as ts_us, value",
+      keyCols = Seq("user_id", "ts_us", "value"),
+      table = "events", orderBy = "user_id, ts_us"),
     "stream_tumbling" ->
       """select user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000) as day_us,
         | count(*) as n_events, round(sum(value), 4) as sum_value

@@ -104,7 +104,20 @@ object TaylorKernel {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
   import graft.ts.TaylorBasis._
 
-  def fromSpec(spec: Spec, xs: Column, pos: Column, cnt: Column): Column = {
+  def fromSpec(spec: Spec, xs: Column, pos: Column, cnt: Column): Column =
+    column(exprFromSpec(spec, expression(xs), expression(pos), expression(cnt)))
+
+  /** The kernel for `spec` with placeholder children — for callers that
+    * evaluate [[TaylorKernel.nullSafeEval]] directly outside a plan
+    * (the streaming twin's state function), so stream and batch share
+    * ONE branch-table construction and ONE fold body.
+    */
+  def evaluatorFromSpec(spec: Spec): TaylorKernel = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    exprFromSpec(spec, Literal(0L), Literal(0L), Literal(0L))
+  }
+
+  def exprFromSpec(spec: Spec, xs: Expression, pos: Expression, cnt: Expression): TaylorKernel = {
     val brs = branches(spec)
     val trailing = spec.align == "trailing"
     val h = if (trailing) spec.windowSize - 1 else (spec.windowSize - 1) / 2
@@ -126,14 +139,14 @@ object TaylorKernel {
     val froms = brs.map { br =>
       if (br.lags.isEmpty) 0 else lags.indexOf(br.lags.head)
     }
-    column(TaylorKernel(
-      expression(xs), expression(pos), expression(cnt),
+    TaylorKernel(
+      xs, pos, cnt,
       spec.windowSize, h, trailing, spec.degree,
       brs.map(b => condType(b.cond)).toArray,
       brs.map(b => condI(b.cond)).toArray,
       froms.toArray,
       brs.map(_.m).toArray,
       brs.map(_.nullRows).toArray,
-      brs.map(b => (0 to spec.degree).map(d => b.m(d).length > 0 && b.m(d).forall(_ == 0.0)).toArray).toArray))
+      brs.map(b => (0 to spec.degree).map(d => b.m(d).length > 0 && b.m(d).forall(_ == 0.0)).toArray).toArray)
   }
 }

@@ -25,6 +25,7 @@ case class RollFeat(
 case class RingState(ring: Array[Double])
 case class EwmaState(num: Double, den: Double)
 case class BandMin(min_id: Long)
+case class PosRing(ring: Array[Double], pos: Long)
 
 object StreamingFeaturize {
 
@@ -157,6 +158,114 @@ object StreamingFeaturize {
         unix_micros(col("session_window.start")).as("session_start_us"),
         unix_micros(col("session_window.end")).as("session_end_us"),
         col("n_events"), col("sum_value"))
+
+  /** Streaming windowed Taylor coefficients — the trailing-align twin of
+    * Taylor.windowedTaylorCoefs. State per key = a (≤ w)-deep ring of
+    * values + the row position; each event evaluates the SAME
+    * TaylorKernel the batch plan runs (one branch-table construction,
+    * one fold body — bit-identical by construction), fed the same
+    * clipped trailing frame collect_list would build. Centered aligns
+    * need future rows and are rejected; trailing branch conditions are
+    * pure functions of pos (never rpos), so the streaming emission at
+    * event time equals the batch value — the batch SQL oracle gates the
+    * stream unchanged.
+    */
+  def streamingTaylor(events: Dataset[Ev], spec: graft.ts.TaylorBasis.Spec): DataFrame = {
+    require(spec.align == "trailing",
+      s"streaming taylor is trailing-only (centered reads future rows), got ${spec.align}")
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    val w = spec.windowSize
+    val degree = spec.degree
+    val names = (0 to degree).map(spec.featName)
+    val schema = StructType(
+      Seq(StructField("user_id", LongType, nullable = false),
+        StructField("ts_us", LongType, nullable = false),
+        StructField("value", DoubleType, nullable = false)) ++
+        names.map(StructField(_, DoubleType, nullable = true)))
+    val kernel = graft.plans.TaylorKernel.evaluatorFromSpec(spec)
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, evs: Iterator[Ev], state: GroupState[PosRing]) => {
+          var ring: Vector[Double] = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty)
+          var pos: Long = state.getOption.map(_.pos).getOrElse(-1L)
+          val out = evs.toSeq.sortBy(e => (e.ts_us, e.value)).map { e =>
+            pos += 1
+            ring = (ring :+ e.value).takeRight(w)
+            // cnt only feeds rpos, which no trailing branch consults —
+            // pos + 1 ("current row is the last seen") keeps it sane
+            val res = kernel.nullSafeEval(new GenericArrayData(ring.toArray), pos, pos + 1)
+            val feats: Seq[Any] =
+              if (res == null) Seq.fill(degree + 1)(null)
+              else {
+                val a = res.asInstanceOf[ArrayData]
+                (0 to degree).map(d => if (a.isNullAt(d)) null else a.getDouble(d))
+              }
+            Row.fromSeq(Seq[Any](key, e.ts_us, e.value) ++ feats)
+          }
+          state.update(PosRing(ring.toArray, pos))
+          out.iterator
+        })(Encoders.product[PosRing], Encoders.row(schema))
+  }
+
+  /** Streaming dominant-frequency features — the strictly-causal twin of
+    * DomFreq.domfreq's trailing align. State per key = a w-deep ring +
+    * position; once a full window exists ([pos-w+1 .. pos]) the event
+    * runs the SAME periodogramTopK kernel (same DftTables trig/detrend
+    * tables) the batch scan runs. Rows before the first full window emit
+    * null features: the batch's head-pad recycling reads FUTURE values
+    * (featurize.py:576-581 prepends the first w rows), which a causal
+    * stream cannot — the oracle twin is OracleGen.domfreqSql with
+    * align = "trailing_causal".
+    */
+  def streamingDomfreq(
+      events: Dataset[Ev],
+      w: Int,
+      nDomfreq: Int,
+      fs: Double = 1.0,
+      detrend: String = "linear"): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.{Encoders, Row}
+    val tables = graft.ts.DomFreq.DftTables(w, fs, detrend)
+    val kEff = math.min(nDomfreq, tables.nBins)
+    val names = graft.ts.DomFreq.featureNames("value", w, "trailing", nDomfreq)
+    val schema = StructType(
+      Seq(StructField("user_id", LongType, nullable = false),
+        StructField("ts_us", LongType, nullable = false),
+        StructField("value", DoubleType, nullable = false)) ++
+        names.map(StructField(_, DoubleType, nullable = true)))
+    val nullFeats: Seq[Any] = Seq.fill(2 * nDomfreq)(null)
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, evs: Iterator[Ev], state: GroupState[PosRing]) => {
+          val ring: Array[Double] = state.getOption.map(_.ring).getOrElse(new Array[Double](w))
+          var pos: Long = state.getOption.map(_.pos).getOrElse(-1L)
+          val out = evs.toSeq.sortBy(e => (e.ts_us, e.value)).map { e =>
+            pos += 1
+            ring((pos % w).toInt) = e.value
+            val feats: Seq[Any] =
+              if (pos < w - 1) nullFeats
+              else {
+                val xs = new Array[Double](w)
+                var i = 0
+                while (i < w) { xs(i) = ring(((pos - w + 1 + i) % w).toInt); i += 1 }
+                val f = graft.ts.DomFreq.periodogramTopK(xs, tables, nDomfreq)
+                if (f == null) nullFeats
+                else
+                  (0 until nDomfreq).map(j => if (j < kEff) (f(j): Any) else null) ++
+                    (0 until nDomfreq).map(j => if (j < kEff) (f(kEff + j): Any) else null)
+              }
+            Row.fromSeq(Seq[Any](key, e.ts_us, e.value) ++ feats)
+          }
+          state.update(PosRing(ring, pos))
+          out.iterator
+        })(Encoders.product[PosRing], Encoders.row(schema))
+  }
 
   /** Streaming exact recursive EWMA (pandas ewm adjust=true), the
     * TimeOps.ewma twin: state per key = the two running scalars

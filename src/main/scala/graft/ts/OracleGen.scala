@@ -200,6 +200,13 @@ object OracleGen {
         s"""list_concat(
            |    case when pos < ${w - 1} then list_slice(fl, pos + 2, $w) else [] end,
            |    list_slice(fl, greatest(pos - ${w - 1}, 0) + 1, pos + 1))""".stripMargin
+      // strictly-causal trailing (the streaming twin's semantics): no
+      // head-pad recycling — rows before the first full window get []
+      // (→ null features via the len(xs) = w gate), later rows use the
+      // same [pos-w+1 .. pos] slice as padded trailing. Feature names
+      // still carry the 't' suffix (align.head).
+      case "trailing_causal" =>
+        s"case when pos >= ${w - 1} then list_slice(fl, pos - ${w - 2}, pos + 1) else [] end"
     }
     val xmean = s"${fold((1 to w).map(i => s"xs[$i]"))} / $w"
     val (baseE, slopeE) = detrend match {

@@ -67,6 +67,45 @@ class StreamingFeaturizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  private def optRow(r: org.apache.spark.sql.Row, from: Int): Seq[Option[Double]] =
+    (from until r.length).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i)))
+
+  test("streamingTaylor is bit-identical to batch trailing taylor (plain and ew-edge specs)") {
+    val all = evs(1, 20) ++ evs(2, 9)
+    for (spec <- Seq(
+      graft.ts.TaylorBasis.Spec("value", 2, 5, "trailing", None, fillEdges = false),
+      graft.ts.TaylorBasis.Spec("value", 1, 5, "trailing", Some(3), fillEdges = true))) {
+      val streamed = StreamRunner.run(spark, all, nChunks = 3, "append")(ds =>
+          StreamingFeaturize.streamingTaylor(ds, spec))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> optRow(r, 3)).toMap
+      val batch = graft.ts.Taylor.windowedTaylorCoefs(
+          all.toDF("user_id", "ts_us", "value"), Seq("value"), Seq("user_id"), Seq("ts_us"),
+          spec.degree, Seq(spec.windowSize), Seq("trailing"), Seq(spec.ewSpan), spec.fillEdges)
+        .df.select(col("user_id") +: col("ts_us") +: col("value") +:
+          (0 to spec.degree).map(d => col(spec.featName(d))): _*)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> optRow(r, 3)).toMap
+      assert(streamed == batch, s"spec $spec diverged")
+    }
+  }
+
+  test("streamingDomfreq equals batch trailing domfreq on full-window rows, null before") {
+    val w = 6
+    val all = evs(1, 20) ++ evs(2, 8)
+    val streamed = StreamRunner.run(spark, all, nChunks = 3, "append")(ds =>
+        StreamingFeaturize.streamingDomfreq(ds, w = w, nDomfreq = 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> optRow(r, 3)).toMap
+    val batch = graft.ts.DomFreq.domfreq(
+        all.toDF("user_id", "ts_us", "value"), Seq("value"), Seq("user_id"), Seq("ts_us"),
+        Seq(w), Seq("trailing"), nDomfreq = 2)
+      .df.collect().map(r => (r.getLong(0), r.getLong(1)) -> optRow(r, 3)).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case ((u, ts), feats) =>
+      val pos = ts / 1000000
+      if (pos < w - 1) assert(feats.forall(_.isEmpty), s"pre-window row ($u,$ts) must be null")
+      else assert(feats == batch((u, ts)), s"row ($u,$ts) diverged from batch")
+    }
+  }
+
   test("watermarked session rollups match the batch sess_agg shape") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
