@@ -532,9 +532,13 @@ object SparkEntry {
     // Gopher-style duplicate n-gram fractions — boilerplate/degenerate
     // generation signal for curation
     "text_repetition" -> { (s, dir) =>
-      Tables.documents(s, dir).select(col("doc_id"),
-        TextOps.repetitionRatio(col("text"), 2).as("rep2"),
-        TextOps.repetitionRatio(col("text"), 3).as("rep3"))
+      // ONE md5-per-token pass shared by both gram widths (the two-level
+      // select keeps CollapseProject from inlining __th twice)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokenHashes32Kernel(col("text")).as("__th"))
+        .select(col("doc_id"),
+          TextOps.repetitionRatioFromHashes(col("__th"), 2).as("rep2"),
+          TextOps.repetitionRatioFromHashes(col("__th"), 3).as("rep3"))
         .orderBy("doc_id")
     },
     // deterministic hash sampling + split: every row's fate is a pure
@@ -1297,10 +1301,14 @@ object SparkEntry {
     "text_repetition" -> {
       def rep(sh: String) =
         s"case when len($sh) > 0 then 1.0E0 - cast(len(list_distinct($sh)) as double) / cast(len($sh) as double) else 0.0E0 end"
+      // Horner codes over 32-bit token hashes — the same fold order as
+      // repetitionRatioFromHashes (acc*131 + th), 1-based list indices
       s"""with t as (select doc_id, ${SqlTwins.toks("text")} as t from documents),
+         |th as (select doc_id, list_transform(t, s -> ${SqlTwins.h60("s")} % 4294967296) as th from t),
          |sh as (select doc_id,
-         |  ${SqlTwins.shingleHashes(SqlTwins.shingles("t", 2))} as s2,
-         |  ${SqlTwins.shingleHashes(SqlTwins.shingles("t", 3))} as s3 from t)
+         |  case when len(th) >= 2 then list_transform(range(1, len(th)), i -> (th[i] * 131) + th[i + 1]) else [] end as s2,
+         |  case when len(th) >= 3 then list_transform(range(1, len(th) - 1), i -> (((th[i] * 131) + th[i + 1]) * 131) + th[i + 2]) else [] end as s3
+         |from th)
          |select doc_id, ${rep("s2")} as rep2, ${rep("s3")} as rep3
          |from sh order by doc_id""".stripMargin
     },

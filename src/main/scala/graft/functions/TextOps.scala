@@ -112,15 +112,35 @@ object TextOps {
     * documents with fewer than n tokens (no n-grams ⇒ nothing
     * repeated). Exact ratios of small ints, engine-identical.
     */
-  def repetitionRatio(text: Column, n: Int): Column = {
-    // distinct over 60-bit shingle HASHES via the one-pass ShingleHash60
-    // kernel (no shingle-string arrays, no interpreted zip_with chain —
-    // ~6× cheaper); the SQL twin distincts the same hashes, so the
-    // ratio is identical by construction (a 2^-60 collision would
-    // change both sides the same way)
-    val sh = graft.plans.TextHashKernels.shingleHash60(tokens(text), n, MinhashMod)
-    when(size(sh) > 0,
-      lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+  def repetitionRatio(text: Column, n: Int): Column =
+    repetitionRatioFromHashes(tokenHashes32Kernel(text), n)
+
+  /** 32-bit token hashes via the one-pass TokenHash60 kernel — ONE md5
+    * per token. Callers computing several n-gram statistics over the
+    * same document should materialize this once and feed the
+    * `FromHashes` forms: the md5 work is then paid once per token, not
+    * once per (n, shingle).
+    */
+  def tokenHashes32Kernel(text: Column): Column =
+    graft.plans.TextHashKernels.tokenHash60(tokens(text), 4294967296L)
+
+  /** Repetition ratio over precomputed token hashes: n-gram identity is
+    * the Horner code h(g) = fold(acc·131 + th_i) over the gram's token
+    * hashes — pure long arithmetic, no md5, no shingle strings; the SQL
+    * twin folds the same values in the same order so the distinct
+    * counts (ratios of small ints) are engine-identical. Distinct
+    * grams collide only when 131-weighted hash differences cancel
+    * (~2^-32 per pair) — both engines see the same collision, and the
+    * statistic moves by ~1/grams in the rare hit.
+    */
+  def repetitionRatioFromHashes(th: Column, n: Int): Column = {
+    val grams = when(size(th) >= n,
+      transform(sequence(lit(1), size(th) - (n - 1)),
+        i => (0 until n).map(j => element_at(th, i + lit(j)))
+          .reduceLeft((acc, x) => acc * lit(131L) + x)))
+      .otherwise(array().cast("array<bigint>"))
+    when(size(grams) > 0,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
       .otherwise(lit(0.0))
   }
 
