@@ -30,7 +30,7 @@ import org.apache.spark.sql.types._
   * 3=PosEq(i), 4=Interior.
   */
 case class TaylorKernel(
-    first: Expression,  // window array (array<double>)
+    first: Expression,  // window array (array<double> | array<array<double>>)
     second: Expression, // pos (long, 0-based)
     third: Expression,  // cnt (long, group size)
     w: Int,
@@ -42,7 +42,17 @@ case class TaylorKernel(
     froms: Array[Int],
     ms: Array[Array[Array[Double]]],   // branch -> coefficient -> weights
     nullRows: Array[Array[Boolean]],   // branch -> coefficient -> emit null
-    zeroRows: Array[Array[Boolean]])   // branch -> coefficient -> emit 0.0
+    zeroRows: Array[Array[Boolean]],   // branch -> coefficient -> emit 0.0
+    // Shared-frame mode (Taylor.sharedKernelBlock): the frame may be
+    // DEEPER/WIDER than this spec's own window — `frameLo` is the
+    // frame's past depth (its rowsBetween lower bound negated; -1 = the
+    // frame IS the spec's own, depth h), and `colIdx >= 0` selects the
+    // source column inside array-wrapped elements (-1 = bare doubles).
+    // The current row sits at index min(pos, frameLo); the spec's lag
+    // table entry (from + j) maps to min(pos, frameLo) + (from + j) - h,
+    // which reduces to the dedicated-frame indexing when frameLo = h.
+    frameLo: Int = -1,
+    colIdx: Int = -1)
     extends TernaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
@@ -66,8 +76,16 @@ case class TaylorKernel(
       if (hit) sel = b else b += 1
     }
     if (sel < 0) return null
-    val clipLeft = math.max((if (trailing) w - 1 else h) - pos, 0L).toInt
+    // index of the current row inside the frame: with a dedicated frame
+    // (frameLo < 0) the frame starts max(h - pos, 0) short of full, so
+    // current = min(pos, h); a shared frame's past depth is frameLo.
+    val fl = if (frameLo < 0) h.toLong else frameLo.toLong
+    val curIdx = math.min(pos, fl).toInt
     val n = xs.numElements()
+    @inline def nulAt(i: Int): Boolean =
+      if (colIdx < 0) xs.isNullAt(i) else xs.getArray(i).isNullAt(colIdx)
+    @inline def valAt(i: Int): Double =
+      if (colIdx < 0) xs.getDouble(i) else xs.getArray(i).getDouble(colIdx)
     val out = new Array[Any](degree + 1)
     val m = ms(sel)
     val from = froms(sel)
@@ -81,11 +99,11 @@ case class TaylorKernel(
         var ok = true
         var j = 0
         while (ok && j < row.length) {
-          val idx = from + j - clipLeft
-          if (idx < 0 || idx >= n || xs.isNullAt(idx)) ok = false
+          val idx = curIdx + (from + j) - h
+          if (idx < 0 || idx >= n || nulAt(idx)) ok = false
           else {
-            if (j == 0) s = row(0) * xs.getDouble(idx)
-            else s += row(j) * xs.getDouble(idx)
+            if (j == 0) s = row(0) * valAt(idx)
+            else s += row(j) * valAt(idx)
             j += 1
           }
         }
@@ -106,6 +124,15 @@ object TaylorKernel {
 
   def fromSpec(spec: Spec, xs: Column, pos: Column, cnt: Column): Column =
     column(exprFromSpec(spec, expression(xs), expression(pos), expression(cnt)))
+
+  /** Kernel over a SHARED frame (Taylor.sharedKernelBlock): `frameLo` =
+    * the frame's past depth, `colIdx` = the spec's column inside
+    * array-wrapped elements (-1 for a bare single-column frame).
+    */
+  def fromSpecShared(spec: Spec, xs: Column, pos: Column, cnt: Column,
+      frameLo: Int, colIdx: Int): Column =
+    column(exprFromSpec(spec, expression(xs), expression(pos), expression(cnt))
+      .copy(frameLo = frameLo, colIdx = colIdx))
 
   /** The kernel for `spec` with placeholder children — for callers that
     * evaluate [[TaylorKernel.nullSafeEval]] directly outside a plan
