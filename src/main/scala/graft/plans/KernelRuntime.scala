@@ -152,6 +152,65 @@ object KernelRuntime {
     new GenericArrayData(out)
   }
 
+  /** See [[TaylorKernel]] for the branch/indexing contract; `t` carries
+    * the precomputed TaylorBasis tables. Returns null (no array) for
+    * rows outside every branch (fillEdges=false edges).
+    */
+  def taylor(xs: ArrayData, pos: Long, cnt: Long, t: TaylorTable): ArrayData = {
+    val rpos = cnt - 1L - pos
+    val h = t.h
+    var b = 0
+    var sel = -1
+    while (sel < 0 && b < t.condTypes.length) {
+      val hit = t.condTypes(b) match {
+        case 0 => pos < h && rpos < h
+        case 1 => rpos == t.condIs(b)
+        case 2 => rpos == t.condIs(b)
+        case 3 => pos == t.condIs(b)
+        case _ => if (t.trailing) pos >= t.w else pos >= h && rpos >= h + 1
+      }
+      if (hit) sel = b else b += 1
+    }
+    if (sel < 0) return null
+    // index of the current row inside the frame: with a dedicated frame
+    // (frameLo < 0) the frame starts max(h - pos, 0) short of full, so
+    // current = min(pos, h); a shared frame's past depth is frameLo.
+    val fl = if (t.frameLo < 0) h.toLong else t.frameLo.toLong
+    val curIdx = math.min(pos, fl).toInt
+    val c = t.colIdx
+    val n = xs.numElements()
+    @inline def nulAt(i: Int): Boolean =
+      if (c < 0) xs.isNullAt(i) else xs.getArray(i).isNullAt(c)
+    @inline def valAt(i: Int): Double =
+      if (c < 0) xs.getDouble(i) else xs.getArray(i).getDouble(c)
+    val out = new Array[Any](t.degree + 1)
+    val m = t.ms(sel)
+    val from = t.froms(sel)
+    var d = 0
+    while (d <= t.degree) {
+      if (t.nullRows(sel)(d)) out(d) = null
+      else if (t.zeroRows(sel)(d) || m(d).length == 0) out(d) = D(0.0)
+      else {
+        val row = m(d)
+        var s = 0.0
+        var ok = true
+        var j = 0
+        while (ok && j < row.length) {
+          val idx = curIdx + (from + j) - h
+          if (idx < 0 || idx >= n || nulAt(idx)) ok = false
+          else {
+            if (j == 0) s = row(0) * valAt(idx)
+            else s += row(j) * valAt(idx)
+            j += 1
+          }
+        }
+        out(d) = if (ok) D(s) else null
+      }
+      d += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** See [[ShingleHash60]]. */
   def shingleHash60(arr: ArrayData, n: Int, mod: Long): ArrayData = {
     val nt = arr.numElements()

@@ -59,6 +59,19 @@ class CodegenWiringSpec extends SparkSpec {
       MultiRollKernel.of(collect_list(array($"v".cast("double"))).over(win), specs).as("r"))
   }
 
+  // taylor over grouped series: trailing fillEdges=false exercises the
+  // null-result path (rows outside every branch), centered the rpos
+  // branches — both must run as KernelRuntime.taylor inside codegen
+  private def taylorQuery: DataFrame = {
+    val d = (for (g <- 0 until 3; t <- 0 until 25)
+      yield (g, t, math.sin(t * 0.4) + g)).toDF("g", "t", "v").repartition(2)
+    val r1 = graft.ts.Taylor.windowedTaylorCoefs(d, Seq("v"), Seq("g"), Seq("t"),
+      taylorDegree = 2, Seq(7), Seq("trailing"), Seq(None), fillEdges = false)
+    val r2 = graft.ts.Taylor.windowedTaylorCoefs(r1.df, Seq("v"), Seq("g"), Seq("t"),
+      taylorDegree = 1, Seq(9), Seq("centered"), Seq(None), fillEdges = true)
+    r2.df
+  }
+
   test("generated code calls KernelRuntime (kernels are inside codegen)") {
     // AQE wraps the un-executed plan in AdaptiveSparkPlanExec, which hides
     // the codegen subtrees from codegenString — turn it off for the pin.
@@ -73,7 +86,19 @@ class CodegenWiringSpec extends SparkSpec {
         rollQuery.queryExecution.executedPlan)
       assert(genRoll.contains("graft.plans.KernelRuntime.multiRoll"),
         "generated code lacks KernelRuntime.multiRoll")
+      val genTay = org.apache.spark.sql.execution.debug.codegenString(
+        taylorQuery.queryExecution.executedPlan)
+      assert(genTay.contains("graft.plans.KernelRuntime.taylor"),
+        "generated code lacks KernelRuntime.taylor")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("taylor: CODEGEN_ONLY equals NO_CODEGEN (incl. fillEdges=false null rows)") {
+    val a = withCodegen("CODEGEN_ONLY")(taylorQuery.orderBy("g", "t").collect().toSeq)
+    val b = withCodegen("NO_CODEGEN")(taylorQuery.orderBy("g", "t").collect().toSeq)
+    assert(a == b)
+    // the trailing fillEdges=false family must really null its edge rows
+    assert(a.exists(_.isNullAt(3)), "expected null taylor coefs on edge rows")
   }
 
   test("text kernels: CODEGEN_ONLY equals NO_CODEGEN (incl. null/empty rows)") {
