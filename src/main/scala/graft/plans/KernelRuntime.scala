@@ -20,9 +20,16 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 object KernelRuntime {
   private val D = java.lang.Double.valueOf(_: Double)
 
-  /** See [[MultiRollKernel]] for the frame/NULL contract. */
-  def multiRoll(xs: ArrayData, specs: Array[RollSpecDef], bare: Boolean): ArrayData = {
+  /** See [[MultiRollKernel]] for the frame/NULL contract. `futureLen` =
+    * number of FUTURE rows present in the frame at this row (0 for a
+    * trailing frame; min(rpos, frameHi) when the frame is shared with
+    * centered taylor specs and extends `frameHi` rows ahead) — the
+    * current row sits at index n - 1 - futureLen and every trailing
+    * fold ends there.
+    */
+  def multiRoll(xs: ArrayData, futureLen: Int, specs: Array[RollSpecDef], bare: Boolean): ArrayData = {
     val n = xs.numElements()
+    val end = n - 1 - futureLen // index of the current row inside the frame
     var totalOut = 0
     var t = 0
     while (t < specs.length) { totalOut += specs(t).nOut; t += 1 }
@@ -32,8 +39,8 @@ object KernelRuntime {
     while (s < specs.length) {
       val sp = specs(s)
       val c = sp.colIdx
-      val avail = math.min(sp.depth, n)
-      val start = n - avail
+      val avail = math.max(0, math.min(sp.depth, end + 1))
+      val start = end + 1 - avail
       // wrapped frame: elements are arrays of column casts (null slot =
       // null source value, row keeps its position). bare frame: plain
       // doubles from a single column — collect_list has already dropped
@@ -44,13 +51,13 @@ object KernelRuntime {
       @inline def at(i: Int): Double = if (bare) xs.getDouble(i) else xs.getArray(i).getDouble(c)
       sp.mode match {
         case 0 => // rollmean: newest→oldest sum over non-nulls, gate cnt >= minP
-          var acc = 0.0; var cnt = 0; var i = n - 1
+          var acc = 0.0; var cnt = 0; var i = end
           while (i >= start) { if (!nul(i)) { acc += at(i); cnt += 1 }; i -= 1 }
           out(o) = if (cnt >= sp.minP) D(acc / cnt) else null
           o += 1
         case 1 => // rollstats: min/max/std over non-nulls
           var s1 = 0.0; var s2 = 0.0; var mn = Double.MaxValue; var mx = Double.MinValue
-          var cnt = 0; var i = n - 1
+          var cnt = 0; var i = end
           while (i >= start) {
             if (!nul(i)) {
               val v = at(i)
@@ -67,11 +74,11 @@ object KernelRuntime {
           out(o + 2) = if (cnt >= math.max(sp.minP, 2)) D(std) else null
           o += 3
         case 2 => // zscore of the current row against its trailing window
-          var s1 = 0.0; var s2 = 0.0; var cnt = 0; var i = n - 1
+          var s1 = 0.0; var s2 = 0.0; var cnt = 0; var i = end
           while (i >= start) { if (!nul(i)) { val v = at(i); s1 += v; s2 += v * v; cnt += 1 }; i -= 1 }
           out(o) =
-            if (cnt >= sp.w && n > 0 && !nul(n - 1)) {
-              val x = at(n - 1)
+            if (cnt >= sp.w && end >= 0 && !nul(end)) {
+              val x = at(end)
               val mean = s1 / cnt
               val std = math.sqrt((s2 - (s1 * s1) / cnt) / (cnt - 1))
               D((x - mean) / std)
@@ -81,9 +88,9 @@ object KernelRuntime {
           var num = 0.0; var den = 0.0; var i = 0
           val lim = math.min(sp.w, avail)
           while (i < lim) {
-            if (!nul(n - 1 - i)) {
+            if (!nul(end - i)) {
               val wi = sp.weights(i)
-              num += wi * at(n - 1 - i); den += wi
+              num += wi * at(end - i); den += wi
             }
             i += 1
           }
@@ -93,7 +100,7 @@ object KernelRuntime {
           var np = 0; var sx = 0.0; var sy = 0.0; var sxx = 0.0; var syy = 0.0; var sxy = 0.0
           var i = 0
           while (i < sp.w) {
-            val xi = n - 1 - i
+            val xi = end - i
             val yi = xi - sp.lagK
             if (yi >= start && !nul(xi) && !nul(yi)) {
               val x = at(xi)
@@ -113,7 +120,7 @@ object KernelRuntime {
           var np = 0; var sx = 0.0; var sy = 0.0; var sxx = 0.0; var syy = 0.0; var sxy = 0.0
           var i = 0
           while (i < sp.w) {
-            val xi = n - 1 - i
+            val xi = end - i
             if (xi >= start && !nul(xi) && !nul2(xi)) {
               val x = at(xi)
               val y = at2(xi)
@@ -127,7 +134,7 @@ object KernelRuntime {
           o += 1
         case _ => // mode 5: skew + kurtosis, weights = momentCoefs(w)
           var s1 = 0.0; var s2 = 0.0; var s3 = 0.0; var s4 = 0.0
-          var cnt = 0; var i = n - 1
+          var cnt = 0; var i = end
           while (i >= start) {
             if (!nul(i)) {
               val v = at(i)

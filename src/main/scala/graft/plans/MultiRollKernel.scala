@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -52,37 +52,48 @@ final case class RollSpecDef(
   * zscore's current row) keep the null-free contract of their
   * single-column kernels.
   */
-case class MultiRollKernel(child: Expression, specs: Array[RollSpecDef], bare: Boolean = false)
-    extends UnaryExpression {
+case class MultiRollKernel(left: Expression, right: Expression, specs: Array[RollSpecDef], bare: Boolean = false)
+    extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
   override def nullable: Boolean = true
 
   // The single fold body lives in KernelRuntime.multiRoll — interpreted
   // eval and generated code both call it, so there is exactly one copy
-  // of the bit-exactness-critical loops.
-  override def nullSafeEval(input: Any): Any =
-    KernelRuntime.multiRoll(input.asInstanceOf[ArrayData], specs, bare)
+  // of the bit-exactness-critical loops. `right` = futureLen, the count
+  // of future rows in the frame (0 unless sharing a centered-taylor
+  // frame — see KernelRuntime.multiRoll).
+  override def nullSafeEval(input: Any, future: Any): Any =
+    KernelRuntime.multiRoll(input.asInstanceOf[ArrayData], future.asInstanceOf[Int], specs, bare)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val specsRef = ctx.addReferenceObj("rollSpecs", specs, "graft.plans.RollSpecDef[]")
-    defineCodeGen(ctx, ev, c => s"graft.plans.KernelRuntime.multiRoll($c, $specsRef, $bare)")
+    defineCodeGen(ctx, ev, (c, f) => s"graft.plans.KernelRuntime.multiRoll($c, $f, $specsRef, $bare)")
   }
 
-  override protected def withNewChildInternal(newChild: Expression): MultiRollKernel =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MultiRollKernel =
+    copy(left = l, right = r)
 }
 
 object MultiRollKernel {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+  import org.apache.spark.sql.catalyst.expressions.Literal
 
   def of(xs: Column, specs: Seq[RollSpecDef]): Column =
-    column(MultiRollKernel(expression(xs), specs.toArray))
+    column(MultiRollKernel(expression(xs), Literal(0), specs.toArray))
+
+  /** Wrapped frame that also holds `future` rows AHEAD of the current
+    * row (a frame shared with centered taylor specs): `future` must be
+    * min(rpos, frameHi) so every trailing fold still ends at the
+    * current row.
+    */
+  def of(xs: Column, future: Column, specs: Seq[RollSpecDef]): Column =
+    column(MultiRollKernel(expression(xs), expression(future), specs.toArray))
 
   /** Single-column fast path: `xs` is a plain collect_list(double)
     * frame (no per-row array wrapper). Caller contract: every spec's
     * depth equals the frame depth.
     */
   def ofBare(xs: Column, specs: Seq[RollSpecDef]): Column =
-    column(MultiRollKernel(expression(xs), specs.toArray, bare = true))
+    column(MultiRollKernel(expression(xs), Literal(0), specs.toArray, bare = true))
 }

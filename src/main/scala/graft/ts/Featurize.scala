@@ -39,7 +39,7 @@ object Featurize {
     * output names (1 per slot), source column, and the kernel-mode
     * parameters (graft.plans.RollSpecDef numbering).
     */
-  private final case class RollReq(
+  private[ts] final case class RollReq(
       names: Seq[String],
       src: String,
       mode: Int,
@@ -100,6 +100,89 @@ object Featurize {
     }
     withRoll.select(col("*") +: featProjs: _*)
       .drop(kernels.indices.map(i => s"__roll$i"): _*)
+  }
+
+  /** The whole fused window block through ONE shared collect_list frame:
+    * every roll-family request AND every Taylor spec reads the same
+    * `collect_list(array(cols))` window (depth = max past need, reach =
+    * max future need) — a single window aggregation buffer for the
+    * entire feature family, with `extra` (lags/leads) riding the same
+    * Window operator.
+    *
+    * The shared frame is always WRAPPED (array elements), even for one
+    * source column: array() elements are never dropped by collect_list,
+    * so null rows keep their position and both kernels see exact
+    * positional windows — the roll folds skip nulls like the
+    * coalesce+count expression forms, and a taylor branch touching a
+    * null emits a NULL coefficient exactly like the declarative
+    * lag/lead CASE form. Centered taylor specs extend the frame
+    * `frameHi` rows into the future; the roll kernel is told how many
+    * future rows are present (min(rpos, frameHi)) so its trailing folds
+    * still end at the current row (KernelRuntime.multiRoll).
+    *
+    * Called with `taylors = Nil` this degrades to [[applyRollReqs]]'s
+    * bare/per-depth frames; with a single taylor spec and no rolls it
+    * keeps the dedicated bare-frame kernel (no wrap overhead).
+    */
+  private[ts] def fusedWindowBlock(
+      df: DataFrame,
+      win: WindowSpec,
+      reqs: Seq[RollReq],
+      taylors: Seq[TaylorBasis.Spec],
+      extra: Seq[(String, Column)]): DataFrame = {
+    import graft.plans.{MultiRollKernel, RollSpecDef, TaylorKernel}
+    if (taylors.isEmpty) return applyRollReqs(df, win, reqs, extra)
+    if (reqs.isEmpty && taylors.size == 1) {
+      val t = taylors.head
+      val feats = Taylor.kernelExprs(Seq(t.column), t.degree, Seq(t.windowSize),
+        Seq(t.align), Seq(t.ewSpan), t.fillEdges, win)
+      return df.select(col("*") +: (extra ++ feats).map { case (n, e) => e.as(n) }: _*)
+    }
+    val colsUsed = (reqs.map(_.src) ++ reqs.flatMap(_.src2) ++ taylors.map(_.column)).distinct
+    val specs = reqs.map { r =>
+      val lk = r.src2.map(colsUsed.indexOf).getOrElse(r.lagK)
+      RollSpecDef(r.mode, colsUsed.indexOf(r.src), r.w, r.minP, lk, r.weights)
+    }
+    def tPast(t: TaylorBasis.Spec): Int =
+      if (t.align == "trailing") t.windowSize - 1 else (t.windowSize - 1) / 2
+    def tFut(t: TaylorBasis.Spec): Int = t.windowSize - 1 - tPast(t)
+    val frameLo = (specs.map(_.depth - 1) ++ taylors.map(tPast)).max
+    val frameHi = taylors.map(tFut).max
+    val needsCnt = frameHi > 0 || taylors.exists(_.needsCount)
+    val frame = collect_list(array(colsUsed.map(c => col(c).cast("double")): _*))
+      .over(win.rowsBetween(-frameLo, frameHi))
+    val posC = row_number().over(win).cast("long") - 1
+    val cntC =
+      if (needsCnt)
+        count(lit(1)).over(win.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+      else lit(-1L)
+    // stage A materializes frame/pos/cnt (+ extra) in the ONE Window
+    // operator; stage B runs each kernel ONCE on the materialized
+    // frame; stage C projects per-feature elements. Three selects so
+    // CollapseProject can't duplicate a kernel per output feature.
+    val stageA = df.select(col("*") +:
+      (Seq(frame.as("__frame"), posC.as("__pos"), cntC.as("__cnt")) ++
+        extra.map { case (n, e) => e.as(n) }): _*)
+    val future: Column =
+      if (frameHi == 0) lit(0)
+      else least(col("__cnt") - 1L - col("__pos"), lit(frameHi.toLong)).cast("int")
+    val rollCol =
+      if (specs.isEmpty) Nil
+      else Seq(MultiRollKernel.of(col("__frame"), future, specs).as("__roll"))
+    val tayCols = taylors.zipWithIndex.map { case (t, i) =>
+      TaylorKernel.fromSpecShared(t, col("__frame"), col("__pos"), col("__cnt"),
+        frameLo, colsUsed.indexOf(t.column)).as(s"__tay$i")
+    }
+    val stageB = stageA.select(col("*") +: (rollCol ++ tayCols): _*)
+    val rollProjs = reqs.flatMap(_.names).zipWithIndex.map { case (nm, slot) =>
+      element_at(col("__roll"), slot + 1).as(nm)
+    }
+    val tayProjs = taylors.zipWithIndex.flatMap { case (t, i) =>
+      (0 to t.degree).map(d => element_at(col(s"__tay$i"), d + 1).as(t.featName(d)))
+    }
+    stageB.select(col("*") +: (rollProjs ++ tayProjs): _*)
+      .drop("__frame", "__pos", "__cnt", "__roll")
+      .drop(taylors.indices.map(i => s"__tay$i"): _*)
   }
 
   /** Lagged copies of `columns` (reference featurize.py:174 `lag`).
@@ -457,47 +540,52 @@ object Featurize {
     // output of the current block, or a non-fusible step (long
     // horizons, domfreq, Custom), flushes the block first.
     val win = seriesWindow(groupCols, orderCols)
-    // (exprs, rollReqs, featureNames, inputColumns); exprs may outnumber
-    // names (wide targets add columns but no feature names — reference
-    // rule). Roll-family features across the WHOLE block share one
-    // multi-column frame + kernel pass (applyRollReqs), so e.g. rollmeans
-    // over several value columns and window sizes cost ONE window
-    // aggregation buffer, not one per (column, w).
-    def fusible(f: Feature): Option[(Seq[(String, Column)], Seq[RollReq], Seq[String], Seq[String])] =
+    // (exprs, rollReqs, taylorSpecs, featureNames, inputColumns); exprs
+    // may outnumber names (wide targets add columns but no feature
+    // names — reference rule). Roll-family AND taylor features across
+    // the WHOLE block share one multi-column frame (fusedWindowBlock),
+    // so e.g. rollmeans + taylor coefs over several value columns cost
+    // ONE window aggregation buffer, not one per (column, spec).
+    def fusible(f: Feature): Option[(Seq[(String, Column)], Seq[RollReq], Seq[TaylorBasis.Spec], Seq[String], Seq[String])] =
       f match {
         case Lag(cs, ks) =>
           val es = for (c <- cs; k <- ks) yield s"${c}_lag$k" -> lag(col(c), k).over(win)
-          Some((es, Nil, es.map(_._1), cs))
+          Some((es, Nil, Nil, es.map(_._1), cs))
         case Rollmean(cs, ws, mp) =>
           val reqs = for (c <- cs; w <- ws)
             yield RollReq(Seq(s"${c}_rollmean_w$w"), c, mode = 0, w = w, minP = mp.getOrElse(w))
-          Some((Nil, reqs, reqs.flatMap(_.names), cs))
+          Some((Nil, reqs, Nil, reqs.flatMap(_.names), cs))
         case HorizonTargets(cs, hs, "wide") =>
           val es = for (c <- cs; h <- hs) yield s"${c}_target$h" -> lead(col(c), h).over(win)
-          Some((es, Nil, Nil, cs))
+          Some((es, Nil, Nil, Nil, cs))
         case t: WindowedTaylorCoefs =>
-          val es = Taylor.kernelExprs(t.columns, t.taylorDegree, t.windowSizes,
-            t.windowAligns, t.ewSpans, t.fillEdges, win)
-          Some((es, Nil, es.map(_._1), t.columns))
+          val specs = for {
+            c <- t.columns; w <- t.windowSizes; a <- t.windowAligns; s <- t.ewSpans
+          } yield TaylorBasis.Spec(c, t.taylorDegree, w, a, s, t.fillEdges)
+          val names = specs.flatMap(sp => (0 to sp.degree).map(sp.featName))
+          Some((Nil, Nil, specs, names, t.columns))
         case _ => None
       }
     var cur = FeatureResult(df, Nil)
     val bufExprs = scala.collection.mutable.ArrayBuffer.empty[(String, Column)]
     val bufRoll = scala.collection.mutable.ArrayBuffer.empty[RollReq]
+    val bufTay = scala.collection.mutable.ArrayBuffer.empty[TaylorBasis.Spec]
     val bufNames = scala.collection.mutable.ArrayBuffer.empty[String]
-    def flush(): Unit = if (bufExprs.nonEmpty || bufRoll.nonEmpty) {
+    def flush(): Unit = if (bufExprs.nonEmpty || bufRoll.nonEmpty || bufTay.nonEmpty) {
       val d =
-        if (bufRoll.nonEmpty) applyRollReqs(cur.df, win, bufRoll.toSeq, bufExprs.toSeq)
+        if (bufRoll.nonEmpty || bufTay.nonEmpty)
+          fusedWindowBlock(cur.df, win, bufRoll.toSeq, bufTay.toSeq, bufExprs.toSeq)
         else cur.df.select(col("*") +: bufExprs.toSeq.map { case (n, e) => e.as(n) }: _*)
       cur = FeatureResult(d, cur.featureNames ++ bufNames)
-      bufExprs.clear(); bufRoll.clear(); bufNames.clear()
+      bufExprs.clear(); bufRoll.clear(); bufTay.clear(); bufNames.clear()
     }
     features.foreach { f =>
       fusible(f) match {
-        case Some((exprs, reqs, names, inputs)) =>
-          val produced = (bufExprs.map(_._1) ++ bufRoll.flatMap(_.names)).toSet
+        case Some((exprs, reqs, tays, names, inputs)) =>
+          val produced = (bufExprs.map(_._1) ++ bufRoll.flatMap(_.names) ++
+            bufTay.flatMap(sp => (0 to sp.degree).map(sp.featName))).toSet
           if (inputs.exists(produced)) flush()
-          bufExprs ++= exprs; bufRoll ++= reqs; bufNames ++= names
+          bufExprs ++= exprs; bufRoll ++= reqs; bufTay ++= tays; bufNames ++= names
         case None =>
           flush()
           cur = cur.andThen { d =>

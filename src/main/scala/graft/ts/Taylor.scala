@@ -138,6 +138,23 @@ object Taylor {
     }
   }
 
+  /** A multi-spec taylor family over ONE shared wrapped frame: every
+    * (column, window, align, span) pair reads the same
+    * `collect_list(array(cols))` window — depth = the family's max past
+    * need, reach = its max future need — via TaylorKernel.fromSpecShared
+    * (the MultiRollKernel pattern). One window aggregation buffer for
+    * the whole family instead of one collect_list frame per spec;
+    * Featurize.fusedWindowBlock builds the frame and can mix roll-family
+    * features into the same one.
+    */
+  def sharedKernelBlock(
+      df: DataFrame,
+      specs: Seq[Spec],
+      win: org.apache.spark.sql.expressions.WindowSpec): FeatureResult = {
+    val names = specs.flatMap(sp => (0 to sp.degree).map(sp.featName))
+    FeatureResult(Featurize.fusedWindowBlock(df, win, Nil, specs, Nil), names)
+  }
+
   private def kernelPath(
       df: DataFrame,
       columns: Seq[String],
@@ -149,6 +166,10 @@ object Taylor {
       ewSpans: Seq[Option[Int]],
       fillEdges: Boolean,
       win: org.apache.spark.sql.expressions.WindowSpec): FeatureResult = {
+    val specs = for {
+      c <- columns; w <- windowSizes; a <- windowAligns; s <- ewSpans
+    } yield Spec(c, taylorDegree, w, a, s, fillEdges)
+    if (specs.size > 1) return sharedKernelBlock(df, specs, win)
     val feats = kernelExprs(columns, taylorDegree, windowSizes, windowAligns, ewSpans, fillEdges, win)
     FeatureResult(
       df.select(col("*") +: feats.map { case (n, e) => e.as(n) }: _*), feats.map(_._1))

@@ -25,6 +25,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows == 1, s"expected the fused feature block to plan ONE Window op, got $windows")
   }
 
+  test("2-column lag+roll+taylor pipeline plans ONE Window and ONE collect_list frame") {
+    val df = (for (g <- 0 until 4; t <- 0 until 60)
+      yield (g, t, math.sin(t * 0.1) + g, math.cos(t * 0.2) - g))
+      .toDF("g", "t", "v", "u")
+    val res = Featurize.featurizeData(df, Seq("g"), Seq("t"), Seq(
+      Featurize.Lag(Seq("v", "u"), Seq(1, 3)),
+      Featurize.Rollmean(Seq("v", "u"), Seq(5, 9)),
+      Featurize.WindowedTaylorCoefs(Seq("v", "u"), taylorDegree = 1, Seq(9), Seq("centered"), Seq(None), fillEdges = true),
+      Featurize.HorizonTargets(Seq("v"), Seq(2), "wide")))
+    val plan = res.df.queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(1200)}")
+    val windows = "(?m)^\\s*(?:\\+- )?Window ".r.findAllIn(plan).length
+    assert(windows == 1, s"expected ONE Window op, got $windows")
+    // roll features AND both taylor columns share ONE wrapped frame
+    val collects = "collect_list".r.findAllIn(plan).length
+    assert(collects == 1, s"expected ONE shared collect_list frame, got $collects:\n${plan.take(2000)}")
+  }
+
   test("long-layout horizon targets plan one exchange + one sort at any horizon count") {
     val df = (for (g <- 0 until 4; t <- 0 until 100) yield (g, t, math.sin(t * 0.1) + g))
       .toDF("g", "t", "v")
