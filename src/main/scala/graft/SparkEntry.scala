@@ -1003,7 +1003,8 @@ object SparkEntry {
       }.mkString("\n  union all ")
       s"""with t as (select doc_id, ${SqlTwins.toks("text")} as t from documents),
          |sh0 as (select doc_id, ${SqlTwins.shingles("t", 3)} as s from t),
-         |d as (select doc_id, list_distinct(s) as sh from sh0),
+         |thc as (select doc_id, ${SqlTwins.tokenHashes32("t")} as th from t),
+         |d as (select doc_id, list_distinct(${SqlTwins.gramHashes("th", 3)}) as sh from thc),
          |h as (select doc_id, ${SqlTwins.shingleHashes("s")} as hs from sh0),
          |sig as (select doc_id,
          |  $mhs
@@ -1304,10 +1305,10 @@ object SparkEntry {
       // Horner codes over 32-bit token hashes — the same fold order as
       // repetitionRatioFromHashes (acc*131 + th), 1-based list indices
       s"""with t as (select doc_id, ${SqlTwins.toks("text")} as t from documents),
-         |th as (select doc_id, list_transform(t, s -> ${SqlTwins.h60("s")} % 4294967296) as th from t),
+         |th as (select doc_id, ${SqlTwins.tokenHashes32("t")} as th from t),
          |sh as (select doc_id,
-         |  case when len(th) >= 2 then list_transform(range(1, len(th)), i -> (th[i] * 131) + th[i + 1]) else [] end as s2,
-         |  case when len(th) >= 3 then list_transform(range(1, len(th) - 1), i -> (((th[i] * 131) + th[i + 1]) * 131) + th[i + 2]) else [] end as s3
+         |  ${SqlTwins.gramHashes("th", 2)} as s2,
+         |  ${SqlTwins.gramHashes("th", 3)} as s3
          |from th)
          |select doc_id, ${rep("s2")} as rep2, ${rep("s3")} as rep3
          |from sh order by doc_id""".stripMargin

@@ -258,7 +258,9 @@ object Ann {
       seed: Long = 1L,
       maxIter: Int = 10): Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val dimRow = corpus.select(size(col(vecCol))).head(1)
+    require(dimRow.nonEmpty, "pq: empty corpus")
+    val dim = dimRow.head.getInt(0)
     require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
     val sub = dim / m
     val feats = corpus.select((0 until m).map { j =>
@@ -290,6 +292,14 @@ object Ann {
       m: Int,
       nCodes: Int,
       codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    // explicit codebooks must agree with (m, nCodes): pqCodes/pqTopK
+    // derive both from the books, so a mismatch would silently ignore
+    // the parameters instead of searching the intended space
+    codebooks.foreach { bs =>
+      require(bs.length == m, s"pq: codebooks have m=${bs.length}, expected $m")
+      require(bs.forall(_.length == nCodes),
+        s"pq: codebooks have ${bs.map(_.length).distinct.mkString("/")} codes, expected $nCodes")
+    }
     val books = codebooks.getOrElse(pqTrainedCodebooks(corpus, idCol, vecCol, m, nCodes))
     val codes = pqCodes(corpus, idCol, vecCol, books)
     pqTopK(codes, queries, idCol, vecCol, qIdCol, k, books)

@@ -212,8 +212,14 @@ object Dedup {
     val candIds = cand.select(col("id_a").as(idCol))
       .union(cand.select(col("id_b").as(idCol))).distinct()
     val candDocs = docs.join(hint(candIds), Seq(idCol), "left_semi")
-    val withShingles = candDocs.select(col(idCol),
-      array_distinct(TextOps.shingles(TextOps.tokens(col(textCol)), shingleSize)).as("sh"))
+    // exact sets as Horner gram codes over ONE md5-per-token hash array
+    // (TextOps.gramHashes) — no shingle-string rebuild, bigint set
+    // intersection instead of string comparison; the two-level select
+    // keeps the token-hash kernel from re-evaluating per gram
+    val withShingles = candDocs
+      .select(col(idCol), TextOps.tokenHashes32Kernel(col(textCol)).as("__th"))
+      .select(col(idCol),
+        array_distinct(TextOps.gramHashes(col("__th"), shingleSize)).as("sh"))
     val pa = withShingles.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val pb = withShingles.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
     hint(cand).join(pa, "id_a").join(pb, "id_b")

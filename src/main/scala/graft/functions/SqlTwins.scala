@@ -30,6 +30,19 @@ object SqlTwins {
   def shingleHashes(sh: String): String =
     s"list_transform($sh, s -> ${h60("s")} % ${TextOps.MinhashMod})"
 
+  /** TextOps.tokenHashes32Kernel over a token-list sql (one md5/token). */
+  def tokenHashes32(t: String): String =
+    s"list_transform($t, s -> ${h60("s")} % 4294967296)"
+
+  /** TextOps.gramHashes over a pre-hashed list sql: Horner codes
+    * (…((th_i · 131) + th_{i+1}) · 131 …) — the same left fold as the
+    * Column form, pure int64 arithmetic.
+    */
+  def gramHashes(th: String, n: Int): String = {
+    val code = (1 until n).foldLeft(s"$th[i]")((acc, j) => s"(($acc) * 131) + $th[i + $j]")
+    s"case when len($th) >= $n then list_transform(range(1, len($th) - ${n - 2}), i -> $code) else [] end"
+  }
+
   /** TextOps.minhashSig for one (a,b) permutation over pre-hashed sql. */
   def minhashOne(hs: String, a: Long, b: Long): String =
     s"list_min(list_transform($hs, h -> ($a * h + $b) % ${TextOps.MinhashMod}))"

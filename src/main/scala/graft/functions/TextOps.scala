@@ -134,15 +134,25 @@ object TextOps {
     * statistic moves by ~1/grams in the rare hit.
     */
   def repetitionRatioFromHashes(th: Column, n: Int): Column = {
-    val grams = when(size(th) >= n,
-      transform(sequence(lit(1), size(th) - (n - 1)),
-        i => (0 until n).map(j => element_at(th, i + lit(j)))
-          .reduceLeft((acc, x) => acc * lit(131L) + x)))
-      .otherwise(array().cast("array<bigint>"))
+    val grams = gramHashes(th, n)
     when(size(grams) > 0,
       lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams).cast("double"))
       .otherwise(lit(0.0))
   }
+
+  /** Horner n-gram codes over precomputed token hashes (see
+    * [[repetitionRatioFromHashes]] for the identity/collision story) —
+    * an n-gram's identity as ONE int64, no md5, no shingle strings.
+    * `th` must be a MATERIALIZED column (tokenHashes32Kernel behind a
+    * projection boundary): the lambda body re-evaluates captured
+    * expressions per element.
+    */
+  def gramHashes(th: Column, n: Int): Column =
+    when(size(th) >= n,
+      transform(sequence(lit(1), size(th) - (n - 1)),
+        i => (0 until n).map(j => element_at(th, i + lit(j)))
+          .reduceLeft((acc, x) => acc * lit(131L) + x)))
+      .otherwise(array().cast("array<bigint>"))
 
   def qualityScore(text: Column): Column = {
     val toks = tokens(text)

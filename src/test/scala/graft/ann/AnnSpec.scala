@@ -28,6 +28,26 @@ class AnnSpec extends SparkSpec {
     assert(n0.forall(_ % 4 == 0), n0.mkString(","))
   }
 
+  test("top-k plans keep Spark's rank-limit pushdown (WindowGroupLimit before the exchange)") {
+    // a refactor that breaks the row_number-rank-filter shape (e.g. a
+    // filter on a derived column Spark can't see through) would silently
+    // lose the partial top-k and ship every scored row through the
+    // exchange — pin the operator's presence in all three search paths
+    val planes = VectorOps.lshPlanes(6, 16, seed = 3L)
+    val books = Ann.pqSeedCodebooks(corpus, "vec_id", "embedding", m = 4, k = 4)
+    val q = corpus.where($"vec_id" < 2).select($"vec_id".as("qid"), $"embedding")
+    val plans = Map(
+      "ann_topk" -> Ann.bruteTopK(corpus, q, "vec_id", "embedding", "qid", k = 5),
+      "ann_lsh_topk" -> Ann.lshTopK(corpus, q, "vec_id", "embedding", "qid", k = 5, planes),
+      "ann_pq_adc" -> Ann.pqTopK(Ann.pqCodes(corpus, "vec_id", "embedding", books),
+        q, "vec_id", "embedding", "qid", k = 5, books))
+    for ((name, df) <- plans) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$name lost the WindowGroupLimit rank pushdown:\n${plan.take(1500)}")
+    }
+  }
+
   test("lshTopK: bucket-restricted search finds the same top-1 on clustered data") {
     val planes = VectorOps.lshPlanes(6, 16, seed = 3L)
     val q = corpus.where($"vec_id" < 4).select($"vec_id".as("qid"), $"embedding")

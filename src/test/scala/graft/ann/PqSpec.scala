@@ -85,7 +85,7 @@ class PqSpec extends SparkSpec {
 
     def recallOf(books: Array[Array[Array[Double]]]): Double = {
       val got = Ann.pqSearch(corpus, q, "vec_id", "embedding", "qid", k = 10,
-        m = 4, nCodes = 32, codebooks = Some(books))
+        m = 8, nCodes = 32, codebooks = Some(books))
         .select("qid", "vec_id").as[(Long, Long)].collect()
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
       (0L until 4L).map(qid => (got(qid) intersect exactTop(qid)).size / 10.0).sum / 4.0
