@@ -22,18 +22,41 @@ case class RollFeat(
 /** Top-level on purpose: object-nested state classes produce
   * `Outer$Inner` names the encoder's generated Java fails to resolve.
   */
-case class RingState(ring: Array[Double])
-case class EwmaState(num: Double, den: Double)
+case class RingState(ring: Array[Double], lastTs: Long = Long.MinValue)
+case class EwmaState(num: Double, den: Double, lastTs: Long = Long.MinValue)
 case class BandMin(min_id: Long)
-case class PosRing(ring: Array[Double], pos: Long)
+case class PosRing(ring: Array[Double], pos: Long, lastTs: Long = Long.MinValue)
 
 object StreamingFeaturize {
+
+  /** The exact per-key twins (rollingFeatures / taylor / domfreq /
+    * ewma) replay the batch operator's ts order. Batch order is ts
+    * alone, so a duplicate (key, ts_us) has NO order both engines agree
+    * on, and a late arrival in a later micro-batch would be appended
+    * where batch would have inserted it — either silently diverges from
+    * the batch oracle. Sort the micro-batch and FAIL FAST on any
+    * violation of the strictly-increasing-ts contract instead
+    * (`lastTs` in each state carries the contract across batches).
+    */
+  private def sortedStrict(evs: Iterator[Ev], lastTs: Long, key: Long): Seq[Ev] = {
+    val sorted = evs.toSeq.sortBy(_.ts_us)
+    var prev = lastTs
+    sorted.foreach { e =>
+      require(e.ts_us > prev,
+        s"streaming exact twin: ts_us=${e.ts_us} for key=$key is not strictly after " +
+          s"the last processed ts_us=$prev (duplicate or late event) — the exact " +
+          "twins require strictly increasing ts_us per key")
+      prev = e.ts_us
+    }
+    sorted
+  }
 
   /** Per-key streaming lag/rollmean via flatMapGroupsWithState: state is
     * a (w-1)-deep ring buffer per key — O(w) memory per key, unbounded
     * stream. Events are processed in event-time order WITHIN each
-    * micro-batch; cross-batch late data is the watermarking layer's job
-    * (pair with withWatermark upstream).
+    * micro-batch; duplicate or cross-batch late timestamps fail fast
+    * (sortedStrict) instead of silently diverging from batch — drop
+    * late data with withWatermark upstream.
     *
     * Emits the batch operators' exact semantics: `value_lag1` null for
     * the first event of a key, `value_rollmean` null until a full
@@ -46,7 +69,9 @@ object StreamingFeaturize {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: Long, evs: Iterator[Ev], state: GroupState[RingState]) => {
           var ring: Vector[Double] = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty)
-          val out = evs.toSeq.sortBy(e => (e.ts_us, e.value)).map { e =>
+          val lastTs = state.getOption.map(_.lastTs).getOrElse(Long.MinValue)
+          val evSeq = sortedStrict(evs, lastTs, key)
+          val out = evSeq.map { e =>
             val lag1 = ring.lastOption
             val withCur = (ring :+ e.value).takeRight(w)
             // newest-first summation: bit-identical to the batch
@@ -55,7 +80,7 @@ object StreamingFeaturize {
             ring = withCur.takeRight(w - 1)
             RollFeat(key, e.ts_us, e.value, lag1, mean)
           }
-          state.update(RingState(ring.toArray))
+          state.update(RingState(ring.toArray, evSeq.lastOption.map(_.ts_us).getOrElse(lastTs)))
           out.iterator
         })
   }
@@ -192,7 +217,9 @@ object StreamingFeaturize {
         (key: Long, evs: Iterator[Ev], state: GroupState[PosRing]) => {
           var ring: Vector[Double] = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty)
           var pos: Long = state.getOption.map(_.pos).getOrElse(-1L)
-          val out = evs.toSeq.sortBy(e => (e.ts_us, e.value)).map { e =>
+          val lastTs = state.getOption.map(_.lastTs).getOrElse(Long.MinValue)
+          val evSeq = sortedStrict(evs, lastTs, key)
+          val out = evSeq.map { e =>
             pos += 1
             ring = (ring :+ e.value).takeRight(w)
             // cnt only feeds rpos, which no trailing branch consults —
@@ -206,7 +233,7 @@ object StreamingFeaturize {
               }
             Row.fromSeq(Seq[Any](key, e.ts_us, e.value) ++ feats)
           }
-          state.update(PosRing(ring.toArray, pos))
+          state.update(PosRing(ring.toArray, pos, evSeq.lastOption.map(_.ts_us).getOrElse(lastTs)))
           out.iterator
         })(Encoders.product[PosRing], Encoders.row(schema))
   }
@@ -245,7 +272,9 @@ object StreamingFeaturize {
         (key: Long, evs: Iterator[Ev], state: GroupState[PosRing]) => {
           val ring: Array[Double] = state.getOption.map(_.ring).getOrElse(new Array[Double](w))
           var pos: Long = state.getOption.map(_.pos).getOrElse(-1L)
-          val out = evs.toSeq.sortBy(e => (e.ts_us, e.value)).map { e =>
+          val lastTs = state.getOption.map(_.lastTs).getOrElse(Long.MinValue)
+          val evSeq = sortedStrict(evs, lastTs, key)
+          val out = evSeq.map { e =>
             pos += 1
             ring((pos % w).toInt) = e.value
             val feats: Seq[Any] =
@@ -262,7 +291,7 @@ object StreamingFeaturize {
               }
             Row.fromSeq(Seq[Any](key, e.ts_us, e.value) ++ feats)
           }
-          state.update(PosRing(ring, pos))
+          state.update(PosRing(ring, pos, evSeq.lastOption.map(_.ts_us).getOrElse(lastTs)))
           out.iterator
         })(Encoders.product[PosRing], Encoders.row(schema))
   }
@@ -271,8 +300,8 @@ object StreamingFeaturize {
     * TimeOps.ewma twin: state per key = the two running scalars
     * (num, den) — O(1) memory per key on an unbounded stream, same
     * recurrence and therefore bit-identical values to the batch scan
-    * for in-order input (cross-batch late data is the watermark
-    * layer's job).
+    * for in-order input (duplicate/late timestamps fail fast via
+    * sortedStrict; drop late data with withWatermark upstream).
     */
   def streamingEwma(events: Dataset[Ev], alpha: Double): Dataset[RollFeat] = {
     import events.sparkSession.implicits._
@@ -282,12 +311,14 @@ object StreamingFeaturize {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: Long, evs: Iterator[Ev], state: GroupState[EwmaState]) => {
           var (num, den) = state.getOption.map(s => (s.num, s.den)).getOrElse((0.0, 0.0))
-          val out = evs.toSeq.sortBy(e => (e.ts_us, e.value)).map { e =>
+          val lastTs = state.getOption.map(_.lastTs).getOrElse(Long.MinValue)
+          val evSeq = sortedStrict(evs, lastTs, key)
+          val out = evSeq.map { e =>
             num = beta * num + e.value
             den = beta * den + 1.0
             RollFeat(key, e.ts_us, e.value, None, Some(num / den))
           }
-          state.update(EwmaState(num, den))
+          state.update(EwmaState(num, den, evSeq.lastOption.map(_.ts_us).getOrElse(lastTs)))
           out.iterator
         })
   }

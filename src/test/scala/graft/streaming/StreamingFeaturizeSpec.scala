@@ -45,6 +45,43 @@ class StreamingFeaturizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("exact twins fail fast on duplicate or late timestamps (order contract)") {
+    implicit val sqlCtx = spark.sqlContext
+    // duplicate (user_id, ts_us) inside one micro-batch: batch order is
+    // ts alone, so there is no order both twins agree on — must throw,
+    // not silently emit features for an arbitrary order
+    val dupIn = MemoryStream[Ev]
+    val dupQ = StreamingFeaturize.streamingEwma(dupIn.toDS(), alpha = 0.2)
+      .writeStream.format("memory").queryName("dup_out").outputMode("append").start()
+    try {
+      dupIn.addData(Ev(1, 1000000, 1.0), Ev(1, 1000000, 2.0))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        dupQ.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+      assert(chain(ex).exists(c => Option(c.getMessage).exists(_.contains("strictly increasing"))),
+        s"expected the order-contract failure, got: ${ex.getMessage}")
+    } finally dupQ.stop()
+    // late cross-batch arrival for streamingTaylor: same contract
+    val lateIn = MemoryStream[Ev]
+    val spec = graft.ts.TaylorBasis.Spec("value", 1, 5, "trailing", None, fillEdges = true)
+    val lateQ = StreamingFeaturize.streamingTaylor(lateIn.toDS(), spec)
+      .writeStream.format("memory").queryName("late_out").outputMode("append").start()
+    try {
+      lateIn.addData(Ev(1, 5000000, 1.0))
+      lateQ.processAllAvailable()
+      lateIn.addData(Ev(1, 2000000, 2.0)) // late: before the last processed ts
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        lateQ.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+      assert(chain(ex).exists(c => Option(c.getMessage).exists(_.contains("strictly increasing"))),
+        s"expected the order-contract failure, got: ${ex.getMessage}")
+    } finally lateQ.stop()
+  }
+
   test("streamingEwma equals the batch recursive EWMA across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
