@@ -437,12 +437,13 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp"))
         .orderBy("doc_id")
     },
+    // REAL header decode round-trip: synthesize valid PNG/JPEG bytes
+    // (dimensions arithmetic in doc_id), parse them back with the
+    // actual byte-level IHDR/SOF parsers; the oracle predicts what the
+    // parse must recover
     "mm_meta" -> { (s, dir) =>
-      val withBin = Multimodal.withBinary(Tables.documents(s, dir), "text")
-      val (nBytes, width, height, nFrames) = Multimodal.fakeMeta(col("payload"))
-      withBin.select(col("doc_id"), nBytes.as("n_bytes"), width.as("width"),
-        height.as("height"), nFrames.as("n_frames"))
-        .orderBy("doc_id")
+      val payloads = Multimodal.synthImages(Tables.documents(s, dir).select("doc_id"), "doc_id")
+      Multimodal.imageMeta(payloads, "doc_id", "payload").orderBy("doc_id")
     },
     "mm_frames" -> { (s, dir) =>
       Multimodal.sampleFrames(Tables.documents(s, dir), "doc_id", "text", frameChars = 128, every = 2)
@@ -1185,13 +1186,14 @@ object SparkEntry {
     // DuckDB md5() only takes VARCHAR; md5(text) hashes the same UTF-8
     // bytes Spark's md5(encode(text,'UTF-8')) does.
     "mm_meta" ->
-      s"""with b as (select doc_id, text, encode(text) as payload from documents)
-         |select doc_id,
-         | octet_length(payload) as n_bytes,
-         | 16 + (${SqlTwins.h60("text")} & 1023) as width,
-         | 16 + ((${SqlTwins.h60("text")} >> 10) & 1023) as height,
-         | 1 + (octet_length(payload) >> 12) as n_frames
-         |from b order by doc_id""".stripMargin,
+      // predicts the REAL parse of synthImages' valid headers: even ids
+      // are 45-byte PNGs, odd ids 35-byte JPEGs, dims arithmetic in id
+      """select doc_id,
+        | case when doc_id % 2 = 0 then 'png' else 'jpeg' end as format,
+        | 16 + (doc_id % 1000) as width,
+        | 16 + ((doc_id * 7 + 13) % 1000) as height,
+        | case when doc_id % 2 = 0 then 45 else 35 end as n_bytes
+        |from documents order by doc_id""".stripMargin,
     "mm_embed" -> {
       val eCols = (0 until 8).map { j =>
         s"cast((((${SqlTwins.h60(s"substr(text, ${j * 64 + 1}, 64)")}) % 10001) / 10000.0E0 - 0.5E0) as real) as e$j"

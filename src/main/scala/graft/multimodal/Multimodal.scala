@@ -9,12 +9,15 @@ import org.apache.spark.sql.types._
   * metadata, and run decode/feature-extraction as BATCHED
   * per-partition kernels.
   *
-  * The actual media decoding is STUBBED (this container has no image/
-  * audio libraries): `decodeStub` derives deterministic fake
-  * width/height/duration from the payload's md5. Everything around the
-  * stub — binary schema, batch shape, partition-level iteration,
-  * column plumbing — is the real production shape: swap `fakeMeta` for
-  * an opencv/ffmpeg call and nothing else changes.
+  * The HEADER decode is real byte parsing of the public PNG and
+  * JPEG/JFIF formats ([[parseImageMeta]]); the corpus has no true media
+  * files, so [[synthImages]] synthesizes payloads with VALID headers
+  * (deterministic dimensions) that round-trip through the parser — the
+  * oracle predicts the parsed values arithmetically. Feature
+  * EXTRACTION (pixels → vectors) remains stubbed (`decodeStub`,
+  * `frameEmbedding`): this container has no image/audio libraries.
+  * Everything around the kernels — binary schema, batch shape,
+  * partition-level iteration — is the production shape.
   */
 object Multimodal {
 
@@ -25,18 +28,136 @@ object Multimodal {
   def withBinary(df: DataFrame, srcCol: String, out: String = "payload"): DataFrame =
     df.withColumn(out, encode(col(srcCol), "UTF-8"))
 
-  /** Declarative fake-decode metadata: deterministic functions of the
-    * payload bytes, codegen-friendly (no UDF). Mirrors the DuckDB twin
-    * in SparkEntry exactly.
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** PNG dimensions from the IHDR chunk (PNG spec, public: 8-byte
+    * signature, then the IHDR chunk whose 13-byte data starts with
+    * width/height as big-endian uint32). None for non-PNG/truncated
+    * bytes; CRCs are not verified (header parse, not integrity check).
     */
-  def fakeMeta(payload: Column): (Column, Column, Column, Column) = {
-    val h = conv(substring(md5(payload), 1, 15), 16, 10).cast("long")
-    val nBytes = length(payload).cast("long")
-    // power-of-two masks/shifts only: h is up to 2^60, double division
-    // would lose low bits
-    val width = lit(16L) + h.bitwiseAND(lit(1023L))
-    val height = lit(16L) + shiftright(h, 10).bitwiseAND(lit(1023L))
-    (nBytes, width, height, lit(1L) + shiftright(nBytes, 12))
+  def parsePng(b: Array[Byte]): Option[(Int, Int)] =
+    if (b.length >= 24 && PngSig.indices.forall(i => b(i) == PngSig(i)) &&
+      b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')
+      Some((be32(b, 16), be32(b, 20)))
+    else None
+
+  /** JPEG dimensions from the first SOF marker (ITU T.81 §B.2.2,
+    * public): walk the marker segments from SOI, skipping non-SOF
+    * segments by their big-endian length; SOFn (C0–CF except C4/C8/CC)
+    * payload is precision(1), height(2), width(2). None for non-JPEG,
+    * truncated, or SOF-less bytes.
+    */
+  def parseJpeg(b: Array[Byte]): Option[(Int, Int)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var o = 2
+    while (o + 3 < b.length) {
+      if ((b(o) & 0xff) != 0xff) return None
+      val marker = b(o + 1) & 0xff
+      if (marker == 0xd9 || marker == 0xda) return None // EOI / start-of-scan: no SOF seen
+      val len = be16(b, o + 2)
+      if (len < 2 || o + 2 + len > b.length) return None
+      val isSof = marker >= 0xc0 && marker <= 0xcf &&
+        marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+      if (isSof) {
+        if (len < 7) return None
+        return Some((be16(b, o + 7), be16(b, o + 5))) // (width, height)
+      }
+      o += 2 + len
+    }
+    None
+  }
+
+  /** Real header decode: (format, width, height) — nulls when the
+    * bytes are neither a parseable PNG nor JPEG.
+    */
+  def parseImageMeta(b: Array[Byte]): (String, Integer, Integer) =
+    parsePng(b) match {
+      case Some((w, h)) => ("png", w, h)
+      case None => parseJpeg(b) match {
+        case Some((w, h)) => ("jpeg", w, h)
+        case None         => (null, null, null)
+      }
+    }
+
+  /** A VALID minimal PNG: signature + IHDR (8-bit RGB, zero CRC — the
+    * parser reads fields, not checksums) + empty IEND. 45 bytes.
+    */
+  def synthPng(width: Int, height: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(45)
+    out.write(PngSig, 0, 8)
+    def w32(v: Int): Unit = { out.write(v >>> 24); out.write((v >>> 16) & 0xff); out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    w32(13); out.write("IHDR".getBytes("US-ASCII"))
+    w32(width); w32(height)
+    out.write(8); out.write(2); out.write(0); out.write(0); out.write(0) // depth, color, comp, filter, interlace
+    w32(0) // CRC (unverified)
+    w32(0); out.write("IEND".getBytes("US-ASCII")); w32(0)
+    out.toByteArray
+  }
+
+  /** A VALID minimal JPEG: SOI, APP0/JFIF, SOF0 (1 component), EOI —
+    * 35 bytes; the parser must skip APP0 to reach SOF0.
+    */
+  def synthJpeg(width: Int, height: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(35)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >>> 8); w8(v) }
+    w8(0xff); w8(0xd8) // SOI
+    w8(0xff); w8(0xe0); w16(16) // APP0, len 16
+    out.write("JFIF".getBytes("US-ASCII")); w8(0)
+    w8(1); w8(1); w8(0); w16(1); w16(1); w8(0); w8(0) // version, units, densities, thumb
+    w8(0xff); w8(0xc0); w16(11) // SOF0, len 11
+    w8(8); w16(height); w16(width); w8(1) // precision, dims, 1 component
+    w8(1); w8(0x11); w8(0) // component id, sampling, quant table
+    w8(0xff); w8(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Deterministic synthesized image payloads (the corpus has no real
+    * media): even ids get PNG, odd ids JPEG, dimensions pure arithmetic
+    * in the id so the oracle can predict what the parser must recover.
+    * Batched mapPartitions — the same shape a real encoder/transcoder
+    * stage runs in.
+    */
+  def synthImages(df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val id = r.getLong(idIdx)
+        val w = 16 + (id % 1000L).toInt
+        val h = 16 + ((id * 7L + 13L) % 1000L).toInt
+        Row(id, if (id % 2 == 0) synthPng(w, h) else synthJpeg(w, h))
+      })
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Batched real-header decode over a binary column: one partition
+    * pass, `batchSize` payloads per slab, (format, width, height,
+    * n_bytes) per payload — nulls for unparseable bytes.
+    */
+  def imageMeta(df: DataFrame, idCol: String, payloadCol: String, batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("format", StringType),
+      StructField("width", LongType), StructField("height", LongType),
+      StructField("n_bytes", LongType)))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val bytes = r.getAs[Array[Byte]](pIdx)
+        val (fmt, w, h) = parseImageMeta(bytes)
+        Row(r.getLong(idIdx), fmt,
+          if (w == null) null else w.longValue(),
+          if (h == null) null else h.longValue(),
+          bytes.length.toLong)
+      })
+    }(org.apache.spark.sql.Encoders.row(schema))
   }
 
   private val stubSchema = StructType(Seq(

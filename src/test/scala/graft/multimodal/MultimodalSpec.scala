@@ -12,17 +12,41 @@ class MultimodalSpec extends SparkSpec {
     (3L, "b" * 130))
     .toDF("doc_id", "text")
 
-  test("withBinary + fakeMeta: deterministic typed metadata from payload bytes") {
-    val withBin = Multimodal.withBinary(docs, "text")
-    val (n, w, h, f) = Multimodal.fakeMeta(col("payload"))
-    val rows = withBin.select(col("doc_id"), n.as("n"), w.as("w"), h.as("h"), f.as("f"))
+  test("PNG/JPEG header parsers recover dimensions from real bytes; reject garbage") {
+    // round-trip through the synthesizers (valid minimal files)
+    assert(Multimodal.parsePng(Multimodal.synthPng(640, 480)) == Some((640, 480)))
+    assert(Multimodal.parseJpeg(Multimodal.synthJpeg(1920, 1080)) == Some((1920, 1080)))
+    // parsers are format-strict both ways
+    assert(Multimodal.parsePng(Multimodal.synthJpeg(640, 480)).isEmpty)
+    assert(Multimodal.parseJpeg(Multimodal.synthPng(640, 480)).isEmpty)
+    // JPEG parse must skip the APP0 segment to reach SOF0 — and not be
+    // fooled by FF C0 bytes INSIDE a segment payload
+    val withDecoy = {
+      val b = Multimodal.synthJpeg(33, 44)
+      // plant a fake SOF marker inside APP0's thumbnail bytes
+      b(16) = 0xff.toByte; b(17) = 0xc0.toByte
+      b
+    }
+    assert(Multimodal.parseJpeg(withDecoy) == Some((33, 44)))
+    // truncation and garbage → None, not a crash
+    assert(Multimodal.parsePng(Multimodal.synthPng(1, 1).take(20)).isEmpty)
+    assert(Multimodal.parseJpeg(Multimodal.synthJpeg(1, 1).take(6)).isEmpty)
+    assert(Multimodal.parsePng(Array.fill[Byte](64)(0x42)).isEmpty)
+    assert(Multimodal.parseJpeg(Array.fill[Byte](64)(0x42)).isEmpty)
+    assert(Multimodal.parseImageMeta("not an image".getBytes) == ((null, null, null)))
+  }
+
+  test("synthImages → imageMeta round-trip: parsed dims equal the arithmetic spec") {
+    val ids = docs.select("doc_id")
+    val meta = Multimodal.imageMeta(Multimodal.synthImages(ids, "doc_id"), "doc_id", "payload")
       .orderBy("doc_id").collect()
-    assert(rows(0).getLong(1) == 300)
-    assert(rows.forall(r => r.getLong(2) >= 16 && r.getLong(2) < 16 + 1024))
-    assert(rows.forall(r => r.getLong(4) == 1), "sub-4KiB payloads are one frame")
-    // determinism: same payload → same fake dims
-    val again = withBin.select(w.as("w")).orderBy("doc_id").collect().map(_.getLong(0))
-    assert(again.toSeq == rows.map(_.getLong(2)).toSeq)
+    assert(meta.map(_.getString(1)).toSeq == Seq("jpeg", "png", "jpeg"))
+    meta.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(2) == 16 + id % 1000, "width")
+      assert(r.getLong(3) == 16 + (id * 7 + 13) % 1000, "height")
+      assert(r.getLong(4) == (if (id % 2 == 0) 45 else 35), "n_bytes")
+    }
   }
 
   test("decodeStub: batched per-partition decode emits one feature row per payload") {
