@@ -218,6 +218,67 @@ object KernelRuntime {
     new GenericArrayData(out)
   }
 
+  /** See [[NormalizeText]]: one pass over the UTF8String's bytes for
+    * ASCII input (no String round-trip at all — lowercase, map
+    * non-[a-z0-9 ] to space, collapse runs, trim, straight into a new
+    * byte buffer); any non-ASCII byte falls back to the exact-JVM-call
+    * NormalizeImpl path. Bit-identical to the declarative regex
+    * pipeline (NormalizeTokensSpec pins it).
+    */
+  def normalizeText(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val b = s.getBytes
+    val n = b.length
+    var ascii = true
+    var i = 0
+    while (ascii && i < n) { if (b(i) < 0) ascii = false; i += 1 }
+    if (!ascii)
+      return org.apache.spark.unsafe.types.UTF8String.fromString(
+        NormalizeImpl.normalize(s.toString))
+    val out = new Array[Byte](n)
+    var o = 0
+    var lastSpace = true // suppresses leading spaces + collapses runs
+    i = 0
+    while (i < n) {
+      var c: Int = b(i)
+      if (c >= 'A' && c <= 'Z') c += 32
+      val keep = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (keep) { out(o) = c.toByte; o += 1; lastSpace = false }
+      else if (!lastSpace) { out(o) = ' '; o += 1; lastSpace = true }
+      i += 1
+    }
+    if (o > 0 && out(o - 1) == ' ') o -= 1
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out, 0, o)
+  }
+
+  /** See [[TokenizeText]]: split(normalize(s), " ") with Spark's
+    * limit -1 semantics (empty string → one empty token). The
+    * normalized bytes are single-space separated by construction, so
+    * tokenization is one more byte scan.
+    */
+  def tokenizeText(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val norm = normalizeText(s)
+    val b = norm.getBytes
+    val n = b.length
+    if (n == 0)
+      return new GenericArrayData(Array[Any](org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8))
+    var cnt = 1
+    var i = 0
+    while (i < n) { if (b(i) == ' ') cnt += 1; i += 1 }
+    val out = new Array[Any](cnt)
+    var start = 0
+    var k = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || b(i) == ' ') {
+        out(k) = org.apache.spark.unsafe.types.UTF8String.fromBytes(b, start, i - start)
+        k += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** See [[ShingleHash60]]. */
   def shingleHash60(arr: ArrayData, n: Int, mod: Long): ArrayData = {
     val nt = arr.numElements()

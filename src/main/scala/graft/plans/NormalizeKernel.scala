@@ -2,8 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.types._
 
@@ -71,21 +70,23 @@ object NormalizeImpl {
   }
 }
 
-case class NormalizeText(child: Expression) extends UnaryExpression with CodegenFallback {
+case class NormalizeText(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(NormalizeImpl.normalize(input.asInstanceOf[UTF8String].toString))
+    KernelRuntime.normalizeText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.KernelRuntime.normalizeText($c)")
   override protected def withNewChildInternal(newChild: Expression): NormalizeText = copy(child = newChild)
 }
 
-case class TokenizeText(child: Expression) extends UnaryExpression with CodegenFallback {
+case class TokenizeText(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
   override def nullSafeEval(input: Any): Any =
-    new GenericArrayData(
-      NormalizeImpl.tokens(input.asInstanceOf[UTF8String].toString)
-        .map(t => UTF8String.fromString(t).asInstanceOf[Any]))
+    KernelRuntime.tokenizeText(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.KernelRuntime.tokenizeText($c)")
   override protected def withNewChildInternal(newChild: Expression): TokenizeText = copy(child = newChild)
 }
 

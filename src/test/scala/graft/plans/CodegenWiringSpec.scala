@@ -44,6 +44,14 @@ class CodegenWiringSpec extends SparkSpec {
     TextHashKernels.fingerprint($"toks", mod).as("fp"),
     TextHashKernels.tokenEntropy($"toks").as("ent"))
 
+  private def normQuery: DataFrame =
+    Seq((1, "Hello, WORLD!  42"), (2, "  déjà vu Ünïcode  "), (3, ""), (4, "___"))
+      .toDF("id", "txt")
+      .union(Seq((5, null.asInstanceOf[String])).toDF("id", "txt"))
+      .repartition(2)
+      .select($"id", NormalizeKernel.normalize($"txt").as("norm"),
+        NormalizeKernel.tokens($"txt").as("toks"))
+
   private def rollQuery: DataFrame = {
     val d = (for (g <- 0 until 2; t <- 0 until 30)
       yield (g, t, math.sin(t * 0.3) + g)).toDF("g", "t", "v")
@@ -90,7 +98,18 @@ class CodegenWiringSpec extends SparkSpec {
         taylorQuery.queryExecution.executedPlan)
       assert(genTay.contains("graft.plans.KernelRuntime.taylor"),
         "generated code lacks KernelRuntime.taylor")
+      val genNorm = org.apache.spark.sql.execution.debug.codegenString(
+        normQuery.queryExecution.executedPlan)
+      for (m <- Seq("KernelRuntime.normalizeText", "KernelRuntime.tokenizeText"))
+        assert(genNorm.contains(s"graft.plans.$m"), s"generated code lacks $m")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("normalize/tokens: CODEGEN_ONLY equals NO_CODEGEN (incl. unicode/empty/null rows)") {
+    val a = withCodegen("CODEGEN_ONLY")(normQuery.orderBy("id").collect().toSeq)
+    val b = withCodegen("NO_CODEGEN")(normQuery.orderBy("id").collect().toSeq)
+    assert(a == b)
+    assert(a.exists(_.isNullAt(1)), "null text row must stay null")
   }
 
   test("taylor: CODEGEN_ONLY equals NO_CODEGEN (incl. fillEdges=false null rows)") {
