@@ -320,6 +320,15 @@ object SparkEntry {
         shingleSize = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")
     },
+    // train/test decontamination: benchmark = every 37th doc; per-doc
+    // fraction of distinct 5-gram Horner codes hitting the broadcast
+    // benchmark gram set
+    "text_decontam" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val bench = docs.where(pmod(col("doc_id"), lit(37L)) === 0)
+      Dedup.contaminationScores(docs, bench, "doc_id", "text", n = 5)
+        .orderBy("doc_id")
+    },
     "dedup_embcos" -> { (s, dir) =>
       val sub = Tables.embeddings(s, dir).where(pmod(col("vec_id"), lit(10L)) === 0)
       Dedup.embeddingCosinePairs(sub, "vec_id", "embedding", threshold = 0.3)
@@ -444,6 +453,13 @@ object SparkEntry {
     "mm_meta" -> { (s, dir) =>
       val payloads = Multimodal.synthImages(Tables.documents(s, dir).select("doc_id"), "doc_id")
       Multimodal.imageMeta(payloads, "doc_id", "payload").orderBy("doc_id")
+    },
+    // REAL WAV/RIFF header decode round-trip, same contract as mm_meta:
+    // synthesized valid files (id-derived audio parameters, a skippable
+    // LIST chunk in the walk), parsed back by the byte-level parser
+    "mm_audio" -> { (s, dir) =>
+      val payloads = Multimodal.synthAudio(Tables.documents(s, dir).select("doc_id"), "doc_id")
+      Multimodal.audioMeta(payloads, "doc_id", "payload").orderBy("doc_id")
     },
     "mm_frames" -> { (s, dir) =>
       Multimodal.sampleFrames(Tables.documents(s, dir), "doc_id", "text", frameChars = 128, every = 2)
@@ -1194,6 +1210,30 @@ object SparkEntry {
         | 16 + ((doc_id * 7 + 13) % 1000) as height,
         | case when doc_id % 2 = 0 then 45 else 35 end as n_bytes
         |from documents order by doc_id""".stripMargin,
+    "mm_audio" ->
+      // predicts the REAL parse of synthAudio's valid WAV files
+      """select doc_id,
+        | 1 + (doc_id % 2) as channels,
+        | 8000 + (doc_id % 8) * 4000 as sample_rate,
+        | cast(16 as bigint) as bits,
+        | 100 + (doc_id % 400) as n_samples
+        |from documents order by doc_id""".stripMargin,
+    "text_decontam" -> {
+      val th = SqlTwins.tokenHashes32("t")
+      s"""with t as (select doc_id, ${SqlTwins.toks("text")} as t from documents),
+         |th as (select doc_id, $th as th from t),
+         |d as (select doc_id, list_distinct(${SqlTwins.gramHashes("th", 5)}) as g from th),
+         |b as (select distinct unnest(g) as bg from d where doc_id % 37 = 0),
+         |bl as (select coalesce(list(bg), []) as bgl from b)
+         |select doc_id,
+         | len(g) as n_grams,
+         | len(list_intersect(g, bgl)) as matched,
+         | case when len(g) > 0
+         |      then cast(len(list_intersect(g, bgl)) as double) / cast(len(g) as double)
+         |      else 0.0E0 end as contamination
+         |from d cross join bl
+         |order by doc_id""".stripMargin
+    },
     "mm_embed" -> {
       val eCols = (0 until 8).map { j =>
         s"cast((((${SqlTwins.h60(s"substr(text, ${j * 64 + 1}, 64)")}) % 10001) / 10000.0E0 - 0.5E0) as real) as e$j"

@@ -231,6 +231,43 @@ object Dedup {
       .select("id_a", "id_b", "shared", "jaccard")
   }
 
+  /** Train/test decontamination: per document, the fraction of its
+    * DISTINCT token n-grams that appear anywhere in a BENCHMARK corpus
+    * — the standard pre-training hygiene pass (documents overlapping an
+    * eval set must be flagged or dropped before training). Gram
+    * identity is the Horner code over the one-md5-per-token hash array
+    * (TextOps.gramHashes — the same identity used by text_repetition
+    * and the ngram-Jaccard verify stage).
+    *
+    * Scale shape: the benchmark's distinct gram set is tiny next to the
+    * corpus (eval sets are thousands of docs, the corpus billions of
+    * docs) — it BROADCASTS, so the corpus side is one map-only scan
+    * whose per-doc rollup partial-aggregates before the only exchange
+    * (doc_id). No corpus self-join, no corpus-side shuffle of text.
+    */
+  def contaminationScores(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 5): DataFrame = {
+    import graft.functions.TextOps
+    def grams(df: DataFrame, extra: Seq[Column]): DataFrame =
+      df.select(extra :+ TextOps.tokenHashes32Kernel(col(textCol)).as("__th"): _*)
+        .select(extra :+ array_distinct(TextOps.gramHashes(col("__th"), n)).as("__grams"): _*)
+    val bg = grams(benchmark, Nil)
+      .select(explode(col("__grams")).as("bg")).distinct()
+    grams(docs, Seq(col(idCol)))
+      .select(col(idCol), size(col("__grams")).as("n_grams"), explode_outer(col("__grams")).as("g"))
+      .join(broadcast(bg), col("g") === col("bg"), "left")
+      .groupBy(col(idCol), col("n_grams"))
+      .agg(count(col("bg")).as("matched"))
+      .select(col(idCol), col("n_grams").cast("long").as("n_grams"), col("matched"),
+        when(col("n_grams") > 0,
+          col("matched").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)).as("contamination"))
+  }
+
   /** All-pairs exact n-gram Jaccard via shingle self-join (exact
     * recall; the shingle frequency cap guards blow-up). Quadratic in
     * per-shingle frequency — use the LSH-candidate variant at scale.

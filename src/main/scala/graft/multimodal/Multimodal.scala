@@ -137,6 +137,104 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  private def le32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def le16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** WAV/RIFF audio header parse (public format: RIFF container,
+    * little-endian chunk sizes; "fmt " carries channels/sample-rate/
+    * bits, "data" carries the sample bytes). Walks the chunk list —
+    * unknown chunks are skipped by their declared size — and returns
+    * (channels, sampleRate, bitsPerSample, nSamples) with nSamples =
+    * dataSize / blockAlign. None for non-WAV/truncated/fmt-less bytes.
+    */
+  def parseWav(b: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def tag(o: Int, s: String): Boolean =
+      o + 4 <= b.length && (0 until 4).forall(i => b(o + i) == s.charAt(i).toByte)
+    if (b.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var o = 12
+    var fmt: Option[(Int, Int, Int, Int)] = None // channels, rate, bits, blockAlign
+    var dataSize = -1L
+    while (o + 8 <= b.length && (fmt.isEmpty || dataSize < 0)) {
+      val size = le32(b, o + 4).toLong & 0xffffffffL
+      if (tag(o, "fmt ")) {
+        if (size < 16 || o + 8 + 16 > b.length) return None
+        fmt = Some((le16(b, o + 10), le32(b, o + 12), le16(b, o + 22), le16(b, o + 20)))
+      } else if (tag(o, "data")) dataSize = size
+      o += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+    }
+    fmt match {
+      case Some((ch, rate, bits, block)) if dataSize >= 0 && block > 0 =>
+        Some((ch, rate, bits, dataSize / block))
+      case _ => None
+    }
+  }
+
+  /** A VALID minimal WAV: RIFF/WAVE + a junk "LIST" chunk (the parser
+    * must skip it), PCM "fmt ", and a zero-filled "data" chunk of
+    * `nSamples` frames.
+    */
+  def synthWav(channels: Int, sampleRate: Int, bitsPerSample: Int, nSamples: Int): Array[Byte] = {
+    val block = channels * bitsPerSample / 8
+    val dataSize = nSamples * block
+    val out = new java.io.ByteArrayOutputStream(12 + 12 + 24 + 8 + dataSize)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >>> 8) }
+    def w32(v: Int): Unit = { w16(v); w16(v >>> 16) }
+    def tag(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    tag("RIFF"); w32(4 + 12 + 24 + 8 + dataSize); tag("WAVE")
+    tag("LIST"); w32(4); w32(0x4f464e49) // INFO, content-free — a skippable chunk
+    tag("fmt "); w32(16)
+    w16(1); w16(channels); w32(sampleRate) // PCM
+    w32(sampleRate * block); w16(block); w16(bitsPerSample)
+    tag("data"); w32(dataSize)
+    var i = 0
+    while (i < dataSize) { w8(0); i += 1 }
+    out.toByteArray
+  }
+
+  /** Deterministic synthesized WAV payloads (id-derived parameters the
+    * oracle predicts) through the same batched mapPartitions shape.
+    */
+  def synthAudio(df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val id = r.getLong(idIdx)
+        Row(id, synthWav(
+          channels = 1 + (id % 2L).toInt,
+          sampleRate = 8000 + (id % 8L).toInt * 4000,
+          bitsPerSample = 16,
+          nSamples = 100 + (id % 400L).toInt))
+      })
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Batched real WAV-header decode: (channels, sample_rate, bits,
+    * n_samples) per payload — nulls for unparseable bytes.
+    */
+  def audioMeta(df: DataFrame, idCol: String, payloadCol: String, batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("channels", LongType),
+      StructField("sample_rate", LongType), StructField("bits", LongType),
+      StructField("n_samples", LongType)))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val parsed = parseWav(r.getAs[Array[Byte]](pIdx))
+        parsed match {
+          case Some((ch, rate, bits, ns)) =>
+            Row(r.getLong(idIdx), ch.toLong, rate.toLong, bits.toLong, ns)
+          case None => Row(r.getLong(idIdx), null, null, null, null)
+        }
+      })
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Batched real-header decode over a binary column: one partition
     * pass, `batchSize` payloads per slab, (format, width, height,
     * n_bytes) per payload — nulls for unparseable bytes.

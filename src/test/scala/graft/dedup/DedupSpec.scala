@@ -44,6 +44,32 @@ class DedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sig(0) ^ sig(3)) > 4)
   }
 
+  test("contaminationScores: benchmark overlap fraction per doc, zero for disjoint docs") {
+    // benchmark = doc 0; doc 1 is an exact dup (contamination 1.0),
+    // doc 2 shares all but the trailing grams, doc 3 is disjoint (0.0)
+    val bench = docs.where($"doc_id" === 0)
+    val out = Dedup.contaminationScores(docs, bench, "doc_id", "text", n = 5)
+      .orderBy("doc_id").collect()
+    val score = out.map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(score(0L) == 1.0, "benchmark doc contaminates itself fully")
+    assert(score(1L) == 1.0, "exact dup is fully contaminated")
+    assert(score(2L) > 0.5 && score(2L) < 1.0, s"near dup partially contaminated, got ${score(2L)}")
+    assert(score(3L) == 0.0, "disjoint doc is clean")
+    // n_grams/matched are consistent with the score
+    out.foreach { r =>
+      val (n, m) = (r.getLong(1), r.getLong(2))
+      if (n > 0) assert(r.getDouble(3) == m.toDouble / n)
+    }
+  }
+
+  test("contaminationScores plans a broadcast of the benchmark grams (no corpus self-shuffle)") {
+    val bench = docs.where($"doc_id" === 0)
+    val plan = Dedup.contaminationScores(docs, bench, "doc_id", "text", n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"), "corpus side must not sort-merge")
+  }
+
   test("langid picks english for english text") {
     val lang = docs.select(TextOps.langid(TextOps.tokens($"text"))).head().getString(0)
     assert(lang == "en")

@@ -36,6 +36,27 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseImageMeta("not an image".getBytes) == ((null, null, null)))
   }
 
+  test("WAV parser recovers audio params through a skippable LIST chunk; rejects garbage") {
+    assert(Multimodal.parseWav(Multimodal.synthWav(2, 44100, 16, 1234)) == Some((2, 44100, 16, 1234L)))
+    assert(Multimodal.parseWav(Multimodal.synthWav(1, 8000, 8, 5)) == Some((1, 8000, 8, 5L)))
+    // truncated before fmt, garbage, and a PNG are all None, no crash
+    assert(Multimodal.parseWav(Multimodal.synthWav(1, 8000, 16, 10).take(20)).isEmpty)
+    assert(Multimodal.parseWav(Array.fill[Byte](64)(0x42)).isEmpty)
+    assert(Multimodal.parseWav(Multimodal.synthPng(8, 8)).isEmpty)
+  }
+
+  test("synthAudio → audioMeta round-trip: parsed params equal the arithmetic spec") {
+    val meta = Multimodal.audioMeta(Multimodal.synthAudio(docs.select("doc_id"), "doc_id"),
+      "doc_id", "payload").orderBy("doc_id").collect()
+    meta.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == 1 + id % 2, "channels")
+      assert(r.getLong(2) == 8000 + (id % 8) * 4000, "sample_rate")
+      assert(r.getLong(3) == 16, "bits")
+      assert(r.getLong(4) == 100 + id % 400, "n_samples")
+    }
+  }
+
   test("synthImages → imageMeta round-trip: parsed dims equal the arithmetic spec") {
     val ids = docs.select("doc_id")
     val meta = Multimodal.imageMeta(Multimodal.synthImages(ids, "doc_id"), "doc_id", "payload")
