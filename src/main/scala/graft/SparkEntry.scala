@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ts.{Featurize, OracleGen, Taylor, TimeOps}
-import graft.functions.{Profile, Sampling, SqlTwins, TextOps, VectorOps}
+import graft.functions.{Profile, Sampling, Skew, SqlTwins, TextOps, TfIdf, VectorOps}
 import graft.dedup.Dedup
 import graft.ann.Ann
 import graft.multimodal.Multimodal
@@ -319,6 +319,24 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
         shingleSize = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")
+    },
+    // two-stage salted aggregation: the hot-key skew path (algebraic
+    // aggs only — long sum/count/min/max merge exactly) under the same
+    // oracle gate as the direct groupBy it must equal
+    "q_salted_agg" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      Skew.saltedAgg(ev, Seq("event_type"), Seq(
+        Skew.countAgg("n_events"),
+        Skew.minAgg("ts_us", "first_ts_us"),
+        Skew.maxAgg("ts_us", "last_ts_us"),
+        Skew.sumAgg("event_id", "sum_event_id")))
+        .orderBy("event_type")
+    },
+    // TF-IDF top-3 distinctive terms per document (tf · ln(N/df),
+    // round 4dp both engines; rank rides WindowGroupLimit)
+    "text_tfidf" -> { (s, dir) =>
+      TfIdf.topTerms(Tables.documents(s, dir), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
     },
     // train/test decontamination: benchmark = every 37th doc; per-doc
     // fraction of distinct 5-gram Horner codes hitting the broadcast
@@ -1218,6 +1236,33 @@ object SparkEntry {
         | cast(16 as bigint) as bits,
         | 100 + (doc_id % 400) as n_samples
         |from documents order by doc_id""".stripMargin,
+    "q_salted_agg" ->
+      """select event_type,
+        | count(*) as n_events,
+        | min(epoch_us(ts)) as first_ts_us,
+        | max(epoch_us(ts)) as last_ts_us,
+        | cast(sum(event_id) as bigint) as sum_event_id
+        |from events
+        |group by event_type
+        |order by event_type""".stripMargin,
+    "text_tfidf" ->
+      s"""with toks as (
+         |  select doc_id, unnest(${SqlTwins.toks("text")}) as term from documents),
+         |tf as (
+         |  select doc_id, term, count(*) as tf from toks where term <> '' group by doc_id, term),
+         |dfreq as (select term, count(*) as df from tf group by term),
+         |n as (select count(*) as nn from documents),
+         |scored as (
+         |  select tf.doc_id, tf.term, tf.tf, dfreq.df,
+         |    round(cast(tf.tf as double) * ln(cast(n.nn as double) / cast(dfreq.df as double)), 4) as tfidf
+         |  from tf join dfreq using (term) cross join n),
+         |r as (
+         |  select doc_id, term, tf, df, tfidf,
+         |    row_number() over (partition by doc_id order by tfidf desc, term) as rank
+         |  from scored)
+         |select doc_id, rank, term, tf, df, tfidf from r
+         |where rank <= 3
+         |order by doc_id, rank""".stripMargin,
     "text_decontam" -> {
       val th = SqlTwins.tokenHashes32("t")
       s"""with t as (select doc_id, ${SqlTwins.toks("text")} as t from documents),
