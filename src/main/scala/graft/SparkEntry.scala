@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ts.{Featurize, OracleGen, Taylor, TimeOps}
-import graft.functions.{Profile, Sampling, Skew, SqlTwins, TextOps, TfIdf, VectorOps}
+import graft.functions.{Profile, Sampling, Sketch, Skew, SqlTwins, TextOps, TfIdf, VectorOps}
 import graft.dedup.Dedup
 import graft.ann.Ann
 import graft.multimodal.Multimodal
@@ -196,6 +196,16 @@ object SparkEntry {
       TimeOps.resampleFfill(ev, Seq("user_id"), "ts_us", 86400000000L, max(col("value")))
         .orderBy("user_id", "bucket")
     },
+    // classical decomposition of the daily spine: period-7 centered MA
+    // trend + weekday seasonal means + remainder
+    "ts_seasonal" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
+      val daily = TimeOps.resampleFfill(ev, Seq("user_id"), "ts_us", 86400000000L, max(col("value")))
+        .select("user_id", "bucket", "filled_value")
+      val phase = pmod(expr("bucket div 86400000000") + 3, lit(7)).cast("int")
+      TimeOps.seasonalDecompose(daily, "filled_value", Seq("user_id"), Seq("bucket"), 7, phase)
+        .orderBy("user_id", "bucket")
+    },
     // the pandas fillna family on a regular spine: forward fill,
     // backward fill, and constant fallback in one window pass each
     "ts_fill" -> { (s, dir) =>
@@ -251,6 +261,18 @@ object SparkEntry {
     "ts_ewma" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
       TimeOps.ewma(ev, "value", evGroup, evOrder, alpha = 0.2)
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+    // two-sided CUSUM drift detector; target/slack/threshold ≈ μ, σ/2, 5σ
+    "ts_cusum" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.cusum(ev, "value", evGroup, evOrder, target = 50.0, slack = 25.0, threshold = 250.0)
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+    // Brown double-exponential smoothing: level/trend/one-step forecast
+    "ts_holt" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.brownSmoothing(ev, "value", evGroup, evOrder, alpha = 0.2)
         .orderBy("user_id", "ts_us", "event_id")
     },
     "q3_join" -> { (s, dir) =>
@@ -331,6 +353,19 @@ object SparkEntry {
         Skew.maxAgg("ts_us", "last_ts_us"),
         Skew.sumAgg("event_id", "sum_event_id")))
         .orderBy("event_type")
+    },
+    // rollup (grouping sets) aggregation: nation × order-year revenue
+    // with subtotals and a grand total; decimal sums are association-
+    // independent, so both engines agree bit-for-bit without rounding
+    "q_rollup" -> { (s, dir) =>
+      val o = Tables.orders(s, dir).select("o_custkey", "o_orderdate", "o_totalprice")
+      val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .withColumn("o_year", year(col("o_orderdate")))
+        .rollup(col("c_nationkey"), col("o_year"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("revenue"))
+        .orderBy(col("c_nationkey").asc_nulls_first, col("o_year").asc_nulls_first)
     },
     // TF-IDF top-3 distinctive terms per document (tf · ln(N/df),
     // round 4dp both engines; rank rides WindowGroupLimit)
@@ -433,6 +468,25 @@ object SparkEntry {
         .groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term"))
         .limit(50)
+    },
+    // PII scrub round-trip: the corpus has no PII, so the query first
+    // INJECTS deterministic doc_id-derived emails/phones (both engines
+    // build the same strings), then detects and redacts them — the
+    // redaction is verified against planted ground truth, mm_meta-style
+    "text_pii" -> { (s, dir) =>
+      val raw = concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit("-77")))
+          .otherwise(lit("")))
+      Tables.documents(s, dir).select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          TextOps.emailCount(col("raw")).cast("long").as("n_emails"),
+          TextOps.phoneCount(col("raw")).cast("long").as("n_phones"),
+          TextOps.redactPii(col("raw")).as("redacted"))
+        .orderBy("doc_id")
     },
     "sess_agg" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
@@ -585,6 +639,21 @@ object SparkEntry {
         .select(col("doc_id"), Sampling.hashBucket(col("doc_id"), 10000).as("bucket"), col("split"))
         .orderBy("doc_id")
     },
+    // exact-n per stratum by hash rank — deterministic stratified draw
+    "sample_stratified" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Sampling.stratifiedSample(docs, "lang", "doc_id", n = 25)
+        .select("lang", "doc_id", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    },
+    // heavy hitters via Misra-Gries candidates + exact recount — the
+    // bounded-memory top-terms path (no vocabulary shuffle); capacity 64
+    // ≥ the synthetic vocab so the result provably equals exact top-k
+    // (the eviction path is spec-pinned on a zipf corpus)
+    "text_topterms_sketch" -> { (s, dir) =>
+      Sketch.topTermsSketched(Tables.documents(s, dir), "text", k = 15, capacity = 64)
+        .orderBy(col("n").desc, col("term"))
+    },
     // PQ code assignment: m=4 subspaces x k=4 seed centroids, squared-L2
     // nearest-code kernel per subspace — map-only, zero shuffle
     "ann_pq_codes" -> { (s, dir) =>
@@ -620,6 +689,11 @@ object SparkEntry {
       StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
           StreamingFeaturize.streamingEwma(ds, alpha = 0.2).toDF())
         .select(col("user_id"), col("ts_us"), col("value"), col("value_rollmean").as("ewma"))
+        .orderBy("user_id", "ts_us")
+    },
+    "stream_cusum" -> { (s, dir) =>
+      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+          StreamingFeaturize.streamingCusum(ds, target = 50.0, slack = 25.0, threshold = 250.0).toDF())
         .orderBy("user_id", "ts_us")
     },
     "stream_dedup_exact" -> { (s, dir) =>
@@ -863,6 +937,35 @@ object SparkEntry {
         |   rows between unbounded preceding and current row) as filled_value
         |from j
         |order by user_id, bucket""".stripMargin,
+    // decomposition twin: the trend sum is written in the same
+    // left-associated term order the Spark reduceLeft emits, so trend
+    // and remainder are bit-exact; only the seasonal mean (engine
+    // aggregation order) is rounded on both sides
+    "ts_seasonal" ->
+      """with pb as (
+        |  select user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000) as bucket, max(value) as bucket_value
+        |  from events group by 1, 2),
+        |bounds as (select user_id, min(bucket) as b0, max(bucket) as b1 from pb group by 1),
+        |spine as (select user_id, unnest(generate_series(b0, b1, 86400000000)) as bucket from bounds),
+        |j as (select s.user_id, s.bucket, pb.bucket_value
+        |      from spine s left join pb on s.user_id = pb.user_id and s.bucket = pb.bucket),
+        |f as (select user_id, bucket,
+        |  last_value(bucket_value ignore nulls) over (partition by user_id order by bucket
+        |    rows between unbounded preceding and current row) as filled_value
+        | from j),
+        |t as (select user_id, bucket, filled_value,
+        |  cast((bucket // 86400000000 + 3) % 7 as int) as phase,
+        |  (lag(filled_value, 3) over w + lag(filled_value, 2) over w + lag(filled_value, 1) over w
+        |    + filled_value
+        |    + lead(filled_value, 1) over w + lead(filled_value, 2) over w + lead(filled_value, 3) over w)
+        |    / 7.0E0 as trend
+        | from f window w as (partition by user_id order by bucket)),
+        |d as (select *, filled_value - trend as det from t),
+        |sn as (select *, round(avg(det) over (partition by user_id, phase), 4) as seasonal from d)
+        |select user_id, bucket, filled_value, phase, trend, seasonal,
+        | det - seasonal as remainder
+        |from sn
+        |order by user_id, bucket""".stripMargin,
     "ts_fill" ->
       """with pb as (
         |  select user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000) as bucket, max(value) as bucket_value
@@ -957,6 +1060,59 @@ object SparkEntry {
          |   list_reduce(xs[1:t], (a, b) -> (a * $b) + b)
          |   / list_reduce(list_transform(xs[1:t], x -> 1.0E0), (a, b) -> (a * $b) + b))) as ewma
          |from g
+         |order by user_id, ts_us, event_id""".stripMargin
+    },
+    // CUSUM: the same max(0, acc + dev) fold the scan performs, seeded
+    // by a prepended 0 (list_reduce has no init parameter). Deviations
+    // are pre-shifted per side so the fold body is exactly acc + dev.
+    "ts_cusum" -> {
+      val t = OracleGen.litD(50.0); val k = OracleGen.litD(25.0); val h = OracleGen.litD(250.0)
+      s"""with g as (select user_id,
+         |  list(value order by epoch_us(ts), event_id) as xs,
+         |  list(epoch_us(ts) order by epoch_us(ts), event_id) as tsl,
+         |  list(event_id order by epoch_us(ts), event_id) as eidl
+         |from events group by user_id),
+         |u as (select user_id, unnest(tsl) as ts_us, unnest(eidl) as event_id, unnest(xs) as value,
+         | unnest(list_transform(range(1, len(xs) + 1), t ->
+         |   list_reduce(list_prepend(0.0E0, list_transform(xs[1:t], x -> x - $t - $k)),
+         |     (a, b) -> greatest(0.0E0, a + b)))) as cusum_pos,
+         | unnest(list_transform(range(1, len(xs) + 1), t ->
+         |   list_reduce(list_prepend(0.0E0, list_transform(xs[1:t], x -> $t - $k - x)),
+         |     (a, b) -> greatest(0.0E0, a + b)))) as cusum_neg
+         |from g)
+         |select user_id, ts_us, event_id, value, cusum_pos, cusum_neg,
+         | (cusum_pos > $h or cusum_neg > $h) as cusum_alarm
+         |from u
+         |order by user_id, ts_us, event_id""".stripMargin
+    },
+    // Brown smoothing: the ewma Horner fold applied twice — e1 per
+    // prefix, then the SAME fold over the e1 list; level/trend are
+    // arithmetic on the two bit-exact smoothers.
+    "ts_holt" -> {
+      val b = OracleGen.litD(1.0 - 0.2)
+      val c = OracleGen.litD(0.2 / (1.0 - 0.2))
+      s"""with g as (select user_id,
+         |  list(value order by epoch_us(ts), event_id) as xs,
+         |  list(epoch_us(ts) order by epoch_us(ts), event_id) as tsl,
+         |  list(event_id order by epoch_us(ts), event_id) as eidl
+         |from events group by user_id),
+         |s1 as (select user_id, tsl, eidl, xs,
+         |  list_transform(range(1, len(xs) + 1), t ->
+         |    list_reduce(xs[1:t], (a, b) -> (a * $b) + b)
+         |    / list_reduce(list_transform(xs[1:t], x -> 1.0E0), (a, b) -> (a * $b) + b)) as e1l
+         |from g),
+         |s2 as (select user_id, tsl, eidl, xs, e1l,
+         |  list_transform(range(1, len(e1l) + 1), t ->
+         |    list_reduce(e1l[1:t], (a, b) -> (a * $b) + b)
+         |    / list_reduce(list_transform(e1l[1:t], x -> 1.0E0), (a, b) -> (a * $b) + b)) as e2l
+         |from s1)
+         |select user_id, unnest(tsl) as ts_us, unnest(eidl) as event_id, unnest(xs) as value,
+         | unnest(e1l) as ewma1, unnest(e2l) as ewma2,
+         | unnest(list_transform(range(1, len(xs) + 1), t -> 2.0E0 * e1l[t] - e2l[t])) as level,
+         | unnest(list_transform(range(1, len(xs) + 1), t -> $c * (e1l[t] - e2l[t]))) as trend,
+         | unnest(list_transform(range(1, len(xs) + 1), t ->
+         |   (2.0E0 * e1l[t] - e2l[t]) + $c * (e1l[t] - e2l[t]))) as forecast1
+         |from s2
          |order by user_id, ts_us, event_id""".stripMargin
     },
     "q3_join" ->
@@ -1190,6 +1346,26 @@ object SparkEntry {
          |group by term
          |order by n desc, term
          |limit 50""".stripMargin,
+    // the twin injects the SAME doc_id-derived PII strings, then runs
+    // the same two regex passes (patterns are Java-regex/RE2-common;
+    // DuckDB needs the explicit 'g' flag Spark applies by default)
+    "text_pii" -> {
+      val e = graft.functions.TextOps.EmailRe
+      val p = graft.functions.TextOps.PhoneRe
+      s"""with r as (select doc_id,
+         |  text
+         |   || case when doc_id % 5 = 0
+         |        then ' contact user' || cast(doc_id as varchar) || '@example.com' else '' end
+         |   || case when doc_id % 7 = 0
+         |        then ' call +1-555-' || lpad(cast(doc_id % 10000 as varchar), 4, '0') || '-77' else '' end
+         |  as raw from documents)
+         |select doc_id,
+         | len(regexp_extract_all(raw, '$e')) as n_emails,
+         | len(regexp_extract_all(regexp_replace(raw, '$e', '<EMAIL>', 'g'), '$p')) as n_phones,
+         | regexp_replace(regexp_replace(raw, '$e', '<EMAIL>', 'g'), '$p', '<PHONE>', 'g') as redacted
+         |from r
+         |order by doc_id""".stripMargin
+    },
     "sess_agg" ->
       s"""with s as (
          |  select user_id, ts_us, event_id, value,
@@ -1245,6 +1421,15 @@ object SparkEntry {
         |from events
         |group by event_type
         |order by event_type""".stripMargin,
+    // decimal(18,2) sums are exact regardless of aggregation order —
+    // no rounding needed; year cast to int to match Spark's year()
+    "q_rollup" ->
+      """select c_nationkey, o_year, count(*) as n_orders,
+        | cast(sum(cast(o_totalprice as decimal(18,2))) as decimal(38,2)) as revenue
+        |from (select c_nationkey, cast(year(o_orderdate) as int) as o_year, o_totalprice
+        |      from orders join customer on o_custkey = c_custkey)
+        |group by rollup(c_nationkey, o_year)
+        |order by c_nationkey asc nulls first, o_year asc nulls first""".stripMargin,
     "text_tfidf" ->
       s"""with toks as (
          |  select doc_id, unnest(${SqlTwins.toks("text")}) as term from documents),
@@ -1410,6 +1595,22 @@ object SparkEntry {
          |from d where bucket < 8000
          |order by doc_id""".stripMargin
     },
+    "sample_stratified" ->
+      s"""select lang, doc_id, sample_rank from (
+         |  select lang, doc_id,
+         |    cast(row_number() over (partition by lang
+         |      order by ${SqlTwins.h60("cast(doc_id as varchar)")}, doc_id) as int) as sample_rank
+         |  from documents)
+         |where sample_rank <= 25
+         |order by lang, sample_rank""".stripMargin,
+    // the sketch path provably equals exact top-k here (capacity ≥
+    // vocab — see the queries entry), so the oracle IS the exact top-k
+    "text_topterms_sketch" ->
+      s"""select term, count(*) as n
+         |from (select unnest(${SqlTwins.toks("text")}) as term from documents)
+         |group by term
+         |order by n desc, term
+         |limit 15""".stripMargin,
     // PQ oracle rebuilds the seed codebooks (4 lowest-id subvectors) in
     // SQL and replicates the kernel's exact fold: left-assoc sum of
     // (x-c)^2 terms in index order, argmin with lowest-code tie-break
@@ -1513,6 +1714,25 @@ object SparkEntry {
          |   list_reduce(xs[1:t], (a, b) -> (a * $b) + b)
          |   / list_reduce(list_transform(xs[1:t], x -> 1.0E0), (a, b) -> (a * $b) + b))) as ewma
          |from g
+         |order by user_id, ts_us""".stripMargin
+    },
+    "stream_cusum" -> {
+      val t = OracleGen.litD(50.0); val k = OracleGen.litD(25.0); val h = OracleGen.litD(250.0)
+      s"""with g as (select user_id,
+         |  list(value order by epoch_us(ts)) as xs,
+         |  list(epoch_us(ts) order by epoch_us(ts)) as tsl
+         |from events group by user_id),
+         |u as (select user_id, unnest(tsl) as ts_us, unnest(xs) as value,
+         | unnest(list_transform(range(1, len(xs) + 1), t ->
+         |   list_reduce(list_prepend(0.0E0, list_transform(xs[1:t], x -> x - $t - $k)),
+         |     (a, b) -> greatest(0.0E0, a + b)))) as cusum_pos,
+         | unnest(list_transform(range(1, len(xs) + 1), t ->
+         |   list_reduce(list_prepend(0.0E0, list_transform(xs[1:t], x -> $t - $k - x)),
+         |     (a, b) -> greatest(0.0E0, a + b)))) as cusum_neg
+         |from g)
+         |select user_id, ts_us, value, cusum_pos, cusum_neg,
+         | (cusum_pos > $h or cusum_neg > $h) as cusum_alarm
+         |from u
          |order by user_id, ts_us""".stripMargin
     },
     "stream_dedup_exact" ->

@@ -192,6 +192,12 @@ object Dedup {
     // (the id semi-join and the pair join), and their measured count
     // decides the join strategy below. Persisting also stops the
     // signature pipeline from being re-evaluated per consumer.
+    // Deliberately NOT left to AQE: adaptive SMJ→BHJ conversion happens
+    // only after the corpus side's shuffle map stage is submitted, so
+    // the corpus would still pay a full shuffle write in the common
+    // candidate-light case; the explicit pre-count (one stage over the
+    // just-persisted frame) picks broadcast BEFORE any corpus-side
+    // exchange exists.
     val cand = bandCandidatePairs(bands, idCol).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nCand = cand.count()

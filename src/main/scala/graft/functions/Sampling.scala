@@ -48,4 +48,29 @@ object Sampling {
     df.withColumn(splitCol,
       when(b < trainCut, "train").when(b < validCut, "valid").otherwise("test"))
   }
+
+  /** Exact-n stratified sample: the `n` rows of each stratum whose
+    * 60-bit key hash ranks lowest (key as final tiebreak — total order,
+    * fully deterministic). Hash-rank ≈ a uniform draw per row, so the
+    * selection is an unbiased without-replacement sample of each
+    * stratum that any engine reproduces bit-for-bit — the curation
+    * primitive for "give me exactly N docs per language/source".
+    *
+    * Scale shape: one exchange on the stratum key; the rank filter is
+    * rewritten by Catalyst into WindowGroupLimit, so each partition
+    * keeps a running top-n instead of fully sorting its stratum.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      n: Int,
+      rankCol: String = "sample_rank"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, s"n must be positive, got $n")
+    val h = TextOps.h60(col(keyCol).cast("string"))
+    val w = Window.partitionBy(col(strataCol)).orderBy(h.asc, col(keyCol).asc)
+    df.withColumn(rankCol, row_number().over(w).cast("int"))
+      .where(col(rankCol) <= n)
+  }
 }

@@ -225,4 +225,32 @@ object TextOps {
     params.map { case (a, b) =>
       array_min(transform(hashesCol, h => pmod(lit(a) * h + lit(b), lit(MinhashMod))))
     }
+
+  /** PII patterns, deliberately restricted to syntax with identical
+    * semantics in Java regex (Spark codegen) and RE2 (the DuckDB
+    * oracle): character classes, bounded/unbounded counted repeats,
+    * optional — no backrefs, no lookaround.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone-shaped runs: optional +, then ≥8 chars of digits/hyphens
+    * bounded by digits. Applied AFTER email redaction so digit runs
+    * inside addresses are already gone.
+    */
+  val PhoneRe = "\\+?[0-9][0-9-]{6,}[0-9]"
+
+  /** Scrub emails then phone numbers — the standard pre-training PII
+    * hygiene pass. Pure codegen'd regexp_replace: map-only, no
+    * shuffle, linear over the corpus.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  def emailCount(c: Column): Column = size(regexp_extract_all(c, lit(EmailRe), lit(0)))
+
+  /** Counted on the email-redacted text — same visibility rule as
+    * [[redactPii]]'s second pass.
+    */
+  def phoneCount(c: Column): Column =
+    size(regexp_extract_all(regexp_replace(c, EmailRe, "<EMAIL>"), lit(PhoneRe), lit(0)))
 }

@@ -24,6 +24,16 @@ case class RollFeat(
   */
 case class RingState(ring: Array[Double], lastTs: Long = Long.MinValue)
 case class EwmaState(num: Double, den: Double, lastTs: Long = Long.MinValue)
+
+case class CusumState(sPos: Double, sNeg: Double, lastTs: Long = Long.MinValue)
+
+case class CusumOut(
+    user_id: Long,
+    ts_us: Long,
+    value: Double,
+    cusum_pos: Double,
+    cusum_neg: Double,
+    cusum_alarm: Boolean)
 case class BandMin(min_id: Long)
 case class PosRing(ring: Array[Double], pos: Long, lastTs: Long = Long.MinValue)
 
@@ -319,6 +329,36 @@ object StreamingFeaturize {
             RollFeat(key, e.ts_us, e.value, None, Some(num / den))
           }
           state.update(EwmaState(num, den, evSeq.lastOption.map(_.ts_us).getOrElse(lastTs)))
+          out.iterator
+        })
+  }
+
+  /** Streaming two-sided CUSUM — the TimeOps.cusum twin and the
+    * canonical ONLINE use of the detector (drift monitoring on a live
+    * feature stream). State per key = the two accumulators, O(1) on an
+    * unbounded stream; the recurrence is identical to the batch scan,
+    * so values are bit-identical for in-order input (duplicate/late
+    * timestamps fail fast via sortedStrict).
+    */
+  def streamingCusum(
+      events: Dataset[Ev],
+      target: Double,
+      slack: Double,
+      threshold: Double): Dataset[CusumOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, evs: Iterator[Ev], state: GroupState[CusumState]) => {
+          var (sPos, sNeg) = state.getOption.map(s => (s.sPos, s.sNeg)).getOrElse((0.0, 0.0))
+          val lastTs = state.getOption.map(_.lastTs).getOrElse(Long.MinValue)
+          val evSeq = sortedStrict(evs, lastTs, key)
+          val out = evSeq.map { e =>
+            sPos = math.max(0.0, sPos + (e.value - target - slack))
+            sNeg = math.max(0.0, sNeg + (target - slack - e.value))
+            CusumOut(key, e.ts_us, e.value, sPos, sNeg, sPos > threshold || sNeg > threshold)
+          }
+          state.update(CusumState(sPos, sNeg, evSeq.lastOption.map(_.ts_us).getOrElse(lastTs)))
           out.iterator
         })
   }

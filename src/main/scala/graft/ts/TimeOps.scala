@@ -356,6 +356,166 @@ object TimeOps {
       .drop("__med", "__dev")
   }
 
+  /** Two-sided CUSUM change detection (Page 1954): per series,
+    *   s⁺_t = max(0, s⁺_{t-1} + (x_t − target − slack))
+    *   s⁻_t = max(0, s⁻_{t-1} + (target − slack − x_t))
+    * with an alarm when either side exceeds `threshold`. The classic
+    * sequential drift detector for data-quality monitoring on feature
+    * streams. The recursion (like [[ewma]]) is not window-expressible
+    * with bounded memory, so it is the same one-shuffle shape:
+    * repartition by key + sortWithinPartitions + an O(1)-state
+    * per-partition scan. The DuckDB oracle replays the identical fold
+    * with list_reduce seeded by a prepended 0 — bit-identical doubles.
+    * Null observations keep the state and emit null (no evidence is
+    * not evidence of change).
+    */
+  def cusum(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      target: Double,
+      slack: Double,
+      threshold: Double): DataFrame = {
+    val parted =
+      if (groupCols.isEmpty) df.coalesce(1)
+      else df.repartition(groupCols.map(col): _*)
+    val sorted = parted
+      .sortWithinPartitions((groupCols ++ orderCols).map(col): _*)
+    val schema = StructType(sorted.schema.fields ++ Seq(
+      StructField("cusum_pos", DoubleType, nullable = true),
+      StructField("cusum_neg", DoubleType, nullable = true),
+      StructField("cusum_alarm", org.apache.spark.sql.types.BooleanType, nullable = true)))
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val gIdx = groupCols.map(sorted.schema.fieldIndex)
+    sorted.mapPartitions { iter =>
+      var key: Seq[Any] = null
+      var sPos = 0.0
+      var sNeg = 0.0
+      iter.map { row =>
+        val k = gIdx.map(row.get)
+        if (key == null || k != key) { key = k; sPos = 0.0; sNeg = 0.0 }
+        if (row.isNullAt(vIdx)) {
+          Row.fromSeq(row.toSeq ++ Seq(null, null, null))
+        } else {
+          val x = row.getDouble(vIdx)
+          // association order mirrors the oracle's greatest(0, a + b)
+          // fold over pre-shifted deviations: b = x - target - slack
+          sPos = math.max(0.0, sPos + (x - target - slack))
+          sNeg = math.max(0.0, sNeg + (target - slack - x))
+          Row.fromSeq(row.toSeq ++ Seq(sPos, sNeg, sPos > threshold || sNeg > threshold))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Brown double-exponential smoothing: level + trend estimates (and
+    * the one-step forecast) from TWO chained EWMAs —
+    *   e1 = ewma(x), e2 = ewma(e1),
+    *   level = 2·e1 − e2, trend = α/(1−α)·(e1 − e2),
+    *   forecast1 = level + trend.
+    * Equivalent in expressive power to Holt's linear method with
+    * coupled coefficients, but the ONLY recursion is the EWMA fold —
+    * so one O(1)-state scan computes both smoothers (state = four
+    * scalars per key) and the DuckDB oracle is the [[ewma]] Horner
+    * fold applied twice (a nested list_transform), bit-identical.
+    * Both EWMAs use the adjust=true estimator [[ewma]] uses.
+    */
+  def brownSmoothing(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      alpha: Double): DataFrame = {
+    val parted =
+      if (groupCols.isEmpty) df.coalesce(1)
+      else df.repartition(groupCols.map(col): _*)
+    val sorted = parted
+      .sortWithinPartitions((groupCols ++ orderCols).map(col): _*)
+    val schema = StructType(sorted.schema.fields ++ Seq(
+      StructField("ewma1", DoubleType, nullable = true),
+      StructField("ewma2", DoubleType, nullable = true),
+      StructField("level", DoubleType, nullable = true),
+      StructField("trend", DoubleType, nullable = true),
+      StructField("forecast1", DoubleType, nullable = true)))
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val gIdx = groupCols.map(sorted.schema.fieldIndex)
+    val beta = 1.0 - alpha
+    val trendC = alpha / (1.0 - alpha)
+    sorted.mapPartitions { iter =>
+      var key: Seq[Any] = null
+      var num1, den1, num2, den2 = 0.0
+      iter.map { row =>
+        val k = gIdx.map(row.get)
+        if (key == null || k != key) { key = k; num1 = 0.0; den1 = 0.0; num2 = 0.0; den2 = 0.0 }
+        if (row.isNullAt(vIdx)) {
+          // missing observation: both smoothers decay, nothing added
+          num1 = beta * num1; den1 = beta * den1
+          num2 = beta * num2; den2 = beta * den2
+          val out: Seq[Any] =
+            if (den1 > 0.0 && den2 > 0.0) {
+              val e1 = num1 / den1; val e2 = num2 / den2
+              val level = 2.0 * e1 - e2
+              val trend = trendC * (e1 - e2)
+              Seq(e1, e2, level, trend, level + trend)
+            } else Seq(null, null, null, null, null)
+          Row.fromSeq(row.toSeq ++ out)
+        } else {
+          num1 = beta * num1 + row.getDouble(vIdx)
+          den1 = beta * den1 + 1.0
+          val e1 = num1 / den1
+          num2 = beta * num2 + e1
+          den2 = beta * den2 + 1.0
+          val e2 = num2 / den2
+          val level = 2.0 * e1 - e2
+          val trend = trendC * (e1 - e2)
+          Row.fromSeq(row.toSeq ++ Seq(e1, e2, level, trend, level + trend))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Classical additive seasonal decomposition on a regular series:
+    * trend = centered `period`-row moving average (odd period; explicit
+    * left-associated lag/lead sum — bit-identical cross-engine),
+    * seasonal = per-(group, phase) mean of the detrended series
+    * (rounded 4dp: group aggregation order is engine-specific),
+    * remainder = (x − trend) − seasonal. The caller supplies the phase
+    * column (weekday, hour-of-day, position mod period, …).
+    *
+    * Scale shape: trend rides the series-key window partition (the ONE
+    * shared exchange every TS op uses); the seasonal means add a second
+    * window partition on (group, phase). Edges where the centered
+    * window is truncated yield null trend/remainder — the classical
+    * convention.
+    */
+  def seasonalDecompose(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      period: Int,
+      phase: Column): DataFrame = {
+    require(period % 2 == 1, s"centered MA needs an odd period, got $period")
+    val h = period / 2
+    val w = Featurize.seriesWindow(groupCols, orderCols)
+    val terms = (-h to h).map {
+      case i if i < 0 => lag(col(valueCol), -i).over(w)
+      case 0          => col(valueCol)
+      case i          => lead(col(valueCol), i).over(w)
+    }
+    val trend = terms.reduceLeft(_ + _) / lit(period.toDouble)
+    val withTrend = df
+      .withColumn("phase", phase)
+      .withColumn("trend", trend)
+      .withColumn("__det", col(valueCol) - col("trend"))
+    val pw = Window.partitionBy(groupCols.map(col) :+ col("phase"): _*)
+    withTrend
+      .withColumn("seasonal", round(avg(col("__det")).over(pw), 4))
+      .withColumn("remainder", col("__det") - col("seasonal"))
+      .drop("__det")
+  }
+
   /** Calendar features from a µs-epoch timestamp — pure integer
     * arithmetic where possible (day index, Monday-based weekday,
     * weekend flag, hour of day: engine-independent by construction;

@@ -35,4 +35,22 @@ class SamplingSpec extends SparkSpec {
     val plan = Sampling.sampleByHash(ids, "id", 0.5).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(600))
   }
+
+  test("stratifiedSample draws exactly n per stratum, layout-independent") {
+    val strat = ids.withColumn("g", (col("id") % 4).cast("string"))
+    val a = Sampling.stratifiedSample(strat, "g", "id", n = 10)
+      .select("g", "id", "sample_rank").as[(String, Long, Int)].collect().toSet
+    assert(a.size == 40, s"4 strata × 10, got ${a.size}")
+    assert(a.groupBy(_._1).forall(_._2.size == 10))
+    val b = Sampling.stratifiedSample(strat.repartition(7).orderBy(rand(3)), "g", "id", n = 10)
+      .select("g", "id", "sample_rank").as[(String, Long, Int)].collect().toSet
+    assert(a == b, "the drawn set (and ranks) must not depend on layout")
+  }
+
+  test("stratifiedSample keeps the rank-limit pushdown (WindowGroupLimit)") {
+    val strat = ids.withColumn("g", (col("id") % 4).cast("string"))
+    val plan = Sampling.stratifiedSample(strat, "g", "id", n = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"lost WindowGroupLimit:\n${plan.take(1200)}")
+  }
 }

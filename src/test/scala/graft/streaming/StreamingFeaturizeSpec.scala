@@ -104,6 +104,34 @@ class StreamingFeaturizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingCusum equals the batch CUSUM across micro-batches and alarms") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingFeaturize.streamingCusum(input.toDS(), target = 0.0, slack = 0.5, threshold = 20.0)
+      .writeStream.format("memory").queryName("cusum_out").outputMode("append").start()
+    try {
+      // user 1 drifts upward mid-stream; user 2 stays quiet
+      val all = (0 until 16).map(i =>
+        Ev(1, i.toLong * 1000000, if (i < 8) 0.0 else 10.0)) ++
+        (0 until 10).map(i => Ev(2, i.toLong * 1000000, 0.0))
+      input.addData(all.filter(_.ts_us < 6000000): _*)
+      q.processAllAvailable()
+      input.addData(all.filter(_.ts_us >= 6000000): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cusum_out")
+        .select("user_id", "ts_us", "cusum_pos", "cusum_neg", "cusum_alarm")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toSet
+      val batch = graft.ts.TimeOps.cusum(
+          all.map(e => (e.user_id, e.ts_us, e.value)).toDF("user_id", "ts_us", "value"),
+          "value", Seq("user_id"), Seq("ts_us"), target = 0.0, slack = 0.5, threshold = 20.0)
+        .select("user_id", "ts_us", "cusum_pos", "cusum_neg", "cusum_alarm")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toSet
+      assert(streamed == batch, "streaming CUSUM must be bit-identical to the batch scan")
+      assert(streamed.exists(_._5), "the drifting series must alarm")
+      assert(streamed.filter(_._1 == 2L).forall(!_._5), "the quiet series must not alarm")
+    } finally q.stop()
+  }
+
   private def optRow(r: org.apache.spark.sql.Row, from: Int): Seq[Option[Double]] =
     (from until r.length).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i)))
 
