@@ -328,6 +328,16 @@ object SparkEntry {
     "dedup_exact" -> { (s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
     },
+    // Bloom pre-filter: every 10th doc is the "already-ingested"
+    // reference; its fixed-size bitset rides the plan as a literal and
+    // the probe is a join-free map-only scan
+    "dedup_bloom" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val ref = docs.where(col("doc_id") % 10 === 0)
+      val bits = Dedup.bloomBuild(ref, "text", m = 1 << 17, k = 3)
+      Dedup.bloomProbe(docs, "doc_id", "text", bits, m = 1 << 17, k = 3)
+        .orderBy("doc_id")
+    },
     "dedup_exact_verified" -> { (s, dir) =>
       Dedup.exactVerified(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
     },
@@ -694,6 +704,11 @@ object SparkEntry {
     "stream_cusum" -> { (s, dir) =>
       StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
           StreamingFeaturize.streamingCusum(ds, target = 50.0, slack = 25.0, threshold = 250.0).toDF())
+        .orderBy("user_id", "ts_us")
+    },
+    "stream_holt" -> { (s, dir) =>
+      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+          StreamingFeaturize.streamingBrown(ds, alpha = 0.2).toDF())
         .orderBy("user_id", "ts_us")
     },
     "stream_dedup_exact" -> { (s, dir) =>
@@ -1163,6 +1178,21 @@ object SparkEntry {
          | case when min(doc_id) over (partition by k) < doc_id
          |      then min(doc_id) over (partition by k) end as dup_of
          |from d order by doc_id""".stripMargin,
+    // a set bit in the m-bit filter ≡ the position being in the
+    // reference's distinct-position set, so the twin checks membership
+    // directly — identical semantics, no bitset needed
+    "dedup_bloom" -> {
+      def pos(j: Int) = s"${SqlTwins.h60(s"'$j:' || norm")} % 131072"
+      s"""with n as (select doc_id, ${SqlTwins.norm("text")} as norm from documents),
+         |refpos as (select distinct unnest([${pos(0)}, ${pos(1)}, ${pos(2)}]) as p
+         |           from n where doc_id % 10 = 0),
+         |d as (select doc_id, ${pos(0)} as p0, ${pos(1)} as p1, ${pos(2)} as p2 from n)
+         |select doc_id,
+         | (p0 in (select p from refpos)
+         |  and p1 in (select p from refpos)
+         |  and p2 in (select p from refpos)) as maybe_in_ref
+         |from d order by doc_id""".stripMargin
+    },
     "dedup_exact_verified" ->
       s"""with d as (select doc_id, ${SqlTwins.norm("text")} as t from documents)
          |select doc_id,
@@ -1733,6 +1763,32 @@ object SparkEntry {
          |select user_id, ts_us, value, cusum_pos, cusum_neg,
          | (cusum_pos > $h or cusum_neg > $h) as cusum_alarm
          |from u
+         |order by user_id, ts_us""".stripMargin
+    },
+    "stream_holt" -> {
+      val b = OracleGen.litD(1.0 - 0.2)
+      val c = OracleGen.litD(0.2 / (1.0 - 0.2))
+      s"""with g as (select user_id,
+         |  list(value order by epoch_us(ts)) as xs,
+         |  list(epoch_us(ts) order by epoch_us(ts)) as tsl
+         |from events group by user_id),
+         |s1 as (select user_id, tsl, xs,
+         |  list_transform(range(1, len(xs) + 1), t ->
+         |    list_reduce(xs[1:t], (a, b) -> (a * $b) + b)
+         |    / list_reduce(list_transform(xs[1:t], x -> 1.0E0), (a, b) -> (a * $b) + b)) as e1l
+         |from g),
+         |s2 as (select user_id, tsl, xs, e1l,
+         |  list_transform(range(1, len(e1l) + 1), t ->
+         |    list_reduce(e1l[1:t], (a, b) -> (a * $b) + b)
+         |    / list_reduce(list_transform(e1l[1:t], x -> 1.0E0), (a, b) -> (a * $b) + b)) as e2l
+         |from s1)
+         |select user_id, unnest(tsl) as ts_us, unnest(xs) as value,
+         | unnest(e1l) as ewma1, unnest(e2l) as ewma2,
+         | unnest(list_transform(range(1, len(xs) + 1), t -> 2.0E0 * e1l[t] - e2l[t])) as level,
+         | unnest(list_transform(range(1, len(xs) + 1), t -> $c * (e1l[t] - e2l[t]))) as trend,
+         | unnest(list_transform(range(1, len(xs) + 1), t ->
+         |   (2.0E0 * e1l[t] - e2l[t]) + $c * (e1l[t] - e2l[t]))) as forecast1
+         |from s2
          |order by user_id, ts_us""".stripMargin
     },
     "stream_dedup_exact" ->

@@ -395,4 +395,64 @@ object Dedup {
         .where(col("cos") >= threshold)
     }
   }
+
+  /** The k salted positions of a document's normalized text in an
+    * m-bit Bloom filter: h60("j:" ++ normalize(text)) mod m for
+    * j = 0..k-1. Shared by build and probe (and mirrored by the SQL
+    * twin), so membership semantics are identical everywhere.
+    */
+  def bloomPositions(textCol: Column, m: Int, k: Int): Seq[Column] =
+    (0 until k).map { j =>
+      pmod(TextOps.h60(concat(lit(s"$j:"), TextOps.normalize(textCol))), lit(m.toLong))
+    }
+
+  /** Build an m-bit Bloom filter of a reference corpus's normalized
+    * texts. The distinct-position set is computed DISTRIBUTED (explode
+    * + partial-aggregated distinct); only the positions land on the
+    * driver — bounded by m (= m/8 bytes of bitset) REGARDLESS of
+    * corpus size, which is the entire point of the structure: at
+    * 100 TB the reference corpus never fits a broadcast join's hash
+    * table, but its Bloom summary is a fixed, tiny array.
+    */
+  def bloomBuild(ref: DataFrame, textCol: String, m: Int = 1 << 17, k: Int = 3): Array[Long] = {
+    require(m > 0 && (m & (m - 1)) == 0, s"m must be a power of two, got $m")
+    require(m % 64 == 0, s"m must be a multiple of 64, got $m")
+    val words = new Array[Long](m / 64)
+    ref.select(explode(array(bloomPositions(col(textCol), m, k): _*)).as("p"))
+      .distinct()
+      .collect()
+      .foreach { r =>
+        val p = r.getLong(0)
+        words((p >> 6).toInt) |= 1L << (p & 63)
+      }
+    words
+  }
+
+  /** Probe: flag documents whose k positions are ALL set — "maybe in
+    * the reference corpus" (false positives at the classic Bloom rate,
+    * never false negatives). The bitset rides the plan as a LITERAL
+    * array, so the probe is a map-only codegen'd scan: no join, no
+    * shuffle, no state — the cheapest possible first-pass filter in
+    * front of an exact decontamination or dedup join.
+    */
+  def bloomProbe(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Array[Long],
+      m: Int,
+      k: Int): DataFrame = {
+    require(bits.length == m / 64, s"bitset has ${bits.length} words, expected ${m / 64}")
+    val wordsCol = typedLit(bits.toSeq)
+    val positions = bloomPositions(col(textCol), m, k)
+    val staged = docs.select(
+      (col(idCol) +: positions.zipWithIndex.map { case (p, i) => p.as(s"__p$i") }) :+
+        wordsCol.as("__bloom"): _*)
+    // the DSL's shiftrightunsigned only takes a literal shift; the SQL
+    // form binds ShiftRightUnsigned(col, col) directly
+    val tests = (0 until k).map(i =>
+      expr(s"(shiftrightunsigned(element_at(__bloom, cast(__p$i div 64 as int) + 1), " +
+        s"cast(__p$i % 64 as int)) & 1) = 1"))
+    staged.select(col(idCol), tests.reduce(_ && _).as("maybe_in_ref"))
+  }
 }

@@ -27,6 +27,23 @@ case class EwmaState(num: Double, den: Double, lastTs: Long = Long.MinValue)
 
 case class CusumState(sPos: Double, sNeg: Double, lastTs: Long = Long.MinValue)
 
+case class BrownState(
+    num1: Double,
+    den1: Double,
+    num2: Double,
+    den2: Double,
+    lastTs: Long = Long.MinValue)
+
+case class BrownOut(
+    user_id: Long,
+    ts_us: Long,
+    value: Double,
+    ewma1: Double,
+    ewma2: Double,
+    level: Double,
+    trend: Double,
+    forecast1: Double)
+
 case class CusumOut(
     user_id: Long,
     ts_us: Long,
@@ -359,6 +376,41 @@ object StreamingFeaturize {
             CusumOut(key, e.ts_us, e.value, sPos, sNeg, sPos > threshold || sNeg > threshold)
           }
           state.update(CusumState(sPos, sNeg, evSeq.lastOption.map(_.ts_us).getOrElse(lastTs)))
+          out.iterator
+        })
+  }
+
+  /** Streaming Brown double-exponential smoothing — the
+    * TimeOps.brownSmoothing twin: ONLINE level/trend estimation and
+    * one-step-ahead forecasting per key with four scalars of state.
+    * Identical recurrence to the batch scan → bit-identical output for
+    * in-order input (fail-fast order contract via sortedStrict).
+    */
+  def streamingBrown(events: Dataset[Ev], alpha: Double): Dataset[BrownOut] = {
+    import events.sparkSession.implicits._
+    val beta = 1.0 - alpha
+    val trendC = alpha / (1.0 - alpha)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, evs: Iterator[Ev], state: GroupState[BrownState]) => {
+          var (num1, den1, num2, den2) = state.getOption
+            .map(s => (s.num1, s.den1, s.num2, s.den2)).getOrElse((0.0, 0.0, 0.0, 0.0))
+          val lastTs = state.getOption.map(_.lastTs).getOrElse(Long.MinValue)
+          val evSeq = sortedStrict(evs, lastTs, key)
+          val out = evSeq.map { e =>
+            num1 = beta * num1 + e.value
+            den1 = beta * den1 + 1.0
+            val e1 = num1 / den1
+            num2 = beta * num2 + e1
+            den2 = beta * den2 + 1.0
+            val e2 = num2 / den2
+            val level = 2.0 * e1 - e2
+            val trend = trendC * (e1 - e2)
+            BrownOut(key, e.ts_us, e.value, e1, e2, level, trend, level + trend)
+          }
+          state.update(BrownState(num1, den1, num2, den2,
+            evSeq.lastOption.map(_.ts_us).getOrElse(lastTs)))
           out.iterator
         })
   }

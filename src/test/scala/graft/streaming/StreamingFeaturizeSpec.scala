@@ -132,6 +132,31 @@ class StreamingFeaturizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingBrown equals the batch Brown smoothing across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingFeaturize.streamingBrown(input.toDS(), alpha = 0.2)
+      .writeStream.format("memory").queryName("brown_out").outputMode("append").start()
+    try {
+      val all = evs(1, 14) ++ evs(2, 9)
+      input.addData(all.filter(_.ts_us < 5000000): _*)
+      q.processAllAvailable()
+      input.addData(all.filter(_.ts_us >= 5000000): _*)
+      q.processAllAvailable()
+      val cols = Seq("user_id", "ts_us", "ewma1", "ewma2", "level", "trend", "forecast1")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      val streamed = spark.table("brown_out").select(cols.head, cols.tail: _*)
+        .collect().map(key).toSet
+      val batch = graft.ts.TimeOps.brownSmoothing(
+          all.map(e => (e.user_id, e.ts_us, e.value)).toDF("user_id", "ts_us", "value"),
+          "value", Seq("user_id"), Seq("ts_us"), alpha = 0.2)
+        .select(cols.head, cols.tail: _*)
+        .collect().map(key).toSet
+      assert(streamed == batch, "streaming Brown smoothing must be bit-identical to the batch scan")
+    } finally q.stop()
+  }
+
   private def optRow(r: org.apache.spark.sql.Row, from: Int): Seq[Option[Double]] =
     (from until r.length).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i)))
 

@@ -56,4 +56,27 @@ class PlanAuditSpec extends SparkSpec {
     // 5 horizons × every row
     assert(res.df.count() == df.count() * 5)
   }
+
+  test("cusum and brownSmoothing plan exactly one exchange (the key repartition)") {
+    val df = (for (g <- 0 until 4; t <- 0 until 50) yield (g, t.toLong, t * 1.0)).toDF("g", "t", "v")
+    for (
+      op <- Seq(
+        TimeOps.cusum(df, "v", Seq("g"), Seq("t"), 0.0, 0.5, 10.0),
+        TimeOps.brownSmoothing(df, "v", Seq("g"), Seq("t"), alpha = 0.3))
+    ) {
+      val plan = op.queryExecution.executedPlan.toString
+      val exchanges = "Exchange ".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${plan.take(1200)}")
+    }
+  }
+
+  test("sketched top-terms broadcasts the candidate set (no vocabulary shuffle join)") {
+    val docs = (0 until 50).map(i => (i.toLong, s"alpha beta gamma w$i")).toDF("doc_id", "text")
+    val plan = graft.functions.Sketch.topTermsSketched(docs, "text", k = 3, capacity = 32)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"candidate semi-join must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the term stream must not shuffle into a sort-merge join:\n${plan.take(1500)}")
+  }
 }
