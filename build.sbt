@@ -27,4 +27,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // pin the initial heap to the max AND pre-touch it: G1's grow/shrink
+  // cycling on this kernel degrades into a minor-fault storm (~97%
+  // system time per thread zeroing re-committed pages — measured in
+  // round 7: individual bench reps inflated 3-60×). A fixed,
+  // pre-faulted heap pays the page cost once at JVM start instead of
+  // mid-query
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -55,6 +55,11 @@ object Bench {
       val median =
         if (times.length % 2 == 1) times(times.length / 2)
         else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
+      // stderr progress (stdout stays the one-line JSON contract):
+      // makes a wedged query identifiable from the log mid-run, and
+      // the raw reps expose outliers the median hides
+      System.err.println(f"[bench] $name%-24s $median%8.3f s  " +
+        s"(reps: ${times.map(t => f"$t%.2f").mkString(" ")})")
       name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

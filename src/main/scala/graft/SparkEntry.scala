@@ -196,6 +196,38 @@ object SparkEntry {
       TimeOps.resampleFfill(ev, Seq("user_id"), "ts_us", 86400000000L, max(col("value")))
         .orderBy("user_id", "bucket")
     },
+    // per-user lead-lag scan: ACF at lags 1..5 + the best echo lag
+    "ts_leadlag" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.leadLagCorr(ev, "value", evGroup, evOrder, maxLag = 5)
+        .orderBy("user_id")
+    },
+    // OHLC candle downsampling: one partial-aggregated groupBy, no
+    // window sort — open/close via min_by/max_by on the (unique per
+    // user) event time; all outputs are picked or compared doubles,
+    // exact cross-engine with no rounding
+    "ts_ohlc" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
+      ev.groupBy(col("user_id"),
+          (col("ts_us") - pmod(col("ts_us"), lit(86400000000L))).as("bucket"))
+        .agg(
+          min_by(col("value"), col("ts_us")).as("open"),
+          max("value").as("high"),
+          min("value").as("low"),
+          max_by(col("value"), col("ts_us")).as("close"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "bucket")
+    },
+    // wide pivot: per-user event-type count matrix via .pivot() with an
+    // explicit value list (deterministic columns, map-side partial agg)
+    "ts_pivot" -> { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, dir).select("user_id", "event_type")
+        .groupBy("user_id").pivot("event_type", types).agg(count(lit(1)))
+        .na.fill(0L, types)
+        .toDF("user_id" +: types.map(t => s"n_$t"): _*)
+        .orderBy("user_id")
+    },
     // classical decomposition of the daily spine: period-7 centered MA
     // trend + weekday seasonal means + remainder
     "ts_seasonal" -> { (s, dir) =>
@@ -952,6 +984,56 @@ object SparkEntry {
         |   rows between unbounded preceding and current row) as filled_value
         |from j
         |order by user_id, bucket""".stripMargin,
+    "ts_leadlag" -> {
+      val lags = 1 to 5
+      val lagCols = lags.map(k => s"lag(value, $k) over w as l$k").mkString(",\n |  ")
+      val sums = lags.map(k =>
+        s"""cast(count(l$k) as double) as n$k,
+           |  sum(case when l$k is not null then value end) as sx$k,
+           |  sum(l$k) as sy$k,
+           |  sum(case when l$k is not null then value * value end) as sxx$k,
+           |  sum(l$k * l$k) as syy$k,
+           |  sum((case when l$k is not null then value end) * l$k) as sxy$k""".stripMargin)
+        .mkString(",\n | ")
+      val rs = lags.map(k =>
+        s"round((n$k * sxy$k - sx$k * sy$k) / (sqrt(n$k * sxx$k - sx$k * sx$k) * sqrt(n$k * syy$k - sy$k * sy$k)), 4) as r_lag$k")
+        .mkString(",\n | ")
+      val best = (1 until 5).reverse.foldLeft("5") { (els, k) =>
+        val cond = ((k + 1) to 5).map(j => s"r_lag$k >= r_lag$j").mkString(" and ")
+        s"case when $cond then $k else $els end"
+      }
+      s"""with l as (select user_id, value,
+         |  $lagCols
+         | from events window w as (partition by user_id order by epoch_us(ts), event_id)),
+         |a as (select user_id,
+         | $sums
+         | from l group by user_id)
+         |select user_id,
+         | $rs,
+         | $best as best_lag
+         |from a
+         |order by user_id""".stripMargin
+    },
+    "ts_ohlc" ->
+      """select user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000) as bucket,
+        | min_by(value, epoch_us(ts)) as open,
+        | max(value) as high,
+        | min(value) as low,
+        | max_by(value, epoch_us(ts)) as close,
+        | count(*) as n_events
+        |from events
+        |group by 1, 2
+        |order by user_id, bucket""".stripMargin,
+    "ts_pivot" ->
+      """select user_id,
+        | count(case when event_type = 'click' then 1 end) as n_click,
+        | count(case when event_type = 'error' then 1 end) as n_error,
+        | count(case when event_type = 'purchase' then 1 end) as n_purchase,
+        | count(case when event_type = 'signup' then 1 end) as n_signup,
+        | count(case when event_type = 'view' then 1 end) as n_view
+        |from events
+        |group by user_id
+        |order by user_id""".stripMargin,
     // decomposition twin: the trend sum is written in the same
     // left-associated term order the Spark reduceLeft emits, so trend
     // and remainder are bit-exact; only the seasonal mean (engine

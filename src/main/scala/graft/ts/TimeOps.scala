@@ -475,6 +475,51 @@ object TimeOps {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** Lead-lag scan: per group, Pearson autocorrelation at every lag
+    * 1..maxLag (over the pairable rows of that lag) plus the lag that
+    * maximizes it — the classic "how far back does this series echo"
+    * diagnostic used for feature-lag selection. One window pass builds
+    * the lag columns, ONE partial-aggregated groupBy computes the
+    * 6·maxLag sums, correlations are arithmetic on the aggregates
+    * (round 4dp: group aggregation order is engine-specific); best_lag
+    * ties break toward the SMALLEST lag via an explicit >= chain.
+    */
+  def leadLagCorr(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      maxLag: Int): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val w = Featurize.seriesWindow(groupCols, orderCols)
+    val withLags = (1 to maxLag).foldLeft(df) { (cur, k) =>
+      cur.withColumn(s"__l$k", lag(col(valueCol), k).over(w))
+    }
+    val aggs = (1 to maxLag).flatMap { k =>
+      val y = col(s"__l$k")
+      val x = when(y.isNotNull, col(valueCol))
+      Seq(
+        count(y).cast("double").as(s"__n$k"),
+        sum(x).as(s"__sx$k"), sum(y).as(s"__sy$k"),
+        sum(x * x).as(s"__sxx$k"), sum(y * y).as(s"__syy$k"), sum(x * y).as(s"__sxy$k"))
+    }
+    val g = withLags.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val rCols = (1 to maxLag).map { k =>
+      val n = col(s"__n$k"); val sx = col(s"__sx$k"); val sy = col(s"__sy$k")
+      val sxx = col(s"__sxx$k"); val syy = col(s"__syy$k"); val sxy = col(s"__sxy$k")
+      round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4)
+        .as(s"r_lag$k")
+    }
+    val withR = g.select(groupCols.map(col) ++ rCols: _*)
+    def wins(k: Int): Column =
+      ((k + 1) to maxLag).map(j => col(s"r_lag$k") >= col(s"r_lag$j"))
+        .reduceOption(_ && _).getOrElse(lit(true))
+    val best = (1 until maxLag).foldRight(lit(maxLag)) { (k, els) =>
+      when(wins(k), lit(k)).otherwise(els)
+    }
+    withR.withColumn("best_lag", best)
+  }
+
   /** Classical additive seasonal decomposition on a regular series:
     * trend = centered `period`-row moving average (odd period; explicit
     * left-associated lag/lead sum — bit-identical cross-engine),

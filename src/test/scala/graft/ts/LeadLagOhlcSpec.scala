@@ -1,0 +1,45 @@
+package graft.ts
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LeadLagOhlcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("leadLagCorr finds the planted echo lag") {
+    // x_t = sin(2π t / 4): period-4 signal → ACF peaks at lag 4
+    val df = (0 until 200).map(t => ("a", t.toLong, math.sin(t * math.Pi / 2.0) + 0.001 * t))
+      .toDF("k", "t", "x")
+    val out = TimeOps.leadLagCorr(df, "x", Seq("k"), Seq("t"), maxLag = 5)
+      .collect().head
+    assert(out.getInt(out.fieldIndex("best_lag")) == 4,
+      s"period-4 signal must echo at lag 4, got row $out")
+    val r4 = out.getDouble(out.fieldIndex("r_lag4"))
+    val r2 = out.getDouble(out.fieldIndex("r_lag2"))
+    assert(r4 > 0.9 && r2 < 0.0, s"acf shape wrong: r4=$r4 r2=$r2")
+  }
+
+  test("leadLagCorr best_lag tie-break prefers the smallest lag") {
+    // constant-free white-ish noise with a deterministic seed: correlations
+    // differ, but planting an exact tie is fragile — instead verify the
+    // chain picks lag 1 when all correlations are equal (constant+trend
+    // series: every lag correlates ~1)
+    val df = (0 until 100).map(t => ("a", t.toLong, t.toDouble)).toDF("k", "t", "x")
+    val out = TimeOps.leadLagCorr(df, "x", Seq("k"), Seq("t"), maxLag = 3).collect().head
+    assert(out.getInt(out.fieldIndex("best_lag")) == 1,
+      s"all-equal correlations must resolve to lag 1, got $out")
+  }
+
+  test("ohlc aggregation picks the right endpoints") {
+    val rows = Seq(
+      ("a", 10L, 5.0), ("a", 20L, 9.0), ("a", 30L, 1.0), ("a", 40L, 7.0))
+    val df = rows.toDF("user_id", "ts_us", "value")
+    val out = df.groupBy(col("user_id"))
+      .agg(min_by(col("value"), col("ts_us")).as("open"),
+        max("value").as("high"), min("value").as("low"),
+        max_by(col("value"), col("ts_us")).as("close"))
+      .collect().head
+    assert(out.getDouble(1) == 5.0 && out.getDouble(2) == 9.0 &&
+      out.getDouble(3) == 1.0 && out.getDouble(4) == 7.0, out.toString)
+  }
+}
