@@ -376,6 +376,12 @@ object SparkEntry {
     "dedup_minhash" -> { (s, dir) =>
       Dedup.minhashDupOf(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
     },
+    // transitive dup families: min-label propagation over bucket-star
+    // edges (linear edge count) until the label-sum checksum fixes
+    "dedup_clusters" -> { (s, dir) =>
+      Dedup.duplicateClusters(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhashDupOf(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
     },
@@ -809,14 +815,18 @@ object SparkEntry {
     * streaming twin: with doc_id-ordered arrival, the bucket-min state
     * machine's verdict equals the batch "min band-mate with smaller id".
     */
-  private lazy val minhashDupOfSql: String = {
+  /** The shared minhash band-bucket CTE prefix (tokens → shingles →
+    * hashes → signature → band keys), reused by the dup-of and the
+    * clusters oracles.
+    */
+  private lazy val minhashBandsCtes: String = {
     val mhs = mhParams.zipWithIndex
       .map { case ((a, b), i) => s"${SqlTwins.minhashOne("hs", a, b)} as mh$i" }.mkString(",\n  ")
     val bandSelects = (0 until mhK / 4).map { bnd =>
       val key = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
       s"select doc_id, $bnd as band_idx, concat_ws('_', $key) as band_key from sig where mh0 is not null"
     }.mkString("\n  union all ")
-    s"""with t as (select doc_id, ${SqlTwins.toks("text")} as t from documents),
+    s"""t as (select doc_id, ${SqlTwins.toks("text")} as t from documents),
        |sh as (select doc_id, ${SqlTwins.shingles("t", 3)} as s from t),
        |h as (select doc_id, ${SqlTwins.shingleHashes("s")} as hs from sh),
        |sig as (select doc_id,
@@ -824,7 +834,11 @@ object SparkEntry {
        |from h),
        |bands as (
        |  $bandSelects
-       |),
+       |)""".stripMargin
+  }
+
+  private lazy val minhashDupOfSql: String =
+    s"""with $minhashBandsCtes,
        |buddies as (
        |  select a.doc_id as doc_id, min(b.doc_id) as dup_of
        |  from bands a join bands b
@@ -833,7 +847,26 @@ object SparkEntry {
        |select d.doc_id, buddies.dup_of
        |from (select doc_id from documents) d left join buddies using (doc_id)
        |order by doc_id""".stripMargin
-  }
+
+  /** Clusters oracle: the same bucket-star edges, closed transitively
+    * with a recursive CTE (the union dedups rows, so the recursion
+    * terminates at the closure); cluster id = min over the reachable
+    * set, exactly the fixpoint the propagation loop computes.
+    */
+  private lazy val minhashClustersSql: String =
+    s"""with recursive $minhashBandsCtes,
+       |m as (select band_idx, band_key, min(doc_id) as mn from bands group by 1, 2),
+       |e0 as (select distinct m.mn as src, b.doc_id as dst
+       |       from bands b join m on b.band_idx = m.band_idx and b.band_key = m.band_key
+       |       where b.doc_id > m.mn),
+       |e as (select src, dst from e0 union select dst, src from e0),
+       |r as (select src, dst from e
+       |      union
+       |      select r.src, e.dst from r join e on r.dst = e.src),
+       |c as (select src as doc_id, min(dst) as mn from r group by src)
+       |select d.doc_id, least(d.doc_id, coalesce(c.mn, d.doc_id)) as cluster_id
+       |from (select doc_id from documents) d left join c using (doc_id)
+       |order by doc_id""".stripMargin
   private val mhParams = TextOps.minhashParams(mhK)
   private val annPlanes = VectorOps.lshPlanes(8, 64)
   private val mmPlanes = VectorOps.lshPlanes(4, 8, seed = 13L)
@@ -1283,6 +1316,7 @@ object SparkEntry {
          |      then min(doc_id) over (partition by t) end as dup_of
          |from d order by doc_id""".stripMargin,
     "dedup_minhash" -> minhashDupOfSql,
+    "dedup_clusters" -> minhashClustersSql,
     "dedup_simhash" ->
       s"""with sig as (select doc_id, ${SqlTwins.simhash32(SqlTwins.toks("text"))} as simhash from documents),
          |bands as (

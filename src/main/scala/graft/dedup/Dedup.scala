@@ -396,6 +396,67 @@ object Dedup {
     }
   }
 
+  /** Transitive duplicate CLUSTERS: connected components over the
+    * minhash band-bucket graph. `minhashDupOf` anchors every doc to
+    * its bucket minimum — correct per bucket but NOT transitive (A~B
+    * in one band, B~C in another leaves A and C in different
+    * clusters). This op closes the transitivity gap with min-label
+    * propagation, the curation step that decides "keep exactly one doc
+    * per duplicate FAMILY".
+    *
+    * Scale shape: edges are the bucket STARS (bucket-min → member) —
+    * LINEAR in corpus size, never the quadratic in-bucket pair list;
+    * connectivity is identical because a star spans its bucket. Each
+    * iteration is one shuffle join (edges ⋈ labels) + a partial-
+    * aggregated min; iterations ≤ the band-graph diameter (single
+    * digits in practice, `maxIters` caps pathology). The only driver-
+    * side values are the per-iteration label-sum checksums — labels
+    * only ever decrease, so an unchanged sum ⇔ fixpoint. This is the
+    * standard iterative-convergence CC pattern (cf. large-star/
+    * small-star); the data itself never leaves the cluster.
+    */
+  def duplicateClusters(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      k: Int = 16,
+      rowsPerBand: Int = 4,
+      maxIters: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sig = minhashSignatures(docs, idCol, textCol, shingleSize, TextOps.minhashParams(k))
+    val bands = lshBands(sig, idCol, k, rowsPerBand)
+    val bw = Window.partitionBy("band_idx", "band_key")
+    val star = bands
+      .withColumn("__min", min(col(idCol)).over(bw))
+      .where(col("__min") < col(idCol))
+      .select(col("__min").cast("long").as("src"), col(idCol).cast("long").as("dst"))
+      .distinct()
+    val edges = star.union(star.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = docs.select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lab"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var checksum = labels.agg(sum("lab")).head.getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy("src").agg(min("lab").as("nlab"))
+        .withColumnRenamed("src", "id")
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val newSum = next.agg(sum("lab")).head.getLong(0)
+      converged = newSum == checksum
+      checksum = newSum
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as(idCol), col("lab").as("cluster_id"))
+  }
+
   /** The k salted positions of a document's normalized text in an
     * m-bit Bloom filter: h60("j:" ++ normalize(text)) mod m for
     * j = 0..k-1. Shared by build and probe (and mirrored by the SQL
