@@ -434,9 +434,17 @@ object Dedup {
       .distinct()
     val edges = star.union(star.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = docs.select(col(idCol).cast("long").as("id"), col(idCol).cast("long").as("lab"))
+    // propagate ONLY over the edge vertex set: a doc with no edge can
+    // never change its label, so the iteration frames are sized by the
+    // duplicate families, not the corpus — singletons rejoin at the end
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var checksum = labels.agg(sum("lab")).head.getLong(0)
+    // coalesce: an all-singleton corpus has NO edges → empty vertex
+    // set → null sum
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum("lab"), lit(0L))).head.getLong(0)
+    var checksum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIters) {
@@ -446,7 +454,7 @@ object Dedup {
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val newSum = next.agg(sum("lab")).head.getLong(0)
+      val newSum = labelSum(next)
       converged = newSum == checksum
       checksum = newSum
       labels.unpersist()
@@ -454,7 +462,9 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("id").as(idCol), col("lab").as("cluster_id"))
+    docs.select(col(idCol).cast("long").as(idCol))
+      .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("lab"), col(idCol)).as("cluster_id"))
   }
 
   /** The k salted positions of a document's normalized text in an
