@@ -784,6 +784,11 @@ object SparkEntry {
           round(col("sum_value"), 4).as("sum_value"))
         .orderBy("user_id", "day_us")
     },
+    "stream_ohlc" -> { (s, dir) =>
+      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "complete")(ds =>
+          StreamingFeaturize.tumblingOhlc(ds.toDF(), "ts_us", "1 hour", "1 day"))
+        .orderBy("user_id", "bucket")
+    },
     "stream_sessions" -> { (s, dir) =>
       StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "complete")(ds =>
           StreamingFeaturize.sessionAgg(ds.toDF(), "ts_us", "1 hour", "30 minutes"))
@@ -1935,6 +1940,18 @@ object SparkEntry {
         |from events
         |group by user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000)
         |order by user_id, day_us""".stripMargin,
+    // window("1 day") starts are epoch-day aligned (UTC), identical to
+    // the batch ts_ohlc bucket arithmetic — same SQL, stream column order
+    "stream_ohlc" ->
+      """select user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000) as bucket,
+        | min_by(value, epoch_us(ts)) as open,
+        | max(value) as high,
+        | min(value) as low,
+        | max_by(value, epoch_us(ts)) as close,
+        | count(*) as n_events
+        |from events
+        |group by 1, 2
+        |order by user_id, bucket""".stripMargin,
     // session_window contract: end = last event + gap; min/count/sum per
     // merged session — identical membership to the batch sessionize
     "stream_sessions" ->

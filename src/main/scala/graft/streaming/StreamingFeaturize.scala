@@ -194,6 +194,26 @@ object StreamingFeaturize {
       .select(unix_micros(col("window.start")).as("day_us"), col("user_id"),
         col("n_events"), col("sum_value"))
 
+  /** Watermarked tumbling OHLC candles — the streaming ts_ohlc twin:
+    * open/close ride min_by/max_by on the event time inside the
+    * windowed aggregation (declarative aggs, so partial/merge state is
+    * Spark-managed and bounded per open window). All outputs are
+    * picked or compared values → exact vs the batch oracle.
+    */
+  def tumblingOhlc(events: DataFrame, tsCol: String, watermark: String, windowLen: String): DataFrame =
+    events
+      .withColumn("__ts", timestamp_micros(col(tsCol)))
+      .withWatermark("__ts", watermark)
+      .groupBy(window(col("__ts"), windowLen), col("user_id"))
+      .agg(
+        min_by(col("value"), col(tsCol)).as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max_by(col("value"), col(tsCol)).as("close"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("window.start")).as("bucket"),
+        col("open"), col("high"), col("low"), col("close"), col("n_events"))
+
   /** Watermarked session rollups via `session_window`: the streaming
     * twin of the batch sess_agg query (sessionize + per-session
     * count/sum). Sessions close when the gap exceeds `gap`; emission

@@ -70,6 +70,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("ohlc-style groupBy candles plan ONE exchange with map-side partial aggregation") {
+    import org.apache.spark.sql.functions._
+    val df = (for (g <- 0 until 4; t <- 0 until 200) yield (g.toLong, t.toLong, t * 1.0))
+      .toDF("user_id", "ts_us", "value")
+    val plan = df.groupBy(col("user_id"))
+      .agg(min_by(col("value"), col("ts_us")).as("open"),
+        max("value").as("high"), min("value").as("low"),
+        max_by(col("value"), col("ts_us")).as("close"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${plan.take(1000)}")
+    assert(plan.contains("partial_"), s"partial aggregation must run map-side:\n${plan.take(1000)}")
+  }
+
   test("sketched top-terms broadcasts the candidate set (no vocabulary shuffle join)") {
     val docs = (0 until 50).map(i => (i.toLong, s"alpha beta gamma w$i")).toDF("doc_id", "text")
     val plan = graft.functions.Sketch.topTermsSketched(docs, "text", k = 3, capacity = 32)
