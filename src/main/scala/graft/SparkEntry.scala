@@ -196,6 +196,27 @@ object SparkEntry {
       TimeOps.resampleFfill(ev, Seq("user_id"), "ts_us", 86400000000L, max(col("value")))
         .orderBy("user_id", "bucket")
     },
+    // end-to-end seasonal anomaly detector: daily spine → classical
+    // decomposition → robust (median/MAD) threshold on the remainder.
+    // The TS capstone composition, like text_curation for text.
+    "ts_anomaly" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
+      val daily = TimeOps.resampleFfill(ev, Seq("user_id"), "ts_us", 86400000000L, max(col("value")))
+        .select("user_id", "bucket", "filled_value")
+      val phase = pmod(expr("bucket div 86400000000") + 3, lit(7)).cast("int")
+      val dec = TimeOps.seasonalDecompose(daily, "filled_value", Seq("user_id"), Seq("bucket"), 7, phase)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val med = expr(s"percentile(remainder, ${OracleGen.litD(0.5)})").over(w)
+      val dec2 = dec.withColumn("__med", med)
+        .withColumn("__dev", abs(col("remainder") - col("__med")))
+      val mad = expr(s"percentile(__dev, ${OracleGen.litD(0.5)})").over(w)
+      dec2.withColumn("__mad", mad)
+        .select(col("user_id"), col("bucket"), col("filled_value"), col("remainder"),
+          when(col("__mad") > 0,
+            round((col("remainder") - col("__med")) / (lit(1.4826) * col("__mad")), 4)).as("rz"))
+        .withColumn("is_anomaly", abs(col("rz")) > lit(3.0))
+        .orderBy("user_id", "bucket")
+    },
     // per-user lead-lag scan: ACF at lags 1..5 + the best echo lag
     "ts_leadlag" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
@@ -1021,6 +1042,40 @@ object SparkEntry {
         | last_value(bucket_value ignore nulls) over (partition by user_id order by bucket
         |   rows between unbounded preceding and current row) as filled_value
         |from j
+        |order by user_id, bucket""".stripMargin,
+    // the ts_seasonal pipeline + exact median/MAD windows on top; rz
+    // gated on mad > 0 (ffill can make over half a user's remainders
+    // identical) — both engines compute the identical gate
+    "ts_anomaly" ->
+      """with pb as (
+        |  select user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000) as bucket, max(value) as bucket_value
+        |  from events group by 1, 2),
+        |bounds as (select user_id, min(bucket) as b0, max(bucket) as b1 from pb group by 1),
+        |spine as (select user_id, unnest(generate_series(b0, b1, 86400000000)) as bucket from bounds),
+        |j as (select s.user_id, s.bucket, pb.bucket_value
+        |      from spine s left join pb on s.user_id = pb.user_id and s.bucket = pb.bucket),
+        |f as (select user_id, bucket,
+        |  last_value(bucket_value ignore nulls) over (partition by user_id order by bucket
+        |    rows between unbounded preceding and current row) as filled_value
+        | from j),
+        |t as (select user_id, bucket, filled_value,
+        |  cast((bucket // 86400000000 + 3) % 7 as int) as phase,
+        |  (lag(filled_value, 3) over w + lag(filled_value, 2) over w + lag(filled_value, 1) over w
+        |    + filled_value
+        |    + lead(filled_value, 1) over w + lead(filled_value, 2) over w + lead(filled_value, 3) over w)
+        |    / 7.0E0 as trend
+        | from f window w as (partition by user_id order by bucket)),
+        |d as (select *, filled_value - trend as det from t),
+        |sn as (select *, round(avg(det) over (partition by user_id, phase), 4) as seasonal from d),
+        |r as (select user_id, bucket, filled_value, det - seasonal as remainder from sn),
+        |m as (select *, quantile_cont(remainder, 0.5E0) over (partition by user_id) as med from r),
+        |v as (select *, abs(remainder - med) as dev from m),
+        |md as (select *, quantile_cont(dev, 0.5E0) over (partition by user_id) as mad from v),
+        |z as (select user_id, bucket, filled_value, remainder,
+        |  case when mad > 0 then round((remainder - med) / (1.4826E0 * mad), 4) end as rz
+        | from md)
+        |select user_id, bucket, filled_value, remainder, rz, abs(rz) > 3.0E0 as is_anomaly
+        |from z
         |order by user_id, bucket""".stripMargin,
     "ts_leadlag" -> {
       val lags = 1 to 5
