@@ -223,6 +223,29 @@ object SparkEntry {
       TimeOps.leadLagCorr(ev, "value", evGroup, evOrder, maxLag = 5)
         .orderBy("user_id")
     },
+    // PACF at lags 1..3 (Durbin-Levinson closed forms on the ACF
+    // values) — AR-order identification; arithmetic on the identical
+    // rounded ACFs, so the result is bit-exact with no extra rounding.
+    // Degenerate series (|r1| = 1 → zero DL denominator) yield null
+    // via the same CASE gate on both engines.
+    "ts_pacf" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      val ll = TimeOps.leadLagCorr(ev, "value", evGroup, evOrder, maxLag = 3)
+      val r1 = col("r_lag1"); val r2 = col("r_lag2"); val r3 = col("r_lag3")
+      val p2den = lit(1.0) - r1 * r1
+      val p2 = when(p2den =!= 0.0, (r2 - r1 * r1) / p2den)
+      val out = ll
+        .withColumn("pacf1", r1)
+        .withColumn("pacf2", p2)
+        .withColumn("__phi21", r1 - col("pacf2") * r1)
+        .withColumn("__p3den",
+          lit(1.0) - col("__phi21") * r1 - col("pacf2") * r2)
+        .withColumn("pacf3",
+          when(col("__p3den") =!= 0.0,
+            (r3 - col("__phi21") * r2 - col("pacf2") * r1) / col("__p3den")))
+      out.select("user_id", "r_lag1", "r_lag2", "r_lag3", "pacf1", "pacf2", "pacf3")
+        .orderBy("user_id")
+    },
     // OHLC candle downsampling: one partial-aggregated groupBy, no
     // window sort — open/close via min_by/max_by on the (unique per
     // user) event time; all outputs are picked or compared doubles,
@@ -863,6 +886,31 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** Shared lead-lag CTE chain: lag columns → 6·|lags| algebraic sums →
+    * `rr` with the rounded ACF columns. Used by the ts_leadlag and
+    * ts_pacf oracles (same sums, different arithmetic on top).
+    */
+  private def leadLagAcfCtes(lags: Range): String = {
+    val lagCols = lags.map(k => s"lag(value, $k) over w as l$k").mkString(",\n  ")
+    val sums = lags.map(k =>
+      s"cast(count(l$k) as double) as n$k,\n" +
+        s"  sum(case when l$k is not null then value end) as sx$k,\n" +
+        s"  sum(l$k) as sy$k,\n" +
+        s"  sum(case when l$k is not null then value * value end) as sxx$k,\n" +
+        s"  sum(l$k * l$k) as syy$k,\n" +
+        s"  sum((case when l$k is not null then value end) * l$k) as sxy$k").mkString(",\n ")
+    val rs = lags.map(k =>
+      s"round((n$k * sxy$k - sx$k * sy$k) / (sqrt(n$k * sxx$k - sx$k * sx$k) * sqrt(n$k * syy$k - sy$k * sy$k)), 4) as r_lag$k")
+      .mkString(",\n ")
+    s"l as (select user_id, value,\n" +
+      s"  $lagCols\n" +
+      s" from events window w as (partition by user_id order by epoch_us(ts), event_id)),\n" +
+      s"a as (select user_id,\n" +
+      s" $sums\n" +
+      s" from l group by user_id),\n" +
+      s"rr as (select user_id,\n $rs\nfrom a)"
+  }
+
   private lazy val minhashDupOfSql: String =
     s"""with $minhashBandsCtes,
        |buddies as (
@@ -1078,35 +1126,35 @@ object SparkEntry {
         |from z
         |order by user_id, bucket""".stripMargin,
     "ts_leadlag" -> {
-      val lags = 1 to 5
-      val lagCols = lags.map(k => s"lag(value, $k) over w as l$k").mkString(",\n |  ")
-      val sums = lags.map(k =>
-        s"""cast(count(l$k) as double) as n$k,
-           |  sum(case when l$k is not null then value end) as sx$k,
-           |  sum(l$k) as sy$k,
-           |  sum(case when l$k is not null then value * value end) as sxx$k,
-           |  sum(l$k * l$k) as syy$k,
-           |  sum((case when l$k is not null then value end) * l$k) as sxy$k""".stripMargin)
-        .mkString(",\n | ")
-      val rs = lags.map(k =>
-        s"round((n$k * sxy$k - sx$k * sy$k) / (sqrt(n$k * sxx$k - sx$k * sx$k) * sqrt(n$k * syy$k - sy$k * sy$k)), 4) as r_lag$k")
-        .mkString(",\n | ")
       val best = (1 until 5).reverse.foldLeft("5") { (els, k) =>
         val cond = ((k + 1) to 5).map(j => s"r_lag$k >= r_lag$j").mkString(" and ")
         s"case when $cond then $k else $els end"
       }
-      s"""with l as (select user_id, value,
-         |  $lagCols
-         | from events window w as (partition by user_id order by epoch_us(ts), event_id)),
-         |a as (select user_id,
-         | $sums
-         | from l group by user_id)
-         |select user_id,
-         | $rs,
+      s"""with ${leadLagAcfCtes(1 to 5)}
+         |select user_id, r_lag1, r_lag2, r_lag3, r_lag4, r_lag5,
          | $best as best_lag
-         |from a
+         |from rr
          |order by user_id""".stripMargin
     },
+    // pacf twin: Durbin-Levinson on the SAME rounded ACF columns, in
+    // the Spark expressions' exact term order; null gates via CASE on
+    // the zero denominators (null comparisons propagate identically)
+    "ts_pacf" ->
+      s"""with ${leadLagAcfCtes(1 to 3)},
+         |p2 as (select *,
+         |  case when 1.0E0 - r_lag1 * r_lag1 <> 0.0E0
+         |       then (r_lag2 - r_lag1 * r_lag1) / (1.0E0 - r_lag1 * r_lag1) end as pacf2
+         | from rr),
+         |p3 as (select *,
+         |  r_lag1 - pacf2 * r_lag1 as phi21,
+         |  1.0E0 - (r_lag1 - pacf2 * r_lag1) * r_lag1 - pacf2 * r_lag2 as p3den
+         | from p2)
+         |select user_id, r_lag1, r_lag2, r_lag3,
+         | r_lag1 as pacf1, pacf2,
+         | case when p3den <> 0.0E0
+         |      then (r_lag3 - phi21 * r_lag2 - pacf2 * r_lag1) / p3den end as pacf3
+         |from p3
+         |order by user_id""".stripMargin,
     "ts_ohlc" ->
       """select user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000) as bucket,
         | min_by(value, epoch_us(ts)) as open,

@@ -30,6 +30,24 @@ class LeadLagOhlcSpec extends SparkSpec {
       s"all-equal correlations must resolve to lag 1, got $out")
   }
 
+  test("durbin-levinson pacf identifies an AR(1) process") {
+    // AR(1), phi=0.7: acf_k = phi^k but pacf cuts off after lag 1
+    val rnd = new scala.util.Random(11)
+    var x = 0.0
+    val xs = (0 until 2000).map { _ => x = 0.7 * x + rnd.nextGaussian(); x }
+    val df = xs.zipWithIndex.map { case (v, i) => ("a", i.toLong, v) }.toDF("k", "t", "x")
+    val ll = TimeOps.leadLagCorr(df, "x", Seq("k"), Seq("t"), maxLag = 3)
+    val r = ll.collect().head
+    val (r1, r2, r3) = (r.getDouble(r.fieldIndex("r_lag1")),
+      r.getDouble(r.fieldIndex("r_lag2")), r.getDouble(r.fieldIndex("r_lag3")))
+    val p2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    val phi21 = r1 - p2 * r1
+    val p3 = (r3 - phi21 * r2 - p2 * r1) / (1.0 - phi21 * r1 - p2 * r2)
+    assert(math.abs(r1 - 0.7) < 0.08, s"acf1 $r1 should approach phi")
+    assert(math.abs(p2) < 0.08 && math.abs(p3) < 0.08,
+      s"AR(1) pacf must cut off after lag 1: p2=$p2 p3=$p3")
+  }
+
   test("ohlc aggregation picks the right endpoints") {
     val rows = Seq(
       ("a", 10L, 5.0), ("a", 20L, 9.0), ("a", 30L, 1.0), ("a", 40L, 7.0))
