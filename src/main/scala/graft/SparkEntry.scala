@@ -697,6 +697,12 @@ object SparkEntry {
     "stats_profile" -> { (s, dir) =>
       Profile.profile(Tables.events(s, dir), Seq("user_id", "value"))
     },
+    // one-pass pairwise Pearson matrix over the lineitem measures —
+    // feature-redundancy screening at dataset-profile cost
+    "stats_corr" -> { (s, dir) =>
+      Profile.correlationMatrix(Tables.lineitem(s, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    },
     // arithmetic calendar features (µs-epoch div/mod + engine Gregorian
     // month/year) — the standard tabular-ML time covariates
     "ts_calendar" -> { (s, dir) =>
@@ -1801,6 +1807,29 @@ object SparkEntry {
            | count(distinct $c) as n_distinct
            |from events""".stripMargin
       s"${row("user_id")}\nunion all\n${row("value")}\norder by col_name"
+    },
+    // one agg CTE holds every sum; each pair row is arithmetic on it
+    // in the Spark expressions' exact term order, round 4dp
+    "stats_corr" -> {
+      val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def d(c: String) = s"cast($c as double)"
+      val sums =
+        cs.flatMap(c => Seq(s"sum(${d(c)}) as s_$c", s"sum(${d(c)} * ${d(c)}) as ss_$c")) ++
+          (for { i <- cs.indices; j <- cs.indices if i < j }
+            yield s"sum(${d(cs(i))} * ${d(cs(j))}) as sp_${cs(i)}__${cs(j)}")
+      val rows = for { i <- cs.indices; j <- cs.indices if i < j } yield {
+        val (a, b) = (cs(i), cs(j))
+        s"""select '$a' as col_a, '$b' as col_b,
+           | round((n * sp_${a}__$b - s_$a * s_$b)
+           |   / (sqrt(n * ss_$a - s_$a * s_$a) * sqrt(n * ss_$b - s_$b * s_$b)), 4) as corr
+           |from a""".stripMargin
+      }
+      val notNull = cs.map(c => s"$c is not null").mkString(" and ")
+      s"""with a as (select cast(count(*) as double) as n,
+         | ${sums.mkString(",\n ")}
+         |from lineitem where $notNull)
+         |${rows.mkString("\nunion all\n")}
+         |order by col_a, col_b""".stripMargin
     },
     "ts_calendar" ->
       """select event_id, epoch_us(ts) as ts_us,

@@ -39,4 +39,37 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*").orderBy("col_name")
   }
+
+  /** Pairwise Pearson correlation matrix over numeric columns in ONE
+    * aggregation pass: the k·(k+3)/2 algebraic sums (per-column sum +
+    * sum-of-squares, per-pair cross sum) are all map-side combinable,
+    * then each pair's r is arithmetic on the single result row —
+    * feature-redundancy screening at dataset-profile cost. Rows where
+    * ANY requested column is null are excluded up front (listwise
+    * deletion) so every pair shares one n.
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least 2 columns, got $cols")
+    def d(c: String): Column = col(c).cast("double")
+    val clean = df.na.drop(cols)
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs =
+      cols.flatMap(c => Seq(sum(d(c)).as(s"__s_$c"), sum(d(c) * d(c)).as(s"__ss_$c"))) ++
+        pairs.map { case (a, b) => sum(d(a) * d(b)).as(s"__sp_${a}__$b") }
+    val one = clean.agg(count(lit(1)).cast("double").as("__n"), aggs: _*)
+    val rows = pairs.map { case (a, b) =>
+      val n = col("__n")
+      val sx = col(s"__s_$a"); val sy = col(s"__s_$b")
+      val sxx = col(s"__ss_$a"); val syy = col(s"__ss_$b")
+      val sxy = col(s"__sp_${a}__$b")
+      struct(
+        lit(a).as("col_a"),
+        lit(b).as("col_b"),
+        round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4)
+          .as("corr"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*").orderBy("col_a", "col_b")
+  }
 }
