@@ -43,7 +43,20 @@ object Bench {
     // queries 2-4×. The median of 3 is robust to one bad interval.
     val reps = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
       .getOrElse(3).max(1)
-    val results = ordered.map { case (name, fn) =>
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    def jsonLine(results: Seq[(String, Double)], partial: Boolean): String = {
+      val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      val tail = if (partial) s""","partial":true,"completed":${results.size},"selected":${ordered.size}""" else ""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$tail}"""
+    }
+    def writeOut(line: String): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: ${e.getMessage}") }
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    ordered.foreach { case (name, fn) =>
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         // noop sink, not count(): count() lets Catalyst prune every
@@ -60,19 +73,18 @@ object Bench {
       // the raw reps expose outliers the median hides
       System.err.println(f"[bench] $name%-24s $median%8.3f s  " +
         s"(reps: ${times.map(t => f"$t%.2f").mkString(" ")})")
-      name -> median
+      acc += (name -> median)
+      // rewrite the side-file after EVERY query: a driver timeout
+      // (round 7 was rc:124 → parsed:null, a whole round with no bench
+      // evidence) now leaves a valid partial JSON artifact on disk,
+      // flagged "partial" with completed/selected counts
+      writeOut(jsonLine(acc.toSeq, partial = true))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps}"""
+    val line = jsonLine(acc.toSeq, partial = false)
     println(line)
-    // also write the bare JSON line to a file: the driver's stdout parser
-    // chokes on the sbt-prefixed tail, leaving "parsed": null in BENCH_r*
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: ${e.getMessage}") }
+    // the bare JSON line also goes to the side-file: the driver's stdout
+    // parser chokes on the sbt-prefixed tail, leaving "parsed": null
+    writeOut(line)
     spark.stop()
   }
 }

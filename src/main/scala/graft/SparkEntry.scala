@@ -905,8 +905,11 @@ object SparkEntry {
         s"  sum(case when l$k is not null then value * value end) as sxx$k,\n" +
         s"  sum(l$k * l$k) as syy$k,\n" +
         s"  sum((case when l$k is not null then value end) * l$k) as sxy$k").mkString(",\n ")
+    // degenerate gate mirrors TimeOps.leadLagCorr: variance <= 0 →
+    // null (DuckDB sqrt RAISES on ε-negative cancellation; Spark NaNs)
     val rs = lags.map(k =>
-      s"round((n$k * sxy$k - sx$k * sy$k) / (sqrt(n$k * sxx$k - sx$k * sx$k) * sqrt(n$k * syy$k - sy$k * sy$k)), 4) as r_lag$k")
+      s"round(case when (n$k * sxx$k - sx$k * sx$k) <= 0 or (n$k * syy$k - sy$k * sy$k) <= 0 then null " +
+        s"else (n$k * sxy$k - sx$k * sy$k) / (sqrt(n$k * sxx$k - sx$k * sx$k) * sqrt(n$k * syy$k - sy$k * sy$k)) end, 4) as r_lag$k")
       .mkString(",\n ")
     s"l as (select user_id, value,\n" +
       s"  $lagCols\n" +
@@ -1309,6 +1312,17 @@ object SparkEntry {
     // CUSUM: the same max(0, acc + dev) fold the scan performs, seeded
     // by a prepended 0 (list_reduce has no init parameter). Deviations
     // are pre-shifted per side so the fold body is exactly acc + dev.
+    //
+    // NULL CONTRACT (applies to every list_reduce-prefix oracle here:
+    // ts_ewma, ts_cusum, ts_holt and their stream_ twins): DuckDB's
+    // list(value) KEEPS nulls, and one null poisons every later prefix
+    // fold (NULL forever), whereas the batch scans skip-and-resume
+    // (cusum holds state; ewma/brown decay-and-emit). The twins are
+    // bit-identical ONLY under TESTDATA.md's non-null events.value —
+    // which the generator guarantees. A nullable deployment would need
+    // list_filter(xs, x -> x is not null) plus matching skip logic on
+    // the unnest indexing; not worth the complexity for a column the
+    // harness contract pins non-null.
     "ts_cusum" -> {
       val t = OracleGen.litD(50.0); val k = OracleGen.litD(25.0); val h = OracleGen.litD(250.0)
       s"""with g as (select user_id,
@@ -1819,9 +1833,12 @@ object SparkEntry {
             yield s"sum(${d(cs(i))} * ${d(cs(j))}) as sp_${cs(i)}__${cs(j)}")
       val rows = for { i <- cs.indices; j <- cs.indices if i < j } yield {
         val (a, b) = (cs(i), cs(j))
+        // degenerate gate mirrors Profile.correlationMatrix: variance
+        // <= 0 → null (DuckDB sqrt raises on ε-negative cancellation)
         s"""select '$a' as col_a, '$b' as col_b,
-           | round((n * sp_${a}__$b - s_$a * s_$b)
-           |   / (sqrt(n * ss_$a - s_$a * s_$a) * sqrt(n * ss_$b - s_$b * s_$b)), 4) as corr
+           | round(case when (n * ss_$a - s_$a * s_$a) <= 0 or (n * ss_$b - s_$b * s_$b) <= 0 then null
+           |   else (n * sp_${a}__$b - s_$a * s_$b)
+           |   / (sqrt(n * ss_$a - s_$a * s_$a) * sqrt(n * ss_$b - s_$b * s_$b)) end, 4) as corr
            |from a""".stripMargin
       }
       val notNull = cs.map(c => s"$c is not null").mkString(" and ")

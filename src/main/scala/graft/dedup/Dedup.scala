@@ -443,7 +443,7 @@ object Dedup {
     // coalesce: an all-singleton corpus has NO edges → empty vertex
     // set → null sum
     def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("lab"), lit(0L))).head.getLong(0)
+      df.agg(coalesce(sum("lab"), lit(0L))).head().getLong(0)
     var checksum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -461,6 +461,15 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // a component with band-graph diameter > maxIters would exit here
+    // un-converged and SILENTLY mis-split its cluster (the oracle's
+    // recursive CTE computes the full closure, so the divergence would
+    // only surface as a verification mismatch) — make it loud instead
+    if (!converged)
+      System.err.println(
+        s"[graft] duplicateClusters: label propagation did NOT converge " +
+          s"after $maxIters iterations — cluster ids for high-diameter " +
+          s"components are unreliable; raise maxIters")
     edges.unpersist()
     docs.select(col(idCol).cast("long").as(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")

@@ -64,10 +64,17 @@ object Profile {
       val sx = col(s"__s_$a"); val sy = col(s"__s_$b")
       val sxx = col(s"__ss_$a"); val syy = col(s"__ss_$b")
       val sxy = col(s"__sp_${a}__$b")
+      // degenerate gate: zero variance (constant column) makes r
+      // undefined, and ε-negative FP cancellation would make DuckDB's
+      // sqrt raise where Spark yields NaN — null on both sides instead
+      // (mirrored in the stats_corr oracle SQL).
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
       struct(
         lit(a).as("col_a"),
         lit(b).as("col_b"),
-        round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4)
+        round(when(vx <= 0 || vy <= 0, lit(null))
+          .otherwise((n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))), 4)
           .as("corr"))
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*").orderBy("col_a", "col_b")

@@ -13,10 +13,14 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * candidate superset (≤ capacity terms per partition, merged on the
   * driver side of a broadcast — never the full vocabulary), then ONE
   * exact recount pass restricted to the broadcast candidates yields
-  * EXACT counts for the survivors. Misra-Gries guarantees any term with
-  * partition-local count > N_p/(capacity+1) survives its partition's
-  * summary, so every global heavy hitter with frequency above
-  * 1/(capacity+1) of its densest partition is a candidate — with
+  * EXACT counts for the survivors. This BATCHED variant (decrement all
+  * by the min and re-admit the incoming term at count 1 — each eviction
+  * event removes ~min·capacity mass for one arriving token) guarantees
+  * any term with partition-local count > ~N_p/capacity survives its
+  * partition's summary — a slightly weaker bound than classic
+  * one-at-a-time Misra-Gries' N_p/(capacity+1). So every global heavy
+  * hitter with frequency above ~1/capacity of its densest partition is
+  * a candidate — with
   * capacity ≫ k the exact global top-k is recovered exactly (the
   * MisraGriesSpec pins this on a zipf corpus where capacity < distinct
   * terms, i.e. the summary genuinely evicts).

@@ -507,7 +507,15 @@ object TimeOps {
     val rCols = (1 to maxLag).map { k =>
       val n = col(s"__n$k"); val sx = col(s"__sx$k"); val sy = col(s"__sy$k")
       val sxx = col(s"__sxx$k"); val syy = col(s"__syy$k"); val sxy = col(s"__sxy$k")
-      round((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 4)
+      // degenerate gate: a constant (or single-row) side makes the
+      // variance term 0 — or ε-negative under FP cancellation, where
+      // Spark's sqrt returns NaN but DuckDB *raises*, killing the whole
+      // oracle query. r is undefined there; emit null on BOTH sides
+      // (mirrored in leadLagAcfCtes).
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      round(when(vx <= 0 || vy <= 0, lit(null))
+        .otherwise((n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))), 4)
         .as(s"r_lag$k")
     }
     val withR = g.select(groupCols.map(col) ++ rCols: _*)
