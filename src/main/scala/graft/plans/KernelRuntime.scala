@@ -27,7 +27,8 @@ object KernelRuntime {
     * current row sits at index n - 1 - futureLen and every trailing
     * fold ends there.
     */
-  def multiRoll(xs: ArrayData, futureLen: Int, specs: Array[RollSpecDef], bare: Boolean): ArrayData = {
+  def multiRoll(xs: ArrayData, futureLen: Int, specs: Array[RollSpecDef], bare: Boolean,
+      nanNull: Boolean): ArrayData = {
     val n = xs.numElements()
     val end = n - 1 - futureLen // index of the current row inside the frame
     var totalOut = 0
@@ -42,12 +43,19 @@ object KernelRuntime {
       val avail = math.max(0, math.min(sp.depth, end + 1))
       val start = end + 1 - avail
       // wrapped frame: elements are arrays of column casts (null slot =
-      // null source value, row keeps its position). bare frame: plain
-      // doubles from a single column — collect_list has already dropped
-      // nulls, i.e. the original RollFoldKernel contract (the builder
-      // only uses bare when every spec's depth equals the frame depth,
-      // so the compacted array IS the spec's whole window)
-      @inline def nul(i: Int): Boolean = if (bare) xs.isNullAt(i) else xs.getArray(i).isNullAt(c)
+      // null source value, row keeps its position). bare + !nanNull:
+      // plain doubles from a single column — collect_list has already
+      // dropped nulls, i.e. the original RollFoldKernel contract (the
+      // builder only uses it when every spec's depth equals the frame
+      // depth, so the compacted array IS the spec's whole window).
+      // bare + nanNull: plain doubles where null was ENCODED as NaN
+      // before collect_list (coalesce(x, NaN)), so rows keep their
+      // position like the wrapped frame but cost no per-row array —
+      // the single-source-column shared-frame fast path.
+      @inline def nul(i: Int): Boolean =
+        if (!bare) xs.getArray(i).isNullAt(c)
+        else if (nanNull) java.lang.Double.isNaN(xs.getDouble(i))
+        else xs.isNullAt(i)
       @inline def at(i: Int): Double = if (bare) xs.getDouble(i) else xs.getArray(i).getDouble(c)
       sp.mode match {
         case 0 => // rollmean: newest→oldest sum over non-nulls, gate cnt >= minP
@@ -114,9 +122,11 @@ object KernelRuntime {
           out(o) = if (np >= sp.w) D(r) else null
           o += 1
         case 6 => // rolling cross-correlation col[colIdx] vs col[lagK]
+          // a bare frame exists only when ONE source column is in play,
+          // so the "second" column is the same bare element
           val c2 = sp.lagK
-          @inline def nul2(i: Int): Boolean = xs.getArray(i).isNullAt(c2)
-          @inline def at2(i: Int): Double = xs.getArray(i).getDouble(c2)
+          @inline def nul2(i: Int): Boolean = if (bare) nul(i) else xs.getArray(i).isNullAt(c2)
+          @inline def at2(i: Int): Double = if (bare) at(i) else xs.getArray(i).getDouble(c2)
           var np = 0; var sx = 0.0; var sy = 0.0; var sxx = 0.0; var syy = 0.0; var sxy = 0.0
           var i = 0
           while (i < sp.w) {
@@ -187,7 +197,9 @@ object KernelRuntime {
     val c = t.colIdx
     val n = xs.numElements()
     @inline def nulAt(i: Int): Boolean =
-      if (c < 0) xs.isNullAt(i) else xs.getArray(i).isNullAt(c)
+      if (c >= 0) xs.getArray(i).isNullAt(c)
+      else if (t.nanNull) java.lang.Double.isNaN(xs.getDouble(i))
+      else xs.isNullAt(i)
     @inline def valAt(i: Int): Double =
       if (c < 0) xs.getDouble(i) else xs.getArray(i).getDouble(c)
     val out = new Array[Any](t.degree + 1)

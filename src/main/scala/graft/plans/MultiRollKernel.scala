@@ -52,7 +52,8 @@ final case class RollSpecDef(
   * zscore's current row) keep the null-free contract of their
   * single-column kernels.
   */
-case class MultiRollKernel(left: Expression, right: Expression, specs: Array[RollSpecDef], bare: Boolean = false)
+case class MultiRollKernel(left: Expression, right: Expression, specs: Array[RollSpecDef],
+    bare: Boolean = false, nanNull: Boolean = false)
     extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
@@ -64,11 +65,12 @@ case class MultiRollKernel(left: Expression, right: Expression, specs: Array[Rol
   // of future rows in the frame (0 unless sharing a centered-taylor
   // frame — see KernelRuntime.multiRoll).
   override def nullSafeEval(input: Any, future: Any): Any =
-    KernelRuntime.multiRoll(input.asInstanceOf[ArrayData], future.asInstanceOf[Int], specs, bare)
+    KernelRuntime.multiRoll(input.asInstanceOf[ArrayData], future.asInstanceOf[Int], specs, bare, nanNull)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val specsRef = ctx.addReferenceObj("rollSpecs", specs, "graft.plans.RollSpecDef[]")
-    defineCodeGen(ctx, ev, (c, f) => s"graft.plans.KernelRuntime.multiRoll($c, $f, $specsRef, $bare)")
+    defineCodeGen(ctx, ev,
+      (c, f) => s"graft.plans.KernelRuntime.multiRoll($c, $f, $specsRef, $bare, $nanNull)")
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MultiRollKernel =
@@ -96,4 +98,15 @@ object MultiRollKernel {
     */
   def ofBare(xs: Column, specs: Seq[RollSpecDef]): Column =
     column(MultiRollKernel(expression(xs), Literal(0), specs.toArray, bare = true))
+
+  /** Single-source-column SHARED frame fast path: `xs` is a plain
+    * collect_list(double) frame whose elements encoded null as NaN
+    * (coalesce(x, NaN)) so every row keeps its position — wrapped-frame
+    * positional semantics without the per-row array allocation. The
+    * frame may be deeper/wider than any one spec and may hold `future`
+    * rows ahead of the current row.
+    */
+  def ofBareNaN(xs: Column, future: Column, specs: Seq[RollSpecDef]): Column =
+    column(MultiRollKernel(expression(xs), expression(future), specs.toArray,
+      bare = true, nanNull = true))
 }

@@ -35,7 +35,11 @@ final case class TaylorTable(
     nullRows: Array[Array[Boolean]],   // branch -> coefficient -> emit null
     zeroRows: Array[Array[Boolean]],   // branch -> coefficient -> emit 0.0
     frameLo: Int = -1,
-    colIdx: Int = -1)
+    colIdx: Int = -1,
+    // bare shared frame (colIdx = -1, frameLo >= 0) whose elements
+    // encoded null as NaN before collect_list — rows keep position
+    // without the per-row array wrapper; the kernel decodes NaN → null
+    nanNull: Boolean = false)
 
 /** All Taylor coefficients for one (column, spec) in ONE pass over the
   * row's window array.
@@ -109,9 +113,9 @@ object TaylorKernel {
     * array-wrapped elements.
     */
   def fromSpecShared(spec: Spec, xs: Column, pos: Column, cnt: Column,
-      frameLo: Int, colIdx: Int): Column = {
+      frameLo: Int, colIdx: Int, nanNull: Boolean = false): Column = {
     val base = exprFromSpec(spec, expression(xs), expression(pos), expression(cnt))
-    column(base.copy(table = base.table.copy(frameLo = frameLo, colIdx = colIdx)))
+    column(base.copy(table = base.table.copy(frameLo = frameLo, colIdx = colIdx, nanNull = nanNull)))
   }
 
   /** The kernel for `spec` with placeholder children — for callers that

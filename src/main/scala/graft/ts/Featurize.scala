@@ -109,16 +109,23 @@ object Featurize {
     * entire feature family, with `extra` (lags/leads) riding the same
     * Window operator.
     *
-    * The shared frame is always WRAPPED (array elements), even for one
-    * source column: array() elements are never dropped by collect_list,
-    * so null rows keep their position and both kernels see exact
-    * positional windows — the roll folds skip nulls like the
-    * coalesce+count expression forms, and a taylor branch touching a
-    * null emits a NULL coefficient exactly like the declarative
-    * lag/lead CASE form. Centered taylor specs extend the frame
-    * `frameHi` rows into the future; the roll kernel is told how many
-    * future rows are present (min(rpos, frameHi)) so its trailing folds
-    * still end at the current row (KernelRuntime.multiRoll).
+    * Null rows must keep their POSITION in the frame (a bare
+    * collect_list drops nulls and shifts everything after them), so the
+    * element encoding depends on how many source columns the block
+    * reads: several → WRAPPED `array(cols)` elements (array() is never
+    * dropped, null slot = null source value); exactly one → BARE
+    * doubles with null ENCODED as NaN (`coalesce(x, NaN)`), which the
+    * kernels decode back to null — identical positional semantics, no
+    * per-row array allocation (the r7 ts_pipeline regression). Either
+    * way the roll folds skip nulls like the coalesce+count expression
+    * forms, and a taylor branch touching a null emits a NULL
+    * coefficient exactly like the declarative lag/lead CASE form. (A
+    * genuine NaN VALUE in the source column is treated as missing — the
+    * reference is pandas, where NaN IS the missing value.) Centered
+    * taylor specs extend the frame `frameHi` rows into the future; the
+    * roll kernel is told how many future rows are present (min(rpos,
+    * frameHi)) so its trailing folds still end at the current row
+    * (KernelRuntime.multiRoll).
     *
     * Called with `taylors = Nil` this degrades to [[applyRollReqs]]'s
     * bare/per-depth frames; with a single taylor spec and no rolls it
@@ -149,8 +156,16 @@ object Featurize {
     val frameLo = (specs.map(_.depth - 1) ++ taylors.map(tPast)).max
     val frameHi = taylors.map(tFut).max
     val needsCnt = frameHi > 0 || taylors.exists(_.needsCount)
-    val frame = collect_list(array(colsUsed.map(c => col(c).cast("double")): _*))
-      .over(win.rowsBetween(-frameLo, frameHi))
+    // ONE source column → bare frame with null ENCODED as NaN before
+    // collect_list: rows keep their position (collect_list would drop a
+    // bare null) so the kernels see exactly the wrapped frame's
+    // positional windows, without paying a per-row-per-element array
+    // allocation (the r7 ts_pipeline regression — VERDICT r7 item 2).
+    val bareNaN = colsUsed.size == 1
+    val elem =
+      if (bareNaN) coalesce(col(colsUsed.head).cast("double"), lit(Double.NaN))
+      else array(colsUsed.map(c => col(c).cast("double")): _*)
+    val frame = collect_list(elem).over(win.rowsBetween(-frameLo, frameHi))
     val posC = row_number().over(win).cast("long") - 1
     val cntC =
       if (needsCnt)
@@ -168,10 +183,12 @@ object Featurize {
       else least(col("__cnt") - 1L - col("__pos"), lit(frameHi.toLong)).cast("int")
     val rollCol =
       if (specs.isEmpty) Nil
+      else if (bareNaN) Seq(MultiRollKernel.ofBareNaN(col("__frame"), future, specs).as("__roll"))
       else Seq(MultiRollKernel.of(col("__frame"), future, specs).as("__roll"))
     val tayCols = taylors.zipWithIndex.map { case (t, i) =>
       TaylorKernel.fromSpecShared(t, col("__frame"), col("__pos"), col("__cnt"),
-        frameLo, colsUsed.indexOf(t.column)).as(s"__tay$i")
+        frameLo, if (bareNaN) -1 else colsUsed.indexOf(t.column),
+        nanNull = bareNaN).as(s"__tay$i")
     }
     val stageB = stageA.select(col("*") +: (rollCol ++ tayCols): _*)
     val rollProjs = reqs.flatMap(_.names).zipWithIndex.map { case (nm, slot) =>

@@ -57,6 +57,42 @@ class SharedTaylorSpec extends SparkSpec {
     assert(aRows == bRows, "wrapped shared frame must null-poison like the lag/lead CASE form")
   }
 
+  test("SINGLE-column shared frame (bare NaN-encoded) with NULLs matches the declarative form") {
+    // one source column + several specs → fusedWindowBlock's bareNaN
+    // fast path (collect_list(coalesce(v, NaN))); nulls must keep
+    // their frame position exactly like the wrapped multi-column frame
+    val holed = df.withColumn("v", when($"t" % 7 === 2, lit(null)).otherwise($"v"))
+    for (fill <- Seq(true, false)) {
+      val shared = Taylor.windowedTaylorCoefs(holed, Seq("v"), Seq("g"), Seq("t"),
+        taylorDegree = 2, Seq(7, 9), aligns, spans, fillEdges = fill)
+      val decl = Taylor.windowedTaylorCoefs(holed, Seq("v"), Seq("g"), Seq("t"),
+        taylorDegree = 2, Seq(7, 9), aligns, spans, fillEdges = fill, useKernel = false)
+      val cols = shared.featureNames.map(col)
+      val aRows = shared.df.orderBy("g", "t").select(cols: _*).collect().toSeq
+      val bRows = decl.df.orderBy("g", "t").select(cols: _*).collect().toSeq
+      assert(aRows == bRows, s"bare NaN-encoded shared frame diverged on null data (fill=$fill)")
+    }
+  }
+
+  test("SINGLE-column fused lag+roll+taylor with NULLs == step by step") {
+    val holed = df.withColumn("v", when($"t" % 11 === 3, lit(null)).otherwise($"v"))
+    val fused = Featurize.featurizeData(holed, Seq("g"), Seq("t"), Seq(
+      Featurize.Lag(Seq("v"), Seq(1, 3)),
+      Featurize.Rollmean(Seq("v"), Seq(5)),
+      Featurize.WindowedTaylorCoefs(Seq("v"), taylorDegree = 1, Seq(9), Seq("centered"), Seq(None), fillEdges = true)))
+    val stepped = {
+      val a = Featurize.lagFeatures(holed, Seq("v"), Seq("g"), Seq("t"), Seq(1, 3))
+      val b = a.andThen(d => Featurize.rollmean(d, Seq("v"), Seq("g"), Seq("t"), Seq(5), useKernel = false))
+      b.andThen(d => Taylor.windowedTaylorCoefs(d, Seq("v"), Seq("g"), Seq("t"),
+        taylorDegree = 1, Seq(9), Seq("centered"), Seq(None), fillEdges = true, useKernel = false))
+    }
+    assert(fused.featureNames.sorted == stepped.featureNames.sorted)
+    val cols = fused.featureNames.map(col)
+    val aRows = fused.df.orderBy("g", "t").select(cols: _*).collect().toSeq
+    val bRows = stepped.df.orderBy("g", "t").select(cols: _*).collect().toSeq
+    assert(aRows == bRows, "single-column fused block diverged from declarative step-by-step")
+  }
+
   test("fused lag+roll+taylor block == the same features step by step") {
     val fused = Featurize.featurizeData(df, Seq("g"), Seq("t"), Seq(
       Featurize.Lag(Seq("v", "u"), Seq(1, 3)),
