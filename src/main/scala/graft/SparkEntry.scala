@@ -625,6 +625,15 @@ object SparkEntry {
       val payloads = Multimodal.synthAudio(Tables.documents(s, dir).select("doc_id"), "doc_id")
       Multimodal.audioMeta(payloads, "doc_id", "payload").orderBy("doc_id")
     },
+    // REAL pixel-CONTENT decode round-trip: synthesize uncompressed
+    // 24-bpp BMPs (a public format needing no codec) whose pixel values
+    // are arithmetic in (doc_id, x, y), walk the ACTUAL pixel bytes for
+    // per-channel mean/min/max — the oracle predicts every statistic in
+    // closed form. This is the decode step the other mm_ ops stub.
+    "mm_pixels" -> { (s, dir) =>
+      val payloads = Multimodal.synthBitmaps(Tables.documents(s, dir).select("doc_id"), "doc_id")
+      Multimodal.bmpPixelStats(payloads, "doc_id", "payload").orderBy("doc_id")
+    },
     "mm_frames" -> { (s, dir) =>
       Multimodal.sampleFrames(Tables.documents(s, dir), "doc_id", "text", frameChars = 128, every = 2)
         .orderBy("doc_id", "frame_idx")
@@ -1686,6 +1695,24 @@ object SparkEntry {
         | cast(16 as bigint) as bits,
         | 100 + (doc_id % 400) as n_samples
         |from documents order by doc_id""".stripMargin,
+    "mm_pixels" ->
+      // predicts the REAL pixel walk of synthBitmaps' BMPs: pixel (x,y)
+      // carries B = base+x+y, G = base+2x, R = base+3y, so each channel
+      // statistic has a closed form (means are half-integers — exact in
+      // FP on both engines)
+      """with p as (select doc_id,
+        |   8 + (doc_id % 9) as w,
+        |   8 + ((doc_id * 5 + 3) % 9) as h,
+        |   doc_id % 64 as base
+        | from documents)
+        |select doc_id, w as width, h as height,
+        | base + (w - 1) / 2.0 + (h - 1) / 2.0 as mean_b,
+        | cast(base + (w - 1) as double) as mean_g,
+        | base + 1.5 * (h - 1) as mean_r,
+        | base as min_b, base + (w - 1) + (h - 1) as max_b,
+        | base as min_g, base + 2 * (w - 1) as max_g,
+        | base as min_r, base + 3 * (h - 1) as max_r
+        |from p order by doc_id""".stripMargin,
     "q_salted_agg" ->
       """select event_type,
         | count(*) as n_events,

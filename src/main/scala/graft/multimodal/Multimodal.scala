@@ -258,6 +258,137 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** A VALID uncompressed 24-bpp BMP (Windows BITMAPINFOHEADER — a
+    * public format needing NO codec): 14-byte file header, 40-byte info
+    * header, then bottom-up BGR pixel rows each padded to a 4-byte
+    * stride. Pixel (x, y) carries channel values that are pure
+    * arithmetic in (base, x, y):
+    *   B = base + x + y,  G = base + 2x,  R = base + 3y
+    * so an oracle can predict every per-channel statistic in closed
+    * form. Caller guarantees base + max(2(w-1), 3(h-1)) ≤ 255.
+    */
+  def synthBmp(width: Int, height: Int, base: Int): Array[Byte] = {
+    val stride = ((3 * width + 3) / 4) * 4
+    val dataSize = stride * height
+    val out = new java.io.ByteArrayOutputStream(54 + dataSize)
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v); w8(v >>> 8) }
+    def w32(v: Int): Unit = { w16(v); w16(v >>> 16) }
+    w8('B'); w8('M'); w32(54 + dataSize); w32(0); w32(54) // file header: size, reserved, pixel offset
+    w32(40); w32(width); w32(height) // info header; positive height = bottom-up
+    w16(1); w16(24); w32(0); w32(dataSize) // planes, bpp, BI_RGB, image size
+    w32(2835); w32(2835); w32(0); w32(0) // 72 DPI, palette counts
+    var y = height - 1 // rows are stored bottom-up
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        w8(base + x + y); w8(base + 2 * x); w8(base + 3 * y)
+        x += 1
+      }
+      var p = 3 * width
+      while (p < stride) { w8(0); p += 1 }
+      y -= 1
+    }
+    out.toByteArray
+  }
+
+  /** REAL pixel decode of an uncompressed 24-bpp BMP: header fields
+    * (offset, dims, bpp, compression) then a walk of the actual pixel
+    * bytes — per-channel (b, g, r) mean/min/max over every pixel.
+    * Handles bottom-up and top-down (negative height) rows; None for
+    * non-BMP, compressed, non-24-bpp, or truncated payloads. Stats are
+    * orientation-independent, but the walk still honors the row order
+    * and stride so truncation is detected exactly.
+    */
+  def parseBmpPixels(b: Array[Byte]): Option[(Int, Int, Array[Double], Array[Int], Array[Int])] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val off = le32(b, 10)
+    val hdrSize = le32(b, 14)
+    if (hdrSize < 40) return None
+    val width = le32(b, 18)
+    val rawH = le32(b, 22)
+    val height = math.abs(rawH)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (width <= 0 || height == 0 || bpp != 24 || compression != 0) return None
+    val stride = ((3 * width + 3) / 4) * 4
+    if (off < 54 || off.toLong + stride.toLong * height > b.length) return None
+    val sums = new Array[Double](3)
+    val mins = Array(255, 255, 255)
+    val maxs = Array(0, 0, 0)
+    var row = 0
+    while (row < height) {
+      var x = 0
+      val ro = off + row * stride
+      while (x < width) {
+        var c = 0
+        while (c < 3) {
+          val v = b(ro + 3 * x + c) & 0xff
+          sums(c) += v
+          if (v < mins(c)) mins(c) = v
+          if (v > maxs(c)) maxs(c) = v
+          c += 1
+        }
+        x += 1
+      }
+      row += 1
+    }
+    val n = width.toDouble * height
+    Some((width, height, sums.map(_ / n), mins, maxs))
+  }
+
+  /** Deterministic synthesized BMP payloads: dimensions and the pixel
+    * base are pure arithmetic in the id (w, h ∈ [8, 16], base ∈ [0, 63]
+    * — keeps every channel value ≤ 63 + 48 < 256) so the oracle can
+    * predict the decoded statistics in closed form.
+    */
+  def synthBitmaps(df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val id = r.getLong(idIdx)
+        val w = 8 + (id % 9L).toInt
+        val h = 8 + ((id * 5L + 3L) % 9L).toInt
+        Row(id, synthBmp(w, h, (id % 64L).toInt))
+      })
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Batched REAL pixel-content feature extraction (the upgrade of
+    * `decodeStub` for a format this container can decode without any
+    * media library): per-channel mean/min/max straight from the BMP
+    * pixel bytes — nulls for unparseable payloads.
+    */
+  def bmpPixelStats(df: DataFrame, idCol: String, payloadCol: String, batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("mean_b", DoubleType), StructField("mean_g", DoubleType),
+      StructField("mean_r", DoubleType),
+      StructField("min_b", LongType), StructField("max_b", LongType),
+      StructField("min_g", LongType), StructField("max_g", LongType),
+      StructField("min_r", LongType), StructField("max_r", LongType)))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        parseBmpPixels(r.getAs[Array[Byte]](pIdx)) match {
+          case Some((w, h, means, mins, maxs)) =>
+            Row(r.getLong(idIdx), w.toLong, h.toLong,
+              means(0), means(1), means(2),
+              mins(0).toLong, maxs(0).toLong,
+              mins(1).toLong, maxs(1).toLong,
+              mins(2).toLong, maxs(2).toLong)
+          case None =>
+            Row(r.getLong(idIdx), null, null, null, null, null,
+              null, null, null, null, null, null)
+        }
+      })
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   private val stubSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_bytes", IntegerType),

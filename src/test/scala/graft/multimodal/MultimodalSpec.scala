@@ -70,6 +70,42 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("BMP pixel decode: stats computed from REAL pixel bytes match closed form") {
+    // direct round-trip: B = base+x+y, G = base+2x, R = base+3y
+    val (w, h, base) = (5, 4, 10)
+    val Some((pw, ph, means, mins, maxs)) = Multimodal.parseBmpPixels(Multimodal.synthBmp(w, h, base))
+    assert((pw, ph) == ((w, h)))
+    assert(means(0) == base + (w - 1) / 2.0 + (h - 1) / 2.0, "mean_b")
+    assert(means(1) == base + (w - 1).toDouble, "mean_g")
+    assert(means(2) == base + 1.5 * (h - 1), "mean_r")
+    assert(mins.toSeq == Seq(base, base, base))
+    assert(maxs.toSeq == Seq(base + w + h - 2, base + 2 * (w - 1), base + 3 * (h - 1)))
+    // stride padding: widths not divisible by 4 must not leak pad bytes
+    // into the stats (w=5 → stride 16 ≠ 15); w=4 → stride 12 exact
+    val Some((_, _, m4, _, _)) = Multimodal.parseBmpPixels(Multimodal.synthBmp(4, 3, 7))
+    assert(m4(1) == 7 + 3.0, "mean_g with exact stride")
+    // rejects garbage / truncation / other formats, no crash
+    assert(Multimodal.parseBmpPixels(Multimodal.synthBmp(5, 4, 10).take(40)).isEmpty)
+    assert(Multimodal.parseBmpPixels(Array.fill[Byte](64)(0x42)).isEmpty)
+    assert(Multimodal.parseBmpPixels(Multimodal.synthPng(8, 8)).isEmpty)
+  }
+
+  test("synthBitmaps → bmpPixelStats round-trip equals the arithmetic spec") {
+    val stats = Multimodal.bmpPixelStats(Multimodal.synthBitmaps(docs.select("doc_id"), "doc_id"),
+      "doc_id", "payload").orderBy("doc_id").collect()
+    assert(stats.length == 3)
+    stats.foreach { r =>
+      val id = r.getLong(0)
+      val w = 8 + id % 9; val h = 8 + (id * 5 + 3) % 9; val base = id % 64
+      assert(r.getLong(1) == w && r.getLong(2) == h, "dims")
+      assert(r.getDouble(3) == base + (w - 1) / 2.0 + (h - 1) / 2.0, "mean_b")
+      assert(r.getDouble(4) == base + (w - 1).toDouble, "mean_g")
+      assert(r.getDouble(5) == base + 1.5 * (h - 1), "mean_r")
+      assert(r.getLong(6) == base && r.getLong(7) == base + w + h - 2, "b range")
+      assert(r.getLong(11) == base + 3 * (h - 1), "max_r")
+    }
+  }
+
   test("decodeStub: batched per-partition decode emits one feature row per payload") {
     val withBin = Multimodal.withBinary(docs, "text")
     val out = Multimodal.decodeStub(withBin, "doc_id", "payload", batchSize = 2)
