@@ -396,24 +396,103 @@ object Dedup {
     }
   }
 
+  /** Alternating large-star/small-star connected components over an
+    * undirected edge list (the two-phase contraction of Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", 2014 —
+    * public). Each round hangs every vertex under the minimum of a
+    * neighborhood, which HALVES tree heights instead of walking them:
+    * round count is O(log n) in component size, not the graph diameter
+    * that plain min-label propagation pays on chain-shaped components
+    * (a 64-link chain converges in ~4 rounds, not 64).
+    *
+    * Phases, over edges kept in downward orientation (hi > lo):
+    *  - large-star: for each u, every neighbor v > u re-hangs onto
+    *    m = min(N(u) ∪ {u});
+    *  - small-star: for each u, its smaller neighbors (and u itself)
+    *    re-hang onto m = min of that set.
+    * Each phase is one partial-aggregated min + one shuffle join, both
+    * sized by the duplicate families, never the corpus. Fixpoint ⇔ the
+    * edge set stops changing; detected by (count, Σ xxhash64(hi, lo))
+    * — O(1) driver state per round. At fixpoint the edges are exactly
+    * the stars (member → component-minimum).
+    *
+    * Returns (labels id → lab for every non-singleton vertex, rounds
+    * used, converged).
+    */
+  private[dedup] def connectedComponentsStar(
+      undirected: DataFrame, // (src, dst), any orientation
+      maxIters: Int): (DataFrame, Int, Boolean) = {
+    // eager localCheckpoint, not persist: each phase references its
+    // input several times (unions of selects), so the LOGICAL plan
+    // grows geometrically per round — checkpointing truncates the
+    // lineage to a materialized LogicalRDD each round (the standard
+    // iterative-graph trade: executor-local storage, recompute restarts
+    // the job on loss), keeping planning O(edges) instead of O(4^rounds)
+    var e = undirected
+      .select(greatest(col("src"), col("dst")).as("hi"), least(col("src"), col("dst")).as("lo"))
+      .where(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint(true)
+    // m = min(N(u) ∪ {u}) ≤ u < v for every emitted (v, m): edges stay
+    // strictly downward in both phases, so no self-loop filtering is
+    // needed after the initial canonicalization
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val m = sym.groupBy("u").agg(min(least(col("v"), col("u"))).as("m"))
+      sym.join(m, "u").where(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+    }
+    def smallStar(edges: DataFrame): DataFrame = {
+      // (hi, lo) with lo < hi IS the smaller-neighbor orientation
+      val m = edges.groupBy("hi").agg(min(col("lo")).as("m"))
+      val j = edges.join(m, "hi")
+      j.where(col("lo") =!= col("m"))
+        .select(col("lo").as("hi"), col("m").as("lo"))
+        .union(j.select(col("hi"), col("m").as("lo")))
+        .distinct()
+    }
+    // per-edge hash folded mod a large prime so the sum can't overflow
+    // long under ANSI arithmetic (xxhash64 is full-range 64-bit)
+    def checksum(edges: DataFrame): (Long, Long) = {
+      val r = edges
+        .agg(count(lit(1)),
+          coalesce(sum(pmod(xxhash64(col("hi"), col("lo")), lit(1000000007L))), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var chk = checksum(e)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxIters) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nchk = checksum(next)
+      converged = nchk == chk
+      chk = nchk
+      e.unpersist()
+      e = next
+      rounds += 1
+    }
+    (e.groupBy(col("hi").as("id")).agg(min("lo").as("lab")), rounds, converged)
+  }
+
   /** Transitive duplicate CLUSTERS: connected components over the
     * minhash band-bucket graph. `minhashDupOf` anchors every doc to
     * its bucket minimum — correct per bucket but NOT transitive (A~B
     * in one band, B~C in another leaves A and C in different
-    * clusters). This op closes the transitivity gap with min-label
-    * propagation, the curation step that decides "keep exactly one doc
-    * per duplicate FAMILY".
+    * clusters). This op closes the transitivity gap with
+    * [[connectedComponentsStar]], the curation step that decides "keep
+    * exactly one doc per duplicate FAMILY".
     *
     * Scale shape: edges are the bucket STARS (bucket-min → member) —
     * LINEAR in corpus size, never the quadratic in-bucket pair list;
-    * connectivity is identical because a star spans its bucket. Each
-    * iteration is one shuffle join (edges ⋈ labels) + a partial-
-    * aggregated min; iterations ≤ the band-graph diameter (single
-    * digits in practice, `maxIters` caps pathology). The only driver-
-    * side values are the per-iteration label-sum checksums — labels
-    * only ever decrease, so an unchanged sum ⇔ fixpoint. This is the
-    * standard iterative-convergence CC pattern (cf. large-star/
-    * small-star); the data itself never leaves the cluster.
+    * connectivity is identical because a star spans its bucket. The
+    * contraction rounds are O(log family-size) (`maxIters` caps
+    * pathology), each one partial-agg min + one shuffle join sized by
+    * the duplicate families; the only driver-side values are the O(1)
+    * per-round checksums. Singletons never enter the loop and rejoin
+    * at the final left join.
     */
   def duplicateClusters(
       docs: DataFrame,
@@ -423,7 +502,6 @@ object Dedup {
       k: Int = 16,
       rowsPerBand: Int = 4,
       maxIters: Int = 20): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
     val sig = minhashSignatures(docs, idCol, textCol, shingleSize, TextOps.minhashParams(k))
     val bands = lshBands(sig, idCol, k, rowsPerBand)
     val bw = Window.partitionBy("band_idx", "band_key")
@@ -432,45 +510,17 @@ object Dedup {
       .where(col("__min") < col(idCol))
       .select(col("__min").cast("long").as("src"), col(idCol).cast("long").as("dst"))
       .distinct()
-    val edges = star.union(star.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // propagate ONLY over the edge vertex set: a doc with no edge can
-    // never change its label, so the iteration frames are sized by the
-    // duplicate families, not the corpus — singletons rejoin at the end
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("lab", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // coalesce: an all-singleton corpus has NO edges → empty vertex
-    // set → null sum
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum("lab"), lit(0L))).head().getLong(0)
-    var checksum = labelSum(labels)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIters) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy("src").agg(min("lab").as("nlab"))
-        .withColumnRenamed("src", "id")
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val newSum = labelSum(next)
-      converged = newSum == checksum
-      checksum = newSum
-      labels.unpersist()
-      labels = next
-      iter += 1
-    }
-    // a component with band-graph diameter > maxIters would exit here
-    // un-converged and SILENTLY mis-split its cluster (the oracle's
-    // recursive CTE computes the full closure, so the divergence would
-    // only surface as a verification mismatch) — make it loud instead
+    val (labels, _, converged) = connectedComponentsStar(star, maxIters)
+    // a component needing more contraction rounds than maxIters would
+    // exit here un-converged and SILENTLY mis-split its cluster (the
+    // oracle's recursive CTE computes the full closure, so the
+    // divergence would only surface as a verification mismatch) — make
+    // it loud instead
     if (!converged)
       System.err.println(
-        s"[graft] duplicateClusters: label propagation did NOT converge " +
-          s"after $maxIters iterations — cluster ids for high-diameter " +
+        s"[graft] duplicateClusters: star contraction did NOT converge " +
+          s"after $maxIters rounds — cluster ids for oversized " +
           s"components are unreliable; raise maxIters")
-    edges.unpersist()
     docs.select(col(idCol).cast("long").as(idCol))
       .join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("lab"), col(idCol)).as("cluster_id"))

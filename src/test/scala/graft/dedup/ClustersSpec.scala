@@ -27,6 +27,38 @@ class ClustersSpec extends SparkSpec {
     assert(out(10L) == 10L && out(11L) == 10L, s"exact dups cluster; unrelated stay apart: $out")
   }
 
+  test("star contraction: 64-link chain converges in O(log n) rounds, exact labels") {
+    // a worst-case high-diameter component: plain min-label propagation
+    // needs ~64 rounds here; alternating large/small-star halves tree
+    // heights each round. Mixed edge orientation exercises the
+    // canonicalization.
+    val n = 64
+    val edges = (0 until n)
+      .map(i => if (i % 2 == 0) (i.toLong, (i + 1).toLong) else ((i + 1).toLong, i.toLong))
+      .toDF("src", "dst")
+    val (labels, rounds, converged) = Dedup.connectedComponentsStar(edges, maxIters = 20)
+    assert(converged, "chain must converge inside maxIters")
+    val labs = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1 to n).foreach(i => assert(labs(i.toLong) == 0L, s"node $i must label to 0, got ${labs.get(i.toLong)}"))
+    assert(rounds <= 8, s"expected O(log n) contraction rounds on a 65-node chain, got $rounds")
+  }
+
+  test("star contraction: disjoint components keep separate minimum labels") {
+    val edges = Seq(
+      (5L, 3L), (3L, 9L),          // component {3, 5, 9} → 3
+      (20L, 21L), (22L, 21L),      // component {20, 21, 22} → 20
+      (40L, 41L))                  // component {40, 41} → 40
+      .toDF("src", "dst")
+    val (labels, _, converged) = Dedup.connectedComponentsStar(edges, maxIters = 20)
+    assert(converged)
+    val labs = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labs(5L) == 3L && labs(9L) == 3L)
+    assert(labs(21L) == 20L && labs(22L) == 20L)
+    assert(labs(41L) == 40L)
+    assert(!labs.contains(3L) && !labs.contains(20L) && !labs.contains(40L),
+      "roots appear only as labels; the final left join maps them to themselves")
+  }
+
   test("duplicateClusters labels singletons with their own id") {
     val docs = (0 until 8)
       .map(i => (i.toLong, s"unique document $i " + ("filler" + i + " ") * 10))
