@@ -3,22 +3,28 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** Custom Catalyst expressions for the dedup signature kernels.
+/** Custom Catalyst expressions for the dedup/ANN signature kernels.
   *
   * The declarative forms (k× `array_min(transform(...))`, 32×
   * `size(filter(...))`) are interpreted lambda evaluations — k/32
   * passes over every hash array with per-element closure overhead.
   * These expressions compute the same values in ONE tight JVM pass per
-  * row (~10× observed). They are CodegenFallback: the inner loop is
-  * already compiled Scala, and one virtual call per row is noise
-  * compared to the loop body.
+  * row (~10× observed).
   *
-  * Both must stay value-identical to their DuckDB SQL twins
-  * (SqlTwins.minhashOne / simhash32): pure int64 arithmetic, no FP.
+  * The per-row bodies live in [[KernelRuntime]]: `nullSafeEval` and the
+  * generated (whole-stage codegen) Java both call the same static
+  * method, so interpreted and codegen paths are bit-identical by
+  * construction and the expressions sit INSIDE codegen instead of on
+  * the interpreted CodegenFallback path (CodegenWiringSpec pins both).
+  *
+  * All must stay value-identical to their DuckDB SQL twins
+  * (SqlTwins.minhashOne / simhash32 / cosine): pure int64/IEEE
+  * arithmetic in the twin's association order.
   */
 
 /** All k minhash permutation minima in one pass:
@@ -26,28 +32,23 @@ import org.apache.spark.sql.types._
   * (matching array_min-of-empty).
   */
 case class MinhashPerms(child: Expression, as: Array[Long], bs: Array[Long], mod: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    if (n == 0) return null
-    val k = as.length
-    val out = Array.fill(k)(Long.MaxValue)
-    var i = 0
-    while (i < n) {
-      val h = arr.getLong(i)
-      var j = 0
-      while (j < k) {
-        val v = (as(j) * h + bs(j)) % mod
-        if (v < out(j)) out(j) = v
-        j += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(out)
+  override def nullSafeEval(input: Any): Any =
+    KernelRuntime.minhashPerms(input.asInstanceOf[ArrayData], as, bs, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val asRef = ctx.addReferenceObj("minhashAs", as, "long[]")
+    val bsRef = ctx.addReferenceObj("minhashBs", bs, "long[]")
+    // not defineCodeGen: empty input → null result, isNull must track it
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.plans.KernelRuntime.minhashPerms($c, $asRef, $bsRef, ${mod}L);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinhashPerms = copy(child = newChild)
@@ -57,32 +58,15 @@ case class MinhashPerms(child: Expression, as: Array[Long], bs: Array[Long], mod
   * 2·(#hashes with bit j) >= n (ties → 1, matching the declarative
   * form).
   */
-case class SimHash32(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash32(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    val counts = new Array[Int](32)
-    var i = 0
-    while (i < n) {
-      val h = arr.getLong(i)
-      var j = 0
-      while (j < 32) {
-        counts(j) += ((h >> j) & 1L).toInt
-        j += 1
-      }
-      i += 1
-    }
-    var sim = 0L
-    var j = 0
-    while (j < 32) {
-      if (2 * counts(j) >= n) sim |= (1L << j)
-      j += 1
-    }
-    java.lang.Long.valueOf(sim)
-  }
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(KernelRuntime.simhash32(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.KernelRuntime.simhash32($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash32 = copy(child = newChild)
 }
@@ -100,7 +84,7 @@ case class SimHash32(child: Expression) extends UnaryExpression with CodegenFall
   * zip_with null-pads the shorter side, turning the dot into NULL).
   */
 case class CosineSim(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
@@ -115,25 +99,18 @@ case class CosineSim(left: Expression, right: Expression)
       s"cosine_sim requires array<float> inputs, got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val n = a.numElements()
-    if (n != b.numElements()) return null
-    var dot = 0.0
-    var na = 0.0
-    var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = a.getFloat(i).toDouble
-      val y = b.getFloat(i).toDouble
-      dot += x * y
-      na += x * x
-      nb += y * y
-      i += 1
-    }
-    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
-  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    KernelRuntime.cosineSim(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("cosineSim")
+      s"""
+         |java.lang.Double $tmp = graft.plans.KernelRuntime.cosineSim($a, $b);
+         |${ev.isNull} = $tmp == null;
+         |if (!${ev.isNull}) ${ev.value} = $tmp.doubleValue();
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
     copy(left = newLeft, right = newRight)
@@ -148,7 +125,7 @@ case class CosineSim(left: Expression, right: Expression)
   * which the kernel reproduces.
   */
 case class LshBucketKernel(child: Expression, planes: Array[Array[Double]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
 
@@ -158,32 +135,25 @@ case class LshBucketKernel(child: Expression, planes: Array[Array[Double]])
   // silently drop such rows from bucket joins
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    if (v == null) java.lang.Long.valueOf(0L) else nullSafeEval(v)
+    java.lang.Long.valueOf(
+      if (v == null) 0L else KernelRuntime.lshBucket(v.asInstanceOf[ArrayData], planes))
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val dim = if (planes.isEmpty) 0 else planes(0).length
-    if (arr.numElements() < dim) return java.lang.Long.valueOf(0L)
-    var i = 0
-    while (i < dim) {
-      if (arr.isNullAt(i)) return java.lang.Long.valueOf(0L)
-      i += 1
-    }
-    var b = 0L
-    var j = 0
-    while (j < planes.length) {
-      val p = planes(j)
-      var s = 0.0
-      i = 0
-      while (i < dim) {
-        s += p(i) * arr.getFloat(i).toDouble
-        i += 1
-      }
-      if (s >= 0.0) b |= (1L << j)
-      j += 1
-    }
-    java.lang.Long.valueOf(b)
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(KernelRuntime.lshBucket(input.asInstanceOf[ArrayData], planes))
+
+  // hand-rolled (not nullSafeCodeGen, which would short-circuit a null
+  // child to a null result): null child → bucket 0, result never null
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+    ev.copy(
+      code = code"""
+        |${c.code}
+        |long ${ev.value} = ${c.isNull} ? 0L :
+        |  graft.plans.KernelRuntime.lshBucket(${c.value}, $planesRef);
+       """.stripMargin,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): LshBucketKernel = copy(child = newChild)
@@ -208,7 +178,7 @@ case class NearestCentroidKernel(
     child: Expression,
     centroids: Array[Array[Double]],
     l2: Boolean = false)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = true
 
@@ -218,47 +188,20 @@ case class NearestCentroidKernel(
     math.sqrt(s)
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    if (l2) {
-      // squared-L2 argmin, ties → lowest index (strict < keeps the
-      // first minimum); index-ascending left-fold of (x-c)² terms, the
-      // association the generated SQL twin replicates verbatim
-      var best = Double.PositiveInfinity
-      var bestIdx = -1
-      var j = 0
-      while (j < centroids.length) {
-        val c = centroids(j)
-        if (c.length == n) {
-          var d = 0.0
-          var i = 0
-          while (i < n) { val t = arr.getFloat(i).toDouble - c(i); d += t * t; i += 1 }
-          if (d < best) { best = d; bestIdx = j }
-        }
-        j += 1
-      }
-      return if (bestIdx < 0) null else java.lang.Integer.valueOf(bestIdx)
-    }
-    var na = 0.0
-    var i = 0
-    while (i < n) { val x = arr.getFloat(i).toDouble; na += x * x; i += 1 }
-    val sna = math.sqrt(na)
-    var best = Double.NegativeInfinity
-    var bestIdx = -1
-    var j = 0
-    while (j < centroids.length) {
-      val c = centroids(j)
-      if (c.length == n) {
-        var dot = 0.0
-        i = 0
-        while (i < n) { dot += arr.getFloat(i).toDouble * c(i); i += 1 }
-        val cos = dot / (sna * cnorms(j))
-        if (cos > best) { best = cos; bestIdx = j }
-      }
-      j += 1
-    }
-    if (bestIdx < 0) null else java.lang.Integer.valueOf(bestIdx)
+  override def nullSafeEval(input: Any): Any =
+    KernelRuntime.nearestCentroid(input.asInstanceOf[ArrayData], centroids, cnorms, l2)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    val nRef = ctx.addReferenceObj("centroidNorms", cnorms, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("nearCentroid")
+      s"""
+         |java.lang.Integer $tmp = graft.plans.KernelRuntime.nearestCentroid($c, $cRef, $nRef, $l2);
+         |${ev.isNull} = $tmp == null;
+         |if (!${ev.isNull}) ${ev.value} = $tmp.intValue();
+       """.stripMargin
+    })
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidKernel =

@@ -291,6 +291,146 @@ object KernelRuntime {
     new GenericArrayData(out)
   }
 
+  /** See [[MinhashPerms]]: all k permutation minima in one pass; null
+    * (no array) for an empty input, matching array_min-of-empty.
+    */
+  def minhashPerms(arr: ArrayData, as: Array[Long], bs: Array[Long], mod: Long): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val k = as.length
+    val out = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (as(j) * h + bs(j)) % mod
+        if (v < out(j)) out(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** See [[SimHash32]]. */
+  def simhash32(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](32)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < 32) {
+        counts(j) += ((h >> j) & 1L).toInt
+        j += 1
+      }
+      i += 1
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 32) {
+      if (2 * counts(j) >= n) sim |= (1L << j)
+      j += 1
+    }
+    sim
+  }
+
+  /** See [[CosineSim]]: boxed null when the lengths differ (the
+    * declarative zip_with null-pads the shorter side → NULL dot).
+    */
+  def cosineSim(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  /** See [[LshBucketKernel]]; the NULL-vector → 0 case is handled by
+    * the caller (eval / generated glue), this body sees non-null input.
+    */
+  def lshBucket(arr: ArrayData, planes: Array[Array[Double]]): Long = {
+    val dim = if (planes.isEmpty) 0 else planes(0).length
+    if (arr.numElements() < dim) return 0L
+    var i = 0
+    while (i < dim) {
+      if (arr.isNullAt(i)) return 0L
+      i += 1
+    }
+    var b = 0L
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      var s = 0.0
+      i = 0
+      while (i < dim) {
+        s += p(i) * arr.getFloat(i).toDouble
+        i += 1
+      }
+      if (s >= 0.0) b |= (1L << j)
+      j += 1
+    }
+    b
+  }
+
+  /** See [[NearestCentroidKernel]]; `cnorms` are the precomputed
+    * centroid L2 norms (cosine mode). Boxed null when no centroid
+    * matches the vector's length.
+    */
+  def nearestCentroid(
+      arr: ArrayData,
+      centroids: Array[Array[Double]],
+      cnorms: Array[Double],
+      l2: Boolean): java.lang.Integer = {
+    val n = arr.numElements()
+    if (l2) {
+      var best = Double.PositiveInfinity
+      var bestIdx = -1
+      var j = 0
+      while (j < centroids.length) {
+        val c = centroids(j)
+        if (c.length == n) {
+          var d = 0.0
+          var i = 0
+          while (i < n) { val t = arr.getFloat(i).toDouble - c(i); d += t * t; i += 1 }
+          if (d < best) { best = d; bestIdx = j }
+        }
+        j += 1
+      }
+      return if (bestIdx < 0) null else java.lang.Integer.valueOf(bestIdx)
+    }
+    var na = 0.0
+    var i = 0
+    while (i < n) { val x = arr.getFloat(i).toDouble; na += x * x; i += 1 }
+    val sna = math.sqrt(na)
+    var best = Double.NegativeInfinity
+    var bestIdx = -1
+    var j = 0
+    while (j < centroids.length) {
+      val c = centroids(j)
+      if (c.length == n) {
+        var dot = 0.0
+        i = 0
+        while (i < n) { dot += arr.getFloat(i).toDouble * c(i); i += 1 }
+        val cos = dot / (sna * cnorms(j))
+        if (cos > best) { best = cos; bestIdx = j }
+      }
+      j += 1
+    }
+    if (bestIdx < 0) null else java.lang.Integer.valueOf(bestIdx)
+  }
+
   /** See [[ShingleHash60]]. */
   def shingleHash60(arr: ArrayData, n: Int, mod: Long): ArrayData = {
     val nt = arr.numElements()

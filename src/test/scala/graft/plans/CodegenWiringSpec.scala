@@ -80,6 +80,29 @@ class CodegenWiringSpec extends SparkSpec {
     r2.df
   }
 
+  // the dedup/ANN signature kernels: minhash perms, simhash, cosine,
+  // LSH bucket, nearest-centroid (both metrics) — null/empty/mismatch
+  // rows exercise every null-glue branch
+  private def hashQuery: DataFrame = {
+    val planes = Seq(Array(0.5, -0.25, 0.125), Array(-1.0, 0.75, 0.5))
+    val cents = Seq(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0))
+    val d = Seq(
+      (1, Seq(11L, 22L, 33L), Seq(1.0f, 2.0f, 3.0f), Seq(0.5f, 0.25f, -1.0f)),
+      (2, Seq(7L), Seq(-1.0f, 0.5f, 0.0f), Seq(1.0f, 1.0f)), // vb shorter → cos NULL
+      (3, Seq.empty[Long], Seq(0.0f, 0.0f, 1.0f), Seq(0.0f, 1.0f, 0.0f))) // empty hashes → mh NULL
+      .toDF("id", "hs", "va", "vb")
+      .union(Seq((4, null.asInstanceOf[Seq[Long]], null.asInstanceOf[Seq[Float]], Seq(1.0f, 0.0f, 0.0f)))
+        .toDF("id", "hs", "va", "vb")) // null vector → bucket 0, centroid NULL
+      .repartition(2)
+    d.select($"id",
+      HashExpressions.minhashPerms($"hs", Seq((3L, 1L), (5L, 2L)), mod).as("mh"),
+      HashExpressions.simhash32($"hs").as("sh"),
+      HashExpressions.cosineSim($"va", $"vb").as("cos"),
+      HashExpressions.lshBucket($"va", planes).as("bk"),
+      HashExpressions.nearestCentroid($"va", cents).as("nc"),
+      HashExpressions.nearestCentroidL2($"va", cents).as("ncl2"))
+  }
+
   test("generated code calls KernelRuntime (kernels are inside codegen)") {
     // AQE wraps the un-executed plan in AdaptiveSparkPlanExec, which hides
     // the codegen subtrees from codegenString — turn it off for the pin.
@@ -102,7 +125,23 @@ class CodegenWiringSpec extends SparkSpec {
         normQuery.queryExecution.executedPlan)
       for (m <- Seq("KernelRuntime.normalizeText", "KernelRuntime.tokenizeText"))
         assert(genNorm.contains(s"graft.plans.$m"), s"generated code lacks $m")
+      val genHash = org.apache.spark.sql.execution.debug.codegenString(
+        hashQuery.queryExecution.executedPlan)
+      for (m <- Seq("KernelRuntime.minhashPerms", "KernelRuntime.simhash32",
+        "KernelRuntime.cosineSim", "KernelRuntime.lshBucket", "KernelRuntime.nearestCentroid"))
+        assert(genHash.contains(s"graft.plans.$m"), s"generated code lacks $m")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("hash kernels: CODEGEN_ONLY equals NO_CODEGEN (incl. null/empty/mismatch rows)") {
+    val a = withCodegen("CODEGEN_ONLY")(hashQuery.orderBy("id").collect().toSeq)
+    val b = withCodegen("NO_CODEGEN")(hashQuery.orderBy("id").collect().toSeq)
+    assert(a == b)
+    val byId = a.map(r => r.getInt(0) -> r).toMap
+    assert(byId(2).isNullAt(3), "length-mismatch cosine must be NULL")
+    assert(byId(3).isNullAt(1), "empty-hash minhash must be NULL")
+    assert(byId(4).getLong(4) == 0L, "null vector must bucket to 0")
+    assert(byId(4).isNullAt(5), "null vector centroid must be NULL")
   }
 
   test("normalize/tokens: CODEGEN_ONLY equals NO_CODEGEN (incl. unicode/empty/null rows)") {
