@@ -634,6 +634,15 @@ object SparkEntry {
       val payloads = Multimodal.synthBitmaps(Tables.documents(s, dir).select("doc_id"), "doc_id")
       Multimodal.bmpPixelStats(payloads, "doc_id", "payload").orderBy("doc_id")
     },
+    // REAL audio-CONTENT decode round-trip (the PCM analogue of
+    // mm_pixels): synthesize mono 16-bit PCM WAVs whose sample stream
+    // is integer arithmetic in (doc_id, i), decode the ACTUAL
+    // little-endian sample bytes, and aggregate integer sum/sum-sq/
+    // min/max — exact on both engines with no FP-ordering concern.
+    "mm_audio_stats" -> { (s, dir) =>
+      val payloads = Multimodal.synthAudioPcm(Tables.documents(s, dir).select("doc_id"), "doc_id")
+      Multimodal.audioPcmStats(payloads, "doc_id", "payload").orderBy("doc_id")
+    },
     "mm_frames" -> { (s, dir) =>
       Multimodal.sampleFrames(Tables.documents(s, dir), "doc_id", "text", frameChars = 128, every = 2)
         .orderBy("doc_id", "frame_idx")
@@ -1713,6 +1722,20 @@ object SparkEntry {
         | base as min_g, base + 2 * (w - 1) as max_g,
         | base as min_r, base + 3 * (h - 1) as max_r
         |from p order by doc_id""".stripMargin,
+    "mm_audio_stats" ->
+      // predicts the REAL PCM walk of synthAudioPcm's WAVs: sample i is
+      // ((doc_id*7 + i*13) % 2001) - 1000 (Multimodal.pcmSample);
+      // integer aggregates → exact equality with no rounding. The cast
+      // pins DuckDB's HUGEINT sum back to bigint for the schema check.
+      """with p as (select doc_id, 100 + (doc_id % 400) as n from documents),
+        | u as (select doc_id, n, unnest(generate_series(0, n - 1)) as i from p),
+        | s as (select doc_id, n, ((doc_id * 7 + i * 13) % 2001) - 1000 as v from u)
+        |select doc_id, n as n_samples,
+        | cast(sum(v) as bigint) as sum_amp,
+        | cast(sum(v * v) as bigint) as sum_sq,
+        | cast(min(v) as bigint) as min_amp,
+        | cast(max(v) as bigint) as max_amp
+        |from s group by doc_id, n order by doc_id""".stripMargin,
     "q_salted_agg" ->
       """select event_type,
         | count(*) as n_events,

@@ -213,6 +213,109 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** The deterministic 16-bit PCM sample stream used by
+    * [[synthAudioPcm]] and predicted by the mm_audio_stats oracle:
+    * sample i of doc `id` is ((id·7 + i·13) mod 2001) − 1000 ∈
+    * [−1000, 1000]. Pure integer arithmetic so every aggregate the
+    * decoder computes is closed-form on both engines with no FP
+    * ordering concerns.
+    */
+  def pcmSample(id: Long, i: Int): Int = (((id * 7L + i * 13L) % 2001L) - 1000L).toInt
+
+  /** Synthesized mono 16-bit PCM WAVs whose sample DATA is the real
+    * payload (unlike [[synthAudio]]'s zero-filled files): n_samples =
+    * 100 + id mod 400, samples from [[pcmSample]], little-endian.
+    */
+  def synthAudioPcm(df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val id = r.getLong(idIdx)
+        val n = 100 + (id % 400L).toInt
+        val base = synthWav(channels = 1, sampleRate = 16000, bitsPerSample = 16, nSamples = n)
+        // overwrite the zero-filled data chunk with the real samples;
+        // synthWav's layout ends with "data" + size + payload
+        val dataOff = base.length - 2 * n
+        var i = 0
+        while (i < n) {
+          val v = pcmSample(id, i)
+          base(dataOff + 2 * i) = (v & 0xff).toByte
+          base(dataOff + 2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        Row(id, base)
+      })
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** REAL PCM sample decode: walk the RIFF chunks to the 16-bit data
+    * payload and aggregate the ACTUAL decoded samples — integer sum /
+    * sum-of-squares / min / max (exact on any engine, no FP ordering).
+    * None for non-WAV, non-PCM-16, or truncated payloads.
+    */
+  def parseWavPcmStats(b: Array[Byte]): Option[(Int, Long, Long, Long, Long, Long)] = {
+    def tag(o: Int, s: String): Boolean =
+      o + 4 <= b.length && (0 until 4).forall(i => b(o + i) == s.charAt(i).toByte)
+    if (b.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var o = 12
+    var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+    var dataOff = -1
+    var dataSize = -1L
+    while (o + 8 <= b.length && (fmt.isEmpty || dataOff < 0)) {
+      val size = le32(b, o + 4).toLong & 0xffffffffL
+      if (tag(o, "fmt ")) {
+        if (size < 16 || o + 8 + 16 > b.length) return None
+        fmt = Some((le16(b, o + 10), le32(b, o + 12), le16(b, o + 22)))
+      } else if (tag(o, "data")) { dataOff = o + 8; dataSize = size }
+      o += 8 + size.toInt + (size.toInt & 1)
+    }
+    fmt match {
+      case Some((ch, rate, bits)) if dataOff >= 0 && bits == 16 &&
+          dataOff + dataSize <= b.length =>
+        val n = (dataSize / 2L).toInt // total 16-bit samples across channels
+        var sum = 0L
+        var sumSq = 0L
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        var i = 0
+        while (i < n) {
+          // little-endian signed 16-bit
+          val v = ((b(dataOff + 2 * i) & 0xff) | (b(dataOff + 2 * i + 1) << 8)).toShort.toLong
+          sum += v
+          sumSq += v * v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        val _ = rate
+        Some((ch, n.toLong, sum, sumSq, if (n == 0) 0L else mn, if (n == 0) 0L else mx))
+      case _ => None
+    }
+  }
+
+  /** Batched real PCM decode over a payload column: per-doc integer
+    * sample statistics — nulls for unparseable payloads.
+    */
+  def audioPcmStats(df: DataFrame, idCol: String, payloadCol: String, batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_samples", LongType),
+      StructField("sum_amp", LongType), StructField("sum_sq", LongType),
+      StructField("min_amp", LongType), StructField("max_amp", LongType)))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        parseWavPcmStats(r.getAs[Array[Byte]](pIdx)) match {
+          case Some((_, n, sum, sumSq, mn, mx)) =>
+            Row(r.getLong(idIdx), n, sum, sumSq, mn, mx)
+          case None => Row(r.getLong(idIdx), null, null, null, null, null)
+        }
+      })
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Batched real WAV-header decode: (channels, sample_rate, bits,
     * n_samples) per payload — nulls for unparseable bytes.
     */

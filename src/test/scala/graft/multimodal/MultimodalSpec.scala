@@ -106,6 +106,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("PCM decode: stats from REAL sample bytes match the sample formula") {
+    val stats = Multimodal.audioPcmStats(
+      Multimodal.synthAudioPcm(docs.select("doc_id"), "doc_id"), "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    assert(stats.length == 3)
+    stats.foreach { r =>
+      val id = r.getLong(0)
+      val n = 100 + (id % 400).toInt
+      val samples = (0 until n).map(i => Multimodal.pcmSample(id, i).toLong)
+      assert(r.getLong(1) == n, "n_samples")
+      assert(r.getLong(2) == samples.sum, "sum_amp")
+      assert(r.getLong(3) == samples.map(v => v * v).sum, "sum_sq")
+      assert(r.getLong(4) == samples.min && r.getLong(5) == samples.max, "min/max")
+    }
+    // non-PCM-16 / garbage / truncation → None, not a crash
+    assert(Multimodal.parseWavPcmStats(Multimodal.synthWav(1, 8000, 8, 5)).isEmpty, "8-bit rejected")
+    assert(Multimodal.parseWavPcmStats(Array.fill[Byte](64)(0x42)).isEmpty)
+    assert(Multimodal.parseWavPcmStats(Multimodal.synthWav(1, 8000, 16, 50).take(30)).isEmpty)
+    // zero-filled 16-bit PCM decodes to all-zero stats (valid file)
+    val Some((ch, n0, s0, sq0, mn0, mx0)) =
+      Multimodal.parseWavPcmStats(Multimodal.synthWav(2, 44100, 16, 10))
+    assert(ch == 2 && n0 == 20 && s0 == 0 && sq0 == 0 && mn0 == 0 && mx0 == 0)
+  }
+
   test("decodeStub: batched per-partition decode emits one feature row per payload") {
     val withBin = Multimodal.withBinary(docs, "text")
     val out = Multimodal.decodeStub(withBin, "doc_id", "payload", batchSize = 2)
