@@ -223,6 +223,23 @@ object SparkEntry {
       TimeOps.leadLagCorr(ev, "value", evGroup, evOrder, maxLag = 5)
         .orderBy("user_id")
     },
+    // expanding OLS trend per series: running slope/intercept/R² of
+    // value against row position — prefix sums in the one shared
+    // series window (the global fit is each user's last row). Outputs
+    // are 4dp-scaled LONGS via floor(x·10⁴ + 0.5): identical FP ops on
+    // both engines, where round()'s halfway-case semantics differ
+    // cross-engine (2-decimal inputs make exact .xxxx5 results common)
+    "ts_trend" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      def s4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        floor(c * 10000d + 0.5d)
+      TimeOps.expandingTrend(ev, "value", evGroup, evOrder)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("trend_n"),
+          s4(col("slope")).as("slope_s4"),
+          s4(col("intercept")).as("intercept_s4"),
+          s4(col("r2")).as("r2_s4"))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
     // PACF at lags 1..3 (Durbin-Levinson closed forms on the ACF
     // values) — AR-order identification; arithmetic on the identical
     // rounded ACFs, so the result is bit-exact with no extra rounding.
@@ -1292,6 +1309,44 @@ object SparkEntry {
     // association order), so the oracle rebuilds Spark's sequential
     // fold with per-prefix list_reduce — bit-exact, no rounding
     // (same pattern as the ts_ewma oracle; O(n²) fine at oracle scale)
+    // expanding OLS: prefix sums via the ts_deltas left-to-right
+    // list_reduce pattern (DuckDB window sums use a segment tree whose
+    // FP association differs from Spark's running frame). Position
+    // sums are exact closed forms (integer-valued doubles on both
+    // engines): sx = t(t-1)/2, sxx = (t-1)t(2t-1)/6. Non-null
+    // events.value contract (the ts_ewma/ts_cusum precedent).
+    "ts_trend" ->
+      """with g as (select user_id,
+        |    list(value order by epoch_us(ts), event_id) as xs,
+        |    list(epoch_us(ts) order by epoch_us(ts), event_id) as tsl,
+        |    list(event_id order by epoch_us(ts), event_id) as eidl
+        |  from events group by user_id),
+        | l as (select user_id, xs, tsl, eidl,
+        |    list_transform(range(1, len(xs) + 1), j -> xs[j] * xs[j]) as vv,
+        |    list_transform(range(1, len(xs) + 1), j -> cast(j - 1 as double) * xs[j]) as xv
+        |  from g),
+        | u as (select user_id,
+        |    unnest(tsl) as ts_us, unnest(eidl) as event_id,
+        |    unnest(range(1, len(xs) + 1)) as t,
+        |    unnest(list_transform(range(1, len(xs) + 1), t -> list_reduce(xs[1:t], (a, b) -> a + b))) as sv,
+        |    unnest(list_transform(range(1, len(xs) + 1), t -> list_reduce(vv[1:t], (a, b) -> a + b))) as svv,
+        |    unnest(list_transform(range(1, len(xs) + 1), t -> list_reduce(xv[1:t], (a, b) -> a + b))) as sxv
+        |  from l),
+        | f as (select user_id, ts_us, event_id, sv, svv, sxv,
+        |    cast(t as double) as n,
+        |    t * (t - 1) / 2 as sx,
+        |    (t - 1) * t * (2 * t - 1) / 6 as sxx
+        |  from u)
+        |select user_id, ts_us, event_id,
+        | cast(n as bigint) as trend_n,
+        | cast(floor((case when (n * sxx - sx * sx) <= 0 then null
+        |   else (n * sxv - sx * sv) / (n * sxx - sx * sx) end) * 10000 + 0.5) as bigint) as slope_s4,
+        | cast(floor((case when (n * sxx - sx * sx) <= 0 then null
+        |   else (sv - ((n * sxv - sx * sv) / (n * sxx - sx * sx)) * sx) / n end) * 10000 + 0.5) as bigint) as intercept_s4,
+        | cast(floor((case when (n * sxx - sx * sx) <= 0 or (n * svv - sv * sv) <= 0 then null
+        |   else (n * sxv - sx * sv) * (n * sxv - sx * sv)
+        |     / ((n * sxx - sx * sx) * (n * svv - sv * sv)) end) * 10000 + 0.5) as bigint) as r2_s4
+        |from f order by user_id, ts_us, event_id""".stripMargin,
     "ts_deltas" ->
       """with g as (
         |  select user_id,

@@ -569,6 +569,58 @@ object TimeOps {
       .drop("__det")
   }
 
+  /** Expanding-window OLS trend per series: slope / intercept / R² of
+    * the value against its 0-based row POSITION, over all rows up to
+    * the current one — the running "is this series drifting, how fast,
+    * how linearly" diagnostic (the global fit is just the last row).
+    *
+    * Everything is prefix sums over the ordered series window, so both
+    * engines accumulate in the same left-to-right order (the
+    * ts_deltas/expanding precedent); outputs are RAW doubles — the
+    * ts_trend query scales them with floor(x·10⁴ + 0.5) (identical FP
+    * ops on both engines, unlike round(), whose halfway-case semantics
+    * differ cross-engine exactly when 2-decimal inputs make .xxxx5
+    * results common). ONE exchange on the series key; the
+    * row_number stage and the cumulative-sum stage share the same sort.
+    * Degenerate gates mirror leadLagCorr: position variance 0 (first
+    * row) → slope/intercept/r2 null; value variance ≤ 0 (constant
+    * prefix) → r2 null while slope/intercept are still defined (0 and
+    * the constant). Non-null values only are fit (count/sums skip
+    * null rows' contributions, position still advances — pandas-like).
+    */
+  def expandingTrend(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val w = Featurize.seriesWindow(groupCols, orderCols)
+    val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val v = col(valueCol)
+    val x = col("__x")
+    val withX = df.withColumn("__x", row_number().over(w).cast("double") - 1)
+    val sums = withX
+      .withColumn("__n", count(v).over(wcum).cast("double"))
+      .withColumn("__sx", sum(when(v.isNotNull, x)).over(wcum))
+      .withColumn("__sv", sum(v).over(wcum))
+      .withColumn("__sxx", sum(when(v.isNotNull, x * x)).over(wcum))
+      .withColumn("__svv", sum(v * v).over(wcum))
+      .withColumn("__sxv", sum(x * v).over(wcum))
+    val n = col("__n"); val sx = col("__sx"); val sv = col("__sv")
+    val sxx = col("__sxx"); val svv = col("__svv"); val sxv = col("__sxv")
+    val vx = n * sxx - sx * sx
+    val vy = n * svv - sv * sv
+    val slope = (n * sxv - sx * sv) / vx
+    sums
+      .withColumn("trend_n", n.cast("long"))
+      .withColumn("slope", when(vx <= 0, lit(null)).otherwise(slope))
+      .withColumn("intercept",
+        when(vx <= 0, lit(null)).otherwise((sv - slope * sx) / n))
+      .withColumn("r2",
+        when(vx <= 0 || vy <= 0, lit(null))
+          .otherwise((n * sxv - sx * sv) * (n * sxv - sx * sv) / (vx * vy)))
+      .drop("__x", "__n", "__sx", "__sv", "__sxx", "__svv", "__sxv")
+  }
+
   /** Calendar features from a µs-epoch timestamp — pure integer
     * arithmetic where possible (day index, Monday-based weekday,
     * weekend flag, hour of day: engine-independent by construction;

@@ -48,6 +48,30 @@ class LeadLagOhlcSpec extends SparkSpec {
       s"AR(1) pacf must cut off after lag 1: p2=$p2 p3=$p3")
   }
 
+  test("expandingTrend recovers a planted linear trend exactly") {
+    // y = 2x + 5: slope/intercept exact from the second row on, r2 = 1
+    val rows = (0 until 10).map(i => ("u", i.toLong * 100, i.toLong, 2.0 * i + 5.0))
+    val df = rows.toDF("user_id", "ts_us", "event_id", "value")
+    val out = TimeOps.expandingTrend(df, "value", Seq("user_id"), Seq("ts_us", "event_id"))
+      .orderBy("ts_us").collect()
+    assert(out.length == 10)
+    assert(out.head.isNullAt(out.head.fieldIndex("slope")), "single point has no slope")
+    out.drop(1).foreach { r =>
+      assert(r.getDouble(r.fieldIndex("slope")) == 2.0, s"slope: $r")
+      assert(r.getDouble(r.fieldIndex("intercept")) == 5.0, s"intercept: $r")
+    }
+    // r2 of an exact line is 1 from the 2-point prefix on
+    out.drop(2).foreach(r => assert(r.getDouble(r.fieldIndex("r2")) == 1.0, s"r2: $r"))
+    // flat series: slope 0, intercept = the constant, r2 undefined
+    val flat = (0 until 5).map(i => ("u", i.toLong, i.toLong, 3.5))
+      .toDF("user_id", "ts_us", "event_id", "value")
+    val f = TimeOps.expandingTrend(flat, "value", Seq("user_id"), Seq("ts_us", "event_id"))
+      .orderBy("ts_us").collect().last
+    assert(f.getDouble(f.fieldIndex("slope")) == 0.0 &&
+      f.getDouble(f.fieldIndex("intercept")) == 3.5 &&
+      f.isNullAt(f.fieldIndex("r2")), s"flat: $f")
+  }
+
   test("ohlc aggregation picks the right endpoints") {
     val rows = Seq(
       ("a", 10L, 5.0), ("a", 20L, 9.0), ("a", 30L, 1.0), ("a", 40L, 7.0))
