@@ -834,6 +834,11 @@ object SparkEntry {
           StreamingFeaturize.streamingBrown(ds, alpha = 0.2).toDF())
         .orderBy("user_id", "ts_us")
     },
+    "stream_trend" -> { (s, dir) =>
+      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+          StreamingFeaturize.streamingTrend(ds).toDF())
+        .orderBy("user_id", "ts_us")
+    },
     "stream_dedup_exact" -> { (s, dir) =>
       StreamRunner.run(s, streamDocs(s, dir), nChunks = 5, "append")(ds =>
           StreamingFeaturize.streamingExactDedup(ds).toDF())
@@ -2140,6 +2145,39 @@ object SparkEntry {
          |from u
          |order by user_id, ts_us""".stripMargin
     },
+    // the ts_trend prefix-OLS oracle keyed by ts alone (the streaming
+    // replay order) — same list-fold sums, same floor-scaled outputs
+    "stream_trend" ->
+      """with g as (select user_id,
+        |    list(value order by epoch_us(ts)) as xs,
+        |    list(epoch_us(ts) order by epoch_us(ts)) as tsl
+        |  from events group by user_id),
+        | l as (select user_id, tsl, xs,
+        |    list_transform(range(1, len(xs) + 1), j -> xs[j] * xs[j]) as vv,
+        |    list_transform(range(1, len(xs) + 1), j -> cast(j - 1 as double) * xs[j]) as xv
+        |  from g),
+        | u as (select user_id,
+        |    unnest(tsl) as ts_us, unnest(xs) as value,
+        |    unnest(range(1, len(xs) + 1)) as t,
+        |    unnest(list_transform(range(1, len(xs) + 1), t -> list_reduce(xs[1:t], (a, b) -> a + b))) as sv,
+        |    unnest(list_transform(range(1, len(xs) + 1), t -> list_reduce(vv[1:t], (a, b) -> a + b))) as svv,
+        |    unnest(list_transform(range(1, len(xs) + 1), t -> list_reduce(xv[1:t], (a, b) -> a + b))) as sxv
+        |  from l),
+        | f as (select user_id, ts_us, value, sv, svv, sxv,
+        |    cast(t as double) as n,
+        |    t * (t - 1) / 2 as sx,
+        |    (t - 1) * t * (2 * t - 1) / 6 as sxx
+        |  from u)
+        |select user_id, ts_us, value,
+        | cast(n as bigint) as trend_n,
+        | cast(floor((case when (n * sxx - sx * sx) <= 0 then null
+        |   else (n * sxv - sx * sv) / (n * sxx - sx * sx) end) * 10000 + 0.5) as bigint) as slope_s4,
+        | cast(floor((case when (n * sxx - sx * sx) <= 0 then null
+        |   else (sv - ((n * sxv - sx * sv) / (n * sxx - sx * sx)) * sx) / n end) * 10000 + 0.5) as bigint) as intercept_s4,
+        | cast(floor((case when (n * sxx - sx * sx) <= 0 or (n * svv - sv * sv) <= 0 then null
+        |   else (n * sxv - sx * sv) * (n * sxv - sx * sv)
+        |     / ((n * sxx - sx * sx) * (n * svv - sv * sv)) end) * 10000 + 0.5) as bigint) as r2_s4
+        |from f order by user_id, ts_us""".stripMargin,
     "stream_holt" -> {
       val b = OracleGen.litD(1.0 - 0.2)
       val c = OracleGen.litD(0.2 / (1.0 - 0.2))

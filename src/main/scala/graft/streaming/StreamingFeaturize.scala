@@ -51,6 +51,24 @@ case class CusumOut(
     cusum_pos: Double,
     cusum_neg: Double,
     cusum_alarm: Boolean)
+
+case class TrendState(
+    n: Long,
+    sx: Double,
+    sv: Double,
+    sxx: Double,
+    svv: Double,
+    sxv: Double,
+    lastTs: Long = Long.MinValue)
+
+case class TrendOut(
+    user_id: Long,
+    ts_us: Long,
+    value: Double,
+    trend_n: Long,
+    slope_s4: Option[Long],
+    intercept_s4: Option[Long],
+    r2_s4: Option[Long])
 case class BandMin(min_id: Long)
 case class PosRing(ring: Array[Double], pos: Long, lastTs: Long = Long.MinValue)
 
@@ -396,6 +414,42 @@ object StreamingFeaturize {
             CusumOut(key, e.ts_us, e.value, sPos, sNeg, sPos > threshold || sNeg > threshold)
           }
           state.update(CusumState(sPos, sNeg, evSeq.lastOption.map(_.ts_us).getOrElse(lastTs)))
+          out.iterator
+        })
+  }
+
+  /** Streaming expanding OLS trend — the TimeOps.expandingTrend twin
+    * and the canonical ONLINE drift-slope monitor: six scalars of state
+    * per key (n and the five prefix sums), each event appended in the
+    * same left-to-right order the batch window accumulates, so the
+    * doubles — and the floor(x·10⁴ + 0.5)-scaled outputs — are
+    * bit-identical to the batch scan for in-order input (fail-fast
+    * order contract via sortedStrict).
+    */
+  def streamingTrend(events: Dataset[Ev]): Dataset[TrendOut] = {
+    import events.sparkSession.implicits._
+    def s4(x: Double): Long = math.floor(x * 10000.0 + 0.5).toLong
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, evs: Iterator[Ev], state: GroupState[TrendState]) => {
+          var st = state.getOption.getOrElse(TrendState(0L, 0.0, 0.0, 0.0, 0.0, 0.0))
+          val evSeq = sortedStrict(evs, st.lastTs, key)
+          val out = evSeq.map { e =>
+            val x = st.n.toDouble // 0-based position of this event
+            st = TrendState(st.n + 1, st.sx + x, st.sv + e.value,
+              st.sxx + x * x, st.svv + e.value * e.value, st.sxv + x * e.value, e.ts_us)
+            val n = st.n.toDouble
+            val vx = n * st.sxx - st.sx * st.sx
+            val vy = n * st.svv - st.sv * st.sv
+            val num = n * st.sxv - st.sx * st.sv
+            val slope = num / vx
+            TrendOut(key, e.ts_us, e.value, st.n,
+              if (vx <= 0) None else Some(s4(slope)),
+              if (vx <= 0) None else Some(s4((st.sv - slope * st.sx) / n)),
+              if (vx <= 0 || vy <= 0) None else Some(s4(num * num / (vx * vy))))
+          }
+          state.update(st)
           out.iterator
         })
   }

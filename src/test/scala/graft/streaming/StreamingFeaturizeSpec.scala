@@ -132,6 +132,36 @@ class StreamingFeaturizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingTrend equals the batch expanding OLS across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingFeaturize.streamingTrend(input.toDS())
+      .writeStream.format("memory").queryName("trend_out").outputMode("append").start()
+    try {
+      val all = evs(1, 14) ++ evs(2, 9)
+      input.addData(all.filter(_.ts_us < 5000000): _*)
+      q.processAllAvailable()
+      input.addData(all.filter(_.ts_us >= 5000000): _*)
+      q.processAllAvailable()
+      def optL(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+        if (r.isNullAt(i)) None else Some(r.getLong(i))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), optL(r, 3), optL(r, 4), optL(r, 5))
+      val streamed = spark.table("trend_out")
+        .select("user_id", "ts_us", "trend_n", "slope_s4", "intercept_s4", "r2_s4")
+        .collect().map(key).toSet
+      val s4c = (c: String) => floor(col(c) * 10000d + 0.5d).as(c + "_s4")
+      val batch = graft.ts.TimeOps.expandingTrend(
+          all.map(e => (e.user_id, e.ts_us, e.value)).toDF("user_id", "ts_us", "value"),
+          "value", Seq("user_id"), Seq("ts_us"))
+        .select(col("user_id"), col("ts_us"), col("trend_n"),
+          s4c("slope"), s4c("intercept"), s4c("r2"))
+        .collect().map(key).toSet
+      assert(streamed == batch, "streaming trend must be bit-identical to the batch scan")
+      assert(streamed.exists(_._4.isEmpty), "first row per key has no fit")
+    } finally q.stop()
+  }
+
   test("streamingBrown equals the batch Brown smoothing across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
