@@ -435,22 +435,25 @@ object Dedup {
       .localCheckpoint(true)
     // m = min(N(u) ∪ {u}) ≤ u < v for every emitted (v, m): edges stay
     // strictly downward in both phases, so no self-loop filtering is
-    // needed after the initial canonicalization
+    // needed after the initial canonicalization. Both phases compute m
+    // as a WINDOW min over the neighborhood partition instead of a
+    // groupBy + join-back — one exchange where the join form pays
+    // three; the round's only other exchange is smallStar's closing
+    // distinct (largeStar's duplicates are band-bounded and cheaper to
+    // let smallStar's window absorb than to shuffle away twice).
     def largeStar(edges: DataFrame): DataFrame = {
       val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
         .union(edges.select(col("lo").as("u"), col("hi").as("v")))
-      val m = sym.groupBy("u").agg(min(least(col("v"), col("u"))).as("m"))
-      sym.join(m, "u").where(col("v") > col("u"))
+      val m = min(least(col("v"), col("u"))).over(Window.partitionBy("u"))
+      sym.withColumn("m", m).where(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
-        .distinct()
     }
     def smallStar(edges: DataFrame): DataFrame = {
       // (hi, lo) with lo < hi IS the smaller-neighbor orientation
-      val m = edges.groupBy("hi").agg(min(col("lo")).as("m"))
-      val j = edges.join(m, "hi")
-      j.where(col("lo") =!= col("m"))
+      val withM = edges.withColumn("m", min(col("lo")).over(Window.partitionBy("hi")))
+      withM.where(col("lo") =!= col("m"))
         .select(col("lo").as("hi"), col("m").as("lo"))
-        .union(j.select(col("hi"), col("m").as("lo")))
+        .union(withM.select(col("hi"), col("m").as("lo")))
         .distinct()
     }
     // per-edge hash folded mod a large prime so the sum can't overflow
