@@ -44,6 +44,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(collects == 1, s"expected ONE shared collect_list frame, got $collects:\n${plan.take(2000)}")
   }
 
+  test("expanding OLS trend plans exactly one hash exchange (prefix sums share the sort)") {
+    val df = (for (g <- 0 until 4; t <- 0 until 50) yield (g, t, math.sin(t * 0.1) + g))
+      .toDF("g", "t", "v")
+    val res = TimeOps.expandingTrend(df, "v", Seq("g"), Seq("t"))
+    val plan = res.queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(1200)}")
+    val sorts = "(?m)^\\s*(?:\\+- )?\\*?\\(?\\d*\\)? ?Sort ".r.findAllIn(plan).length
+    assert(sorts <= 1, s"expected the row_number and cumulative stages to share one sort, got $sorts")
+  }
+
   test("long-layout horizon targets plan one exchange + one sort at any horizon count") {
     val df = (for (g <- 0 until 4; t <- 0 until 100) yield (g, t, math.sin(t * 0.1) + g))
       .toDF("g", "t", "v")
