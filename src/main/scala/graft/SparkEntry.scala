@@ -418,6 +418,19 @@ object SparkEntry {
         count(lit(1)).as("n"))
         .orderBy("event_type")
     },
+    // exact distinct counting (unique users per event type) — Spark
+    // plans the two-phase distinct (partial agg on (event_type,
+    // user_id) BEFORE the exchange), so the shuffle carries distinct
+    // pairs, never raw events; the 100 TB one-pass path is
+    // approx_count_distinct (HLL++, fixed sketch per group), pinned
+    // within relative error by DistinctCountSpec
+    "q_distinct" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      ev.groupBy("event_type").agg(
+        count_distinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+        .orderBy("event_type")
+    },
     "dedup_exact" -> { (s, dir) =>
       Dedup.exact(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
     },
@@ -1492,6 +1505,11 @@ object SparkEntry {
         |from events
         |group by event_type
         |order by event_type""".stripMargin,
+    "q_distinct" ->
+      """select event_type,
+        | count(distinct user_id) as n_users,
+        | count(*) as n_events
+        |from events group by event_type order by event_type""".stripMargin,
     "dedup_exact" ->
       s"""with d as (select doc_id, md5(${SqlTwins.norm("text")}) as k from documents)
          |select doc_id,
