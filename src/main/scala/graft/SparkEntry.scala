@@ -418,6 +418,40 @@ object SparkEntry {
         count(lit(1)).as("n"))
         .orderBy("event_type")
     },
+    // funnel analysis (view → click → purchase): first-touch time per
+    // stage per user (ONE partial-aggregated groupBy — map-side
+    // combine, single exchange on user_id), stage membership by
+    // first-touch ordering, then a tiny global rollup. Integer counts
+    // only — no FP parity surface at all.
+    "q_funnel" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      def firstTouch(t: String) =
+        min(when(col("event_type") === t, col("ts_us"))).as(s"t_$t")
+      val stages = ev.where(col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(firstTouch("view"), firstTouch("click"), firstTouch("purchase"))
+      stages.agg(
+        count(when(col("t_view").isNotNull, 1)).as("n_view"),
+        count(when(col("t_view") < col("t_click"), 1)).as("n_view_click"),
+        count(when(col("t_view") < col("t_click") && col("t_click") < col("t_purchase"), 1))
+          .as("n_view_click_purchase"))
+    },
+    // cohort retention: cohort = each user's first active day; D+1/D+7
+    // retention = distinct users of that cohort active exactly 1/7 days
+    // later. The (user, day) activity set is partial-agg distinct; the
+    // cohort join is user-keyed; counts are integers — exact.
+    "q_retention" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val days = ev.select(col("user_id"), expr("ts_us div 86400000000").as("day")).distinct()
+      val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+      days.join(cohort, "user_id")
+        .groupBy("cohort_day")
+        .agg(
+          count_distinct(col("user_id")).as("cohort_size"),
+          count_distinct(when(col("day") === col("cohort_day") + 1, col("user_id"))).as("d1"),
+          count_distinct(when(col("day") === col("cohort_day") + 7, col("user_id"))).as("d7"))
+        .orderBy("cohort_day")
+    },
     // exact distinct counting (unique users per event type) — Spark
     // plans the two-phase distinct (partial agg on (event_type,
     // user_id) BEFORE the exchange), so the shuffle carries distinct
@@ -1510,6 +1544,27 @@ object SparkEntry {
         | count(distinct user_id) as n_users,
         | count(*) as n_events
         |from events group by event_type order by event_type""".stripMargin,
+    "q_funnel" ->
+      """with s as (select user_id,
+        |   min(case when event_type = 'view' then epoch_us(ts) end) as t_view,
+        |   min(case when event_type = 'click' then epoch_us(ts) end) as t_click,
+        |   min(case when event_type = 'purchase' then epoch_us(ts) end) as t_purchase
+        | from events where event_type in ('view', 'click', 'purchase')
+        | group by user_id)
+        |select
+        | count(case when t_view is not null then 1 end) as n_view,
+        | count(case when t_view < t_click then 1 end) as n_view_click,
+        | count(case when t_view < t_click and t_click < t_purchase then 1 end) as n_view_click_purchase
+        |from s""".stripMargin,
+    "q_retention" ->
+      """with days as (select distinct user_id, epoch_us(ts) // 86400000000 as day from events),
+        | cohort as (select user_id, min(day) as cohort_day from days group by user_id)
+        |select cohort_day,
+        | count(distinct d.user_id) as cohort_size,
+        | count(distinct case when d.day = c.cohort_day + 1 then d.user_id end) as d1,
+        | count(distinct case when d.day = c.cohort_day + 7 then d.user_id end) as d7
+        |from days d join cohort c using (user_id)
+        |group by cohort_day order by cohort_day""".stripMargin,
     "dedup_exact" ->
       s"""with d as (select doc_id, md5(${SqlTwins.norm("text")}) as k from documents)
          |select doc_id,
