@@ -711,6 +711,13 @@ object SparkEntry {
       Multimodal.sampleFrames(Tables.documents(s, dir), "doc_id", "text", frameChars = 128, every = 2)
         .orderBy("doc_id", "frame_idx")
     },
+    // scene segmentation over the frame stream: new scene ⇔ frame hash
+    // differs from the previous frame — per-doc frame/scene counts and
+    // the longest run; integer aggregates, exact on both engines
+    "mm_scenes" -> { (s, dir) =>
+      Multimodal.sceneStats(Tables.documents(s, dir), "doc_id", "text", frameChars = 64)
+        .orderBy("doc_id")
+    },
     // multimodal → similarity composition: frame-hash pseudo-embedding
     // (the encoder stand-in) bucketed by the same LSH path embeddings use
     "mm_embed" -> { (s, dir) =>
@@ -1939,6 +1946,26 @@ object SparkEntry {
         |select doc_id, frame_idx, md5(substr(text, cast(frame_idx * 128 + 1 as int), 128)) as frame_md5
         |from fr where frame_idx % 2 = 0
         |order by doc_id, frame_idx""".stripMargin,
+    "mm_scenes" ->
+      """with n as (select doc_id, text, (length(text) + 63) // 64 as nf from documents),
+        | fr as (select doc_id, unnest(range(0, nf)) as frame_idx, text from n),
+        | h as (select doc_id, frame_idx,
+        |    md5(substr(text, cast(frame_idx * 64 + 1 as int), 64)) as fm from fr),
+        | m as (select doc_id, frame_idx,
+        |    case when lag(fm) over (partition by doc_id order by frame_idx) is null
+        |           or lag(fm) over (partition by doc_id order by frame_idx) <> fm
+        |         then 1 else 0 end as nw
+        |   from h),
+        | sc as (select doc_id,
+        |    sum(nw) over (partition by doc_id order by frame_idx
+        |                  rows between unbounded preceding and current row) as scene
+        |   from m),
+        | sz as (select doc_id, scene, count(*) as len from sc group by doc_id, scene)
+        |select doc_id,
+        | cast(sum(len) as bigint) as n_frames,
+        | count(*) as n_scenes,
+        | cast(max(len) as bigint) as longest_scene
+        |from sz group by doc_id order by doc_id""".stripMargin,
     "ts_pipeline_multi" -> {
       val lags = for (c <- Seq("value", "v2"); k <- Seq(1, 7)) yield OracleGen.lagExpr(c, k, evOver)
       val rms = for (c <- Seq("value", "v2"); w <- Seq(7, 28)) yield OracleGen.rollmeanExpr(c, w, w, evOver)

@@ -547,6 +547,32 @@ object Multimodal {
     df.select(col(idCol) +: es: _*)
   }
 
+  /** Scene segmentation over the frame stream: a new scene starts
+    * whenever the frame content hash differs from the previous frame's
+    * — the shot-boundary-detection shape over opaque frame payloads
+    * (swap the md5 for a perceptual hash or embedding distance and
+    * nothing downstream changes). Per-doc rollup: frame count, scene
+    * count, longest scene run. One window pass over (doc, frame_idx)
+    * for the boundary marks + running scene id, then two partial-agg
+    * groupBys (scene sizes, doc rollup) — all integer aggregates, so
+    * cross-engine equality is exact by construction.
+    */
+  def sceneStats(df: DataFrame, idCol: String, srcCol: String, frameChars: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = sampleFrames(df, idCol, srcCol, frameChars, every = 1)
+    val w = Window.partitionBy(idCol).orderBy("frame_idx")
+    val prev = lag(col("frame_md5"), 1).over(w)
+    val marked = frames.withColumn("__new",
+      when(prev.isNull || prev =!= col("frame_md5"), 1L).otherwise(0L))
+    val withScene = marked.withColumn("__scene",
+      sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withScene.groupBy(col(idCol), col("__scene")).agg(count(lit(1)).as("__len"))
+      .groupBy(idCol).agg(
+        sum(col("__len")).as("n_frames"),
+        count(lit(1)).as("n_scenes"),
+        max(col("__len")).as("longest_scene"))
+  }
+
   /** Fixed-width frame sampling over a payload, every `every`-th frame
     * — the video-frame-subsampling shape as pure relational ops
     * (sequence + explode + substr), no UDF.

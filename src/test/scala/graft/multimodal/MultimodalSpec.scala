@@ -140,6 +140,16 @@ class MultimodalSpec extends SparkSpec {
     assert(feat.length == 4 && feat.exists(_ != 0f))
   }
 
+  test("sceneStats: repeated frames merge into scenes, boundaries counted exactly") {
+    // frames of doc 1: A A B A → 3 scenes, longest run 2
+    val text = ("A" * 64) + ("A" * 64) + ("B" * 64) + ("A" * 64)
+    val d = Seq((1L, text), (2L, "C" * 64)).toDF("doc_id", "text")
+    val out = Multimodal.sceneStats(d, "doc_id", "text", frameChars = 64)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 4L, 3L, 2L), (2L, 1L, 1L, 1L)), out.mkString(", "))
+  }
+
   test("sampleFrames: every-2nd fixed-width frame with md5 payloads") {
     val out = Multimodal.sampleFrames(docs, "doc_id", "text", frameChars = 128, every = 2)
       .orderBy("doc_id", "frame_idx").collect()

@@ -72,6 +72,35 @@ class LeadLagOhlcSpec extends SparkSpec {
       f.isNullAt(f.fieldIndex("r2")), s"flat: $f")
   }
 
+  test("expandingTrend skips null values while positions keep advancing") {
+    // v null at t=1 and t=3: the fit uses only non-null (x, v) pairs,
+    // but x is the ROW position (nulls still occupy a slot — pandas
+    // dropna-on-y semantics). Reference fold accumulates in the same
+    // ascending order as the window frame, so doubles match exactly.
+    val vals: Seq[Option[Double]] =
+      Seq(Some(1.0), None, Some(2.5), None, Some(7.0), Some(3.25))
+    val rows = vals.zipWithIndex.map { case (v, i) => ("u", i.toLong, i.toLong, v) }
+    val df = rows.toDF("user_id", "ts_us", "event_id", "value")
+    val out = TimeOps.expandingTrend(df, "value", Seq("user_id"), Seq("ts_us", "event_id"))
+      .orderBy("ts_us").collect()
+    var (n, sx, sv, sxx, svv, sxv) = (0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    vals.zipWithIndex.foreach { case (vOpt, i) =>
+      vOpt.foreach { v =>
+        val x = i.toDouble
+        n += 1; sx += x; sv += v; sxx += x * x; svv += v * v; sxv += x * v
+      }
+      val r = out(i)
+      assert(r.getLong(r.fieldIndex("trend_n")) == n.toLong, s"n at $i")
+      val vx = n * sxx - sx * sx
+      if (vx <= 0) assert(r.isNullAt(r.fieldIndex("slope")), s"slope at $i must be null")
+      else {
+        val slope = (n * sxv - sx * sv) / vx
+        assert(r.getDouble(r.fieldIndex("slope")) == slope, s"slope at $i")
+        assert(r.getDouble(r.fieldIndex("intercept")) == (sv - slope * sx) / n, s"intercept at $i")
+      }
+    }
+  }
+
   test("ohlc aggregation picks the right endpoints") {
     val rows = Seq(
       ("a", 10L, 5.0), ("a", 20L, 9.0), ("a", 30L, 1.0), ("a", 40L, 7.0))
