@@ -418,6 +418,19 @@ object SparkEntry {
         count(lit(1)).as("n"))
         .orderBy("event_type")
     },
+    // fixed-width histogram of order totals: bucket index via EXACT
+    // integer-cents division (decimal(15,2)·100 is integer-valued, so
+    // `div` is engine-independent — no decimal-division scale or FP
+    // boundary risk), one partial-aggregated groupBy; counts are
+    // integers, revenue sums are decimals (association-independent,
+    // the q_rollup precedent — bit-exact with no rounding)
+    "q_histogram" -> { (s, dir) =>
+      val o = Tables.orders(s, dir)
+      o.groupBy(expr("cast(o_totalprice * 100 as bigint) div 2500000").as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("revenue"))
+        .orderBy("bucket")
+    },
     // funnel analysis (view → click → purchase): first-touch time per
     // stage per user (ONE partial-aggregated groupBy — map-side
     // combine, single exchange on user_id), stage membership by
@@ -1551,6 +1564,11 @@ object SparkEntry {
         | count(distinct user_id) as n_users,
         | count(*) as n_events
         |from events group by event_type order by event_type""".stripMargin,
+    "q_histogram" ->
+      """select cast(o_totalprice * 100 as bigint) // 2500000 as bucket,
+        | count(*) as n_orders,
+        | cast(sum(o_totalprice) as decimal(38,2)) as revenue
+        |from orders group by bucket order by bucket""".stripMargin,
     "q_funnel" ->
       """with s as (select user_id,
         |   min(case when event_type = 'view' then epoch_us(ts) end) as t_view,
