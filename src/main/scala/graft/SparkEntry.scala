@@ -7,7 +7,7 @@ import graft.functions.{Profile, Sampling, Sketch, Skew, SqlTwins, TextOps, TfId
 import graft.dedup.Dedup
 import graft.ann.Ann
 import graft.multimodal.Multimodal
-import graft.streaming.{Doc, Ev, StreamRunner, StreamingFeaturize}
+import graft.streaming.{Doc, Ev, StreamRunner, StreamingFeaturize, TypedEv}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -905,6 +905,21 @@ object SparkEntry {
       StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
           StreamingFeaturize.streamingTrend(ds).toDF())
         .orderBy("user_id", "ts_us")
+    },
+    // complete-mode funnel twin: per-user first-touch stage mins are a
+    // streaming aggregation (order-insensitive — min is monotone), the
+    // global rollup runs batch-side; value-identical to q_funnel
+    "stream_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val rows = Tables.events(s, dir).select("user_id", "ts_us", "event_type")
+        .orderBy("ts_us", "user_id").as[TypedEv].collect().toSeq
+      val stages = StreamRunner.run(s, rows, nChunks = 6, "complete")(ds =>
+        StreamingFeaturize.streamingFunnelStages(ds))
+      stages.agg(
+        count(when(col("t_view").isNotNull, 1)).as("n_view"),
+        count(when(col("t_view") < col("t_click"), 1)).as("n_view_click"),
+        count(when(col("t_view") < col("t_click") && col("t_click") < col("t_purchase"), 1))
+          .as("n_view_click_purchase"))
     },
     "stream_dedup_exact" -> { (s, dir) =>
       StreamRunner.run(s, streamDocs(s, dir), nChunks = 5, "append")(ds =>
@@ -2263,6 +2278,20 @@ object SparkEntry {
          |from u
          |order by user_id, ts_us""".stripMargin
     },
+    // the q_funnel oracle verbatim: the streaming stage mins are
+    // order-insensitive, so batch and stream share one SQL twin
+    "stream_funnel" ->
+      """with s as (select user_id,
+        |   min(case when event_type = 'view' then epoch_us(ts) end) as t_view,
+        |   min(case when event_type = 'click' then epoch_us(ts) end) as t_click,
+        |   min(case when event_type = 'purchase' then epoch_us(ts) end) as t_purchase
+        | from events where event_type in ('view', 'click', 'purchase')
+        | group by user_id)
+        |select
+        | count(case when t_view is not null then 1 end) as n_view,
+        | count(case when t_view < t_click then 1 end) as n_view_click,
+        | count(case when t_view < t_click and t_click < t_purchase then 1 end) as n_view_click_purchase
+        |from s""".stripMargin,
     // the ts_trend prefix-OLS oracle keyed by ts alone (the streaming
     // replay order) — same list-fold sums, same floor-scaled outputs
     "stream_trend" ->

@@ -10,6 +10,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * stream unchanged.
   */
 case class Ev(user_id: Long, ts_us: Long, value: Double)
+case class TypedEv(user_id: Long, ts_us: Long, event_type: String)
 case class Doc(doc_id: Long, text: String)
 case class DedupVerdict(doc_id: Long, dup_of: Option[Long])
 case class SeenDoc(first_id: Long)
@@ -417,6 +418,24 @@ object StreamingFeaturize {
           out.iterator
         })
   }
+
+  /** Streaming funnel stage table — the q_funnel twin's stateful core:
+    * per-user FIRST-TOUCH time per stage as a complete-mode streaming
+    * aggregation. `min` is monotone, so Spark manages three longs of
+    * state per user with no watermark needed, and arrival order cannot
+    * change the answer — unlike the exact per-key scan twins, this op
+    * needs no order contract at all. The tiny global rollup runs
+    * batch-side after replay (a second streaming aggregation level
+    * would violate the single-agg constraint).
+    */
+  def streamingFunnelStages(events: Dataset[TypedEv]): DataFrame =
+    events.toDF()
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts_us"))).as("t_view"),
+        min(when(col("event_type") === "click", col("ts_us"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts_us"))).as("t_purchase"))
 
   /** Streaming expanding OLS trend — the TimeOps.expandingTrend twin
     * and the canonical ONLINE drift-slope monitor: six scalars of state
