@@ -223,6 +223,13 @@ object SparkEntry {
       TimeOps.leadLagCorr(ev, "value", evGroup, evOrder, maxLag = 5)
         .orderBy("user_id")
     },
+    // running-peak drawdown per series: cummax (order-independent →
+    // bit-exact with NO rounding) and the distance below it
+    "ts_drawdown" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.drawdown(ev, "value", evGroup, evOrder)
+        .orderBy("user_id", "ts_us", "event_id")
+    },
     // expanding OLS trend per series: running slope/intercept/R² of
     // value against row position — prefix sums in the one shared
     // series window (the global fit is each user's last row). Outputs
@@ -1396,6 +1403,17 @@ object SparkEntry {
     // association order), so the oracle rebuilds Spark's sequential
     // fold with per-prefix list_reduce — bit-exact, no rounding
     // (same pattern as the ts_ewma oracle; O(n²) fine at oracle scale)
+    // prefix max is order-independent, so the DuckDB window form is
+    // safe here (unlike prefix SUMS — see ts_trend) and the arithmetic
+    // is exact with no rounding
+    "ts_drawdown" ->
+      """select user_id, epoch_us(ts) as ts_us, event_id, value,
+        | max(value) over w as peak,
+        | max(value) over w - value as drawdown
+        |from events
+        |window w as (partition by user_id order by epoch_us(ts), event_id
+        |             rows between unbounded preceding and current row)
+        |order by user_id, ts_us, event_id""".stripMargin,
     // expanding OLS: prefix sums via the ts_deltas left-to-right
     // list_reduce pattern (DuckDB window sums use a segment tree whose
     // FP association differs from Spark's running frame). Position

@@ -621,6 +621,25 @@ object TimeOps {
       .drop("__x", "__n", "__sx", "__sv", "__sxx", "__svv", "__sxv")
   }
 
+  /** Running-peak drawdown per series: cummax of the value so far and
+    * the distance below it — the standard "how far under the
+    * high-water mark" risk/health diagnostic (per-series max drawdown
+    * is just `max(drawdown)` downstream). Window prefix max is
+    * ORDER-INDEPENDENT, and the subtraction operates on identical
+    * doubles, so the output is bit-exact cross-engine with no rounding
+    * at all. One exchange on the series key.
+    */
+  def drawdown(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val w = Featurize.seriesWindow(groupCols, orderCols)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("peak", max(col(valueCol)).over(w))
+      .withColumn("drawdown", col("peak") - col(valueCol))
+  }
+
   /** Calendar features from a µs-epoch timestamp — pure integer
     * arithmetic where possible (day index, Monday-based weekday,
     * weekend flag, hour of day: engine-independent by construction;
