@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ts.{Featurize, OracleGen, Taylor, TimeOps}
 import graft.functions.{Profile, Sampling, Sketch, Skew, SqlTwins, TextOps, TfIdf, VectorOps}
@@ -221,6 +222,21 @@ object SparkEntry {
     "ts_leadlag" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
       TimeOps.leadLagCorr(ev, "value", evGroup, evOrder, maxLag = 5)
+        .orderBy("user_id")
+    },
+    // inter-arrival gap statistics per series (irregular-sampling
+    // diagnostic): gaps are integer µs lag-diffs, the rollup is
+    // count/min/max/sum — pure integer arithmetic, exact by
+    // construction; one window pass + one partial-agg groupBy on the
+    // same key (no extra exchange)
+    "ts_gap_stats" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id")
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      ev.withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .groupBy("user_id")
+        .agg(count(col("gap")).as("n_gaps"),
+          min("gap").as("min_gap_us"), max("gap").as("max_gap_us"),
+          sum("gap").as("sum_gap_us"))
         .orderBy("user_id")
     },
     // running-peak drawdown per series: cummax (order-independent →
@@ -913,6 +929,11 @@ object SparkEntry {
           StreamingFeaturize.streamingTrend(ds).toDF())
         .orderBy("user_id", "ts_us")
     },
+    "stream_drawdown" -> { (s, dir) =>
+      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+          StreamingFeaturize.streamingDrawdown(ds).toDF())
+        .orderBy("user_id", "ts_us")
+    },
     // complete-mode funnel twin: per-user first-touch stage mins are a
     // streaming aggregation (order-insensitive — min is monotone), the
     // global rollup runs batch-side; value-identical to q_funnel
@@ -1403,6 +1424,15 @@ object SparkEntry {
     // association order), so the oracle rebuilds Spark's sequential
     // fold with per-prefix list_reduce — bit-exact, no rounding
     // (same pattern as the ts_ewma oracle; O(n²) fine at oracle scale)
+    "ts_gap_stats" ->
+      """with g as (select user_id,
+        |   epoch_us(ts) - lag(epoch_us(ts))
+        |     over (partition by user_id order by epoch_us(ts), event_id) as gap
+        | from events)
+        |select user_id, count(gap) as n_gaps,
+        | min(gap) as min_gap_us, max(gap) as max_gap_us,
+        | cast(sum(gap) as bigint) as sum_gap_us
+        |from g group by user_id order by user_id""".stripMargin,
     // prefix max is order-independent, so the DuckDB window form is
     // safe here (unlike prefix SUMS — see ts_trend) and the arithmetic
     // is exact with no rounding
@@ -2296,6 +2326,16 @@ object SparkEntry {
          |from u
          |order by user_id, ts_us""".stripMargin
     },
+    // the ts_drawdown prefix-max oracle keyed by ts alone (the
+    // streaming replay order); max is association-safe, no rounding
+    "stream_drawdown" ->
+      """select user_id, epoch_us(ts) as ts_us, value,
+        | max(value) over w as peak,
+        | max(value) over w - value as drawdown
+        |from events
+        |window w as (partition by user_id order by epoch_us(ts)
+        |             rows between unbounded preceding and current row)
+        |order by user_id, ts_us""".stripMargin,
     // the q_funnel oracle verbatim: the streaming stage mins are
     // order-insensitive, so batch and stream share one SQL twin
     "stream_funnel" ->

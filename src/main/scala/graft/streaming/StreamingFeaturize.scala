@@ -53,6 +53,15 @@ case class CusumOut(
     cusum_neg: Double,
     cusum_alarm: Boolean)
 
+case class PeakState(peak: Double, lastTs: Long = Long.MinValue)
+
+case class DrawdownOut(
+    user_id: Long,
+    ts_us: Long,
+    value: Double,
+    peak: Double,
+    drawdown: Double)
+
 case class TrendState(
     n: Long,
     sx: Double,
@@ -415,6 +424,29 @@ object StreamingFeaturize {
             CusumOut(key, e.ts_us, e.value, sPos, sNeg, sPos > threshold || sNeg > threshold)
           }
           state.update(CusumState(sPos, sNeg, evSeq.lastOption.map(_.ts_us).getOrElse(lastTs)))
+          out.iterator
+        })
+  }
+
+  /** Streaming running-peak drawdown — the TimeOps.drawdown twin with
+    * ONE double of state per key (the peak). max is exact arithmetic,
+    * so the output is bit-identical to the batch window for in-order
+    * input (fail-fast order contract via sortedStrict).
+    */
+  def streamingDrawdown(events: Dataset[Ev]): Dataset[DrawdownOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, evs: Iterator[Ev], state: GroupState[PeakState]) => {
+          var peak = state.getOption.map(_.peak).getOrElse(Double.NegativeInfinity)
+          val lastTs = state.getOption.map(_.lastTs).getOrElse(Long.MinValue)
+          val evSeq = sortedStrict(evs, lastTs, key)
+          val out = evSeq.map { e =>
+            peak = math.max(peak, e.value)
+            DrawdownOut(key, e.ts_us, e.value, peak, peak - e.value)
+          }
+          state.update(PeakState(peak, evSeq.lastOption.map(_.ts_us).getOrElse(lastTs)))
           out.iterator
         })
   }
