@@ -44,18 +44,40 @@ object Bench {
     val reps = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
       .getOrElse(3).max(1)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
-    def jsonLine(results: Seq[(String, Double)], partial: Boolean): String = {
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): String = f"$v%.3f"
+    // two artifact shapes from one run:
+    //  - side-file: full evidence, INCLUDING per-rep times per query —
+    //    round 8's ts_pipeline_full 6.83 s driver anomaly was
+    //    unadjudicable because raw reps went only to stderr; now a
+    //    polluted round (one slow rep vs all-slow reps) is decidable
+    //    from the artifact alone
+    //  - stdout: one COMPACT line (medians only, 3dp) printed LAST, so
+    //    a tail-capture driver parser sees the whole object (round 8's
+    //    tail truncated the FRONT of the long per-query map → parsed
+    //    null)
+    def jsonLine(results: Seq[(String, Seq[Double])], partial: Boolean,
+                 withReps: Boolean): String = {
+      def med(ts: Seq[Double]): Double = {
+        val s = ts.sorted
+        if (s.length % 2 == 1) s(s.length / 2)
+        else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+      }
+      val qs = results.map { case (k, ts) => "\"" + k + "\":" + r3(med(ts)) }
         .mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+      val total = results.map { case (_, ts) => med(ts) }.sum
+      val repsJson =
+        if (!withReps) ""
+        else results.map { case (k, ts) =>
+          "\"" + k + "\":[" + ts.map(r3).mkString(",") + "]"
+        }.mkString(""","rep_times":{""", ",", "}")
       val tail = if (partial) s""","partial":true,"completed":${results.size},"selected":${ordered.size}""" else ""
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$tail}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps$repsJson$tail}"""
     }
     def writeOut(line: String): Unit =
       try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: ${e.getMessage}") }
-    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
     ordered.foreach { case (name, fn) =>
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
@@ -64,27 +86,27 @@ object Bench {
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
+      }
+      val sortedT = times.sorted
       val median =
-        if (times.length % 2 == 1) times(times.length / 2)
-        else (times(times.length / 2 - 1) + times(times.length / 2)) / 2.0
-      // stderr progress (stdout stays the one-line JSON contract):
-      // makes a wedged query identifiable from the log mid-run, and
-      // the raw reps expose outliers the median hides
+        if (sortedT.length % 2 == 1) sortedT(sortedT.length / 2)
+        else (sortedT(sortedT.length / 2 - 1) + sortedT(sortedT.length / 2)) / 2.0
+      // stderr progress: makes a wedged query identifiable mid-run
       System.err.println(f"[bench] $name%-24s $median%8.3f s  " +
         s"(reps: ${times.map(t => f"$t%.2f").mkString(" ")})")
-      acc += (name -> median)
+      acc += (name -> times)
       // rewrite the side-file after EVERY query: a driver timeout
       // (round 7 was rc:124 → parsed:null, a whole round with no bench
       // evidence) now leaves a valid partial JSON artifact on disk,
       // flagged "partial" with completed/selected counts
-      writeOut(jsonLine(acc.toSeq, partial = true))
+      writeOut(jsonLine(acc.toSeq, partial = true, withReps = true))
     }
-    val line = jsonLine(acc.toSeq, partial = false)
-    println(line)
-    // the bare JSON line also goes to the side-file: the driver's stdout
-    // parser chokes on the sbt-prefixed tail, leaving "parsed": null
-    writeOut(line)
+    // full evidence (with per-rep times) → side-file only
+    writeOut(jsonLine(acc.toSeq, partial = false, withReps = true))
+    System.err.println(s"[bench] full artifact (with rep_times): $outFile")
+    // compact medians-only line is the LAST stdout output — nothing
+    // may print after it or a tail-capturing parser loses the front
+    println(jsonLine(acc.toSeq, partial = false, withReps = false))
     spark.stop()
   }
 }

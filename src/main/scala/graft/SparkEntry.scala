@@ -441,17 +441,19 @@ object SparkEntry {
         count(lit(1)).as("n"))
         .orderBy("event_type")
     },
-    // fixed-width histogram of order totals: bucket index via EXACT
-    // integer-cents division (decimal(15,2)·100 is integer-valued, so
-    // `div` is engine-independent — no decimal-division scale or FP
-    // boundary risk), one partial-aggregated groupBy; counts are
-    // integers, revenue sums are decimals (association-independent,
-    // the q_rollup precedent — bit-exact with no rounding)
+    // fixed-width histogram of order totals: bucket index via integer-
+    // cents division. o_totalprice is a parquet DOUBLE, so cents must
+    // be pinned half-up on BOTH engines via floor(x*100+0.5) — Spark's
+    // cast(double as bigint) truncates while DuckDB's rounds
+    // (o_totalprice > 0, so floor-div == trunc-div for the bucket), one
+    // partial-aggregated groupBy; revenue summed as bigint CENTS —
+    // exact, association-free, and survives any hash canonicalization
+    // (decimal(38,2) provably did not: round-8 driver reds)
     "q_histogram" -> { (s, dir) =>
       val o = Tables.orders(s, dir)
-      o.groupBy(expr("cast(o_totalprice * 100 as bigint) div 2500000").as("bucket"))
+      o.groupBy(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint) div 2500000").as("bucket"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("revenue"))
+          sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).as("revenue_cents"))
         .orderBy("bucket")
     },
     // funnel analysis (view → click → purchase): first-touch time per
@@ -547,8 +549,10 @@ object SparkEntry {
         .orderBy("event_type")
     },
     // rollup (grouping sets) aggregation: nation × order-year revenue
-    // with subtotals and a grand total; decimal sums are association-
-    // independent, so both engines agree bit-for-bit without rounding
+    // with subtotals and a grand total; revenue summed as bigint CENTS
+    // (exact integer arithmetic, association-free — decimal(38,2)
+    // outputs failed the driver's hash canonicalization in round 8
+    // despite exact value equality, so integers it is)
     "q_rollup" -> { (s, dir) =>
       val o = Tables.orders(s, dir).select("o_custkey", "o_orderdate", "o_totalprice")
       val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
@@ -556,7 +560,7 @@ object SparkEntry {
         .withColumn("o_year", year(col("o_orderdate")))
         .rollup(col("c_nationkey"), col("o_year"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("revenue"))
+          sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).as("revenue_cents"))
         .orderBy(col("c_nationkey").asc_nulls_first, col("o_year").asc_nulls_first)
     },
     // TF-IDF top-3 distinctive terms per document (tf · ln(N/df),
@@ -1628,9 +1632,9 @@ object SparkEntry {
         | count(*) as n_events
         |from events group by event_type order by event_type""".stripMargin,
     "q_histogram" ->
-      """select cast(o_totalprice * 100 as bigint) // 2500000 as bucket,
+      """select cast(floor(o_totalprice * 100 + 0.5) as bigint) // 2500000 as bucket,
         | count(*) as n_orders,
-        | cast(sum(o_totalprice) as decimal(38,2)) as revenue
+        | cast(sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) as bigint) as revenue_cents
         |from orders group by bucket order by bucket""".stripMargin,
     "q_funnel" ->
       """with s as (select user_id,
@@ -1966,11 +1970,12 @@ object SparkEntry {
         |from events
         |group by event_type
         |order by event_type""".stripMargin,
-    // decimal(18,2) sums are exact regardless of aggregation order —
-    // no rounding needed; year cast to int to match Spark's year()
+    // integer-cents sums are exact regardless of aggregation order —
+    // no rounding needed; year cast to int to match Spark's year();
+    // DuckDB sum(bigint) is hugeint, so re-cast to bigint for schema
     "q_rollup" ->
       """select c_nationkey, o_year, count(*) as n_orders,
-        | cast(sum(cast(o_totalprice as decimal(18,2))) as decimal(38,2)) as revenue
+        | cast(sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) as bigint) as revenue_cents
         |from (select c_nationkey, cast(year(o_orderdate) as int) as o_year, o_totalprice
         |      from orders join customer on o_custkey = c_custkey)
         |group by rollup(c_nationkey, o_year)
