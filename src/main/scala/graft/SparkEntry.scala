@@ -738,6 +738,16 @@ object SparkEntry {
       val payloads = Multimodal.synthBitmaps(Tables.documents(s, dir).select("doc_id"), "doc_id")
       Multimodal.bmpPixelStats(payloads, "doc_id", "payload").orderBy("doc_id")
     },
+    // REAL COMPRESSED-image pixel decode round-trip (the PNG upgrade of
+    // mm_pixels): synthesize complete PNGs — zlib IDAT via the public
+    // JDK Deflater, real CRC32s, filter type (doc_id + y) mod 5 so all
+    // five PNG filters are exercised, two IDAT chunks per file — then
+    // inflate + defilter + walk the ACTUAL pixels for per-channel
+    // stats; the oracle predicts every statistic in closed form
+    "mm_pixels_png" -> { (s, dir) =>
+      val payloads = Multimodal.synthPngs(Tables.documents(s, dir).select("doc_id"), "doc_id")
+      Multimodal.pngPixelStats(payloads, "doc_id", "payload").orderBy("doc_id")
+    },
     // REAL audio-CONTENT decode round-trip (the PCM analogue of
     // mm_pixels): synthesize mono 16-bit PCM WAVs whose sample stream
     // is integer arithmetic in (doc_id, i), decode the ACTUAL
@@ -1946,6 +1956,25 @@ object SparkEntry {
         | base as min_b, base + (w - 1) + (h - 1) as max_b,
         | base as min_g, base + 2 * (w - 1) as max_g,
         | base as min_r, base + 3 * (h - 1) as max_r
+        |from p order by doc_id""".stripMargin,
+    "mm_pixels_png" ->
+      // predicts the REAL inflate+defilter pixel walk of synthPngs'
+      // complete PNGs: pixel (x,y) carries R = base+3y, G = base+2x,
+      // B = base+x+y (the mm_pixels contract in PNG's RGB order), so
+      // each channel statistic is closed-form; means are half-integers
+      // — exact in FP on both engines
+      """with p as (select doc_id,
+        |   8 + (doc_id % 9) as w,
+        |   8 + ((doc_id * 5 + 3) % 9) as h,
+        |   doc_id % 64 as base
+        | from documents)
+        |select doc_id, w as width, h as height,
+        | base + 1.5 * (h - 1) as mean_r,
+        | cast(base + (w - 1) as double) as mean_g,
+        | base + (w - 1) / 2.0 + (h - 1) / 2.0 as mean_b,
+        | base as min_r, base + 3 * (h - 1) as max_r,
+        | base as min_g, base + 2 * (w - 1) as max_g,
+        | base as min_b, base + (w - 1) + (h - 1) as max_b
         |from p order by doc_id""".stripMargin,
     "mm_audio_stats" ->
       // predicts the REAL PCM walk of synthAudioPcm's WAVs: sample i is

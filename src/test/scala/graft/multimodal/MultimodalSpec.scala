@@ -150,6 +150,84 @@ class MultimodalSpec extends SparkSpec {
       Seq((1L, 4L, 3L, 2L), (2L, 1L, 1L, 1L)), out.mkString(", "))
   }
 
+  test("PNG full decode: inflate + all 5 filter types reconstruct exact pixels") {
+    // each filter type alone, then the mixed per-row rotation
+    val filters = Seq[Int => Int](_ => 0, _ => 1, _ => 2, _ => 3, _ => 4, y => y % 5)
+    filters.zipWithIndex.foreach { case (f, fi) =>
+      val (w, h, base) = (11, 9, 40)
+      val Some((pw, ph, means, mins, maxs)) =
+        Multimodal.parsePngPixels(Multimodal.synthPngRgb(w, h, base, f))
+      assert(pw == w && ph == h, s"dims, filter case $fi")
+      assert(means(0) == base + 1.5 * (h - 1), s"mean_r, filter case $fi")
+      assert(means(1) == base + (w - 1).toDouble, s"mean_g, filter case $fi")
+      assert(means(2) == base + (w - 1) / 2.0 + (h - 1) / 2.0, s"mean_b, filter case $fi")
+      assert(mins.toSeq == Seq(base, base, base), s"mins, filter case $fi")
+      assert(maxs.toSeq == Seq(base + 3 * (h - 1), base + 2 * (w - 1), base + (w - 1) + (h - 1)),
+        s"maxs, filter case $fi")
+    }
+  }
+
+  test("PNG synth is a VALID file: the JDK's own ImageIO PNG decoder agrees pixel-for-pixel") {
+    // independent decoder cross-check — javax.imageio ships its own PNG
+    // reader; if our Deflater/filter/CRC encoding were wrong anywhere,
+    // ImageIO would reject the file or disagree on pixel values
+    val (w, h, base) = (13, 12, 35)
+    val bytes = Multimodal.synthPngRgb(w, h, base, y => y % 5)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO rejected the synthesized PNG")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      assert(((rgb >> 16) & 0xff) == base + 3 * y, s"R($x,$y)")
+      assert(((rgb >> 8) & 0xff) == base + 2 * x, s"G($x,$y)")
+      assert((rgb & 0xff) == base + x + y, s"B($x,$y)")
+    }
+    // the payload really is multi-IDAT (decoder must concatenate)
+    val idatCount = bytes.sliding(4).count(s =>
+      s(0) == 'I' && s(1) == 'D' && s(2) == 'A' && s(3) == 'T')
+    assert(idatCount == 2, s"expected 2 IDAT chunks, saw $idatCount")
+  }
+
+  test("PNG decode rejects garbage, truncation, and hostile chunk lengths without crashing") {
+    val good = Multimodal.synthPngRgb(9, 9, 10, _ => 4)
+    assert(Multimodal.parsePngPixels(good).isDefined)
+    assert(Multimodal.parsePngPixels(good.take(40)).isEmpty, "truncated mid-IDAT")
+    assert(Multimodal.parsePngPixels(Array.fill[Byte](64)(0x42)).isEmpty, "garbage")
+    assert(Multimodal.parsePngPixels(Multimodal.synthBmp(8, 8, 5)).isEmpty, "BMP")
+    assert(Multimodal.parsePngPixels(Multimodal.synthPng(32, 32)).isEmpty,
+      "header-only synth (no IDAT) must not decode")
+    // corrupt the zlib stream (first IDAT data byte)
+    val badZ = good.clone(); badZ(8 + 25 + 8) = 0x77
+    assert(Multimodal.parsePngPixels(badZ).isEmpty, "corrupt zlib")
+    // hostile declared chunk length: 0x7fffffff walks past the buffer
+    val badLen = good.clone()
+    badLen(8) = 0x7f.toByte; badLen(9) = 0xff.toByte; badLen(10) = 0xff.toByte; badLen(11) = 0xff.toByte
+    assert(Multimodal.parsePngPixels(badLen).isEmpty, "hostile length")
+    // interlaced / non-RGB color types are out of scope → None
+    val inter = good.clone(); inter(8 + 8 + 12) = 1 // IHDR interlace byte
+    assert(Multimodal.parsePngPixels(inter).isEmpty, "interlaced")
+  }
+
+  test("synthPngs → pngPixelStats round-trip equals the arithmetic spec") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 17L, 100L, 9999L).toDF("doc_id")
+    val out = Multimodal.pngPixelStats(Multimodal.synthPngs(ids, "doc_id"), "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    assert(out.length == 8)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val w = 8 + (id % 9).toInt
+      val h = 8 + ((id * 5 + 3) % 9).toInt
+      val base = (id % 64).toInt
+      assert(r.getLong(1) == w && r.getLong(2) == h, s"dims id=$id")
+      assert(r.getDouble(3) == base + 1.5 * (h - 1), s"mean_r id=$id")
+      assert(r.getDouble(4) == base + (w - 1).toDouble, s"mean_g id=$id")
+      assert(r.getDouble(5) == base + (w - 1) / 2.0 + (h - 1) / 2.0, s"mean_b id=$id")
+      assert(r.getLong(6) == base && r.getLong(7) == base + 3 * (h - 1), s"r range id=$id")
+      assert(r.getLong(8) == base && r.getLong(9) == base + 2 * (w - 1), s"g range id=$id")
+      assert(r.getLong(10) == base && r.getLong(11) == base + (w - 1) + (h - 1), s"b range id=$id")
+    }
+  }
+
   test("sampleFrames: every-2nd fixed-width frame with md5 payloads") {
     val out = Multimodal.sampleFrames(docs, "doc_id", "text", frameChars = 128, every = 2)
       .orderBy("doc_id", "frame_idx").collect()
