@@ -245,27 +245,39 @@ object Dedup {
     * (TextOps.gramHashes — the same identity used by text_repetition
     * and the ngram-Jaccard verify stage).
     *
-    * Scale shape: the benchmark's distinct gram set is tiny next to the
-    * corpus (eval sets are thousands of docs, the corpus billions of
-    * docs) — it BROADCASTS, so the corpus side is one map-only scan
-    * whose per-doc rollup partial-aggregates before the only exchange
-    * (doc_id). No corpus self-join, no corpus-side shuffle of text.
+    * Scale shape: the benchmark's distinct gram set is usually tiny
+    * next to the corpus (eval sets are thousands of docs, the corpus
+    * billions of docs) — it BROADCASTS, so the corpus side is one
+    * map-only scan whose per-doc rollup partial-aggregates before the
+    * only exchange (doc_id). No corpus self-join, no corpus-side
+    * shuffle of text. The broadcast is GATED on the measured distinct-
+    * gram count (the ngramJaccardPairs precedent — same AQE argument:
+    * adaptive SMJ→BHJ fires only after the corpus shuffle map stage is
+    * submitted, so the pre-count is what saves the corpus exchange):
+    * an oversized "benchmark" falls back to a shuffle join instead of
+    * OOMing the driver. At that scale, prefer routing the corpus
+    * through [[bloomBuild]]/[[bloomProbe]] as a map-only front gate.
     */
   def contaminationScores(
       docs: DataFrame,
       benchmark: DataFrame,
       idCol: String,
       textCol: String,
-      n: Int = 5): DataFrame = {
+      n: Int = 5,
+      maxBroadcastGrams: Long = 4000000L): DataFrame = {
     import graft.functions.TextOps
     def grams(df: DataFrame, extra: Seq[Column]): DataFrame =
       df.select(extra :+ TextOps.tokenHashes32Kernel(col(textCol)).as("__th"): _*)
         .select(extra :+ array_distinct(TextOps.gramHashes(col("__th"), n)).as("__grams"): _*)
+    // persist before the gate count: the gram set feeds both the count
+    // and the join, and benchmark-side tokenize+md5 shouldn't run twice
     val bg = grams(benchmark, Nil)
       .select(explode(col("__grams")).as("bg")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hinted = if (bg.count() <= maxBroadcastGrams) broadcast(bg) else bg
     grams(docs, Seq(col(idCol)))
       .select(col(idCol), size(col("__grams")).as("n_grams"), explode_outer(col("__grams")).as("g"))
-      .join(broadcast(bg), col("g") === col("bg"), "left")
+      .join(hinted, col("g") === col("bg"), "left")
       .groupBy(col(idCol), col("n_grams"))
       .agg(count(col("bg")).as("matched"))
       .select(col(idCol), col("n_grams").cast("long").as("n_grams"), col("matched"),
@@ -421,13 +433,30 @@ object Dedup {
     */
   private[dedup] def connectedComponentsStar(
       undirected: DataFrame, // (src, dst), any orientation
-      maxIters: Int): (DataFrame, Int, Boolean) = {
+      maxIters: Int,
+      checkpointEvery: Int = 2): (DataFrame, Int, Boolean) = {
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1, got $checkpointEvery")
     // eager localCheckpoint, not persist: each phase references its
     // input several times (unions of selects), so the LOGICAL plan
     // grows geometrically per round — checkpointing truncates the
-    // lineage to a materialized LogicalRDD each round (the standard
-    // iterative-graph trade: executor-local storage, recompute restarts
-    // the job on loss), keeping planning O(edges) instead of O(4^rounds)
+    // lineage to a materialized LogicalRDD (the standard iterative-
+    // graph trade: executor-local storage, recompute restarts the job
+    // on loss), keeping planning O(edges) instead of O(4^rounds).
+    // Cadence: every `checkpointEvery` rounds, not every round — at
+    // 100 TB each checkpoint materializes the full edge frame, so the
+    // cadence trades bounded plan depth (~4^k) + in-window recompute
+    // against half (k=2) the materializations.
+    //
+    // Dataset.unpersist() does NOT free checkpoint blocks (they're held
+    // by the internal RDD persist, not the cache manager — round-8
+    // advisory): reach the LogicalRDD's rdd and unpersist THAT, after
+    // the eager successor checkpoint has consumed it.
+    def freeCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false); ()
+        case _ => ()
+      }
     var e = undirected
       .select(greatest(col("src"), col("dst")).as("hi"), least(col("src"), col("dst")).as("lo"))
       .where(col("hi") =!= col("lo"))
@@ -468,15 +497,30 @@ object Dedup {
     var chk = checksum(e)
     var rounds = 0
     var converged = false
+    var lastCkpt = e // the frame currently holding checkpoint blocks
+    var sinceCkpt = 0
     while (!converged && rounds < maxIters) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val contracted = smallStar(largeStar(e))
+      sinceCkpt += 1
+      val next =
+        if (sinceCkpt >= checkpointEvery) {
+          val ck = contracted.localCheckpoint(true)
+          // ck is materialized (eager), so the predecessor's blocks are
+          // no longer reachable from any live plan — free them now
+          freeCheckpoint(lastCkpt)
+          lastCkpt = ck
+          sinceCkpt = 0
+          ck
+        } else contracted // lazy: rides on lastCkpt, replanned per action
       val nchk = checksum(next)
       converged = nchk == chk
       chk = nchk
-      e.unpersist()
       e = next
       rounds += 1
     }
+    // the final frame may be lazy on lastCkpt — that ONE checkpoint's
+    // blocks stay live for the caller (bounded: one frame, not one per
+    // round as before)
     (e.groupBy(col("hi").as("id")).agg(min("lo").as("lab")), rounds, converged)
   }
 
@@ -504,7 +548,8 @@ object Dedup {
       shingleSize: Int = 3,
       k: Int = 16,
       rowsPerBand: Int = 4,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 20,
+      checkpointEvery: Int = 2): DataFrame = {
     val sig = minhashSignatures(docs, idCol, textCol, shingleSize, TextOps.minhashParams(k))
     val bands = lshBands(sig, idCol, k, rowsPerBand)
     val bw = Window.partitionBy("band_idx", "band_key")
@@ -513,7 +558,7 @@ object Dedup {
       .where(col("__min") < col(idCol))
       .select(col("__min").cast("long").as("src"), col(idCol).cast("long").as("dst"))
       .distinct()
-    val (labels, _, converged) = connectedComponentsStar(star, maxIters)
+    val (labels, _, converged) = connectedComponentsStar(star, maxIters, checkpointEvery)
     // a component needing more contraction rounds than maxIters would
     // exit here un-converged and SILENTLY mis-split its cluster (the
     // oracle's recursive CTE computes the full closure, so the

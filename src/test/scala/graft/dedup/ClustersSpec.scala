@@ -43,6 +43,26 @@ class ClustersSpec extends SparkSpec {
     assert(rounds <= 8, s"expected O(log n) contraction rounds on a 65-node chain, got $rounds")
   }
 
+  test("star contraction: checkpoint cadence 1 and 3 produce identical labels and rounds") {
+    // the cadence is a materialization/plan-depth trade, never a
+    // semantics knob: every-round (1), default (2, above), and sparse
+    // (3) checkpointing must agree exactly on the worst-case chain
+    val n = 64
+    val edges = (0 until n)
+      .map(i => if (i % 2 == 0) (i.toLong, (i + 1).toLong) else ((i + 1).toLong, i.toLong))
+      .toDF("src", "dst")
+    def run(k: Int) = {
+      val (labels, rounds, converged) = Dedup.connectedComponentsStar(edges, maxIters = 20, checkpointEvery = k)
+      assert(converged, s"cadence $k must converge")
+      (labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, rounds)
+    }
+    val (labs1, r1) = run(1)
+    val (labs3, r3) = run(3)
+    assert(labs1 == labs3, "cadence must not change labels")
+    assert(r1 == r3, s"cadence must not change round count: $r1 vs $r3")
+    (1 to n).foreach(i => assert(labs1(i.toLong) == 0L))
+  }
+
   test("star contraction: disjoint components keep separate minimum labels") {
     val edges = Seq(
       (5L, 3L), (3L, 9L),          // component {3, 5, 9} → 3

@@ -70,6 +70,33 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "corpus side must not sort-merge")
   }
 
+  test("contaminationScores: oversized benchmark falls back to a shuffle join, value-identical") {
+    val bench = docs.where($"doc_id" <= 1)
+    def run(gate: Long) =
+      Dedup.contaminationScores(docs, bench, "doc_id", "text", n = 5, maxBroadcastGrams = gate)
+    // disable Catalyst's size-based auto-broadcast so this tiny test
+    // frame behaves like a genuinely oversized one: what remains is
+    // exactly the effect of the measured-count hint gate
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // gate 0 forces the no-broadcast path (no driver OOM surface on a
+      // 10M-doc "benchmark")
+      val fallback = run(0L)
+      val plan = fallback.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"), s"gate 0 must not broadcast:\n${plan.take(1500)}")
+      // a passing gate still FORCES the broadcast via the hint even
+      // when the size estimate wouldn't pick it
+      val hinted = run(4000000L)
+      assert(hinted.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        "passing gate must hint the broadcast")
+      // both paths produce identical scores
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows(fallback) == rows(hinted))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("langid picks english for english text") {
     val lang = docs.select(TextOps.langid(TextOps.tokens($"text"))).head().getString(0)
     assert(lang == "en")
