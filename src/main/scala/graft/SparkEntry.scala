@@ -246,6 +246,18 @@ object SparkEntry {
       TimeOps.drawdown(ev, "value", evGroup, evOrder)
         .orderBy("user_id", "ts_us", "event_id")
     },
+    // the CHUNKED expanding path (VERDICT r8 item 7): per-(user, chunk)
+    // local prefix max + a tiny per-chunk prefix join — no window spans
+    // a whole series, so a monster key fans out over chunks. Prefix MAX
+    // combines exactly for any doubles, so this shares ts_drawdown's
+    // oracle verbatim (bit-identical by construction; the FP-sum
+    // analogues are spec-pinned in ChunkedExpandingSpec instead)
+    "ts_drawdown_chunked" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      graft.ts.Chunked.chunkedDrawdown(ev, "value", evGroup, evOrder, "ts_us",
+        chunkWidth = 86400000000L) // day-wide chunks
+        .orderBy("user_id", "ts_us", "event_id")
+    },
     // expanding OLS trend per series: running slope/intercept/R² of
     // value against row position — prefix sums in the one shared
     // series window (the global fit is each user's last row). Outputs
@@ -1451,6 +1463,16 @@ object SparkEntry {
     // safe here (unlike prefix SUMS — see ts_trend) and the arithmetic
     // is exact with no rounding
     "ts_drawdown" ->
+      """select user_id, epoch_us(ts) as ts_us, event_id, value,
+        | max(value) over w as peak,
+        | max(value) over w - value as drawdown
+        |from events
+        |window w as (partition by user_id order by epoch_us(ts), event_id
+        |             rows between unbounded preceding and current row)
+        |order by user_id, ts_us, event_id""".stripMargin,
+    // identical oracle to ts_drawdown: the chunked plan is bit-equal by
+    // construction (prefix max is association-free)
+    "ts_drawdown_chunked" ->
       """select user_id, epoch_us(ts) as ts_us, event_id, value,
         | max(value) over w as peak,
         | max(value) over w - value as drawdown
