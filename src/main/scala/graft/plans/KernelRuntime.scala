@@ -55,7 +55,10 @@ object KernelRuntime {
       @inline def nul(i: Int): Boolean =
         if (!bare) xs.getArray(i).isNullAt(c)
         else if (nanNull) java.lang.Double.isNaN(xs.getDouble(i))
-        else xs.isNullAt(i)
+        // compacted bare frame: collect_list dropped nulls, but a NaN
+        // VALUE survives collection — treat it as missing too (pandas
+        // semantics; keeps every frame encoding NaN-consistent)
+        else xs.isNullAt(i) || java.lang.Double.isNaN(xs.getDouble(i))
       @inline def at(i: Int): Double = if (bare) xs.getDouble(i) else xs.getArray(i).getDouble(c)
       sp.mode match {
         case 0 => // rollmean: newest→oldest sum over non-nulls, gate cnt >= minP
@@ -199,7 +202,8 @@ object KernelRuntime {
     @inline def nulAt(i: Int): Boolean =
       if (c >= 0) xs.getArray(i).isNullAt(c)
       else if (t.nanNull) java.lang.Double.isNaN(xs.getDouble(i))
-      else xs.isNullAt(i)
+      // NaN-as-missing in every frame encoding (pandas semantics)
+      else xs.isNullAt(i) || java.lang.Double.isNaN(xs.getDouble(i))
     @inline def valAt(i: Int): Double =
       if (c < 0) xs.getDouble(i) else xs.getArray(i).getDouble(c)
     val out = new Array[Any](t.degree + 1)

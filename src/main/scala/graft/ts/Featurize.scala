@@ -162,9 +162,19 @@ object Featurize {
     // positional windows, without paying a per-row-per-element array
     // allocation (the r7 ts_pipeline regression — VERDICT r7 item 2).
     val bareNaN = colsUsed.size == 1
+    // NaN-as-missing must hold in BOTH frame encodings (pandas
+    // semantics — NaN IS the missing value there): the bare frame
+    // encodes null AS NaN and its kernels treat NaN as missing, so the
+    // wrapped frame maps NaN TO null (its kernels treat null as
+    // missing). Without this, the same NaN-bearing input would fold
+    // NaN into multi-column pipelines but skip it in single-column
+    // ones (round-8 advisory).
     val elem =
       if (bareNaN) coalesce(col(colsUsed.head).cast("double"), lit(Double.NaN))
-      else array(colsUsed.map(c => col(c).cast("double")): _*)
+      else array(colsUsed.map { c =>
+        val d = col(c).cast("double")
+        when(isnan(d), lit(null)).otherwise(d)
+      }: _*)
     val frame = collect_list(elem).over(win.rowsBetween(-frameLo, frameHi))
     val posC = row_number().over(win).cast("long") - 1
     val cntC =

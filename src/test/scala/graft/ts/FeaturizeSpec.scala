@@ -112,4 +112,39 @@ class FeaturizeSpec extends SparkSpec {
     assert(row.getLong(0) != 0L)
     assert(row.getSeq[Long](row.fieldIndex("mh")).size == 16)
   }
+
+  test("NaN source values are missing in EVERY frame encoding (bare, bare-NaN, wrapped)") {
+    // pandas semantics: NaN IS the missing value. The same series must
+    // produce identical features whether the block reads one column
+    // (bare/bare-NaN frames) or several (wrapped array frame) —
+    // round-8 advisory flagged the divergence.
+    val nan = Double.NaN
+    val d = Seq(
+      (1, 0L, 2.0, 1.0), (1, 1L, nan, 1.0), (1, 2L, 6.0, 1.0),
+      (1, 3L, 8.0, 1.0), (1, 4L, nan, 1.0), (1, 5L, 12.0, 1.0))
+      .toDF("g", "t", "v", "w")
+    val feats = Seq(
+      Featurize.Rollmean(Seq("v"), Seq(3)),
+      Featurize.WindowedTaylorCoefs(Seq("v"), taylorDegree = 1, Seq(3), Seq("trailing"), Seq(None), fillEdges = false))
+    // single-column block → bare-NaN fused frame
+    val single = Featurize.featurizeData(d, Seq("g"), Seq("t"), feats)
+    // add a w-feature so the block reads two columns → wrapped frame
+    val multi = Featurize.featurizeData(d, Seq("g"), Seq("t"),
+      feats :+ Featurize.Rollmean(Seq("w"), Seq(2)))
+    // roll-only single-column path (compacted bare frame, no taylor)
+    val bareRoll = Featurize.featurizeData(d, Seq("g"), Seq("t"),
+      Seq(Featurize.Rollmean(Seq("v"), Seq(3))))
+    def vals(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) =
+      df.orderBy("t").select(cols.map(col): _*).collect().map(r =>
+        cols.indices.map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i))).toSeq).toSeq
+    val vCols = single.featureNames
+    assert(vals(single.df, vCols) == vals(multi.df, vCols),
+      "bare-NaN and wrapped frames must agree on NaN input")
+    assert(vals(bareRoll.df, Seq("v_rollmean_w3")) == vals(single.df, Seq("v_rollmean_w3")),
+      "compacted bare frame must agree too")
+    // and NaN really is skipped, not folded: window [2, NaN, 6] with
+    // min_periods=3 has only 2 usable values → null; no NaN leaks out
+    val ms = vals(single.df, Seq("v_rollmean_w3")).flatten.flatten
+    assert(!ms.exists(_.isNaN), s"no NaN may survive the folds: $ms")
+  }
 }
