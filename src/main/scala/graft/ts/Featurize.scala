@@ -63,19 +63,33 @@ object Featurize {
       extra: Seq[(String, Column)]): DataFrame = {
     import graft.plans.{MultiRollKernel, RollSpecDef}
     val colsUsed = (reqs.map(_.src) ++ reqs.flatMap(_.src2)).distinct
-    // (kernelColumn, reqs in its slot order) — one shared wrapped frame
-    // when several columns are read; per-depth BARE frames (plain
-    // collect_list(double), no per-row array allocation — and the exact
-    // null contract of the original single-column kernels) otherwise
+    // Per-column BARE frames (plain collect_list(double) per (column,
+    // depth) — no per-row array allocation, the exact null contract of
+    // the original single-column kernels) whenever no request reads two
+    // columns at once; the shared WRAPPED array frame only when a
+    // cross-column spec (mode 6) forces it. r9 A/B at sf0.1 on
+    // ts_pipeline_multi (2 cols × 2 windows): the bare split measured
+    // faster than the wrapped frame (numbers in BENCH_NOTES.md r9) —
+    // per-element array headers cost more than the extra window
+    // aggregation buffers at small column counts. All frames ride the
+    // same Window operator either way.
+    // spark.graft.roll.bareSplit=false restores the wrapped frame (A/B
+    // escape hatch; SharedMultiFrameSpec pins value parity).
+    val splitOk = reqs.forall(_.src2.isEmpty) &&
+      df.sparkSession.conf.getOption("spark.graft.roll.bareSplit")
+        .orElse(sys.env.get("SPARK_GRAFT_BARE_SPLIT"))
+        .forall(_.toBoolean)
     val kernels: Seq[(Column, Seq[RollReq])] =
-      if (colsUsed.size == 1) {
-        val c = colsUsed.head
-        reqs.groupBy(r => RollSpecDef(r.mode, 0, r.w, r.minP, r.lagK, r.weights).depth)
-          .toSeq.sortBy(_._1).map { case (depth, rs) =>
-            val xs = collect_list(col(c).cast("double")).over(win.rowsBetween(-(depth - 1), 0))
-            val specs = rs.map(r => RollSpecDef(r.mode, 0, r.w, r.minP, r.lagK, r.weights))
-            (MultiRollKernel.ofBare(xs, specs), rs)
-          }
+      if (splitOk) {
+        colsUsed.flatMap { c =>
+          val mine = reqs.filter(_.src == c)
+          mine.groupBy(r => RollSpecDef(r.mode, 0, r.w, r.minP, r.lagK, r.weights).depth)
+            .toSeq.sortBy(_._1).map { case (depth, rs) =>
+              val xs = collect_list(col(c).cast("double")).over(win.rowsBetween(-(depth - 1), 0))
+              val specs = rs.map(r => RollSpecDef(r.mode, 0, r.w, r.minP, r.lagK, r.weights))
+              (MultiRollKernel.ofBare(xs, specs), rs)
+            }
+        }
       } else {
         val specs = reqs.map { r =>
           // mode 6 (cross-corr) carries its second column's index in lagK
@@ -83,8 +97,12 @@ object Featurize {
           RollSpecDef(r.mode, colsUsed.indexOf(r.src), r.w, r.minP, lk, r.weights)
         }
         val depth = specs.map(_.depth).max
-        val xs = collect_list(array(colsUsed.map(c => col(c).cast("double")): _*))
-          .over(win.rowsBetween(-(depth - 1), 0))
+        // NaN → null slot: NaN-as-missing in every frame encoding (same
+        // contract as fusedWindowBlock's wrapped elem)
+        val xs = collect_list(array(colsUsed.map { c =>
+          val d = col(c).cast("double")
+          when(isnan(d), lit(null)).otherwise(d)
+        }: _*)).over(win.rowsBetween(-(depth - 1), 0))
         Seq((MultiRollKernel.of(xs, specs), reqs))
       }
     // two selects: the kernel arrays materialize ONCE, then per-feature
