@@ -492,6 +492,9 @@ object SparkEntry {
     // cohort join is user-keyed; counts are integers — exact.
     "q_retention" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
+      // `div` truncates toward zero, DuckDB `//` floors: identical ONLY
+      // because ts_us is an epoch-µs timestamp, always > 0 (pre-1970
+      // data would need floor-div on the Spark side — r8 advisory pin)
       val days = ev.select(col("user_id"), expr("ts_us div 86400000000").as("day")).distinct()
       val cohort = days.groupBy("user_id").agg(min("day").as("cohort_day"))
       days.join(cohort, "user_id")
