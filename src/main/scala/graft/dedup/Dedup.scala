@@ -443,9 +443,16 @@ object Dedup {
     // graph trade: executor-local storage, recompute restarts the job
     // on loss), keeping planning O(edges) instead of O(4^rounds).
     // Cadence: every `checkpointEvery` rounds, not every round — at
-    // 100 TB each checkpoint materializes the full edge frame, so the
-    // cadence trades bounded plan depth (~4^k) + in-window recompute
-    // against half (k=2) the materializations.
+    // 100 TB each checkpoint materializes the full edge frame. The
+    // window of k contraction passes stacks LAZILY and then takes
+    // exactly ONE action (checkpoint, then a checksum scan of the
+    // materialized blocks), so each pass is computed exactly once and
+    // a window costs one job + one materialization where every-round
+    // costs k of each. The price is convergence-detection granularity
+    // k: the checksum is compared checkpoint-to-checkpoint, so up to
+    // 2k-2 idempotent extra passes run after the frame stabilizes
+    // (contraction of a converged frame is the identity — labels are
+    // unaffected, pinned by ClustersSpec's cadence-parity test).
     //
     // Dataset.unpersist() does NOT free checkpoint blocks (they're held
     // by the internal RDD persist, not the cache manager — round-8
@@ -494,33 +501,31 @@ object Dedup {
         .head()
       (r.getLong(0), r.getLong(1))
     }
-    var chk = checksum(e)
+    var chk = checksum(e) // cheap: e is already checkpointed
     var rounds = 0
     var converged = false
     var lastCkpt = e // the frame currently holding checkpoint blocks
-    var sinceCkpt = 0
     while (!converged && rounds < maxIters) {
-      val contracted = smallStar(largeStar(e))
-      sinceCkpt += 1
-      val next =
-        if (sinceCkpt >= checkpointEvery) {
-          val ck = contracted.localCheckpoint(true)
-          // ck is materialized (eager), so the predecessor's blocks are
-          // no longer reachable from any live plan — free them now
-          freeCheckpoint(lastCkpt)
-          lastCkpt = ck
-          sinceCkpt = 0
-          ck
-        } else contracted // lazy: rides on lastCkpt, replanned per action
-      val nchk = checksum(next)
+      // stack up to k passes lazily — NO action until the checkpoint
+      var next = e
+      var passes = 0
+      while (passes < checkpointEvery && rounds + passes < maxIters) {
+        next = smallStar(largeStar(next))
+        passes += 1
+      }
+      val ck = next.localCheckpoint(true)
+      // ck is materialized (eager), so the predecessor's blocks are
+      // no longer reachable from any live plan — free them now
+      freeCheckpoint(lastCkpt)
+      lastCkpt = ck
+      val nchk = checksum(ck) // cheap scan of the materialized blocks
       converged = nchk == chk
       chk = nchk
-      e = next
-      rounds += 1
+      e = ck
+      rounds += passes
     }
-    // the final frame may be lazy on lastCkpt — that ONE checkpoint's
-    // blocks stay live for the caller (bounded: one frame, not one per
-    // round as before)
+    // e is always checkpointed here — that ONE frame's blocks stay
+    // live for the caller (bounded: one frame, not one per round)
     (e.groupBy(col("hi").as("id")).agg(min("lo").as("lab")), rounds, converged)
   }
 
@@ -549,7 +554,16 @@ object Dedup {
       k: Int = 16,
       rowsPerBand: Int = 4,
       maxIters: Int = 20,
-      checkpointEvery: Int = 2): DataFrame = {
+      checkpointEvery: Int = 0): DataFrame = {
+    // checkpointEvery=0 → read spark.graft.clusters.checkpointEvery
+    // (default 1). Every-round detection minimizes contraction passes —
+    // the right default for shallow duplicate families; a 100 TB corpus
+    // with deep families raises it to trade idempotent tail passes for
+    // k× fewer jobs + materializations (see connectedComponentsStar).
+    val cadence =
+      if (checkpointEvery >= 1) checkpointEvery
+      else docs.sparkSession.conf
+        .getOption("spark.graft.clusters.checkpointEvery").map(_.toInt).getOrElse(1)
     val sig = minhashSignatures(docs, idCol, textCol, shingleSize, TextOps.minhashParams(k))
     val bands = lshBands(sig, idCol, k, rowsPerBand)
     val bw = Window.partitionBy("band_idx", "band_key")
@@ -558,7 +572,7 @@ object Dedup {
       .where(col("__min") < col(idCol))
       .select(col("__min").cast("long").as("src"), col(idCol).cast("long").as("dst"))
       .distinct()
-    val (labels, _, converged) = connectedComponentsStar(star, maxIters, checkpointEvery)
+    val (labels, _, converged) = connectedComponentsStar(star, maxIters, cadence)
     // a component needing more contraction rounds than maxIters would
     // exit here un-converged and SILENTLY mis-split its cluster (the
     // oracle's recursive CTE computes the full closure, so the

@@ -43,10 +43,13 @@ class ClustersSpec extends SparkSpec {
     assert(rounds <= 8, s"expected O(log n) contraction rounds on a 65-node chain, got $rounds")
   }
 
-  test("star contraction: checkpoint cadence 1 and 3 produce identical labels and rounds") {
+  test("star contraction: checkpoint cadence 1 and 3 produce identical labels") {
     // the cadence is a materialization/plan-depth trade, never a
     // semantics knob: every-round (1), default (2, above), and sparse
-    // (3) checkpointing must agree exactly on the worst-case chain
+    // (3) checkpointing must agree exactly on labels. Round counts MAY
+    // differ: convergence is detected checkpoint-to-checkpoint, so a
+    // sparser cadence can run up to 2k-2 extra idempotent passes after
+    // the frame stabilizes (bounded below).
     val n = 64
     val edges = (0 until n)
       .map(i => if (i % 2 == 0) (i.toLong, (i + 1).toLong) else ((i + 1).toLong, i.toLong))
@@ -59,7 +62,8 @@ class ClustersSpec extends SparkSpec {
     val (labs1, r1) = run(1)
     val (labs3, r3) = run(3)
     assert(labs1 == labs3, "cadence must not change labels")
-    assert(r1 == r3, s"cadence must not change round count: $r1 vs $r3")
+    assert(r3 >= r1 && r3 - r1 <= 4,
+      s"cadence 3 may overshoot by at most 2k-2 = 4 idempotent passes: $r1 vs $r3")
     (1 to n).foreach(i => assert(labs1(i.toLong) == 0L))
   }
 

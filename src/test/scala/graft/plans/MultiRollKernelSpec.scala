@@ -52,20 +52,32 @@ class MultiRollKernelSpec extends SparkSpec {
     assert(a == b)
   }
 
-  test("a 2-column pipeline plans ONE Window with ONE shared collect_list frame") {
-    val d = df2
-    val res = Featurize.featurizeData(d, Seq("g"), Seq("t"), Seq(
-      Featurize.Lag(Seq("v", "u"), Seq(1, 3)),
-      Featurize.Rollmean(Seq("v", "u"), Seq(5, 9)),
-      Featurize.HorizonTargets(Seq("v"), Seq(2), "wide")))
-    val plan = res.df.queryExecution.executedPlan.toString
-    val windows = "(?m)^\\s*(?:\\+- )?Window ".r.findAllIn(plan).length
-    assert(windows == 1, s"expected ONE Window op, got $windows:\n${plan.take(1500)}")
-    val buffers = "collect_list".r.findAllIn(plan).length
-    assert(buffers == 1,
-      s"expected ONE shared collect_list buffer for 4 (column, w) rollmeans, got $buffers")
-    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+  test("a 2-column pipeline plans ONE Window, ONE exchange, per-column bare frames") {
+    // Default (bareSplit=true, the measured r9 winner): one bare
+    // collect_list(double) frame per (column, depth) rollmean family —
+    // 4 here — all riding ONE Window op over ONE hash exchange.
+    // Forcing bareSplit=false restores the single wrapped array frame.
+    def shape(): (Int, Int, Int) = {
+      val res = Featurize.featurizeData(df2, Seq("g"), Seq("t"), Seq(
+        Featurize.Lag(Seq("v", "u"), Seq(1, 3)),
+        Featurize.Rollmean(Seq("v", "u"), Seq(5, 9)),
+        Featurize.HorizonTargets(Seq("v"), Seq(2), "wide")))
+      val plan = res.df.queryExecution.executedPlan.toString
+      ("(?m)^\\s*(?:\\+- )?Window ".r.findAllIn(plan).length,
+        "collect_list".r.findAllIn(plan).length,
+        "Exchange hashpartitioning".r.findAllIn(plan).length)
+    }
+    val (windows, buffers, hashExchanges) = shape()
+    assert(windows == 1, s"expected ONE Window op, got $windows")
+    assert(buffers == 4,
+      s"expected one bare frame per (column, w) rollmean — 4 — got $buffers")
     assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges")
+    spark.conf.set("spark.graft.roll.bareSplit", "false")
+    try {
+      val (w2, b2, e2) = shape()
+      assert(w2 == 1 && e2 == 1, s"wrapped mode must keep 1 Window/1 exchange, got $w2/$e2")
+      assert(b2 == 1, s"bareSplit=false must restore ONE wrapped frame, got $b2")
+    } finally spark.conf.unset("spark.graft.roll.bareSplit")
   }
 
   test("mixed-mode specs against one frame equal their dedicated kernels") {
