@@ -763,6 +763,18 @@ object SparkEntry {
       val payloads = Multimodal.synthPngs(Tables.documents(s, dir).select("doc_id"), "doc_id")
       Multimodal.pngPixelStats(payloads, "doc_id", "payload").orderBy("doc_id")
     },
+    // REAL DCT-compressed-image pixel decode round-trip (the JPEG
+    // upgrade of mm_pixels_png): synthesize complete baseline JPEGs
+    // with the hand-rolled T.81 codec — real FDCT + quantization +
+    // Annex K Huffman entropy coding, byte stuffing, DC prediction —
+    // then entropy-decode + dequant + IDCT and walk the ACTUAL pixels.
+    // Constant 8x8 tiles survive the DCT round-trip exactly (DC quant
+    // = the flat-block DCT gain), so the oracle predicts every decoded
+    // pixel in closed form.
+    "mm_pixels_jpeg" -> { (s, dir) =>
+      val payloads = Multimodal.synthJpegs(Tables.documents(s, dir).select("doc_id"), "doc_id")
+      Multimodal.jpegPixelStats(payloads, "doc_id", "payload").orderBy("doc_id")
+    },
     // REAL audio-CONTENT decode round-trip (the PCM analogue of
     // mm_pixels): synthesize mono 16-bit PCM WAVs whose sample stream
     // is integer arithmetic in (doc_id, i), decode the ACTUAL
@@ -2001,6 +2013,30 @@ object SparkEntry {
         | base as min_g, base + 2 * (w - 1) as max_g,
         | base as min_b, base + (w - 1) + (h - 1) as max_b
         |from p order by doc_id""".stripMargin,
+    "mm_pixels_jpeg" ->
+      // predicts the REAL Huffman+IDCT pixel walk of synthJpegs'
+      // baseline JPEGs: tile (bx, by) of doc_id is constant gray
+      // (id*7 + bx*31 + by*17) mod 256 over 64 pixels, and constant
+      // tiles round-trip the DCT exactly (JpegCodec's DC-quant-8
+      // contract) — so sum/min/max are integer-exact and the mean is
+      // one correctly-rounded division of exact integers on both
+      // engines
+      """with p as (select doc_id,
+        |   1 + doc_id % 3 as bw,
+        |   1 + (doc_id * 5 + 3) % 3 as bh
+        | from documents),
+        | t as (select doc_id, bw, bh,
+        |   unnest(generate_series(0, bw * bh - 1)) as k from p),
+        | v as (select doc_id, bw, bh,
+        |   (doc_id * 7 + (k % bw) * 31 + (k // bw) * 17) % 256 as v from t)
+        |select doc_id,
+        | cast(8 * bw as bigint) as width,
+        | cast(8 * bh as bigint) as height,
+        | cast(64 * sum(v) as bigint) as sum_gray,
+        | cast(64 * sum(v) as double) / (64 * bw * bh) as mean_gray,
+        | cast(min(v) as bigint) as min_gray,
+        | cast(max(v) as bigint) as max_gray
+        |from v group by doc_id, bw, bh order by doc_id""".stripMargin,
     "mm_audio_stats" ->
       // predicts the REAL PCM walk of synthAudioPcm's WAVs: sample i is
       // ((doc_id*7 + i*13) % 2001) - 1000 (Multimodal.pcmSample);

@@ -1,0 +1,472 @@
+package graft.multimodal
+
+/** Baseline JPEG (ITU T.81, public spec) — a REAL encoder/decoder pair
+  * for 8-bit grayscale, no codec library at all: marker segments, the
+  * Annex K Table K.3/K.5 Huffman tables, run-length AC coding with
+  * byte stuffing, DC prediction, dequantization and a double-precision
+  * IDCT. This is the compressed-image CONTENT step for mm_pixels_jpeg
+  * (the DCT upgrade of mm_pixels_png, which covers the zlib/predictor
+  * family; reference treats media as opaque bytes — mm.* there never
+  * decodes, so this surface is graft's own).
+  *
+  * Exactness contract used by the oracle: an image tiled from CONSTANT
+  * 8×8 blocks survives encode→decode bit-exactly for EVERY gray value,
+  * because a constant block's FDCT concentrates everything in DC
+  * (AC ≈ 0 → quantizes to zero) and the DC quantizer is 8 — the DCT
+  * gain of a flat block — so quantization divides 8·(v−128) back to
+  * v−128 with zero loss. The codec itself is general (any 8×8-aligned
+  * grayscale content, full Huffman/RLE machinery); generality is
+  * spec-pinned against the JDK ImageIO JPEG decoder (exact on DC-only
+  * images, ±1 on AC-laden ones — ImageIO's integer IDCT vs our double
+  * IDCT).
+  */
+object JpegCodec {
+
+  // ---- public T.81 constants -------------------------------------------
+
+  /** Zig-zag scan order (T.81 Figure 5): zigzag(k) = natural index. */
+  private val Zigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Annex K Table K.3 — luminance DC: code counts per length 1..16 and
+    * the category symbols in code order.
+    */
+  private val DcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+
+  /** Annex K Table K.5 — luminance AC. */
+  private val AcBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Quant table (natural order): DC = 8 — the flat-block DCT gain, so
+    * constant tiles round-trip exactly — AC = 16 (any value works; AC
+    * of a constant block is ~0 and quantizes to zero regardless).
+    */
+  private val Quant: Array[Int] = {
+    val q = Array.fill(64)(16); q(0) = 8; q
+  }
+
+  // canonical Huffman codes from (bits, vals): code/length per symbol
+  private def buildEncTable(bits: Array[Int], vals: Array[Int]): (Array[Int], Array[Int]) = {
+    val code = new Array[Int](256)
+    val len = new Array[Int](256)
+    var c = 0
+    var k = 0
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l - 1)) {
+        code(vals(k)) = c
+        len(vals(k)) = l
+        c += 1; k += 1; i += 1
+      }
+      c <<= 1
+      l += 1
+    }
+    (code, len)
+  }
+
+  private lazy val (dcCode, dcLen) = buildEncTable(DcBits, DcVals)
+  private lazy val (acCode, acLen) = buildEncTable(AcBits, AcVals)
+
+  // ---- encoder ----------------------------------------------------------
+
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def put(code: Int, bits: Int): Unit = {
+      var i = bits - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >>> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def flush(): Unit = if (n > 0) { put(0x7f, 8 - n); () } // pad with 1s
+  }
+
+  /** magnitude category: smallest s with |v| < 2^s (0 for v = 0). */
+  private def category(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+
+  /** T.81 amplitude bits: v ≥ 0 → v; v < 0 → v − 1 in s low bits. */
+  private def amplitude(v: Int, s: Int): Int = if (v >= 0) v else v - 1 + (1 << s)
+
+  private def fdct(block: Array[Double]): Array[Double] = {
+    val out = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        val cu = if (u == 0) 0.7071067811865476 else 1.0
+        val cv = if (v == 0) 0.7071067811865476 else 1.0
+        var s = 0.0
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            s += block(y * 8 + x) *
+              math.cos((2 * x + 1) * v * math.Pi / 16) *
+              math.cos((2 * y + 1) * u * math.Pi / 16)
+            x += 1
+          }
+          y += 1
+        }
+        out(u * 8 + v) = 0.25 * cu * cv * s
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  /** Encode an 8-bit grayscale image (width and height multiples of 8)
+    * as a complete baseline JPEG: SOI, DQT, SOF0, DHT (Annex K), SOS,
+    * Huffman-coded scan with byte stuffing, EOI. Real FDCT + quantize —
+    * constant tiles come out DC-only by mathematics, not by shortcut.
+    */
+  def encodeGray(width: Int, height: Int, pix: Array[Int]): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0, "MCU-aligned dims")
+    require(pix.length == width * height)
+    val out = new java.io.ByteArrayOutputStream(1024)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, payload: Array[Int]): Unit = {
+      marker(m)
+      val len = payload.length + 2
+      out.write((len >>> 8) & 0xff); out.write(len & 0xff)
+      payload.foreach(b => out.write(b & 0xff))
+    }
+    marker(0xd8) // SOI
+    seg(0xdb, 0 +: Zigzag.map(Quant(_))) // DQT: Pq=0/Tq=0, zigzag order
+    seg(0xc0, Array(8, height >>> 8, height & 0xff, width >>> 8, width & 0xff,
+      1, 1, 0x11, 0)) // SOF0: 1 component, 1x1 sampling, quant table 0
+    seg(0xc4, (0x00 +: (DcBits ++ DcVals)) ++ (0x10 +: (AcBits ++ AcVals)))
+    seg(0xda, Array(1, 1, 0x00, 0, 63, 0)) // SOS
+    val bw = new BitWriter(out)
+    val block = new Array[Double](64)
+    var pred = 0
+    var by = 0
+    while (by < height / 8) {
+      var bx = 0
+      while (bx < width / 8) {
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            block(y * 8 + x) = pix((by * 8 + y) * width + bx * 8 + x) - 128.0
+            x += 1
+          }
+          y += 1
+        }
+        val coef = fdct(block)
+        // quantize in zigzag order
+        val q = new Array[Int](64)
+        var k = 0
+        while (k < 64) {
+          q(k) = math.round(coef(Zigzag(k)) / Quant(Zigzag(k))).toInt
+          k += 1
+        }
+        // DC: predicted difference
+        val diff = q(0) - pred
+        pred = q(0)
+        val s = category(diff)
+        bw.put(dcCode(s), dcLen(s))
+        if (s > 0) bw.put(amplitude(diff, s), s)
+        // AC: (run, size) with ZRL for 16-zero runs, EOB terminator
+        var lastNz = 63
+        while (lastNz >= 1 && q(lastNz) == 0) lastNz -= 1
+        var run = 0
+        k = 1
+        while (k <= lastNz) {
+          if (q(k) == 0) run += 1
+          else {
+            while (run >= 16) { bw.put(acCode(0xf0), acLen(0xf0)); run -= 16 }
+            val sz = category(q(k))
+            val sym = (run << 4) | sz
+            bw.put(acCode(sym), acLen(sym))
+            bw.put(amplitude(q(k), sz), sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (lastNz < 63) bw.put(acCode(0x00), acLen(0x00)) // EOB
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ---- decoder ----------------------------------------------------------
+
+  /** Canonical decode tables: for each code length, the smallest and
+    * largest code and the index of its first symbol (T.81 Annex C).
+    */
+  private final class HuffDec(bits: Array[Int], vals: Array[Int]) {
+    val minCode = new Array[Int](17)
+    val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    locally {
+      var c = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) == 0) { minCode(l) = 0; maxCode(l) = -1 }
+        else {
+          valPtr(l) = k
+          minCode(l) = c
+          c += bits(l - 1); k += bits(l - 1)
+          maxCode(l) = c - 1
+        }
+        c <<= 1
+        l += 1
+      }
+    }
+    def value(i: Int): Int = vals(i)
+  }
+
+  /** Entropy-segment bit reader: un-stuffs 0xFF00, refuses markers. */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var n = 0
+    var bad = false
+    def bit(): Int = {
+      if (n == 0) {
+        if (pos >= b.length) { bad = true; return 0 }
+        var v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length) { bad = true; return 0 }
+          val m = b(pos) & 0xff
+          if (m == 0x00) pos += 1 // stuffed byte
+          else { bad = true; v = 0 } // a real marker inside the scan
+        }
+        acc = v; n = 8
+      }
+      n -= 1
+      (acc >>> n) & 1
+    }
+    def bits(k: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < k) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+    def decode(t: HuffDec): Int = {
+      var code = bit()
+      var l = 1
+      while (l <= 16) {
+        if (code <= t.maxCode(l)) return t.value(t.valPtr(l) + code - t.minCode(l))
+        code = (code << 1) | bit()
+        l += 1
+        if (bad) return -1
+      }
+      bad = true; -1
+    }
+  }
+
+  /** T.81 EXTEND: sign-extend s amplitude bits to the signed value. */
+  private def extend(v: Int, s: Int): Int =
+    if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+  private def idct(coef: Array[Double]): Array[Int] = {
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            val cu = if (u == 0) 0.7071067811865476 else 1.0
+            val cv = if (v == 0) 0.7071067811865476 else 1.0
+            s += cu * cv * coef(u * 8 + v) *
+              math.cos((2 * x + 1) * v * math.Pi / 16) *
+              math.cos((2 * y + 1) * u * math.Pi / 16)
+            v += 1
+          }
+          u += 1
+        }
+        val p = math.round(0.25 * s + 128.0).toInt
+        out(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL baseline-JPEG grayscale pixel decode: marker walk, Huffman
+    * entropy decode with DC prediction and un-stuffing, dequantize,
+    * double IDCT, level shift + clamp. None — never a crash or a stuck
+    * loop — for progressive/multi-component/12-bit streams, hostile
+    * segment lengths, truncated entropy data, or over-large declared
+    * dimensions. (Restart markers unsupported → None via the reader's
+    * marker refusal; graft's encoder never emits DRI.)
+    */
+  def decodeGrayPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var o = 2
+    var w = -1
+    var h = -1
+    val quant = Array.fill(4)(null: Array[Int])
+    val dcTabs = Array.fill(4)(null: HuffDec)
+    val acTabs = Array.fill(4)(null: HuffDec)
+    var compQuant = -1
+    var dcSel = -1
+    var acSel = -1
+    var scanAt = -1
+    while (scanAt < 0) {
+      // seek the next marker (skip fill bytes)
+      while (o < b.length && (b(o) & 0xff) != 0xff) o += 1
+      while (o < b.length && (b(o) & 0xff) == 0xff) o += 1
+      if (o >= b.length) return None
+      val m = b(o) & 0xff
+      o += 1
+      if (m == 0xd9) return None // EOI before any scan
+      if (m != 0x01 && !(m >= 0xd0 && m <= 0xd7)) { // standalone markers have no length
+        if (o + 2 > b.length) return None
+        val len = ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+        if (len < 2 || o + len > b.length) return None
+        val p = o + 2
+        val end = o + len
+        m match {
+          case 0xdb => // DQT: one or more (Pq/Tq, 64 entries) tables
+            var q = p
+            while (q < end) {
+              val pq = (b(q) & 0xff) >>> 4
+              val tq = b(q) & 0x0f
+              if (pq != 0 || tq > 3 || q + 65 > end) return None
+              val t = new Array[Int](64)
+              var k = 0
+              while (k < 64) { t(Zigzag(k)) = b(q + 1 + k) & 0xff; k += 1 }
+              quant(tq) = t
+              q += 65
+            }
+          case 0xc4 => // DHT: one or more (Tc/Th, bits, vals) tables
+            var q = p
+            while (q < end) {
+              if (q + 17 > end) return None
+              val tc = (b(q) & 0xff) >>> 4
+              val th = b(q) & 0x0f
+              val bits = (0 until 16).map(i => b(q + 1 + i) & 0xff).toArray
+              val n = bits.sum
+              if (tc > 1 || th > 3 || n > 256 || q + 17 + n > end) return None
+              val vals = (0 until n).map(i => b(q + 17 + i) & 0xff).toArray
+              val t = new HuffDec(bits, vals)
+              if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+              q += 17 + n
+            }
+          case 0xc0 => // SOF0 baseline; any other SOFn → unsupported
+            if (end - p < 8) return None
+            if ((b(p) & 0xff) != 8) return None
+            h = ((b(p + 1) & 0xff) << 8) | (b(p + 2) & 0xff)
+            w = ((b(p + 3) & 0xff) << 8) | (b(p + 4) & 0xff)
+            val ncomp = b(p + 5) & 0xff
+            if (ncomp != 1 || end - p < 6 + 3 * ncomp) return None
+            if ((b(p + 7) & 0xff) != 0x11) return None // 1x1 sampling only
+            compQuant = b(p + 8) & 0xff
+            if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
+          case c if c >= 0xc1 && c <= 0xcf && c != 0xc4 && c != 0xc8 && c != 0xcc =>
+            return None // progressive/extended/arithmetic SOF
+          case 0xda => // SOS
+            if (end - p < 6 || (b(p) & 0xff) != 1) return None
+            dcSel = (b(p + 2) & 0xff) >>> 4
+            acSel = b(p + 2) & 0x0f
+            scanAt = end
+          case 0xdd => return None // DRI: restart intervals unsupported
+          case _ => () // APPn / COM / others: skip
+        }
+        o = end
+      }
+    }
+    if (w < 0 || compQuant < 0 || compQuant > 3 || quant(compQuant) == null) return None
+    if (dcSel > 3 || acSel > 3 || dcTabs(dcSel) == null || acTabs(acSel) == null) return None
+    val q = quant(compQuant)
+    val dcT = dcTabs(dcSel)
+    val acT = acTabs(acSel)
+    val bw = (w + 7) / 8
+    val bh = (h + 7) / 8
+    val pix = new Array[Int](w * h)
+    val coef = new Array[Double](64)
+    val r = new BitReader(b, scanAt)
+    var pred = 0
+    var by = 0
+    while (by < bh) {
+      var bx = 0
+      while (bx < bw) {
+        java.util.Arrays.fill(coef, 0.0)
+        val s = r.decode(dcT)
+        if (r.bad || s < 0 || s > 11) return None
+        pred += extend(r.bits(s), s)
+        coef(0) = pred.toDouble * q(0)
+        var k = 1
+        while (k < 64) {
+          val rs = r.decode(acT)
+          if (r.bad || rs < 0) return None
+          val run = rs >>> 4
+          val sz = rs & 0x0f
+          if (sz == 0) {
+            if (run == 15) k += 16 // ZRL
+            else k = 64 // EOB
+          } else {
+            k += run
+            if (k > 63) return None
+            coef(Zigzag(k)) = extend(r.bits(sz), sz).toDouble * q(Zigzag(k))
+            k += 1
+          }
+          if (r.bad) return None
+        }
+        val block = idct(coef)
+        var y = 0
+        while (y < 8) {
+          val py = by * 8 + y
+          if (py < h) {
+            var x = 0
+            while (x < 8) {
+              val px = bx * 8 + x
+              if (px < w) pix(py * w + px) = block(y * 8 + x)
+              x += 1
+            }
+          }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    Some((w, h, pix))
+  }
+}

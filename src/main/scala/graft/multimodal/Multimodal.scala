@@ -728,6 +728,79 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** Deterministic synthesized COMPLETE baseline JPEGs: a grid of
+    * constant 8×8 tiles — tile (bx, by) is gray
+    * (id·7 + bx·31 + by·17) mod 256 — run through the REAL JpegCodec
+    * encoder (FDCT, quantization, Annex K Huffman coding). Constant
+    * tiles survive the DCT round-trip exactly (see JpegCodec), so the
+    * oracle predicts every decoded pixel in closed form while the
+    * payloads still exercise the full entropy machinery: DC prediction
+    * deltas span ±255 (all amplitude categories), per-block EOBs,
+    * stuffed 0xFF bytes.
+    */
+  def synthJpegs(df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val id = r.getLong(idIdx)
+        val bw = 1 + (id % 3L).toInt
+        val bh = 1 + ((id * 5L + 3L) % 3L).toInt
+        val w = 8 * bw
+        val h = 8 * bh
+        val pix = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            pix(y * w + x) = ((id * 7L + (x / 8) * 31L + (y / 8) * 17L) % 256L).toInt
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, JpegCodec.encodeGray(w, h, pix))
+      })
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Batched REAL DCT-compressed-image pixel decode (the JPEG upgrade
+    * of [[pngPixelStats]]): Huffman entropy decode + dequant + IDCT,
+    * walking the ACTUAL decoded gray pixels — integer sum/min/max and
+    * the double mean — nulls for unparseable payloads.
+    */
+  def jpegPixelStats(df: DataFrame, idCol: String, payloadCol: String, batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("sum_gray", LongType), StructField("mean_gray", DoubleType),
+      StructField("min_gray", LongType), StructField("max_gray", LongType)))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        JpegCodec.decodeGrayPixels(r.getAs[Array[Byte]](pIdx)) match {
+          case Some((w, h, pix)) =>
+            var s = 0L
+            var mn = 255L
+            var mx = 0L
+            var i = 0
+            while (i < pix.length) {
+              val v = pix(i)
+              s += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              i += 1
+            }
+            Row(r.getLong(idIdx), w.toLong, h.toLong, s,
+              s.toDouble / (w.toLong * h), mn, mx)
+          case None =>
+            Row(r.getLong(idIdx), null, null, null, null, null, null)
+        }
+      })
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   private val stubSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_bytes", IntegerType),

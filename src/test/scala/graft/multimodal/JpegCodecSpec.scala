@@ -1,0 +1,138 @@
+package graft.multimodal
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The hand-rolled baseline-JPEG codec: closed-form round-trip of the
+  * constant-tile contract, pixel-for-pixel cross-validation against
+  * the INDEPENDENT JDK ImageIO JPEG decoder (exact on DC-only images,
+  * ±1 on AC-laden ones — integer vs double IDCT), and the
+  * None-not-crash robustness contract on hostile bytes.
+  */
+class JpegCodecSpec extends AnyFunSuite {
+
+  private def tileImage(id: Long): (Int, Int, Array[Int]) = {
+    val bw = 1 + (id % 3L).toInt
+    val bh = 1 + ((id * 5L + 3L) % 3L).toInt
+    val w = 8 * bw
+    val h = 8 * bh
+    val pix = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      ((id * 7L + (x / 8) * 31L + (y / 8) * 17L) % 256L).toInt
+    }
+    (w, h, pix)
+  }
+
+  private def imageIoDecode(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    assert(img != null, "ImageIO must accept the stream as a JPEG")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val r = img.getRaster
+    (w, h, Array.tabulate(w * h)(i => r.getSample(i % w, i / w, 0)))
+  }
+
+  test("constant-tile images round-trip the DCT bit-exactly for 60 ids") {
+    (0L until 60L).foreach { id =>
+      val (w, h, pix) = tileImage(id)
+      val enc = JpegCodec.encodeGray(w, h, pix)
+      val Some((dw, dh, dec)) = JpegCodec.decodeGrayPixels(enc)
+      assert(dw == w && dh == h)
+      assert(dec.sameElements(pix), s"id=$id decode must equal the tile contract")
+    }
+  }
+
+  test("own decoder matches the JDK ImageIO decoder exactly on DC-only images") {
+    (0L until 24L).foreach { id =>
+      val (w, h, pix) = tileImage(id)
+      val enc = JpegCodec.encodeGray(w, h, pix)
+      val (iw, ih, ipix) = imageIoDecode(enc)
+      assert(iw == w && ih == h, s"id=$id ImageIO dims")
+      assert(ipix.sameElements(pix),
+        s"id=$id ImageIO must reproduce the tile contract (DC-only blocks decode exactly)")
+    }
+  }
+
+  test("general content: gradient image decodes within ±1 of ImageIO") {
+    // AC coefficients everywhere — quantization is lossy here, so the
+    // pin is agreement between the two INDEPENDENT decoders (our
+    // double IDCT vs ImageIO's integer IDCT), not the source pixels
+    val w = 24; val h = 16
+    val pix = Array.tabulate(w * h)(i => ((i % w) * 7 + (i / w) * 11) % 256)
+    val enc = JpegCodec.encodeGray(w, h, pix)
+    val Some((dw, dh, dec)) = JpegCodec.decodeGrayPixels(enc)
+    val (iw, ih, ipix) = imageIoDecode(enc)
+    assert(dw == w && dh == h && iw == w && ih == h)
+    var worst = 0
+    var i = 0
+    while (i < w * h) {
+      worst = math.max(worst, math.abs(dec(i) - ipix(i)))
+      i += 1
+    }
+    assert(worst <= 1, s"independent decoders must agree within ±1, worst=$worst")
+  }
+
+  test("entropy stream exercises byte stuffing and survives it") {
+    // AC-heavy images produce long entropy streams where 0xFF bytes
+    // (which MUST be stuffed as FF00) occur; pin that the case arises
+    // and that both decoders agree on exactly those payloads
+    val stuffed = (0 until 40).flatMap { seed =>
+      val w = 24; val h = 24
+      val pix = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        (x * (7 + seed) + y * (11 + 3 * seed) + seed * seed) % 256
+      }
+      val enc = JpegCodec.encodeGray(w, h, pix)
+      val hasStuff = (0 until enc.length - 1)
+        .exists(i => (enc(i) & 0xff) == 0xff && enc(i + 1) == 0)
+      if (hasStuff) Some(enc) else None
+    }
+    assert(stuffed.nonEmpty, "expected stuffed 0xFF00 bytes in 40 AC-heavy payloads")
+    stuffed.take(5).foreach { enc =>
+      val Some((w, h, dec)) = JpegCodec.decodeGrayPixels(enc)
+      val (iw, ih, ipix) = imageIoDecode(enc)
+      assert(w == iw && h == ih)
+      var i = 0
+      while (i < w * h) {
+        assert(math.abs(dec(i) - ipix(i)) <= 1,
+          s"stuffed-stream decode must agree with ImageIO at pixel $i")
+        i += 1
+      }
+    }
+  }
+
+  test("hostile bytes: None, never a crash or a hang") {
+    val (w, h, pix) = tileImage(7L)
+    val enc = JpegCodec.encodeGray(w, h, pix)
+    // every truncation prefix
+    (0 until enc.length by 3).foreach { n =>
+      JpegCodec.decodeGrayPixels(java.util.Arrays.copyOf(enc, n)) // must return
+    }
+    // single-byte corruptions across the header and scan
+    (2 until math.min(enc.length, 120)).foreach { i =>
+      val c = enc.clone()
+      c(i) = (c(i) ^ 0x55).toByte
+      JpegCodec.decodeGrayPixels(c) // None or a decode — never a throw/hang
+    }
+    // non-JPEG payloads
+    assert(JpegCodec.decodeGrayPixels(Array[Byte](0x89.toByte, 0x50)).isEmpty)
+    assert(JpegCodec.decodeGrayPixels(Array.fill[Byte](64)(0x41)).isEmpty)
+    val rng = new scala.util.Random(11)
+    (0 until 50).foreach { _ =>
+      val junk = new Array[Byte](1 + rng.nextInt(300))
+      rng.nextBytes(junk)
+      junk(0) = 0xff.toByte; junk(1) = 0xd8.toByte // valid SOI, garbage after
+      JpegCodec.decodeGrayPixels(junk)
+    }
+  }
+
+  test("progressive/multi-component/DRI streams are refused, not mis-decoded") {
+    val (w, h, pix) = tileImage(3L)
+    val enc = JpegCodec.encodeGray(w, h, pix)
+    // rewrite SOF0 (FFC0) to SOF2 (FFC2): progressive
+    val prog = enc.clone()
+    val sof = (0 until prog.length - 1).indexWhere(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0)
+    assert(sof >= 0)
+    prog(sof + 1) = 0xc2.toByte
+    assert(JpegCodec.decodeGrayPixels(prog).isEmpty, "SOF2 must be refused")
+  }
+}
