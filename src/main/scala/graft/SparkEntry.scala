@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ts.{Featurize, OracleGen, Taylor, TimeOps}
-import graft.functions.{Profile, Sampling, Sketch, Skew, SqlTwins, TextOps, TfIdf, VectorOps}
+import graft.functions.{Packing, Profile, Sampling, Sketch, Skew, SqlTwins, TextOps, TfIdf, VectorOps}
 import graft.dedup.Dedup
 import graft.ann.Ann
 import graft.multimodal.Multimodal
@@ -909,6 +909,18 @@ object SparkEntry {
       Sampling.stratifiedSample(docs, "lang", "doc_id", n = 25)
         .select("lang", "doc_id", "sample_rank")
         .orderBy("lang", "sample_rank")
+    },
+    // GPT-style sequence packing: documents laid end-to-end per shard
+    // and cut into 512-token context bins, splitting across boundaries
+    // — every non-final bin fills to exactly 512 (zero padding waste).
+    // One hash exchange on the shard key + one window prefix-sum + a
+    // narrow spanned-bin explode; all integer arithmetic — exact
+    "pack_sequences" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Packing.packFragments(docs.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tok")),
+          "doc_id", col("n_tok"), capacity = 512L, shards = 32)
+        .orderBy("shard", "bin_id", "doc_id")
     },
     // heavy hitters via Misra-Gries candidates + exact recount — the
     // bounded-memory top-terms path (no vocabulary shuffle); capacity 64
@@ -2289,6 +2301,25 @@ object SparkEntry {
          |  from documents)
          |where sample_rank <= 25
          |order by lang, sample_rank""".stripMargin,
+    // concat-and-chunk packing is pure integer window arithmetic, so
+    // the oracle replays it exactly: per-shard token prefix sums, then
+    // each document's spanned-bin range via generate_series
+    "pack_sequences" ->
+      s"""with d as (select doc_id, doc_id % 32 as shard,
+         |    cast(len(${SqlTwins.toks("text")}) as bigint) as n_tok
+         |  from documents),
+         | c as (select doc_id, shard, n_tok,
+         |    cast(sum(n_tok) over (partition by shard order by doc_id) as bigint) as tok_end
+         |  from d),
+         | s as (select doc_id, shard, n_tok, tok_end, tok_end - n_tok as tok_start
+         |  from c where n_tok > 0),
+         | f as (select doc_id, shard, tok_start, tok_end,
+         |    unnest(generate_series(tok_start // 512, (tok_end - 1) // 512)) as bin_id
+         |  from s)
+         |select doc_id, cast(shard as int) as shard, bin_id,
+         | greatest(tok_start, bin_id * 512) - bin_id * 512 as bin_off,
+         | least(tok_end, (bin_id + 1) * 512) - greatest(tok_start, bin_id * 512) as frag_tokens
+         |from f order by shard, bin_id, doc_id""".stripMargin,
     // the sketch path provably equals exact top-k here (capacity ≥
     // vocab — see the queries entry), so the oracle IS the exact top-k
     "text_topterms_sketch" ->

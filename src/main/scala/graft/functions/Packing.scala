@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the concat-and-chunk step an LLM pretraining
+  * pipeline runs after dedup/tokenization: documents are laid
+  * end-to-end in a deterministic order and cut into fixed-capacity
+  * context bins; a document spanning a bin boundary is SPLIT, so every
+  * bin except a shard's last is filled to exactly `capacity` tokens
+  * (zero padding waste — the GPT-style packing, vs. first-fit packers
+  * that trade fill for document integrity).
+  *
+  * Scale shape: packing is per SHARD (`doc_id mod shards`), never
+  * global — one hash exchange on the shard key, one window prefix-sum
+  * per shard, then a narrow explode of the spanned-bin range. No
+  * global sort, no driver state, and a monster document fans out into
+  * ceil(n/capacity)+1 fragment rows rather than serializing anything.
+  * Output rows = documents + boundary crossings ≈ corpus tokens /
+  * capacity extra rows. All arithmetic is integer → exact on any
+  * engine.
+  *
+  * (The reference has no packing surface — graft-native, like the rest
+  * of the LLM-pipeline family.)
+  */
+object Packing {
+
+  /** Fragment map: one row per (document, bin) fragment.
+    *
+    * Columns: doc_id-col, `shard`, `bin_id` (per-shard, 0-based),
+    * `bin_off` (token offset of the fragment inside its bin),
+    * `frag_tokens` (fragment length). Invariants (spec-pinned):
+    * per-document fragment lengths sum to the document's token count;
+    * fragments tile each bin `[0, capacity)` gaplessly; every bin
+    * before a shard's last holds exactly `capacity` tokens.
+    *
+    * Documents with zero tokens occupy no space and emit no fragment.
+    */
+  def packFragments(
+      docs: DataFrame,
+      idCol: String,
+      tokenCol: Column,
+      capacity: Long,
+      shards: Int): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val w = Window.partitionBy("shard").orderBy(idCol)
+    docs
+      .select(col(idCol), tokenCol.cast("long").as("n_tok"),
+        pmod(col(idCol), lit(shards.toLong)).cast("int").as("shard"))
+      .withColumn("tok_end", sum("n_tok").over(w))
+      .withColumn("tok_start", col("tok_end") - col("n_tok"))
+      .where(col("n_tok") > 0)
+      // non-negative offsets: div truncation == floor here
+      .withColumn("bin_id",
+        explode(sequence(expr(s"tok_start div $capacity"),
+          expr(s"(tok_end - 1) div $capacity"))))
+      .select(col(idCol), col("shard"), col("bin_id"),
+        (greatest(col("tok_start"), col("bin_id") * capacity)
+          - col("bin_id") * capacity).as("bin_off"),
+        (least(col("tok_end"), (col("bin_id") + 1) * capacity)
+          - greatest(col("tok_start"), col("bin_id") * capacity)).as("frag_tokens"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants of concat-and-chunk sequence packing: exact tiling of
+  * every bin, per-document token conservation across splits, full fill
+  * of all non-final bins, and the monster-document fan-out shape.
+  */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val C = 16L
+
+  private def pack(docs: Seq[(Long, Long)], shards: Int = 4) =
+    Packing.packFragments(
+      docs.toDF("doc_id", "n"), "doc_id", col("n"), C, shards)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+  test("fragments conserve every document's token count") {
+    val rng = new scala.util.Random(3)
+    val docs = (0L until 200L).map(id => id -> rng.nextInt(40).toLong)
+    val frags = pack(docs)
+    val byDoc = frags.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    docs.foreach { case (id, n) =>
+      assert(byDoc.getOrElse(id, 0L) == n, s"doc $id: ${byDoc.get(id)} != $n")
+    }
+  }
+
+  test("every bin except a shard's last is filled to exactly capacity, tiled gaplessly") {
+    val rng = new scala.util.Random(9)
+    val docs = (0L until 300L).map(id => id -> (1L + rng.nextInt(25)))
+    val frags = pack(docs)
+    frags.groupBy(f => (f._2, f._3)).foreach { case ((shard, bin), fs) =>
+      // gapless tiling: sorted fragment intervals abut from 0
+      val sorted = fs.sortBy(_._4)
+      var at = 0L
+      sorted.foreach { f =>
+        assert(f._4 == at, s"shard $shard bin $bin: fragment starts at ${f._4}, expected $at")
+        at += f._5
+      }
+      val lastBin = frags.filter(_._2 == shard).map(_._3).max
+      if (bin < lastBin) assert(at == C, s"shard $shard bin $bin: fill $at != capacity $C")
+      else assert(at <= C)
+    }
+  }
+
+  test("a monster document fans out over ceil(n/C)+1 bins at most, in order") {
+    val docs = Seq(0L -> 3L, 4L -> 100L, 8L -> 2L) // all shard 0 (shards=4)
+    val frags = pack(docs).filter(_._1 == 4L).sortBy(_._3)
+    assert(frags.length >= (100 / C).toInt && frags.length <= (100 / C).toInt + 2)
+    assert(frags.map(_._5).sum == 100L)
+    // interior fragments of the monster doc are full bins
+    frags.drop(1).dropRight(1).foreach(f => assert(f._5 == C && f._4 == 0L))
+  }
+
+  test("zero-token documents emit no fragments and occupy no space") {
+    val docs = Seq(0L -> 5L, 4L -> 0L, 8L -> 5L)
+    val frags = pack(docs)
+    assert(!frags.exists(_._1 == 4L))
+    // doc 8 starts right after doc 0: offset 5 in bin 0
+    val f8 = frags.filter(_._1 == 8L)
+    assert(f8.length == 1 && f8.head._3 == 0L && f8.head._4 == 5L && f8.head._5 == 5L)
+  }
+
+  test("shards pack independently: fragment sets per shard depend only on that shard's docs") {
+    val docs = (0L until 40L).map(id => id -> (id % 7 + 1))
+    val all = pack(docs)
+    val shard1Docs = docs.filter(_._1 % 4 == 1)
+    val alone = Packing.packFragments(
+      shard1Docs.toDF("doc_id", "n"), "doc_id", col("n"), C, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(all.filter(_._2 == 1).sortBy(f => (f._3, f._1)).toSeq ==
+      alone.sortBy(f => (f._3, f._1)).toSeq)
+  }
+}
