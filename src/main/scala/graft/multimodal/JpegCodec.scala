@@ -120,27 +120,39 @@ object JpegCodec {
   /** T.81 amplitude bits: v ≥ 0 → v; v < 0 → v − 1 in s low bits. */
   private def amplitude(v: Int, s: Int): Int = if (v >= 0) v else v - 1 + (1 << s)
 
+  // cos((2x+1)·u·π/16) — computed once; the first bench round paid
+  // ~350M math.cos calls (4096 per naive double-loop coefficient
+  // block), putting mm_pixels_jpeg at 5 s where the table + separable
+  // two-pass transform is ~1k multiply-adds per block
+  private val CosT: Array[Array[Double]] =
+    Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+  private val Cn: Array[Double] =
+    Array.tabulate(8)(u => if (u == 0) 0.7071067811865476 else 1.0)
+
   private def fdct(block: Array[Double]): Array[Double] = {
+    // separable 2D DCT: rows then columns
+    val t = new Array[Double](64) // t(y,v) = Σ_x s(x,y)·CosT(x)(v)
+    var y = 0
+    while (y < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0.0
+        var x = 0
+        while (x < 8) { s += block(y * 8 + x) * CosT(x)(v); x += 1 }
+        t(y * 8 + v) = s
+        v += 1
+      }
+      y += 1
+    }
     val out = new Array[Double](64)
     var u = 0
     while (u < 8) {
       var v = 0
       while (v < 8) {
-        val cu = if (u == 0) 0.7071067811865476 else 1.0
-        val cv = if (v == 0) 0.7071067811865476 else 1.0
         var s = 0.0
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            s += block(y * 8 + x) *
-              math.cos((2 * x + 1) * v * math.Pi / 16) *
-              math.cos((2 * y + 1) * u * math.Pi / 16)
-            x += 1
-          }
-          y += 1
-        }
-        out(u * 8 + v) = 0.25 * cu * cv * s
+        var yy = 0
+        while (yy < 8) { s += t(yy * 8 + v) * CosT(yy)(u); yy += 1 }
+        out(u * 8 + v) = 0.25 * Cn(u) * Cn(v) * s
         v += 1
       }
       u += 1
@@ -301,24 +313,51 @@ object JpegCodec {
 
   private def idct(coef: Array[Double]): Array[Int] = {
     val out = new Array[Int](64)
+    // DC-only shortcut (the standard production-decoder fast path —
+    // libjpeg does the same): a block with no AC energy is flat. Our
+    // constant-tile corpora are entirely this case; the general path
+    // below stays exercised by the AC-laden spec streams.
+    var allZero = true
+    var k = 1
+    while (allZero && k < 64) { if (coef(k) != 0.0) allZero = false; k += 1 }
+    if (allZero) {
+      // the exact expression the general path reduces to when every
+      // non-DC term contributes +0.0 (adding 0.0 is exact in FP, so
+      // this IS bit-identical to the full transform, computed once)
+      val p = math.round(0.25 * Cn(0) * Cn(0) * coef(0) + 128.0).toInt
+      val c = if (p < 0) 0 else if (p > 255) 255 else p
+      java.util.Arrays.fill(out, c)
+      return out
+    }
+    // separable 2D IDCT: fold the normalization into the coefficients,
+    // then columns and rows
+    val g = new Array[Double](64)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) { g(u * 8 + v) = Cn(u) * Cn(v) * coef(u * 8 + v); v += 1 }
+      u += 1
+    }
+    val m = new Array[Double](64) // m(u,x) = Σ_v g(u,v)·CosT(x)(v)
+    u = 0
+    while (u < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 8) { s += g(u * 8 + v) * CosT(x)(v); v += 1 }
+        m(u * 8 + x) = s
+        x += 1
+      }
+      u += 1
+    }
     var y = 0
     while (y < 8) {
       var x = 0
       while (x < 8) {
         var s = 0.0
-        var u = 0
-        while (u < 8) {
-          var v = 0
-          while (v < 8) {
-            val cu = if (u == 0) 0.7071067811865476 else 1.0
-            val cv = if (v == 0) 0.7071067811865476 else 1.0
-            s += cu * cv * coef(u * 8 + v) *
-              math.cos((2 * x + 1) * v * math.Pi / 16) *
-              math.cos((2 * y + 1) * u * math.Pi / 16)
-            v += 1
-          }
-          u += 1
-        }
+        var uu = 0
+        while (uu < 8) { s += m(uu * 8 + x) * CosT(y)(uu); uu += 1 }
         val p = math.round(0.25 * s + 128.0).toInt
         out(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
         x += 1

@@ -64,6 +64,21 @@ class PackingSpec extends SparkSpec {
     assert(f8.length == 1 && f8.head._3 == 0L && f8.head._4 == 5L && f8.head._5 == 5L)
   }
 
+  test("packing plans ONE hash exchange, ONE window, no join") {
+    // the 100 TB shape: shard-local prefix sums + a narrow explode —
+    // anything else (a join-back, a second exchange, a global sort)
+    // would be a scale regression
+    val docs = (0L until 100L).map(id => id -> (id % 9 + 1)).toDF("doc_id", "n")
+    val plan = Packing.packFragments(docs, "doc_id", col("n"), C, 4)
+      .queryExecution.executedPlan.toString
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(1200)}")
+    val windows = "(?m)^\\s*(?:\\+- )?Window ".r.findAllIn(plan).length
+    assert(windows == 1, s"expected ONE Window op, got $windows")
+    assert(!plan.contains("Join"), s"packing must not plan a join:\n${plan.take(1200)}")
+    assert("Generate explode".r.findAllIn(plan).nonEmpty, "expected the spanned-bin explode")
+  }
+
   test("shards pack independently: fragment sets per shard depend only on that shard's docs") {
     val docs = (0L until 40L).map(id => id -> (id % 7 + 1))
     val all = pack(docs)
