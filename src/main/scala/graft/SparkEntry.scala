@@ -1007,6 +1007,14 @@ object SparkEntry {
           StreamingFeaturize.streamingExactDedup(ds).toDF())
         .orderBy("doc_id")
     },
+    // the pack_sequences twin: packing is naturally incremental — one
+    // long of state per shard (the running token total); fragments for
+    // each doc emit in its arrival micro-batch, bit-identical to batch
+    "stream_pack" -> { (s, dir) =>
+      StreamRunner.run(s, streamDocs(s, dir), nChunks = 5, "append")(ds =>
+          StreamingFeaturize.streamingPack(ds).toDF())
+        .orderBy("shard", "bin_id", "doc_id")
+    },
     "stream_dedup_minhash" -> { (s, dir) =>
       // complete mode: the trailing per-doc min over band candidates is a
       // streaming aggregation; docs with no bands (null signature) come
@@ -1068,6 +1076,28 @@ object SparkEntry {
 
   /** Shared constants between Spark queries and SQL oracles. */
   private val mhK = 16
+
+  /** One SQL twin for pack_sequences AND stream_pack: the streaming
+    * state machine replays the identical per-shard integer prefix sums
+    * in arrival (= doc_id) order, so batch and stream are value-equal
+    * by construction.
+    */
+  private lazy val packSql: String =
+    s"""with d as (select doc_id, doc_id % 32 as shard,
+       |    cast(len(${SqlTwins.toks("text")}) as bigint) as n_tok
+       |  from documents),
+       | c as (select doc_id, shard, n_tok,
+       |    cast(sum(n_tok) over (partition by shard order by doc_id) as bigint) as tok_end
+       |  from d),
+       | s as (select doc_id, shard, n_tok, tok_end, tok_end - n_tok as tok_start
+       |  from c where n_tok > 0),
+       | f as (select doc_id, shard, tok_start, tok_end,
+       |    unnest(generate_series(tok_start // 512, (tok_end - 1) // 512)) as bin_id
+       |  from s)
+       |select doc_id, cast(shard as int) as shard, bin_id,
+       | greatest(tok_start, bin_id * 512) - bin_id * 512 as bin_off,
+       | least(tok_end, (bin_id + 1) * 512) - greatest(tok_start, bin_id * 512) as frag_tokens
+       |from f order by shard, bin_id, doc_id""".stripMargin
 
   /** Batch minhash dup-of verdict SQL — also the oracle for the
     * streaming twin: with doc_id-ordered arrival, the bucket-min state
@@ -2304,22 +2334,11 @@ object SparkEntry {
     // concat-and-chunk packing is pure integer window arithmetic, so
     // the oracle replays it exactly: per-shard token prefix sums, then
     // each document's spanned-bin range via generate_series
-    "pack_sequences" ->
-      s"""with d as (select doc_id, doc_id % 32 as shard,
-         |    cast(len(${SqlTwins.toks("text")}) as bigint) as n_tok
-         |  from documents),
-         | c as (select doc_id, shard, n_tok,
-         |    cast(sum(n_tok) over (partition by shard order by doc_id) as bigint) as tok_end
-         |  from d),
-         | s as (select doc_id, shard, n_tok, tok_end, tok_end - n_tok as tok_start
-         |  from c where n_tok > 0),
-         | f as (select doc_id, shard, tok_start, tok_end,
-         |    unnest(generate_series(tok_start // 512, (tok_end - 1) // 512)) as bin_id
-         |  from s)
-         |select doc_id, cast(shard as int) as shard, bin_id,
-         | greatest(tok_start, bin_id * 512) - bin_id * 512 as bin_off,
-         | least(tok_end, (bin_id + 1) * 512) - greatest(tok_start, bin_id * 512) as frag_tokens
-         |from f order by shard, bin_id, doc_id""".stripMargin,
+    "pack_sequences" -> packSql,
+    // the pack_sequences oracle verbatim: the streaming state machine
+    // replays the same per-shard prefix sums in arrival order, so
+    // batch and stream share one SQL twin
+    "stream_pack" -> packSql,
     // the sketch path provably equals exact top-k here (capacity ≥
     // vocab — see the queries entry), so the oracle IS the exact top-k
     "text_topterms_sketch" ->

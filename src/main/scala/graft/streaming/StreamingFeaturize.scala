@@ -55,6 +55,15 @@ case class CusumOut(
 
 case class PeakState(peak: Double, lastTs: Long = Long.MinValue)
 
+case class PackState(tokEnd: Long, lastId: Long = Long.MinValue)
+
+case class PackFrag(
+    doc_id: Long,
+    shard: Int,
+    bin_id: Long,
+    bin_off: Long,
+    frag_tokens: Long)
+
 case class DrawdownOut(
     user_id: Long,
     ts_us: Long,
@@ -168,6 +177,56 @@ object StreamingFeaturize {
             }
           }
           state.update(SeenDoc(first.get))
+          out.iterator
+        })
+  }
+
+  /** Streaming sequence packing: the `Packing.packFragments` twin.
+    * Packing is naturally INCREMENTAL — state per shard is ONE long
+    * (the running token total); each arriving document appends at the
+    * current offset and emits its spanned-bin fragments immediately.
+    * Bit-identical to batch for doc_id-ordered arrival (docs within a
+    * micro-batch are sorted; cross-batch order is the replay
+    * contract, enforced like the Ev twins' sortedStrict).
+    *
+    * The token count rides the same codegen'd Column expression as the
+    * batch path (TextOps.tokenCount), applied BEFORE the stateful
+    * operator — only (doc_id, n_tok) pairs shuffle to the shard state.
+    */
+  def streamingPack(
+      docs: Dataset[Doc],
+      capacity: Long = 512L,
+      shards: Int = 32): Dataset[PackFrag] = {
+    import docs.sparkSession.implicits._
+    val toks = docs
+      .withColumn("n_tok", graft.functions.TextOps.tokenCount(col("text")).cast("long"))
+      .select(col("doc_id"), col("n_tok")).as[(Long, Long)]
+    toks
+      .groupByKey(t => (t._1 % shards).toInt)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (shard: Int, rows: Iterator[(Long, Long)], state: GroupState[PackState]) => {
+          var tokEnd = state.getOption.map(_.tokEnd).getOrElse(0L)
+          var lastId = state.getOption.map(_.lastId).getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer.empty[PackFrag]
+          rows.toSeq.sortBy(_._1).foreach { case (id, n) =>
+            require(id > lastId,
+              s"stream_pack: doc $id arrived after $lastId in shard $shard — " +
+                "packing requires in-order arrival")
+            lastId = id
+            if (n > 0) {
+              val start = tokEnd
+              tokEnd += n
+              var b = start / capacity
+              val bMax = (tokEnd - 1) / capacity
+              while (b <= bMax) {
+                val fs = math.max(start, b * capacity)
+                val fe = math.min(tokEnd, (b + 1) * capacity)
+                out += PackFrag(id, shard, b, fs - b * capacity, fe - fs)
+                b += 1
+              }
+            }
+          }
+          state.update(PackState(tokEnd, lastId))
           out.iterator
         })
   }

@@ -45,6 +45,37 @@ class StreamingFeaturizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingPack equals batch packFragments across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(5)
+    // words so tokenCount sees real token streams; lengths 0..24 cover
+    // empty docs, in-bin docs, and boundary-crossing docs at C=512/32
+    // shards (batch defaults) — use small capacity via direct batch
+    // comparison instead: both sides share defaults, so lengths must
+    // be big enough to cross 512; mix in a monster doc
+    val docs = (0L until 120L).map { id =>
+      val n = if (id == 17L) 1400 else rng.nextInt(80)
+      Doc(id, (0 until n).map(i => s"w$i").mkString(" "))
+    }
+    val input = MemoryStream[Doc]
+    val q = StreamingFeaturize.streamingPack(input.toDS())
+      .writeStream.format("memory").queryName("pack_out").outputMode("append").start()
+    try {
+      docs.grouped(40).foreach { chunk => input.addData(chunk: _*); q.processAllAvailable() }
+      val streamed = spark.table("pack_out")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val batch = graft.functions.Packing.packFragments(
+        docs.toDF("doc_id", "text"), "doc_id",
+        graft.functions.TextOps.tokenCount(col("text")), capacity = 512L, shards = 32)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      assert(streamed == batch, "stream fragments must equal the batch packing exactly")
+      assert(streamed.exists(_._1 == 17L) &&
+        streamed.count(_._1 == 17L) >= 3, "the monster doc must span multiple bins")
+    } finally q.stop()
+  }
+
   test("exact twins fail fast on duplicate or late timestamps (order contract)") {
     implicit val sqlCtx = spark.sqlContext
     // duplicate (user_id, ts_us) inside one micro-batch: batch order is
