@@ -775,6 +775,15 @@ object SparkEntry {
       val payloads = Multimodal.synthJpegs(Tables.documents(s, dir).select("doc_id"), "doc_id")
       Multimodal.jpegPixelStats(payloads, "doc_id", "payload").orderBy("doc_id")
     },
+    // COLOR baseline-JPEG decode round-trip: 3-component 4:4:4
+    // interleaved MCUs with per-component quant/Huffman table ids and
+    // DC predictors, then YCbCr->RGB. Gray-content tiles land on
+    // Y=v/Cb=Cr=128 exactly through the JFIF transform, so the
+    // round-trip is bit-exact per channel and the oracle closed-form
+    "mm_pixels_jpeg_color" -> { (s, dir) =>
+      val payloads = Multimodal.synthJpegColors(Tables.documents(s, dir).select("doc_id"), "doc_id")
+      Multimodal.jpegColorPixelStats(payloads, "doc_id", "payload").orderBy("doc_id")
+    },
     // REAL audio-CONTENT decode round-trip (the PCM analogue of
     // mm_pixels): synthesize mono 16-bit PCM WAVs whose sample stream
     // is integer arithmetic in (doc_id, i), decode the ACTUAL
@@ -2078,6 +2087,30 @@ object SparkEntry {
         | cast(64 * sum(v) as double) / (64 * bw * bh) as mean_gray,
         | cast(min(v) as bigint) as min_gray,
         | cast(max(v) as bigint) as max_gray
+        |from v group by doc_id, bw, bh order by doc_id""".stripMargin,
+    "mm_pixels_jpeg_color" ->
+      // predicts the interleaved 3-component Huffman+IDCT+YCbCr->RGB
+      // walk of synthJpegColors: gray-content tiles (R=G=B = (id*11 +
+      // bx*29 + by*23) mod 256) round-trip bit-exactly per channel, so
+      // all three channel sums equal the tile arithmetic
+      """with p as (select doc_id,
+        |   1 + (doc_id * 3 + 1) % 3 as bw,
+        |   1 + (doc_id * 7 + 2) % 3 as bh
+        | from documents),
+        | t as (select doc_id, bw, bh,
+        |   unnest(generate_series(0, bw * bh - 1)) as k from p),
+        | v as (select doc_id, bw, bh,
+        |   (doc_id * 11 + (k % bw) * 29 + (k // bw) * 23) % 256 as v from t)
+        |select doc_id,
+        | cast(8 * bw as bigint) as width,
+        | cast(8 * bh as bigint) as height,
+        | cast(64 * sum(v) as bigint) as sum_r,
+        | cast(64 * sum(v) as bigint) as sum_g,
+        | cast(64 * sum(v) as bigint) as sum_b,
+        | cast(min(v) as bigint) as min_r,
+        | cast(max(v) as bigint) as max_r,
+        | cast(min(v) as bigint) as min_b,
+        | cast(max(v) as bigint) as max_b
         |from v group by doc_id, bw, bh order by doc_id""".stripMargin,
     "mm_audio_stats" ->
       // predicts the REAL PCM walk of synthAudioPcm's WAVs: sample i is

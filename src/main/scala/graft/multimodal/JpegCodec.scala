@@ -1,10 +1,11 @@
 package graft.multimodal
 
 /** Baseline JPEG (ITU T.81, public spec) — a REAL encoder/decoder pair
-  * for 8-bit grayscale, no codec library at all: marker segments, the
-  * Annex K Table K.3/K.5 Huffman tables, run-length AC coding with
-  * byte stuffing, DC prediction, dequantization and a double-precision
-  * IDCT. This is the compressed-image CONTENT step for mm_pixels_jpeg
+  * for 8-bit grayscale AND 3-component 4:4:4 YCbCr color, no codec
+  * library at all: marker segments, the Annex K Table K.3/K.5 Huffman
+  * tables, run-length AC coding with byte stuffing, interleaved MCUs
+  * with per-component table ids and DC predictors, dequantization and
+  * a double-precision IDCT, JFIF YCbCr↔RGB conversion. This is the compressed-image CONTENT step for mm_pixels_jpeg
   * (the DCT upgrade of mm_pixels_png, which covers the zlib/predictor
   * family; reference treats media as opaque bytes — mm.* there never
   * decodes, so this surface is graft's own).
@@ -160,15 +161,62 @@ object JpegCodec {
     out
   }
 
-  /** Encode an 8-bit grayscale image (width and height multiples of 8)
-    * as a complete baseline JPEG: SOI, DQT, SOF0, DHT (Annex K), SOS,
-    * Huffman-coded scan with byte stuffing, EOI. Real FDCT + quantize —
-    * constant tiles come out DC-only by mathematics, not by shortcut.
+  /** FDCT + quantize + Huffman-code ONE 8×8 block from `plane` at
+    * (bx, by); returns the new DC predictor for this component.
     */
-  def encodeGray(width: Int, height: Int, pix: Array[Int]): Array[Byte] = {
-    require(width % 8 == 0 && height % 8 == 0, "MCU-aligned dims")
-    require(pix.length == width * height)
-    val out = new java.io.ByteArrayOutputStream(1024)
+  private def encodeBlock(
+      bw: BitWriter,
+      plane: Array[Int],
+      width: Int,
+      bx: Int,
+      by: Int,
+      pred: Int): Int = {
+    val block = new Array[Double](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        block(y * 8 + x) = plane((by * 8 + y) * width + bx * 8 + x) - 128.0
+        x += 1
+      }
+      y += 1
+    }
+    val coef = fdct(block)
+    // quantize in zigzag order
+    val q = new Array[Int](64)
+    var k = 0
+    while (k < 64) {
+      q(k) = math.round(coef(Zigzag(k)) / Quant(Zigzag(k))).toInt
+      k += 1
+    }
+    // DC: predicted difference
+    val diff = q(0) - pred
+    val s = category(diff)
+    bw.put(dcCode(s), dcLen(s))
+    if (s > 0) bw.put(amplitude(diff, s), s)
+    // AC: (run, size) with ZRL for 16-zero runs, EOB terminator
+    var lastNz = 63
+    while (lastNz >= 1 && q(lastNz) == 0) lastNz -= 1
+    var run = 0
+    k = 1
+    while (k <= lastNz) {
+      if (q(k) == 0) run += 1
+      else {
+        while (run >= 16) { bw.put(acCode(0xf0), acLen(0xf0)); run -= 16 }
+        val sz = category(q(k))
+        val sym = (run << 4) | sz
+        bw.put(acCode(sym), acLen(sym))
+        bw.put(amplitude(q(k), sz), sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (lastNz < 63) bw.put(acCode(0x00), acLen(0x00)) // EOB
+    q(0)
+  }
+
+  private def writeHeaders(
+      out: java.io.ByteArrayOutputStream, width: Int, height: Int, color: Boolean): Unit = {
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def seg(m: Int, payload: Array[Int]): Unit = {
       marker(m)
@@ -178,64 +226,93 @@ object JpegCodec {
     }
     marker(0xd8) // SOI
     seg(0xdb, 0 +: Zigzag.map(Quant(_))) // DQT: Pq=0/Tq=0, zigzag order
-    seg(0xc0, Array(8, height >>> 8, height & 0xff, width >>> 8, width & 0xff,
-      1, 1, 0x11, 0)) // SOF0: 1 component, 1x1 sampling, quant table 0
+    if (color) {
+      // chroma quant table id 1. Same VALUES as table 0 — T.81 tables
+      // are arbitrary per-stream data (Annex K is only "typical"); what
+      // matters for codec generality is the id-selection machinery.
+      seg(0xdb, 1 +: Zigzag.map(Quant(_)))
+      seg(0xc0, Array(8, height >>> 8, height & 0xff, width >>> 8, width & 0xff,
+        3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)) // 3 comps, 4:4:4, quant 0/1/1
+    } else
+      seg(0xc0, Array(8, height >>> 8, height & 0xff, width >>> 8, width & 0xff,
+        1, 1, 0x11, 0)) // SOF0: 1 component, 1x1 sampling, quant table 0
     seg(0xc4, (0x00 +: (DcBits ++ DcVals)) ++ (0x10 +: (AcBits ++ AcVals)))
-    seg(0xda, Array(1, 1, 0x00, 0, 63, 0)) // SOS
+    if (color) // chroma table ids 1, same contents (see DQT comment)
+      seg(0xc4, (0x01 +: (DcBits ++ DcVals)) ++ (0x11 +: (AcBits ++ AcVals)))
+    if (color) seg(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)) // SOS
+    else seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
+  }
+
+  /** Encode an 8-bit grayscale image (width and height multiples of 8)
+    * as a complete baseline JPEG: SOI, DQT, SOF0, DHT (Annex K), SOS,
+    * Huffman-coded scan with byte stuffing, EOI. Real FDCT + quantize —
+    * constant tiles come out DC-only by mathematics, not by shortcut.
+    */
+  def encodeGray(width: Int, height: Int, pix: Array[Int]): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0, "MCU-aligned dims")
+    require(pix.length == width * height)
+    val out = new java.io.ByteArrayOutputStream(1024)
+    writeHeaders(out, width, height, color = false)
     val bw = new BitWriter(out)
-    val block = new Array[Double](64)
     var pred = 0
     var by = 0
     while (by < height / 8) {
       var bx = 0
       while (bx < width / 8) {
-        var y = 0
-        while (y < 8) {
-          var x = 0
-          while (x < 8) {
-            block(y * 8 + x) = pix((by * 8 + y) * width + bx * 8 + x) - 128.0
-            x += 1
-          }
-          y += 1
-        }
-        val coef = fdct(block)
-        // quantize in zigzag order
-        val q = new Array[Int](64)
-        var k = 0
-        while (k < 64) {
-          q(k) = math.round(coef(Zigzag(k)) / Quant(Zigzag(k))).toInt
-          k += 1
-        }
-        // DC: predicted difference
-        val diff = q(0) - pred
-        pred = q(0)
-        val s = category(diff)
-        bw.put(dcCode(s), dcLen(s))
-        if (s > 0) bw.put(amplitude(diff, s), s)
-        // AC: (run, size) with ZRL for 16-zero runs, EOB terminator
-        var lastNz = 63
-        while (lastNz >= 1 && q(lastNz) == 0) lastNz -= 1
-        var run = 0
-        k = 1
-        while (k <= lastNz) {
-          if (q(k) == 0) run += 1
-          else {
-            while (run >= 16) { bw.put(acCode(0xf0), acLen(0xf0)); run -= 16 }
-            val sz = category(q(k))
-            val sym = (run << 4) | sz
-            bw.put(acCode(sym), acLen(sym))
-            bw.put(amplitude(q(k), sz), sz)
-            run = 0
-          }
-          k += 1
-        }
-        if (lastNz < 63) bw.put(acCode(0x00), acLen(0x00)) // EOB
+        pred = encodeBlock(bw, pix, width, bx, by, pred)
         bx += 1
       }
       by += 1
     }
     bw.flush()
-    marker(0xd9) // EOI
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode an 8-bit RGB image (width and height multiples of 8) as a
+    * COLOR baseline JPEG: JFIF YCbCr conversion (rounded to integer
+    * planes), 4:4:4 sampling, interleaved Y/Cb/Cr MCUs with
+    * per-component quant/Huffman table ids and DC predictors.
+    */
+  def encodeColor(
+      width: Int, height: Int,
+      r: Array[Int], g: Array[Int], b: Array[Int]): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0, "MCU-aligned dims")
+    require(r.length == width * height && g.length == r.length && b.length == r.length)
+    val n = width * height
+    val yP = new Array[Int](n)
+    val cbP = new Array[Int](n)
+    val crP = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      // JFIF (public spec) RGB → YCbCr, rounded to integer planes
+      val rv = r(i); val gv = g(i); val bv = b(i)
+      def clamp(v: Long): Int = if (v < 0) 0 else if (v > 255) 255 else v.toInt
+      yP(i) = clamp(math.round(0.299 * rv + 0.587 * gv + 0.114 * bv))
+      cbP(i) = clamp(math.round(128.0 - 0.168736 * rv - 0.331264 * gv + 0.5 * bv))
+      crP(i) = clamp(math.round(128.0 + 0.5 * rv - 0.418688 * gv - 0.081312 * bv))
+      i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(2048)
+    writeHeaders(out, width, height, color = true)
+    val bw = new BitWriter(out)
+    val planes = Array(yP, cbP, crP)
+    val preds = new Array[Int](3)
+    var by = 0
+    while (by < height / 8) {
+      var bx = 0
+      while (bx < width / 8) {
+        var c = 0
+        while (c < 3) { // interleaved MCU: one block per component at 4:4:4
+          preds(c) = encodeBlock(bw, planes(c), width, bx, by, preds(c))
+          c += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
     out.toByteArray
   }
 
@@ -367,25 +444,29 @@ object JpegCodec {
     out
   }
 
-  /** REAL baseline-JPEG grayscale pixel decode: marker walk, Huffman
-    * entropy decode with DC prediction and un-stuffing, dequantize,
-    * double IDCT, level shift + clamp. None — never a crash or a stuck
-    * loop — for progressive/multi-component/12-bit streams, hostile
-    * segment lengths, truncated entropy data, or over-large declared
-    * dimensions. (Restart markers unsupported → None via the reader's
-    * marker refusal; graft's encoder never emits DRI.)
+  /** Shared decode core: marker walk, per-component table selection,
+    * interleaved-MCU Huffman entropy decode with per-component DC
+    * predictors, dequantize, double IDCT, level shift + clamp.
+    * Returns (w, h, planes) — one plane per SOF0 component (Y or
+    * Y/Cb/Cr). None — never a crash or a stuck loop — for progressive/
+    * 12-bit streams, subsampled components, hostile segment lengths,
+    * truncated entropy data, or over-large declared dimensions.
+    * (Restart markers unsupported → None via the reader's marker
+    * refusal; graft's encoder never emits DRI.)
     */
-  def decodeGrayPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+  private def decodePlanes(b: Array[Byte]): Option[(Int, Int, Array[Array[Int]])] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     var o = 2
     var w = -1
     var h = -1
+    var nc = -1
     val quant = Array.fill(4)(null: Array[Int])
     val dcTabs = Array.fill(4)(null: HuffDec)
     val acTabs = Array.fill(4)(null: HuffDec)
-    var compQuant = -1
-    var dcSel = -1
-    var acSel = -1
+    val compId = new Array[Int](4)
+    val compQuant = new Array[Int](4)
+    val dcSel = new Array[Int](4)
+    val acSel = new Array[Int](4)
     var scanAt = -1
     while (scanAt < 0) {
       // seek the next marker (skip fill bytes)
@@ -433,17 +514,29 @@ object JpegCodec {
             if ((b(p) & 0xff) != 8) return None
             h = ((b(p + 1) & 0xff) << 8) | (b(p + 2) & 0xff)
             w = ((b(p + 3) & 0xff) << 8) | (b(p + 4) & 0xff)
-            val ncomp = b(p + 5) & 0xff
-            if (ncomp != 1 || end - p < 6 + 3 * ncomp) return None
-            if ((b(p + 7) & 0xff) != 0x11) return None // 1x1 sampling only
-            compQuant = b(p + 8) & 0xff
+            nc = b(p + 5) & 0xff
+            if ((nc != 1 && nc != 3) || end - p < 6 + 3 * nc) return None
+            var c = 0
+            while (c < nc) {
+              compId(c) = b(p + 6 + 3 * c) & 0xff
+              if ((b(p + 7 + 3 * c) & 0xff) != 0x11) return None // 1x1 sampling only
+              compQuant(c) = b(p + 8 + 3 * c) & 0xff
+              if (compQuant(c) > 3) return None
+              c += 1
+            }
             if (w <= 0 || h <= 0 || w.toLong * h > (1L << 24)) return None
           case c if c >= 0xc1 && c <= 0xcf && c != 0xc4 && c != 0xc8 && c != 0xcc =>
             return None // progressive/extended/arithmetic SOF
-          case 0xda => // SOS
-            if (end - p < 6 || (b(p) & 0xff) != 1) return None
-            dcSel = (b(p + 2) & 0xff) >>> 4
-            acSel = b(p + 2) & 0x0f
+          case 0xda => // SOS: component order must match SOF order
+            if (nc < 0 || end - p < 4 + 2 * nc || (b(p) & 0xff) != nc) return None
+            var c = 0
+            while (c < nc) {
+              if ((b(p + 1 + 2 * c) & 0xff) != compId(c)) return None
+              dcSel(c) = (b(p + 2 + 2 * c) & 0xff) >>> 4
+              acSel(c) = b(p + 2 + 2 * c) & 0x0f
+              if (dcSel(c) > 3 || acSel(c) > 3) return None
+              c += 1
+            }
             scanAt = end
           case 0xdd => return None // DRI: restart intervals unsupported
           case _ => () // APPn / COM / others: skip
@@ -451,61 +544,104 @@ object JpegCodec {
         o = end
       }
     }
-    if (w < 0 || compQuant < 0 || compQuant > 3 || quant(compQuant) == null) return None
-    if (dcSel > 3 || acSel > 3 || dcTabs(dcSel) == null || acTabs(acSel) == null) return None
-    val q = quant(compQuant)
-    val dcT = dcTabs(dcSel)
-    val acT = acTabs(acSel)
+    if (w < 0) return None
+    var c = 0
+    while (c < nc) {
+      if (quant(compQuant(c)) == null ||
+        dcTabs(dcSel(c)) == null || acTabs(acSel(c)) == null) return None
+      c += 1
+    }
     val bw = (w + 7) / 8
     val bh = (h + 7) / 8
-    val pix = new Array[Int](w * h)
+    val planes = Array.fill(nc)(new Array[Int](w * h))
     val coef = new Array[Double](64)
     val r = new BitReader(b, scanAt)
-    var pred = 0
+    val preds = new Array[Int](4)
     var by = 0
     while (by < bh) {
       var bx = 0
       while (bx < bw) {
-        java.util.Arrays.fill(coef, 0.0)
-        val s = r.decode(dcT)
-        if (r.bad || s < 0 || s > 11) return None
-        pred += extend(r.bits(s), s)
-        coef(0) = pred.toDouble * q(0)
-        var k = 1
-        while (k < 64) {
-          val rs = r.decode(acT)
-          if (r.bad || rs < 0) return None
-          val run = rs >>> 4
-          val sz = rs & 0x0f
-          if (sz == 0) {
-            if (run == 15) k += 16 // ZRL
-            else k = 64 // EOB
-          } else {
-            k += run
-            if (k > 63) return None
-            coef(Zigzag(k)) = extend(r.bits(sz), sz).toDouble * q(Zigzag(k))
-            k += 1
-          }
-          if (r.bad) return None
-        }
-        val block = idct(coef)
-        var y = 0
-        while (y < 8) {
-          val py = by * 8 + y
-          if (py < h) {
-            var x = 0
-            while (x < 8) {
-              val px = bx * 8 + x
-              if (px < w) pix(py * w + px) = block(y * 8 + x)
-              x += 1
+        var ci = 0
+        while (ci < nc) { // interleaved MCU: one block per component
+          val q = quant(compQuant(ci))
+          java.util.Arrays.fill(coef, 0.0)
+          val s = r.decode(dcTabs(dcSel(ci)))
+          if (r.bad || s < 0 || s > 11) return None
+          preds(ci) += extend(r.bits(s), s)
+          coef(0) = preds(ci).toDouble * q(0)
+          var k = 1
+          while (k < 64) {
+            val rs = r.decode(acTabs(acSel(ci)))
+            if (r.bad || rs < 0) return None
+            val run = rs >>> 4
+            val sz = rs & 0x0f
+            if (sz == 0) {
+              if (run == 15) k += 16 // ZRL
+              else k = 64 // EOB
+            } else {
+              k += run
+              if (k > 63) return None
+              coef(Zigzag(k)) = extend(r.bits(sz), sz).toDouble * q(Zigzag(k))
+              k += 1
             }
+            if (r.bad) return None
           }
-          y += 1
+          val block = idct(coef)
+          val plane = planes(ci)
+          var y = 0
+          while (y < 8) {
+            val py = by * 8 + y
+            if (py < h) {
+              var x = 0
+              while (x < 8) {
+                val px = bx * 8 + x
+                if (px < w) plane(py * w + px) = block(y * 8 + x)
+                x += 1
+              }
+            }
+            y += 1
+          }
+          ci += 1
         }
         bx += 1
       }
       by += 1
     }
-    Some((w, h, pix))
+    Some((w, h, planes))
   }
+
+  /** REAL baseline-JPEG grayscale pixel decode (1-component streams
+    * only — color streams go through [[decodeRgbPixels]]).
+    */
+  def decodeGrayPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    decodePlanes(b) match {
+      case Some((w, h, planes)) if planes.length == 1 => Some((w, h, planes(0)))
+      case _ => None
+    }
+
+  /** REAL baseline COLOR JPEG pixel decode: the 3-component 4:4:4
+    * interleaved scan through [[decodePlanes]], then the JFIF
+    * YCbCr → RGB conversion (round + clamp per channel).
+    */
+  def decodeRgbPixels(b: Array[Byte]): Option[(Int, Int, Array[Int], Array[Int], Array[Int])] =
+    decodePlanes(b) match {
+      case Some((w, h, planes)) if planes.length == 3 =>
+        val n = w * h
+        val r = new Array[Int](n)
+        val g = new Array[Int](n)
+        val bl = new Array[Int](n)
+        def clamp(v: Long): Int = if (v < 0) 0 else if (v > 255) 255 else v.toInt
+        var i = 0
+        while (i < n) {
+          val y = planes(0)(i).toDouble
+          val cb = planes(1)(i) - 128.0
+          val cr = planes(2)(i) - 128.0
+          r(i) = clamp(math.round(y + 1.402 * cr))
+          g(i) = clamp(math.round(y - 0.344136 * cb - 0.714136 * cr))
+          bl(i) = clamp(math.round(y + 1.772 * cb))
+          i += 1
+        }
+        Some((w, h, r, g, bl))
+      case _ => None
+    }
 }

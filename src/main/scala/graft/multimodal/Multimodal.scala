@@ -801,6 +801,78 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** Deterministic synthesized COMPLETE baseline COLOR JPEGs (3
+    * components, 4:4:4, interleaved MCUs): gray-content constant tiles
+    * — tile (bx, by) has R=G=B = (id·11 + bx·29 + by·23) mod 256 — so
+    * the JFIF transform lands on Y=tile/Cb=Cr=128 exactly and the
+    * round-trip is bit-exact per channel (JpegCodecSpec pins it), while
+    * every payload exercises the chroma table ids and the interleaved
+    * per-component DC predictors.
+    */
+  def synthJpegColors(df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val id = r.getLong(idIdx)
+        val bw = 1 + ((id * 3L + 1L) % 3L).toInt
+        val bh = 1 + ((id * 7L + 2L) % 3L).toInt
+        val w = 8 * bw
+        val h = 8 * bh
+        val pix = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            pix(y * w + x) = ((id * 11L + (x / 8) * 29L + (y / 8) * 23L) % 256L).toInt
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, JpegCodec.encodeColor(w, h, pix, pix, pix))
+      })
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Batched REAL color-JPEG pixel decode: interleaved 3-component
+    * entropy decode + IDCT + YCbCr→RGB, walking the ACTUAL decoded
+    * pixels — per-channel integer sum/min/max, nulls for unparseable
+    * payloads.
+    */
+  def jpegColorPixelStats(df: DataFrame, idCol: String, payloadCol: String, batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("width", LongType),
+      StructField("height", LongType),
+      StructField("sum_r", LongType), StructField("sum_g", LongType),
+      StructField("sum_b", LongType),
+      StructField("min_r", LongType), StructField("max_r", LongType),
+      StructField("min_b", LongType), StructField("max_b", LongType)))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        JpegCodec.decodeRgbPixels(r.getAs[Array[Byte]](pIdx)) match {
+          case Some((w, h, rp, gp, bp)) =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var mnr = 255L; var mxr = 0L; var mnb = 255L; var mxb = 0L
+            var i = 0
+            while (i < rp.length) {
+              sr += rp(i); sg += gp(i); sb += bp(i)
+              if (rp(i) < mnr) mnr = rp(i)
+              if (rp(i) > mxr) mxr = rp(i)
+              if (bp(i) < mnb) mnb = bp(i)
+              if (bp(i) > mxb) mxb = bp(i)
+              i += 1
+            }
+            Row(r.getLong(idIdx), w.toLong, h.toLong, sr, sg, sb, mnr, mxr, mnb, mxb)
+          case None =>
+            Row(r.getLong(idIdx), null, null, null, null, null, null, null, null, null)
+        }
+      })
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   private val stubSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("n_bytes", IntegerType),

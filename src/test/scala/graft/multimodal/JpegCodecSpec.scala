@@ -99,6 +99,75 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  private def imageIoDecodeRgb(b: Array[Byte]): (Int, Int, Array[Int], Array[Int], Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    assert(img != null, "ImageIO must accept the stream as a JPEG")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val px = Array.tabulate(w * h)(i => img.getRGB(i % w, i / w))
+    (w, h, px.map(p => (p >> 16) & 0xff), px.map(p => (p >> 8) & 0xff), px.map(_ & 0xff))
+  }
+
+  test("color: gray-content 3-component JPEGs round-trip exactly on all channels") {
+    // R=G=B=v tiles: the JFIF forward transform lands on Y=v,
+    // Cb=Cr=128 after rounding (coefficient sums are exactly 1 and 0
+    // in the spec's decimal arithmetic, within 1e-13 in FP), so every
+    // component is DC-only and the interleaved round-trip is exact —
+    // including the chroma table-id machinery
+    (0L until 24L).foreach { id =>
+      val (w, h, pix) = tileImage(id)
+      val enc = JpegCodec.encodeColor(w, h, pix, pix, pix)
+      val Some((dw, dh, r, g, b)) = JpegCodec.decodeRgbPixels(enc)
+      assert(dw == w && dh == h)
+      assert(r.sameElements(pix) && g.sameElements(pix) && b.sameElements(pix),
+        s"id=$id color round-trip must reproduce the gray tile contract on every channel")
+      // cross-validate against the independent JDK decoder
+      val (iw, ih, ir, ig, ib) = imageIoDecodeRgb(enc)
+      assert(iw == w && ih == h)
+      assert(ir.sameElements(pix) && ig.sameElements(pix) && ib.sameElements(pix),
+        s"id=$id ImageIO must agree exactly on gray-content color streams")
+    }
+  }
+
+  test("color: truly colored gradient content agrees with ImageIO within a small bound") {
+    // distinct per-channel gradients: quantization is lossy and the
+    // two decoders use different IDCT/color-conversion arithmetic
+    // (double vs libjpeg fixed-point), so the pin is inter-decoder
+    // agreement within the conversion's error amplification (~±3)
+    val w = 24; val h = 16
+    val r0 = Array.tabulate(w * h)(i => ((i % w) * 9 + (i / w) * 3) % 256)
+    val g0 = Array.tabulate(w * h)(i => ((i % w) * 2 + (i / w) * 13) % 256)
+    val b0 = Array.tabulate(w * h)(i => ((i % w) * 5 + (i / w) * 7 + 60) % 256)
+    val enc = JpegCodec.encodeColor(w, h, r0, g0, b0)
+    val Some((dw, dh, r, g, b)) = JpegCodec.decodeRgbPixels(enc)
+    val (iw, ih, ir, ig, ib) = imageIoDecodeRgb(enc)
+    assert(dw == w && dh == h && iw == w && ih == h)
+    var worst = 0
+    var i = 0
+    while (i < w * h) {
+      worst = math.max(worst, math.abs(r(i) - ir(i)))
+      worst = math.max(worst, math.abs(g(i) - ig(i)))
+      worst = math.max(worst, math.abs(b(i) - ib(i)))
+      i += 1
+    }
+    assert(worst <= 3, s"independent decoders must agree within ±3 on color content, worst=$worst")
+  }
+
+  test("color: gray wrapper refuses color streams and vice versa") {
+    val (w, h, pix) = tileImage(4L)
+    val colorEnc = JpegCodec.encodeColor(w, h, pix, pix, pix)
+    val grayEnc = JpegCodec.encodeGray(w, h, pix)
+    assert(JpegCodec.decodeGrayPixels(colorEnc).isEmpty, "gray decode must refuse 3-component")
+    assert(JpegCodec.decodeRgbPixels(grayEnc).isEmpty, "rgb decode must refuse 1-component")
+  }
+
+  test("color: hostile truncations return None, never crash or hang") {
+    val (w, h, pix) = tileImage(9L)
+    val enc = JpegCodec.encodeColor(w, h, pix, pix, pix)
+    (0 until enc.length by 5).foreach { n =>
+      JpegCodec.decodeRgbPixels(java.util.Arrays.copyOf(enc, n)) // must return
+    }
+  }
+
   test("hostile bytes: None, never a crash or a hang") {
     val (w, h, pix) = tileImage(7L)
     val enc = JpegCodec.encodeGray(w, h, pix)
