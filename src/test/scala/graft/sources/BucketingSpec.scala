@@ -25,4 +25,31 @@ class BucketingSpec extends SparkSpec {
       assert(r == 3 + 9 * 0.5)
     } finally spark.sql("drop table if exists ev_bucketed")
   }
+
+  test("join of two tables bucketed on the join key plans ZERO exchange") {
+    // the co-located join: both sides pre-shuffled on disk with the
+    // same key and bucket count → SortMergeJoin reads each bucket pair
+    // directly. At 100 TB this is THE way a fact-fact join avoids
+    // shuffling either side.
+    val facts = (0L until 400L).map(i => (i % 40, i, i * 1.5)).toDF("user_id", "event_id", "amount")
+    val dims = (0L until 40L).map(u => (u, s"user$u")).toDF("user_id", "name")
+    Sources.writeBucketed(facts, "facts_b", "user_id", nBuckets = 4, sortCol = Some("user_id"))
+    Sources.writeBucketed(dims, "dims_b", "user_id", nBuckets = 4, sortCol = Some("user_id"))
+    try {
+      // disable broadcast so the small side doesn't sidestep the test
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("facts_b").join(spark.table("dims_b"), "user_id")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucket-aligned join must not shuffle either side:\n${plan.take(1000)}")
+      assert(plan.contains("SortMergeJoin"), "expected the co-located sort-merge join")
+      assert(j.count() == 400L)
+      val one = j.where($"event_id" === 41L).select("name").head().getString(0)
+      assert(one == "user1")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("drop table if exists facts_b")
+      spark.sql("drop table if exists dims_b")
+    }
+  }
 }
