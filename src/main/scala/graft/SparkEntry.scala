@@ -593,6 +593,14 @@ object SparkEntry {
       Dedup.contaminationScores(docs, bench, "doc_id", "text", n = 5)
         .orderBy("doc_id")
     },
+    // exact duplicated-substring pass (Lee et al. 2107.06499): strided
+    // 32-char windows over normalized text, corpus-wide h60 frequency,
+    // per-doc duplicated-span fraction
+    "dedup_substring" -> { (s, dir) =>
+      Dedup.substringDupStats(Tables.documents(s, dir), "doc_id", "text",
+        winLen = 32, stride = 8)
+        .orderBy("doc_id")
+    },
     "dedup_embcos" -> { (s, dir) =>
       val sub = Tables.embeddings(s, dir).where(pmod(col("vec_id"), lit(10L)) === 0)
       Dedup.embeddingCosinePairs(sub, "vec_id", "embedding", threshold = 0.3)
@@ -2179,6 +2187,29 @@ object SparkEntry {
          |from d cross join bl
          |order by doc_id""".stripMargin
     },
+    "dedup_substring" ->
+      // same strided windows: positions 1, 9, … ≤ len−31 (range stop
+      // len−30 exclusive ≡ Spark's sequence stop len−31 inclusive);
+      // span identity h60, frequency via the same count-only window
+      s"""with n as (select doc_id, ${SqlTwins.norm("text")} as t from documents),
+         |s as (select doc_id,
+         |  case when length(t) >= 32
+         |       then list_transform(range(1, length(t) - 30, 8), i -> substr(t, i, 32))
+         |       else [] end as spans from n),
+         |e as (select doc_id, unnest(spans) as span from s),
+         |h as (select doc_id, ${SqlTwins.h60("span")} as h from e),
+         |c as (select doc_id, h, count(*) over (partition by h) as c from h),
+         |a as (select doc_id, count(*) as n_spans,
+         |        sum(case when c > 1 then 1 else 0 end) as n_dup_spans
+         |      from c group by doc_id)
+         |select d.doc_id,
+         | cast(coalesce(a.n_spans, 0) as bigint) as n_spans,
+         | cast(coalesce(a.n_dup_spans, 0) as bigint) as n_dup_spans,
+         | case when coalesce(a.n_spans, 0) > 0
+         |      then cast(a.n_dup_spans as double) / cast(a.n_spans as double)
+         |      end as dup_frac
+         |from documents d left join a on d.doc_id = a.doc_id
+         |order by d.doc_id""".stripMargin,
     "mm_embed" -> {
       val eCols = (0 until 8).map { j =>
         s"cast((((${SqlTwins.h60(s"substr(text, ${j * 64 + 1}, 64)")}) % 10001) / 10000.0E0 - 0.5E0) as real) as e$j"

@@ -286,6 +286,68 @@ object Dedup {
           .otherwise(lit(0.0)).as("contamination"))
   }
 
+  /** Exact duplicated-substring detection — the suffix-array
+    * exact-substring pass of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" (arXiv:2107.06499), re-expressed as
+    * a corpus-wide span-hash frequency count: fixed-length character
+    * windows at a fixed stride over the NORMALIZED text, window
+    * identity = h60(window); any window whose hash occurs more than
+    * once anywhere in the corpus is a duplicated span. Per document:
+    * span count, duplicated-span count, duplicated fraction — the
+    * signal the reference pass thresholds to cut boilerplate and
+    * templated text that survives doc-level dedup.
+    *
+    * A true distributed suffix array orders all O(N) suffixes — a
+    * multi-terabyte global sort whose comparisons touch the text
+    * itself. The strided-window relaxation keeps the detection
+    * guarantee that matters (any verbatim repeat of length ≥
+    * winLen + stride − 1 contains at least one aligned window on both
+    * sides when repeats are stride-aligned; unaligned repeats shift
+    * detection by < stride spans) while the only shuffled payload is
+    * (doc_id, 8-byte hash) pairs — never the text. Two exchanges:
+    * one on the span hash for the corpus-wide frequency (count-only
+    * window, no join back), one on doc_id for the rollup with map-side
+    * partial aggregation. A pathological hot span (the same banner
+    * pasted in 10⁹ docs) makes one big count-only partition — payload
+    * is 16 bytes/row, and the count itself is what we want, so no salt
+    * is needed.
+    */
+  def substringDupStats(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      winLen: Int = 32,
+      stride: Int = 8): DataFrame = {
+    require(winLen >= 1 && stride >= 1)
+    // positions 1, 1+stride, … ≤ len−winLen+1 over the normalized text;
+    // a doc shorter than winLen yields zero spans but MUST survive to
+    // the output (explode_outer) with n_spans = 0
+    val spans = docs
+      .select(col(idCol), TextOps.normalize(col(textCol)).as("__t"))
+      .select(col(idCol),
+        when(length(col("__t")) >= winLen,
+          expr(s"transform(sequence(1, length(__t) - ${winLen - 1}, $stride), " +
+            s"i -> substring(__t, i, $winLen))"))
+          .otherwise(array().cast("array<string>")).as("__spans"))
+      .select(col(idCol), explode_outer(col("__spans")).as("__span"))
+      .select(col(idCol),
+        when(col("__span").isNotNull, TextOps.h60(col("__span"))).as("__h"))
+    // corpus-wide span frequency without a join: one count-only window
+    // over the hash. The null partition (all zero-span docs) is
+    // computed but never read — bounded by the short-doc count.
+    val freq = spans.withColumn("__c",
+      count(col("__h")).over(Window.partitionBy(col("__h"))))
+    freq.groupBy(col(idCol))
+      .agg(
+        count(col("__h")).as("n_spans"),
+        coalesce(sum(when(col("__c") > 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_dup_spans"))
+      .select(col(idCol), col("n_spans"), col("n_dup_spans"),
+        when(col("n_spans") > 0,
+          col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+          .as("dup_frac"))
+  }
+
   /** All-pairs exact n-gram Jaccard via shingle self-join (exact
     * recall; the shingle frequency cap guards blow-up). Quadratic in
     * per-shingle frequency — use the LSH-candidate variant at scale.
