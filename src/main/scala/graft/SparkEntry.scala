@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ts.{Featurize, OracleGen, Taylor, TimeOps}
-import graft.functions.{Packing, Profile, Sampling, Sketch, Skew, SqlTwins, TextOps, TfIdf, VectorOps}
+import graft.functions.{LmScore, Packing, Profile, Sampling, Sketch, Skew, SqlTwins, TextOps, TfIdf, VectorOps}
 import graft.dedup.Dedup
 import graft.ann.Ann
 import graft.multimodal.Multimodal
@@ -724,6 +724,13 @@ object SparkEntry {
     "text_quality" -> { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    },
+    // corpus-trained bigram LM scoring (CCNet-style perplexity filter,
+    // transcendental-free): add-one-smoothed P(w2|w1), integer
+    // e9-scaled per-bigram probabilities, one final double division
+    "text_lm_score" -> { (s, dir) =>
+      LmScore.score(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     },
     "text_tokens" -> { (s, dir) =>
@@ -2009,6 +2016,30 @@ object SparkEntry {
       s"select doc_id, ${SqlTwins.langidSelect("text")} as lang_pred\nfrom documents order by doc_id",
     "text_quality" ->
       s"select doc_id, ${SqlTwins.qualityScore("text")} as quality\nfrom documents order by doc_id",
+    "text_lm_score" ->
+      // same model, same arithmetic: one IEEE division + multiply +
+      // floor per bigram (association-free integer sum per doc), one
+      // final double division. count(*) windows/aggs are bigint on
+      // both engines.
+      s"""with t as (select doc_id, ${SqlTwins.toks("text")} as t from documents),
+         |tok as (select doc_id, unnest(t) as w from t),
+         |uni as (select w, count(*) as cu from tok group by w),
+         |vv as (select count(*) as v from uni),
+         |pr as (select doc_id, t[i] as w1, t[i + 1] as w2
+         |       from t, unnest(case when len(t) >= 2 then range(1, len(t)) else [] end) as u(i)),
+         |pc as (select doc_id, w1, count(*) over (partition by w1, w2) as cb from pr),
+         |j as (select doc_id,
+         |        cast(floor((cast(cb + 1 as double) / cast(cu + v as double)) * 1000000000.0) as bigint) as pe9
+         |      from pc join uni on pc.w1 = uni.w cross join vv),
+         |a as (select doc_id, count(*) as n_bigrams, sum(pe9) as s from j group by doc_id)
+         |select d.doc_id,
+         | cast(coalesce(a.n_bigrams, 0) as bigint) as n_bigrams,
+         | cast(coalesce(a.s, 0) as bigint) as score_e9,
+         | case when a.n_bigrams > 0
+         |      then cast(a.s as double) / (cast(a.n_bigrams as double) * 1000000000.0)
+         |      end as mean_prob
+         |from documents d left join a on d.doc_id = a.doc_id
+         |order by d.doc_id""".stripMargin,
     "text_tokens" ->
       s"""select doc_id,
          | cast(len(${SqlTwins.toks("text")}) as int) as n_tokens,
