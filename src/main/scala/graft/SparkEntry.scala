@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ts.{Featurize, OracleGen, Taylor, TimeOps}
-import graft.functions.{LmScore, Packing, Profile, Sampling, Sketch, Skew, SqlTwins, TextOps, TfIdf, VectorOps}
+import graft.functions.{LmScore, Packing, Profile, Sampling, Sketch, Skew, SqlTwins, TextOps, TfIdf, TokenizerStats, VectorOps}
 import graft.dedup.Dedup
 import graft.ann.Ann
 import graft.multimodal.Multimodal
@@ -732,6 +732,11 @@ object SparkEntry {
     "text_lm_score" -> { (s, dir) =>
       LmScore.score(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
+    },
+    // BPE merge-candidate scan: top-100 adjacent token pairs by corpus
+    // frequency, deterministic total order (n desc, then the pair)
+    "text_bpe_pairs" -> { (s, dir) =>
+      TokenizerStats.topPairs(Tables.documents(s, dir), "text", k = 100)
     },
     "text_tokens" -> { (s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
@@ -2016,6 +2021,12 @@ object SparkEntry {
       s"select doc_id, ${SqlTwins.langidSelect("text")} as lang_pred\nfrom documents order by doc_id",
     "text_quality" ->
       s"select doc_id, ${SqlTwins.qualityScore("text")} as quality\nfrom documents order by doc_id",
+    "text_bpe_pairs" ->
+      s"""with t as (select ${SqlTwins.toks("text")} as t from documents),
+         |pr as (select t[i] as w1, t[i + 1] as w2
+         |       from t, unnest(case when len(t) >= 2 then range(1, len(t)) else [] end) as u(i))
+         |select w1, w2, count(*) as n from pr group by w1, w2
+         |order by n desc, w1, w2 limit 100""".stripMargin,
     "text_lm_score" ->
       // same model, same arithmetic: one IEEE division + multiply +
       // floor per bigram (association-free integer sum per doc), one
