@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Raw passthrough for forked run/runMain stdout: sbt's default logger
+// prefixes every line with "[info] ", which breaks any line-anchored
+// parser of Bench's final JSON line (every round's driver artifact had
+// parsed:null because the line never started with '{' at column 0).
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -2,12 +2,18 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Test-table access. `events.ts` is written by the driver as parquet
-  * TIMESTAMP(NANOS), which Spark's vectorized reader rejects outright;
-  * we read it via `spark.sql.legacy.parquet.nanosAsLong` and expose it
-  * as `ts_ns` (epoch nanoseconds, BIGINT). The DuckDB oracle mirrors
-  * this with `epoch_ns(ts) as ts_ns`, so both engines operate on the
-  * same int64 — no timestamp-unit ambiguity in the hash compare.
+/** Test-table access. `events.ts` has shipped in two physical forms
+  * across driver testdata generations: parquet TIMESTAMP(NANOS) (which
+  * Spark surfaces as BIGINT nanos under
+  * `spark.sql.legacy.parquet.nanosAsLong`) and parquet timestamp[us]
+  * (which Spark surfaces as TIMESTAMP / TIMESTAMP_NTZ). `events()`
+  * normalizes BOTH to the same `ts_us: long` (epoch microseconds), the
+  * finest precision DuckDB and Spark agree on; the DuckDB oracle uses
+  * `epoch_us(ts)` which yields identical int64s for either physical
+  * type. Schema-adaptive instead of config-pinned so a testdata
+  * regeneration cannot silently take out every events-based query (the
+  * round-10 failure: `ts_ns div 1000` against a timestamp column was an
+  * AnalysisException on all 65 events-based ts/stream queries).
   */
 object Tables {
   def configure(spark: SparkSession): SparkSession = {
@@ -21,15 +27,28 @@ object Tables {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** events with `ts` replaced by `ts_us: long` (epoch microseconds).
-    * Microseconds, not nanos: DuckDB's parquet reader truncates
-    * TIMESTAMP(NANOS) to µs, so µs is the finest precision both engines
-    * agree on. `ts_ns div 1000` floors, matching DuckDB's truncation.
+  /** events with `ts` replaced by `ts_us: long` (epoch microseconds),
+    * whatever the physical parquet type of `ts`:
+    *  - BIGINT (legacy nanosAsLong surface of TIMESTAMP(NANOS)):
+    *    `div 1000` floors to µs, matching DuckDB's nanos→µs truncation.
+    *  - TIMESTAMP: `unix_micros` is the exact epoch-µs payload.
+    *  - TIMESTAMP_NTZ: cast to TIMESTAMP first; the session timezone is
+    *    pinned to UTC everywhere (builder + javaOptions), so the naive
+    *    value maps to the same µs DuckDB's `epoch_us` computes.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events").withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", org.apache.spark.sql.functions.expr("ts_ns div 1000"))
-      .drop("ts_ns")
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val raw = table(spark, sfDir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType         => expr("ts div 1000")
+      case TimestampType    => unix_micros(col("ts"))
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case other => throw new IllegalStateException(
+        s"events.ts: unexpected physical type $other")
+    }
+    raw.withColumn("ts_us", tsUs).drop("ts")
+  }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
