@@ -24,14 +24,22 @@ object Dedup {
     * (birthday bound ~2⁻⁶⁴ across 10¹² docs); a corpus that may contain
     * ADVERSARIAL md5 collision pairs should use [[exactVerified]],
     * which compares the texts themselves.
+    *
+    * Hot-key shape: group stats (count, min) come from a partial-agg
+    * groupBy + join back, not a window over the digest — a
+    * 10⁹-duplicate page (real web-crawl case) would otherwise put the
+    * whole group in one unsplittable WindowExec partition. The groupBy
+    * collapses the hot digest map-side to one partial row per task,
+    * and the join-back exchange is AQE-skew-splittable.
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy("__k")
-    docs
+    val keyed = docs
       .select(col(idCol), unhex(md5(TextOps.normalize(col(textCol)))).as("__k"))
-      .withColumn("group_size", count(lit(1)).over(w))
-      .withColumn("min_id", min(col(idCol)).over(w))
-      .withColumn("dup_of", when(col("min_id") < col(idCol), col("min_id")))
+    val groups = keyed.groupBy(col("__k"))
+      .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("__min_id"))
+      .withColumnRenamed("__k", "__gk")
+    keyed.join(groups, col("__k") <=> col("__gk"))
+      .withColumn("dup_of", when(col("__min_id") < col(idCol), col("__min_id")))
       .select(idCol, "group_size", "dup_of")
   }
 
@@ -43,13 +51,15 @@ object Dedup {
     * [[exact]] unless the corpus may contain engineered md5 collisions.
     */
   def exactVerified(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy("__k", "__t")
-    docs
+    val keyed = docs
       .select(col(idCol), TextOps.normalize(col(textCol)).as("__t"))
       .withColumn("__k", unhex(md5(col("__t"))))
-      .withColumn("group_size", count(lit(1)).over(w))
-      .withColumn("min_id", min(col(idCol)).over(w))
-      .withColumn("dup_of", when(col("min_id") < col(idCol), col("min_id")))
+    val groups = keyed.groupBy(col("__k"), col("__t"))
+      .agg(count(lit(1)).as("group_size"), min(col(idCol)).as("__min_id"))
+      .withColumnRenamed("__k", "__gk").withColumnRenamed("__t", "__gt")
+    keyed.join(groups,
+        col("__k") <=> col("__gk") && col("__t") <=> col("__gt"))
+      .withColumn("dup_of", when(col("__min_id") < col(idCol), col("__min_id")))
       .select(idCol, "group_size", "dup_of")
   }
 
@@ -304,13 +314,21 @@ object Dedup {
     * winLen + stride − 1 contains at least one aligned window on both
     * sides when repeats are stride-aligned; unaligned repeats shift
     * detection by < stride spans) while the only shuffled payload is
-    * (doc_id, 8-byte hash) pairs — never the text. Two exchanges:
-    * one on the span hash for the corpus-wide frequency (count-only
-    * window, no join back), one on doc_id for the rollup with map-side
-    * partial aggregation. A pathological hot span (the same banner
-    * pasted in 10⁹ docs) makes one big count-only partition — payload
-    * is 16 bytes/row, and the count itself is what we want, so no salt
-    * is needed.
+    * (doc_id, 8-byte hash) pairs — never the text.
+    *
+    * Skew shape: a boilerplate banner pasted across a web corpus is a
+    * GUARANTEED hot span hash, not a pathological one. An earlier
+    * revision computed span frequency with a count-only window on the
+    * bare hash — 10⁹ copies × 16 B = 16 GB in one WindowExec partition
+    * that AQE cannot split (windows need whole partitions). Current
+    * shape: (1) groupBy(doc, hash) — the doc id diffuses the hot hash
+    * and partial aggregation collapses within-doc repeats map-side;
+    * (2) groupBy(hash) over that — partial agg collapses the hot key
+    * to one row per map task before the exchange; (3) shuffle JOIN
+    * back, whose per-hash probe rows are bounded by
+    * #docs-containing-it and whose exchange — unlike a window — AQE's
+    * OptimizeSkewedJoin can split; (4) doc rollup with map-side
+    * partial aggregation.
     */
   def substringDupStats(
       docs: DataFrame,
@@ -332,15 +350,26 @@ object Dedup {
       .select(col(idCol), explode_outer(col("__spans")).as("__span"))
       .select(col(idCol),
         when(col("__span").isNotNull, TextOps.h60(col("__span"))).as("__h"))
-    // corpus-wide span frequency without a join: one count-only window
-    // over the hash. The null partition (all zero-span docs) is
-    // computed but never read — bounded by the short-doc count.
-    val freq = spans.withColumn("__c",
-      count(col("__h")).over(Window.partitionBy(col("__h"))))
-    freq.groupBy(col(idCol))
+    // stage 1: per-(doc, hash) multiplicity — doc id in the key
+    // diffuses a corpus-hot span; null rows (zero-span docs) ride
+    // through as (doc, null) so every doc reaches the rollup
+    val docSpan = spans.groupBy(col(idCol), col("__h"))
+      .agg(count(lit(1)).as("__k"))
+    // stage 2: corpus-wide span frequency via partial-agg groupBy —
+    // the hot hash collapses to one row per map task pre-exchange
+    // (the count-only window this replaces shuffled every occurrence
+    // onto the bare hash: an unsplittable straggler on banner spans)
+    val freq = docSpan.where(col("__h").isNotNull)
+      .groupBy(col("__h")).agg(sum(col("__k")).as("__c"))
+      .withColumnRenamed("__h", "__fh")
+    // stage 3: join back — AQE-skew-splittable, probe rows per hash
+    // bounded by #docs containing the span
+    docSpan.join(freq, col("__h") === col("__fh"), "left")
+      .groupBy(col(idCol))
       .agg(
-        count(col("__h")).as("n_spans"),
-        coalesce(sum(when(col("__c") > 1, 1L).otherwise(0L)), lit(0L))
+        coalesce(sum(when(col("__h").isNotNull, col("__k"))), lit(0L))
+          .as("n_spans"),
+        coalesce(sum(when(col("__c") > 1, col("__k")).otherwise(0L)), lit(0L))
           .as("n_dup_spans"))
       .select(col(idCol), col("n_spans"), col("n_dup_spans"),
         when(col("n_spans") > 0,

@@ -27,6 +27,15 @@ class DedupPlanSpec extends SparkSpec {
       "shingle hashing must appear exactly once in the plan")
   }
 
+  test("exact dedup: group stats via partial-agg groupBy + join back, never a digest window") {
+    val plan = Dedup.exact(docs, "doc_id", "text").queryExecution.executedPlan.toString
+    // a window over the digest puts a 10⁹-duplicate page's whole group
+    // in one unsplittable partition; the groupBy collapses it map-side
+    assert(!plan.contains("Window "), s"no window over the digest:\n${plan.take(1500)}")
+    assert(plan.contains("partial_count(1)") && plan.contains("partial_min("),
+      s"group stats must partial-aggregate before the exchange:\n${plan.take(1500)}")
+  }
+
   test("bucketed embedding pairs evaluate the bucket scan once (no self-join)") {
     import org.apache.spark.sql.functions._
     val embs = spark.range(40)

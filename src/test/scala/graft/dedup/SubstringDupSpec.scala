@@ -68,13 +68,34 @@ class SubstringDupSpec extends SparkSpec {
     assert(stats(docs)(1L)._1 == 3L)
   }
 
-  test("two-exchange shape: hash-partition on the span hash, then on doc_id") {
+  test("skew-safe shape: partial-agg groupBy + join back, never a window on the bare hash") {
     val docs = Seq((1L, "some document text")).toDF("doc_id", "text")
     val plan = Dedup.substringDupStats(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges == 2, s"expected exactly 2 hash exchanges (span hash + doc rollup):\n$plan")
+    // a count-only window on the span hash is the 100TB straggler
+    // (WindowExec partitions cannot be AQE-split); the corpus frequency
+    // must come from partial-aggregated groupBys + a join back
+    assert(!plan.contains("Window "), s"no window allowed in the span-frequency path:\n$plan")
+    assert(plan.contains("partial_count(1)"),
+      s"per-(doc,hash) multiplicity must partial-aggregate map-side before its exchange:\n$plan")
+    assert(plan.contains("partial_sum(__k"),
+      s"corpus span frequency must partial-aggregate the per-doc counts before its exchange:\n$plan")
     assert(plan.contains("hashpartitioning(__h"),
-      s"first exchange must key on the 8-byte span hash, not the span text:\n$plan")
+      s"frequency exchange must key on the 8-byte span hash, not the span text:\n$plan")
+  }
+
+  test("hot-key corpus: one banner span across every doc stays value-correct") {
+    // the same 32+-char banner pasted into every doc (the guaranteed
+    // web-corpus hot key) plus per-doc unique tails
+    val banner = "subscribe to our newsletter today for updates "
+    val docs = (1L to 40L)
+      .map(i => (i, banner + ("x" * 16) + s" unique tail $i ${"y" * i.toInt}"))
+      .toDF("doc_id", "text")
+    val out = stats(docs)
+    assert(out.size == 40)
+    // every doc must report at least one duplicated span (the banner)
+    out.foreach { case (id, (n, dup, _)) =>
+      assert(n > 0 && dup > 0, s"doc $id: n_spans=$n n_dup=$dup")
+    }
   }
 }

@@ -41,10 +41,35 @@ class LmScoreSpec extends SparkSpec {
       s"repeated natural text ${out(0L)} must outscore gibberish ${out(99L)}")
   }
 
-  test("bigram frequency comes from a count-only window, not a counts-table join") {
+  test("skew-safe shape: partial-agg groupBys + join back, never a window on the bare pair") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     val plan = LmScore.score(docs, "doc_id", "text").queryExecution.executedPlan.toString
-    assert(plan.contains("hashpartitioning(__w1"), s"window must key on the pair:\n${plan.take(1500)}")
-    assert(plan.contains("BroadcastHashJoin"), s"small vocab must broadcast:\n${plan.take(1500)}")
+    // Zipfian bigram frequency through a count-only window is the
+    // 100TB straggler (WindowExec partitions cannot be AQE-split)
+    assert(!plan.contains("Window "), s"no window allowed in the frequency path:\n${plan.take(2000)}")
+    assert(plan.contains("partial_count(1)"),
+      s"per-(doc,bigram) multiplicity must partial-aggregate before its exchange:\n${plan.take(2000)}")
+    assert(plan.contains("partial_sum(__ndb"),
+      s"corpus bigram counts must partial-aggregate the per-doc counts:\n${plan.take(2000)}")
+    assert(plan.contains("hashpartitioning(__w1"),
+      s"frequency exchange must key on the pair:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"), s"small vocab must broadcast:\n${plan.take(2000)}")
+  }
+
+  test("hot-key corpus: one Zipf-dominant bigram stays value-correct") {
+    // "of the" dominates the pair distribution — the expected case at
+    // corpus scale, which the two-stage shape must count correctly
+    val hot = (1 to 30).map(_ => "of the").mkString(" ")
+    val docs = ((1L to 10L).map(i => (i, hot)) :+ (99L, "rare words only")).toDF("doc_id", "text")
+    val out = LmScore.score(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // each hot doc: 60 tokens -> 59 bigrams; c(of,the)=300, c(the,of)=290
+    // vocab {of,the,rare,words,only} -> V=5; c(of)=c(the)=300
+    assert(out(1L)._1 == 59L)
+    val pOfThe = math.floor((300.0 + 1) / (300 + 5) * 1e9).toLong
+    val pTheOf = math.floor((290.0 + 1) / (300 + 5) * 1e9).toLong
+    assert(out(1L)._2 == 30L * pOfThe + 29L * pTheOf,
+      s"expected ${30L * pOfThe + 29L * pTheOf}, got ${out(1L)._2}")
+    assert((1L to 10L).forall(i => out(i) == out(1L)))
   }
 }
