@@ -804,6 +804,16 @@ object SparkEntry {
       val payloads = Multimodal.synthJpegColors(Tables.documents(s, dir).select("doc_id"), "doc_id")
       Multimodal.jpegColorPixelStats(payloads, "doc_id", "payload").orderBy("doc_id")
     },
+    // 4:2:0 CHROMA-SUBSAMPLED baseline-JPEG decode round-trip (the
+    // dominant real-corpus layout): 16x16 MCUs of four Y blocks + one
+    // Cb + one Cr from half-resolution planes, nearest-neighbor
+    // upsample, YCbCr->RGB. Gray-content tiles keep Cb=Cr=128 through
+    // the 2x2 box downsample exactly, so the round-trip stays
+    // bit-exact per channel and the oracle closed-form.
+    "mm_pixels_jpeg_420" -> { (s, dir) =>
+      val payloads = Multimodal.synthJpeg420s(Tables.documents(s, dir).select("doc_id"), "doc_id")
+      Multimodal.jpegColorPixelStats(payloads, "doc_id", "payload").orderBy("doc_id")
+    },
     // REAL audio-CONTENT decode round-trip (the PCM analogue of
     // mm_pixels): synthesize mono 16-bit PCM WAVs whose sample stream
     // is integer arithmetic in (doc_id, i), decode the ACTUAL
@@ -2151,6 +2161,31 @@ object SparkEntry {
         |   unnest(generate_series(0, bw * bh - 1)) as k from p),
         | v as (select doc_id, bw, bh,
         |   (doc_id * 11 + (k % bw) * 29 + (k // bw) * 23) % 256 as v from t)
+        |select doc_id,
+        | cast(8 * bw as bigint) as width,
+        | cast(8 * bh as bigint) as height,
+        | cast(64 * sum(v) as bigint) as sum_r,
+        | cast(64 * sum(v) as bigint) as sum_g,
+        | cast(64 * sum(v) as bigint) as sum_b,
+        | cast(min(v) as bigint) as min_r,
+        | cast(max(v) as bigint) as max_r,
+        | cast(min(v) as bigint) as min_b,
+        | cast(max(v) as bigint) as max_b
+        |from v group by doc_id, bw, bh order by doc_id""".stripMargin,
+    "mm_pixels_jpeg_420" ->
+      // predicts the 4:2:0 subsampled decode of synthJpeg420s: dims are
+      // 16·mw × 16·mh (mw = 1 + id%2, mh = 1 + (3id+1)%2), the 8px tile
+      // grid is 2mw × 2mh, tile (bx,by) is gray (id·13 + bx·19 + by·37)
+      // mod 256; gray content survives chroma subsampling bit-exactly,
+      // so all three channel sums equal the tile arithmetic
+      """with p as (select doc_id,
+        |   2 * (1 + doc_id % 2) as bw,
+        |   2 * (1 + (doc_id * 3 + 1) % 2) as bh
+        | from documents),
+        | t as (select doc_id, bw, bh,
+        |   unnest(generate_series(0, bw * bh - 1)) as k from p),
+        | v as (select doc_id, bw, bh,
+        |   (doc_id * 13 + (k % bw) * 19 + (k // bw) * 37) % 256 as v from t)
         |select doc_id,
         | cast(8 * bw as bigint) as width,
         | cast(8 * bh as bigint) as height,

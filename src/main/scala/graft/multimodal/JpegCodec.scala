@@ -1,11 +1,14 @@
 package graft.multimodal
 
 /** Baseline JPEG (ITU T.81, public spec) — a REAL encoder/decoder pair
-  * for 8-bit grayscale AND 3-component 4:4:4 YCbCr color, no codec
-  * library at all: marker segments, the Annex K Table K.3/K.5 Huffman
-  * tables, run-length AC coding with byte stuffing, interleaved MCUs
-  * with per-component table ids and DC predictors, dequantization and
-  * a double-precision IDCT, JFIF YCbCr↔RGB conversion. This is the compressed-image CONTENT step for mm_pixels_jpeg
+  * for 8-bit grayscale AND 3-component YCbCr color at 4:4:4 or
+  * chroma-subsampled 4:2:0 (the dominant real-corpus layout; the
+  * decoder handles any sampling factors ≤ 2, i.e. also 4:2:2/4:4:0),
+  * no codec library at all: marker segments, the Annex K Table
+  * K.3/K.5 Huffman tables, run-length AC coding with byte stuffing,
+  * interleaved MCUs with per-component table ids, sampling factors and
+  * DC predictors, dequantization and a double-precision IDCT,
+  * nearest-neighbor chroma upsampling, JFIF YCbCr↔RGB conversion. This is the compressed-image CONTENT step for mm_pixels_jpeg
   * (the DCT upgrade of mm_pixels_png, which covers the zlib/predictor
   * family; reference treats media as opaque bytes — mm.* there never
   * decodes, so this surface is graft's own).
@@ -216,7 +219,8 @@ object JpegCodec {
   }
 
   private def writeHeaders(
-      out: java.io.ByteArrayOutputStream, width: Int, height: Int, color: Boolean): Unit = {
+      out: java.io.ByteArrayOutputStream, width: Int, height: Int, color: Boolean,
+      chroma420: Boolean = false): Unit = {
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def seg(m: Int, payload: Array[Int]): Unit = {
       marker(m)
@@ -231,8 +235,10 @@ object JpegCodec {
       // are arbitrary per-stream data (Annex K is only "typical"); what
       // matters for codec generality is the id-selection machinery.
       seg(0xdb, 1 +: Zigzag.map(Quant(_)))
+      // 4:2:0 → luma sampling 2x2 (0x22), chroma 1x1; 4:4:4 → all 1x1
+      val ySamp = if (chroma420) 0x22 else 0x11
       seg(0xc0, Array(8, height >>> 8, height & 0xff, width >>> 8, width & 0xff,
-        3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1)) // 3 comps, 4:4:4, quant 0/1/1
+        3, 1, ySamp, 0, 2, 0x11, 1, 3, 0x11, 1)) // 3 comps, quant 0/1/1
     } else
       seg(0xc0, Array(8, height >>> 8, height & 0xff, width >>> 8, width & 0xff,
         1, 1, 0x11, 0)) // SOF0: 1 component, 1x1 sampling, quant table 0
@@ -310,6 +316,79 @@ object JpegCodec {
         bx += 1
       }
       by += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Encode an 8-bit RGB image (width and height multiples of 16) as a
+    * CHROMA-SUBSAMPLED 4:2:0 baseline JPEG — the dominant real-corpus
+    * layout: luma sampling 2×2, chroma 1×1, so each interleaved MCU
+    * covers 16×16 pixels with four Y blocks followed by one Cb and one
+    * Cr block from half-resolution planes. Chroma downsampling is the
+    * standard 2×2 box average with round-half-up ((a+b+c+d+2)>>2) —
+    * gray content (Cb=Cr=128 everywhere) survives it exactly, which is
+    * what keeps the closed-form oracle for the 420 round-trip.
+    */
+  def encodeColor420(
+      width: Int, height: Int,
+      r: Array[Int], g: Array[Int], b: Array[Int]): Array[Byte] = {
+    require(width % 16 == 0 && height % 16 == 0, "420-MCU-aligned dims")
+    require(r.length == width * height && g.length == r.length && b.length == r.length)
+    val n = width * height
+    val yP = new Array[Int](n)
+    val cbF = new Array[Int](n)
+    val crF = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val rv = r(i); val gv = g(i); val bv = b(i)
+      def clamp(v: Long): Int = if (v < 0) 0 else if (v > 255) 255 else v.toInt
+      yP(i) = clamp(math.round(0.299 * rv + 0.587 * gv + 0.114 * bv))
+      cbF(i) = clamp(math.round(128.0 - 0.168736 * rv - 0.331264 * gv + 0.5 * bv))
+      crF(i) = clamp(math.round(128.0 + 0.5 * rv - 0.418688 * gv - 0.081312 * bv))
+      i += 1
+    }
+    // 2×2 box-averaged half-resolution chroma planes
+    val cw = width / 2
+    val ch = height / 2
+    val cbP = new Array[Int](cw * ch)
+    val crP = new Array[Int](cw * ch)
+    var cy = 0
+    while (cy < ch) {
+      var cx = 0
+      while (cx < cw) {
+        val p0 = (2 * cy) * width + 2 * cx
+        val p1 = p0 + width
+        cbP(cy * cw + cx) = (cbF(p0) + cbF(p0 + 1) + cbF(p1) + cbF(p1 + 1) + 2) >> 2
+        crP(cy * cw + cx) = (crF(p0) + crF(p0 + 1) + crF(p1) + crF(p1 + 1) + 2) >> 2
+        cx += 1
+      }
+      cy += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(2048)
+    writeHeaders(out, width, height, color = true, chroma420 = true)
+    val bw = new BitWriter(out)
+    val preds = new Array[Int](3)
+    var my = 0
+    while (my < height / 16) {
+      var mx = 0
+      while (mx < width / 16) {
+        // MCU: four Y blocks (2×2, row-major), then one Cb, one Cr
+        var vy = 0
+        while (vy < 2) {
+          var hx = 0
+          while (hx < 2) {
+            preds(0) = encodeBlock(bw, yP, width, 2 * mx + hx, 2 * my + vy, preds(0))
+            hx += 1
+          }
+          vy += 1
+        }
+        preds(1) = encodeBlock(bw, cbP, cw, mx, my, preds(1))
+        preds(2) = encodeBlock(bw, crP, cw, mx, my, preds(2))
+        mx += 1
+      }
+      my += 1
     }
     bw.flush()
     out.write(0xff); out.write(0xd9) // EOI
@@ -447,14 +526,19 @@ object JpegCodec {
   /** Shared decode core: marker walk, per-component table selection,
     * interleaved-MCU Huffman entropy decode with per-component DC
     * predictors, dequantize, double IDCT, level shift + clamp.
-    * Returns (w, h, planes) — one plane per SOF0 component (Y or
-    * Y/Cb/Cr). None — never a crash or a stuck loop — for progressive/
-    * 12-bit streams, subsampled components, hostile segment lengths,
-    * truncated entropy data, or over-large declared dimensions.
-    * (Restart markers unsupported → None via the reader's marker
-    * refusal; graft's encoder never emits DRI.)
+    * Handles per-component sampling factors 1..2 (4:4:4, 4:2:2, 4:4:0,
+    * 4:2:0): each MCU carries h_c × v_c blocks per component and each
+    * component decodes into its OWN-resolution plane
+    * (ceil(w·h_c/hmax) × ceil(h·v_c/vmax)); [[decodeRgbPixels]]
+    * upsamples. Returns (w, h, planes, sampH, sampV). None — never a
+    * crash or a stuck loop — for progressive/12-bit streams, sampling
+    * factors > 2, hostile segment lengths, truncated entropy data, or
+    * over-large declared dimensions. (Restart markers unsupported →
+    * None via the reader's marker refusal; graft's encoder never
+    * emits DRI.)
     */
-  private def decodePlanes(b: Array[Byte]): Option[(Int, Int, Array[Array[Int]])] = {
+  private def decodePlanes(
+      b: Array[Byte]): Option[(Int, Int, Array[Array[Int]], Array[Int], Array[Int])] = {
     if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
     var o = 2
     var w = -1
@@ -465,6 +549,8 @@ object JpegCodec {
     val acTabs = Array.fill(4)(null: HuffDec)
     val compId = new Array[Int](4)
     val compQuant = new Array[Int](4)
+    val compSh = new Array[Int](4)
+    val compSv = new Array[Int](4)
     val dcSel = new Array[Int](4)
     val acSel = new Array[Int](4)
     var scanAt = -1
@@ -519,7 +605,15 @@ object JpegCodec {
             var c = 0
             while (c < nc) {
               compId(c) = b(p + 6 + 3 * c) & 0xff
-              if ((b(p + 7 + 3 * c) & 0xff) != 0x11) return None // 1x1 sampling only
+              val samp = b(p + 7 + 3 * c) & 0xff
+              compSh(c) = samp >>> 4
+              compSv(c) = samp & 0x0f
+              // factors 1..2 cover 4:4:4 / 4:2:2 / 4:4:0 / 4:2:0;
+              // single-component scans are non-interleaved in T.81 —
+              // keep them to the 1x1 layout this decoder implements
+              if (compSh(c) < 1 || compSh(c) > 2 || compSv(c) < 1 || compSv(c) > 2)
+                return None
+              if (nc == 1 && (compSh(c) != 1 || compSv(c) != 1)) return None
               compQuant(c) = b(p + 8 + 3 * c) & 0xff
               if (compQuant(c) > 3) return None
               c += 1
@@ -551,63 +645,86 @@ object JpegCodec {
         dcTabs(dcSel(c)) == null || acTabs(acSel(c)) == null) return None
       c += 1
     }
-    val bw = (w + 7) / 8
-    val bh = (h + 7) / 8
-    val planes = Array.fill(nc)(new Array[Int](w * h))
+    // per-component own-resolution plane dims (T.81 A.1.1)
+    var hmax = 1
+    var vmax = 1
+    c = 0
+    while (c < nc) {
+      if (compSh(c) > hmax) hmax = compSh(c)
+      if (compSv(c) > vmax) vmax = compSv(c)
+      c += 1
+    }
+    val compW = Array.tabulate(nc)(ci => (w * compSh(ci) + hmax - 1) / hmax)
+    val compH = Array.tabulate(nc)(ci => (h * compSv(ci) + vmax - 1) / vmax)
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val planes = Array.tabulate(nc)(ci => new Array[Int](compW(ci) * compH(ci)))
     val coef = new Array[Double](64)
     val r = new BitReader(b, scanAt)
     val preds = new Array[Int](4)
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
         var ci = 0
-        while (ci < nc) { // interleaved MCU: one block per component
+        while (ci < nc) { // interleaved MCU: h_c × v_c blocks per component
           val q = quant(compQuant(ci))
-          java.util.Arrays.fill(coef, 0.0)
-          val s = r.decode(dcTabs(dcSel(ci)))
-          if (r.bad || s < 0 || s > 11) return None
-          preds(ci) += extend(r.bits(s), s)
-          coef(0) = preds(ci).toDouble * q(0)
-          var k = 1
-          while (k < 64) {
-            val rs = r.decode(acTabs(acSel(ci)))
-            if (r.bad || rs < 0) return None
-            val run = rs >>> 4
-            val sz = rs & 0x0f
-            if (sz == 0) {
-              if (run == 15) k += 16 // ZRL
-              else k = 64 // EOB
-            } else {
-              k += run
-              if (k > 63) return None
-              coef(Zigzag(k)) = extend(r.bits(sz), sz).toDouble * q(Zigzag(k))
-              k += 1
-            }
-            if (r.bad) return None
-          }
-          val block = idct(coef)
+          val cw = compW(ci)
+          val chh = compH(ci)
           val plane = planes(ci)
-          var y = 0
-          while (y < 8) {
-            val py = by * 8 + y
-            if (py < h) {
-              var x = 0
-              while (x < 8) {
-                val px = bx * 8 + x
-                if (px < w) plane(py * w + px) = block(y * 8 + x)
-                x += 1
+          var vy = 0
+          while (vy < compSv(ci)) {
+            var hx = 0
+            while (hx < compSh(ci)) {
+              java.util.Arrays.fill(coef, 0.0)
+              val s = r.decode(dcTabs(dcSel(ci)))
+              if (r.bad || s < 0 || s > 11) return None
+              preds(ci) += extend(r.bits(s), s)
+              coef(0) = preds(ci).toDouble * q(0)
+              var k = 1
+              while (k < 64) {
+                val rs = r.decode(acTabs(acSel(ci)))
+                if (r.bad || rs < 0) return None
+                val run = rs >>> 4
+                val sz = rs & 0x0f
+                if (sz == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else k = 64 // EOB
+                } else {
+                  k += run
+                  if (k > 63) return None
+                  coef(Zigzag(k)) = extend(r.bits(sz), sz).toDouble * q(Zigzag(k))
+                  k += 1
+                }
+                if (r.bad) return None
               }
+              val block = idct(coef)
+              val bx = mx * compSh(ci) + hx
+              val by = my * compSv(ci) + vy
+              var y = 0
+              while (y < 8) {
+                val py = by * 8 + y
+                if (py < chh) {
+                  var x = 0
+                  while (x < 8) {
+                    val px = bx * 8 + x
+                    if (px < cw) plane(py * cw + px) = block(y * 8 + x)
+                    x += 1
+                  }
+                }
+                y += 1
+              }
+              hx += 1
             }
-            y += 1
+            vy += 1
           }
           ci += 1
         }
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
-    Some((w, h, planes))
+    Some((w, h, planes, compSh.take(nc), compSv.take(nc)))
   }
 
   /** REAL baseline-JPEG grayscale pixel decode (1-component streams
@@ -615,31 +732,52 @@ object JpegCodec {
     */
   def decodeGrayPixels(b: Array[Byte]): Option[(Int, Int, Array[Int])] =
     decodePlanes(b) match {
-      case Some((w, h, planes)) if planes.length == 1 => Some((w, h, planes(0)))
+      case Some((w, h, planes, _, _)) if planes.length == 1 => Some((w, h, planes(0)))
       case _ => None
     }
 
-  /** REAL baseline COLOR JPEG pixel decode: the 3-component 4:4:4
-    * interleaved scan through [[decodePlanes]], then the JFIF
-    * YCbCr → RGB conversion (round + clamp per channel).
+  /** REAL baseline COLOR JPEG pixel decode: the 3-component
+    * interleaved scan through [[decodePlanes]] (4:4:4 or
+    * chroma-subsampled 4:2:2 / 4:4:0 / 4:2:0), nearest-neighbor
+    * (sample-replication) chroma upsampling for subsampled components,
+    * then the JFIF YCbCr → RGB conversion (round + clamp per channel).
     */
   def decodeRgbPixels(b: Array[Byte]): Option[(Int, Int, Array[Int], Array[Int], Array[Int])] =
     decodePlanes(b) match {
-      case Some((w, h, planes)) if planes.length == 3 =>
+      case Some((w, h, planes, sh, sv)) if planes.length == 3 =>
         val n = w * h
         val r = new Array[Int](n)
         val g = new Array[Int](n)
         val bl = new Array[Int](n)
+        var hmax = 1
+        var vmax = 1
+        var ci = 0
+        while (ci < 3) {
+          if (sh(ci) > hmax) hmax = sh(ci)
+          if (sv(ci) > vmax) vmax = sv(ci)
+          ci += 1
+        }
+        // component sample at full-res (x, y): own-plane coordinate is
+        // (x·h_c/hmax, y·v_c/vmax) — sample replication, the exact
+        // inverse of the encoder's box average on constant chroma
+        val cws = Array.tabulate(3)(c => (w * sh(c) + hmax - 1) / hmax)
+        def samp(c: Int, x: Int, y: Int): Int =
+          planes(c)((y * sv(c) / vmax) * cws(c) + (x * sh(c) / hmax))
         def clamp(v: Long): Int = if (v < 0) 0 else if (v > 255) 255 else v.toInt
-        var i = 0
-        while (i < n) {
-          val y = planes(0)(i).toDouble
-          val cb = planes(1)(i) - 128.0
-          val cr = planes(2)(i) - 128.0
-          r(i) = clamp(math.round(y + 1.402 * cr))
-          g(i) = clamp(math.round(y - 0.344136 * cb - 0.714136 * cr))
-          bl(i) = clamp(math.round(y + 1.772 * cb))
-          i += 1
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = y * w + x
+            val yy = samp(0, x, y).toDouble
+            val cb = samp(1, x, y) - 128.0
+            val cr = samp(2, x, y) - 128.0
+            r(i) = clamp(math.round(yy + 1.402 * cr))
+            g(i) = clamp(math.round(yy - 0.344136 * cb - 0.714136 * cr))
+            bl(i) = clamp(math.round(yy + 1.772 * cb))
+            x += 1
+          }
+          y += 1
         }
         Some((w, h, r, g, bl))
       case _ => None

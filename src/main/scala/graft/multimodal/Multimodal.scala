@@ -835,6 +835,44 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** Deterministic synthesized 4:2:0 CHROMA-SUBSAMPLED baseline JPEGs —
+    * the dominant real-corpus layout (16×16 MCUs: four Y blocks + one
+    * Cb + one Cr from half-resolution planes): gray-content constant
+    * 8×8 tiles — tile (bx, by) has R=G=B = (id·13 + bx·19 + by·37) mod
+    * 256 — so Y is tile-constant and Cb=Cr=128 everywhere, which
+    * survives BOTH the 2×2 box downsample (average of four 128s) and
+    * the DCT round-trip exactly; the per-channel closed-form oracle of
+    * the 4:4:4 color path carries over unchanged while the payloads
+    * exercise the full multi-block-MCU machinery (per-MCU Y DC
+    * prediction chains, subsampled chroma planes, upsampling).
+    */
+  def synthJpeg420s(df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val id = r.getLong(idIdx)
+        // dims in 16px MCU units (1-2 each) → 8px tile grid is 2·mw × 2·mh
+        val mw = 1 + (id % 2L).toInt
+        val mh = 1 + ((id * 3L + 1L) % 2L).toInt
+        val w = 16 * mw
+        val h = 16 * mh
+        val pix = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            pix(y * w + x) = ((id * 13L + (x / 8) * 19L + (y / 8) * 37L) % 256L).toInt
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, JpegCodec.encodeColor420(w, h, pix, pix, pix))
+      })
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Batched REAL color-JPEG pixel decode: interleaved 3-component
     * entropy decode + IDCT + YCbCr→RGB, walking the ACTUAL decoded
     * pixels — per-channel integer sum/min/max, nulls for unparseable

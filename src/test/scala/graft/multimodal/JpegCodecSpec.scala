@@ -193,6 +193,84 @@ class JpegCodecSpec extends AnyFunSuite {
     }
   }
 
+  private def tileImage420(id: Long): (Int, Int, Array[Int]) = {
+    val mw = 1 + (id % 2L).toInt
+    val mh = 1 + ((id * 3L + 1L) % 2L).toInt
+    val w = 16 * mw
+    val h = 16 * mh
+    val pix = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      ((id * 13L + (x / 8) * 19L + (y / 8) * 37L) % 256L).toInt
+    }
+    (w, h, pix)
+  }
+
+  test("420: gray-content chroma-subsampled JPEGs round-trip exactly on all channels") {
+    // gray content → Cb=Cr=128 everywhere, which the 2×2 box average
+    // preserves exactly; Y stays constant per 8×8 tile → every block in
+    // every plane is DC-only and the full 420 pipeline (4-block luma
+    // MCUs, half-res chroma, NN upsample) is bit-exact
+    (0L until 24L).foreach { id =>
+      val (w, h, pix) = tileImage420(id)
+      val enc = JpegCodec.encodeColor420(w, h, pix, pix, pix)
+      val Some((dw, dh, r, g, b)) = JpegCodec.decodeRgbPixels(enc)
+      assert(dw == w && dh == h)
+      assert(r.sameElements(pix) && g.sameElements(pix) && b.sameElements(pix),
+        s"id=$id 420 round-trip must reproduce the gray tile contract on every channel")
+      // cross-validate against the independent JDK decoder: constant
+      // chroma survives ANY upsampling filter, so agreement is exact
+      val (iw, ih, ir, ig, ib) = imageIoDecodeRgb(enc)
+      assert(iw == w && ih == h)
+      assert(ir.sameElements(pix) && ig.sameElements(pix) && ib.sameElements(pix),
+        s"id=$id ImageIO must agree exactly on gray-content 420 streams")
+    }
+  }
+
+  test("420: constant-color image decodes to the source within quantization rounding") {
+    // uniform non-gray color: chroma planes are a non-128 constant —
+    // the box downsample and NN upsample are exact on constants, so the
+    // only loss is YCbCr integer rounding (±1 per channel)
+    val w = 32; val h = 16
+    val r0 = Array.fill(w * h)(200)
+    val g0 = Array.fill(w * h)(80)
+    val b0 = Array.fill(w * h)(40)
+    val enc = JpegCodec.encodeColor420(w, h, r0, g0, b0)
+    val Some((dw, dh, r, g, b)) = JpegCodec.decodeRgbPixels(enc)
+    assert(dw == w && dh == h)
+    var i = 0
+    while (i < w * h) {
+      assert(math.abs(r(i) - 200) <= 1 && math.abs(g(i) - 80) <= 1 && math.abs(b(i) - 40) <= 1,
+        s"pixel $i: (${r(i)},${g(i)},${b(i)}) vs (200,80,40)")
+      i += 1
+    }
+    // inter-decoder agreement on the same stream (both see constant
+    // planes; upsampling filters agree on constants)
+    val (iw, ih, ir, ig, ib) = imageIoDecodeRgb(enc)
+    assert(iw == w && ih == h)
+    i = 0
+    while (i < w * h) {
+      assert(math.abs(r(i) - ir(i)) <= 1 && math.abs(g(i) - ig(i)) <= 1 && math.abs(b(i) - ib(i)) <= 1,
+        s"pixel $i: ours (${r(i)},${g(i)},${b(i)}) vs ImageIO (${ir(i)},${ig(i)},${ib(i)})")
+      i += 1
+    }
+  }
+
+  test("420: hostile truncations return None, never crash or hang") {
+    val (w, h, pix) = tileImage420(5L)
+    val enc = JpegCodec.encodeColor420(w, h, pix, pix, pix)
+    (0 until enc.length by 5).foreach { n =>
+      JpegCodec.decodeRgbPixels(java.util.Arrays.copyOf(enc, n)) // must return
+    }
+    // sampling factors > 2 must be refused: patch Y sampling 0x22→0x33
+    val sof = (0 until enc.length - 1).indexWhere(i =>
+      (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) == 0xc0)
+    assert(sof >= 0)
+    val bad = enc.clone()
+    // FFC0 len(2) prec(1) h(2) w(2) nc(1) [id samp tq]… → samp₁ at sof+11
+    bad(sof + 11) = 0x33.toByte
+    assert(JpegCodec.decodeRgbPixels(bad).isEmpty, "sampling 3x3 must be refused")
+  }
+
   test("progressive/multi-component/DRI streams are refused, not mis-decoded") {
     val (w, h, pix) = tileImage(3L)
     val enc = JpegCodec.encodeGray(w, h, pix)
