@@ -738,6 +738,13 @@ object SparkEntry {
     "text_bpe_pairs" -> { (s, dir) =>
       TokenizerStats.topPairs(Tables.documents(s, dir), "text", k = 100)
     },
+    // the full BPE trainer loop over that scan: 8 learned merges on
+    // the corpus — pair argmax + fold-applied merge per round, state
+    // collapsed to the (word, freq) vocabulary after ONE corpus scan
+    "text_bpe_train" -> { (s, dir) =>
+      TokenizerStats.bpeTrain(Tables.documents(s, dir), "text", rounds = 8)
+        .orderBy("rank")
+    },
     "text_tokens" -> { (s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
@@ -1229,6 +1236,47 @@ object SparkEntry {
   private def taylorOracle(spec: ts.TaylorBasis.Spec): String = {
     val exprs = OracleGen.taylorExprs(spec, evOver, Seq("user_id")).mkString(",\n ")
     s"select user_id, epoch_us(ts) as ts_us, event_id, value,\n $exprs\nfrom events\norder by $evKeys"
+  }
+
+  /** DuckDB twin of [[TokenizerStats.bpeTrain]]: `rounds` chained CTE
+    * rounds over the (word, freq) vocabulary. Symbols are encoded as
+    * chr(1)-wrapped segments so each greedy merge is ONE left-to-right
+    * non-overlapping replace() (adjacent matches share no characters);
+    * pairs are re-derived each round by splitting the encoding.
+    */
+  private def bpeTrainOracleSql(rounds: Int): String = {
+    val d = "chr(1)"
+    val sb = new StringBuilder
+    sb ++= s"""with w0 as (
+      |  select w, cast(count(*) as bigint) as f,
+      |    regexp_replace(w, '(.)', $d || '\\1' || $d, 'g') as s
+      |  from (select unnest(${graft.functions.SqlTwins.toks("text")}) as w from documents) tw
+      |  group by w
+      |)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+      |p$r as (
+      |  select t[i] as l, t[i + 1] as r2, f
+      |  from (select string_split(trim(s, $d), $d || $d) as t, f from w${r - 1}) x,
+      |       unnest(case when len(t) >= 2 then range(1, len(t)) else [] end) as u(i)
+      |),
+      |m$r as (
+      |  select l, r2, cast(sum(f) as bigint) as n from p$r
+      |  group by l, r2 order by n desc, l, r2 limit 1
+      |),
+      |w$r as (
+      |  select w, f,
+      |    replace(s, (select $d || l || $d || $d || r2 || $d from m$r),
+      |               (select $d || l || r2 || $d from m$r)) as s
+      |  from w${r - 1}
+      |)""".stripMargin
+    }
+    sb ++= "\nselect * from (\n"
+    sb ++= (1 to rounds).map(r =>
+      s"  select cast($r as bigint) as rank, l as lhs, r2 as rhs, n as pair_count from m$r")
+      .mkString("", "\n  union all\n", "\n")
+    sb ++= ") order by rank"
+    sb.toString
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -2037,6 +2085,17 @@ object SparkEntry {
          |       from t, unnest(case when len(t) >= 2 then range(1, len(t)) else [] end) as u(i))
          |select w1, w2, count(*) as n from pr group by w1, w2
          |order by n desc, w1, w2 limit 100""".stripMargin,
+    "text_bpe_train" ->
+      // replays the SAME greedy algorithm: words collapse to (word,
+      // freq) once; each round takes the (count desc, pair asc) argmax
+      // and applies the merge left-to-right non-overlapping. Symbol
+      // sequences are encoded as chr(1)-wrapped segments
+      // (D s1 D D s2 D …), so the pair pattern D a D D b D shares NO
+      // characters between adjacent matches and DuckDB's left-to-right
+      // non-overlapping replace() IS the greedy BPE fuse — the same
+      // trick as the reference BPE's space-joined regex, made
+      // lookbehind-free. Integer counts only.
+      bpeTrainOracleSql(rounds = 8),
     "text_lm_score" ->
       // same model, same arithmetic: one IEEE division + multiply +
       // floor per bigram (association-free integer sum per doc), one

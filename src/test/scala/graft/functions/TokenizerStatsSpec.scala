@@ -36,4 +36,89 @@ class TokenizerStatsSpec extends SparkSpec {
     assert(out.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
       Seq(("x", "y", 1L)))
   }
+
+  // ---- BPE trainer ------------------------------------------------------
+
+  /** Straight single-node reference BPE (Sennrich et al. alg.): word
+    * frequencies, then per round count weighted adjacent pairs, take
+    * the (count desc, pair asc) argmax, fuse greedily left-to-right.
+    */
+  private def referenceBpe(corpus: Seq[String], rounds: Int): Seq[(Long, String, String, Long)] = {
+    def tok(s: String): Seq[String] =
+      s.toLowerCase.map(c => if (c.isLetterOrDigit) c else ' ').mkString
+        .split(" +").toSeq.filter(_.nonEmpty) match {
+        case Nil => Seq("")
+        case t => t
+      }
+    val wordFreq = scala.collection.mutable.Map.empty[String, Long]
+    corpus.flatMap(tok).foreach(w => wordFreq(w) = wordFreq.getOrElse(w, 0L) + 1)
+    var words: Map[Vector[String], Long] =
+      wordFreq.toMap.map { case (w, f) => (w.toVector.map(_.toString), f) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => pairs((a, b)) = pairs.getOrElse((a, b), 0L) + f
+          case _ => ()
+        }
+      }
+      if (pairs.nonEmpty) {
+        val ((a, b), n) = pairs.minBy { case ((x, y), c) => (-c, x, y) }
+        out += ((r.toLong, a, b, n))
+        words = words.toSeq.map { case (syms, f) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          syms.foreach { x =>
+            if (acc.nonEmpty && acc.last == a && x == b) acc(acc.length - 1) = a + b
+            else acc += x
+          }
+          (acc.toVector, f)
+        }.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).sum) }
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain equals a straight single-node BPE on a hand corpus") {
+    val corpus = Seq(
+      "the cat sat on the mat", "the cat ate the rat", "a cat and a bat",
+      "low lower lowest", "new newer newest", "wider wide widest",
+      "banana bandana", "aaaa aaa aa")
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val expected = referenceBpe(corpus, rounds = 10)
+    val got = TokenizerStats.bpeTrain(docs, "text", rounds = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == expected, s"\ngot:      $got\nexpected: $expected")
+  }
+
+  test("mergeOnce fuses greedily left-to-right, non-overlapping") {
+    val df = Seq(
+      (Seq("x", "x", "x", "x"), "x", "x"), // → xx xx
+      (Seq("a", "a", "a"), "a", "a"),      // → aa a
+      (Seq("a", "b", "a", "b"), "a", "b"), // → ab ab
+      (Seq("b", "a", "b"), "a", "b"),      // → b ab
+      (Seq("q"), "a", "b")                 // untouched
+    ).toDF("s", "a", "b")
+    import org.apache.spark.sql.functions.col
+    def run(syms: Seq[String], a: String, b: String): Seq[String] = {
+      val one = Seq(Tuple1(syms)).toDF("s")
+      one.select(TokenizerStats.mergeOnce(col("s"), a, b).as("m"))
+        .collect()(0).getSeq[String](0)
+    }
+    assert(run(Seq("x", "x", "x", "x"), "x", "x") == Seq("xx", "xx"))
+    assert(run(Seq("a", "a", "a"), "a", "a") == Seq("aa", "a"))
+    assert(run(Seq("a", "b", "a", "b"), "a", "b") == Seq("ab", "ab"))
+    assert(run(Seq("b", "a", "b"), "a", "b") == Seq("b", "ab"))
+    assert(run(Seq("q"), "a", "b") == Seq("q"))
+    assert(run(Seq(), "a", "b") == Seq())
+    df.count() // silence the unused frame
+  }
+
+  test("bpeTrain stops early when no pairs remain") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    // single-char words only → round 1 has no intra-word pairs at all
+    val out = TokenizerStats.bpeTrain(docs, "text", rounds = 5).collect()
+    assert(out.isEmpty, "no intra-word pairs → no merges learned")
+  }
 }
