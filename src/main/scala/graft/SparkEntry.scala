@@ -968,6 +968,18 @@ object SparkEntry {
           "doc_id", col("n_tok"), capacity = 512L, shards = 32)
         .orderBy("shard", "bin_id", "doc_id")
     },
+    // length-grouped (curriculum) packing: same shard exchange + window
+    // prefix-sum, but documents concatenate in token-count order within
+    // each shard — similar-length docs land in the same bins; doc_id
+    // stays the deterministic tiebreak
+    "pack_sequences_curriculum" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Packing.packFragments(docs.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tok")),
+          "doc_id", col("n_tok"), capacity = 512L, shards = 32,
+          orderBy = Seq(col("n_tok")))
+        .orderBy("shard", "bin_id", "doc_id")
+    },
     // heavy hitters via Misra-Gries candidates + exact recount — the
     // bounded-memory top-terms path (no vocabulary shuffle); capacity 64
     // ≥ the synthetic vocab so the result provably equals exact top-k
@@ -1128,12 +1140,17 @@ object SparkEntry {
     * in arrival (= doc_id) order, so batch and stream are value-equal
     * by construction.
     */
-  private lazy val packSql: String =
+  private lazy val packSql: String = packSqlOrdered("doc_id")
+
+  /** packSql with an explicit within-shard concatenation order (doc_id
+    * must remain the final tiebreak) — the curriculum-packing twin.
+    */
+  private def packSqlOrdered(ord: String): String =
     s"""with d as (select doc_id, doc_id % 32 as shard,
        |    cast(len(${SqlTwins.toks("text")}) as bigint) as n_tok
        |  from documents),
        | c as (select doc_id, shard, n_tok,
-       |    cast(sum(n_tok) over (partition by shard order by doc_id) as bigint) as tok_end
+       |    cast(sum(n_tok) over (partition by shard order by $ord) as bigint) as tok_end
        |  from d),
        | s as (select doc_id, shard, n_tok, tok_end, tok_end - n_tok as tok_start
        |  from c where n_tok > 0),
@@ -2535,6 +2552,7 @@ object SparkEntry {
     // the oracle replays it exactly: per-shard token prefix sums, then
     // each document's spanned-bin range via generate_series
     "pack_sequences" -> packSql,
+    "pack_sequences_curriculum" -> packSqlOrdered("n_tok, doc_id"),
     // the pack_sequences oracle verbatim: the streaming state machine
     // replays the same per-shard prefix sums in arrival order, so
     // batch and stream share one SQL twin

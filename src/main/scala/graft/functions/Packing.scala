@@ -35,6 +35,14 @@ object Packing {
     * fragments tile each bin `[0, capacity)` gaplessly; every bin
     * before a shard's last holds exactly `capacity` tokens.
     *
+    * `orderBy` controls the within-shard concatenation order —
+    * length-grouped packing (order by token count: similar-length
+    * documents land in the same bins — the curriculum/bucketing knob)
+    * costs nothing beyond evaluating the expressions: the exchange is
+    * still the single shard-key hash partition and the sort stays
+    * inside the existing per-shard window. `idCol` is ALWAYS the final
+    * tiebreak, so any ordering is a deterministic total order.
+    *
     * Documents with zero tokens occupy no space and emit no fragment.
     */
   def packFragments(
@@ -42,13 +50,16 @@ object Packing {
       idCol: String,
       tokenCol: Column,
       capacity: Long,
-      shards: Int): DataFrame = {
+      shards: Int,
+      orderBy: Seq[Column] = Nil): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
     require(shards > 0, s"shards must be positive, got $shards")
-    val w = Window.partitionBy("shard").orderBy(idCol)
+    val ordCols = orderBy.zipWithIndex.map { case (c, i) => c.as(s"__ord$i") }
+    val ordNames = orderBy.indices.map(i => col(s"__ord$i"))
+    val w = Window.partitionBy("shard").orderBy(ordNames :+ col(idCol): _*)
     docs
-      .select(col(idCol), tokenCol.cast("long").as("n_tok"),
-        pmod(col(idCol), lit(shards.toLong)).cast("int").as("shard"))
+      .select(Seq(col(idCol), tokenCol.cast("long").as("n_tok"),
+        pmod(col(idCol), lit(shards.toLong)).cast("int").as("shard")) ++ ordCols: _*)
       .withColumn("tok_end", sum("n_tok").over(w))
       .withColumn("tok_start", col("tok_end") - col("n_tok"))
       .where(col("n_tok") > 0)

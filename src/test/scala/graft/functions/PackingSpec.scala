@@ -79,6 +79,43 @@ class PackingSpec extends SparkSpec {
     assert("Generate explode".r.findAllIn(plan).nonEmpty, "expected the spanned-bin explode")
   }
 
+  test("curriculum order: conservation and fill invariants hold under a non-id order") {
+    val rng = new scala.util.Random(17)
+    val docs = (0L until 240L).map(id => id -> (1L + rng.nextInt(30)))
+    val frags = Packing.packFragments(
+        docs.toDF("doc_id", "n"), "doc_id", col("n"), C, shards = 4,
+        orderBy = Seq(col("n")))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // conservation
+    val byDoc = frags.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    docs.foreach { case (id, n) => assert(byDoc.getOrElse(id, 0L) == n, s"doc $id") }
+    // gapless full bins
+    frags.groupBy(f => (f._2, f._3)).foreach { case ((shard, bin), fs) =>
+      val sorted = fs.sortBy(_._4)
+      var at = 0L
+      sorted.foreach { f => assert(f._4 == at, s"shard $shard bin $bin"); at += f._5 }
+      val lastBin = frags.filter(_._2 == shard).map(_._3).max
+      if (bin < lastBin) assert(at == C) else assert(at <= C)
+    }
+    // length-grouped: within a shard, docs appear in nondecreasing
+    // token-count order of their first fragment position
+    frags.groupBy(_._2).foreach { case (_, fs) =>
+      val firstPos = fs.groupBy(_._1).map { case (id, g) =>
+        val f = g.minBy(x => (x._3, x._4))
+        (id, (f._3, f._4))
+      }
+      val lens = docs.toMap
+      val ordered = firstPos.toSeq.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Seq((id1, _), (id2, _)) =>
+          assert(lens(id1) < lens(id2) || (lens(id1) == lens(id2) && id1 < id2),
+            s"docs $id1,$id2 out of curriculum order")
+        case _ => ()
+      }
+    }
+  }
+
   test("shards pack independently: fragment sets per shard depend only on that shard's docs") {
     val docs = (0L until 40L).map(id => id -> (id % 7 + 1))
     val all = pack(docs)
