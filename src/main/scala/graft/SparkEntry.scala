@@ -543,6 +543,13 @@ object SparkEntry {
       Dedup.duplicateClusters(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     },
+    // end-to-end purge verdict over the transitive families: family
+    // sizes via partial-agg groupBy + join back (de-skewed), keep ⇔
+    // representative — the complete near-dup kill path
+    "dedup_purge" -> { (s, dir) =>
+      Dedup.purgeStats(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhashDupOf(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
     },
@@ -956,6 +963,32 @@ object SparkEntry {
         .select("lang", "doc_id", "sample_rank")
         .orderBy("lang", "sample_rank")
     },
+    // deterministic corpus shuffle into numbered training shards: hash
+    // shard + within-shard hash-order position — the "write shuffled
+    // shards" step; one exchange, per-shard sorts, engine-reproducible
+    "sample_shards" -> { (s, dir) =>
+      Sampling.shardAssign(Tables.documents(s, dir).select("doc_id"), "doc_id", shards = 16)
+        .orderBy("shard", "pos")
+    },
+    // domain-mixture rebalancing: per-language keep fractions decided
+    // by id hash — map-only, the sampled mixture is a pure function of
+    // the corpus
+    "sample_mixture" -> { (s, dir) =>
+      Sampling.mixtureSample(Tables.documents(s, dir), "doc_id", col("lang"),
+          weights = Map("en" -> 1.0, "zh" -> 0.25), defaultFrac = 0.5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+    // global token-budget cap via the two-level distributed prefix sum
+    // (per-shard window + shards-row offset cumsum broadcast back) —
+    // no global sort, boundary doc truncated to exactly fit the budget
+    "pack_budget_cut" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Packing.budgetCut(docs.select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tok")),
+          "doc_id", col("n_tok"), budget = 20000L, shards = 16)
+        .orderBy("shard", "global_start")
+    },
     // GPT-style sequence packing: documents laid end-to-end per shard
     // and cut into 512-token context bins, splitting across boundaries
     // — every non-final bin fills to exactly 512 (zero padding waste).
@@ -1232,7 +1265,11 @@ object SparkEntry {
     * terminates at the closure); cluster id = min over the reachable
     * set, exactly the fixpoint the propagation loop computes.
     */
-  private lazy val minhashClustersSql: String =
+  /** Shared CTE chain ending in `lab(doc_id, cluster_id)` — the
+    * transitive-closure cluster labels; reused by the clusters and the
+    * purge oracles.
+    */
+  private lazy val minhashClustersCtes: String =
     s"""with recursive $minhashBandsCtes,
        |m as (select band_idx, band_key, min(doc_id) as mn from bands group by 1, 2),
        |e0 as (select distinct m.mn as src, b.doc_id as dst
@@ -1242,10 +1279,21 @@ object SparkEntry {
        |r as (select src, dst from e
        |      union
        |      select r.src, e.dst from r join e on r.dst = e.src),
-       |c as (select src as doc_id, min(dst) as mn from r group by src)
-       |select d.doc_id, least(d.doc_id, coalesce(c.mn, d.doc_id)) as cluster_id
-       |from (select doc_id from documents) d left join c using (doc_id)
-       |order by doc_id""".stripMargin
+       |c as (select src as doc_id, min(dst) as mn from r group by src),
+       |lab as (select d.doc_id, least(d.doc_id, coalesce(c.mn, d.doc_id)) as cluster_id
+       |        from (select doc_id from documents) d left join c using (doc_id))""".stripMargin
+
+  private lazy val minhashClustersSql: String =
+    minhashClustersCtes + "\nselect doc_id, cluster_id from lab order by doc_id"
+
+  private lazy val dedupPurgeSql: String =
+    minhashClustersCtes +
+      """,
+        |fam as (select cluster_id, cast(count(*) as bigint) as family_size
+        |        from lab group by cluster_id)
+        |select lab.doc_id, lab.cluster_id, fam.family_size,
+        |       lab.doc_id = lab.cluster_id as kept
+        |from lab join fam using (cluster_id) order by lab.doc_id""".stripMargin
   private val mhParams = TextOps.minhashParams(mhK)
   private val annPlanes = VectorOps.lshPlanes(8, 64)
   private val mmPlanes = VectorOps.lshPlanes(4, 8, seed = 13L)
@@ -1881,6 +1929,7 @@ object SparkEntry {
          |from d order by doc_id""".stripMargin,
     "dedup_minhash" -> minhashDupOfSql,
     "dedup_clusters" -> minhashClustersSql,
+    "dedup_purge" -> dedupPurgeSql,
     "dedup_simhash" ->
       s"""with sig as (select doc_id, ${SqlTwins.simhash32(SqlTwins.toks("text"))} as simhash from documents),
          |bands as (
@@ -2548,6 +2597,38 @@ object SparkEntry {
          |  from documents)
          |where sample_rank <= 25
          |order by lang, sample_rank""".stripMargin,
+    // hash shard + hash-order position: the deterministic corpus
+    // shuffle, pure integer arithmetic on both engines
+    "sample_shards" ->
+      s"""with d as (select doc_id, ${SqlTwins.h60("cast(doc_id as varchar)")} as h from documents)
+         |select doc_id, cast(h % 16 as int) as shard,
+         |  cast(row_number() over (partition by h % 16 order by h, doc_id) - 1 as bigint) as pos
+         |from d order by shard, pos""".stripMargin,
+    // per-language keep fraction over the id-hash bucket — integer
+    // cutoffs, exact boundary semantics
+    "sample_mixture" ->
+      s"""with d as (select doc_id, lang,
+         |    ${SqlTwins.h60("cast(doc_id as varchar)")} % 10000 as b from documents)
+         |select doc_id, lang from d
+         |where b < (case when lang = 'en' then 10000
+         |                when lang = 'zh' then 2500
+         |                else 5000 end)
+         |order by doc_id""".stripMargin,
+    // the two-level prefix sum flattens to ONE global window in SQL:
+    // cumulative tokens over (shard, hash, id) — identical integers
+    "pack_budget_cut" ->
+      s"""with d as (select doc_id,
+         |    cast(len(${SqlTwins.toks("text")}) as bigint) as n_tok,
+         |    ${SqlTwins.h60("cast(doc_id as varchar)")} as h from documents),
+         | s as (select doc_id, n_tok, h, cast(h % 16 as int) as shard from d),
+         | c as (select doc_id, shard, n_tok,
+         |    cast(sum(n_tok) over (order by shard, h, doc_id) as bigint) as gend from s),
+         | k as (select doc_id, shard, gend - n_tok as global_start,
+         |    least(n_tok, greatest(20000 - (gend - n_tok), 0)) as kept_tokens, n_tok from c)
+         |select doc_id, shard, global_start, kept_tokens,
+         |  kept_tokens < n_tok as truncated
+         |from k where kept_tokens > 0
+         |order by shard, global_start""".stripMargin,
     // concat-and-chunk packing is pure integer window arithmetic, so
     // the oracle replays it exactly: per-shard token prefix sums, then
     // each document's spanned-bin range via generate_series

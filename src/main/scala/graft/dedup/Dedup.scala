@@ -679,6 +679,24 @@ object Dedup {
       .select(col(idCol), coalesce(col("lab"), col(idCol)).as("cluster_id"))
   }
 
+  /** End-to-end near-duplicate PURGE verdict — the complete kill path
+    * a curation pipeline actually executes: transitive families from
+    * [[duplicateClusters]], family sizes, and a keep/drop verdict
+    * (keep ⇔ the document IS its family's representative, i.e. the
+    * minimum id — singletons keep themselves). Family sizes ride the
+    * de-skewed two-stage shape: partial-agg groupBy on the cluster id
+    * (a 10⁹-member family collapses map-side) + an AQE-skew-splittable
+    * join back, never a window.
+    */
+  def purgeStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val clusters = duplicateClusters(docs, idCol, textCol)
+    val fam = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("family_size"))
+    clusters.join(fam, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("family_size"),
+        (col(idCol) === col("cluster_id")).as("kept"))
+  }
+
   /** The k salted positions of a document's normalized text in an
     * m-bit Bloom filter: h60("j:" ++ normalize(text)) mod m for
     * j = 0..k-1. Shared by build and probe (and mirrored by the SQL

@@ -73,4 +73,55 @@ object Packing {
         (least(col("tok_end"), (col("bin_id") + 1) * capacity)
           - greatest(col("tok_start"), col("bin_id") * capacity)).as("frag_tokens"))
   }
+
+  /** Global token-budget cut WITHOUT a global sort — "take the first
+    * `budget` tokens of the shuffled corpus", the cap step of corpus
+    * assembly. The global order is (shard, key-hash, id): shards
+    * concatenate in shard order, rows within a shard in deterministic
+    * hash order.
+    *
+    * Scale shape — the classic two-level distributed prefix sum:
+    *  1. per-shard window prefix sums (one exchange on the shard key,
+    *     16-byte rows);
+    *  2. per-shard TOTALS (one `shards`-row aggregate) cumsum'd in a
+    *     single-partition window — `shards` rows, constant work —
+    *     and BROADCAST back as each shard's global offset;
+    *  3. global position = shard offset + within-shard prefix, cut by
+    *     `budget` with the boundary document truncated to fit.
+    * No single-partition pass ever touches row-level data, so the plan
+    * survives any corpus size; every quantity is an integer.
+    *
+    * Output: one row per kept document — global_start, kept_tokens
+    * (< n_tok only for the boundary document), truncated flag.
+    */
+  def budgetCut(
+      docs: DataFrame,
+      idCol: String,
+      tokenCol: Column,
+      budget: Long,
+      shards: Int): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val h = TextOps.h60(col(idCol).cast("string"))
+    val base = docs
+      .select(col(idCol), tokenCol.cast("long").as("n_tok"),
+        h.as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(shards.toLong)).cast("int"))
+    val w = Window.partitionBy("shard").orderBy(col("__h").asc, col(idCol).asc)
+    val withEnd = base.withColumn("__end_in_shard", sum("n_tok").over(w))
+    // per-shard totals → cumulative offsets: `shards` rows, so the
+    // single-partition window is constant-size driver-adjacent work
+    val offsets = base.groupBy("shard").agg(sum("n_tok").as("__tot"))
+      .withColumn("__offset",
+        coalesce(sum("__tot").over(
+          Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("shard"), col("__offset"))
+    withEnd.join(broadcast(offsets), Seq("shard"))
+      .withColumn("global_start", col("__offset") + col("__end_in_shard") - col("n_tok"))
+      .withColumn("kept_tokens",
+        least(col("n_tok"), greatest(lit(budget) - col("global_start"), lit(0L))))
+      .where(col("kept_tokens") > 0)
+      .select(col(idCol), col("shard"), col("global_start"), col("kept_tokens"),
+        (col("kept_tokens") < col("n_tok")).as("truncated"))
+  }
 }

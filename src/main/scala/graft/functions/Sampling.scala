@@ -73,4 +73,58 @@ object Sampling {
     df.withColumn(rankCol, row_number().over(w).cast("int"))
       .where(col(rankCol) <= n)
   }
+
+  /** Deterministic corpus shuffle into numbered training shards — the
+    * "write the shuffled corpus" step before packing: every row gets a
+    * shard (hash of the key: a pseudo-random but re-run-stable
+    * placement) and a 0-based position within its shard (hash order,
+    * key as tiebreak — the within-shard read order training consumes).
+    *
+    * Scale shape: ONE exchange on the shard key; the position sort is
+    * per-shard (pick `shards` so a shard's (hash, key) pairs sort
+    * within an executor — the payload is 16 bytes/row, not the text).
+    * No global sort, no driver state; a resumable, deterministic
+    * global shuffle any engine reproduces bit-for-bit.
+    */
+  def shardAssign(
+      df: DataFrame,
+      keyCol: String,
+      shards: Int,
+      shardCol: String = "shard",
+      posCol: String = "pos"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards > 0, s"shards must be positive, got $shards")
+    val h = TextOps.h60(col(keyCol).cast("string"))
+    val w = Window.partitionBy(shardCol).orderBy(col("__h").asc, col(keyCol).asc)
+    df.withColumn("__h", h)
+      .withColumn(shardCol, pmod(col("__h"), lit(shards.toLong)).cast("int"))
+      .withColumn(posCol, (row_number().over(w) - 1).cast("long"))
+      .drop("__h")
+  }
+
+  /** Domain-weighted deterministic sampling — the mixture-rebalancing
+    * step of corpus assembly ("keep all of domain A, 30% of domain B"):
+    * each row's fate is a pure function of (its key hash, its domain's
+    * keep fraction), so the sampled mixture is reproducible across
+    * re-runs, backfills, and engines. Map-only: the domain column may
+    * itself be computed (e.g. language ID) and the whole decision stays
+    * inside the scan — no shuffle, no state.
+    */
+  def mixtureSample(
+      df: DataFrame,
+      keyCol: String,
+      domainCol: Column,
+      weights: Map[String, Double],
+      defaultFrac: Double,
+      buckets: Int = 10000): DataFrame = {
+    require(weights.values.forall(f => f >= 0 && f <= 1) &&
+      defaultFrac >= 0 && defaultFrac <= 1, "fractions must be in [0,1]")
+    val b = hashBucket(col(keyCol), buckets)
+    // integer bucket cutoffs: exact boundaries, no FP compare at probe
+    val cut = weights.toSeq.sortBy(_._1).foldLeft(lit((defaultFrac * buckets).toLong)) {
+      case (acc, (dom, f)) =>
+        when(domainCol === lit(dom), lit((f * buckets).toLong)).otherwise(acc)
+    }
+    df.where(b < cut)
+  }
 }

@@ -91,4 +91,29 @@ class ClustersSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     out.foreach { case (id, lab) => assert(id == lab, s"singleton $id labeled $lab") }
   }
+
+  test("purgeStats: keeps exactly the family representatives with correct family sizes") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, base), (1L, base), (2L, base), // one family of 3
+      (7L, "totally standalone document about columnar shuffles and codegen spans today"))
+      .toDF("doc_id", "text")
+    val out = Dedup.purgeStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(0L) == ((0L, 3L, true)), s"rep keeps: ${out(0L)}")
+    assert(out(1L) == ((0L, 3L, false)) && out(2L) == ((0L, 3L, false)), "members drop")
+    assert(out(7L) == ((7L, 1L, true)), "singleton keeps itself")
+    // purge verdict is consistent: one kept doc per family
+    val families = out.values.groupBy(_._1)
+    families.foreach { case (fam, rows) =>
+      assert(rows.count(_._3) == 1, s"family $fam must keep exactly one doc")
+    }
+  }
+
+  test("purgeStats: family sizes come from a partial-agg groupBy, not a window") {
+    val docs = Seq((0L, "a b c d e f g h i j"), (1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val plan = Dedup.purgeStats(docs, "doc_id", "text").queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count(1)"),
+      s"family size must partial-aggregate before its exchange:\n${plan.take(1500)}")
+  }
 }

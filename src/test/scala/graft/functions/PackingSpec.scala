@@ -116,6 +116,36 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("budgetCut: kept tokens sum to exactly the budget, one truncated boundary doc") {
+    val rng = new scala.util.Random(5)
+    val docs = (0L until 300L).map(id => id -> (1L + rng.nextInt(50))).toDF("doc_id", "n")
+    val all = Packing.budgetCut(docs, "doc_id", col("n"), budget = Long.MaxValue, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    val corpusTokens = all.map(_._4).sum
+    assert(all.forall(!_._5), "unbounded budget truncates nothing")
+    val budget = corpusTokens / 2
+    val cut = Packing.budgetCut(docs, "doc_id", col("n"), budget, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+    assert(cut.map(_._4).sum == budget, "kept tokens must sum to exactly the budget")
+    assert(cut.count(_._5) <= 1, "at most one truncated boundary document")
+    // kept set = prefix of the (shard, hash, id) global order: starts
+    // tile contiguously from 0
+    val sorted = cut.sortBy(_._3)
+    var at = 0L
+    sorted.foreach { c => assert(c._3 == at, s"doc ${c._1} starts at ${c._3}, expected $at"); at += c._4 }
+  }
+
+  test("budgetCut plans per-shard windows + a broadcast offset join, no row-level global window") {
+    val docs = (0L until 100L).map(id => id -> 5L).toDF("doc_id", "n")
+    val plan = Packing.budgetCut(docs, "doc_id", col("n"), budget = 100L, shards = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"shard offsets must broadcast:\n${plan.take(1500)}")
+    // the row-level window partitions by shard; the only unpartitioned
+    // window runs over the `shards`-row totals aggregate
+    assert(plan.contains("hashpartitioning(shard"),
+      s"row-level prefix sum must partition by shard:\n${plan.take(1500)}")
+  }
+
   test("shards pack independently: fragment sets per shard depend only on that shard's docs") {
     val docs = (0L until 40L).map(id => id -> (id % 7 + 1))
     val all = pack(docs)

