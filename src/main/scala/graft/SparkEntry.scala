@@ -558,6 +558,14 @@ object SparkEntry {
         shingleSize = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")
     },
+    // asymmetric containment (quote / partial-copy detection) over the
+    // frequency-capped shingle inverted index — catches small-in-large
+    // embeddings that Jaccard-driven minhash banding structurally misses
+    "dedup_containment" -> { (s, dir) =>
+      Dedup.ngramContainmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        shingleSize = 3, threshold = 0.6)
+        .orderBy("id_a", "id_b")
+    },
     // two-stage salted aggregation: the hot-key skew path (algebraic
     // aggs only — long sum/count/min/max merge exactly) under the same
     // oracle gate as the direct groupBy it must equal
@@ -1944,6 +1952,29 @@ object SparkEntry {
          |select sig.doc_id, sig.simhash, buddies.dup_of
          |from sig left join buddies using (doc_id)
          |order by doc_id""".stripMargin,
+    // frequency-capped inverted-index containment: same Horner gram
+    // codes as the jaccard twin; shared counts and the two exact
+    // integer divisions replayed verbatim
+    "dedup_containment" ->
+      s"""with t as (select doc_id, ${SqlTwins.toks("text")} as t from documents),
+         |thc as (select doc_id, ${SqlTwins.tokenHashes32("t")} as th from t),
+         |d as (select doc_id, list_distinct(${SqlTwins.gramHashes("th", 3)}) as sh from thc),
+         |c as (select doc_id, cast(len(sh) as bigint) as n_sh from d),
+         |e as (select doc_id, unnest(sh) as gm from d),
+         |rare as (select gm from e group by gm having count(*) <= 1000),
+         |f as (select e.doc_id, e.gm from e join rare using (gm)),
+         |p as (select a.doc_id as id_a, b.doc_id as id_b, count(*) as shared
+         |      from f a join f b on a.gm = b.gm and a.doc_id < b.doc_id
+         |      group by 1, 2)
+         |select p.id_a, p.id_b, cast(p.shared as bigint) as shared,
+         |  cast(p.shared as double) / cast(ca.n_sh as double) as containment_a,
+         |  cast(p.shared as double) / cast(cb.n_sh as double) as containment_b,
+         |  greatest(cast(p.shared as double) / cast(ca.n_sh as double),
+         |           cast(p.shared as double) / cast(cb.n_sh as double)) as containment
+         |from p join c ca on p.id_a = ca.doc_id join c cb on p.id_b = cb.doc_id
+         |where greatest(cast(p.shared as double) / cast(ca.n_sh as double),
+         |               cast(p.shared as double) / cast(cb.n_sh as double)) >= 0.6
+         |order by id_a, id_b""".stripMargin,
     "dedup_ngram_jaccard" -> {
       val mhs = mhParams.zipWithIndex
         .map { case ((a, b), i) => s"${SqlTwins.minhashOne("hs", a, b)} as mh$i" }.mkString(",\n  ")

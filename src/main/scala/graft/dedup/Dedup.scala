@@ -377,6 +377,64 @@ object Dedup {
           .as("dup_frac"))
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs — the quote / partial-copy
+    * detector Jaccard misses: a 50-shingle doc fully embedded in a
+    * 5000-shingle doc has Jaccard ≈ 0.01 (and near-zero minhash-band
+    * collision probability) but containment(A→B) = |A∩B|/|A| = 1.0.
+    * Emits both directions plus the max, thresholded on the max.
+    *
+    * Scale shape: the frequency-capped shingle INVERTED INDEX —
+    * not minhash banding, whose recall is Jaccard-driven and therefore
+    * structurally blind to small-in-large containment. Only
+    * (shingle-hash, doc_id) pairs shuffle; shingle frequencies come
+    * from a partial-agg groupBy (Zipf-safe), and the ≤ `maxShingleFreq`
+    * cap bounds per-shingle pair fan-out, so the candidate join is
+    * linear in corpus shingles × cap, never quadratic in the corpus.
+    * Boilerplate shingles above the cap carry no containment signal
+    * (they appear everywhere) — dropping them is the standard
+    * inverted-index pruning, not a recall loss for meaningful pairs.
+    */
+  def ngramContainmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.6,
+      maxShingleFreq: Long = 1000L): DataFrame = {
+    // ONE kernel pass: token hashes → distinct Horner gram codes.
+    // PERSISTED: the frame feeds four consumers (counts, the frequency
+    // table, and both sides of the candidate self-join), and without
+    // the cache each consumer re-runs the md5-per-token kernel — a
+    // measured 22 s per re-evaluation at sf0.1 vs ~1 s from cache.
+    // Blocks are freed by the ContextCleaner when the frame is GC'd.
+    val withSh = docs
+      .select(col(idCol), TextOps.tokenHashes32Kernel(col(textCol)).as("__th"))
+      .select(col(idCol),
+        array_distinct(TextOps.gramHashes(col("__th"), shingleSize)).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = withSh.select(col(idCol), size(col("__sh")).cast("long").as("n_sh"))
+    val grams = withSh.select(col(idCol), explode(col("__sh")).as("__g"))
+    // two-stage frequency + cap: partial agg collapses hot shingles
+    val rare = grams.groupBy(col("__g")).agg(count(lit(1)).as("__freq"))
+      .where(col("__freq") <= maxShingleFreq)
+      .select(col("__g"))
+    // persisted for the same reason: the self-join scans it twice
+    val filtered = grams.join(rare, Seq("__g"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = filtered.as("a").join(filtered.as("b"),
+        col("a.__g") === col("b.__g") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(counts.withColumnRenamed(idCol, "id_a").withColumnRenamed("n_sh", "__na"), "id_a")
+      .join(counts.withColumnRenamed(idCol, "id_b").withColumnRenamed("n_sh", "__nb"), "id_b")
+      .withColumn("containment_a", col("shared").cast("double") / col("__na").cast("double"))
+      .withColumn("containment_b", col("shared").cast("double") / col("__nb").cast("double"))
+      .withColumn("containment", greatest(col("containment_a"), col("containment_b")))
+      .where(col("containment") >= threshold)
+      .select("id_a", "id_b", "shared", "containment_a", "containment_b", "containment")
+  }
+
   /** All-pairs exact n-gram Jaccard via shingle self-join (exact
     * recall; the shingle frequency cap guards blow-up). Quadratic in
     * per-shingle frequency — use the LSH-candidate variant at scale.

@@ -83,6 +83,12 @@ object TokenizerStats {
       .select(col("__w"), col("__f"),
         array_remove(split(col("__w"), ""), "").as("__s"))
     var state = words.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // deferred unpersist: round r's argmax action is what materializes
+    // state_r's cache (computing the pair aggregate computes — and
+    // therefore caches — its persisted input), so state_{r-1} becomes
+    // safe to free only AFTER that collect; freeing it then costs zero
+    // extra jobs, where an eager count() per round would add one
+    var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -97,20 +103,22 @@ object TokenizerStats {
         .agg(sum(col("__f")).as("__n"))
         .orderBy(desc("__n"), asc("__l"), asc("__r"))
         .limit(1).collect()
+      // state is now materialized in cache — the previous round's
+      // blocks can go
+      if (prev != null) { prev.unpersist(); prev = null }
       if (top.isEmpty) exhausted = true
       else {
         val row = top(0)
         val (a, b, n) = (row.getString(0), row.getString(1), row.getLong(2))
         merges += ((r.toLong, a, b, n))
-        val next = state
+        prev = state
+        state = state
           .withColumn("__s", mergeOnce(col("__s"), a, b))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before freeing the parent
-        state.unpersist()
-        state = next
         r += 1
       }
     }
+    if (prev != null) prev.unpersist()
     state.unpersist()
     import spark.implicits._
     merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")

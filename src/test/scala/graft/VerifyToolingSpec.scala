@@ -62,4 +62,14 @@ class VerifyToolingSpec extends AnyFunSuite {
       assert(out.drop(firstStream).forall(_.startsWith("stream_")),
         "a batch query appeared after the first stream_ query")
   }
+
+  test("every query has an oracle and every oracle has a query (the driver-gate contract)") {
+    // a query without an oracle row silently downgrades to a weaker
+    // rows-only check; an oracle without a query is dead SQL the
+    // driver would flag — both are contract drift, keep the sets equal
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")
+  }
 }

@@ -22,6 +22,42 @@ class DedupSpec extends SparkSpec {
     assert(dupOf(0).isEmpty && dupOf(1).contains(0L) && dupOf(3).isEmpty)
   }
 
+  test("containment catches a small doc embedded in a large one that Jaccard misses") {
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val filler = (1 to 80).map(i => s"filler$i").mkString(" ")
+    val big = filler + " " + small + " " + (81 to 160).map(i => s"filler$i").mkString(" ")
+    val corpus = Seq((1L, small), (2L, big),
+      (3L, "unrelated words entirely different from everything else present here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramContainmentPairs(corpus, "doc_id", "text",
+        shingleSize = 3, threshold = 0.6)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // every 3-shingle of the small doc appears verbatim in the big one
+    assert(out.contains((1L, 2L)), s"embedded doc must pair: ${out.keySet}")
+    val (ca, cb, c) = out((1L, 2L))
+    assert(ca == 1.0, s"containment of small in big must be exactly 1.0, got $ca")
+    assert(cb < 0.2, "big doc is NOT contained in the small one")
+    assert(c == 1.0)
+    // and Jaccard on the same pair is far below any dedup threshold
+    val jac = Dedup.ngramJaccardPairsExhaustive(corpus, "doc_id", "text",
+        shingleSize = 3, threshold = 0.0)
+      .where(col("id_a") === 1 && col("id_b") === 2)
+      .collect().map(_.getDouble(3))
+    assert(jac.headOption.forall(_ < 0.1), s"jaccard is blind to this pair: ${jac.toSeq}")
+  }
+
+  test("containment frequency cap drops boilerplate shingles from pairing") {
+    // the same 3 tokens in every doc → that shingle's freq = 4 > cap 3
+    val docs = (1L to 4L).map(i => (i, s"common shingle words unique$i tail$i end$i"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramContainmentPairs(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.01, maxShingleFreq = 3)
+    // "common shingle words" is above the cap; remaining shingles are
+    // per-doc unique → no pair shares anything
+    assert(out.count() == 0, "capped boilerplate must not create pairs")
+  }
+
   test("minhash LSH finds the near-duplicate pair and not the distinct doc") {
     val out = Dedup.minhashDupOf(docs, "doc_id", "text").orderBy("doc_id").collect()
     val dupOf = out.map(r => if (r.isNullAt(1)) None else Some(r.getLong(1)))
