@@ -1106,6 +1106,18 @@ object SparkEntry {
           StreamingFeaturize.streamingExactDedup(ds).toDF())
         .orderBy("doc_id")
     },
+    // mixture sampling is STATELESS (pure function of each row), so the
+    // batch operator composes into the stream unchanged — domain (lang
+    // id) computed in-scan, keep decision by id-hash bucket, zero state
+    "stream_mixture" -> { (s, dir) =>
+      StreamRunner.run(s, streamDocs(s, dir), nChunks = 5, "append")(ds =>
+          Sampling.mixtureSample(
+            ds.toDF().withColumn("lang_pred", TextOps.langid(TextOps.tokens(col("text")))),
+            "doc_id", col("lang_pred"),
+            weights = Map("en" -> 1.0, "und" -> 0.3), defaultFrac = 0.5)
+            .select(col("doc_id"), col("lang_pred")))
+        .orderBy("doc_id")
+    },
     // the pack_sequences twin: packing is naturally incremental — one
     // long of state per shard (the running token total); fragments for
     // each doc emit in its arrival micro-batch, bit-identical to batch
@@ -2890,6 +2902,15 @@ object SparkEntry {
          | case when min(doc_id) over (partition by k) < doc_id
          |      then min(doc_id) over (partition by k) end as dup_of
          |from d order by doc_id""".stripMargin,
+    // stateless per-row decision → the batch SQL IS the streaming oracle
+    "stream_mixture" ->
+      s"""with d as (select doc_id, ${SqlTwins.langidSelect("text")} as lang_pred,
+         |    ${SqlTwins.h60("cast(doc_id as varchar)")} % 10000 as b from documents)
+         |select doc_id, lang_pred from d
+         |where b < (case when lang_pred = 'en' then 10000
+         |                when lang_pred = 'und' then 3000
+         |                else 5000 end)
+         |order by doc_id""".stripMargin,
     "stream_dedup_minhash" -> minhashDupOfSql,
     // trailing taylor branch conditions are pure functions of pos, so
     // the batch window exprs ARE the streaming oracle (order by ts only
