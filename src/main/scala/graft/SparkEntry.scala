@@ -397,6 +397,14 @@ object SparkEntry {
       TimeOps.cusum(ev, "value", evGroup, evOrder, target = 50.0, slack = 25.0, threshold = 250.0)
         .orderBy("user_id", "ts_us", "event_id")
     },
+    // local-level Kalman filter: adaptive-gain state-space smoothing
+    // (predict/update recursion, diffuse init) — q/r tuned to the
+    // value scale (process var 25, measurement var 100)
+    "ts_kalman" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.kalman(ev, "value", evGroup, evOrder, q = 25.0, r = 100.0)
+        .orderBy("user_id", "ts_us", "event_id")
+    },
     // Brown double-exponential smoothing: level/trend/one-step forecast
     "ts_holt" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
@@ -1779,6 +1787,31 @@ object SparkEntry {
          | unnest(list_transform(range(1, len(xs) + 1), t ->
          |   list_reduce(xs[1:t], (a, b) -> (a * $b) + b)
          |   / list_reduce(list_transform(xs[1:t], x -> 1.0E0), (a, b) -> (a * $b) + b))) as ewma
+         |from g
+         |order by user_id, ts_us, event_id""".stripMargin
+    },
+    // Kalman: a struct-valued prefix fold carrying (x̂, P) — element 1
+    // seeds the diffuse-init posterior {z₁, r}, later elements ride
+    // {z, 0}; the lambda is LITERALLY the predict/update arithmetic the
+    // scan performs (same association order), so equality is bit-exact
+    // with no rounding. Same null contract as the other prefix folds.
+    "ts_kalman" -> {
+      val q = OracleGen.litD(25.0); val r = OracleGen.litD(100.0)
+      val gain = s"((a.p + $q) / (a.p + $q + $r))"
+      s"""with g as (select user_id,
+         |  list(value order by epoch_us(ts), event_id) as xs,
+         |  list(epoch_us(ts) order by epoch_us(ts), event_id) as tsl,
+         |  list(event_id order by epoch_us(ts), event_id) as eidl
+         |from events group by user_id)
+         |select user_id, unnest(tsl) as ts_us, unnest(eidl) as event_id, unnest(xs) as value,
+         | unnest(list_transform(range(1, len(xs) + 1), t ->
+         |   list_reduce(
+         |     list_transform(range(1, t + 1), i ->
+         |       case when i = 1 then {'v': xs[i], 'p': $r} else {'v': xs[i], 'p': 0.0E0} end),
+         |     (a, b) -> {
+         |       'v': a.v + $gain * (b.v - a.v),
+         |       'p': (1.0E0 - $gain) * (a.p + $q)
+         |     }).v)) as kalman
          |from g
          |order by user_id, ts_us, event_id""".stripMargin
     },

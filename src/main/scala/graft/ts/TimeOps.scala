@@ -409,6 +409,74 @@ object TimeOps {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** Scalar local-level Kalman filter (state-space smoothing one rung
+    * above [[ewma]]'s fixed decay): model x_t = x_{t-1} + w (var `q`),
+    * z_t = x_t + v (var `r`). Per step the classic predict/update
+    * pair — P⁻ = P + q, K = P⁻/(P⁻ + r), x̂ += K·(z − x̂),
+    * P = (1 − K)·P⁻ — with the diffuse-prior initialization
+    * x̂₁ = z₁, P₁ = r (the K₁ → 1 limit). Unlike EWMA the gain ADAPTS:
+    * it starts high (uncertain state, trust observations) and decays
+    * to the steady-state Riccati gain; after a gap of missing values
+    * the time update has grown P, so the next observation is trusted
+    * more — exactly what a fixed-α smoother cannot do.
+    *
+    * Same deliberately-imperative shape as [[ewma]] (recursions have
+    * no bounded-memory window form): repartition by key + secondary
+    * sort + an O(1)-state scan — THREE scalars of state per key, so
+    * the streaming twin would carry the same. The gain sequence is
+    * data-independent (a pure function of q, r, t), which is what
+    * makes the DuckDB oracle expressible: a struct-valued prefix fold
+    * carrying (x̂, P) with literally the same arithmetic — bit-exact,
+    * no rounding. Null values are missing observations: time update
+    * only (P grows, x̂ unchanged and re-emitted; null before the first
+    * observation).
+    */
+  def kalman(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      q: Double,
+      r: Double,
+      out: String = "kalman"): DataFrame = {
+    require(q > 0 && r > 0, s"variances must be positive, got q=$q r=$r")
+    val parted =
+      if (groupCols.isEmpty) df.coalesce(1)
+      else df.repartition(groupCols.map(col): _*)
+    val sorted = parted
+      .sortWithinPartitions((groupCols ++ orderCols).map(col): _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(out, DoubleType, nullable = true))
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val gIdx = groupCols.map(sorted.schema.fieldIndex)
+    sorted.mapPartitions { iter =>
+      var key: Seq[Any] = null
+      var init = false
+      var x = 0.0
+      var p = 0.0
+      iter.map { row =>
+        val k = gIdx.map(row.get)
+        if (key == null || k != key) { key = k; init = false }
+        val y: Any =
+          if (row.isNullAt(vIdx)) {
+            if (init) { p = p + q; x } else null
+          } else {
+            val z = row.getDouble(vIdx)
+            if (!init) { init = true; x = z; p = r }
+            else {
+              // association order mirrors the oracle's struct fold
+              val pp = p + q
+              val kk = pp / (pp + r)
+              x = x + kk * (z - x)
+              p = (1.0 - kk) * pp
+            }
+            x
+          }
+        Row.fromSeq(row.toSeq :+ y)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Brown double-exponential smoothing: level + trend estimates (and
     * the one-step forecast) from TWO chained EWMAs —
     *   e1 = ewma(x), e2 = ewma(e1),
