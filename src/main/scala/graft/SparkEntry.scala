@@ -1079,6 +1079,13 @@ object SparkEntry {
           StreamingFeaturize.streamingCusum(ds, target = 50.0, slack = 25.0, threshold = 250.0).toDF())
         .orderBy("user_id", "ts_us")
     },
+    // the ts_kalman twin: the filter recursion is already online —
+    // three scalars of state per key, bit-identical to batch
+    "stream_kalman" -> { (s, dir) =>
+      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+          StreamingFeaturize.streamingKalman(ds, q = 25.0, r = 100.0).toDF())
+        .orderBy("user_id", "ts_us")
+    },
     "stream_holt" -> { (s, dir) =>
       StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
           StreamingFeaturize.streamingBrown(ds, alpha = 0.2).toDF())
@@ -2824,6 +2831,26 @@ object SparkEntry {
          | unnest(list_transform(range(1, len(xs) + 1), t ->
          |   list_reduce(xs[1:t], (a, b) -> (a * $b) + b)
          |   / list_reduce(list_transform(xs[1:t], x -> 1.0E0), (a, b) -> (a * $b) + b))) as ewma
+         |from g
+         |order by user_id, ts_us""".stripMargin
+    },
+    // the ts_kalman struct fold keyed by ts alone (the replay order)
+    "stream_kalman" -> {
+      val q = OracleGen.litD(25.0); val r = OracleGen.litD(100.0)
+      val gain = s"((a.p + $q) / (a.p + $q + $r))"
+      s"""with g as (select user_id,
+         |  list(value order by epoch_us(ts)) as xs,
+         |  list(epoch_us(ts) order by epoch_us(ts)) as tsl
+         |from events group by user_id)
+         |select user_id, unnest(tsl) as ts_us, unnest(xs) as value,
+         | unnest(list_transform(range(1, len(xs) + 1), t ->
+         |   list_reduce(
+         |     list_transform(range(1, t + 1), i ->
+         |       case when i = 1 then {'v': xs[i], 'p': $r} else {'v': xs[i], 'p': 0.0E0} end),
+         |     (a, b) -> {
+         |       'v': a.v + $gain * (b.v - a.v),
+         |       'p': (1.0E0 - $gain) * (a.p + $q)
+         |     }).v)) as kalman
          |from g
          |order by user_id, ts_us""".stripMargin
     },

@@ -28,6 +28,10 @@ case class EwmaState(num: Double, den: Double, lastTs: Long = Long.MinValue)
 
 case class CusumState(sPos: Double, sNeg: Double, lastTs: Long = Long.MinValue)
 
+case class KalmanState(init: Boolean, x: Double, p: Double, lastTs: Long = Long.MinValue)
+
+case class KalmanOut(user_id: Long, ts_us: Long, value: Double, kalman: Double)
+
 case class BrownState(
     num1: Double,
     den1: Double,
@@ -464,6 +468,40 @@ object StreamingFeaturize {
     * so values are bit-identical for in-order input (duplicate/late
     * timestamps fail fast via sortedStrict).
     */
+  /** The ts_kalman twin and the canonical ONLINE state estimator: the
+    * filter recursion IS already incremental — three scalars of state
+    * per key (init flag, x̂, P), identical arithmetic to the batch
+    * scan, so outputs are bit-identical for in-order arrival
+    * (sortedStrict contract, same as the other recursions).
+    */
+  def streamingKalman(
+      events: Dataset[Ev],
+      q: Double,
+      r: Double): Dataset[KalmanOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, evs: Iterator[Ev], state: GroupState[KalmanState]) => {
+          var (init, x, p) = state.getOption.map(s => (s.init, s.x, s.p))
+            .getOrElse((false, 0.0, 0.0))
+          val lastTs = state.getOption.map(_.lastTs).getOrElse(Long.MinValue)
+          val evSeq = sortedStrict(evs, lastTs, key)
+          val out = evSeq.map { e =>
+            if (!init) { init = true; x = e.value; p = r }
+            else {
+              val pp = p + q
+              val kk = pp / (pp + r)
+              x = x + kk * (e.value - x)
+              p = (1.0 - kk) * pp
+            }
+            KalmanOut(key, e.ts_us, e.value, x)
+          }
+          state.update(KalmanState(init, x, p, evSeq.lastOption.map(_.ts_us).getOrElse(lastTs)))
+          out.iterator
+        })
+  }
+
   def streamingCusum(
       events: Dataset[Ev],
       target: Double,
