@@ -47,6 +47,18 @@ class DedupSpec extends SparkSpec {
     assert(jac.headOption.forall(_ < 0.1), s"jaccard is blind to this pair: ${jac.toSeq}")
   }
 
+  test("containment plans partial-agg frequency + semi-join pruning, no window") {
+    val plan = Dedup.ngramContainmentPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window "), s"no window in the containment path:\n${plan.take(1200)}")
+    assert(plan.contains("partial_count(1)"),
+      s"shingle frequency must partial-aggregate before its exchange:\n${plan.take(1200)}")
+    assert(plan.contains("LeftSemi"),
+      s"the frequency cap must prune via a semi join:\n${plan.take(1200)}")
+    assert(plan.contains("InMemoryTableScan"),
+      s"the kernel output must be served from cache, not recomputed:\n${plan.take(1200)}")
+  }
+
   test("containment frequency cap drops boilerplate shingles from pairing") {
     // the same 3 tokens in every doc → that shingle's freq = 4 > cap 3
     val docs = (1L to 4L).map(i => (i, s"common shingle words unique$i tail$i end$i"))

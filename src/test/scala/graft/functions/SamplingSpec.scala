@@ -86,6 +86,15 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("shardAssign plans ONE exchange, keyed on the shard") {
+    val plan = Sampling.shardAssign(ids, "id", shards = 8)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 exchange:\n${plan.take(1200)}")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"the exchange must key on the shard:\n${plan.take(1200)}")
+  }
+
   test("mixtureSample stays a map-only scan (no exchange)") {
     val docs = ids.withColumn("dom", (col("id") % 2).cast("string"))
     val plan = Sampling.mixtureSample(docs, "id", col("dom"), Map("0" -> 0.5), 1.0)
