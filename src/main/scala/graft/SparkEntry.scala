@@ -405,6 +405,14 @@ object SparkEntry {
       TimeOps.kalman(ev, "value", evGroup, evOrder, q = 25.0, r = 100.0)
         .orderBy("user_id", "ts_us", "event_id")
     },
+    // RTS smoother: the backward pass over the filter — every estimate
+    // revised with the series' FUTURE (inherently batch; the streaming
+    // twin is the filter). Two O(1)-state scans, no window
+    "ts_kalman_smooth" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.kalmanSmooth(ev, "value", evGroup, evOrder, q = 25.0, r = 100.0)
+        .orderBy("user_id", "ts_us", "event_id")
+    },
     // Brown double-exponential smoothing: level/trend/one-step forecast
     "ts_holt" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
@@ -1820,6 +1828,37 @@ object SparkEntry {
          |       'p': (1.0E0 - $gain) * (a.p + $q)
          |     }).v)) as kalman
          |from g
+         |order by user_id, ts_us, event_id""".stripMargin
+    },
+    // RTS smoother: the forward (x̂, P) struct list per index, then a
+    // per-index SUFFIX fold running the backward recursion — the same
+    // arithmetic association as the two scans, bit-exact, no rounding
+    "ts_kalman_smooth" -> {
+      val q = OracleGen.litD(25.0); val r = OracleGen.litD(100.0)
+      val gain = s"((a.p + $q) / (a.p + $q + $r))"
+      s"""with g as (select user_id,
+         |  list(value order by epoch_us(ts), event_id) as xs,
+         |  list(epoch_us(ts) order by epoch_us(ts), event_id) as tsl,
+         |  list(event_id order by epoch_us(ts), event_id) as eidl
+         |from events group by user_id),
+         |f as (select user_id, xs, tsl, eidl,
+         |  list_transform(range(1, len(xs) + 1), t ->
+         |    list_reduce(
+         |      list_transform(range(1, t + 1), i ->
+         |        case when i = 1 then {'v': xs[i], 'p': $r} else {'v': xs[i], 'p': 0.0E0} end),
+         |      (a, b) -> {
+         |        'v': a.v + $gain * (b.v - a.v),
+         |        'p': (1.0E0 - $gain) * (a.p + $q)
+         |      })) as st from g)
+         |select user_id, unnest(tsl) as ts_us, unnest(eidl) as event_id, unnest(xs) as value,
+         | unnest(list_transform(st, s -> s.v)) as kalman,
+         | unnest(list_transform(range(1, len(xs) + 1), t ->
+         |   list_reduce(
+         |     list_transform(range(0, len(xs) - t + 1), j ->
+         |       {'xf': st[len(xs) - j].v, 'pf': st[len(xs) - j].p}),
+         |     (a, b) -> {'xf': b.xf + (b.pf / (b.pf + $q)) * (a.xf - b.xf), 'pf': b.pf}
+         |   ).xf)) as kalman_smooth
+         |from f
          |order by user_id, ts_us, event_id""".stripMargin
     },
     // CUSUM: the same max(0, acc + dev) fold the scan performs, seeded

@@ -438,15 +438,17 @@ object TimeOps {
       orderCols: Seq[String],
       q: Double,
       r: Double,
-      out: String = "kalman"): DataFrame = {
+      out: String = "kalman",
+      varOut: Option[String] = None): DataFrame = {
     require(q > 0 && r > 0, s"variances must be positive, got q=$q r=$r")
     val parted =
       if (groupCols.isEmpty) df.coalesce(1)
       else df.repartition(groupCols.map(col): _*)
     val sorted = parted
       .sortWithinPartitions((groupCols ++ orderCols).map(col): _*)
-    val schema = StructType(sorted.schema.fields :+
-      StructField(out, DoubleType, nullable = true))
+    val schema = StructType(sorted.schema.fields ++
+      (StructField(out, DoubleType, nullable = true) +:
+        varOut.map(StructField(_, DoubleType, nullable = true)).toSeq))
     val vIdx = sorted.schema.fieldIndex(valueCol)
     val gIdx = groupCols.map(sorted.schema.fieldIndex)
     sorted.mapPartitions { iter =>
@@ -472,9 +474,72 @@ object TimeOps {
             }
             x
           }
+        val pv: Any = if (init) p else null
+        Row.fromSeq(row.toSeq ++ (y +: varOut.map(_ => pv).toSeq))
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** RTS (Rauch–Tung–Striebel) smoother over [[kalman]]: the backward
+    * pass that revises every filtered estimate with information from
+    * the FUTURE of the series — xˢ_t = x̂_t + C_t·(xˢ_{t+1} − x̂_t)
+    * with C_t = P_t/(P_t + q) (local-level model: the prediction for
+    * t+1 is x̂_t itself), seeded xˢ_n = x̂_n. Offline counterpart of
+    * the online filter: same inputs, strictly better estimates, and
+    * inherently batch (the recursion consumes the series end-first) —
+    * the op that justifies having BOTH a streaming filter twin and a
+    * batch smoother.
+    *
+    * Shape: two O(1)-state scans — the forward filter, then a
+    * DESCENDING per-key secondary sort and the backward fold. Rows
+    * with no state yet (before the first observation) stay null and
+    * pass the backward state through; missing-value rows carry the
+    * held x̂ with grown P, to which the RTS update applies unchanged.
+    * Oracle: per-index suffix fold over the forward (x̂, P) struct
+    * list — same arithmetic, bit-exact, no rounding.
+    */
+  def kalmanSmooth(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      q: Double,
+      r: Double,
+      out: String = "kalman_smooth"): DataFrame = {
+    val filtered = kalman(df, valueCol, groupCols, orderCols, q, r,
+      out = "kalman", varOut = Some("__kp"))
+    val parted =
+      if (groupCols.isEmpty) filtered.coalesce(1)
+      else filtered.repartition(groupCols.map(col): _*)
+    val sortedDesc = parted.sortWithinPartitions(
+      (groupCols.map(col) ++ orderCols.map(c => col(c).desc)): _*)
+    val schema = StructType(sortedDesc.schema.fields :+
+      StructField(out, DoubleType, nullable = true))
+    val xIdx = sortedDesc.schema.fieldIndex("kalman")
+    val pIdx = sortedDesc.schema.fieldIndex("__kp")
+    val gIdx = groupCols.map(sortedDesc.schema.fieldIndex)
+    val smoothed = sortedDesc.mapPartitions { iter =>
+      var key: Seq[Any] = null
+      var init = false
+      var xsNext = 0.0
+      iter.map { row =>
+        val k = gIdx.map(row.get)
+        if (key == null || k != key) { key = k; init = false }
+        val y: Any =
+          if (row.isNullAt(xIdx)) null // pre-init head rows
+          else {
+            val xf = row.getDouble(xIdx)
+            val pf = row.getDouble(pIdx)
+            val xs =
+              if (!init) { init = true; xf } // series end: xˢ_n = x̂_n
+              else xf + (pf / (pf + q)) * (xsNext - xf)
+            xsNext = xs
+            xs
+          }
         Row.fromSeq(row.toSeq :+ y)
       }
     }(org.apache.spark.sql.Encoders.row(schema))
+    smoothed.drop("__kp")
   }
 
   /** Brown double-exponential smoothing: level + trend estimates (and

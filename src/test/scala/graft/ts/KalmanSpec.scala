@@ -75,6 +75,47 @@ class KalmanSpec extends SparkSpec {
     assert(lead(("n", 0L)).isEmpty && lead(("n", 1L)) == Some(5.0))
   }
 
+  private def referenceRts(zs: Seq[Double]): Seq[Double] = {
+    var x = 0.0; var p = 0.0; var init = false
+    val xf = Array.ofDim[Double](zs.length)
+    val pf = Array.ofDim[Double](zs.length)
+    zs.zipWithIndex.foreach { case (z, i) =>
+      if (!init) { init = true; x = z; p = R }
+      else { val pp = p + Q; val k = pp / (pp + R); x = x + k * (z - x); p = (1.0 - k) * pp }
+      xf(i) = x; pf(i) = p
+    }
+    val xs = Array.ofDim[Double](zs.length)
+    xs(zs.length - 1) = xf(zs.length - 1)
+    ((zs.length - 2) to 0 by -1).foreach { t =>
+      xs(t) = xf(t) + (pf(t) / (pf(t) + Q)) * (xs(t + 1) - xf(t))
+    }
+    xs.toSeq
+  }
+
+  test("RTS smoother is bit-identical to the reference two-pass loop") {
+    val zs = Seq(10.0, 12.0, 11.0, 15.0, 14.0, 9.0, 40.0, 38.0)
+    val rows = zs.zipWithIndex.map { case (z, i) => ("a", i.toLong, Some(z)) }
+    val out = TimeOps.kalmanSmooth(rows.toDF("k", "t", "value"), "value", Seq("k"), Seq("t"), Q, R)
+      .orderBy("t").collect().map(r => (r.getDouble(3), r.getDouble(4)))
+    val exp = referenceRts(zs)
+    zs.indices.foreach { i =>
+      assert(out(i)._2 == exp(i), s"t=$i: ${out(i)._2} != ${exp(i)}")
+    }
+    // the smoothed series ends where the filter ends
+    assert(out.last._1 == out.last._2)
+  }
+
+  test("smoothing uses the future: an end-of-series jump pulls earlier estimates up") {
+    val zs = Seq.fill(6)(10.0) ++ Seq(50.0, 50.0)
+    val rows = zs.zipWithIndex.map { case (z, i) => ("a", i.toLong, Some(z)) }
+    val out = TimeOps.kalmanSmooth(rows.toDF("k", "t", "value"), "value", Seq("k"), Seq("t"), Q, R)
+      .orderBy("t").collect().map(r => (r.getDouble(3), r.getDouble(4)))
+    // at t=4 (before the jump) the filter knows nothing of it; the
+    // smoother does
+    assert(out(4)._2 > out(4)._1 + 1.0,
+      s"smoother must anticipate the jump: filtered ${out(4)._1}, smoothed ${out(4)._2}")
+  }
+
   test("gain decays from 1 toward the steady-state Riccati gain") {
     // constant series: x̂ stays put, but P converges; verify via the
     // filter's response to a unit step at increasing depths
