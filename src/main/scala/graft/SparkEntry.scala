@@ -1066,6 +1066,17 @@ object SparkEntry {
         .select("qid", "rank", "vec_id", "adc")
         .orderBy("qid", "rank")
     },
+    // two-stage retrieval: PQ-ADC shortlist (codes only, 4 B/row) →
+    // exact-cosine rerank of ONLY the shortlist vectors (broadcast
+    // hash-join fetch, no corpus shuffle) — the FAISS refine shape
+    "ann_pq_rerank" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val books = Ann.pqSeedCodebooks(emb, "vec_id", "embedding", m = 4, k = 4)
+      val q = emb.where(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding"))
+      Ann.pqRerank(emb, q, "vec_id", "embedding", "qid", k = 10, shortlist = 30, books)
+        .select("qid", "rank", "vec_id", "cos")
+        .orderBy("qid", "rank")
+    },
     // ---- streaming twins, driven to completion over the batch tables
     // (graft.streaming.StreamRunner) so the same DuckDB gate that checks
     // the batch operators checks the incremental state machines too.
@@ -2844,6 +2855,66 @@ object SparkEntry {
          |  select qid, vec_id, adc,
          |   cast(row_number() over (partition by qid order by adc, vec_id) as int) as rank
          |  from scored)
+         |where rank <= 10
+         |order by qid, rank""".stripMargin
+    },
+    // rerank oracle: the ann_pq_adc pipeline verbatim down to the
+    // ADC-ranked shortlist (rank <= 30), then exact cosine on the
+    // shortlist vectors and a fresh top-10 — same fold as ann_topk's
+    "ann_pq_rerank" -> {
+      def t(owner: String, sub: String) =
+        s"(cast($owner[$sub * 16 + i] as double) - cast(c.cvec[$sub * 16 + i] as double))"
+      s"""with cb as (
+         |  select row_number() over (order by vec_id) - 1 as cid, embedding as cvec
+         |  from (select vec_id, embedding from embeddings order by vec_id limit 4)),
+         |d as (
+         |  select e.vec_id, s.sub, c.cid,
+         |    list_reduce(list_transform(range(1, 17), i ->
+         |      ${t("e.embedding", "s.sub")} * ${t("e.embedding", "s.sub")}), (a, b) -> a + b) as dist
+         |  from embeddings e
+         |  cross join (values (0), (1), (2), (3)) as s(sub)
+         |  cross join cb c),
+         |codes as (
+         |  select vec_id,
+         |   max(case when sub = 0 then cid end) as code0,
+         |   max(case when sub = 1 then cid end) as code1,
+         |   max(case when sub = 2 then cid end) as code2,
+         |   max(case when sub = 3 then cid end) as code3
+         |  from (select vec_id, sub, cid,
+         |          row_number() over (partition by vec_id, sub order by dist, cid) as rn
+         |        from d)
+         |  where rn = 1 group by vec_id),
+         |q as (select vec_id as qid, embedding as qv from embeddings where vec_id < 3),
+         |qd as (
+         |  select q.qid, s.sub, c.cid,
+         |    list_reduce(list_transform(range(1, 17), i ->
+         |      ${t("q.qv", "s.sub")} * ${t("q.qv", "s.sub")}), (a, b) -> a + b) as d
+         |  from q
+         |  cross join (values (0), (1), (2), (3)) as s(sub)
+         |  cross join cb c),
+         |scored as (
+         |  select q.qid, cs.vec_id, (((d0.d + d1.d) + d2.d) + d3.d) as adc
+         |  from codes cs
+         |  cross join q
+         |  join qd d0 on d0.qid = q.qid and d0.sub = 0 and d0.cid = cs.code0
+         |  join qd d1 on d1.qid = q.qid and d1.sub = 1 and d1.cid = cs.code1
+         |  join qd d2 on d2.qid = q.qid and d2.sub = 2 and d2.cid = cs.code2
+         |  join qd d3 on d3.qid = q.qid and d3.sub = 3 and d3.cid = cs.code3),
+         |short as (
+         |  select qid, vec_id from (
+         |    select qid, vec_id,
+         |      row_number() over (partition by qid order by adc, vec_id) as srank
+         |    from scored)
+         |  where srank <= 30),
+         |ex as (
+         |  select s.qid, s.vec_id, ${SqlTwins.cosine("e.embedding", "q.qv", 64)} as cos
+         |  from short s
+         |  join embeddings e on e.vec_id = s.vec_id
+         |  join q on q.qid = s.qid)
+         |select qid, rank, vec_id, cos from (
+         |  select qid, vec_id, cos,
+         |    cast(row_number() over (partition by qid order by cos desc, vec_id) as int) as rank
+         |  from ex)
          |where rank <= 10
          |order by qid, rank""".stripMargin
     },

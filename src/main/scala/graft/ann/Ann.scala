@@ -362,4 +362,40 @@ object Ann {
     val w = Window.partitionBy(qIdCol).orderBy(col("adc"), col(idCol))
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
+
+  /** Two-stage retrieval — PQ-ADC shortlist, exact-cosine rerank: the
+    * production billion-scale search shape (FAISS's IndexIVFPQ +
+    * refine). Stage 1 scans CODES only ([[pqTopK]], 4 bytes/row) for a
+    * `shortlist`-deep candidate list per query; stage 2 fetches raw
+    * vectors for ONLY the shortlist rows — the fetch is a broadcast
+    * hash join of the tiny (qid, id) shortlist against the corpus, so
+    * the vector table is read map-only with the join filter applied at
+    * the scan (no corpus shuffle, no full-corpus cosine) — and reranks
+    * by exact cosine. Final per-query top-k is the only exchange.
+    *
+    * ADC quantization error means the true top-k is usually INSIDE a
+    * modest shortlist even when stage-1 order is wrong — rerank
+    * restores exact order/scores over whatever the shortlist caught.
+    * Ties → lowest id, both stages. Returns (qid, rank, id, cos).
+    */
+  def pqRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qIdCol: String,
+      k: Int,
+      shortlist: Int,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    require(shortlist >= k, s"pqRerank: shortlist $shortlist < k $k")
+    val codes = pqCodes(corpus, idCol, vecCol, codebooks)
+    val short = pqTopK(codes, queries, idCol, vecCol, qIdCol, shortlist, codebooks)
+      .select(col(qIdCol), col(idCol))
+    val qv = broadcast(queries.select(col(qIdCol), col(vecCol).as("__qv")))
+    val exact = corpus.join(broadcast(short), Seq(idCol))
+      .join(qv, Seq(qIdCol))
+      .select(col(qIdCol), col(idCol), VectorOps.cosine(col(vecCol), col("__qv")).as("cos"))
+    val w = Window.partitionBy(qIdCol).orderBy(col("cos").desc, col(idCol))
+    exact.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
 }

@@ -104,4 +104,41 @@ class PqSpec extends SparkSpec {
       .head().getInt(0)
     assert(code == 0)
   }
+
+  test("pqRerank: exact-cosine order and scores on everything the shortlist caught") {
+    val books = Ann.pqSeedCodebooks(corpus, "vec_id", "embedding", m = 4, k = 4)
+    val q = corpus.where($"vec_id" < 2).select($"vec_id".as("qid"), $"embedding")
+    // shortlist = whole corpus → rerank must equal brute-force exactly
+    // (same cosine doubles, same rank order, same tie-break)
+    val full = Ann.pqRerank(corpus, q, "vec_id", "embedding", "qid",
+      k = 10, shortlist = 200, books)
+      .select("qid", "rank", "vec_id", "cos").as[(Long, Int, Long, Double)].collect().sorted
+    val brute = Ann.bruteTopK(corpus, q, "vec_id", "embedding", "qid", k = 10)
+      .select("qid", "rank", "vec_id", "cos").as[(Long, Int, Long, Double)].collect().sorted
+    assert(full.sameElements(brute))
+    // modest shortlist: results are cosine-sorted per query and come
+    // from the query's own cluster (clusters far apart)
+    val top = Ann.pqRerank(corpus, q, "vec_id", "embedding", "qid",
+      k = 10, shortlist = 25, books)
+      .select("qid", "rank", "vec_id", "cos").as[(Long, Int, Long, Double)].collect()
+    assert(top.length == 20)
+    top.groupBy(_._1).values.foreach { rows =>
+      val byRank = rows.sortBy(_._2)
+      assert(byRank.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+    top.foreach { case (qid, _, vid, _) => assert(vid % 4 == qid % 4, s"q$qid hit $vid") }
+  }
+
+  test("pqRerank plans no corpus shuffle: shortlist fetch is a broadcast join") {
+    val books = Ann.pqSeedCodebooks(corpus, "vec_id", "embedding", m = 4, k = 4)
+    val q = corpus.where($"vec_id" < 2).select($"vec_id".as("qid"), $"embedding")
+    val plan = Ann.pqRerank(corpus, q, "vec_id", "embedding", "qid",
+      k = 5, shortlist = 20, books)
+      .queryExecution.executedPlan.toString
+    // two hash exchanges total: the stage-1 shortlist window and the
+    // final rerank window — the vector fetch must NOT shuffle the corpus
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 2, s"expected the two top-k window exchanges only, got $hashEx:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
 }
