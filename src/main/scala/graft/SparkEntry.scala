@@ -275,6 +275,21 @@ object SparkEntry {
           s4(col("r2")).as("r2_s4"))
         .orderBy("user_id", "ts_us", "event_id")
     },
+    // offline change-point detection: max-|CUSUM| split per series —
+    // one window exchange for the prefix sums, partial-agg min_by
+    // argmax; the verdict (cp_k) is deterministic because prefix sums
+    // are sequential left folds on both engines
+    "ts_changepoint" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      def s4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        floor(c * 10000d + 0.5d)
+      TimeOps.changepoint(ev, "value", evGroup, evOrder)
+        .select(col("user_id"), col("n"), col("cp_k"), col("cp_ord").as("cp_ts_us"),
+          s4(col("stat")).as("stat_s4"),
+          s4(col("mean_left")).as("mean_left_s4"),
+          s4(col("mean_right")).as("mean_right_s4"))
+        .orderBy("user_id")
+    },
     // PACF at lags 1..3 (Durbin-Levinson closed forms on the ACF
     // values) — AR-order identification; arithmetic on the identical
     // rounded ACFs, so the result is bit-exact with no extra rounding.
@@ -1781,6 +1796,33 @@ object SparkEntry {
         |   else (n * sxv - sx * sv) * (n * sxv - sx * sv)
         |     / ((n * sxx - sx * sx) * (n * svv - sv * sv)) end) * 10000 + 0.5) as bigint) as r2_s4
         |from f order by user_id, ts_us, event_id""".stripMargin,
+    // changepoint oracle: prefix sums as explicit list_reduce slices
+    // (DuckDB's windowed sum is segment-tree-associated — NOT the
+    // sequential fold Spark's running frame computes — so the oracle
+    // replays the left fold itself), then the identical D_k algebra
+    // and (d desc, k) argmax
+    "ts_changepoint" ->
+      """with g as (
+        |  select user_id,
+        |    list(value order by epoch_us(ts), event_id) as xs,
+        |    list(epoch_us(ts) order by epoch_us(ts), event_id) as tsl
+        |  from events where value is not null group by user_id),
+        | u as (select user_id,
+        |    unnest(range(1, len(xs) + 1)) as ki,
+        |    unnest(tsl) as ts_us,
+        |    unnest(list_transform(range(1, len(xs) + 1), t -> list_reduce(xs[1:t], (a, b) -> a + b))) as sk,
+        |    cast(len(xs) as double) as n,
+        |    list_reduce(xs, (a, b) -> a + b) as sn
+        |  from g),
+        | c as (select user_id, cast(ki as double) as k, ts_us, sk, n, sn,
+        |    abs(sk - (cast(ki as double) * sn) / n) as d
+        |  from u where ki < n),
+        | p as (select *, row_number() over (partition by user_id order by d desc, k) as rn from c)
+        |select user_id, cast(n as bigint) as n, cast(k as bigint) as cp_k, ts_us as cp_ts_us,
+        | cast(floor(d * 10000 + 0.5) as bigint) as stat_s4,
+        | cast(floor((sk / k) * 10000 + 0.5) as bigint) as mean_left_s4,
+        | cast(floor(((sn - sk) / (n - k)) * 10000 + 0.5) as bigint) as mean_right_s4
+        |from p where rn = 1 order by user_id""".stripMargin,
     "ts_deltas" ->
       """with g as (
         |  select user_id,

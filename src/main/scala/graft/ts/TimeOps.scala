@@ -773,6 +773,59 @@ object TimeOps {
       .withColumn("drawdown", col("peak") - col(valueCol))
   }
 
+  /** Offline single change-point (mean-shift) detection per series:
+    * the max-|CUSUM| estimator — split index k* = argmax_k |S_k −
+    * (k/n)·S_n| over split candidates 1 ≤ k < n (S_k = prefix sum in
+    * series order; the statistic is the gap between the observed
+    * prefix and the no-change expectation). Ties break toward the
+    * smallest k. Returns ONE row per series: split index, the order
+    * column at the split, the statistic, and the two segment means.
+    *
+    * Shape: one window exchange on the series key (prefix sums + the
+    * full-frame totals share a single sort), then a partial-aggregated
+    * groupBy min_by for the argmax — no second shuffle of the rows,
+    * only the one-row-per-series aggregates exchange. Null values are
+    * excluded up front (a null is not a split candidate and
+    * contributes nothing to either segment mean).
+    *
+    * FP contract: prefix sums are sequential left folds on BOTH
+    * engines (the oracle replays them as list_reduce slices — DuckDB's
+    * windowed sum is segment-tree-associated, NOT left, so the oracle
+    * must not use it), so D_k is bit-identical and the argmax verdict
+    * is deterministic; downstream means/stat are presented s4-scaled.
+    */
+  def changepoint(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val w = Featurize.seriesWindow(groupCols, orderCols)
+    val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val sums = df.where(v.isNotNull)
+      .withColumn("__k", row_number().over(w).cast("double"))
+      .withColumn("__sk", sum(v).over(wcum))
+      .withColumn("__n", count(lit(1)).over(wall).cast("double"))
+      .withColumn("__sn", sum(v).over(wall))
+    val k = col("__k"); val sk = col("__sk"); val n = col("__n"); val sn = col("__sn")
+    val cand = sums.where(k < n)
+      .withColumn("__d", abs(sk - (k * sn) / n))
+    val best = cand.groupBy(groupCols.map(col): _*)
+      .agg(min_by(
+        struct(k.as("k"), col(orderCols.head).as("ord"), col("__d").as("d"),
+          sk.as("sk"), n.as("n"), sn.as("sn")),
+        struct((-col("__d")).as("nd"), k.as("k"))).as("__best"))
+    val b = col("__best")
+    best.select(groupCols.map(col) ++ Seq(
+      b("n").cast("long").as("n"),
+      b("k").cast("long").as("cp_k"),
+      b("ord").as("cp_ord"),
+      b("d").as("stat"),
+      (b("sk") / b("k")).as("mean_left"),
+      ((b("sn") - b("sk")) / (b("n") - b("k"))).as("mean_right")): _*)
+  }
+
   /** Calendar features from a µs-epoch timestamp — pure integer
     * arithmetic where possible (day index, Monday-based weekday,
     * weekend flag, hour of day: engine-independent by construction;

@@ -1,0 +1,57 @@
+package graft.ts
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** TimeOps.changepoint — max-|CUSUM| mean-shift detection. */
+class ChangepointSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def series(rows: Seq[(String, Long, Long, java.lang.Double)]) =
+    rows.toDF("user_id", "ts_us", "event_id", "value")
+
+  test("an obvious mean shift is located exactly, with exact segment means") {
+    // 10 points at 0.0 then 10 at 10.0 → split after k=10
+    val rows = (1 to 20).map(i =>
+      ("u1", i.toLong * 1000, i.toLong, java.lang.Double.valueOf(if (i <= 10) 0.0 else 10.0)))
+    val out = TimeOps.changepoint(series(rows), "value", Seq("user_id"), Seq("ts_us", "event_id"))
+      .select("user_id", "n", "cp_k", "cp_ord", "stat", "mean_left", "mean_right")
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+    assert(out.length == 1)
+    val (_, n, k, ord, stat, ml, mr) = out.head
+    assert(n == 20 && k == 10 && ord == 10000)
+    // S_10 = 0, S_20 = 100 → D_10 = |0 - 10*100/20| = 50
+    assert(stat == 50.0 && ml == 0.0 && mr == 10.0)
+  }
+
+  test("constant series: all D_k = 0, tie breaks to the smallest split index") {
+    val rows = (1 to 8).map(i => ("u1", i.toLong, i.toLong, java.lang.Double.valueOf(3.0)))
+    val out = TimeOps.changepoint(series(rows), "value", Seq("user_id"), Seq("ts_us", "event_id"))
+      .select("cp_k", "stat").as[(Long, Double)].collect()
+    assert(out.head == ((1L, 0.0)))
+  }
+
+  test("nulls are excluded: k indexes non-null points only, means ignore nulls") {
+    val rows = Seq[(String, Long, Long, java.lang.Double)](
+      ("u1", 1, 1, 1.0), ("u1", 2, 2, null), ("u1", 3, 3, 1.0),
+      ("u1", 4, 4, 9.0), ("u1", 5, 5, 9.0))
+    val out = TimeOps.changepoint(series(rows), "value", Seq("user_id"), Seq("ts_us", "event_id"))
+      .select("n", "cp_k", "cp_ord", "mean_left", "mean_right")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    val (n, k, ord, ml, mr) = out.head
+    assert(n == 4 && k == 2 && ord == 3 && ml == 1.0 && mr == 9.0)
+  }
+
+  test("single-point series yields no row (no admissible split)") {
+    val rows = Seq(("u1", 1L, 1L, java.lang.Double.valueOf(5.0)))
+    assert(TimeOps.changepoint(series(rows), "value", Seq("user_id"), Seq("ts_us", "event_id")).count() == 0)
+  }
+
+  test("plan: ONE exchange — the argmax groupBy reuses the window's series partitioning") {
+    val rows = (1 to 6).map(i => ("u1", i.toLong, i.toLong, java.lang.Double.valueOf(i.toDouble)))
+    val plan = TimeOps.changepoint(series(rows), "value", Seq("user_id"), Seq("ts_us", "event_id"))
+      .queryExecution.executedPlan.toString
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1, s"expected 1 exchange, got $hashEx:\n${plan.take(1500)}")
+  }
+}
