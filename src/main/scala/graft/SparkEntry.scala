@@ -955,6 +955,14 @@ object SparkEntry {
     "stats_profile" -> { (s, dir) =>
       Profile.profile(Tables.events(s, dir), Seq("user_id", "value"))
     },
+    // the corpus report card: per (source, lang) doc counts, token and
+    // quality totals/extremes, exact-dup rate — one scoring scan, a
+    // de-skewed hash-groupBy dup verdict, one algebraic rollup
+    "corpus_report" -> { (s, dir) =>
+      Profile.corpusReport(Tables.documents(s, dir), "doc_id", "text",
+        Seq("source", "lang"))
+        .orderBy("source", "lang")
+    },
     // one-pass pairwise Pearson matrix over the lineitem measures —
     // feature-redundancy screening at dataset-profile cost
     "stats_corr" -> { (s, dir) =>
@@ -2680,6 +2688,26 @@ object SparkEntry {
         |   / (1.4826E0 * (quantile_cont(dev, 0.5E0) over (partition by user_id))), 4) as rz
         |from d
         |order by user_id, ts_us, event_id""".stripMargin,
+    // report-card oracle: identical per-doc s4 quality / token ints,
+    // the same hash-groupBy dup verdict, pure integer rollup — exact,
+    // no FP aggregation surface at all
+    "corpus_report" ->
+      s"""with d as (select doc_id, source, lang,
+         |    ${SqlTwins.h60(SqlTwins.norm("text"))} as k,
+         |    cast(floor(${SqlTwins.qualityScore("text")} * 10000 + 0.5) as bigint) as q4,
+         |    cast(len(${SqlTwins.toks("text")}) as bigint) as nt
+         |  from documents),
+         |g as (select k, min(doc_id) as mn from d group by k),
+         |f as (select d.*, d.doc_id > g.mn as isdup from d join g using (k))
+         |select source, lang,
+         | cast(count(*) as bigint) as n_docs,
+         | cast(sum(case when isdup then 1 else 0 end) as bigint) as n_dup_docs,
+         | cast(sum(nt) as bigint) as total_tokens,
+         | min(nt) as min_tokens, max(nt) as max_tokens,
+         | cast(sum(q4) as bigint) as sum_quality_s4,
+         | min(q4) as min_quality_s4, max(q4) as max_quality_s4
+         |from f group by source, lang
+         |order by source, lang""".stripMargin,
     "stats_profile" -> {
       def row(c: String) =
         s"""select '$c' as col_name, count(*) as n_rows,

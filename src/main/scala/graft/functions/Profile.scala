@@ -40,6 +40,41 @@ object Profile {
     one.select(explode(array(rows: _*)).as("p")).select("p.*").orderBy("col_name")
   }
 
+  /** Corpus report card: per dimension cell (e.g. source × lang), doc
+    * counts, token totals/extremes, quality totals/extremes, and the
+    * exact-duplicate rate — the first table every training-data run
+    * prints. ONE scan scores each doc (normalize/tokenize/quality
+    * inside codegen); the corpus-wide dup verdict is a partial-agg
+    * groupBy on the content hash joined back (the de-skewed shape —
+    * map-side combine collapses a 10⁹-copy hot page to one row per
+    * mapper and AQE can split the join, unlike a count-only window);
+    * the final per-cell rollup is algebraic and map-side combinable.
+    *
+    * Quality rides as an s4-scaled bigint so every sum is exact
+    * integer arithmetic — association-free across engines (the
+    * q_rollup lesson); token counts are ints by construction.
+    */
+  def corpusReport(docs: DataFrame, idCol: String, textCol: String, dims: Seq[String]): DataFrame = {
+    require(dims.nonEmpty)
+    val id = col(idCol)
+    val scored = docs.select(
+      Seq(id) ++ dims.map(col) ++ Seq(
+        TextOps.h60(TextOps.normalize(col(textCol))).as("__k"),
+        floor(TextOps.qualityScore(col(textCol)) * 10000d + 0.5d).cast("long").as("__q4"),
+        TextOps.tokenCount(col(textCol)).cast("long").as("__nt")): _*)
+    val groups = scored.groupBy(col("__k")).agg(min(id).as("__min"))
+    val flagged = scored.join(groups, "__k").withColumn("__isdup", id > col("__min"))
+    flagged.groupBy(dims.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("__isdup"), 1L).otherwise(0L)).as("n_dup_docs"),
+      sum(col("__nt")).as("total_tokens"),
+      min(col("__nt")).as("min_tokens"),
+      max(col("__nt")).as("max_tokens"),
+      sum(col("__q4")).as("sum_quality_s4"),
+      min(col("__q4")).as("min_quality_s4"),
+      max(col("__q4")).as("max_quality_s4"))
+  }
+
   /** Pairwise Pearson correlation matrix over numeric columns in ONE
     * aggregation pass: the k·(k+3)/2 algebraic sums (per-column sum +
     * sum-of-squares, per-pair cross sum) are all map-side combinable,
