@@ -275,6 +275,14 @@ object SparkEntry {
           s4(col("r2")).as("r2_s4"))
         .orderBy("user_id", "ts_us", "event_id")
     },
+    // AR(2) Yule-Walker fit + 3-step mean-reverting forecast — the
+    // autoregressive model class ts_pacf identifies; one window pass +
+    // one partial-agg groupBy, closed-form algebra on rounded ACFs
+    "ts_ar_forecast" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.arForecast(ev, "value", evGroup, evOrder, horizon = 3)
+        .orderBy("user_id")
+    },
     // offline change-point detection: max-|CUSUM| split per series —
     // one window exchange for the prefix sums, partial-agg min_by
     // argmax; the verdict (cp_k) is deterministic because prefix sums
@@ -1804,6 +1812,32 @@ object SparkEntry {
         |   else (n * sxv - sx * sv) * (n * sxv - sx * sv)
         |     / ((n * sxx - sx * sx) * (n * svv - sv * sv)) end) * 10000 + 0.5) as bigint) as r2_s4
         |from f order by user_id, ts_us, event_id""".stripMargin,
+    // AR twin: the shared ACF CTEs (identical rounded r1/r2), last two
+    // observations via ordered-list picks, then the Yule-Walker closed
+    // forms and the forecast recursion unrolled CTE-by-CTE in the
+    // Spark expressions' exact term order — bit-exact, null gates via
+    // the same <> 0 CASE + null propagation
+    "ts_ar_forecast" ->
+      s"""with ${leadLagAcfCtes(1 to 2)},
+         |st as (select user_id, cast(count(value) as bigint) as n,
+         |    round(avg(value), 4) as mu from events group by user_id),
+         |lv as (select user_id, list(value order by epoch_us(ts), event_id) as xs
+         |  from events group by user_id),
+         |lw as (select user_id, xs[len(xs)] as xn,
+         |    case when len(xs) > 1 then xs[len(xs) - 1] end as xp from lv),
+         |f0 as (select rr.user_id, r_lag1, r_lag2, n, mu, xn, xp,
+         |    (1.0E0 - r_lag1 * r_lag1) as den
+         |  from rr join st using (user_id) join lw using (user_id)),
+         |p as (select *,
+         |    case when den <> 0.0E0 then (r_lag1 * (1.0E0 - r_lag2)) / den end as phi1,
+         |    case when den <> 0.0E0 then (r_lag2 - r_lag1 * r_lag1) / den end as phi2
+         |  from f0),
+         |f1 as (select *, mu + phi1 * (xn - mu) + phi2 * (xp - mu) as fc1 from p),
+         |f2 as (select *, mu + phi1 * (fc1 - mu) + phi2 * (xn - mu) as fc2 from f1),
+         |f3 as (select *, mu + phi1 * (fc2 - mu) + phi2 * (fc1 - mu) as fc3 from f2)
+         |select user_id, n, mu, r_lag1, r_lag2, phi1, phi2,
+         | xn as last_value, fc1, fc2, fc3
+         |from f3 order by user_id""".stripMargin,
     // changepoint oracle: prefix sums as explicit list_reduce slices
     // (DuckDB's windowed sum is segment-tree-associated — NOT the
     // sequential fold Spark's running frame computes — so the oracle

@@ -773,6 +773,87 @@ object TimeOps {
       .withColumn("drawdown", col("peak") - col(valueCol))
   }
 
+  /** AR(2) model fit + h-step forecast per series: Yule-Walker
+    * coefficients from the lag-1/lag-2 autocorrelations (closed form —
+    * φ1 = r1(1−r2)/(1−r1²), φ2 = (r2−r1²)/(1−r1²)), then the standard
+    * mean-reverting recursion x̂_{n+h} = μ + φ1(x̂_{n+h−1}−μ) +
+    * φ2(x̂_{n+h−2}−μ) seeded with the series' last two observations.
+    * Complements ts_holt (trend-smoothing) and ts_kalman (level
+    * tracking) with the autoregressive model class ts_pacf identifies.
+    *
+    * Shape: ONE window pass on the series key adds the two lag
+    * columns, ONE partial-aggregated groupBy collects the ACF sums and
+    * the last-observation picks (max_by on the unique event time), and
+    * the fit + recursion are closed-form arithmetic on the one-row-
+    * per-series frame — the leadLagCorr scale story exactly.
+    *
+    * FP contract: ACFs and μ are rounded 4dp (group-sum association is
+    * engine-specific), the last observations are exact picks; all
+    * downstream algebra is identical-association arithmetic on those —
+    * bit-exact cross-engine with no further rounding. Degenerate
+    * series (|r1| = 1 → zero YW denominator, or missing ACFs) yield
+    * null coefficients/forecasts via the same null-propagation chain
+    * on both engines.
+    */
+  def arForecast(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      horizon: Int = 3): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val w = Featurize.seriesWindow(groupCols, orderCols)
+    val v = col(valueCol)
+    val withLags = df
+      .withColumn("__l1", lag(v, 1).over(w))
+      .withColumn("__l2", lag(v, 2).over(w))
+    val acfSums = Seq(1, 2).flatMap { k =>
+      val y = col(s"__l$k")
+      val x = when(y.isNotNull, v)
+      Seq(
+        count(y).cast("double").as(s"__n$k"),
+        sum(x).as(s"__sx$k"), sum(y).as(s"__sy$k"),
+        sum(x * x).as(s"__sxx$k"), sum(y * y).as(s"__syy$k"), sum(x * y).as(s"__sxy$k"))
+    }
+    val aggs = acfSums ++ Seq(
+      count(v).as("__cnt"),
+      round(avg(v), 4).as("__mu"),
+      max_by(v, col(orderCols.head)).as("__xn"),
+      max_by(col("__l1"), col(orderCols.head)).as("__xp"))
+    val g = withLags.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    def rLag(k: Int): Column = {
+      val n = col(s"__n$k"); val sx = col(s"__sx$k"); val sy = col(s"__sy$k")
+      val sxx = col(s"__sxx$k"); val syy = col(s"__syy$k"); val sxy = col(s"__sxy$k")
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      round(when(vx <= 0 || vy <= 0, lit(null))
+        .otherwise((n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))), 4)
+    }
+    val fit = g
+      .withColumn("r_lag1", rLag(1))
+      .withColumn("r_lag2", rLag(2))
+      .withColumn("__den", lit(1.0) - col("r_lag1") * col("r_lag1"))
+      .withColumn("phi1",
+        when(col("__den") =!= 0.0,
+          (col("r_lag1") * (lit(1.0) - col("r_lag2"))) / col("__den")))
+      .withColumn("phi2",
+        when(col("__den") =!= 0.0,
+          (col("r_lag2") - col("r_lag1") * col("r_lag1")) / col("__den")))
+    val mu = col("__mu")
+    // recursion on (prev, prev2) deviations; nulls propagate
+    val seeded = fit
+    val out = (1 to horizon).foldLeft((seeded, col("__xn"), col("__xp"))) {
+      case ((cur, prev, prev2), h) =>
+        val fc = mu + col("phi1") * (prev - mu) + col("phi2") * (prev2 - mu)
+        (cur.withColumn(s"fc$h", fc), col(s"fc$h"), prev)
+    }._1
+    out.select(groupCols.map(col) ++ Seq(
+      col("__cnt").as("n"), mu.as("mu"),
+      col("r_lag1"), col("r_lag2"), col("phi1"), col("phi2"),
+      col("__xn").as("last_value")) ++
+      (1 to horizon).map(h => col(s"fc$h")): _*)
+  }
+
   /** Offline single change-point (mean-shift) detection per series:
     * the max-|CUSUM| estimator — split index k* = argmax_k |S_k −
     * (k/n)·S_n| over split candidates 1 ≤ k < n (S_k = prefix sum in
