@@ -884,6 +884,14 @@ object SparkEntry {
       val payloads = Multimodal.synthAudioPcm(Tables.documents(s, dir).select("doc_id"), "doc_id")
       Multimodal.audioPcmStats(payloads, "doc_id", "payload").orderBy("doc_id")
     },
+    // COMPRESSED audio: hand-rolled FLAC-subset codec (rice-coded
+    // fixed-predictor residuals, CRC-8/CRC-16/MD5 integrity) — encode
+    // then full bitstream decode; the oracle predicts the decoded
+    // sample stats closed-form, so any entropy/predictor bug breaks it
+    "mm_audio_flac" -> { (s, dir) =>
+      val payloads = Multimodal.synthFlacs(Tables.documents(s, dir).select("doc_id"), "doc_id")
+      Multimodal.flacPcmStats(payloads, "doc_id", "payload").orderBy("doc_id")
+    },
     "mm_frames" -> { (s, dir) =>
       Multimodal.sampleFrames(Tables.documents(s, dir), "doc_id", "text", frameChars = 128, every = 2)
         .orderBy("doc_id", "frame_idx")
@@ -2552,6 +2560,21 @@ object SparkEntry {
         | cast(sum(v * v) as bigint) as sum_sq,
         | cast(min(v) as bigint) as min_amp,
         | cast(max(v) as bigint) as max_amp
+        |from s group by doc_id, n order by doc_id""".stripMargin,
+    // FLAC twin: predicts the decoded-sample walk of synthFlacs'
+    // rice-coded streams — sample i is ((doc_id*11 + i*17) % 4001) -
+    // 2000 (Multimodal.flacSample); md5_ok is constant-true because
+    // the decoder verifies STREAMINFO's MD5 over its own output
+    "mm_audio_flac" ->
+      """with p as (select doc_id, 100 + (doc_id % 400) as n from documents),
+        | u as (select doc_id, n, unnest(generate_series(0, n - 1)) as i from p),
+        | s as (select doc_id, n, ((doc_id * 11 + i * 17) % 4001) - 2000 as v from u)
+        |select doc_id, n as n_samples,
+        | cast(sum(v) as bigint) as sum_amp,
+        | cast(sum(v * v) as bigint) as sum_sq,
+        | cast(min(v) as bigint) as min_amp,
+        | cast(max(v) as bigint) as max_amp,
+        | true as md5_ok
         |from s group by doc_id, n order by doc_id""".stripMargin,
     "q_salted_agg" ->
       """select event_type,

@@ -1,0 +1,464 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+/** Hand-rolled FLAC-subset codec (the public FLAC format, RFC 9639 /
+  * xiph.org spec) — the compressed-AUDIO sibling of JpegCodec: real
+  * entropy machinery (rice/Golomb residual coding), real prediction
+  * (the five FIXED polynomial predictors), real integrity chains
+  * (header CRC-8 poly 0x07, frame CRC-16 poly 0x8005, stream MD5 of
+  * the raw PCM), all bit-packed by hand. No codec library exists in
+  * this container for FLAC (ImageIO has no audio analogue), so the
+  * validation story is: (a) encode→decode round-trips are pinned
+  * bit-exact against closed-form sample generators (any bitstream or
+  * predictor bug breaks the integer stats the oracle predicts), (b)
+  * golden bit-level vectors for rice words and both CRCs straight from
+  * the spec's definitions, (c) the decoder verifies every embedded
+  * integrity field (sync, CRC-8, CRC-16, MD5) and returns None on any
+  * violation — the hostile-bytes contract shared with the image
+  * decoders.
+  *
+  * Encoder scope (a strict, honest subset that real decoders accept):
+  * mono, 16-bit, one frame per stream (blocksize = n), subframe type
+  * CONSTANT or FIXED order 0-4 (chosen by exact bit-cost), one rice
+  * partition with the exact-cost-minimal parameter. Decoder scope is
+  * wider: any blocksize/sample-rate/bps code, CONSTANT / VERBATIM /
+  * FIXED subframes, multi-partition rice with both 4- and 5-bit
+  * parameters and the verbatim-escape, wasted-bits shifts — LPC and
+  * multi-channel return None (documented subset boundary).
+  */
+object FlacCodec {
+
+  // ---- bit plumbing ----------------------------------------------------
+
+  final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var nbits = 0
+    def writeBit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); nbits += 1
+      if (nbits == 8) { out.write(cur); cur = 0; nbits = 0 }
+    }
+    def writeBits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { writeBit(((v >>> i) & 1L).toInt); i -= 1 }
+    }
+    /** FLAC unary: q zero bits terminated by a one bit. */
+    def writeUnary(q: Int): Unit = {
+      var i = 0
+      while (i < q) { writeBit(0); i += 1 }
+      writeBit(1)
+    }
+    def alignByte(): Unit = while (nbits != 0) writeBit(0)
+    def isAligned: Boolean = nbits == 0
+    /** Whole bytes emitted so far (call only when byte-aligned). */
+    def bytesSoFar: Array[Byte] = { require(isAligned); out.toByteArray }
+  }
+
+  private object Eof extends RuntimeException { override def fillInStackTrace(): Throwable = this }
+
+  final class BitReader(b: Array[Byte]) {
+    private var pos = 0
+    def bitPos: Int = pos
+    def bytePos: Int = pos >> 3
+    def isAligned: Boolean = (pos & 7) == 0
+    def readBit(): Int = {
+      if ((pos >> 3) >= b.length) throw Eof
+      val r = (b(pos >> 3) >> (7 - (pos & 7))) & 1
+      pos += 1; r
+    }
+    def readBits(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 1) | readBit(); i += 1 }
+      v
+    }
+    def readSigned(n: Int): Int = {
+      val v = readBits(n)
+      ((v << (64 - n)) >> (64 - n)).toInt
+    }
+    def readUnary(): Int = {
+      var q = 0
+      while (readBit() == 0) { q += 1; if (q > (b.length << 3)) throw Eof }
+      q
+    }
+    def alignByte(): Unit = while (!isAligned) { val _ = readBit() }
+  }
+
+  // ---- integrity: the two FLAC CRCs + the stream MD5 -------------------
+
+  /** CRC-8, polynomial x⁸+x²+x+1 (0x07), init 0 — the frame-header CRC. */
+  def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= b(i) & 0xff
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80) != 0) ((crc << 1) ^ 0x07) & 0xff else (crc << 1) & 0xff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** CRC-16, polynomial x¹⁶+x¹⁵+x²+1 (0x8005), init 0 — the frame CRC. */
+  def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var crc = 0
+    var i = from
+    while (i < until) {
+      crc ^= (b(i) & 0xff) << 8
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x8000) != 0) ((crc << 1) ^ 0x8005) & 0xffff else (crc << 1) & 0xffff
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** MD5 of the raw little-endian signed-16 PCM — STREAMINFO's digest. */
+  def pcmMd5(samples: Array[Int]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    MessageDigest.getInstance("MD5").digest(pcm)
+  }
+
+  // ---- fixed predictors ------------------------------------------------
+
+  /** Residuals of FIXED order k (the polynomial predictor difference
+    * cascade): order 0 = x, 1 = Δx, 2 = Δ²x, … — computed directly
+    * from the binomial form so each order is independent.
+    */
+  def fixedResiduals(x: Array[Int], order: Int): Array[Long] = {
+    val coef: Array[Array[Long]] = Array(
+      Array(), Array(1L), Array(2L, -1L), Array(3L, -3L, 1L), Array(4L, -6L, 4L, -1L))
+    val c = coef(order)
+    val out = new Array[Long](x.length - order)
+    var i = order
+    while (i < x.length) {
+      var pred = 0L
+      var j = 0
+      while (j < order) { pred += c(j) * x(i - 1 - j); j += 1 }
+      out(i - order) = x(i).toLong - pred
+      i += 1
+    }
+    out
+  }
+
+  private def zigzag(r: Long): Long = if (r < 0) (-r << 1) - 1 else r << 1
+  private def unzigzag(u: Long): Long = if ((u & 1L) == 1L) -((u + 1L) >> 1) else u >> 1
+
+  /** Exact rice bit cost of a residual block at parameter p. */
+  def riceCost(us: Array[Long], p: Int): Long = {
+    var bits = 0L
+    var i = 0
+    while (i < us.length) { bits += (us(i) >>> p) + 1L + p; i += 1 }
+    bits
+  }
+
+  /** The exact-cost-minimal rice parameter in [0, 14] (15 = escape,
+    * never needed for 16-bit fixed residuals at these orders).
+    */
+  def bestRiceParam(us: Array[Long]): Int = {
+    var best = 0
+    var bestCost = riceCost(us, 0)
+    var p = 1
+    while (p <= 14) {
+      val c = riceCost(us, p)
+      if (c < bestCost) { bestCost = c; best = p }
+      p += 1
+    }
+    best
+  }
+
+  // ---- encoder ---------------------------------------------------------
+
+  /** Encode mono 16-bit samples as a single-frame FLAC stream:
+    * fLaC marker, STREAMINFO (with the real PCM MD5), one fixed-
+    * blocking frame with a CONSTANT or best-FIXED-order subframe and
+    * one exact-parameter rice partition.
+    */
+  def encode(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val n = samples.length
+    require(n >= 1 && n <= 65535, s"flac: blocksize $n out of range")
+    require(samples.forall(s => s >= -32768 && s <= 32767), "flac: 16-bit samples only")
+    require(sampleRate >= 1 && sampleRate <= 65535, s"flac: rate $sampleRate out of 16-bit-code range")
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    // STREAMINFO: last-block flag + type 0, 24-bit length 34
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    val si = new BitWriter
+    si.writeBits(n, 16)          // min blocksize
+    si.writeBits(n, 16)          // max blocksize
+    si.writeBits(0, 24)          // min framesize (unknown)
+    si.writeBits(0, 24)          // max framesize (unknown)
+    si.writeBits(sampleRate, 20)
+    si.writeBits(0, 3)           // channels - 1
+    si.writeBits(15, 5)          // bps - 1 = 15
+    si.writeBits(n, 36)          // total samples
+    val siBytes = si.bytesSoFar
+    out.write(siBytes, 0, siBytes.length)
+    out.write(pcmMd5(samples), 0, 16)
+
+    val frame = encodeFrame(samples, sampleRate)
+    out.write(frame, 0, frame.length)
+    out.toByteArray
+  }
+
+  private def encodeFrame(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+    val n = samples.length
+    val bw = new BitWriter
+    bw.writeBits(0x3ffe, 14)     // sync
+    bw.writeBits(0, 1)           // reserved
+    bw.writeBits(0, 1)           // fixed blocking
+    bw.writeBits(0x7, 4)         // blocksize: 16 bits at end, minus 1
+    bw.writeBits(0xd, 4)         // sample rate: 16 bits in Hz at end
+    bw.writeBits(0, 4)           // channel assignment: mono
+    bw.writeBits(4, 3)           // sample size: 16 bits
+    bw.writeBits(0, 1)           // reserved
+    bw.writeBits(0, 8)           // coded frame number 0 (single UTF-8 byte)
+    bw.writeBits(n - 1, 16)
+    bw.writeBits(sampleRate, 16)
+    bw.writeBits(crc8(bw.bytesSoFar, 0, 9), 8)
+
+    // subframe: CONSTANT if flat, else the exact-bit-cost-best FIXED order
+    val allEqual = samples.forall(_ == samples(0))
+    if (allEqual) {
+      bw.writeBits(0, 1)         // pad
+      bw.writeBits(0, 6)         // type CONSTANT
+      bw.writeBits(0, 1)         // no wasted bits
+      bw.writeBits(samples(0).toLong & 0xffffL, 16)
+    } else {
+      val maxOrder = math.min(4, n - 1)
+      var bestOrder = 0
+      var bestParam = 0
+      var bestBits = Long.MaxValue
+      var ord = 0
+      while (ord <= maxOrder) {
+        val us = fixedResiduals(samples, ord).map(zigzag)
+        val p = bestRiceParam(us)
+        val bits = riceCost(us, p) + 16L * ord
+        if (bits < bestBits) { bestBits = bits; bestOrder = ord; bestParam = p }
+        ord += 1
+      }
+      bw.writeBits(0, 1)                 // pad
+      bw.writeBits(8L | bestOrder, 6)    // type FIXED | order
+      bw.writeBits(0, 1)                 // no wasted bits
+      var i = 0
+      while (i < bestOrder) { bw.writeBits(samples(i).toLong & 0xffffL, 16); i += 1 }
+      bw.writeBits(0, 2)                 // residual method: 4-bit rice
+      bw.writeBits(0, 4)                 // partition order 0
+      bw.writeBits(bestParam, 4)
+      val res = fixedResiduals(samples, bestOrder)
+      i = 0
+      while (i < res.length) {
+        val u = zigzag(res(i))
+        bw.writeUnary((u >>> bestParam).toInt)
+        bw.writeBits(u & ((1L << bestParam) - 1L), bestParam)
+        i += 1
+      }
+    }
+    bw.alignByte()
+    val body = bw.bytesSoFar
+    bw.writeBits(crc16(body, 0, body.length), 16)
+    bw.bytesSoFar
+  }
+
+  // ---- decoder ---------------------------------------------------------
+
+  /** Decoded stream: rate/channels/bps from the frame, the samples,
+    * and whether the STREAMINFO MD5 matched the decoded PCM.
+    */
+  final case class Decoded(
+      sampleRate: Int, channels: Int, bitsPerSample: Int,
+      samples: Array[Int], md5Ok: Boolean)
+
+  private val BlockSizes = Array(-1, 192, 576, 1152, 2304, 4608, -2, -3,
+    256, 512, 1024, 2048, 4096, 8192, 16384, 32768) // -2/-3: 8/16 bits at end
+  private val SampleRates = Array(0, 88200, 176400, 192000, 8000, 16000, 22050,
+    24000, 32000, 44100, 48000, 96000, -2, -3, -4, -1) // -2/-3/-4: coded at end
+  private val SampleSizes = Array(-1, 8, 12, 0, 16, 20, 24, 32)
+
+  /** Strict subset decode: None on anything malformed, unsupported
+    * (LPC, >1 channel), truncated, or failing an integrity check.
+    */
+  def decode(b: Array[Byte]): Option[Decoded] =
+    try decodeOrThrow(b) catch { case Eof | _: IllegalArgumentException => None }
+
+  private def fail(): Nothing = throw new IllegalArgumentException("flac: malformed")
+
+  private def decodeOrThrow(bytes: Array[Byte]): Option[Decoded] = {
+    if (bytes.length < 4 + 4 + 34 || bytes(0) != 'f' || bytes(1) != 'L' ||
+      bytes(2) != 'a' || bytes(3) != 'C') return None
+    var o = 4
+    // metadata blocks: STREAMINFO must come first; skip the rest
+    var siRate = -1; var siChannels = -1; var siBps = -1
+    var siTotal = 0L
+    var siMd5: Array[Byte] = null
+    var last = false
+    var first = true
+    while (!last) {
+      if (o + 4 > bytes.length) return None
+      val hdr = bytes(o) & 0xff
+      last = (hdr & 0x80) != 0
+      val typ = hdr & 0x7f
+      val len = ((bytes(o + 1) & 0xff) << 16) | ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+      o += 4
+      if (o + len > bytes.length) return None
+      if (first) {
+        if (typ != 0 || len != 34) return None
+        val r = new BitReader(java.util.Arrays.copyOfRange(bytes, o, o + 34))
+        val _ = r.readBits(32)          // min/max blocksize
+        val _2 = r.readBits(48)         // min/max framesize
+        siRate = r.readBits(20).toInt
+        siChannels = r.readBits(3).toInt + 1
+        siBps = r.readBits(5).toInt + 1
+        siTotal = r.readBits(36)
+        siMd5 = java.util.Arrays.copyOfRange(bytes, o + 18, o + 34)
+      }
+      first = false
+      o += len
+    }
+    if (siChannels != 1) return None    // subset: mono
+    // frame
+    val fr = new BitReader(java.util.Arrays.copyOfRange(bytes, o, bytes.length))
+    if (fr.readBits(14) != 0x3ffe) fail()
+    if (fr.readBit() != 0) fail()
+    val _blocking = fr.readBit()
+    val bsCode = fr.readBits(4).toInt
+    val srCode = fr.readBits(4).toInt
+    val chanAsgn = fr.readBits(4).toInt
+    if (chanAsgn != 0) return None      // subset: mono
+    val ssCode = fr.readBits(3).toInt
+    if (fr.readBit() != 0) fail()
+    // coded number: UTF-8-style varint
+    val b0 = fr.readBits(8).toInt
+    val extra = if (b0 < 0x80) 0 else {
+      var k = 0; var m = b0
+      while ((m & 0x40) != 0) { k += 1; m <<= 1 }
+      if ((b0 & 0xc0) == 0x80 || k < 1 || k > 6) fail()
+      k
+    }
+    var e = 0
+    while (e < extra) { if ((fr.readBits(8).toInt & 0xc0) != 0x80) fail(); e += 1 }
+    val blockSize = bsCode match {
+      case 0 => fail()
+      case 6 => fr.readBits(8).toInt + 1
+      case 7 => fr.readBits(16).toInt + 1
+      case c => BlockSizes(c)
+    }
+    val rate = srCode match {
+      case 12 => fr.readBits(8).toInt * 1000
+      case 13 => fr.readBits(16).toInt
+      case 14 => fr.readBits(16).toInt * 10
+      case 15 => fail()
+      case 0  => siRate
+      case c  => SampleRates(c)
+    }
+    val bps = ssCode match {
+      case 0 => siBps
+      case 3 => fail()
+      case c => SampleSizes(c)
+    }
+    if (blockSize < 1 || bps < 4 || bps > 32) fail()
+    // CRC-8 over the header bytes (reader is byte-aligned here)
+    if (!fr.isAligned) fail()
+    val hdrLen = fr.bytePos
+    if (crc8(bytes, o, o + hdrLen) != fr.readBits(8).toInt) fail()
+
+    val samples = readSubframe(fr, blockSize, bps)
+
+    fr.alignByte()
+    val bodyLen = fr.bytePos
+    if (crc16(bytes, o, o + bodyLen) != fr.readBits(16).toInt) fail()
+    if (siTotal != 0L && siTotal != blockSize.toLong) fail() // single-frame subset
+    val md5Ok = siMd5 != null && siMd5.exists(_ != 0) && bps == 16 &&
+      java.util.Arrays.equals(pcmMd5(samples), siMd5)
+    Some(Decoded(rate, 1, bps, samples, md5Ok))
+  }
+
+  private def readSubframe(fr: BitReader, n: Int, bps: Int): Array[Int] = {
+    if (fr.readBit() != 0) fail()
+    val typ = fr.readBits(6).toInt
+    val wastedFlag = fr.readBit()
+    val wasted = if (wastedFlag == 1) fr.readUnary() + 1 else 0
+    val eb = bps - wasted
+    if (eb < 1) fail()
+    val x = new Array[Int](n)
+    if (typ == 0) {                       // CONSTANT
+      val v = fr.readSigned(eb)
+      java.util.Arrays.fill(x, v)
+    } else if (typ == 1) {                // VERBATIM
+      var i = 0
+      while (i < n) { x(i) = fr.readSigned(eb); i += 1 }
+    } else if ((typ & 0x38) == 0x08 && (typ & 0x07) <= 4) { // FIXED
+      val order = typ & 0x07
+      if (order > n) fail()
+      var i = 0
+      while (i < order) { x(i) = fr.readSigned(eb); i += 1 }
+      val res = readResiduals(fr, n, order)
+      val coef: Array[Array[Long]] = Array(
+        Array(), Array(1L), Array(2L, -1L), Array(3L, -3L, 1L), Array(4L, -6L, 4L, -1L))
+      val c = coef(order)
+      i = order
+      while (i < n) {
+        var pred = 0L
+        var j = 0
+        while (j < order) { pred += c(j) * x(i - 1 - j); j += 1 }
+        val v = pred + res(i - order)
+        if (v < Int.MinValue || v > Int.MaxValue) fail()
+        x(i) = v.toInt
+        i += 1
+      }
+    } else fail()                         // LPC / reserved: subset boundary
+    if (wasted > 0) {
+      var i = 0
+      while (i < n) { x(i) = x(i) << wasted; i += 1 }
+    }
+    x
+  }
+
+  private def readResiduals(fr: BitReader, n: Int, order: Int): Array[Long] = {
+    val method = fr.readBits(2).toInt
+    if (method > 1) fail()
+    val paramBits = if (method == 0) 4 else 5
+    val escape = (1 << paramBits) - 1
+    val po = fr.readBits(4).toInt
+    val partitions = 1 << po
+    if ((n >> po) << po != n) fail()
+    val out = new Array[Long](n - order)
+    var w = 0
+    var p = 0
+    while (p < partitions) {
+      val count = (n >> po) - (if (p == 0) order else 0)
+      if (count < 0) fail()
+      val param = fr.readBits(paramBits).toInt
+      if (param == escape) {
+        val rawBits = fr.readBits(5).toInt
+        var i = 0
+        while (i < count) {
+          out(w) = if (rawBits == 0) 0L else fr.readSigned(rawBits).toLong
+          w += 1; i += 1
+        }
+      } else {
+        var i = 0
+        while (i < count) {
+          val q = fr.readUnary().toLong
+          val u = (q << param) | fr.readBits(param)
+          out(w) = unzigzag(u)
+          w += 1; i += 1
+        }
+      }
+      p += 1
+    }
+    out
+  }
+}

@@ -347,6 +347,70 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** Deterministic sample for the FLAC corpus: a 17-per-step ramp
+    * wrapping in [-2000, 2000] — mostly-linear segments make the FIXED
+    * predictors genuinely win (near-constant order-1/2 residuals, so
+    * the rice path carries real compression), while the wrap points
+    * keep the residual stream non-trivial. Distinct from pcmSample so
+    * the two audio paths cannot silently share an oracle.
+    */
+  def flacSample(id: Long, i: Int): Int = (((id * 11L + i * 17L) % 4001L) - 2000L).toInt
+
+  /** Synthesized single-frame FLAC streams (FlacCodec.encode) whose
+    * sample data is [[flacSample]]: n = 100 + id mod 400, mono 16-bit
+    * at 16 kHz — real rice-coded payloads with live CRC-8/CRC-16/MD5
+    * integrity fields.
+    */
+  def synthFlacs(df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val id = r.getLong(idIdx)
+        val n = 100 + (id % 400L).toInt
+        val samples = Array.tabulate(n)(i => flacSample(id, i))
+        Row(id, FlacCodec.encode(samples, 16000))
+      })
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** REAL compressed-audio decode: run the full FLAC bitstream parse
+    * (rice decode, fixed-predictor reconstruction, CRC-8/CRC-16
+    * verification, stream-MD5 check) and aggregate the ACTUAL decoded
+    * samples — integer sum / sum-of-squares / min / max plus the MD5
+    * verdict. Nulls for non-FLAC, out-of-subset, or corrupted
+    * payloads (any failed integrity check ⇒ None, never garbage).
+    */
+  def flacPcmStats(df: DataFrame, idCol: String, payloadCol: String, batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_samples", LongType),
+      StructField("sum_amp", LongType), StructField("sum_sq", LongType),
+      StructField("min_amp", LongType), StructField("max_amp", LongType),
+      StructField("md5_ok", BooleanType)))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        FlacCodec.decode(r.getAs[Array[Byte]](pIdx)) match {
+          case Some(d) if d.samples.nonEmpty =>
+            var sum = 0L; var sumSq = 0L
+            var mn = Long.MaxValue; var mx = Long.MinValue
+            var i = 0
+            while (i < d.samples.length) {
+              val v = d.samples(i).toLong
+              sum += v; sumSq += v * v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              i += 1
+            }
+            Row(r.getLong(idIdx), d.samples.length.toLong, sum, sumSq, mn, mx, d.md5Ok)
+          case _ => Row(r.getLong(idIdx), null, null, null, null, null, null)
+        }
+      })
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Batched real-header decode over a binary column: one partition
     * pass, `batchSize` payloads per slab, (format, width, height,
     * n_bytes) per payload — nulls for unparseable bytes.
