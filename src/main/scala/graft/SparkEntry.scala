@@ -971,6 +971,24 @@ object SparkEntry {
     "stats_profile" -> { (s, dir) =>
       Profile.profile(Tables.events(s, dir), Seq("user_id", "value"))
     },
+    // CCNet-style per-language quality terciles: head/middle/tail label
+    // per doc — groupBy boundaries + broadcast join back (no
+    // lang-partitioned window), integer bucket verdicts
+    "text_quality_buckets" -> { (s, dir) =>
+      Sampling.qualityBuckets(Tables.documents(s, dir), "doc_id", "text", "lang")
+        .select("doc_id", "lang", "q4", "t1_q4", "t2_q4", "bucket")
+        .orderBy("doc_id")
+    },
+    // quality-weighted deterministic downsampling: keep probability =
+    // quality score (s4 integer vs id-hash bucket) — map-only filter
+    "sample_importance" -> { (s, dir) =>
+      val scored = Tables.documents(s, dir).select(col("doc_id"),
+        floor(TextOps.qualityScore(col("text")) * 10000d + 0.5d).cast("long").as("q4"),
+        Sampling.hashBucket(col("doc_id"), 10000).as("bucket"))
+      scored.where(col("bucket") < col("q4"))
+        .select("doc_id", "q4", "bucket")
+        .orderBy("doc_id")
+    },
     // the corpus report card: per (source, lang) doc counts, token and
     // quality totals/extremes, exact-dup rate — one scoring scan, a
     // de-skewed hash-groupBy dup verdict, one algebraic rollup
@@ -2745,6 +2763,36 @@ object SparkEntry {
         |   / (1.4826E0 * (quantile_cont(dev, 0.5E0) over (partition by user_id))), 4) as rz
         |from d
         |order by user_id, ts_us, event_id""".stripMargin,
+    // tercile oracle: identical s4 scores, quantile_cont boundaries
+    // floored to integers (Spark percentile and DuckDB quantile_cont
+    // share the lower+(higher-lower)·frac interpolation — the
+    // certified ts_winsorize/q_quantiles parity), integer verdicts
+    "text_quality_buckets" -> {
+      import graft.ts.OracleGen.litD
+      s"""with d as (select doc_id, lang,
+         |    cast(floor(${SqlTwins.qualityScore("text")} * 10000 + 0.5) as bigint) as q4
+         |  from documents),
+         |b as (select lang,
+         |    cast(floor(quantile_cont(q4, ${litD(1.0 / 3.0)})) as bigint) as t1_q4,
+         |    cast(floor(quantile_cont(q4, ${litD(2.0 / 3.0)})) as bigint) as t2_q4
+         |  from d group by lang)
+         |select doc_id, lang, q4, t1_q4, t2_q4,
+         | case when q4 <= t1_q4 then 'tail'
+         |      when q4 <= t2_q4 then 'middle'
+         |      else 'head' end as bucket
+         |from d join b using (lang)
+         |order by doc_id""".stripMargin
+    },
+    // importance-sampling oracle: same s4 score, same id-hash bucket
+    // (the sample_split h60 convention), integer keep verdict
+    "sample_importance" ->
+      s"""with d as (select doc_id,
+         |    cast(floor(${SqlTwins.qualityScore("text")} * 10000 + 0.5) as bigint) as q4,
+         |    cast(${SqlTwins.h60("cast(doc_id as varchar)")} % 10000 as bigint) as bucket
+         |  from documents)
+         |select doc_id, q4, bucket from d
+         |where bucket < q4
+         |order by doc_id""".stripMargin,
     // report-card oracle: identical per-doc s4 quality / token ints,
     // the same hash-groupBy dup verdict, pure integer rollup — exact,
     // no FP aggregation surface at all

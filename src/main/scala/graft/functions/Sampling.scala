@@ -29,6 +29,43 @@ object Sampling {
     df.where(hashBucket(col(keyCol), buckets) < (fraction * buckets).toLong)
   }
 
+  /** CCNet-style per-language quality bucketing: score every doc,
+    * compute the per-language tercile boundaries, and label each doc
+    * head (top third) / middle / tail — the canonical stratification
+    * that downstream mixture sampling keys on (keep head, downsample
+    * middle, drop tail).
+    *
+    * Scale shape: boundaries ride a groupBy(lang) aggregate + a
+    * BROADCAST join back (a handful of rows), NOT a window partitioned
+    * by language — lang has a handful of values, so a lang-partitioned
+    * window would put whole sub-corpora in single unsplittable
+    * partitions. Exact percentile is the oracle path; swap
+    * approx_percentile at 100 TB per the q_quantiles_approx note.
+    * Scores are s4 integers and the boundaries are floored to
+    * integers, so every bucket verdict is an integer comparison.
+    */
+  def qualityBuckets(docs: DataFrame, idCol: String, textCol: String, langCol: String): DataFrame = {
+    import graft.ts.OracleGen.litD
+    val scored = docs.select(col(idCol), col(langCol),
+      floor(TextOps.qualityScore(col(textCol)) * 10000d + 0.5d).cast("long").as("q4"))
+    val bounds = scored.groupBy(col(langCol)).agg(
+      floor(expr(s"percentile(q4, ${litD(1.0 / 3.0)})")).cast("long").as("t1_q4"),
+      floor(expr(s"percentile(q4, ${litD(2.0 / 3.0)})")).cast("long").as("t2_q4"))
+    scored.join(broadcast(bounds), langCol)
+      .withColumn("bucket",
+        when(col("q4") <= col("t1_q4"), lit("tail"))
+          .when(col("q4") <= col("t2_q4"), lit("middle"))
+          .otherwise(lit("head")))
+  }
+
+  /** Deterministic importance sampling: keep a row with probability
+    * weight/10000 (an s4-scaled integer weight column), decided by the
+    * stable id-hash bucket — quality-weighted downsampling as a pure
+    * map-only filter, reproducible across re-runs and engines.
+    */
+  def importanceSample(df: DataFrame, keyCol: String, weightS4: Column): DataFrame =
+    df.where(hashBucket(col(keyCol), 10000) < weightS4)
+
   /** Deterministic train/validation/test split: bucket < train·B →
     * "train", < (train+valid)·B → "valid", else "test". Fractions are
     * resolved to integer bucket cutoffs so the boundary is exact.

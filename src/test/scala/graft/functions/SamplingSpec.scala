@@ -101,4 +101,58 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"mixture sampling must not shuffle:\n${plan.take(1000)}")
   }
+
+  test("qualityBuckets: tercile labels are ordered, per-language, ~third-sized") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val docs = (0L until 300L).map { i =>
+      val lang = if (i % 3 == 0) "en" else "es"
+      // vary quality via token length / stopword mix
+      val text = (if (rnd.nextInt(3) == 0) "the of and is " else "zqx ") * (3 + rnd.nextInt(20))
+      (i, text, lang)
+    }.toDF("doc_id", "text", "lang")
+    val out = Sampling.qualityBuckets(docs, "doc_id", "text", "lang")
+      .select("lang", "q4", "t1_q4", "t2_q4", "bucket")
+      .as[(String, Long, Long, Long, String)].collect()
+    assert(out.length == 300)
+    out.foreach { case (_, q4, t1, t2, b) =>
+      assert(t1 <= t2)
+      val expect = if (q4 <= t1) "tail" else if (q4 <= t2) "middle" else "head"
+      assert(b == expect)
+    }
+    // boundaries are per-language constants
+    assert(out.groupBy(_._1).forall { case (_, rows) =>
+      rows.map(r => (r._3, r._4)).distinct.size == 1
+    })
+    // the tail is never empty: t1 = floor(tercile) >= min score, so
+    // min-score docs always land there (head CAN be empty under heavy
+    // ties — q4 <= t2 absorbs a tied top cluster — which is correct)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.exists(_._5 == "tail"))
+    }
+  }
+
+  test("qualityBuckets: boundaries ride a broadcast join, not a lang window") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c", "en"), (2L, "d e f", "en")).toDF("doc_id", "text", "lang")
+    val plan = Sampling.qualityBuckets(docs, "doc_id", "text", "lang")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no lang-partitioned window:\n${plan.take(1000)}")
+    assert(plan.contains("BroadcastHashJoin"), s"boundaries must broadcast:\n${plan.take(1000)}")
+  }
+
+  test("importanceSample: keep verdict is exactly bucket < weight, map-only") {
+    import spark.implicits._
+    val weighted = ids.withColumn("w", (col("id") % 10001L))
+    val kept = Sampling.importanceSample(weighted, "id", col("w"))
+      .select("id", "w").as[(Long, Long)].collect().toMap
+    val buckets = ids.select(col("id"), Sampling.hashBucket(col("id"), 10000).as("b"))
+      .as[(Long, Long)].collect().toMap
+    (0L until 2000L).foreach { id =>
+      assert(kept.contains(id) == (buckets(id) < id % 10001L))
+    }
+    val plan = Sampling.importanceSample(weighted, "id", col("w"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"importance sampling must not shuffle:\n${plan.take(800)}")
+  }
 }
