@@ -1123,6 +1123,18 @@ object SparkEntry {
         .select("qid", "rank", "vec_id", "adc")
         .orderBy("qid", "rank")
     },
+    // the production composite index: IVF cells + PQ codes in one
+    // map-only index scan; ADC search reads 8+m bytes/row restricted
+    // to the probed cells — FAISS IndexIVFPQ, end to end
+    "ann_ivf_pq" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ann.ivfSeedCentroids(emb, "vec_id", "embedding", k = 16)
+      val books = Ann.pqSeedCodebooks(emb, "vec_id", "embedding", m = 4, k = 4)
+      val q = emb.where(col("vec_id") < 3).select(col("vec_id").as("qid"), col("embedding"))
+      Ann.ivfPqTopK(emb, q, "vec_id", "embedding", "qid", k = 10, nprobe = 4, cents, books)
+        .select("qid", "rank", "vec_id", "adc")
+        .orderBy("qid", "rank")
+    },
     // two-stage retrieval: PQ-ADC shortlist (codes only, 4 B/row) →
     // exact-cosine rerank of ONLY the shortlist vectors (broadcast
     // hash-join fetch, no corpus shuffle) — the FAISS refine shape
@@ -3026,6 +3038,71 @@ object SparkEntry {
          |  join qd d1 on d1.qid = q.qid and d1.sub = 1 and d1.cid = cs.code1
          |  join qd d2 on d2.qid = q.qid and d2.sub = 2 and d2.cid = cs.code2
          |  join qd d3 on d3.qid = q.qid and d3.sub = 3 and d3.cid = cs.code3)
+         |select qid, rank, vec_id, adc from (
+         |  select qid, vec_id, adc,
+         |   cast(row_number() over (partition by qid order by adc, vec_id) as int) as rank
+         |  from scored)
+         |where rank <= 10
+         |order by qid, rank""".stripMargin
+    },
+    // IVF+PQ oracle: the ann_pq_codes code CTEs + the ann_ivf cell
+    // assignment + per-query probed cells (cosine rank <= nprobe) +
+    // the ann_pq_adc distance-table sum restricted to probed cells
+    "ann_ivf_pq" -> {
+      def t(owner: String, sub: String) =
+        s"(cast($owner[$sub * 16 + i] as double) - cast(c.cvec[$sub * 16 + i] as double))"
+      s"""with cb as (
+         |  select row_number() over (order by vec_id) - 1 as cid, embedding as cvec
+         |  from (select vec_id, embedding from embeddings order by vec_id limit 4)),
+         |pd as (
+         |  select e.vec_id, s.sub, c.cid,
+         |    list_reduce(list_transform(range(1, 17), i ->
+         |      ${t("e.embedding", "s.sub")} * ${t("e.embedding", "s.sub")}), (a, b) -> a + b) as dist
+         |  from embeddings e
+         |  cross join (values (0), (1), (2), (3)) as s(sub)
+         |  cross join cb c),
+         |codes as (
+         |  select vec_id,
+         |   max(case when sub = 0 then cid end) as code0,
+         |   max(case when sub = 1 then cid end) as code1,
+         |   max(case when sub = 2 then cid end) as code2,
+         |   max(case when sub = 3 then cid end) as code3
+         |  from (select vec_id, sub, cid,
+         |          row_number() over (partition by vec_id, sub order by dist, cid) as rn
+         |        from pd)
+         |  where rn = 1 group by vec_id),
+         |ivc as (select vec_id as cid, embedding as cvec from embeddings order by vec_id limit 16),
+         |ivs as (
+         |  select e.vec_id, c.cid, ${SqlTwins.cosine("e.embedding", "c.cvec", 64)} as ccos
+         |  from embeddings e cross join ivc c),
+         |iva as (
+         |  select vec_id, cid as cell from (
+         |    select vec_id, cid, row_number() over (partition by vec_id order by ccos desc, cid) as r
+         |    from ivs) where r = 1),
+         |q as (select vec_id as qid, embedding as qv from embeddings where vec_id < 3),
+         |qc as (
+         |  select q.qid, c.cid, ${SqlTwins.cosine("q.qv", "c.cvec", 64)} as ccos
+         |  from q cross join ivc c),
+         |probes as (
+         |  select qid, cid as cell from (
+         |    select qid, cid, row_number() over (partition by qid order by ccos desc, cid) as r
+         |    from qc) where r <= 4),
+         |qd as (
+         |  select q.qid, s.sub, c.cid,
+         |    list_reduce(list_transform(range(1, 17), i ->
+         |      ${t("q.qv", "s.sub")} * ${t("q.qv", "s.sub")}), (a, b) -> a + b) as d
+         |  from q
+         |  cross join (values (0), (1), (2), (3)) as s(sub)
+         |  cross join cb c),
+         |scored as (
+         |  select p.qid, cs.vec_id, (((d0.d + d1.d) + d2.d) + d3.d) as adc
+         |  from codes cs
+         |  join iva on iva.vec_id = cs.vec_id
+         |  join probes p on p.cell = iva.cell
+         |  join qd d0 on d0.qid = p.qid and d0.sub = 0 and d0.cid = cs.code0
+         |  join qd d1 on d1.qid = p.qid and d1.sub = 1 and d1.cid = cs.code1
+         |  join qd d2 on d2.qid = p.qid and d2.sub = 2 and d2.cid = cs.code2
+         |  join qd d3 on d3.qid = p.qid and d3.sub = 3 and d3.cid = cs.code3)
          |select qid, rank, vec_id, adc from (
          |  select qid, vec_id, adc,
          |   cast(row_number() over (partition by qid order by adc, vec_id) as int) as rank

@@ -363,6 +363,76 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 
+  /** The composite IVF+PQ index frame: (id, cell, code0..code{m-1})
+    * in ONE map-only scan — both the nearest-centroid cell kernel and
+    * the m per-subspace code kernels run over the same projection with
+    * zero shuffle. This is the on-disk artifact of a production vector
+    * index (FAISS IndexIVFPQ): ~(8 + m) bytes per row instead of the
+    * raw fp32 vector, partitionable/bucketable by cell.
+    */
+  def ivfPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val (vecs, cids) = collectCentroids(centroids)
+    val cellIdx = graft.plans.HashExpressions.nearestCentroid(col(vecCol), vecs.toSeq)
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val codes = (0 until m).map { j =>
+      val sl = slice(col(vecCol), j * sub + 1, sub)
+      graft.plans.HashExpressions.nearestCentroidL2(sl, codebooks(j).toSeq).as(s"code$j")
+    }
+    corpus.select(col(idCol) +: element_at(array(cids.toSeq: _*), cellIdx + 1).as("cell") +: codes: _*)
+  }
+
+  /** IVF+PQ search — the production billion-scale composite: probe the
+    * `nprobe` nearest cells per query (cosine over the broadcast
+    * centroid frame), then ADC-score ONLY the probed cells' PQ codes.
+    * The per-query m×k distance tables ride the broadcast probe frame;
+    * the index scan reads (cell, codes) — 8+m bytes/row, never the raw
+    * vectors — and the cell equi-join prunes it to ≈ nprobe/K of the
+    * corpus per query. Only the final per-query top-k exchanges.
+    * Smallest ADC wins; ties → lowest id. Compose with [[pqRerank]]'s
+    * stage-2 fetch for exact scores on the shortlist.
+    */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qIdCol: String,
+      k: Int,
+      nprobe: Int,
+      centroids: DataFrame,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val index = ivfPqIndex(corpus, idCol, vecCol, centroids, codebooks)
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    // probed cells per query: nprobe nearest centroids by cosine
+    val qScored = queries.crossJoin(broadcast(centroids))
+      .select(col(qIdCol), col(vecCol), col("cid"),
+        VectorOps.cosine(col(vecCol), col("cvec")).as("ccos"))
+    val qw = Window.partitionBy(qIdCol).orderBy(col("ccos").desc, col("cid"))
+    def l2(qslice: Column, cent: Array[Double]): Column =
+      aggregate(
+        zip_with(qslice.cast("array<double>"), lit(cent), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, t) => acc + t)
+    val dtables = (0 until m).map { j =>
+      val qs = slice(col(vecCol), j * sub + 1, sub)
+      array(codebooks(j).map(cent => l2(qs, cent)).toIndexedSeq: _*).as(s"__dt$j")
+    }
+    val probes = qScored.withColumn("__r", row_number().over(qw)).where(col("__r") <= nprobe)
+      .select(col(qIdCol) +: col("cid").as("cell") +: dtables: _*)
+    val adc = (0 until m).map(j => element_at(col(s"__dt$j"), col(s"code$j") + 1))
+      .reduceLeft[Column](_ + _)
+    val scored = index.join(broadcast(probes), "cell")
+      .select(col(qIdCol), col(idCol), adc.as("adc"))
+    val w = Window.partitionBy(qIdCol).orderBy(col("adc"), col(idCol))
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
   /** Two-stage retrieval — PQ-ADC shortlist, exact-cosine rerank: the
     * production billion-scale search shape (FAISS's IndexIVFPQ +
     * refine). Stage 1 scans CODES only ([[pqTopK]], 4 bytes/row) for a

@@ -129,6 +129,44 @@ class PqSpec extends SparkSpec {
     top.foreach { case (qid, _, vid, _) => assert(vid % 4 == qid % 4, s"q$qid hit $vid") }
   }
 
+  test("ivfPqTopK with nprobe = K (probe everything) equals plain ADC over all codes") {
+    val cents = Ann.ivfSeedCentroids(corpus, "vec_id", "embedding", k = 8)
+    val books = Ann.pqSeedCodebooks(corpus, "vec_id", "embedding", m = 4, k = 4)
+    val q = corpus.where($"vec_id" < 2).select($"vec_id".as("qid"), $"embedding")
+    val full = Ann.ivfPqTopK(corpus, q, "vec_id", "embedding", "qid",
+      k = 10, nprobe = 8, cents, books)
+      .select("qid", "rank", "vec_id", "adc").as[(Long, Int, Long, Double)].collect().sorted
+    val plain = Ann.pqTopK(Ann.pqCodes(corpus, "vec_id", "embedding", books),
+      q, "vec_id", "embedding", "qid", k = 10, books)
+      .select("qid", "rank", "vec_id", "adc").as[(Long, Int, Long, Double)].collect().sorted
+    assert(full.sameElements(plain))
+  }
+
+  test("ivfPqTopK with a modest nprobe recovers the query's cluster") {
+    val cents = Ann.ivfSeedCentroids(corpus, "vec_id", "embedding", k = 8)
+    val books = Ann.pqSeedCodebooks(corpus, "vec_id", "embedding", m = 4, k = 4)
+    val q = corpus.where($"vec_id" < 2).select($"vec_id".as("qid"), $"embedding")
+    val top = Ann.ivfPqTopK(corpus, q, "vec_id", "embedding", "qid",
+      k = 10, nprobe = 2, cents, books)
+      .select("qid", "vec_id").as[(Long, Long)].collect()
+    assert(top.length == 20)
+    top.foreach { case (qid, vid) => assert(vid % 4 == qid % 4, s"q$qid hit $vid") }
+  }
+
+  test("ivfPqTopK plans no corpus shuffle: the index is map-only, the cell join broadcasts") {
+    val cents = Ann.ivfSeedCentroids(corpus, "vec_id", "embedding", k = 8)
+    val books = Ann.pqSeedCodebooks(corpus, "vec_id", "embedding", m = 4, k = 4)
+    val q = corpus.where($"vec_id" < 2).select($"vec_id".as("qid"), $"embedding")
+    val df = Ann.ivfPqTopK(corpus, q, "vec_id", "embedding", "qid",
+      k = 5, nprobe = 2, cents, books)
+    val plan = df.queryExecution.executedPlan.toString
+    // two hash exchanges: the probe-selection window (tiny query frame)
+    // and the final top-k window — the corpus index side must not shuffle
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 2, s"expected the two window exchanges only, got $hashEx:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
+
   test("pqRerank plans no corpus shuffle: shortlist fetch is a broadcast join") {
     val books = Ann.pqSeedCodebooks(corpus, "vec_id", "embedding", m = 4, k = 4)
     val q = corpus.where($"vec_id" < 2).select($"vec_id".as("qid"), $"embedding")
