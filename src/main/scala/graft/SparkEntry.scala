@@ -589,6 +589,13 @@ object SparkEntry {
       Dedup.purgeStats(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id")
     },
+    // quality-aware purge: keep the BEST-QUALITY member per family
+    // (ties → lowest id) — the curation verdict done right; the
+    // representative pick is a partial-agg min_by + join back
+    "dedup_purge_quality" -> { (s, dir) =>
+      Dedup.purgeBestQuality(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhashDupOf(Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
     },
@@ -2162,6 +2169,24 @@ object SparkEntry {
     "dedup_minhash" -> minhashDupOfSql,
     "dedup_clusters" -> minhashClustersSql,
     "dedup_purge" -> dedupPurgeSql,
+    // quality-aware purge twin: the shared transitive-closure labels +
+    // the identical s4 quality score; representative = (q4 desc, id)
+    // rank 1 per family — exactly the min_by struct order
+    "dedup_purge_quality" -> (
+      minhashClustersCtes +
+        s""",
+           |q as (select doc_id, cast(floor(${SqlTwins.qualityScore("text")} * 10000 + 0.5) as bigint) as q4
+           |      from documents),
+           |j as (select lab.doc_id, lab.cluster_id, q.q4 from lab join q using (doc_id)),
+           |fam as (select cluster_id, cast(count(*) as bigint) as family_size from j group by cluster_id),
+           |rep as (select cluster_id, doc_id as rep_id from (
+           |          select cluster_id, doc_id,
+           |            row_number() over (partition by cluster_id order by q4 desc, doc_id) as rn
+           |          from j) where rn = 1)
+           |select j.doc_id, j.cluster_id, fam.family_size, j.q4, rep.rep_id,
+           |       j.doc_id = rep.rep_id as kept
+           |from j join fam using (cluster_id) join rep using (cluster_id)
+           |order by j.doc_id""".stripMargin),
     "dedup_simhash" ->
       s"""with sig as (select doc_id, ${SqlTwins.simhash32(SqlTwins.toks("text"))} as simhash from documents),
          |bands as (

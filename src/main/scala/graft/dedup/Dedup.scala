@@ -755,6 +755,29 @@ object Dedup {
         (col(idCol) === col("cluster_id")).as("kept"))
   }
 
+  /** Quality-aware purge: same transitive families as [[purgeStats]],
+    * but the representative is the family's BEST-QUALITY member (s4
+    * integer score; ties → lowest id), not the lowest id — the verdict
+    * a real curation pipeline wants ("keep the cleanest copy"). The
+    * representative pick is a partial-aggregated min_by over the
+    * integer (−q4, id) order struct, joined back on the cluster id —
+    * no window over family partitions (a viral family is a hot key).
+    */
+  def purgeBestQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val clusters = duplicateClusters(docs, idCol, textCol)
+    val scored = docs.select(col(idCol).cast("long").as(idCol),
+      floor(graft.functions.TextOps.qualityScore(col(textCol)) * 10000d + 0.5d)
+        .cast("long").as("q4"))
+    val joined = clusters.join(scored, Seq(idCol))
+    val best = joined.groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("family_size"),
+        min_by(col(idCol), struct((-col("q4")).as("nq"), col(idCol).as("i"))).as("rep_id"))
+    joined.join(best, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("family_size"), col("q4"),
+        col("rep_id"), (col(idCol) === col("rep_id")).as("kept"))
+  }
+
   /** The k salted positions of a document's normalized text in an
     * m-bit Bloom filter: h60("j:" ++ normalize(text)) mod m for
     * j = 0..k-1. Shared by build and probe (and mirrored by the SQL

@@ -116,4 +116,44 @@ class ClustersSpec extends SparkSpec {
     assert(plan.contains("partial_count(1)"),
       s"family size must partial-aggregate before its exchange:\n${plan.take(1500)}")
   }
+
+  test("purgeBestQuality: the representative is the best-quality member, ties to lowest id") {
+    import graft.functions.TextOps
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    // doc 1 is a single-word near-dup of 0 where the edit swaps in a
+    // stopword — same banding behavior as the chain test, but a
+    // strictly different quality score
+    val docs = Seq(
+      (0L, base), (1L, base.replace("w5 ", "the ")), (2L, base),
+      (7L, "totally standalone document about columnar shuffles and codegen spans today"))
+      .toDF("doc_id", "text")
+    val q4 = docs.select(col("doc_id"),
+      floor(TextOps.qualityScore(col("text")) * 10000d + 0.5d).cast("long").as("q4"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(q4(1L) != q4(0L), "the stopword edit must move the quality score")
+    val out = Dedup.purgeBestQuality(docs, "doc_id", "text")
+      .select("doc_id", "cluster_id", "family_size", "q4", "rep_id", "kept")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    // q4 column carries the same score the pick used
+    out.foreach { case (id, _, _, q, _, _) => assert(q == q4(id)) }
+    // docs 0/1/2 must band into one family (single-word edit)
+    val famOf = out.map(r => r._1 -> r._2).toMap
+    assert(famOf(0L) == 0L && famOf(1L) == 0L && famOf(2L) == 0L, s"family: $famOf")
+    // the representative of EVERY family is its (q4 desc, id asc) argmax
+    out.groupBy(_._2).foreach { case (fam, rows) =>
+      val expectRep = rows.minBy(r => (-r._4, r._1))._1
+      rows.foreach { case (id, _, size, _, rep, kept) =>
+        assert(rep == expectRep, s"family $fam rep $rep != expected $expectRep")
+        assert(kept == (id == expectRep))
+        assert(size == rows.size)
+      }
+    }
+  }
+
+  test("purgeBestQuality: representative pick is a partial-agg min_by, not a family window") {
+    val docs = Seq((0L, "a b c d e f g h i j"), (1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val plan = Dedup.purgeBestQuality(docs, "doc_id", "text").queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min_by("),
+      s"rep pick must partial-aggregate before its exchange:\n${plan.take(1500)}")
+  }
 }
