@@ -1228,6 +1228,17 @@ object SparkEntry {
             .select(col("doc_id"), col("lang_pred")))
         .orderBy("doc_id")
     },
+    // codec work is STATELESS per payload, so the batched decode
+    // kernels compose into the stream unchanged: encode → full FLAC
+    // bitstream decode per micro-batch, zero state — the multimodal
+    // ingest-pipeline shape (payloads arrive, stats stream out)
+    "stream_flac" -> { (s, dir) =>
+      StreamRunner.run(s, streamDocs(s, dir), nChunks = 5, "append")(ds =>
+          Multimodal.flacPcmStats(
+            Multimodal.synthFlacs(ds.toDF().select("doc_id"), "doc_id"),
+            "doc_id", "payload"))
+        .orderBy("doc_id")
+    },
     // the pack_sequences twin: packing is naturally incremental — one
     // long of state per shard (the running token total); fragments for
     // each doc emit in its arrival micro-batch, bit-identical to batch
@@ -2621,6 +2632,19 @@ object SparkEntry {
     // 2000 (Multimodal.flacSample); md5_ok is constant-true because
     // the decoder verifies STREAMINFO's MD5 over its own output
     "mm_audio_flac" ->
+      """with p as (select doc_id, 100 + (doc_id % 400) as n from documents),
+        | u as (select doc_id, n, unnest(generate_series(0, n - 1)) as i from p),
+        | s as (select doc_id, n, ((doc_id * 11 + i * 17) % 4001) - 2000 as v from u)
+        |select doc_id, n as n_samples,
+        | cast(sum(v) as bigint) as sum_amp,
+        | cast(sum(v * v) as bigint) as sum_sq,
+        | cast(min(v) as bigint) as min_amp,
+        | cast(max(v) as bigint) as max_amp,
+        | true as md5_ok
+        |from s group by doc_id, n order by doc_id""".stripMargin,
+    // the mm_audio_flac oracle verbatim: stateless per-payload decode
+    // makes the streaming twin's output identical to batch
+    "stream_flac" ->
       """with p as (select doc_id, 100 + (doc_id % 400) as n from documents),
         | u as (select doc_id, n, unnest(generate_series(0, n - 1)) as i from p),
         | s as (select doc_id, n, ((doc_id * 11 + i * 17) % 4001) - 2000 as v from u)

@@ -228,6 +228,20 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("flac decode kernels compose into a stream unchanged (stateless): stream == batch") {
+    import graft.streaming.{Doc, StreamRunner}
+    val ids = (0L until 20L).map(i => Doc(i, s"doc $i"))
+    val batch = Multimodal.flacPcmStats(
+      Multimodal.synthFlacs(ids.toDF().select("doc_id"), "doc_id"), "doc_id", "payload")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val stream = StreamRunner.run(spark, ids, nChunks = 4, "append")(ds =>
+        Multimodal.flacPcmStats(
+          Multimodal.synthFlacs(ds.toDF().select("doc_id"), "doc_id"), "doc_id", "payload"))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(stream.toSeq == batch.toSeq)
+    assert(batch.forall(r => r(6) == true)) // md5 verified on every payload
+  }
+
   test("sampleFrames: every-2nd fixed-width frame with md5 payloads") {
     val out = Multimodal.sampleFrames(docs, "doc_id", "text", frameChars = 128, every = 2)
       .orderBy("doc_id", "frame_idx").collect()
