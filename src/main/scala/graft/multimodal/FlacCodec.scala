@@ -178,6 +178,127 @@ object FlacCodec {
     best
   }
 
+  /** Exact-cost-optimal rice PARTITION plan for a residual block:
+    * tries partition orders 0..4 (where 2^po divides the blocksize and
+    * the first partition keeps ≥ 1 residual), picks the exact-best
+    * parameter per partition, and returns (po, params, totalBits).
+    * Partitioning is what rescues mixed distributions — a stream of
+    * near-zero residuals with rare huge ones (segment wraps) pays for
+    * the worst value across the whole block at po=0, but isolates it
+    * into one partition at po>0.
+    */
+  def bestRicePlan(us: Array[Long], order: Int, n: Int): (Int, Array[Int], Long) = {
+    var bestPo = 0
+    var bestParams: Array[Int] = null
+    var bestBits = Long.MaxValue
+    var po = 0
+    while (po <= 4) {
+      val parts = 1 << po
+      if ((n >> po) << po == n && (n >> po) > order) {
+        val params = new Array[Int](parts)
+        var bits = 4L + 2L + 4L * parts // partition order + method + param fields
+        var w = 0
+        var p = 0
+        while (p < parts) {
+          val count = (n >> po) - (if (p == 0) order else 0)
+          val slice = java.util.Arrays.copyOfRange(us, w, w + count)
+          val param = bestRiceParam(slice)
+          params(p) = param
+          bits += riceCost(slice, param)
+          w += count
+          p += 1
+        }
+        if (bits < bestBits) { bestBits = bits; bestPo = po; bestParams = params }
+      }
+      po += 1
+    }
+    (bestPo, bestParams, bestBits)
+  }
+
+  // ---- LPC analysis ----------------------------------------------------
+
+  /** Levinson-Durbin LPC coefficients (pred x[i] ≈ Σ c_j·x[i−j]) from
+    * the frame's autocorrelation; null when the signal is degenerate
+    * (silence / unstable recursion) — caller falls back to FIXED.
+    */
+  def lpcCoefficients(x: Array[Int], order: Int): Array[Double] = {
+    val n = x.length
+    if (n <= order) return null
+    val r = new Array[Double](order + 1)
+    var lag = 0
+    while (lag <= order) {
+      var s = 0.0
+      var i = lag
+      while (i < n) { s += x(i).toDouble * x(i - lag).toDouble; i += 1 }
+      r(lag) = s
+      lag += 1
+    }
+    if (r(0) == 0.0) return null
+    val a = new Array[Double](order + 1)
+    var err = r(0)
+    var m = 1
+    while (m <= order) {
+      var acc = r(m)
+      var j = 1
+      while (j < m) { acc -= a(j) * r(m - j); j += 1 }
+      if (err <= 0.0) return null
+      val k = acc / err
+      val prev = a.clone()
+      a(m) = k
+      j = 1
+      while (j < m) { a(j) = prev(j) - k * prev(m - j); j += 1 }
+      err *= (1.0 - k * k)
+      m += 1
+    }
+    java.util.Arrays.copyOfRange(a, 1, order + 1)
+  }
+
+  /** Quantize LPC coefficients to `precision`-bit signed integers with
+    * a shared left-shift; error-feedback rounding (libFLAC's scheme).
+    * Returns (qcoeffs, shift) or null when degenerate.
+    */
+  def quantizeLpc(coefs: Array[Double], precision: Int): (Array[Int], Int) = {
+    val cmax = coefs.map(math.abs).max
+    if (cmax <= 0.0 || !java.lang.Double.isFinite(cmax)) return null
+    val headroom = (math.log(cmax) / math.log(2.0)).floor.toInt + 1
+    var shift = precision - 1 - headroom
+    if (shift > 15) shift = 15
+    if (shift < 0) return null // coefficient magnitudes out of subset range
+    val lim = (1 << (precision - 1)) - 1
+    val q = new Array[Int](coefs.length)
+    var e = 0.0
+    var j = 0
+    while (j < coefs.length) {
+      val target = coefs(j) * (1L << shift).toDouble + e
+      var v = math.round(target).toInt
+      if (v > lim) v = lim
+      if (v < -lim - 1) v = -lim - 1
+      e = target - v
+      q(j) = v
+      j += 1
+    }
+    (q, shift)
+  }
+
+  /** LPC residuals with the integer predictor the decoder replays:
+    * res[i] = x[i] − ((Σ q_j·x[i−1−j]) >> shift) — exact by
+    * construction, so LPC frames are lossless regardless of how crude
+    * the coefficient fit is.
+    */
+  def lpcResiduals(x: Array[Int], q: Array[Int], shift: Int): Array[Long] = {
+    val order = q.length
+    val out = new Array[Long](x.length - order)
+    var i = order
+    while (i < x.length) {
+      var pred = 0L
+      var j = 0
+      while (j < order) { pred += q(j).toLong * x(i - 1 - j).toLong; j += 1 }
+      out(i - order) = x(i).toLong - (pred >> shift)
+      i += 1
+    }
+    out
+  }
+
   // ---- encoder ---------------------------------------------------------
 
   /** UTF-8-style coded number (the frame-number varint): 1-6 bytes.
@@ -268,33 +389,55 @@ object FlacCodec {
       bw.writeBits(0, 1)         // no wasted bits
       bw.writeBits(samples(0).toLong & 0xffffL, 16)
     } else {
-      val maxOrder = math.min(4, n - 1)
-      var bestOrder = 0
-      var bestParam = 0
-      var bestBits = Long.MaxValue
-      var ord = 0
-      while (ord <= maxOrder) {
-        val us = fixedResiduals(samples, ord).map(zigzag)
-        val p = bestRiceParam(us)
-        val bits = riceCost(us, p) + 16L * ord
-        if (bits < bestBits) { bestBits = bits; bestOrder = ord; bestParam = p }
-        ord += 1
+      // candidates: FIXED 0..4 and an order-8 quantized LPC fit, each
+      // with its exact-cost-optimal rice partition plan — the winner
+      // is the exact smallest subframe
+      final case class Cand(typ: Long, order: Int, lpc: Option[(Array[Int], Int)],
+          res: Array[Long], po: Int, params: Array[Int], bits: Long)
+      val LpcOrder = 8
+      val LpcPrecision = 12
+      val fixedCands = (0 to math.min(4, n - 1)).map { ord =>
+        val res = fixedResiduals(samples, ord)
+        val (po, params, bits) = bestRicePlan(res.map(zigzag), ord, n)
+        Cand(8L | ord, ord, None, res, po, params, bits + 16L * ord)
       }
+      val lpcCand =
+        if (n <= LpcOrder + 1) None
+        else Option(lpcCoefficients(samples, LpcOrder))
+          .flatMap(c => Option(quantizeLpc(c, LpcPrecision)))
+          .map { case (q, shift) =>
+            val res = lpcResiduals(samples, q, shift)
+            val (po, params, bits) = bestRicePlan(res.map(zigzag), LpcOrder, n)
+            Cand(0x20L | (LpcOrder - 1), LpcOrder, Some((q, shift)), res, po, params,
+              bits + 16L * LpcOrder + 4L + 5L + LpcPrecision.toLong * LpcOrder)
+          }
+      val best = (fixedCands ++ lpcCand).minBy(_.bits)
       bw.writeBits(0, 1)                 // pad
-      bw.writeBits(8L | bestOrder, 6)    // type FIXED | order
+      bw.writeBits(best.typ, 6)          // type FIXED|order or LPC|order-1
       bw.writeBits(0, 1)                 // no wasted bits
       var i = 0
-      while (i < bestOrder) { bw.writeBits(samples(i).toLong & 0xffffL, 16); i += 1 }
+      while (i < best.order) { bw.writeBits(samples(i).toLong & 0xffffL, 16); i += 1 }
+      best.lpc.foreach { case (q, shift) =>
+        bw.writeBits(LpcPrecision - 1, 4)
+        bw.writeBits(shift, 5)
+        q.foreach(c => bw.writeBits(c.toLong & ((1L << LpcPrecision) - 1L), LpcPrecision))
+      }
       bw.writeBits(0, 2)                 // residual method: 4-bit rice
-      bw.writeBits(0, 4)                 // partition order 0
-      bw.writeBits(bestParam, 4)
-      val res = fixedResiduals(samples, bestOrder)
-      i = 0
-      while (i < res.length) {
-        val u = zigzag(res(i))
-        bw.writeUnary((u >>> bestParam).toInt)
-        bw.writeBits(u & ((1L << bestParam) - 1L), bestParam)
-        i += 1
+      bw.writeBits(best.po, 4)
+      var w = 0
+      var p = 0
+      while (p < (1 << best.po)) {
+        val count = (n >> best.po) - (if (p == 0) best.order else 0)
+        val param = best.params(p)
+        bw.writeBits(param, 4)
+        var k = 0
+        while (k < count) {
+          val u = zigzag(best.res(w))
+          bw.writeUnary((u >>> param).toInt)
+          bw.writeBits(u & ((1L << param) - 1L), param)
+          w += 1; k += 1
+        }
+        p += 1
       }
     }
     bw.alignByte()
@@ -472,7 +615,31 @@ object FlacCodec {
         x(i) = v.toInt
         i += 1
       }
-    } else fail()                         // LPC / reserved: subset boundary
+    } else if ((typ & 0x20) == 0x20) {    // LPC, order = low 5 bits + 1
+      val order = (typ & 0x1f) + 1
+      if (order > n) fail()
+      var i = 0
+      while (i < order) { x(i) = fr.readSigned(eb); i += 1 }
+      val precM1 = fr.readBits(4).toInt
+      if (precM1 == 15) fail()            // invalid per spec
+      val precision = precM1 + 1
+      val shift = fr.readSigned(5)
+      if (shift < 0) fail()               // negative shift: subset boundary
+      val q = new Array[Int](order)
+      i = 0
+      while (i < order) { q(i) = fr.readSigned(precision); i += 1 }
+      val res = readResiduals(fr, n, order)
+      i = order
+      while (i < n) {
+        var pred = 0L
+        var j = 0
+        while (j < order) { pred += q(j).toLong * x(i - 1 - j).toLong; j += 1 }
+        val v = (pred >> shift) + res(i - order)
+        if (v < Int.MinValue || v > Int.MaxValue) fail()
+        x(i) = v.toInt
+        i += 1
+      }
+    } else fail()                         // reserved: subset boundary
     if (wasted > 0) {
       var i = 0
       while (i < n) { x(i) = x(i) << wasted; i += 1 }

@@ -221,13 +221,42 @@ class FlacCodecSpec extends AnyFunSuite {
     assert(d.samples.sameElements(samples) && d.md5Ok)
   }
 
-  test("decode-only: LPC and stereo are clean subset boundaries (None, no throw)") {
+  test("decode-only: reserved subframe types are clean subset boundaries (None, no throw)") {
     val samples = Array(1, 2, 3, 4)
-    // LPC subframe type (0b100000)
+    // reserved type 0b000010 — must reject without reading garbage
     val bw = new BitWriter
     frameHeader(bw, samples.length, 8000)
-    bw.writeBits(0, 1); bw.writeBits(0x20, 6); bw.writeBits(0, 1)
+    bw.writeBits(0, 1); bw.writeBits(2, 6); bw.writeBits(0, 1)
     bw.writeBits(0, 32)
     assert(decode(wrap(samples.length, 8000, samples, finishFrame(bw))).isEmpty)
+  }
+
+  test("LPC: a fast two-tone signal picks the LPC subframe, beats FIXED, round-trips bit-exact") {
+    // fast tones (ω > π/3) are where LPC earns its keep: the k-th
+    // difference AMPLIFIES them ((2·sin(ω/2))^k > 1), so every FIXED
+    // order sees big residuals while a 4-pole predictor models both
+    // tones almost exactly
+    val samples = Array.tabulate(512)(i =>
+      (8000 * math.sin(i * 1.8) + 3000 * math.sin(i * 2.4)).toInt)
+    val enc = encode(samples, 16000)
+    val d = decode(enc).get
+    assert(d.samples.sameElements(samples) && d.md5Ok)
+    // subframe header byte sits right after the 10-byte frame header
+    // (frame 0 → 1-byte varint): pad(1) type(6) wasted(1)
+    val typ = (enc(4 + 4 + 34 + 10) >> 1) & 0x3f
+    assert((typ & 0x20) == 0x20, f"expected an LPC subframe, got type 0x$typ%02x")
+    // the 12-bit quantized 4-pole fit leaves ~quantization-noise
+    // residuals (~10 bits/sample ≈ 640 bytes); every FIXED order sees
+    // amplified residuals (~16 bits/sample ≈ 1 KB+) — well separated
+    assert(enc.length < 800, s"LPC should clearly beat FIXED's ~1 KB here, got ${enc.length}")
+  }
+
+  test("partitioned rice isolates segment wraps: the ramp shrinks well below its po=0 size") {
+    val samples = Array.tabulate(400)(i => Multimodal.flacSample(7L, i))
+    val enc = encode(samples, 16000)
+    // po=0 exact-best single-partition encoding measured 422 bytes; the
+    // partition plan must cut the wrap cost decisively
+    assert(enc.length < 300, s"partitioned rice should beat 422-byte po=0, got ${enc.length}")
+    assert(decode(enc).get.samples.sameElements(samples))
   }
 }
