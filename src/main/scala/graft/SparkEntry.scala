@@ -192,6 +192,22 @@ object SparkEntry {
         .select("user_id", "ts_us", "event_id", "value", "last_purchase_value")
         .orderBy("user_id", "ts_us", "event_id")
     },
+    // TWO-TABLE as-of join with tolerance: each event picks the most
+    // recent COMPLETED daily close (build ts = end of day) within 2
+    // days, via the zero-join union+carry — one exchange, no join
+    // operator; DuckDB's native ASOF JOIN is the oracle
+    "ts_asof_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      val build = ev
+        .withColumn("bucket", TimeOps.tumblingBucket("ts_us", 86400000000L))
+        .groupBy("user_id", "bucket")
+        .agg(max_by(col("value"), col("ts_us")).as("close"))
+        .select(col("user_id"), (col("bucket") + lit(86399999999L)).as("ts_us"), col("close"))
+      TimeOps.asofJoin(ev, build, Seq("user_id"), "ts_us", "close", "close_asof",
+        toleranceMicros = Some(2L * 86400000000L))
+        .select("user_id", "ts_us", "event_id", "value", "close_asof")
+        .orderBy("user_id", "ts_us", "event_id")
+    },
     "ts_resample" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
       TimeOps.resampleFfill(ev, Seq("user_id"), "ts_us", 86400000000L, max(col("value")))
@@ -1613,6 +1629,19 @@ object SparkEntry {
         |asof left join (select user_id, ts, value from events where event_type = 'purchase') p
         |  on e.user_id = p.user_id and e.ts >= p.ts
         |order by e.user_id, ts_us, e.event_id""".stripMargin,
+    // two-table as-of twin: DuckDB's NATIVE ASOF JOIN against the
+    // end-of-day close table, tolerance as the identical gap CASE
+    "ts_asof_join" ->
+      """with pb as (
+        |  select user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000) as bucket,
+        |    max_by(value, epoch_us(ts)) as close
+        |  from events group by 1, 2),
+        |b as (select user_id, bucket + 86399999999 as bts, close from pb),
+        |p as (select user_id, epoch_us(ts) as ts_us, event_id, value from events)
+        |select p.user_id, p.ts_us, p.event_id, p.value,
+        | case when b.bts is not null and p.ts_us - b.bts <= 172800000000 then b.close end as close_asof
+        |from p asof left join b on p.user_id = b.user_id and p.ts_us >= b.bts
+        |order by p.user_id, p.ts_us, p.event_id""".stripMargin,
     "ts_resample" ->
       """with pb as (
         |  select user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000) as bucket, max(value) as bucket_value

@@ -54,6 +54,53 @@ object TimeOps {
     df.withColumn(out, last(when(cond, col(valueCol)), ignoreNulls = true).over(win))
   }
 
+  /** TWO-TABLE as-of join (backward, inclusive) with an optional
+    * tolerance: each probe row picks the build side's most recent
+    * value at-or-before its timestamp on the same key, null when the
+    * nearest build row is further back than `toleranceMicros`.
+    *
+    * Scale shape — the zero-JOIN as-of: both tables union into one
+    * frame (build rows tagged to sort BEFORE probe rows at equal ts →
+    * inclusive semantics), ONE window pass on the shared key carries
+    * the last build (ts, value) struct forward, probe rows filter out.
+    * One exchange total, no join operator at all — a sort-merge as-of
+    * join would shuffle both sides anyway and then pay the merge;
+    * this pays exactly the same single shuffle and nothing else.
+    * DuckDB's native ASOF JOIN is the oracle.
+    */
+  def asofJoin(
+      probe: DataFrame,
+      build: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      out: String,
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    val probeCols = probe.columns.toSeq
+    val bvType = build.schema(valueCol).dataType
+    val p = probe
+      .withColumn("__side", lit(1))
+      .withColumn("__bv", lit(null).cast(bvType))
+      .select((probeCols.map(col) :+ col("__side") :+ col("__bv")): _*)
+    val b0 = build.select((keyCols :+ tsCol).map(col) :+ col(valueCol).as("__bv"): _*)
+    val b = probeCols.filterNot(c => keyCols.contains(c) || c == tsCol)
+      .foldLeft(b0)((df, c) => df.withColumn(c, lit(null).cast(probe.schema(c).dataType)))
+      .withColumn("__side", lit(0))
+      .select((probeCols.map(col) :+ col("__side") :+ col("__bv")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = p.unionByName(b).withColumn("__last",
+      last(when(col("__side") === 0, struct(col(tsCol).as("t"), col("__bv").as("v"))),
+        ignoreNulls = true).over(w))
+    val gapOk = toleranceMicros
+      .map(t => col(tsCol) - col("__last")("t") <= t)
+      .getOrElse(lit(true))
+    carried.where(col("__side") === 1)
+      .withColumn(out, when(col("__last").isNotNull && gapOk, col("__last")("v")))
+      .drop("__side", "__bv", "__last")
+  }
+
   /** Per-key regular spine (bucketed time) with forward-fill of the
     * last observed value. Spine generation is per-key `sequence` +
     * `explode` (distributed, no driver loop); fill is one window pass.
