@@ -1012,6 +1012,13 @@ object SparkEntry {
         .select("doc_id", "q4", "bucket")
         .orderBy("doc_id")
     },
+    // end-to-end curation survival funnel per predicted language:
+    // in → exact-dedup survivors → quality-weighted sample survivors →
+    // final tokens; one scan + de-skewed dup groupBy + integer rollup
+    "corpus_funnel" -> { (s, dir) =>
+      Profile.corpusFunnel(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("lang_pred")
+    },
     // the corpus report card: per (source, lang) doc counts, token and
     // quality totals/extremes, exact-dup rate — one scoring scan, a
     // de-skewed hash-groupBy dup verdict, one algebraic rollup
@@ -2883,6 +2890,26 @@ object SparkEntry {
          |select doc_id, q4, bucket from d
          |where bucket < q4
          |order by doc_id""".stripMargin,
+    // funnel oracle: same per-doc scores/verdicts, pure integer rollup
+    "corpus_funnel" ->
+      s"""with d as (select doc_id,
+         |    ${SqlTwins.h60(SqlTwins.norm("text"))} as k,
+         |    ${SqlTwins.langidSelect("text")} as lang_pred,
+         |    cast(floor(${SqlTwins.qualityScore("text")} * 10000 + 0.5) as bigint) as q4,
+         |    cast(len(${SqlTwins.toks("text")}) as bigint) as nt,
+         |    ${SqlTwins.h60("cast(doc_id as varchar)")} % 10000 as b
+         |  from documents),
+         |g as (select k, min(doc_id) as mn from d group by k),
+         |f as (select d.*, d.doc_id = g.mn as dedup_keep,
+         |        (d.doc_id = g.mn and d.b < d.q4) as final_keep
+         |      from d join g using (k))
+         |select lang_pred,
+         | cast(count(*) as bigint) as docs_in,
+         | cast(sum(case when dedup_keep then 1 else 0 end) as bigint) as docs_dedup,
+         | cast(sum(case when final_keep then 1 else 0 end) as bigint) as docs_final,
+         | cast(sum(case when final_keep then nt else 0 end) as bigint) as tokens_final
+         |from f group by lang_pred
+         |order by lang_pred""".stripMargin,
     // report-card oracle: identical per-doc s4 quality / token ints,
     // the same hash-groupBy dup verdict, pure integer rollup — exact,
     // no FP aggregation surface at all

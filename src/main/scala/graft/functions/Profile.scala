@@ -75,6 +75,34 @@ object Profile {
       max(col("__q4")).as("max_quality_s4"))
   }
 
+  /** Curation survival funnel: the end-to-end keep/kill accounting a
+    * training-data run reports per language — docs in, docs surviving
+    * exact dedup (first-copy-wins), docs surviving quality-weighted
+    * importance sampling, and the final token count. ONE scoring scan
+    * (normalize/langid/quality/tokens in codegen), the de-skewed
+    * hash-groupBy dup verdict, conditional integer sums in one
+    * map-side-combinable rollup — the q_funnel of the corpus pipeline,
+    * with zero FP aggregation surface.
+    */
+  def corpusFunnel(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val id = col(idCol)
+    val scored = docs.select(id,
+      TextOps.h60(TextOps.normalize(col(textCol))).as("__k"),
+      TextOps.langid(TextOps.tokens(col(textCol))).as("lang_pred"),
+      floor(TextOps.qualityScore(col(textCol)) * 10000d + 0.5d).cast("long").as("__q4"),
+      TextOps.tokenCount(col(textCol)).cast("long").as("__nt"),
+      Sampling.hashBucket(id, 10000).as("__b"))
+    val groups = scored.groupBy(col("__k")).agg(min(id).as("__min"))
+    val staged = scored.join(groups, "__k")
+      .withColumn("__dedup", id === col("__min"))
+      .withColumn("__final", col("__dedup") && col("__b") < col("__q4"))
+    staged.groupBy(col("lang_pred")).agg(
+      count(lit(1)).as("docs_in"),
+      sum(when(col("__dedup"), 1L).otherwise(0L)).as("docs_dedup"),
+      sum(when(col("__final"), 1L).otherwise(0L)).as("docs_final"),
+      sum(when(col("__final"), col("__nt")).otherwise(0L)).as("tokens_final"))
+  }
+
   /** Pairwise Pearson correlation matrix over numeric columns in ONE
     * aggregation pass: the k·(k+3)/2 algebraic sums (per-column sum +
     * sum-of-squares, per-pair cross sum) are all map-side combinable,

@@ -48,4 +48,25 @@ class CorpusReportSpec extends SparkSpec {
     assert(plan.contains("partial_min("),
       s"group min must partial-aggregate before the exchange:\n${plan.take(1500)}")
   }
+
+  test("corpusFunnel: staged counts are monotone and tokens come only from final survivors") {
+    val out = Profile.corpusFunnel(docs, "doc_id", "text")
+      .select("lang_pred", "docs_in", "docs_dedup", "docs_final", "tokens_final")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.map(_._2).sum == 5, "every doc lands in exactly one language cell")
+    out.foreach { case (_, in, dd, fin, toks) =>
+      assert(in >= dd && dd >= fin && fin >= 0, "funnel stages are monotone")
+      assert(fin > 0 || toks == 0, "no tokens without final survivors")
+    }
+    // exactly one of docs 1/3 (exact normalized dups) survives dedup
+    val totalDedup = out.map(_._3).sum
+    assert(totalDedup == 4, s"5 docs, one exact-dup pair -> 4 dedup survivors, got $totalDedup")
+  }
+
+  test("corpusFunnel plan: no content-hash window; one scoring scan feeds the rollup") {
+    val plan = Profile.corpusFunnel(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no window expected:\n${plan.take(1200)}")
+    assert(plan.contains("partial_min("), plan.take(1500))
+  }
 }
