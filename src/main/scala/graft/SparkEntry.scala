@@ -291,6 +291,14 @@ object SparkEntry {
           s4(col("r2")).as("r2_s4"))
         .orderBy("user_id", "ts_us", "event_id")
     },
+    // rolling exact quantiles (pandas rolling median/quantile parity):
+    // per-row sorted picks at rank ceil(p·w), min_periods=w — element
+    // picks only, bit-exact; one exchange on the series key
+    "ts_rollquantiles" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.rollQuantiles(ev, "value", evGroup, evOrder, w = 7)
+        .orderBy("user_id", "ts_us", "event_id")
+    },
     // AR(2) Yule-Walker fit + 3-step mean-reverting forecast — the
     // autoregressive model class ts_pacf identifies; one window pass +
     // one partial-agg groupBy, closed-form algebra on rounded ACFs
@@ -1904,6 +1912,21 @@ object SparkEntry {
         |   else (n * sxv - sx * sv) * (n * sxv - sx * sv)
         |     / ((n * sxx - sx * sx) * (n * svv - sv * sv)) end) * 10000 + 0.5) as bigint) as r2_s4
         |from f order by user_id, ts_us, event_id""".stripMargin,
+    // rolling-quantile twin: the same trailing-7 list, sorted, indexed
+    // at the identical ranks; count gate replays min_periods=w
+    "ts_rollquantiles" ->
+      """with l as (
+        |  select user_id, epoch_us(ts) as ts_us, event_id, value,
+        |   count(value) over w as cnt,
+        |   list_sort(list(value) over w) as arr
+        |  from events
+        |  window w as (partition by user_id order by epoch_us(ts), event_id
+        |               rows between 6 preceding and current row))
+        |select user_id, ts_us, event_id, value,
+        | case when cnt = 7 then arr[2] end as value_q1_w7,
+        | case when cnt = 7 then arr[4] end as value_med_w7,
+        | case when cnt = 7 then arr[6] end as value_q3_w7
+        |from l order by user_id, ts_us, event_id""".stripMargin,
     // AR twin: the shared ACF CTEs (identical rounded r1/r2), last two
     // observations via ordered-list picks, then the Yule-Walker closed
     // forms and the forecast recursion unrolled CTE-by-CTE in the

@@ -820,6 +820,38 @@ object TimeOps {
       .withColumn("drawdown", col("peak") - col(valueCol))
   }
 
+  /** Rolling exact order statistics (q1 / median / q3) over a trailing
+    * w-row window — the pandas `rolling(w).median()/quantile()` family
+    * via per-row sorted picks: collect the window into an array, sort,
+    * index at rank ceil(p·w) (the q_quantiles_approx disc convention).
+    * Emitted only when the window holds w non-null values (pandas
+    * min_periods=w); pure element PICKS, no arithmetic → bit-exact
+    * cross-engine. O(w log w) per row — fine for feature windows
+    * (w ≤ ~100); for large w use approx_percentile over the window.
+    * One exchange on the series key.
+    */
+  def rollQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      w: Int): DataFrame = {
+    require(w >= 1, s"window must be >= 1, got $w")
+    val win = Featurize.seriesWindow(groupCols, orderCols)
+      .rowsBetween(-(w - 1), Window.currentRow)
+    val v = col(valueCol)
+    def rank(p: Double): Int = math.ceil(p * w).toInt
+    val withArr = df
+      .withColumn("__cnt", count(v).over(win))
+      .withColumn("__arr", sort_array(collect_list(v).over(win)))
+    val full = col("__cnt") === w
+    withArr
+      .withColumn(s"${valueCol}_q1_w$w", when(full, element_at(col("__arr"), rank(0.25))))
+      .withColumn(s"${valueCol}_med_w$w", when(full, element_at(col("__arr"), rank(0.5))))
+      .withColumn(s"${valueCol}_q3_w$w", when(full, element_at(col("__arr"), rank(0.75))))
+      .drop("__cnt", "__arr")
+  }
+
   /** AR(2) model fit + h-step forecast per series: Yule-Walker
     * coefficients from the lag-1/lag-2 autocorrelations (closed form —
     * φ1 = r1(1−r2)/(1−r1²), φ2 = (r2−r1²)/(1−r1²)), then the standard

@@ -47,6 +47,23 @@ class ChangepointSpec extends SparkSpec {
     assert(TimeOps.changepoint(series(rows), "value", Seq("user_id"), Seq("ts_us", "event_id")).count() == 0)
   }
 
+  test("rollQuantiles: sorted-pick ranks, min_periods gate, null handling") {
+    // w=3: ranks ceil(.25*3)=1, ceil(.5*3)=2, ceil(.75*3)=3
+    val rows = Seq[(String, Long, Long, java.lang.Double)](
+      ("u1", 1, 1, 5.0), ("u1", 2, 2, 1.0), ("u1", 3, 3, 9.0),
+      ("u1", 4, 4, null), ("u1", 5, 5, 2.0), ("u1", 6, 6, 7.0))
+      .toDF("user_id", "ts_us", "event_id", "value")
+    val out = TimeOps.rollQuantiles(rows, "value", Seq("user_id"), Seq("ts_us", "event_id"), w = 3)
+      .select("ts_us", "value_q1_w3", "value_med_w3", "value_q3_w3")
+      .collect().map(r => r.getLong(0) ->
+        (1 to 3).map(i => if (r.isNullAt(i)) None else Some(r.getDouble(i)))).toMap
+    assert(out(1L).forall(_.isEmpty) && out(2L).forall(_.isEmpty), "min_periods=w")
+    assert(out(3L) == Seq(Some(1.0), Some(5.0), Some(9.0)), s"sorted picks of (5,1,9): ${out(3L)}")
+    assert(out(4L).forall(_.isEmpty) && out(5L).forall(_.isEmpty),
+      "a null inside the window suppresses the emit")
+    assert(out(6L).forall(_.isEmpty), "window (null,2,7) has only 2 non-null values")
+  }
+
   test("plan: ONE exchange — the argmax groupBy reuses the window's series partitioning") {
     val rows = (1 to 6).map(i => ("u1", i.toLong, i.toLong, java.lang.Double.valueOf(i.toDouble)))
     val plan = TimeOps.changepoint(series(rows), "value", Seq("user_id"), Seq("ts_us", "event_id"))
