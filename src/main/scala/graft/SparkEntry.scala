@@ -1002,6 +1002,13 @@ object SparkEntry {
     "stats_profile" -> { (s, dir) =>
       Profile.profile(Tables.events(s, dir), Seq("user_id", "value"))
     },
+    // feature-hashing vectorizer: 16-bucket signed hashing-trick
+    // encoding per doc — the linear-classifier input prep, map-only
+    "text_hash_features" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id") +: TextOps.hashFeatures(col("text"), dim = 16): _*)
+        .orderBy("doc_id")
+    },
     // CCNet-style per-language quality terciles: head/middle/tail label
     // per doc — groupBy boundaries + broadcast join back (no
     // lang-partitioned window), integer bucket verdicts
@@ -2883,6 +2890,19 @@ object SparkEntry {
         |   / (1.4826E0 * (quantile_cont(dev, 0.5E0) over (partition by user_id))), 4) as rz
         |from d
         |order by user_id, ts_us, event_id""".stripMargin,
+    // hashing-trick oracle: identical token hashes, bucket = h mod 16,
+    // sign from hash bit 16, integer list_sum per bucket (order-free)
+    "text_hash_features" -> {
+      val fs = (0 until 16).map { b =>
+        s"coalesce(list_sum(list_transform(th, h -> " +
+          s"case when h % 16 = $b then 1 - 2 * ((h >> 16) & 1) else 0 end)), 0) as f$b"
+      }.mkString(",\n ")
+      s"""with t as (select doc_id, ${SqlTwins.toks("text")} as t from documents),
+         |thc as (select doc_id, ${SqlTwins.tokenHashes32("t")} as th from t)
+         |select doc_id,
+         | $fs
+         |from thc order by doc_id""".stripMargin
+    },
     // tercile oracle: identical s4 scores, quantile_cont boundaries
     // floored to integers (Spark percentile and DuckDB quantile_cont
     // share the lower+(higher-lower)·frac interpolation — the

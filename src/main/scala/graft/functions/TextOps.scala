@@ -253,4 +253,26 @@ object TextOps {
     */
   def phoneCount(c: Column): Column =
     size(regexp_extract_all(regexp_replace(c, EmailRe, "<EMAIL>"), lit(PhoneRe), lit(0)))
+
+  /** Feature-hashing (hashing-trick) vectorizer, Weinberger et al.
+    * 2009: token → bucket h mod dim, contribution ±1 by an independent
+    * hash bit (bit 16 — disjoint from the low bucket bits for dim ≤
+    * 65536), summed per bucket — the fixed-width sparse-text encoding
+    * linear classifiers (fastText/VW-style quality models) train on.
+    * Signed hashing makes collisions cancel in expectation instead of
+    * biasing counts upward. Integer sums over the token-hash array —
+    * MAP-ONLY (no shuffle, no vocabulary), association-free, exact
+    * cross-engine. Returns the dim feature Columns (f0..f{dim-1}).
+    */
+  def hashFeatures(text: Column, dim: Int): Seq[Column] = {
+    require(dim >= 2 && dim <= 65536, s"dim must be in [2, 65536], got $dim")
+    val th = tokenHashes32Kernel(text)
+    (0 until dim).map { b =>
+      aggregate(
+        filter(th, h => pmod(h, lit(dim.toLong)) === b),
+        lit(0L),
+        (acc, h) => acc + lit(1L) - lit(2L) * shiftright(h, 16).bitwiseAND(lit(1L)))
+        .as(s"f$b")
+    }
+  }
 }

@@ -43,4 +43,30 @@ class TextHashKernelSpec extends SparkSpec {
       TextOps.fingerprintDeclarative(toks).as("d")).collect()
     rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
   }
+
+  test("hashFeatures: signed-bucket sums replay the token hashes exactly; map-only plan") {
+    import spark.implicits._
+    val fdocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "one one one two"),
+      (3L, ""),
+      (4L, "solo")).toDF("doc_id", "text")
+    val hashes = fdocs.select($"doc_id",
+      TextOps.tokenHashes32(TextOps.tokens($"text")).as("th"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val out = fdocs.select($"doc_id" +: TextOps.hashFeatures($"text", dim = 16): _*)
+      .collect().map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
+    for ((id, th) <- hashes) {
+      val expect = (0 until 16).map { b =>
+        th.filter(_ % 16 == b).map(h => 1L - 2L * ((h >> 16) & 1L)).sum
+      }
+      assert(out(id) == expect, s"doc $id: ${out(id)} != $expect")
+    }
+    // "" tokenizes to a single empty-string token (split semantics,
+    // engine-identical) → exactly one ±1 contribution in one bucket
+    assert(out(3L).map(math.abs).sum == 1L, s"single-token vector: ${out(3L)}")
+    val plan = fdocs.select($"doc_id" +: TextOps.hashFeatures($"text", dim = 16): _*)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"vectorizer must be map-only:\n${plan.take(800)}")
+  }
 }
