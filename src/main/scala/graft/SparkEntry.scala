@@ -480,6 +480,23 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     },
+    // latest-row-per-key snapshot (upsert/SCD compaction): ONE
+    // partial-aggregated max_by on the (ts, id) order struct — only one
+    // row per key per map task reaches the exchange, unlike the
+    // window-rank form which shuffles every event
+    "q_latest" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "event_type", "value")
+      ev.groupBy("user_id")
+        .agg(max_by(
+          struct(col("ts_us"), col("event_id"), col("event_type"), col("value")),
+          struct(col("ts_us"), col("event_id"))).as("__l"))
+        .select(col("user_id"),
+          col("__l")("ts_us").as("last_ts_us"),
+          col("__l")("event_id").as("last_event_id"),
+          col("__l")("event_type").as("last_event_type"),
+          col("__l")("value").as("last_value"))
+        .orderBy("user_id")
+    },
     "q_topn" -> { (s, dir) =>
       val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
       val o = Tables.orders(s, dir).select("o_custkey", "o_totalprice")
@@ -1942,7 +1959,9 @@ object SparkEntry {
     "ts_ar_forecast" ->
       s"""with ${leadLagAcfCtes(1 to 2)},
          |st as (select user_id, cast(count(value) as bigint) as n,
-         |    round(avg(value), 4) as mu from events group by user_id),
+         |    (cast(sum(cast(floor(value * 100 + 0.5) as bigint)) as double)
+         |      / cast(count(value) as double)) / 100.0 as mu
+         |  from events group by user_id),
          |lv as (select user_id, list(value order by epoch_us(ts), event_id) as xs
          |  from events group by user_id),
          |lw as (select user_id, xs[len(xs)] as xn,
@@ -2154,6 +2173,17 @@ object SparkEntry {
         |group by l_orderkey, epoch_us(o_orderdate)
         |order by revenue desc, l_orderkey
         |limit 10""".stripMargin,
+    // latest-row oracle: rank-1 by (ts, id) descending — identical
+    // verdict to the max_by order struct; exact picks, no arithmetic
+    "q_latest" ->
+      """select user_id, last_ts_us, last_event_id, last_event_type, last_value from (
+        |  select user_id, epoch_us(ts) as last_ts_us, event_id as last_event_id,
+        |    event_type as last_event_type, value as last_value,
+        |    row_number() over (partition by user_id
+        |      order by epoch_us(ts) desc, event_id desc) as rn
+        |  from events)
+        |where rn = 1
+        |order by user_id""".stripMargin,
     "q_topn" ->
       """select * from (
         |  select c_nationkey, c_custkey, spend,

@@ -866,8 +866,10 @@ object TimeOps {
     * the fit + recursion are closed-form arithmetic on the one-row-
     * per-series frame — the leadLagCorr scale story exactly.
     *
-    * FP contract: ACFs and μ are rounded 4dp (group-sum association is
-    * engine-specific), the last observations are exact picks; all
+    * FP contract: ACFs are rounded 4dp (group-sum association is
+    * engine-specific), μ is the exact integer-cents mean (bigint sum +
+    * two identical IEEE divisions — round(avg) diverges on halfway
+    * cases), the last observations are exact picks; all
     * downstream algebra is identical-association arithmetic on those —
     * bit-exact cross-engine with no further rounding. Degenerate
     * series (|r1| = 1 → zero YW denominator, or missing ACFs) yield
@@ -894,12 +896,19 @@ object TimeOps {
         sum(x).as(s"__sx$k"), sum(y).as(s"__sy$k"),
         sum(x * x).as(s"__sxx$k"), sum(y * y).as(s"__syy$k"), sum(x * y).as(s"__sxy$k"))
     }
+    // series mean via EXACT integer cents (this corpus's values are
+    // 2-decimal): the bigint sum is association-free and the two
+    // divisions are identical IEEE ops — round(avg(v), 4) diverged
+    // cross-engine at sf0.1 on a .xxxx5 halfway case (the ts_trend
+    // round() lesson, caught by the scale sweep)
     val aggs = acfSums ++ Seq(
       count(v).as("__cnt"),
-      round(avg(v), 4).as("__mu"),
+      sum(floor(v * lit(100.0) + lit(0.5)).cast("long")).as("__cents"),
       max_by(v, col(orderCols.head)).as("__xn"),
       max_by(col("__l1"), col(orderCols.head)).as("__xp"))
-    val g = withLags.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val g0 = withLags.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val g = g0.withColumn("__mu",
+      (col("__cents").cast("double") / col("__cnt").cast("double")) / lit(100.0))
     def rLag(k: Int): Column = {
       val n = col(s"__n$k"); val sx = col(s"__sx$k"); val sy = col(s"__sy$k")
       val sxx = col(s"__sxx$k"); val syy = col(s"__syy$k"); val sxy = col(s"__sxy$k")

@@ -24,6 +24,24 @@ class SkewSourcesSpec extends SparkSpec {
     }
   }
 
+  test("latest-row compaction: partial-agg max_by on the order struct, verdict = rank-1") {
+    val df = Seq(
+      ("u1", 10L, 1L, 1.0), ("u1", 20L, 2L, 2.0), ("u1", 20L, 3L, 3.0),
+      ("u2", 5L, 4L, 4.0))
+      .toDF("k", "ts", "id", "v")
+    val out = df.groupBy("k")
+      .agg(max_by(struct(col("ts"), col("id"), col("v")), struct(col("ts"), col("id"))).as("l"))
+      .select(col("k"), col("l")("id").as("id"), col("l")("v").as("v"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // equal-ts tie breaks to the larger id (struct order, both fields desc-picked)
+    assert(out("u1") == ((3L, 3.0)) && out("u2") == ((4L, 4.0)))
+    val plan = df.groupBy("k")
+      .agg(max_by(struct(col("ts"), col("id")), struct(col("ts"), col("id"))).as("l"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max_by"),
+      s"compaction must partial-aggregate before the exchange:\n${plan.take(1200)}")
+  }
+
   test("partitioned parquet round-trip with partition pruning") {
     val dir = Files.createTempDirectory("graft_src").toString
     val df = Seq((1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)).toDF("id", "part", "v")
