@@ -43,5 +43,14 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = GraftFunctions.inject(e)
+  override def apply(e: SparkSessionExtensions): Unit = {
+    GraftFunctions.inject(e)
+    // opt-in range-join rewrite: fires only when the session sets
+    // spark.graft.rangeJoin.bucketMicros (see RewriteRangeJoin)
+    e.injectOptimizerRule { session =>
+      RewriteRangeJoin(() =>
+        session.conf.getOption("spark.graft.rangeJoin.bucketMicros")
+          .flatMap(v => scala.util.Try(v.toLong).toOption))
+    }
+  }
 }
