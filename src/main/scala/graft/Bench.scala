@@ -12,11 +12,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session warmup outside the timers: JVM/codegen/FileIndex costs
-    // otherwise land on whichever query happens to run first
-    Tables.lineitem(spark, sfDir).count()
-    Tables.events(spark, sfDir).count()
-    Tables.documents(spark, sfDir).count()
-    Tables.embeddings(spark, sfDir).count()
+    // otherwise land on whichever query happens to run first.
+    // Guarded per-table: round 10's driver artifact was a whole-run
+    // rc=1 with a mid-stack-trace tail because an exception here (an
+    // in-flux working tree at driver time) escaped main BEFORE any
+    // timing output existed. A broken table now costs its queries,
+    // not the round, and the root-cause line is printed first.
+    Seq[(String, () => Long)](
+      ("lineitem", () => Tables.lineitem(spark, sfDir).count()),
+      ("events", () => Tables.events(spark, sfDir).count()),
+      ("documents", () => Tables.documents(spark, sfDir).count()),
+      ("embeddings", () => Tables.embeddings(spark, sfDir).count())
+    ).foreach { case (t, go) =>
+      try go() catch { case e: Throwable =>
+        System.err.println(s"[bench] WARMUP $t failed: " +
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.take(3).mkString(" | ")}")
+      }
+    }
     // dev-loop filter: SPARK_GRAFT_ONLY=q1,q2 restricts the run
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // stream_* queries replay the table through a driver-fed
@@ -130,7 +142,13 @@ object Bench {
         // noop sink, not count(): count() lets Catalyst prune every
         // feature column, which would benchmark an empty projection
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        catch { case e: Throwable =>
+          // compact one-line root cause (class + first message lines):
+          // a raw stack trace here once pushed the diagnostic line out
+          // of the driver's 2,000-char tail window
+          System.err.println(s"[bench] $name failed: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).linesIterator.take(3).mkString(" | ").take(400))
+        }
         (System.nanoTime() - t0) / 1e9
       }
       val sortedT = times.sorted

@@ -1059,6 +1059,23 @@ object SparkEntry {
         Seq("source", "lang"))
         .orderBy("source", "lang")
     },
+    // schema-on-read JSON sidecar rollup: get_json_object (native
+    // codegen'd path expression, no UDF) extracts the typed field at
+    // scan time, then one partial-agg groupBy — the standard "events
+    // carry a JSON props blob" pipeline op. count(distinct) plans as
+    // Spark's two-phase Expand+partial-agg distinct, so the exchanged
+    // payload is (type, bucket, user) partials, never raw events
+    "events_json" -> { (s, dir) =>
+      Profile.jsonPropsRollup(Tables.events(s, dir),
+        "event_type", "props", "k", "user_id", "value", bucketWidth = 10)
+    },
+    // top-K PMI collocations — the multiword-expression miner run
+    // before tokenizer training; transcendental-free lift ranking,
+    // Zipf-safe partial-agg counts, broadcast-gated unigram joins
+    "text_collocations" -> { (s, dir) =>
+      graft.functions.Collocations.pmiTopK(
+        Tables.documents(s, dir), "text", minCount = 5L, topK = 50)
+    },
     // one-pass pairwise Pearson matrix over the lineitem measures —
     // feature-redundancy screening at dataset-profile cost
     "stats_corr" -> { (s, dir) =>
@@ -3016,6 +3033,39 @@ object SparkEntry {
     },
     // one agg CTE holds every sum; each pair row is arithmetic on it
     // in the Spark expressions' exact term order, round 4dp
+    // JSON sidecar rollup: DuckDB's ->> mirrors get_json_object; the
+    // floor-div bucket, k sums, exact distinct and cents sums are all
+    // integer-exact — no FP aggregation surface
+    "events_json" ->
+      s"""with e as (select event_type,
+         |    cast(props->>'$$.k' as bigint) as k, user_id, value
+         |  from events)
+         |select event_type,
+         | cast(floor(k / 10) as bigint) as k_bucket,
+         | cast(count(*) as bigint) as n_events,
+         | cast(sum(k) as bigint) as sum_k,
+         | cast(count(distinct user_id) as bigint) as n_users,
+         | cast(sum(cast(floor(value * 100 + 0.5) as bigint)) as bigint) as sum_value_cents
+         |from e group by event_type, k_bucket
+         |order by event_type, k_bucket""".stripMargin,
+    // collocations: identical integer counts; the lift is the same
+    // three IEEE ops in the same association order on exact <2⁵³
+    // integers — bit-equal across engines, no rounding needed
+    "text_collocations" ->
+      s"""with t as (select ${SqlTwins.toks("text")} as t from documents),
+         |tok as (select unnest(t) as w from t),
+         |uni as (select w, count(*) as cu from tok group by w),
+         |pr as (select t[i] as w1, t[i + 1] as w2
+         |       from t, unnest(case when len(t) >= 2 then range(1, len(t)) else [] end) as u(i)),
+         |big as (select w1, w2, count(*) as c12 from pr group by w1, w2),
+         |tot as (select cast(sum(c12) as bigint) as n_bigrams from big)
+         |select w1, w2, c12, u1.cu as c1, u2.cu as c2, n_bigrams,
+         | cast(c12 as double) * cast(n_bigrams as double) /
+         |   (cast(u1.cu as double) * cast(u2.cu as double)) as lift
+         |from big join uni u1 on big.w1 = u1.w join uni u2 on big.w2 = u2.w
+         |cross join tot
+         |where c12 >= 5
+         |order by lift desc, w1, w2 limit 50""".stripMargin,
     "stats_corr" -> {
       val cs = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       def d(c: String) = s"cast($c as double)"

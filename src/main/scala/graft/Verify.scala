@@ -54,16 +54,44 @@ object Verify {
     // streaming replays among the batch queries, so a timeout zeroed
     // everything. Deterministic name order, ALL batch queries first,
     // stream_* last — a timeout now preserves the full batch sweep.
-    Verify.ordered(SparkEntry.queries.keys.toSeq)
-      .filter(name => only.isEmpty || only(name))
-      .foreach { name =>
-      val fn = SparkEntry.queries(name)
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // Failure visibility (round-10 advice): a failed query used to
+    // leave NO trace in the driver's artifact — its parquet dump is
+    // simply absent, and CORRECTNESS_r10 read as "all pass" while 65
+    // queries went unverified. Every failure is now recorded in
+    // verify_errors.json (rewritten after each failure, in outDir for
+    // the driver AND at the repo root so it rides the round-end
+    // commit), with the exception class + first message lines.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def writeErrors(): Unit = {
+      val json = errors
+        .map { case (k, v) => s"${jsonEscape(k)}: ${jsonEscape(v)}" }
+        .mkString("{", ",", "}")
+      Seq(s"$outDir/verify_errors.json", "VERIFY_ERRORS.json").foreach { p =>
+        try Files.writeString(Paths.get(p), json)
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] write $p failed: ${e.getMessage}") }
       }
     }
+    writeErrors() // clean slate: stale failures from a prior run can't linger
+    var ok = 0
+    val names = Verify.ordered(SparkEntry.queries.keys.toSeq)
+      .filter(name => only.isEmpty || only(name))
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        ok += 1
+      } catch { case e: Throwable =>
+        val msg = s"${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).linesIterator.take(3).mkString(" | ").take(400)
+        System.err.println(s"[verify] $name failed: $msg")
+        errors += (name -> msg)
+        writeErrors()
+      }
+    }
+    System.err.println(s"[verify] done: $ok/${names.size} dumped, ${errors.size} failed" +
+      (if (errors.nonEmpty) s" (${errors.keys.mkString(", ")})" else ""))
     spark.stop()
   }
 }

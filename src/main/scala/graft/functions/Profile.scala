@@ -142,4 +142,40 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*").orderBy("col_a", "col_b")
   }
+
+  /** Schema-on-read JSON sidecar rollup over an events frame whose
+    * `propsCol` is a JSON string blob: extract one integer field with
+    * get_json_object (a native codegen'd path expression — no UDF, no
+    * row-by-row parser object), bucket it, and aggregate per
+    * (type, bucket): event count, field sum, EXACT distinct users, and
+    * an integer-cents value sum.
+    *
+    * Scale shape: extraction happens in the scan's project (one pass,
+    * column-pruned to the four referenced columns), then ONE groupBy
+    * with map-side partial aggregation. count(distinct) plans as
+    * Spark's two-phase Expand + partial-agg distinct — the exchanged
+    * payload is (type, bucket, user) partials, never raw events, and
+    * the group key diffuses any single hot event_type across buckets.
+    */
+  def jsonPropsRollup(
+      events: DataFrame,
+      typeCol: String,
+      propsCol: String,
+      field: String,
+      userCol: String,
+      valueCol: String,
+      bucketWidth: Int): DataFrame = {
+    events
+      .select(col(typeCol),
+        get_json_object(col(propsCol), "$." + field).cast("long").as("__k"),
+        col(userCol), col(valueCol))
+      .withColumn("k_bucket",
+        floor(col("__k") / lit(bucketWidth.toDouble)).cast("long"))
+      .groupBy(col(typeCol), col("k_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__k")).as("sum_k"),
+        countDistinct(col(userCol)).as("n_users"),
+        sum(floor(col(valueCol) * 100 + 0.5).cast("long")).as("sum_value_cents"))
+      .orderBy(col(typeCol), col("k_bucket"))
+  }
 }
