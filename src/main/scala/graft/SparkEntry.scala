@@ -940,6 +940,15 @@ object SparkEntry {
       val payloads = Multimodal.synthFlacs(Tables.documents(s, dir).select("doc_id"), "doc_id")
       Multimodal.flacPcmStats(payloads, "doc_id", "payload").orderBy("doc_id")
     },
+    // STEREO FLAC: per-frame exact-cost channel decorrelation
+    // (independent / left-side / right-side / mid-side) encode, then
+    // the full two-subframe bitstream decode; the right-channel
+    // synthesis keys on id%3 so every assignment genuinely wins on
+    // some docs, and the oracle predicts both channels closed-form
+    "mm_audio_flac_stereo" -> { (s, dir) =>
+      val payloads = Multimodal.synthStereoFlacs(Tables.documents(s, dir).select("doc_id"), "doc_id")
+      Multimodal.flacPcmStats(payloads, "doc_id", "payload").orderBy("doc_id")
+    },
     "mm_frames" -> { (s, dir) =>
       Multimodal.sampleFrames(Tables.documents(s, dir), "doc_id", "text", frameChars = 128, every = 2)
         .orderBy("doc_id", "frame_idx")
@@ -2753,6 +2762,28 @@ object SparkEntry {
         | cast(sum(v * v) as bigint) as sum_sq,
         | cast(min(v) as bigint) as min_amp,
         | cast(max(v) as bigint) as max_amp,
+        | true as md5_ok
+        |from s group by doc_id, n order by doc_id""".stripMargin,
+    // stereo twin: left is flacSample, right keys on doc_id%3
+    // (tracking / inverted / independent — Multimodal.flacRightSample);
+    // stats are over the interleaved decode of BOTH channels, so
+    // n_samples doubles and the aggregates fold the two closed forms
+    "mm_audio_flac_stereo" ->
+      """with p as (select doc_id, 100 + (doc_id % 400) as n from documents),
+        | u as (select doc_id, n, unnest(generate_series(0, n - 1)) as i from p),
+        | s as (select doc_id, n,
+        |   ((doc_id * 11 + i * 17) % 4001) - 2000 as l,
+        |   case when doc_id % 3 = 0
+        |          then ((doc_id * 11 + i * 17) % 4001) - 2000 + ((doc_id + i) % 7) - 3
+        |        when doc_id % 3 = 1
+        |          then -(((doc_id * 11 + i * 17) % 4001) - 2000)
+        |        else ((doc_id * 13 + i * 23) % 4001) - 2000 end as r
+        | from u)
+        |select doc_id, 2 * n as n_samples,
+        | cast(sum(l + r) as bigint) as sum_amp,
+        | cast(sum(l * l + r * r) as bigint) as sum_sq,
+        | cast(least(min(l), min(r)) as bigint) as min_amp,
+        | cast(greatest(max(l), max(r)) as bigint) as max_amp,
         | true as md5_ok
         |from s group by doc_id, n order by doc_id""".stripMargin,
     // the mm_audio_flac oracle verbatim: stateless per-payload decode

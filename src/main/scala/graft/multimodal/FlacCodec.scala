@@ -19,13 +19,15 @@ import java.security.MessageDigest
   * decoders.
   *
   * Encoder scope (a strict, honest subset that real decoders accept):
-  * mono, 16-bit, one frame per stream (blocksize = n), subframe type
-  * CONSTANT or FIXED order 0-4 (chosen by exact bit-cost), one rice
-  * partition with the exact-cost-minimal parameter. Decoder scope is
-  * wider: any blocksize/sample-rate/bps code, CONSTANT / VERBATIM /
-  * FIXED subframes, multi-partition rice with both 4- and 5-bit
-  * parameters and the verbatim-escape, wasted-bits shifts — LPC and
-  * multi-channel return None (documented subset boundary).
+  * mono or stereo, 16-bit, fixed blocking, subframe type CONSTANT /
+  * best-FIXED-order-0-4 / order-8 quantized LPC (chosen by exact
+  * bit-cost), exact-cost-optimal rice partition plans, and per-frame
+  * exact-cost stereo decorrelation (independent vs left/side vs
+  * right/side vs mid/side). Decoder scope is wider: any blocksize/
+  * sample-rate/bps code, CONSTANT / VERBATIM / FIXED / LPC subframes,
+  * all four stereo channel assignments, multi-partition rice with
+  * both 4- and 5-bit parameters and the verbatim-escape, wasted-bits
+  * shifts — ≥3 channels return None (documented subset boundary).
   */
 object FlacCodec {
 
@@ -364,34 +366,32 @@ object FlacCodec {
     out.toByteArray
   }
 
-  private def encodeFrame(samples: Array[Int], sampleRate: Int, frameIdx: Long): Array[Byte] = {
-    val n = samples.length
-    val bw = new BitWriter
-    bw.writeBits(0x3ffe, 14)     // sync
-    bw.writeBits(0, 1)           // reserved
-    bw.writeBits(0, 1)           // fixed blocking
-    bw.writeBits(0x7, 4)         // blocksize: 16 bits at end, minus 1
-    bw.writeBits(0xd, 4)         // sample rate: 16 bits in Hz at end
-    bw.writeBits(0, 4)           // channel assignment: mono
-    bw.writeBits(4, 3)           // sample size: 16 bits
-    bw.writeBits(0, 1)           // reserved
-    writeUtf8Num(bw, frameIdx)   // coded frame number
-    bw.writeBits(n - 1, 16)
-    bw.writeBits(sampleRate, 16)
-    val hdr = bw.bytesSoFar
-    bw.writeBits(crc8(hdr, 0, hdr.length), 8)
+  /** An exact-bit-cost subframe plan for one channel: total bits
+    * (including the 8-bit subframe header — absolute, so plans at
+    * different effective bit widths are comparable across stereo
+    * channel assignments) plus the writer that emits it.
+    */
+  private final case class SubPlan(bits: Long, write: BitWriter => Unit)
 
-    // subframe: CONSTANT if flat, else the exact-bit-cost-best FIXED order
+  /** Plan the exact-smallest subframe for `samples` at `eb` effective
+    * bits (16 for plain channels, 17 for a stereo side channel):
+    * CONSTANT if flat, else the best of FIXED 0-4 and an order-8
+    * quantized LPC fit, each under its exact-cost-optimal rice
+    * partition plan. Mono encode() delegates here — the emitted bits
+    * are identical to the pre-stereo encoder (golden-pinned).
+    */
+  private def planSubframe(samples: Array[Int], eb: Int): SubPlan = {
+    val n = samples.length
+    val mask = (1L << eb) - 1L
     val allEqual = samples.forall(_ == samples(0))
     if (allEqual) {
-      bw.writeBits(0, 1)         // pad
-      bw.writeBits(0, 6)         // type CONSTANT
-      bw.writeBits(0, 1)         // no wasted bits
-      bw.writeBits(samples(0).toLong & 0xffffL, 16)
+      SubPlan(8L + eb, { bw =>
+        bw.writeBits(0, 1)       // pad
+        bw.writeBits(0, 6)       // type CONSTANT
+        bw.writeBits(0, 1)       // no wasted bits
+        bw.writeBits(samples(0).toLong & mask, eb)
+      })
     } else {
-      // candidates: FIXED 0..4 and an order-8 quantized LPC fit, each
-      // with its exact-cost-optimal rice partition plan — the winner
-      // is the exact smallest subframe
       final case class Cand(typ: Long, order: Int, lpc: Option[(Array[Int], Int)],
           res: Array[Long], po: Int, params: Array[Int], bits: Long)
       val LpcOrder = 8
@@ -399,7 +399,7 @@ object FlacCodec {
       val fixedCands = (0 to math.min(4, n - 1)).map { ord =>
         val res = fixedResiduals(samples, ord)
         val (po, params, bits) = bestRicePlan(res.map(zigzag), ord, n)
-        Cand(8L | ord, ord, None, res, po, params, bits + 16L * ord)
+        Cand(8L | ord, ord, None, res, po, params, bits + eb.toLong * ord)
       }
       val lpcCand =
         if (n <= LpcOrder + 1) None
@@ -409,41 +409,151 @@ object FlacCodec {
             val res = lpcResiduals(samples, q, shift)
             val (po, params, bits) = bestRicePlan(res.map(zigzag), LpcOrder, n)
             Cand(0x20L | (LpcOrder - 1), LpcOrder, Some((q, shift)), res, po, params,
-              bits + 16L * LpcOrder + 4L + 5L + LpcPrecision.toLong * LpcOrder)
+              bits + eb.toLong * LpcOrder + 4L + 5L + LpcPrecision.toLong * LpcOrder)
           }
       val best = (fixedCands ++ lpcCand).minBy(_.bits)
-      bw.writeBits(0, 1)                 // pad
-      bw.writeBits(best.typ, 6)          // type FIXED|order or LPC|order-1
-      bw.writeBits(0, 1)                 // no wasted bits
-      var i = 0
-      while (i < best.order) { bw.writeBits(samples(i).toLong & 0xffffL, 16); i += 1 }
-      best.lpc.foreach { case (q, shift) =>
-        bw.writeBits(LpcPrecision - 1, 4)
-        bw.writeBits(shift, 5)
-        q.foreach(c => bw.writeBits(c.toLong & ((1L << LpcPrecision) - 1L), LpcPrecision))
-      }
-      bw.writeBits(0, 2)                 // residual method: 4-bit rice
-      bw.writeBits(best.po, 4)
-      var w = 0
-      var p = 0
-      while (p < (1 << best.po)) {
-        val count = (n >> best.po) - (if (p == 0) best.order else 0)
-        val param = best.params(p)
-        bw.writeBits(param, 4)
-        var k = 0
-        while (k < count) {
-          val u = zigzag(best.res(w))
-          bw.writeUnary((u >>> param).toInt)
-          bw.writeBits(u & ((1L << param) - 1L), param)
-          w += 1; k += 1
+      SubPlan(8L + best.bits, { bw =>
+        bw.writeBits(0, 1)               // pad
+        bw.writeBits(best.typ, 6)        // type FIXED|order or LPC|order-1
+        bw.writeBits(0, 1)               // no wasted bits
+        var i = 0
+        while (i < best.order) { bw.writeBits(samples(i).toLong & mask, eb); i += 1 }
+        best.lpc.foreach { case (q, shift) =>
+          bw.writeBits(LpcPrecision - 1, 4)
+          bw.writeBits(shift, 5)
+          q.foreach(c => bw.writeBits(c.toLong & ((1L << LpcPrecision) - 1L), LpcPrecision))
         }
-        p += 1
-      }
+        bw.writeBits(0, 2)               // residual method: 4-bit rice
+        bw.writeBits(best.po, 4)
+        var w = 0
+        var p = 0
+        while (p < (1 << best.po)) {
+          val count = (n >> best.po) - (if (p == 0) best.order else 0)
+          val param = best.params(p)
+          bw.writeBits(param, 4)
+          var k = 0
+          while (k < count) {
+            val u = zigzag(best.res(w))
+            bw.writeUnary((u >>> param).toInt)
+            bw.writeBits(u & ((1L << param) - 1L), param)
+            w += 1; k += 1
+          }
+          p += 1
+        }
+      })
     }
+  }
+
+  /** Frame header shared by mono and stereo frames; returns after the
+    * CRC-8 so the caller appends subframes.
+    */
+  private def writeFrameHeader(bw: BitWriter, n: Int, sampleRate: Int,
+      frameIdx: Long, chanAsgn: Long): Unit = {
+    bw.writeBits(0x3ffe, 14)     // sync
+    bw.writeBits(0, 1)           // reserved
+    bw.writeBits(0, 1)           // fixed blocking
+    bw.writeBits(0x7, 4)         // blocksize: 16 bits at end, minus 1
+    bw.writeBits(0xd, 4)         // sample rate: 16 bits in Hz at end
+    bw.writeBits(chanAsgn, 4)    // 0 mono; 1 indep stereo; 8/9/10 L-S/R-S/M-S
+    bw.writeBits(4, 3)           // sample size: 16 bits
+    bw.writeBits(0, 1)           // reserved
+    writeUtf8Num(bw, frameIdx)   // coded frame number
+    bw.writeBits(n - 1, 16)
+    bw.writeBits(sampleRate, 16)
+    val hdr = bw.bytesSoFar
+    bw.writeBits(crc8(hdr, 0, hdr.length), 8)
+  }
+
+  private def encodeFrame(samples: Array[Int], sampleRate: Int, frameIdx: Long): Array[Byte] = {
+    val bw = new BitWriter
+    writeFrameHeader(bw, samples.length, sampleRate, frameIdx, chanAsgn = 0L)
+    planSubframe(samples, 16).write(bw)
     bw.alignByte()
     val body = bw.bytesSoFar
     bw.writeBits(crc16(body, 0, body.length), 16)
     bw.bytesSoFar
+  }
+
+  /** One stereo frame under the exact-smallest of the four channel
+    * assignments (independent, left/side, right/side, mid/side) — the
+    * decorrelation decision real encoders make per frame, here by
+    * exact bit cost of the fully-planned subframe pairs. The side
+    * channel (L−R) carries 17 effective bits per the spec; mid is the
+    * floored average whose dropped bit rides in side's parity.
+    */
+  private def encodeStereoFrame(l: Array[Int], r: Array[Int], sampleRate: Int,
+      frameIdx: Long): Array[Byte] = {
+    val n = l.length
+    val mid = Array.tabulate(n)(i => (l(i) + r(i)) >> 1)
+    val side = Array.tabulate(n)(i => l(i) - r(i))
+    val pL = planSubframe(l, 16)
+    val pR = planSubframe(r, 16)
+    val pM = planSubframe(mid, 16)
+    val pS = planSubframe(side, 17)
+    val options: Seq[(Long, Seq[SubPlan])] = Seq(
+      (1L, Seq(pL, pR)),   // independent
+      (8L, Seq(pL, pS)),   // left/side
+      (9L, Seq(pS, pR)),   // right/side
+      (10L, Seq(pM, pS)))  // mid/side
+    val (asgn, subs) = options.minBy { case (_, ps) => ps.map(_.bits).sum }
+    val bw = new BitWriter
+    writeFrameHeader(bw, n, sampleRate, frameIdx, asgn)
+    subs.foreach(_.write(bw))
+    bw.alignByte()
+    val body = bw.bytesSoFar
+    bw.writeBits(crc16(body, 0, body.length), 16)
+    bw.bytesSoFar
+  }
+
+  /** Encode a stereo 16-bit pair of equal-length channels as a
+    * fixed-blocking FLAC stream with per-frame exact-cost channel
+    * decorrelation. STREAMINFO's MD5 covers the interleaved PCM
+    * (L₀R₀L₁R₁…), matching what decode() returns and verifies.
+    */
+  def encodeStereo(left: Array[Int], right: Array[Int], sampleRate: Int,
+      blockSize: Int = 4096): Array[Byte] = {
+    val n = left.length
+    require(n >= 1 && right.length == n, "flac: stereo channels must align, non-empty")
+    require(blockSize >= 1 && blockSize <= 65535, s"flac: blocksize $blockSize out of range")
+    require(left.forall(s => s >= -32768 && s <= 32767) &&
+      right.forall(s => s >= -32768 && s <= 32767), "flac: 16-bit samples only")
+    require(sampleRate >= 1 && sampleRate <= 65535, s"flac: rate $sampleRate out of 16-bit-code range")
+    val interleaved = new Array[Int](2 * n)
+    var i = 0
+    while (i < n) {
+      interleaved(2 * i) = left(i); interleaved(2 * i + 1) = right(i); i += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    out.write(0x80); out.write(0); out.write(0); out.write(34)
+    val lastSize = if (n % blockSize == 0) blockSize else n % blockSize
+    val maxBs = math.min(blockSize, n)
+    val minBs = if (n <= blockSize) n else math.min(blockSize, lastSize)
+    val si = new BitWriter
+    si.writeBits(minBs, 16)
+    si.writeBits(maxBs, 16)
+    si.writeBits(0, 24)
+    si.writeBits(0, 24)
+    si.writeBits(sampleRate, 20)
+    si.writeBits(1, 3)           // channels - 1 = 1
+    si.writeBits(15, 5)          // bps - 1 = 15
+    si.writeBits(n, 36)          // total INTER-channel samples (per spec)
+    val siBytes = si.bytesSoFar
+    out.write(siBytes, 0, siBytes.length)
+    out.write(pcmMd5(interleaved), 0, 16)
+    var frameIdx = 0L
+    var off = 0
+    while (off < n) {
+      val len = math.min(blockSize, n - off)
+      val frame = encodeStereoFrame(
+        java.util.Arrays.copyOfRange(left, off, off + len),
+        java.util.Arrays.copyOfRange(right, off, off + len),
+        sampleRate, frameIdx)
+      out.write(frame, 0, frame.length)
+      off += len
+      frameIdx += 1
+    }
+    out.toByteArray
   }
 
   // ---- decoder ---------------------------------------------------------
@@ -462,7 +572,8 @@ object FlacCodec {
   private val SampleSizes = Array(-1, 8, 12, 0, 16, 20, 24, 32)
 
   /** Strict subset decode: None on anything malformed, unsupported
-    * (LPC, >1 channel), truncated, or failing an integrity check.
+    * (≥3 channels), truncated, or failing an integrity check. Stereo
+    * output is interleaved L₀R₀L₁R₁… (the MD5's sample order).
     */
   def decode(b: Array[Byte]): Option[Decoded] =
     try decodeOrThrow(b) catch { case Eof | _: IllegalArgumentException => None }
@@ -501,7 +612,7 @@ object FlacCodec {
       first = false
       o += len
     }
-    if (siChannels != 1) return None    // subset: mono
+    if (siChannels < 1 || siChannels > 2) return None // subset: mono + stereo
     // frames: fixed blocking, sequential UTF-8-coded frame numbers,
     // each CRC-checked independently — loop until the bytes run out
     val fr = new BitReader(java.util.Arrays.copyOfRange(bytes, o, bytes.length))
@@ -520,7 +631,10 @@ object FlacCodec {
       val bsCode = fr.readBits(4).toInt
       val srCode = fr.readBits(4).toInt
       val chanAsgn = fr.readBits(4).toInt
-      if (chanAsgn != 0) fail()         // subset: mono
+      // mono streams must say mono; stereo streams one of the four
+      // stereo assignments (independent or a decorrelated pair)
+      if (siChannels == 1 && chanAsgn != 0) fail()
+      if (siChannels == 2 && chanAsgn != 1 && (chanAsgn < 8 || chanAsgn > 10)) fail()
       val ssCode = fr.readBits(3).toInt
       if (fr.readBit() != 0) fail()
       // coded number: UTF-8-style varint carrying the frame index
@@ -566,11 +680,38 @@ object FlacCodec {
       if (!fr.isAligned) fail()
       if (crc8(bytes, o + frameStart, o + fr.bytePos) != fr.readBits(8).toInt) fail()
 
-      val samples = readSubframe(fr, blockSize, fbps)
+      if (siChannels == 1) {
+        all ++= readSubframe(fr, blockSize, fbps)
+      } else {
+        // stereo: two subframes; a side channel carries bps+1
+        // effective bits (the L−R range), per the spec's assignment
+        // table. Reconstruct L/R and interleave (L₀R₀L₁R₁…) — the
+        // order the stream MD5 is defined over.
+        val eb0 = fbps + (if (chanAsgn == 9) 1 else 0)
+        val eb1 = fbps + (if (chanAsgn == 8 || chanAsgn == 10) 1 else 0)
+        val c0 = readSubframe(fr, blockSize, eb0)
+        val c1 = readSubframe(fr, blockSize, eb1)
+        var i = 0
+        while (i < blockSize) {
+          var lv = 0L; var rv = 0L
+          chanAsgn match {
+            case 1 =>  lv = c0(i); rv = c1(i)
+            case 8 =>  lv = c0(i); rv = c0(i).toLong - c1(i)       // left/side
+            case 9 =>  rv = c1(i); lv = c1(i).toLong + c0(i)       // right/side
+            case _ =>                                              // mid/side
+              val s = c1(i).toLong
+              val sum = (c0(i).toLong << 1) | (s & 1L)
+              lv = (sum + s) >> 1; rv = (sum - s) >> 1
+          }
+          if (lv < Int.MinValue || lv > Int.MaxValue ||
+            rv < Int.MinValue || rv > Int.MaxValue) fail()
+          all += lv.toInt; all += rv.toInt
+          i += 1
+        }
+      }
 
       fr.alignByte()
       if (crc16(bytes, o + frameStart, o + fr.bytePos) != fr.readBits(16).toInt) fail()
-      all ++= samples
       nTotal += blockSize.toLong
       frameIdx += 1
     }
@@ -579,7 +720,7 @@ object FlacCodec {
     val decoded = all.result()
     val md5Ok = siMd5 != null && siMd5.exists(_ != 0) && bps == 16 &&
       java.util.Arrays.equals(pcmMd5(decoded), siMd5)
-    Some(Decoded(rate, 1, bps, decoded, md5Ok))
+    Some(Decoded(rate, siChannels, bps, decoded, md5Ok))
   }
 
   private def readSubframe(fr: BitReader, n: Int, bps: Int): Array[Int] = {

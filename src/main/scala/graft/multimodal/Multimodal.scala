@@ -376,6 +376,39 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** Right channel for the stereo FLAC corpus, keyed so every frame
+    * decorrelation mode genuinely wins somewhere: id%3==0 → right
+    * tracks left within ±3 (side channel near-silent: left/side or
+    * mid/side wins), id%3==1 → right = −left (mid collapses to the
+    * parity floor: mid/side wins), id%3==2 → an independent walk
+    * (decorrelation buys nothing: independent wins).
+    */
+  def flacRightSample(id: Long, i: Int): Int = (id % 3L) match {
+    case 0L => flacSample(id, i) + (((id + i) % 7L) - 3L).toInt
+    case 1L => -flacSample(id, i)
+    case _  => (((id * 13L + i * 23L) % 4001L) - 2000L).toInt
+  }
+
+  /** Synthesized STEREO multi-frame FLAC streams: left channel is
+    * [[flacSample]], right is [[flacRightSample]], encoded by
+    * FlacCodec.encodeStereo with per-frame exact-cost channel
+    * decorrelation (independent / left-side / right-side / mid-side).
+    */
+  def synthStereoFlacs(df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val id = r.getLong(idIdx)
+        val n = 100 + (id % 400L).toInt
+        val left = Array.tabulate(n)(i => flacSample(id, i))
+        val right = Array.tabulate(n)(i => flacRightSample(id, i))
+        Row(id, FlacCodec.encodeStereo(left, right, 16000, blockSize = 96))
+      })
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** REAL compressed-audio decode: run the full FLAC bitstream parse
     * (rice decode, fixed-predictor reconstruction, CRC-8/CRC-16
     * verification, stream-MD5 check) and aggregate the ACTUAL decoded
