@@ -8,7 +8,7 @@ import graft.functions.{LmScore, Packing, Profile, Sampling, Sketch, Skew, SqlTw
 import graft.dedup.Dedup
 import graft.ann.Ann
 import graft.multimodal.Multimodal
-import graft.streaming.{Doc, Ev, StreamRunner, StreamingFeaturize, TypedEv}
+import graft.streaming.{Doc, Ev, JsonEv, StreamRunner, StreamingFeaturize, TypedEv}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -1313,6 +1313,22 @@ object SparkEntry {
     // kernels compose into the stream unchanged: encode → full FLAC
     // bitstream decode per micro-batch, zero state — the multimodal
     // ingest-pipeline shape (payloads arrive, stats stream out)
+    // JSON-rollup twin: ONE streaming agg per (type, bucket, user) in
+    // complete mode (all integer monoids — order-free), then the
+    // distinct-user fold batch-side where each sink row IS one
+    // distinct user (the stream_funnel two-level precedent);
+    // value-identical to events_json, sharing its oracle
+    "stream_events_json" -> { (s, dir) =>
+      import s.implicits._
+      val rows = Tables.events(s, dir).select("event_type", "props", "user_id", "value")
+        .as[JsonEv].collect().toSeq
+      val perUser = StreamRunner.run(s, rows, nChunks = 6, "complete")(ds =>
+        StreamingFeaturize.streamingJsonRollup(ds, "k", bucketWidth = 10))
+      perUser.groupBy("event_type", "k_bucket")
+        .agg(sum("n_events").as("n_events"), sum("sum_k").as("sum_k"),
+          count(lit(1)).as("n_users"), sum("sum_value_cents").as("sum_value_cents"))
+        .orderBy("event_type", "k_bucket")
+    },
     "stream_flac" -> { (s, dir) =>
       StreamRunner.run(s, streamDocs(s, dir), nChunks = 5, "append")(ds =>
           Multimodal.flacPcmStats(
@@ -2786,6 +2802,20 @@ object SparkEntry {
         | cast(greatest(max(l), max(r)) as bigint) as max_amp,
         | true as md5_ok
         |from s group by doc_id, n order by doc_id""".stripMargin,
+    // the events_json oracle verbatim: integer monoids make the
+    // two-level streaming fold value-identical to the batch rollup
+    "stream_events_json" ->
+      s"""with e as (select event_type,
+         |    cast(props->>'$$.k' as bigint) as k, user_id, value
+         |  from events)
+         |select event_type,
+         | cast(floor(k / 10) as bigint) as k_bucket,
+         | cast(count(*) as bigint) as n_events,
+         | cast(sum(k) as bigint) as sum_k,
+         | cast(count(distinct user_id) as bigint) as n_users,
+         | cast(sum(cast(floor(value * 100 + 0.5) as bigint)) as bigint) as sum_value_cents
+         |from e group by event_type, k_bucket
+         |order by event_type, k_bucket""".stripMargin,
     // the mm_audio_flac oracle verbatim: stateless per-payload decode
     // makes the streaming twin's output identical to batch
     "stream_flac" ->

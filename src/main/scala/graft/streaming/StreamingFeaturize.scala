@@ -10,6 +10,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * stream unchanged.
   */
 case class Ev(user_id: Long, ts_us: Long, value: Double)
+case class JsonEv(event_type: String, props: String, user_id: Long, value: Double)
 case class TypedEv(user_id: Long, ts_us: Long, event_type: String)
 case class Doc(doc_id: Long, text: String)
 case class DedupVerdict(doc_id: Long, dup_of: Option[Long])
@@ -565,6 +566,28 @@ object StreamingFeaturize {
         min(when(col("event_type") === "view", col("ts_us"))).as("t_view"),
         min(when(col("event_type") === "click", col("ts_us"))).as("t_click"),
         min(when(col("event_type") === "purchase", col("ts_us"))).as("t_purchase"))
+
+  /** Streaming JSON-sidecar rollup — the events_json twin, first
+    * (incremental) stage: per-(type, bucket, USER) counts and integer
+    * sums as ONE streaming aggregation in complete mode. Every
+    * aggregate is commutative-monotone (count/sum of integers), so
+    * arrival order cannot change the answer and no order contract is
+    * needed. The distinct-user fold happens batch-side after replay
+    * (count(distinct) is unsupported inside a streaming agg, and the
+    * per-user grouping makes it a plain count of sink rows — the
+    * stream_funnel two-level precedent).
+    */
+  def streamingJsonRollup(ev: Dataset[JsonEv], field: String, bucketWidth: Int): DataFrame =
+    ev.toDF()
+      .select(col("event_type"),
+        get_json_object(col("props"), "$." + field).cast("long").as("__k"),
+        col("user_id"), col("value"))
+      .withColumn("k_bucket",
+        floor(col("__k") / lit(bucketWidth.toDouble)).cast("long"))
+      .groupBy(col("event_type"), col("k_bucket"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__k")).as("sum_k"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_value_cents"))
 
   /** Streaming expanding OLS trend — the TimeOps.expandingTrend twin
     * and the canonical ONLINE drift-slope monitor: six scalars of state

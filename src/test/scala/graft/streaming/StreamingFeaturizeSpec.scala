@@ -257,6 +257,28 @@ class StreamingFeaturizeSpec extends SparkSpec {
     }
   }
 
+  test("streamingJsonRollup + batch fold equals Profile.jsonPropsRollup across micro-batches") {
+    val rows = Seq(
+      JsonEv("click", """{"k": 3}""", 1L, 1.01),
+      JsonEv("click", """{"k": 7}""", 1L, 2.0),
+      JsonEv("click", """{"k": 12}""", 2L, 0.5),
+      JsonEv("view", """{"k": 99}""", 3L, 10.0),
+      JsonEv("view", """{"k": 95}""", 4L, 1.0),
+      JsonEv("view", """{"j": 1}""", 3L, 1.0)) // missing field → null bucket
+    val perUser = StreamRunner.run(spark, rows, nChunks = 3, "complete")(ds =>
+      StreamingFeaturize.streamingJsonRollup(ds, "k", bucketWidth = 10))
+    val folded = perUser.groupBy("event_type", "k_bucket")
+      .agg(sum("n_events").as("n_events"), sum("sum_k").as("sum_k"),
+        count(lit(1)).as("n_users"), sum("sum_value_cents").as("sum_value_cents"))
+      .orderBy("event_type", "k_bucket")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.functions.Profile.jsonPropsRollup(
+        rows.toDF("event_type", "props", "user_id", "value"),
+        "event_type", "props", "k", "user_id", "value", bucketWidth = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(folded == batch, s"stream $folded != batch $batch")
+  }
+
   test("watermarked session rollups match the batch sess_agg shape") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
