@@ -773,9 +773,17 @@ object SparkEntry {
         TextOps.langid(toks).as("lang_pred"),
         round(TextOps.qualityScore(col("text")), 4).as("quality"),
         TextOps.tokenCount(col("text")).as("n_tokens"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("__k")
-      scored
-        .withColumn("min_id", min(col("doc_id")).over(w))
+      // dup verdict via partial-agg groupBy + join back, NOT a window
+      // on the content hash: a 10⁹-duplicate page would pin one
+      // unsplittable WindowExec partition, while the groupBy collapses
+      // it map-side and the join exchange is AQE-skew-splittable (the
+      // dedup_exact / corpus_report shape)
+      // the build side re-derives ONLY the hash (one md5 scan), not
+      // the full langid/quality scoring projection
+      val groups = docs
+        .select(TextOps.h60(TextOps.normalize(col("text"))).as("__gk"), col("doc_id"))
+        .groupBy(col("__gk")).agg(min(col("doc_id")).as("min_id"))
+      scored.join(groups, col("__k") === col("__gk"))
         .withColumn("dup_of", when(col("min_id") < col("doc_id"), col("min_id")))
         .withColumn("keep",
           col("dup_of").isNull && col("lang_pred") === "en" &&
