@@ -708,6 +708,16 @@ object SparkEntry {
       Dedup.embeddingCosinePairs(sub, "vec_id", "embedding", threshold = 0.3)
         .orderBy("id_a", "id_b")
     },
+    // SemDeDup: semantic near-dup removal within trained quantizer
+    // cells — zero-shuffle centroid-kernel assignment, ONE cell-keyed
+    // pair join (AQE-splittable), de-skewed keep-min verdict; the
+    // data-adaptive sibling of dedup_embcos_lsh's fixed hyperplanes
+    "dedup_semantic" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val cents = Ann.ivfSeedCentroids(emb, "vec_id", "embedding", k = 16)
+      Dedup.semanticDedup(emb, "vec_id", "embedding", cents, threshold = 0.3)
+        .orderBy("vec_id")
+    },
     "ann_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val q = emb.where(col("vec_id") < 3)
@@ -2446,6 +2456,26 @@ object SparkEntry {
          |    from scored) where r = 1)
          |select cell, count(*) as n_vecs, min(vec_id) as min_vec_id
          |from assigned group by cell order by cell""".stripMargin,
+    // SemDeDup twin: the ann_ivf assignment CTE (seed centroids,
+    // cosine-desc/cid tie argmax), same-cell pairs, keep-min rollup;
+    // the threshold compares bit-identical cosine doubles
+    "dedup_semantic" ->
+      s"""with c as (select vec_id as cid, embedding as cvec from embeddings order by vec_id limit 16),
+         |scored as (
+         |  select e.vec_id, e.embedding, c.cid, ${SqlTwins.cosine("e.embedding", "c.cvec", 64)} as ccos
+         |  from embeddings e cross join c),
+         |assigned as (
+         |  select vec_id, embedding, cid as cell from (
+         |    select vec_id, embedding, cid,
+         |      row_number() over (partition by vec_id order by ccos desc, cid) as r
+         |    from scored) where r = 1),
+         |p as (
+         |  select a.vec_id as id_a, b.vec_id as id_b,
+         |    ${SqlTwins.cosine("a.embedding", "b.embedding", 64)} as cos
+         |  from assigned a join assigned b on a.cell = b.cell and a.vec_id < b.vec_id)
+         |select id_b as vec_id, min(id_a) as dup_of, count(*) as n_near
+         |from p where cos >= 3.0E-1
+         |group by id_b order by vec_id""".stripMargin,
     "ann_lsh" ->
       s"""select cast(${SqlTwins.lshBucket("embedding", annPlanes)} as bigint) as bucket,
          | count(*) as n_vecs, min(vec_id) as min_vec_id

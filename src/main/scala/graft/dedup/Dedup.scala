@@ -557,6 +557,41 @@ object Dedup {
     }
   }
 
+  /** SemDeDup (Abbas et al. 2303.09540, public): semantic near-dup
+    * removal by pairwise cosine WITHIN trained quantizer cells —
+    * cluster the embedding space, then compare only same-cell pairs
+    * and keep the smallest-id member of each near-duplicate family.
+    * This is the scale answer to embeddingCosinePairs' all-pairs
+    * form: assignment is the ZERO-shuffle nearest-centroid kernel
+    * scan (plans.NearestCentroidKernel — centroids are plan
+    * literals), the pair join shuffles once on the cell id, and
+    * per-cell fan-out is bounded by the cell population (k cells
+    * sized ~√N at corpus scale; a skewed cell is an AQE-splittable
+    * JOIN partition, not a window). The keep-min verdict is a
+    * partial-agg groupBy on id_b — the de-skewed dedup_exact shape.
+    *
+    * Returns one row per flagged (non-representative) vector:
+    * (idCol, dup_of = smallest same-cell id within `threshold`
+    * cosine, n_near = how many earlier near-duplicates it has).
+    */
+  def semanticDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = graft.ann.Ann.ivfAssign(corpus, idCol, vecCol, centroids)
+    val a = assigned.select(col("cell").as("__ca"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = assigned.select(col("cell").as("__cb"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, col("__ca") === col("__cb") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        VectorOps.cosine(col("__va"), col("__vb")).as("__cos"))
+      .where(col("__cos") >= threshold)
+      .groupBy(col("id_b"))
+      .agg(min(col("id_a")).as("dup_of"), count(lit(1)).as("n_near"))
+      .select(col("id_b").as(idCol), col("dup_of"), col("n_near"))
+  }
+
   /** Alternating large-star/small-star connected components over an
     * undirected edge list (the two-phase contraction of Kiveris et
     * al., "Connected Components in MapReduce and Beyond", 2014 —
