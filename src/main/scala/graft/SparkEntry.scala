@@ -518,6 +518,17 @@ object SparkEntry {
         count(lit(1)).as("n"))
         .orderBy("event_type")
     },
+    // the 100 TB EXACT quantile path for fixed-point measures: one
+    // partial-agg histogram groupBy (≤ |value range| rows out, corpus-
+    // size-independent), cumulative rank over the HISTOGRAM only,
+    // type-1 quantile decided in pure integer arithmetic — closes the
+    // "exact quantiles are oracle-scale-only" caveat for money-typed
+    // columns (doubles still ride approx_percentile)
+    "q_quantiles_hist" -> { (s, dir) =>
+      Profile.histogramQuantiles(Tables.orders(s, dir),
+        expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"),
+        Seq(("q25_cents", 25), ("q50_cents", 50), ("q75_cents", 75), ("q95_cents", 95)))
+    },
     // the 100 TB quantile path: approx_percentile keeps ~O(accuracy)
     // samples per group (rank error <= n/accuracy) where exact
     // `percentile` buffers every value; at oracle scale accuracy >= n
@@ -1049,8 +1060,13 @@ object SparkEntry {
     // feature-hashing vectorizer: 16-bucket signed hashing-trick
     // encoding per doc — the linear-classifier input prep, map-only
     "text_hash_features" -> { (s, dir) =>
+      // fused kernel: all 16 signed bucket sums in ONE pass over the
+      // token hashes; two-level select so CollapseProject cannot
+      // inline the kernel once per extracted bucket
       Tables.documents(s, dir)
-        .select(col("doc_id") +: TextOps.hashFeatures(col("text"), dim = 16): _*)
+        .select(col("doc_id"), TextOps.hashFeatureVec(col("text"), dim = 16).as("__fv"))
+        .select(col("doc_id") +:
+          (0 until 16).map(b => element_at(col("__fv"), b + 1).as(s"f$b")): _*)
         .orderBy("doc_id")
     },
     // CCNet-style per-language quality terciles: head/middle/tail label
@@ -2253,6 +2269,22 @@ object SparkEntry {
         |        group by c_nationkey, c_custkey))
         |where rn <= 3
         |order by c_nationkey, rn""".stripMargin,
+    // histogram-quantile twin: identical integer cents histogram,
+    // identical cumulative rank, identical 100·cum ≥ pct·N integer
+    // verdict — zero FP surface
+    "q_quantiles_hist" ->
+      """with h as (select cast(floor(o_totalprice * 100 + 0.5) as bigint) as v, count(*) as c
+        |           from orders group by v),
+        |cum as (select v, sum(c) over (order by v rows between unbounded preceding and current row) as cum
+        |        from h),
+        |t as (select cast(sum(c) as bigint) as n from h)
+        |select
+        | cast(min(case when cum * 100 >= 25 * n then v end) as bigint) as q25_cents,
+        | cast(min(case when cum * 100 >= 50 * n then v end) as bigint) as q50_cents,
+        | cast(min(case when cum * 100 >= 75 * n then v end) as bigint) as q75_cents,
+        | cast(min(case when cum * 100 >= 95 * n then v end) as bigint) as q95_cents,
+        | cast(max(n) as bigint) as n_rows
+        |from cum cross join t""".stripMargin,
     "q_quantiles" ->
       """select event_type,
         | round(quantile_cont(value, 0.25), 4) as q25,

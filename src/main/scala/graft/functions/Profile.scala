@@ -143,6 +143,39 @@ object Profile {
     one.select(explode(array(rows: _*)).as("p")).select("p.*").orderBy("col_a", "col_b")
   }
 
+  /** EXACT distributed quantiles via a bounded-cardinality value
+    * histogram — the 100 TB exact path for integer-valued (fixed-
+    * point) measures, where `percentile()` buffers every value. ONE
+    * partial-agg groupBy collapses the corpus to ≤ |value range|
+    * histogram rows (money-typed cents: ~10⁷ distinct, a function of
+    * the price RANGE, independent of corpus size); the cumulative
+    * rank then runs over the HISTOGRAM, never the data — the single-
+    * partition running sum touches only histogram rows (documented
+    * bound; the ts/Chunked prefix-combine pattern is the escape hatch
+    * should a measure's range outgrow one task).
+    *
+    * Quantile definition: type-1 (lower) discrete quantile,
+    * q_p = min{v : rank(v) ≥ ⌈p·N⌉}, decided in PURE INTEGER
+    * arithmetic (100·cum ≥ pct·N ⇔ cum ≥ ⌈(pct/100)·N⌉ for integer
+    * cum) — no interpolation, no FP boundary, exact on any engine.
+    *
+    * `pcts` = (output column, integer percent 0-100).
+    */
+  def histogramQuantiles(df: DataFrame, cents: Column,
+      pcts: Seq[(String, Int)]): DataFrame = {
+    val hist = df.select(cents.as("v")).groupBy("v").agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(w))
+    val total = broadcast(hist.agg(sum(col("__c")).as("__n")))
+    val aggs = pcts.map { case (name, pct) =>
+      min(when(col("__cum") * 100 >= lit(pct.toLong) * col("__n"), col("v"))).as(name)
+    } :+ max(col("__n")).as("n_rows")
+    cum.crossJoin(total).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Schema-on-read JSON sidecar rollup over an events frame whose
     * `propsCol` is a JSON string blob: extract one integer field with
     * get_json_object (a native codegen'd path expression — no UDF, no

@@ -275,4 +275,17 @@ object TextOps {
         .as(s"f$b")
     }
   }
+
+  /** The production form of [[hashFeatures]]: ALL dim bucket sums in
+    * ONE kernel pass over the token hashes (plans.HashFeatureVec) —
+    * the per-bucket filter+aggregate spec form above traverses the
+    * hash array dim times per row (a measured ~6× on the 16-bucket
+    * query). Value-identical (parity spec-pinned); consume via a
+    * two-level select so CollapseProject cannot inline the kernel
+    * once per extracted bucket (the text_repetition caveat).
+    */
+  def hashFeatureVec(text: Column, dim: Int): Column = {
+    require(dim >= 2 && dim <= 65536, s"dim must be in [2, 65536], got $dim")
+    graft.plans.HashExpressions.hashFeatureVec(tokenHashes32Kernel(text), dim)
+  }
 }

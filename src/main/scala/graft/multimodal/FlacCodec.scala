@@ -190,29 +190,60 @@ object FlacCodec {
     * into one partition at po>0.
     */
   def bestRicePlan(us: Array[Long], order: Int, n: Int): (Int, Array[Int], Long) = {
+    // Rice cost is ADDITIVE over residuals and the dyadic partition
+    // boundaries NEST (a po-k partition is exactly two po-(k+1)
+    // partitions, warmup offset included), so ONE O(15n) pass builds a
+    // per-slice × per-param cost table at the FINEST feasible order
+    // and every coarser po is evaluated by summing integer partials —
+    // bit-identical to costing each po independently (the form this
+    // replaces, golden-pinned) at a fifth of the arithmetic.
+    val feasible = (0 to 4).filter(po => ((n >> po) << po) == n && (n >> po) > order)
+    val poMax = feasible.max
+    val slices = 1 << poMax
+    val table = Array.ofDim[Long](slices, 15)
+    var w = 0
+    var s = 0
+    while (s < slices) {
+      val count = (n >> poMax) - (if (s == 0) order else 0)
+      val row = table(s)
+      var i = 0
+      while (i < count) {
+        val u = us(w + i)
+        var p = 0
+        while (p <= 14) { row(p) += (u >>> p) + 1L + p; p += 1 }
+        i += 1
+      }
+      w += count
+      s += 1
+    }
     var bestPo = 0
     var bestParams: Array[Int] = null
     var bestBits = Long.MaxValue
-    var po = 0
-    while (po <= 4) {
+    // ascending po + strict < keeps the lowest-po tie-break; within a
+    // partition, strict < keeps the lowest param on cost ties — both
+    // exactly as the per-po form decided
+    feasible.foreach { po =>
       val parts = 1 << po
-      if ((n >> po) << po == n && (n >> po) > order) {
-        val params = new Array[Int](parts)
-        var bits = 4L + 2L + 4L * parts // partition order + method + param fields
-        var w = 0
-        var p = 0
-        while (p < parts) {
-          val count = (n >> po) - (if (p == 0) order else 0)
-          val slice = java.util.Arrays.copyOfRange(us, w, w + count)
-          val param = bestRiceParam(slice)
-          params(p) = param
-          bits += riceCost(slice, param)
-          w += count
-          p += 1
+      val group = slices / parts
+      val params = new Array[Int](parts)
+      var bits = 4L + 2L + 4L * parts // partition order + method + param fields
+      var p = 0
+      while (p < parts) {
+        var bestParam = 0
+        var bestCost = Long.MaxValue
+        var q = 0
+        while (q <= 14) {
+          var c = 0L
+          var g = p * group
+          while (g < (p + 1) * group) { c += table(g)(q); g += 1 }
+          if (c < bestCost) { bestCost = c; bestParam = q }
+          q += 1
         }
-        if (bits < bestBits) { bestBits = bits; bestPo = po; bestParams = params }
+        params(p) = bestParam
+        bits += bestCost
+        p += 1
       }
-      po += 1
+      if (bits < bestBits) { bestBits = bits; bestPo = po; bestParams = params }
     }
     (bestPo, bestParams, bestBits)
   }

@@ -54,6 +54,24 @@ case class MinhashPerms(child: Expression, as: Array[Long], bs: Array[Long], mod
   override protected def withNewChildInternal(newChild: Expression): MinhashPerms = copy(child = newChild)
 }
 
+/** All `dim` signed hashing-trick bucket sums in one pass over a
+  * token-hash array — the fused TextOps.hashFeatures kernel. An empty
+  * array yields the all-zero vector (matching the 0-seeded aggregates
+  * of the declarative form).
+  */
+case class HashFeatureVec(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    KernelRuntime.hashFeatureVec(input.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.KernelRuntime.hashFeatureVec($c, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashFeatureVec = copy(child = newChild)
+}
+
 /** 32-bit SimHash from a token-hash array in one pass: bit j set when
   * 2·(#hashes with bit j) >= n (ties → 1, matching the declarative
   * form).
@@ -215,6 +233,9 @@ object HashExpressions {
     column(MinhashPerms(expression(hashes), params.map(_._1).toArray, params.map(_._2).toArray, mod))
 
   def simhash32(hashes: Column): Column = column(SimHash32(expression(hashes)))
+
+  def hashFeatureVec(hashes: Column, dim: Int): Column =
+    column(HashFeatureVec(expression(hashes), dim))
 
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
 

@@ -317,6 +317,26 @@ object KernelRuntime {
     new GenericArrayData(out)
   }
 
+  /** See [[HashFeatureVec]]: one-pass signed hashing-trick bucket sums
+    * over a token-hash array — out(b) = Σ_{h: pmod(h,dim)=b}
+    * (1 − 2·((h≫16)&1)). Value-identical to the per-bucket
+    * filter+aggregate declarative form (parity spec-pinned); one
+    * O(tokens+dim) pass replaces dim filtered traversals.
+    */
+  def hashFeatureVec(arr: ArrayData, dim: Int): ArrayData = {
+    val acc = new Array[Long](dim)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = (h % dim).toInt
+      if (b < 0) b += dim
+      acc(b) += 1L - 2L * ((h >> 16) & 1L)
+      i += 1
+    }
+    new GenericArrayData(acc)
+  }
+
   /** See [[SimHash32]]. */
   def simhash32(arr: ArrayData): Long = {
     val n = arr.numElements()

@@ -69,4 +69,34 @@ class TextHashKernelSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"vectorizer must be map-only:\n${plan.take(800)}")
   }
+
+  test("hashFeatureVec kernel is value-identical to the per-bucket spec form") {
+    import spark.implicits._
+    val fdocs = (Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "one one one two"),
+      (3L, ""),
+      (4L, "solo")) ++
+      (5L to 40L).map(i => (i, Seq.fill(7)(s"w${i % 5} tok$i x").mkString(" "))))
+      .toDF("doc_id", "text")
+    val dim = 16
+    val spec = fdocs.select($"doc_id" +: TextOps.hashFeatures($"text", dim): _*)
+      .collect().map(r => r.getLong(0) -> (1 to dim).map(r.getLong)).toMap
+    val fused = fdocs
+      .select($"doc_id", TextOps.hashFeatureVec($"text", dim).as("fv"))
+      .select($"doc_id" +: (0 until dim).map(b => element_at($"fv", b + 1).as(s"f$b")): _*)
+      .collect().map(r => r.getLong(0) -> (1 to dim).map(r.getLong)).toMap
+    assert(fused == spec)
+    // the kernel must appear ONCE in the plan (two-level select blocks
+    // per-bucket inlining) and keep the map-only shape — parquet-backed
+    // (a literal LocalRelation constant-folds the whole projection)
+    val pdocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = pdocs
+      .select($"doc_id", TextOps.hashFeatureVec($"text", dim).as("fv"))
+      .select($"doc_id" +: (0 until dim).map(b => element_at($"fv", b + 1).as(s"f$b")): _*)
+      .queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("exchange"), s"fused vectorizer must be map-only:\n${plan.take(800)}")
+    val occurrences = "hashfeaturevec".r.findAllIn(plan).length
+    assert(occurrences == 1, s"kernel must not be inlined per bucket ($occurrences):\n${plan.take(1200)}")
+  }
 }
