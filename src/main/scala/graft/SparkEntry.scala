@@ -518,6 +518,29 @@ object SparkEntry {
         count(lit(1)).as("n"))
         .orderBy("event_type")
     },
+    // time-bounded attribution funnel: view → click within 1 day of
+    // the FIRST view → purchase within 1 day of the converting click
+    // (the marketing-attribution sibling of q_funnel's unbounded
+    // first-touch). Per-stage partial-agg mins, user-keyed joins
+    // (AQE-skew-splittable), three one-row counts broadcast-crossed —
+    // no window, nothing keyed on a low-cardinality column
+    "q_funnel_windowed" -> { (s, dir) =>
+      val w = 86400000000L // 1 day in µs
+      val ev = Tables.events(s, dir).select("user_id", "event_type", "ts_us")
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t_view"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, "user_id")
+        .where(col("ts_us") > col("t_view") && col("ts_us") <= col("t_view") + w)
+        .groupBy("user_id").agg(min("ts_us").as("t_click"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .where(col("ts_us") > col("t_click") && col("ts_us") <= col("t_click") + w)
+        .groupBy("user_id").agg(min("ts_us").as("t_purchase"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click_1d")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_1d")))
+    },
     // the 100 TB EXACT quantile path for fixed-point measures: one
     // partial-agg histogram groupBy (≤ |value range| rows out, corpus-
     // size-independent), cumulative rank over the HISTOGRAM only,
@@ -2269,6 +2292,22 @@ object SparkEntry {
         |        group by c_nationkey, c_custkey))
         |where rn <= 3
         |order by c_nationkey, rn""".stripMargin,
+    // windowed-funnel twin: identical per-stage min/join/window-bound
+    // chain, pure integer counts
+    "q_funnel_windowed" ->
+      """with v as (select user_id, min(epoch_us(ts)) as t_view from events
+        |           where event_type = 'view' group by user_id),
+        |c as (select e.user_id, min(epoch_us(ts)) as t_click from events e
+        |      join v on e.user_id = v.user_id
+        |      where event_type = 'click' and epoch_us(ts) > t_view
+        |        and epoch_us(ts) <= t_view + 86400000000 group by e.user_id),
+        |p as (select e.user_id, min(epoch_us(ts)) as t_purchase from events e
+        |      join c on e.user_id = c.user_id
+        |      where event_type = 'purchase' and epoch_us(ts) > t_click
+        |        and epoch_us(ts) <= t_click + 86400000000 group by e.user_id)
+        |select (select count(*) from v) as n_view,
+        |       (select count(*) from c) as n_click_1d,
+        |       (select count(*) from p) as n_purchase_1d""".stripMargin,
     // histogram-quantile twin: identical integer cents histogram,
     // identical cumulative rank, identical 100·cum ≥ pct·N integer
     // verdict — zero FP surface
