@@ -1205,6 +1205,39 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     },
+    // per-domain corpus stats through the NATIVE url parser: the
+    // corpus has no URL column, so doc-derived URLs are injected
+    // (closed-form, both engines can predict them — the text_pii
+    // inject-then-detect precedent), then parse_url extracts
+    // host/path/query server-side — the host-extraction pass web-crawl
+    // curation runs before per-domain dedup and rate caps. Map-only
+    // parse + ONE partial-agg groupBy on the host
+    "web_url_stats" -> { (s, dir) =>
+      val url = concat(lit("https://"), col("source"), lit(".example.com/"),
+        col("lang"), lit("/doc"), col("doc_id").cast("string"),
+        lit("?page="), pmod(col("doc_id"), lit(7)).cast("string"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), url.as("__u"))
+        .select(col("doc_id"),
+          parse_url(col("__u"), lit("HOST")).as("host"),
+          parse_url(col("__u"), lit("QUERY"), lit("page")).as("page"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("page")).as("n_pages"),
+          min("doc_id").as("min_doc_id"))
+        .orderBy("host")
+    },
+    // temperature (α = 0.5) language rebalancing: keep probability
+    // min(1, scale/√N_l) is corpus-adaptive (one partial-agg count
+    // table, broadcast back), the verdict map-only by id hash; α
+    // fixed at ½ because √ is correctly rounded on every IEEE engine
+    // (general pow differs in the last ulp across libms)
+    "sample_temperature" -> { (s, dir) =>
+      Sampling.temperatureSample(Tables.documents(s, dir), "doc_id", col("lang"),
+          scale = 3.0)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
     // global token-budget cap via the two-level distributed prefix sum
     // (per-shard window + shards-row offset cumsum broadcast back) —
     // no global sort, boundary doc truncated to exactly fit the budget
@@ -3331,6 +3364,26 @@ object SparkEntry {
          |where b < (case when lang = 'en' then 10000
          |                when lang = 'zh' then 2500
          |                else 5000 end)
+         |order by doc_id""".stripMargin,
+    // url twin: the injection is closed-form, so the oracle derives
+    // host and page directly from the columns the URL was built from
+    // — any parse_url host/query bug breaks the match
+    "web_url_stats" ->
+      """select source || '.example.com' as host,
+        | count(*) as n_docs,
+        | cast(count(distinct cast(doc_id % 7 as varchar)) as bigint) as n_pages,
+        | min(doc_id) as min_doc_id
+        |from documents group by host order by host""".stripMargin,
+    // temperature twin: same count table, same √-based keep
+    // probability (correctly-rounded sqrt + one divide + one multiply
+    // + floor — identical IEEE ops both engines), same hash verdict
+    "sample_temperature" ->
+      s"""with n as (select lang, count(*) as nl from documents group by lang),
+         |d as (select doc_id, documents.lang, nl,
+         |    ${SqlTwins.h60("cast(doc_id as varchar)")} % 10000 as b
+         |  from documents join n using (lang))
+         |select doc_id, lang from d
+         |where b < cast(floor(least(1.0, 3.0 / sqrt(cast(nl as double))) * 10000) as bigint)
          |order by doc_id""".stripMargin,
     // the two-level prefix sum flattens to ONE global window in SQL:
     // cumulative tokens over (shard, hash, id) — identical integers

@@ -147,6 +147,37 @@ object Sampling {
     * itself be computed (e.g. language ID) and the whole decision stays
     * inside the scan — no shuffle, no state.
     */
+  /** Temperature-rebalanced language sampling (the multilingual
+    * α-smoothing of mBERT/XLM-R-style corpora): a language with
+    * corpus count N_l keeps docs with probability
+    * min(1, scale/√N_l) ∝ share^(α−1) at α = 0.5 — flattening head
+    * languages while keeping the tail. α is FIXED at ½ because √ is
+    * the one fractional power IEEE-754 rounds correctly on every
+    * engine; pow(x, α) for general α differs in the last ulp across
+    * libm implementations, which the exact-compare gate would flag.
+    * The verdict compares the id-hash bucket against
+    * floor(keep·buckets) — integer at probe time, deterministic,
+    * reproducible across runs and engines.
+    *
+    * Scale shape: ONE partial-agg groupBy builds the per-language
+    * count table (≤ #languages rows, broadcast back); the verdict is
+    * then map-only. Nothing shuffles on the low-cardinality language
+    * key.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      keyCol: String,
+      langCol: Column,
+      scale: Double,
+      buckets: Int = 10000): DataFrame = {
+    require(scale > 0, s"scale must be positive, got $scale")
+    val counts = df.groupBy(langCol.as("__lang")).agg(count(lit(1)).as("__nl"))
+    val keep = least(lit(1.0), lit(scale) / sqrt(col("__nl").cast("double")))
+    df.join(broadcast(counts), langCol === col("__lang"))
+      .where(hashBucket(col(keyCol), buckets) < floor(keep * buckets).cast("long"))
+      .drop("__lang", "__nl")
+  }
+
   def mixtureSample(
       df: DataFrame,
       keyCol: String,

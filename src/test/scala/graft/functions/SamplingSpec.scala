@@ -155,4 +155,22 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"importance sampling must not shuffle:\n${plan.take(800)}")
   }
+
+  test("temperatureSample: tail languages survive whole, head thins by exactly floor(scale/√N · buckets)") {
+    import spark.implicits._
+    val docs = ((1L to 40L).map(i => (i, "head")) :+ (100L, "tail"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.temperatureSample(docs, "doc_id", col("lang"), scale = 2.0)
+      .select("doc_id").as[Long].collect().toSet
+    // tail: keep = min(1, 2/√1) = 1 → always kept
+    assert(out.contains(100L), "tail language must be fully kept")
+    // head: keep = 2/√40 → cut = floor(keep·10000); the verdict must
+    // equal the hash rule exactly, doc by doc
+    val cut = math.floor(math.min(1.0, 2.0 / math.sqrt(40.0)) * 10000).toLong
+    val buckets = docs.where(col("lang") === "head")
+      .select(col("doc_id"), Sampling.hashBucket(col("doc_id"), 10000).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val expected = buckets.filter(_._2 < cut).keySet + 100L
+    assert(out == expected, s"got ${out.toSeq.sorted}, expected ${expected.toSeq.sorted}")
+  }
 }
