@@ -438,6 +438,13 @@ object SparkEntry {
       TimeOps.ewma(ev, "value", evGroup, evOrder, alpha = 0.2)
         .orderBy("user_id", "ts_us", "event_id")
     },
+    // EWM mean/variance/volatility — pandas ewm().var()/.std() in one
+    // O(1)-state recursive scan (three β-decayed sums per series)
+    "ts_ewmvol" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.ewmVol(ev, "value", evGroup, evOrder, alpha = 0.2)
+        .orderBy("user_id", "ts_us", "event_id")
+    },
     // two-sided CUSUM drift detector; target/slack/threshold ≈ μ, σ/2, 5σ
     "ts_cusum" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
@@ -1338,6 +1345,13 @@ object SparkEntry {
       StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
           StreamingFeaturize.streamingEwma(ds, alpha = 0.2).toDF())
         .select(col("user_id"), col("ts_us"), col("value"), col("value_rollmean").as("ewma"))
+        .orderBy("user_id", "ts_us")
+    },
+    // online volatility monitor — the ts_ewmvol recursion carried as
+    // three scalars of state per key across micro-batches
+    "stream_ewmvol" -> { (s, dir) =>
+      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+          StreamingFeaturize.streamingEwmVol(ds, alpha = 0.2))
         .orderBy("user_id", "ts_us")
     },
     "stream_cusum" -> { (s, dir) =>
@@ -2266,6 +2280,34 @@ object SparkEntry {
     // Brown smoothing: the ewma Horner fold applied twice — e1 per
     // prefix, then the SAME fold over the e1 list; level/trend are
     // arithmetic on the two bit-exact smoothers.
+    // ewmvol twin: the ts_holt prefix-fold pattern over xs and xs² —
+    // identical β-fold association, variance/volatility recomputed
+    // from the same doubles (deterministic), −ε variance → null both
+    // sides
+    "ts_ewmvol" -> {
+      val b = OracleGen.litD(1.0 - 0.2)
+      s"""with g as (select user_id,
+         |  list(value order by epoch_us(ts), event_id) as xs,
+         |  list(epoch_us(ts) order by epoch_us(ts), event_id) as tsl,
+         |  list(event_id order by epoch_us(ts), event_id) as eidl
+         |from events group by user_id),
+         |s1 as (select user_id, tsl, eidl, xs,
+         |  list_transform(range(1, len(xs) + 1), t ->
+         |    list_reduce(xs[1:t], (a, b) -> (a * $b) + b)
+         |    / list_reduce(list_transform(xs[1:t], x -> 1.0E0), (a, b) -> (a * $b) + b)) as e1l,
+         |  list_transform(range(1, len(xs) + 1), t ->
+         |    list_reduce(list_transform(xs[1:t], x -> x * x), (a, b) -> (a * $b) + b)
+         |    / list_reduce(list_transform(xs[1:t], x -> 1.0E0), (a, b) -> (a * $b) + b)) as e2l
+         |from g)
+         |select user_id, unnest(tsl) as ts_us, unnest(eidl) as event_id, unnest(xs) as value,
+         | unnest(e1l) as ewma,
+         | unnest(list_transform(range(1, len(xs) + 1), t -> e2l[t] - e1l[t] * e1l[t])) as ewm_var,
+         | unnest(list_transform(range(1, len(xs) + 1), t ->
+         |   case when e2l[t] - e1l[t] * e1l[t] >= 0.0E0
+         |        then sqrt(e2l[t] - e1l[t] * e1l[t]) end)) as ewm_std
+         |from s1
+         |order by user_id, ts_us, event_id""".stripMargin
+    },
     "ts_holt" -> {
       val b = OracleGen.litD(1.0 - 0.2)
       val c = OracleGen.litD(0.2 / (1.0 - 0.2))
@@ -3645,6 +3687,30 @@ object SparkEntry {
          |   list_reduce(xs[1:t], (a, b) -> (a * $b) + b)
          |   / list_reduce(list_transform(xs[1:t], x -> 1.0E0), (a, b) -> (a * $b) + b))) as ewma
          |from g
+         |order by user_id, ts_us""".stripMargin
+    },
+    // the ts_ewmvol fold keyed by ts alone (the replay order)
+    "stream_ewmvol" -> {
+      val b = OracleGen.litD(1.0 - 0.2)
+      s"""with g as (select user_id,
+         |  list(value order by epoch_us(ts)) as xs,
+         |  list(epoch_us(ts) order by epoch_us(ts)) as tsl
+         |from events group by user_id),
+         |s1 as (select user_id, tsl, xs,
+         |  list_transform(range(1, len(xs) + 1), t ->
+         |    list_reduce(xs[1:t], (a, b) -> (a * $b) + b)
+         |    / list_reduce(list_transform(xs[1:t], x -> 1.0E0), (a, b) -> (a * $b) + b)) as e1l,
+         |  list_transform(range(1, len(xs) + 1), t ->
+         |    list_reduce(list_transform(xs[1:t], x -> x * x), (a, b) -> (a * $b) + b)
+         |    / list_reduce(list_transform(xs[1:t], x -> 1.0E0), (a, b) -> (a * $b) + b)) as e2l
+         |from g)
+         |select user_id, unnest(tsl) as ts_us, unnest(xs) as value,
+         | unnest(e1l) as ewma,
+         | unnest(list_transform(range(1, len(xs) + 1), t -> e2l[t] - e1l[t] * e1l[t])) as ewm_var,
+         | unnest(list_transform(range(1, len(xs) + 1), t ->
+         |   case when e2l[t] - e1l[t] * e1l[t] >= 0.0E0
+         |        then sqrt(e2l[t] - e1l[t] * e1l[t]) end)) as ewm_std
+         |from s1
          |order by user_id, ts_us""".stripMargin
     },
     // the ts_kalman struct fold keyed by ts alone (the replay order)

@@ -26,6 +26,9 @@ case class RollFeat(
   */
 case class RingState(ring: Array[Double], lastTs: Long = Long.MinValue)
 case class EwmaState(num: Double, den: Double, lastTs: Long = Long.MinValue)
+case class EwmVolState(num1: Double, num2: Double, den: Double, lastTs: Long = Long.MinValue)
+case class EwmVolOut(user_id: Long, ts_us: Long, value: Double,
+    ewma: Double, ewm_var: Double, ewm_std: Option[Double])
 
 case class CusumState(sPos: Double, sNeg: Double, lastTs: Long = Long.MinValue)
 
@@ -460,6 +463,39 @@ object StreamingFeaturize {
           state.update(EwmaState(num, den, evSeq.lastOption.map(_.ts_us).getOrElse(lastTs)))
           out.iterator
         })
+  }
+
+  /** Streaming EWM mean/variance/volatility — the TimeOps.ewmVol twin
+    * and the canonical ONLINE volatility monitor: three β-decayed
+    * scalars of state per key (Σwx, Σwx², Σw), arithmetic identical to
+    * the batch scan so outputs are bit-identical for in-order input
+    * (sortedStrict order contract shared with the other recursions).
+    */
+  def streamingEwmVol(events: Dataset[Ev], alpha: Double): DataFrame = {
+    import events.sparkSession.implicits._
+    val beta = 1.0 - alpha
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, evs: Iterator[Ev], state: GroupState[EwmVolState]) => {
+          var (num1, num2, den) = state.getOption
+            .map(s => (s.num1, s.num2, s.den)).getOrElse((0.0, 0.0, 0.0))
+          val lastTs = state.getOption.map(_.lastTs).getOrElse(Long.MinValue)
+          val evSeq = sortedStrict(evs, lastTs, key)
+          val out = evSeq.map { e =>
+            num1 = beta * num1 + e.value
+            num2 = beta * num2 + e.value * e.value
+            den = beta * den + 1.0
+            val e1 = num1 / den
+            val e2 = num2 / den
+            val v = e2 - e1 * e1
+            EwmVolOut(key, e.ts_us, e.value, e1, v,
+              if (v >= 0.0) Some(math.sqrt(v)) else None)
+          }
+          state.update(EwmVolState(num1, num2, den,
+            evSeq.lastOption.map(_.ts_us).getOrElse(lastTs)))
+          out.iterator
+        }).toDF()
   }
 
   /** Streaming two-sided CUSUM — the TimeOps.cusum twin and the

@@ -287,6 +287,63 @@ object TimeOps {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** EWM mean + variance + volatility in ONE recursive scan — the
+    * risk/volatility feature pandas spells `ewm().mean()/.var()/.std()`:
+    * three O(1)-state folds (β-decayed Σwx, Σwx², Σw under the same
+    * adjust=true weights) per series, variance as the plug-in
+    * E[x²]−E[x]², volatility its square root (√ is correctly rounded
+    * on every IEEE engine, and a −ε FP-cancelled variance yields null
+    * on both sides — same guarded compare). Same sequential-scan
+    * contract and NULL-decay semantics as [[ewma]]; one exchange on
+    * the series key, O(1) state per series — unbounded history at
+    * bounded memory.
+    */
+  def ewmVol(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      alpha: Double): DataFrame = {
+    val parted =
+      if (groupCols.isEmpty) df.coalesce(1)
+      else df.repartition(groupCols.map(col): _*)
+    val sorted = parted
+      .sortWithinPartitions((groupCols ++ orderCols).map(col): _*)
+    val schema = StructType(sorted.schema.fields ++ Seq(
+      StructField("ewma", DoubleType, nullable = true),
+      StructField("ewm_var", DoubleType, nullable = true),
+      StructField("ewm_std", DoubleType, nullable = true)))
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val gIdx = groupCols.map(sorted.schema.fieldIndex)
+    sorted.mapPartitions { iter =>
+      var key: Seq[Any] = null
+      var num1 = 0.0
+      var num2 = 0.0
+      var den = 0.0
+      val beta = 1.0 - alpha
+      iter.map { row =>
+        val k = gIdx.map(row.get)
+        if (key == null || k != key) { key = k; num1 = 0.0; num2 = 0.0; den = 0.0 }
+        if (row.isNullAt(vIdx)) {
+          num1 = beta * num1; num2 = beta * num2; den = beta * den
+        } else {
+          val x = row.getDouble(vIdx)
+          num1 = beta * num1 + x
+          num2 = beta * num2 + x * x
+          den = beta * den + 1.0
+        }
+        val out: Seq[Any] =
+          if (den > 0.0) {
+            val e1 = num1 / den
+            val e2 = num2 / den
+            val v = e2 - e1 * e1
+            Seq(e1, v, if (v >= 0.0) math.sqrt(v) else null)
+          } else Seq(null, null, null)
+        Row.fromSeq(row.toSeq ++ out)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Truncated EWMA: the adjust=true estimator restricted to the last
     * `k` observations — a fixed linear combination of lags, which keeps
     * it a pure codegen window expression AND lets the DuckDB oracle

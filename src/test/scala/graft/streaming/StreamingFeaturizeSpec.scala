@@ -135,6 +135,37 @@ class StreamingFeaturizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingEwmVol equals the batch EWM variance scan across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingFeaturize.streamingEwmVol(input.toDS(), alpha = 0.2)
+      .writeStream.format("memory").queryName("ewmvol_out").outputMode("append").start()
+    try {
+      val all = evs(1, 12) ++ evs(2, 8)
+      input.addData(all.filter(_.ts_us < 4000000): _*)
+      q.processAllAvailable()
+      input.addData(all.filter(_.ts_us >= 4000000): _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5))
+      val streamed = spark.table("ewmvol_out")
+        .select("user_id", "ts_us", "value", "ewma", "ewm_var", "ewm_std")
+        .collect().map(key).toSet
+      val batch = graft.ts.TimeOps.ewmVol(
+          all.toDF("user_id", "ts_us", "value"), "value", Seq("user_id"), Seq("ts_us"), alpha = 0.2)
+        .select("user_id", "ts_us", "value", "ewma", "ewm_var", "ewm_std")
+        .collect().map(key).toSet
+      assert(streamed == batch, "streaming EWM variance must be bit-identical to the batch scan")
+      // volatility sanity: a constant series decays to zero variance
+      val const = (0 until 6).map(i => Ev(9, i.toLong * 1000, 5.0))
+      val b2 = graft.ts.TimeOps.ewmVol(const.toDF("user_id", "ts_us", "value"),
+        "value", Seq("user_id"), Seq("ts_us"), alpha = 0.2)
+        .select("ewm_var").collect().map(_.getDouble(0))
+      assert(b2.forall(v => math.abs(v) < 1e-9), b2.mkString(","))
+    } finally q.stop()
+  }
+
   test("streamingCusum equals the batch CUSUM across micro-batches and alarms") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
