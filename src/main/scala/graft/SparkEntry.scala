@@ -982,6 +982,17 @@ object SparkEntry {
       val payloads = Multimodal.synthJpeg420s(Tables.documents(s, dir).select("doc_id"), "doc_id")
       Multimodal.jpegColorPixelStats(payloads, "doc_id", "payload").orderBy("doc_id")
     },
+    // the same 4:2:0 decode through the TRIANGLE (libjpeg "fancy")
+    // chroma upsampler — on the gray-chroma corpus the filter is
+    // provably identity (constant planes reproduce exactly), so the
+    // closed-form oracle gates the whole fancy path's wiring while
+    // JpegTriangleSpec pins the filter arithmetic on non-constant
+    // planes
+    "mm_pixels_jpeg_420tri" -> { (s, dir) =>
+      val payloads = Multimodal.synthJpeg420s(Tables.documents(s, dir).select("doc_id"), "doc_id")
+      Multimodal.jpegColorPixelStats(payloads, "doc_id", "payload", fancyChroma = true)
+        .orderBy("doc_id")
+    },
     // REAL audio-CONTENT decode round-trip (the PCM analogue of
     // mm_pixels): synthesize mono 16-bit PCM WAVs whose sample stream
     // is integer arithmetic in (doc_id, i), decode the ACTUAL
@@ -2899,6 +2910,29 @@ object SparkEntry {
         |   unnest(generate_series(0, bw * bh - 1)) as k from p),
         | v as (select doc_id, bw, bh,
         |   (doc_id * 11 + (k % bw) * 29 + (k // bw) * 23) % 256 as v from t)
+        |select doc_id,
+        | cast(8 * bw as bigint) as width,
+        | cast(8 * bh as bigint) as height,
+        | cast(64 * sum(v) as bigint) as sum_r,
+        | cast(64 * sum(v) as bigint) as sum_g,
+        | cast(64 * sum(v) as bigint) as sum_b,
+        | cast(min(v) as bigint) as min_r,
+        | cast(max(v) as bigint) as max_r,
+        | cast(min(v) as bigint) as min_b,
+        | cast(max(v) as bigint) as max_b
+        |from v group by doc_id, bw, bh order by doc_id""".stripMargin,
+    // triangle-upsampler twin: constant chroma makes the fancy filter
+    // the identity ((128·16+8) div 16 = 128), so the 420 closed form
+    // holds verbatim
+    "mm_pixels_jpeg_420tri" ->
+      """with p as (select doc_id,
+        |   2 * (1 + doc_id % 2) as bw,
+        |   2 * (1 + (doc_id * 3 + 1) % 2) as bh
+        | from documents),
+        | t as (select doc_id, bw, bh,
+        |   unnest(generate_series(0, bw * bh - 1)) as k from p),
+        | v as (select doc_id, bw, bh,
+        |   (doc_id * 13 + (k % bw) * 19 + (k // bw) * 37) % 256 as v from t)
         |select doc_id,
         | cast(8 * bw as bigint) as width,
         | cast(8 * bh as bigint) as height,

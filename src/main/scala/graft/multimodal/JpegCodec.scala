@@ -736,13 +736,59 @@ object JpegCodec {
       case _ => None
     }
 
+  /** Separable triangle chroma upsampler (the libjpeg "fancy
+    * upsampling" family): per subsampled axis the output pixel blends
+    * its NEAREST chroma sample (weight 3) with the phase-side
+    * neighbor (weight 1) — chroma centers sit at 2k+0.5, so an even
+    * output pixel leans on sample k−1 and an odd one on k+1, edges
+    * clamped. Axes at full resolution pass through (weight 1). The
+    * combined 2D weights for 4:2:0 are 9/3/3/1 over 16 with a fixed
+    * +den/2 half-up rounding (libjpeg alternates +1/+2; ours is one
+    * documented constant). A CONSTANT plane is reproduced exactly
+    * ((128·16 + 8) div 16 = 128), which is what keeps the gray-chroma
+    * closed-form oracle valid under either upsampler.
+    */
+  def upsampleTriangle(plane: Array[Int], cw: Int, ch: Int, rx: Int, ry: Int,
+      w: Int, h: Int): Array[Int] = {
+    require(rx >= 1 && rx <= 2 && ry >= 1 && ry <= 2, "factors 1..2")
+    val out = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val ky = y / ry
+      val fy =
+        if (ry == 2) math.min(math.max(ky + (if (y % 2 == 1) 1 else -1), 0), ch - 1)
+        else ky
+      val wyF = if (ry == 2) 1 else 0
+      val wyN = if (ry == 2) 3 else 1
+      var x = 0
+      while (x < w) {
+        val kx = x / rx
+        val fx =
+          if (rx == 2) math.min(math.max(kx + (if (x % 2 == 1) 1 else -1), 0), cw - 1)
+          else kx
+        val wxF = if (rx == 2) 1 else 0
+        val wxN = if (rx == 2) 3 else 1
+        val sum = wyN * (wxN * plane(ky * cw + kx) + wxF * plane(ky * cw + fx)) +
+          wyF * (wxN * plane(fy * cw + kx) + wxF * plane(fy * cw + fx))
+        val den = (wyN + wyF) * (wxN + wxF)
+        out(y * w + x) = (sum + den / 2) / den
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** REAL baseline COLOR JPEG pixel decode: the 3-component
     * interleaved scan through [[decodePlanes]] (4:4:4 or
-    * chroma-subsampled 4:2:2 / 4:4:0 / 4:2:0), nearest-neighbor
-    * (sample-replication) chroma upsampling for subsampled components,
-    * then the JFIF YCbCr → RGB conversion (round + clamp per channel).
+    * chroma-subsampled 4:2:2 / 4:4:0 / 4:2:0), then chroma upsampling
+    * for subsampled components — sample replication by default, the
+    * [[upsampleTriangle]] filter when `fancyChroma` (what libjpeg's
+    * default decode does on real photographs; identical on constant
+    * chroma) — then the JFIF YCbCr → RGB conversion (round + clamp
+    * per channel).
     */
-  def decodeRgbPixels(b: Array[Byte]): Option[(Int, Int, Array[Int], Array[Int], Array[Int])] =
+  def decodeRgbPixels(b: Array[Byte], fancyChroma: Boolean = false): Option[(Int, Int, Array[Int], Array[Int], Array[Int])] =
     decodePlanes(b) match {
       case Some((w, h, planes, sh, sv)) if planes.length == 3 =>
         val n = w * h
@@ -761,8 +807,19 @@ object JpegCodec {
         // (x·h_c/hmax, y·v_c/vmax) — sample replication, the exact
         // inverse of the encoder's box average on constant chroma
         val cws = Array.tabulate(3)(c => (w * sh(c) + hmax - 1) / hmax)
+        val chs = Array.tabulate(3)(c => (h * sv(c) + vmax - 1) / vmax)
+        // triangle mode: pre-upsample each subsampled plane ONCE
+        // (O(n) total) instead of filtering per output pixel
+        val fancy: Array[Array[Int]] = Array.tabulate(3) { c =>
+          val rx = hmax / sh(c)
+          val ry = vmax / sv(c)
+          if (fancyChroma && (rx > 1 || ry > 1))
+            upsampleTriangle(planes(c), cws(c), chs(c), rx, ry, w, h)
+          else null
+        }
         def samp(c: Int, x: Int, y: Int): Int =
-          planes(c)((y * sv(c) / vmax) * cws(c) + (x * sh(c) / hmax))
+          if (fancy(c) != null) fancy(c)(y * w + x)
+          else planes(c)((y * sv(c) / vmax) * cws(c) + (x * sh(c) / hmax))
         def clamp(v: Long): Int = if (v < 0) 0 else if (v > 255) 255 else v.toInt
         var y = 0
         while (y < h) {

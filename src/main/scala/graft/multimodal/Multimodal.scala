@@ -976,7 +976,8 @@ object Multimodal {
     * pixels — per-channel integer sum/min/max, nulls for unparseable
     * payloads.
     */
-  def jpegColorPixelStats(df: DataFrame, idCol: String, payloadCol: String, batchSize: Int = 64): DataFrame = {
+  def jpegColorPixelStats(df: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64, fancyChroma: Boolean = false): DataFrame = {
     val idIdx = df.schema.fieldIndex(idCol)
     val pIdx = df.schema.fieldIndex(payloadCol)
     val schema = StructType(Seq(
@@ -988,7 +989,7 @@ object Multimodal {
       StructField("min_b", LongType), StructField("max_b", LongType)))
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(_.map { r =>
-        JpegCodec.decodeRgbPixels(r.getAs[Array[Byte]](pIdx)) match {
+        JpegCodec.decodeRgbPixels(r.getAs[Array[Byte]](pIdx), fancyChroma) match {
           case Some((w, h, rp, gp, bp)) =>
             var sr = 0L; var sg = 0L; var sb = 0L
             var mnr = 255L; var mxr = 0L; var mnb = 255L; var mxb = 0L
