@@ -1223,6 +1223,14 @@ object SparkEntry {
         .select("doc_id", "lang")
         .orderBy("doc_id")
     },
+    // deflate-ratio curation signal (Gopher's compressibility filter)
+    // — the one text op with NO SQL oracle (no engine exposes
+    // deflate): driver records the rows-only check, CompressSpec
+    // carries the semantics
+    "text_compress_ratio" -> { (s, dir) =>
+      graft.functions.Compress.compressionStats(
+        Tables.documents(s, dir), "doc_id", "text").orderBy("doc_id")
+    },
     // per-domain corpus stats through the NATIVE url parser: the
     // corpus has no URL column, so doc-derived URLs are injected
     // (closed-form, both engines can predict them — the text_pii
