@@ -438,6 +438,15 @@ object SparkEntry {
       TimeOps.ewma(ev, "value", evGroup, evOrder, alpha = 0.2)
         .orderBy("user_id", "ts_us", "event_id")
     },
+    // Holt-Winters additive seasonal smoothing — the seasonal member
+    // of the exponential family (brown/holt are non-seasonal): coupled
+    // level/trend/seasonal-index recursions, O(1)+m state per series
+    "ts_holtwinters" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.holtWinters(ev, "value", evGroup, evOrder,
+          alpha = 0.5, beta = 0.3, gamma = 0.2, period = 4)
+        .orderBy("user_id", "ts_us", "event_id")
+    },
     // EWM mean/variance/volatility — pandas ewm().var()/.std() in one
     // O(1)-state recursive scan (three β-decayed sums per series)
     "ts_ewmvol" -> { (s, dir) =>
@@ -2299,6 +2308,47 @@ object SparkEntry {
     // Brown smoothing: the ewma Horner fold applied twice — e1 per
     // prefix, then the SAME fold over the e1 list; level/trend are
     // arithmetic on the two bit-exact smoothers.
+    // holt-winters twin: the identical coupled recursion replayed as
+    // a RECURSIVE CTE stepping one observation per iteration (a
+    // list_reduce struct fold was tried first and hit a DuckDB-1.0
+    // lambda binding quirk when many fields reference the
+    // accumulator; recursive-CTE columns have clean semantics).
+    // l'/b'/s' are inlined where referenced — same ops, same doubles,
+    // same association order as the Scala scan
+    "ts_holtwinters" -> {
+      val aC = OracleGen.litD(0.5); val oaC = OracleGen.litD(1.0 - 0.5)
+      val bC = OracleGen.litD(0.3); val obC = OracleGen.litD(1.0 - 0.3)
+      val gC = OracleGen.litD(0.2); val ogC = OracleGen.litD(1.0 - 0.2)
+      val x = "xs[t + 1]"
+      val sIdx = "(case (t + 1) % 4 when 0 then s0 when 1 then s1 when 2 then s2 else s3 end)"
+      val lNew = s"(($aC * ($x - $sIdx)) + ($oaC * (l + b)))"
+      val bNew = s"(($bC * ($lNew - l)) + ($obC * b))"
+      val sNew = s"(($gC * ($x - $lNew)) + ($ogC * $sIdx))"
+      s"""with recursive gr as (select user_id,
+         |  list(value order by epoch_us(ts), event_id) as xs,
+         |  list(epoch_us(ts) order by epoch_us(ts), event_id) as tsl,
+         |  list(event_id order by epoch_us(ts), event_id) as eidl
+         |from events group by user_id),
+         |rec as (
+         |  select user_id, xs, tsl, eidl, 1 as t,
+         |    xs[1] as l, 0.0E0 as b,
+         |    0.0E0 as s0, 0.0E0 as s1, 0.0E0 as s2, 0.0E0 as s3,
+         |    0.0E0 as seas, cast(NULL as double) as fit
+         |  from gr
+         |  union all
+         |  select user_id, xs, tsl, eidl, t + 1,
+         |    $lNew, $bNew,
+         |    case when (t + 1) % 4 = 0 then $sNew else s0 end,
+         |    case when (t + 1) % 4 = 1 then $sNew else s1 end,
+         |    case when (t + 1) % 4 = 2 then $sNew else s2 end,
+         |    case when (t + 1) % 4 = 3 then $sNew else s3 end,
+         |    $sNew, ((l + b) + $sIdx)
+         |  from rec where t < len(xs))
+         |select user_id, tsl[t] as ts_us, eidl[t] as event_id, xs[t] as value,
+         | l as level, b as trend, seas as season, fit as fitted
+         |from rec
+         |order by user_id, ts_us, event_id""".stripMargin
+    },
     // ewmvol twin: the ts_holt prefix-fold pattern over xs and xs² —
     // identical β-fold association, variance/volatility recomputed
     // from the same doubles (deterministic), −ε variance → null both

@@ -712,6 +712,85 @@ object TimeOps {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** Holt-Winters ADDITIVE seasonal exponential smoothing — the
+    * seasonal member of the smoothing family (brown/holt are
+    * non-seasonal): coupled level/trend/seasonal-index recursions
+    *   fitted_t = (l + b) + s[t mod m]          (pre-update forecast)
+    *   l'       = α·(x − s[t mod m]) + (1−α)·(l + b)
+    *   b'       = β·(l' − l) + (1−β)·b
+    *   s'[idx]  = γ·(x − l') + (1−γ)·s[t mod m]
+    * zero-initialized (first observation: l = x, b = 0, s ≡ 0,
+    * fitted null) — a deterministic init that needs no warm-up
+    * season, documented rather than the textbook first-season
+    * average. O(1)+m state per series, one exchange on the series
+    * key; the DuckDB twin replays the identical recursion as a
+    * struct-carrying list fold (the counter rides IN the struct since
+    * list_reduce has no index), every float op in the same
+    * association order — bit-exact.
+    *
+    * NULL values are out of contract here (events.value is non-null);
+    * a null observation emits nulls and leaves the state untouched.
+    */
+  def holtWinters(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      alpha: Double,
+      beta: Double,
+      gamma: Double,
+      period: Int): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val parted =
+      if (groupCols.isEmpty) df.coalesce(1)
+      else df.repartition(groupCols.map(col): _*)
+    val sorted = parted
+      .sortWithinPartitions((groupCols ++ orderCols).map(col): _*)
+    val schema = StructType(sorted.schema.fields ++ Seq(
+      StructField("level", DoubleType, nullable = true),
+      StructField("trend", DoubleType, nullable = true),
+      StructField("season", DoubleType, nullable = true),
+      StructField("fitted", DoubleType, nullable = true)))
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val gIdx = groupCols.map(sorted.schema.fieldIndex)
+    val oneA = 1.0 - alpha
+    val oneB = 1.0 - beta
+    val oneG = 1.0 - gamma
+    sorted.mapPartitions { iter =>
+      var key: Seq[Any] = null
+      var t = 0L
+      var l = 0.0
+      var b = 0.0
+      val s = new Array[Double](period)
+      iter.map { row =>
+        val k = gIdx.map(row.get)
+        if (key == null || k != key) { key = k; t = 0L }
+        val out: Seq[Any] =
+          if (row.isNullAt(vIdx)) Seq(null, null, null, null)
+          else {
+            val x = row.getDouble(vIdx)
+            if (t == 0L) {
+              l = x; b = 0.0
+              java.util.Arrays.fill(s, 0.0)
+              t = 1L
+              Seq(l, 0.0, 0.0, null)
+            } else {
+              t += 1L
+              val idx = (t % period).toInt
+              val sIdx = s(idx)
+              val fit = (l + b) + sIdx
+              val lNew = (alpha * (x - sIdx)) + (oneA * (l + b))
+              val bNew = (beta * (lNew - l)) + (oneB * b)
+              val sNew = (gamma * (x - lNew)) + (oneG * sIdx)
+              l = lNew; b = bNew; s(idx) = sNew
+              Seq(l, b, sNew, fit)
+            }
+          }
+        Row.fromSeq(row.toSeq ++ out)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Lead-lag scan: per group, Pearson autocorrelation at every lag
     * 1..maxLag (over the pairable rows of that lag) plus the lag that
     * maximizes it — the classic "how far back does this series echo"
