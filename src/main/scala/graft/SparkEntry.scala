@@ -1375,6 +1375,14 @@ object SparkEntry {
         .select(col("user_id"), col("ts_us"), col("value"), col("value_rollmean").as("ewma"))
         .orderBy("user_id", "ts_us")
     },
+    // online seasonal forecaster — the ts_holtwinters recursion
+    // carried as (t, level, trend, m seasonal indices) per key
+    "stream_holtwinters" -> { (s, dir) =>
+      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+          StreamingFeaturize.streamingHoltWinters(ds,
+            alpha = 0.5, beta = 0.3, gamma = 0.2, period = 4))
+        .orderBy("user_id", "ts_us")
+    },
     // online volatility monitor — the ts_ewmvol recursion carried as
     // three scalars of state per key across micro-batches
     "stream_ewmvol" -> { (s, dir) =>
@@ -3779,6 +3787,41 @@ object SparkEntry {
          |   list_reduce(xs[1:t], (a, b) -> (a * $b) + b)
          |   / list_reduce(list_transform(xs[1:t], x -> 1.0E0), (a, b) -> (a * $b) + b))) as ewma
          |from g
+         |order by user_id, ts_us""".stripMargin
+    },
+    // the ts_holtwinters recursive CTE keyed by ts alone (the replay
+    // order — (user_id, ts) is unique in the generated events)
+    "stream_holtwinters" -> {
+      val aC = OracleGen.litD(0.5); val oaC = OracleGen.litD(1.0 - 0.5)
+      val bC = OracleGen.litD(0.3); val obC = OracleGen.litD(1.0 - 0.3)
+      val gC = OracleGen.litD(0.2); val ogC = OracleGen.litD(1.0 - 0.2)
+      val x = "xs[t + 1]"
+      val sIdx = "(case (t + 1) % 4 when 0 then s0 when 1 then s1 when 2 then s2 else s3 end)"
+      val lNew = s"(($aC * ($x - $sIdx)) + ($oaC * (l + b)))"
+      val bNew = s"(($bC * ($lNew - l)) + ($obC * b))"
+      val sNew = s"(($gC * ($x - $lNew)) + ($ogC * $sIdx))"
+      s"""with recursive gr as (select user_id,
+         |  list(value order by epoch_us(ts)) as xs,
+         |  list(epoch_us(ts) order by epoch_us(ts)) as tsl
+         |from events group by user_id),
+         |rec as (
+         |  select user_id, xs, tsl, 1 as t,
+         |    xs[1] as l, 0.0E0 as b,
+         |    0.0E0 as s0, 0.0E0 as s1, 0.0E0 as s2, 0.0E0 as s3,
+         |    0.0E0 as seas, cast(NULL as double) as fit
+         |  from gr
+         |  union all
+         |  select user_id, xs, tsl, t + 1,
+         |    $lNew, $bNew,
+         |    case when (t + 1) % 4 = 0 then $sNew else s0 end,
+         |    case when (t + 1) % 4 = 1 then $sNew else s1 end,
+         |    case when (t + 1) % 4 = 2 then $sNew else s2 end,
+         |    case when (t + 1) % 4 = 3 then $sNew else s3 end,
+         |    $sNew, ((l + b) + $sIdx)
+         |  from rec where t < len(xs))
+         |select user_id, tsl[t] as ts_us, xs[t] as value,
+         | l as level, b as trend, seas as season, fit as fitted
+         |from rec
          |order by user_id, ts_us""".stripMargin
     },
     // the ts_ewmvol fold keyed by ts alone (the replay order)

@@ -27,6 +27,9 @@ case class RollFeat(
 case class RingState(ring: Array[Double], lastTs: Long = Long.MinValue)
 case class EwmaState(num: Double, den: Double, lastTs: Long = Long.MinValue)
 case class EwmVolState(num1: Double, num2: Double, den: Double, lastTs: Long = Long.MinValue)
+case class HwState(t: Long, l: Double, b: Double, s: Array[Double], lastTs: Long = Long.MinValue)
+case class HwOut(user_id: Long, ts_us: Long, value: Double,
+    level: Double, trend: Double, season: Double, fitted: Option[Double])
 case class EwmVolOut(user_id: Long, ts_us: Long, value: Double,
     ewma: Double, ewm_var: Double, ewm_std: Option[Double])
 
@@ -494,6 +497,54 @@ object StreamingFeaturize {
           }
           state.update(EwmVolState(num1, num2, den,
             evSeq.lastOption.map(_.ts_us).getOrElse(lastTs)))
+          out.iterator
+        }).toDF()
+  }
+
+  /** Streaming Holt-Winters — the TimeOps.holtWinters twin as an
+    * online seasonal forecaster: state per key = the observation
+    * counter, level, trend, and the m seasonal indices (O(1)+m on an
+    * unbounded stream), recursion arithmetic identical to the batch
+    * scan so outputs are bit-identical for in-order input
+    * (sortedStrict order contract).
+    */
+  def streamingHoltWinters(events: Dataset[Ev], alpha: Double, beta: Double,
+      gamma: Double, period: Int): DataFrame = {
+    import events.sparkSession.implicits._
+    val oneA = 1.0 - alpha
+    val oneB = 1.0 - beta
+    val oneG = 1.0 - gamma
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, evs: Iterator[Ev], state: GroupState[HwState]) => {
+          val st = state.getOption.getOrElse(
+            HwState(0L, 0.0, 0.0, new Array[Double](period)))
+          var t = st.t
+          var l = st.l
+          var b = st.b
+          val s = st.s.clone()
+          val evSeq = sortedStrict(evs, st.lastTs, key)
+          val out = evSeq.map { e =>
+            if (t == 0L) {
+              l = e.value; b = 0.0
+              java.util.Arrays.fill(s, 0.0)
+              t = 1L
+              HwOut(key, e.ts_us, e.value, l, 0.0, 0.0, None)
+            } else {
+              t += 1L
+              val idx = (t % period).toInt
+              val sIdx = s(idx)
+              val fit = (l + b) + sIdx
+              val lNew = (alpha * (e.value - sIdx)) + (oneA * (l + b))
+              val bNew = (beta * (lNew - l)) + (oneB * b)
+              val sNew = (gamma * (e.value - lNew)) + (oneG * sIdx)
+              l = lNew; b = bNew; s(idx) = sNew
+              HwOut(key, e.ts_us, e.value, l, b, sNew, Some(fit))
+            }
+          }
+          state.update(HwState(t, l, b, s,
+            evSeq.lastOption.map(_.ts_us).getOrElse(st.lastTs)))
           out.iterator
         }).toDF()
   }
