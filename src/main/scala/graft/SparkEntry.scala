@@ -745,6 +745,15 @@ object SparkEntry {
       Dedup.contaminationScores(docs, bench, "doc_id", "text", n = 5)
         .orderBy("doc_id")
     },
+    // FUZZY decontamination: near-duplicate benchmark leakage via
+    // cross-corpus MinHash banding + signature-agreement scoring —
+    // catches the paraphrased leakage exact n-gram containment misses
+    "text_decontam_fuzzy" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val bench = docs.where(pmod(col("doc_id"), lit(37L)) === 0)
+      Dedup.fuzzyContamination(docs, bench, "doc_id", "text")
+        .orderBy("doc_id")
+    },
     // exact duplicated-substring pass (Lee et al. 2107.06499): strided
     // 32-char windows over normalized text, corpus-wide h60 frequency,
     // per-doc duplicated-span fraction
@@ -1625,6 +1634,53 @@ object SparkEntry {
       s" $sums\n" +
       s" from l group by user_id),\n" +
       s"rr as (select user_id,\n $rs\nfrom a)"
+  }
+
+  /** Signature + band CTE chain over an arbitrary source, id column
+    * aliased, all CTE names prefixed — the cross-corpus variant of
+    * [[minhashBandsCtes]] used by the fuzzy-decontam oracle.
+    */
+  private def mhBandCtes(src: String, id: String, prefix: String): String = {
+    val mhs = mhParams.zipWithIndex
+      .map { case ((a, b), i) => s"${SqlTwins.minhashOne("hs", a, b)} as mh$i" }.mkString(",\n  ")
+    val bandSelects = (0 until mhK / 4).map { bnd =>
+      val key = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
+      s"select $id, $bnd as band_idx, concat_ws('_', $key) as band_key from ${prefix}sig where mh0 is not null"
+    }.mkString("\n  union all ")
+    s"""${prefix}t as (select $id, ${SqlTwins.toks("text")} as t from $src),
+       |${prefix}sh as (select $id, ${SqlTwins.shingles("t", 3)} as s from ${prefix}t),
+       |${prefix}h as (select $id, ${SqlTwins.shingleHashes("s")} as hs from ${prefix}sh),
+       |${prefix}sig as (select $id,
+       |  $mhs
+       |from ${prefix}h),
+       |${prefix}bands as (
+       |  $bandSelects
+       |)""".stripMargin
+  }
+
+  private lazy val fuzzyDecontamSql: String = {
+    val agree = (0 until mhK)
+      .map(i => s"(case when ds.mh$i = bs.mh$i then 1 else 0 end)")
+      .reduceLeft((x, y) => s"($x + $y)")
+    s"""with ${mhBandCtes("documents", "doc_id", "d")},
+       |${mhBandCtes("(select doc_id as bid, text from documents where doc_id % 37 = 0)", "bid", "b")},
+       |cand as (select distinct d.doc_id, b.bid
+       |         from dbands d join bbands b
+       |           on d.band_idx = b.band_idx and d.band_key = b.band_key),
+       |sc as (select c.doc_id, c.bid, cast($agree as bigint) as agree
+       |       from cand c join dsig ds on c.doc_id = ds.doc_id
+       |                   join bsig bs on c.bid = bs.bid),
+       |best as (select doc_id, cast(count(*) as bigint) as n_candidates,
+       |           cast(max(agree) as bigint) as best_agree,
+       |           arg_min(bid, bid - agree * 1099511627776) as best_bench
+       |         from sc group by doc_id)
+       |select d.doc_id,
+       | coalesce(n_candidates, 0) as n_candidates,
+       | best_bench, best_agree,
+       | cast(best_agree as double) / 16.0E0 as sim_est,
+       | coalesce(best_agree >= 8, false) as flagged
+       |from (select doc_id from documents) d left join best using (doc_id)
+       |order by d.doc_id""".stripMargin
   }
 
   private lazy val minhashDupOfSql: String =
@@ -2557,6 +2613,10 @@ object SparkEntry {
          |      then min(doc_id) over (partition by t) end as dup_of
          |from d order by doc_id""".stripMargin,
     "dedup_minhash" -> minhashDupOfSql,
+    // fuzzy-decontam twin: identical cross-corpus signatures/bands,
+    // integer agreement, integer-keyed arg_min tiebreak, one exact
+    // division for the estimate
+    "text_decontam_fuzzy" -> fuzzyDecontamSql,
     "dedup_clusters" -> minhashClustersSql,
     "dedup_purge" -> dedupPurgeSql,
     // quality-aware purge twin: the shared transitive-closure labels +

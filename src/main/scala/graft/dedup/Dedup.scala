@@ -296,6 +296,73 @@ object Dedup {
           .otherwise(lit(0.0)).as("contamination"))
   }
 
+  /** FUZZY train/test decontamination — the NEAR-duplicate sibling of
+    * [[contaminationScores]]: exact n-gram containment misses
+    * paraphrased or lightly-edited benchmark leakage, so this pass
+    * finds corpus documents whose MinHash signature collides with any
+    * BENCHMARK document in an LSH band and scores the match by
+    * signature agreement (#equal components / k — the standard
+    * unbiased Jaccard estimator). Per corpus doc: candidate count,
+    * best-matching benchmark id (highest agreement, lowest id on
+    * ties), the agreement estimate, and the ≥50% flag.
+    *
+    * Scale shape: both sides collapse to k-component signatures
+    * (map-only kernel scans); the benchmark side — eval sets are
+    * thousands of docs against a corpus of billions — is
+    * broadcast-gated on its measured signature count (the
+    * contaminationScores precedent: AQE's SMJ→BHJ fires only after
+    * the corpus shuffle map stage is submitted, so the explicit
+    * pre-count is what saves the corpus-side band exchange), with a
+    * shuffle fallback. The verdict aggregation is a partial-agg
+    * groupBy on doc_id with an integer-keyed min_by (no window), and
+    * only (id, 16 longs) rows ever move — never text.
+    */
+  def fuzzyContamination(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      k: Int = 16,
+      rowsPerBand: Int = 4,
+      maxBroadcastBench: Long = 4000000L): DataFrame = {
+    val params = TextOps.minhashParams(k)
+    val dSig = minhashSignatures(docs, idCol, textCol, shingleSize, params)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bench = benchmark.select(col(idCol).as("__bid"), col(textCol))
+    val bSig = minhashSignatures(bench, "__bid", textCol, shingleSize, params)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val useBroadcast = bSig.count() <= maxBroadcastBench
+    def hint(df: DataFrame): DataFrame = if (useBroadcast) broadcast(df) else df
+    val dBands = lshBands(dSig, idCol, k, rowsPerBand)
+    val bBands = lshBands(bSig, "__bid", k, rowsPerBand)
+      .withColumnRenamed("band_idx", "__bbi").withColumnRenamed("band_key", "__bbk")
+    val cand = dBands
+      .join(hint(bBands), col("band_idx") === col("__bbi") && col("band_key") === col("__bbk"))
+      .select(col(idCol), col("__bid")).distinct()
+    val bSigR = bSig.select(col("__bid") +: (0 until k).map(i => col(s"mh$i").as(s"__bmh$i")): _*)
+    val agree = (0 until k)
+      .map(i => when(col(s"mh$i") === col(s"__bmh$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val scored = cand
+      .join(dSig, Seq(idCol))
+      .join(hint(bSigR), Seq("__bid"))
+      .select(col(idCol), col("__bid"), agree.as("__agree"))
+    // best match via an integer-keyed min_by: highest agreement first,
+    // lowest benchmark id on ties — one partial-aggregated exchange
+    val best = scored.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_candidates"),
+      max(col("__agree")).as("best_agree"),
+      min_by(col("__bid"), col("__bid") - col("__agree") * lit(1L << 40)).as("best_bench"))
+    docs.select(col(idCol)).join(best, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        col("best_bench"),
+        col("best_agree"),
+        (col("best_agree").cast("double") / lit(k.toDouble)).as("sim_est"),
+        coalesce(col("best_agree") >= lit((k / 2).toLong), lit(false)).as("flagged"))
+  }
+
   /** Exact duplicated-substring detection — the suffix-array
     * exact-substring pass of Lee et al., "Deduplicating Training Data
     * Makes Language Models Better" (arXiv:2107.06499), re-expressed as

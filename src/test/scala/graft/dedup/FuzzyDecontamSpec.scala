@@ -1,0 +1,60 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins Dedup.fuzzyContamination — near-duplicate cross-corpus
+  * decontamination via MinHash banding + signature agreement.
+  */
+class FuzzyDecontamSpec extends SparkSpec {
+  import spark.implicits._
+
+  // long enough that a one-token edit keeps Jaccard ≈ 0.93 — the
+  // banding then collides deterministically under the fixed hash
+  // params (LSH recall is Jaccard-driven; a short text's single edit
+  // can legitimately miss every band)
+  private val benchText = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+    "kilo lima mike november oscar papa quebec romeo sierra tango " +
+    "uniform victor whiskey xray yankee zulu one two three four")
+  private val docs = Seq(
+    (1L, benchText),                                              // exact benchmark member
+    // near-dup: LAST token edited — only ONE 3-shingle changes, so
+    // J = 27/29 and the banding collides (verified under the fixed
+    // seed-42 hash params: 15/16 agreement, 3 colliding bands)
+    (2L, benchText.replaceAll("four$", "edited")),
+    (3L, "completely different content about spark query engines and shuffles at scale"),
+    (4L, "short")).toDF("doc_id", "text")
+  private val bench = Seq((101L, benchText)).toDF("doc_id", "text")
+
+  test("exact member scores full agreement; near-dup flags; unrelated does not") {
+    val out = Dedup.fuzzyContamination(docs, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        r.getBoolean(5)))).toMap
+    val (n1, b1, a1, f1) = out(1L)
+    assert(n1 == 1L && b1 == 101L && a1 == 16L && f1, s"exact member: ${out(1L)}")
+    val (n2, b2, a2, f2) = out(2L)
+    assert(n2 == 1L && b2 == 101L && a2 >= 8L && f2,
+      s"one-token edit must flag with high agreement: ${out(2L)}")
+    assert(out(3L)._1 == 0L && !out(3L)._4, s"unrelated doc: ${out(3L)}")
+    assert(!out(4L)._4, s"sub-shingle doc never flags: ${out(4L)}")
+  }
+
+  test("tie on agreement resolves to the lowest benchmark id") {
+    val twoBench = Seq((300L, benchText), (200L, benchText)).toDF("doc_id", "text")
+    val out = Dedup.fuzzyContamination(docs, twoBench, "doc_id", "text")
+      .where(col("doc_id") === 1L).collect().head
+    assert(out.getLong(1) == 2L && out.getLong(2) == 200L,
+      s"two identical benchmark docs -> lowest id wins: $out")
+  }
+
+  test("scale shape: benchmark side broadcasts, verdict is partial-agg, no window") {
+    val plan = Dedup.fuzzyContamination(docs, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"benchmark must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("Window "), s"no window in the verdict path:\n${plan.take(1500)}")
+    assert(plan.contains("partial_count") || plan.contains("partial_min"),
+      s"verdict must partial-aggregate:\n${plan.take(1500)}")
+  }
+}
