@@ -438,6 +438,14 @@ object SparkEntry {
       TimeOps.ewma(ev, "value", evGroup, evOrder, alpha = 0.2)
         .orderBy("user_id", "ts_us", "event_id")
     },
+    // Theil-Sen robust trend: median pairwise slope per series — the
+    // outlier-resistant slope (OLS breaks at one bad point); type-1
+    // median as a pure element pick, series-keyed pair join
+    "ts_theilsen" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
+      TimeOps.theilSen(ev, "value", "ts_us", Seq("user_id"))
+        .orderBy("user_id")
+    },
     // Holt-Winters additive seasonal smoothing — the seasonal member
     // of the exponential family (brown/holt are non-seasonal): coupled
     // level/trend/seasonal-index recursions, O(1)+m state per series
@@ -1036,6 +1044,13 @@ object SparkEntry {
     "mm_audio_flac_stereo" -> { (s, dir) =>
       val payloads = Multimodal.synthStereoFlacs(Tables.documents(s, dir).select("doc_id"), "doc_id")
       Multimodal.flacPcmStats(payloads, "doc_id", "payload").orderBy("doc_id")
+    },
+    // cross-document FRAME dedup (the video re-upload detector):
+    // per-doc count of frames whose hash appears in >1 distinct doc —
+    // de-skewed two-stage frequency, only (doc_id, hash) shuffles
+    "mm_frame_dedup" -> { (s, dir) =>
+      Multimodal.frameDupStats(Tables.documents(s, dir), "doc_id", "text", frameChars = 12)
+        .orderBy("doc_id")
     },
     "mm_frames" -> { (s, dir) =>
       Multimodal.sampleFrames(Tables.documents(s, dir), "doc_id", "text", frameChars = 128, every = 2)
@@ -2372,6 +2387,17 @@ object SparkEntry {
     // Brown smoothing: the ewma Horner fold applied twice — e1 per
     // prefix, then the SAME fold over the e1 list; level/trend are
     // arithmetic on the two bit-exact smoothers.
+    // theil-sen twin: identical per-pair subtract/divide, type-1
+    // median as a sorted-list element pick — no interpolation
+    "ts_theilsen" ->
+      """with p as (select a.user_id,
+        |    (b.value - a.value) / (epoch_us(b.ts) - epoch_us(a.ts)) as slope
+        |  from events a join events b
+        |    on a.user_id = b.user_id and epoch_us(a.ts) < epoch_us(b.ts))
+        |select user_id, cast(count(*) as bigint) as n_pairs,
+        | (list(slope order by slope))[cast((count(*) + 1) // 2 as int)] as sen_slope
+        |from p group by user_id
+        |order by user_id""".stripMargin,
     // holt-winters twin: the identical coupled recursion replayed as
     // a RECURSIVE CTE stepping one observation per iteration (a
     // list_reduce struct fold was tried first and hit a DuckDB-1.0
@@ -3261,6 +3287,23 @@ object SparkEntry {
          | cast(${SqlTwins.lshBucket(vec, mmPlanes)} as bigint) as bucket
          |from f order by doc_id""".stripMargin
     },
+    // frame-dedup twin: same 12-char frame hashes, distinct (doc,
+    // hash) → per-hash distinct-doc counts, per-occurrence verdict —
+    // all integer, one exact division for the fraction
+    "mm_frame_dedup" ->
+      """with n as (select doc_id, text, (length(text) + 11) // 12 as nf from documents),
+        |fr as (select doc_id, md5(substr(text, cast(frame_idx * 12 + 1 as int), 12)) as h
+        |       from (select doc_id, text, unnest(range(0, nf)) as frame_idx from n)),
+        |dh as (select distinct doc_id, h from fr),
+        |fq as (select h, cast(count(*) as bigint) as nd from dh group by h)
+        |select fr.doc_id,
+        | cast(count(*) as bigint) as n_frames,
+        | cast(sum(case when nd > 1 then 1 else 0 end) as bigint) as n_shared,
+        | cast(sum(case when nd > 1 then 1 else 0 end) as double)
+        |   / cast(count(*) as double) as share_frac
+        |from fr join fq on fr.h = fq.h
+        |group by fr.doc_id
+        |order by fr.doc_id""".stripMargin,
     "mm_frames" ->
       """with n as (select doc_id, text, (length(text) + 127) // 128 as nf from documents),
         |fr as (select doc_id, text, unnest(range(0, nf)) as frame_idx from n)

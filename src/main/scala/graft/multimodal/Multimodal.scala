@@ -1107,4 +1107,32 @@ object Multimodal {
       .select(col(idCol), col("frame_idx"),
         md5(col(srcCol).substr(col("frame_idx") * frameChars + 1, lit(frameChars))).as("frame_md5"))
   }
+
+  /** Cross-document FRAME-level near-dup detection — the video-dedup
+    * composition: a re-upload or clip re-post shares frames with the
+    * original even when doc-level dedup misses it, so count, per doc,
+    * how many of its frames' hashes appear in MORE THAN ONE distinct
+    * document anywhere in the corpus.
+    *
+    * Scale shape (the substringDupStats pattern): only
+    * (doc_id, 16-byte frame hash) rows shuffle, never frame content;
+    * the distinct (doc, hash) projection collapses within-doc repeats
+    * map-side, the per-hash document count partial-aggregates a
+    * corpus-hot intro/outro frame to one row per task before its
+    * exchange, and the join back is AQE-skew-splittable. The per-doc
+    * rollup is one partial-agg groupBy.
+    */
+  def frameDupStats(df: DataFrame, idCol: String, srcCol: String,
+      frameChars: Int): DataFrame = {
+    val docHash = sampleFrames(df, idCol, srcCol, frameChars, every = 1)
+      .select(col(idCol), col("frame_md5"))
+    val freq = docHash.distinct()
+      .groupBy(col("frame_md5")).agg(count(lit(1)).as("__nd"))
+    docHash.join(freq, Seq("frame_md5"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("__nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("share_frac",
+        col("n_shared").cast("double") / col("n_frames").cast("double"))
+  }
 }

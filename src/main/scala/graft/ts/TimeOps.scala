@@ -712,6 +712,39 @@ object TimeOps {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** Theil-Sen robust trend: per series, the MEDIAN of all pairwise
+    * slopes (vⱼ−vᵢ)/(tⱼ−tᵢ), i<j — the outlier-resistant slope
+    * estimator (~29% breakdown point where OLS breaks at one bad
+    * point; the robust sibling of ts_trend's expanding OLS). Median =
+    * the type-1 lower median, element ⌈N/2⌉ of the sorted slopes —
+    * a pure element PICK (the ts_rollquantiles convention), no
+    * interpolation, no FP-aggregation surface beyond the per-pair
+    * subtract/divide both engines compute identically.
+    *
+    * Scale shape: ONE series-keyed self-join (AQE-splittable) whose
+    * fan-out is O(n²/2) per series — the inherent Theil-Sen cost,
+    * fine for feature-window-length series; monster series should
+    * pre-sample pairs (documented) — then one partial-agg groupBy
+    * carrying a sorted slope list per series.
+    */
+  def theilSen(
+      df: DataFrame,
+      valueCol: String,
+      tsCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val a = df.select(groupCols.map(col) ++ Seq(col(tsCol).as("__ta"), col(valueCol).as("__va")): _*)
+    val b = df.select(groupCols.map(col) ++ Seq(col(tsCol).as("__tb"), col(valueCol).as("__vb")): _*)
+    val pairs = a.join(b, groupCols).where(col("__ta") < col("__tb"))
+      .select(groupCols.map(col) :+
+        ((col("__vb") - col("__va")) / (col("__tb") - col("__ta"))).as("__slope"): _*)
+    pairs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sort_array(collect_list(col("__slope"))).as("__sorted"))
+      .select(groupCols.map(col) ++ Seq(col("n_pairs"),
+        element_at(col("__sorted"), ((col("n_pairs") + 1) / 2).cast("int"))
+          .as("sen_slope")): _*)
+  }
+
   /** Holt-Winters ADDITIVE seasonal exponential smoothing — the
     * seasonal member of the smoothing family (brown/holt are
     * non-seasonal): coupled level/trend/seasonal-index recursions

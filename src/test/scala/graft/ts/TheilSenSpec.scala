@@ -1,0 +1,46 @@
+package graft.ts
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins TimeOps.theilSen — median pairwise slope robust trend. */
+class TheilSenSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hand-computed: clean linear series recovers the exact slope") {
+    // v = 2t: every pairwise slope is exactly 2
+    val rows = (0L until 6L).map(t => (1L, t * 10L, (t * 20L).toDouble))
+    val out = TimeOps.theilSen(rows.toDF("user_id", "ts_us", "value"),
+      "value", "ts_us", Seq("user_id")).collect().head
+    assert(out.getLong(1) == 15L && out.getDouble(2) == 2.0, out.toString)
+  }
+
+  test("robustness: one wild outlier leaves the median slope intact (OLS would break)") {
+    val clean = (0L until 11L).map(t => (1L, t, t.toDouble)) // slope 1
+    // outlier at the END: max leverage (one at the x-mean would leave
+    // the OLS slope untouched — zero leverage at the centroid)
+    val spiked = clean.updated(10, (1L, 10L, 1.0e6))
+    val sen = TimeOps.theilSen(spiked.toDF("user_id", "ts_us", "value"),
+      "value", "ts_us", Seq("user_id")).collect().head.getDouble(2)
+    assert(sen == 1.0, s"median slope must shrug off the outlier: $sen")
+    // the OLS slope on the same data is wildly wrong — the contrast
+    // theilSen exists for
+    val ols = {
+      val n = spiked.size.toDouble
+      val sx = spiked.map(_._2.toDouble).sum; val sy = spiked.map(_._3).sum
+      val sxy = spiked.map(r => r._2.toDouble * r._3).sum
+      val sxx = spiked.map(r => r._2.toDouble * r._2).sum
+      (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    }
+    assert(math.abs(ols - 1.0) > 1000, s"OLS should be destroyed here: $ols")
+  }
+
+  test("type-1 median: even pair count picks the lower middle element") {
+    // 2 points per series -> 1 pair; 3 points -> 3 pairs, median = 2nd
+    val rows = Seq((1L, 0L, 0.0), (1L, 1L, 1.0), (1L, 2L, 5.0))
+    // slopes: (0,1)=1, (1,2)=4, (0,2)=2.5 -> sorted [1, 2.5, 4], rank ceil(3/2)=2 -> 2.5
+    val out = TimeOps.theilSen(rows.toDF("user_id", "ts_us", "value"),
+      "value", "ts_us", Seq("user_id")).collect().head
+    assert(out.getLong(1) == 3L && out.getDouble(2) == 2.5, out.toString)
+  }
+}
