@@ -446,6 +446,14 @@ object SparkEntry {
       TimeOps.theilSen(ev, "value", "ts_us", Seq("user_id"))
         .orderBy("user_id")
     },
+    // Mann-Kendall monotone-trend test — the significance companion
+    // of ts_theilsen (same pair join): integer S statistic + exact
+    // normalized z (one int-product variance, one division, one sqrt)
+    "ts_mannkendall" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
+      TimeOps.mannKendall(ev, "value", "ts_us", Seq("user_id"))
+        .orderBy("user_id")
+    },
     // Holt-Winters additive seasonal smoothing — the seasonal member
     // of the exponential family (brown/holt are non-seasonal): coupled
     // level/trend/seasonal-index recursions, O(1)+m state per series
@@ -2387,6 +2395,23 @@ object SparkEntry {
     // Brown smoothing: the ewma Horner fold applied twice — e1 per
     // prefix, then the SAME fold over the e1 list; level/trend are
     // arithmetic on the two bit-exact smoothers.
+    // mann-kendall twin: integer S, one cast-double product variance,
+    // one division + sqrt — zero rounding
+    "ts_mannkendall" ->
+      """with p as (select a.user_id,
+        |    cast(sign(b.value - a.value) as bigint) as s
+        |  from events a join events b
+        |    on a.user_id = b.user_id and epoch_us(a.ts) < epoch_us(b.ts)),
+        |ag as (select user_id, cast(count(*) as bigint) as n_pairs,
+        |       cast(sum(s) as bigint) as s_stat from p group by user_id),
+        |n as (select user_id, cast(count(*) as bigint) as n_obs from events group by user_id)
+        |select n.user_id, n_obs, n_pairs, s_stat,
+        | case when s_stat = 0 then 0.0E0
+        |      else cast(s_stat - sign(s_stat) as double)
+        |           / sqrt(cast((n_obs * (n_obs - 1) * (2 * n_obs + 5)) as double) / 18.0E0)
+        | end as z
+        |from ag join n on ag.user_id = n.user_id
+        |order by n.user_id""".stripMargin,
     // theil-sen twin: identical per-pair subtract/divide, type-1
     // median as a sorted-list element pick — no interpolation
     "ts_theilsen" ->

@@ -745,6 +745,40 @@ object TimeOps {
           .as("sen_slope")): _*)
   }
 
+  /** Mann-Kendall trend TEST — the significance companion of
+    * [[theilSen]]: S = Σ_{i<j} sign(vⱼ−vᵢ) over time-ordered pairs,
+    * normalized z = (S − sign(S)) / √(n(n−1)(2n+5)/18) (0 when
+    * S = 0) — the nonparametric "is there a monotone trend at all"
+    * statistic run before fitting a slope. The no-ties variance is
+    * used (documented; tied values contribute sign 0 to S either
+    * way). Cross-engine exactness: S and the counts are integers, the
+    * variance is ONE integer product cast to double and ONE division,
+    * z is one subtraction + division + correctly-rounded sqrt —
+    * bit-exact with no rounding. Same series-keyed O(n²/2) pair join
+    * as theilSen.
+    */
+  def mannKendall(
+      df: DataFrame,
+      valueCol: String,
+      tsCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val a = df.select(groupCols.map(col) ++ Seq(col(tsCol).as("__ta"), col(valueCol).as("__va")): _*)
+    val b = df.select(groupCols.map(col) ++ Seq(col(tsCol).as("__tb"), col(valueCol).as("__vb")): _*)
+    val pairs = a.join(b, groupCols).where(col("__ta") < col("__tb"))
+      .select(groupCols.map(col) :+
+        signum(col("__vb") - col("__va")).cast("long").as("__s"): _*)
+    val nObs = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n_obs"))
+    val agg = pairs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__s")).as("s_stat"))
+      .join(nObs, groupCols)
+    val n = col("n_obs")
+    val variance = (n * (n - 1) * (n * 2 + 5)).cast("double") / lit(18.0)
+    agg.select(groupCols.map(col) ++ Seq(col("n_obs"), col("n_pairs"), col("s_stat"),
+      when(col("s_stat") === 0, lit(0.0))
+        .otherwise((col("s_stat") - signum(col("s_stat"))).cast("double") / sqrt(variance))
+        .as("z")): _*)
+  }
+
   /** Holt-Winters ADDITIVE seasonal exponential smoothing — the
     * seasonal member of the smoothing family (brown/holt are
     * non-seasonal): coupled level/trend/seasonal-index recursions
