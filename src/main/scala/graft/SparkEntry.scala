@@ -446,6 +446,31 @@ object SparkEntry {
       TimeOps.theilSen(ev, "value", "ts_us", Seq("user_id"))
         .orderBy("user_id")
     },
+    // Forecast backtesting: per-series one-step-ahead MAE of the
+    // naive (carry-forward) vs seasonal-naive (period 4) baselines —
+    // the eval harness every forecasting pipeline runs before trusting
+    // a model. Errors in integer CENTS so the sums are
+    // association-free exact; one shared series window, one
+    // partial-agg rollup, winner by exact integer-cross comparison
+    "ts_backtest_naive" -> { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val cents = expr("cast(floor(value * 100 + 0.5) as bigint)")
+      Tables.events(s, dir).select(col("user_id"), col("ts_us"), col("event_id"), cents.as("__c"))
+        .withColumn("__e1", abs(col("__c") - lag("__c", 1).over(w)))
+        .withColumn("__e4", abs(col("__c") - lag("__c", 4).over(w)))
+        .groupBy("user_id")
+        .agg(count(col("__e4")).as("n_evals"),
+          sum(when(col("__e4").isNotNull, col("__e1"))).as("__s1"),
+          sum(col("__e4")).as("__s4"))
+        .select(col("user_id"), col("n_evals"),
+          (col("__s1").cast("double") / col("n_evals").cast("double")).as("mae_naive_cents"),
+          (col("__s4").cast("double") / col("n_evals").cast("double")).as("mae_snaive_cents"),
+          // integer cross-comparison: no FP boundary in the verdict
+          when(col("__s4") < col("__s1"), lit("seasonal_naive"))
+            .when(col("__s1") < col("__s4"), lit("naive"))
+            .otherwise(lit("tie")).as("winner"))
+        .orderBy("user_id")
+    },
     // Mann-Kendall monotone-trend test — the significance companion
     // of ts_theilsen (same pair join): integer S statistic + exact
     // normalized z (one int-product variance, one division, one sqrt)
@@ -549,6 +574,31 @@ object SparkEntry {
         round(expr("percentile(value, 0.95)"), 4).as("q95"),
         count(lit(1)).as("n"))
         .orderBy("event_type")
+    },
+    // revenue concentration (the Pareto/80-20 report): how many top
+    // customers carry 80% of revenue. Per-customer partial-agg cents
+    // rollup (bounded cardinality ≪ orders), ONE ranked cumsum over
+    // that rollup — a window over customers, not orders — and an
+    // integer 5·cum ≥ 4·total verdict (no FP boundary); the global
+    // sort is over the customer table only (documented bound)
+    "q_pareto" -> { (s, dir) =>
+      val byCust = Tables.orders(s, dir)
+        .groupBy("o_custkey")
+        .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).as("__rev"))
+      val w = Window.orderBy(col("__rev").desc, col("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val total = broadcast(byCust.agg(sum(col("__rev")).as("__tot"),
+        count(lit(1)).as("n_customers")))
+      byCust.withColumn("__cum", sum(col("__rev")).over(w))
+        .crossJoin(total)
+        .where(col("__cum") * 5 >= col("__tot") * 4)
+        .agg(min(col("__cum")).as("__c80"), count(lit(1)).as("__above"),
+          max(col("n_customers")).as("n_customers"), max(col("__tot")).as("total_cents"))
+        .select(col("n_customers"),
+          (col("n_customers") - col("__above") + 1).as("n_top80"),
+          col("total_cents"),
+          ((col("n_customers") - col("__above") + 1).cast("double") /
+            col("n_customers").cast("double")).as("top80_frac"))
     },
     // time-bounded attribution funnel: view → click within 1 day of
     // the FIRST view → purchase within 1 day of the converting click
@@ -2395,6 +2445,25 @@ object SparkEntry {
     // Brown smoothing: the ewma Horner fold applied twice — e1 per
     // prefix, then the SAME fold over the e1 list; level/trend are
     // arithmetic on the two bit-exact smoothers.
+    // backtest twin: identical integer-cents errors on the shared
+    // eval set (rows with a lag-4 predecessor), integer sums, one
+    // division each, integer winner verdict
+    "ts_backtest_naive" ->
+      """with c as (select user_id, epoch_us(ts) as tu, event_id,
+        |    cast(floor(value * 100 + 0.5) as bigint) as c from events),
+        |l as (select user_id,
+        |   abs(c - lag(c, 1) over w) as e1,
+        |   abs(c - lag(c, 4) over w) as e4
+        | from c window w as (partition by user_id order by tu, event_id))
+        |select user_id, cast(count(e4) as bigint) as n_evals,
+        | cast(sum(case when e4 is not null then e1 end) as double)
+        |   / cast(count(e4) as double) as mae_naive_cents,
+        | cast(sum(e4) as double) / cast(count(e4) as double) as mae_snaive_cents,
+        | case when sum(e4) < sum(case when e4 is not null then e1 end) then 'seasonal_naive'
+        |      when sum(case when e4 is not null then e1 end) < sum(e4) then 'naive'
+        |      else 'tie' end as winner
+        |from l group by user_id
+        |order by user_id""".stripMargin,
     // mann-kendall twin: integer S, one cast-double product variance,
     // one division + sqrt — zero rounding
     "ts_mannkendall" ->
@@ -2551,6 +2620,24 @@ object SparkEntry {
         |        group by c_nationkey, c_custkey))
         |where rn <= 3
         |order by c_nationkey, rn""".stripMargin,
+    // pareto twin: identical integer cents rollup, ranked cumsum over
+    // customers, integer 5·cum ≥ 4·total crossing, one division
+    "q_pareto" ->
+      """with bc as (select o_custkey,
+        |    cast(sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) as bigint) as rev
+        |  from orders group by o_custkey),
+        |t as (select cast(sum(rev) as bigint) as tot, cast(count(*) as bigint) as nc from bc),
+        |cm as (select o_custkey, rev,
+        |    sum(rev) over (order by rev desc, o_custkey
+        |                   rows between unbounded preceding and current row) as cum
+        |  from bc)
+        |select nc as n_customers,
+        | cast(nc - count(*) + 1 as bigint) as n_top80,
+        | tot as total_cents,
+        | cast(nc - count(*) + 1 as double) / cast(nc as double) as top80_frac
+        |from cm cross join t
+        |where cum * 5 >= tot * 4
+        |group by nc, tot""".stripMargin,
     // windowed-funnel twin: identical per-stage min/join/window-bound
     // chain, pure integer counts
     "q_funnel_windowed" ->
