@@ -471,6 +471,15 @@ object SparkEntry {
             .otherwise(lit("tie")).as("winner"))
         .orderBy("user_id")
     },
+    // the 100 TB Theil-Sen path: deterministic hash-sampling of the
+    // pair key (~25% kept) — the consistent sampled estimator run
+    // when O(n²) per series is unaffordable; same exact pipeline on
+    // the surviving pairs
+    "ts_theilsen_sampled" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
+      TimeOps.theilSen(ev, "value", "ts_us", Seq("user_id"), pairFrac = Some(0.25))
+        .orderBy("user_id")
+    },
     // Mann-Kendall monotone-trend test — the significance companion
     // of ts_theilsen (same pair join): integer S statistic + exact
     // normalized z (one int-product variance, one division, one sqrt)
@@ -2464,6 +2473,18 @@ object SparkEntry {
         |      else 'tie' end as winner
         |from l group by user_id
         |order by user_id""".stripMargin,
+    // sampled-theil-sen twin: identical deterministic pair-hash keep
+    // verdict (h60 of "ta_tb" mod 10000 < 2500), same median pick
+    "ts_theilsen_sampled" ->
+      s"""with p as (select a.user_id,
+         |    (b.value - a.value) / (epoch_us(b.ts) - epoch_us(a.ts)) as slope
+         |  from events a join events b
+         |    on a.user_id = b.user_id and epoch_us(a.ts) < epoch_us(b.ts)
+         |  where ${SqlTwins.h60("(cast(epoch_us(a.ts) as varchar) || '_' || cast(epoch_us(b.ts) as varchar))")} % 10000 < 2500)
+         |select user_id, cast(count(*) as bigint) as n_pairs,
+         | (list(slope order by slope))[cast((count(*) + 1) // 2 as int)] as sen_slope
+         |from p group by user_id
+         |order by user_id""".stripMargin,
     // mann-kendall twin: integer S, one cast-double product variance,
     // one division + sqrt — zero rounding
     "ts_mannkendall" ->

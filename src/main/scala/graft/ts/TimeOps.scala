@@ -731,10 +731,25 @@ object TimeOps {
       df: DataFrame,
       valueCol: String,
       tsCol: String,
-      groupCols: Seq[String]): DataFrame = {
+      groupCols: Seq[String],
+      pairFrac: Option[Double] = None): DataFrame = {
     val a = df.select(groupCols.map(col) ++ Seq(col(tsCol).as("__ta"), col(valueCol).as("__va")): _*)
     val b = df.select(groupCols.map(col) ++ Seq(col(tsCol).as("__tb"), col(valueCol).as("__vb")): _*)
-    val pairs = a.join(b, groupCols).where(col("__ta") < col("__tb"))
+    val all = a.join(b, groupCols).where(col("__ta") < col("__tb"))
+    // the monster-series escape hatch: deterministic hash-sampling of
+    // the PAIR key keeps ~pairFrac of pairs — the median over a
+    // uniform pair sample is the standard consistent Theil-Sen
+    // estimator (used whenever O(n²) is unaffordable), and the hash
+    // verdict is a pure function of the pair so it is reproducible
+    // and oracle-replicable (the sample_split machinery)
+    val kept = pairFrac match {
+      case Some(f) =>
+        require(f > 0 && f <= 1, s"pairFrac must be in (0,1], got $f")
+        all.where(graft.functions.Sampling.hashBucket(
+          concat_ws("_", col("__ta"), col("__tb")), 10000) < (f * 10000).toLong)
+      case None => all
+    }
+    val pairs = kept
       .select(groupCols.map(col) :+
         ((col("__vb") - col("__va")) / (col("__tb") - col("__ta"))).as("__slope"): _*)
     pairs.groupBy(groupCols.map(col): _*)

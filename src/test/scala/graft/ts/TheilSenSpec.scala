@@ -35,6 +35,22 @@ class TheilSenSpec extends SparkSpec {
     assert(math.abs(ols - 1.0) > 1000, s"OLS should be destroyed here: $ols")
   }
 
+  test("pairFrac sampling: deterministic, ≈frac of pairs kept, clean-series slope exact") {
+    val rows = (0L until 60L).map(t => (1L, t * 1000L, 2.0 * t))
+    val df = rows.toDF("user_id", "ts_us", "value")
+    val exact = TimeOps.theilSen(df, "value", "ts_us", Seq("user_id")).collect().head
+    assert(exact.getLong(1) == 1770L)
+    val s1 = TimeOps.theilSen(df, "value", "ts_us", Seq("user_id"), Some(0.25)).collect().head
+    val s2 = TimeOps.theilSen(df, "value", "ts_us", Seq("user_id"), Some(0.25)).collect().head
+    assert(s1.getLong(1) == s2.getLong(1) && s1.getDouble(2) == s2.getDouble(2),
+      "hash sampling must be reproducible")
+    // every pairwise slope of this clean series is identical, so the
+    // sampled median equals the exact one bit-for-bit
+    assert(s1.getDouble(2) == exact.getDouble(2), s"sampled slope ${s1.getDouble(2)}")
+    val kept = s1.getLong(1).toDouble / 1770.0
+    assert(kept > 0.15 && kept < 0.35, s"~25% of pairs must survive, got $kept")
+  }
+
   test("type-1 median: even pair count picks the lower middle element") {
     // 2 points per series -> 1 pair; 3 points -> 3 pairs, median = 2nd
     val rows = Seq((1L, 0L, 0.0), (1L, 1L, 1.0), (1L, 2L, 5.0))
