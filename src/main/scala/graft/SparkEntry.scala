@@ -1466,6 +1466,25 @@ object SparkEntry {
         .select(col("user_id"), col("ts_us"), col("value"), col("value_rollmean").as("ewma"))
         .orderBy("user_id", "ts_us")
     },
+    // online forecast evaluation — per-event naive/seasonal-naive
+    // errors from a 4-slot cents ring per key, MAE rollup batch-side
+    // (integer monoids, order-free); value-identical to
+    // ts_backtest_naive
+    "stream_backtest" -> { (s, dir) =>
+      val perEvent = StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+        StreamingFeaturize.streamingNaiveBacktest(ds).toDF())
+      perEvent.groupBy("user_id")
+        .agg(count(col("e4")).as("n_evals"),
+          sum(when(col("e4").isNotNull, col("e1"))).as("__s1"),
+          sum(col("e4")).as("__s4"))
+        .select(col("user_id"), col("n_evals"),
+          (col("__s1").cast("double") / col("n_evals").cast("double")).as("mae_naive_cents"),
+          (col("__s4").cast("double") / col("n_evals").cast("double")).as("mae_snaive_cents"),
+          when(col("__s4") < col("__s1"), lit("seasonal_naive"))
+            .when(col("__s1") < col("__s4"), lit("naive"))
+            .otherwise(lit("tie")).as("winner"))
+        .orderBy("user_id")
+    },
     // online seasonal forecaster — the ts_holtwinters recursion
     // carried as (t, level, trend, m seasonal indices) per key
     "stream_holtwinters" -> { (s, dir) =>
@@ -4025,6 +4044,23 @@ object SparkEntry {
          |from g
          |order by user_id, ts_us""".stripMargin
     },
+    // the ts_backtest_naive twin keyed by ts alone (the replay order)
+    "stream_backtest" ->
+      """with c as (select user_id, epoch_us(ts) as tu,
+        |    cast(floor(value * 100 + 0.5) as bigint) as c from events),
+        |l as (select user_id,
+        |   abs(c - lag(c, 1) over w) as e1,
+        |   abs(c - lag(c, 4) over w) as e4
+        | from c window w as (partition by user_id order by tu))
+        |select user_id, cast(count(e4) as bigint) as n_evals,
+        | cast(sum(case when e4 is not null then e1 end) as double)
+        |   / cast(count(e4) as double) as mae_naive_cents,
+        | cast(sum(e4) as double) / cast(count(e4) as double) as mae_snaive_cents,
+        | case when sum(e4) < sum(case when e4 is not null then e1 end) then 'seasonal_naive'
+        |      when sum(case when e4 is not null then e1 end) < sum(e4) then 'naive'
+        |      else 'tie' end as winner
+        |from l group by user_id
+        |order by user_id""".stripMargin,
     // the ts_holtwinters recursive CTE keyed by ts alone (the replay
     // order — (user_id, ts) is unique in the generated events)
     "stream_holtwinters" -> {

@@ -28,6 +28,8 @@ case class RingState(ring: Array[Double], lastTs: Long = Long.MinValue)
 case class EwmaState(num: Double, den: Double, lastTs: Long = Long.MinValue)
 case class EwmVolState(num1: Double, num2: Double, den: Double, lastTs: Long = Long.MinValue)
 case class HwState(t: Long, l: Double, b: Double, s: Array[Double], lastTs: Long = Long.MinValue)
+case class BtState(ring: Array[Long], n: Long, lastTs: Long = Long.MinValue)
+case class BtOut(user_id: Long, ts_us: Long, e1: Option[Long], e4: Option[Long])
 case class HwOut(user_id: Long, ts_us: Long, value: Double,
     level: Double, trend: Double, season: Double, fitted: Option[Double])
 case class EwmVolOut(user_id: Long, ts_us: Long, value: Double,
@@ -499,6 +501,39 @@ object StreamingFeaturize {
             evSeq.lastOption.map(_.ts_us).getOrElse(lastTs)))
           out.iterator
         }).toDF()
+  }
+
+  /** Streaming naive-forecast backtest — the ts_backtest_naive twin:
+    * one-step-ahead absolute errors of the naive (lag 1) and
+    * seasonal-naive (lag 4) baselines in integer cents, carried as a
+    * FOUR-slot ring of state per key — forecast evaluation is
+    * naturally online (each arrival scores the forecasts made before
+    * it). Emits per-event errors; the per-series MAE rollup runs
+    * batch-side after replay (integer sums — order-free).
+    */
+  def streamingNaiveBacktest(events: Dataset[Ev]): Dataset[BtOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, evs: Iterator[Ev], state: GroupState[BtState]) => {
+          val st = state.getOption.getOrElse(BtState(new Array[Long](4), 0L))
+          val ring = st.ring.clone()
+          var n = st.n
+          val evSeq = sortedStrict(evs, st.lastTs, key)
+          val out = evSeq.map { e =>
+            val c = math.floor(e.value * 100 + 0.5).toLong
+            val e1 = if (n >= 1) Some(math.abs(c - ring(((n - 1) % 4).toInt))) else None
+            // slot n%4 still holds the value from 4 steps back —
+            // read it BEFORE overwriting with the current one
+            val e4 = if (n >= 4) Some(math.abs(c - ring((n % 4).toInt))) else None
+            ring((n % 4).toInt) = c
+            n += 1
+            BtOut(key, e.ts_us, e1, e4)
+          }
+          state.update(BtState(ring, n, evSeq.lastOption.map(_.ts_us).getOrElse(st.lastTs)))
+          out.iterator
+        })
   }
 
   /** Streaming Holt-Winters — the TimeOps.holtWinters twin as an
