@@ -2492,14 +2492,15 @@ object SparkEntry {
         |      else 'tie' end as winner
         |from l group by user_id
         |order by user_id""".stripMargin,
-    // sampled-theil-sen twin: identical deterministic pair-hash keep
-    // verdict (h60 of "ta_tb" mod 10000 < 2500), same median pick
+    // sampled-theil-sen twin: identical pure-int64 pair-hash keep
+    // verdict (pre-modded multiplicative mix — no overflow on either
+    // engine), same median pick
     "ts_theilsen_sampled" ->
       s"""with p as (select a.user_id,
          |    (b.value - a.value) / (epoch_us(b.ts) - epoch_us(a.ts)) as slope
          |  from events a join events b
          |    on a.user_id = b.user_id and epoch_us(a.ts) < epoch_us(b.ts)
-         |  where ${SqlTwins.h60("(cast(epoch_us(a.ts) as varchar) || '_' || cast(epoch_us(b.ts) as varchar))")} % 10000 < 2500)
+         |  where ((epoch_us(a.ts) % 1000003) * 1000033 + (epoch_us(b.ts) % 1000003)) % 10000 < 2500)
          |select user_id, cast(count(*) as bigint) as n_pairs,
          | (list(slope order by slope))[cast((count(*) + 1) // 2 as int)] as sen_slope
          |from p group by user_id
