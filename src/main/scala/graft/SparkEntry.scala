@@ -584,6 +584,23 @@ object SparkEntry {
         count(lit(1)).as("n"))
         .orderBy("event_type")
     },
+    // period-over-period growth (the MoM revenue report): monthly
+    // integer-cents rollup (partial-agg, ~#months rows out), ONE lag
+    // window over the tiny month table, exact integer delta + one
+    // division for the growth rate
+    "q_growth" -> { (s, dir) =>
+      val w = Window.orderBy("yr", "mo")
+      Tables.orders(s, dir)
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mo"))
+        .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).as("rev_cents"))
+        .withColumn("prev_cents", lag("rev_cents", 1).over(w))
+        .withColumn("mom_delta_cents", col("rev_cents") - col("prev_cents"))
+        .withColumn("mom_rate",
+          (col("rev_cents") - col("prev_cents")).cast("double") /
+            col("prev_cents").cast("double"))
+        .orderBy("yr", "mo")
+    },
     // revenue concentration (the Pareto/80-20 report): how many top
     // customers carry 80% of revenue. Per-customer partial-agg cents
     // rollup (bounded cardinality ≪ orders), ONE ranked cumsum over
@@ -2661,6 +2678,20 @@ object SparkEntry {
         |        group by c_nationkey, c_custkey))
         |where rn <= 3
         |order by c_nationkey, rn""".stripMargin,
+    // growth twin: identical monthly cents rollup, lag over months,
+    // integer delta, one division
+    "q_growth" ->
+      """with m as (select cast(year(o_orderdate) as bigint) as yr,
+        |    cast(month(o_orderdate) as bigint) as mo,
+        |    cast(sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) as bigint) as rev_cents
+        |  from orders group by yr, mo)
+        |select yr, mo, rev_cents,
+        | lag(rev_cents, 1) over (order by yr, mo) as prev_cents,
+        | rev_cents - lag(rev_cents, 1) over (order by yr, mo) as mom_delta_cents,
+        | cast(rev_cents - lag(rev_cents, 1) over (order by yr, mo) as double)
+        |   / cast(lag(rev_cents, 1) over (order by yr, mo) as double) as mom_rate
+        |from m
+        |order by yr, mo""".stripMargin,
     // pareto twin: identical integer cents rollup, ranked cumsum over
     // customers, integer 5·cum ≥ 4·total crossing, one division
     "q_pareto" ->
