@@ -1788,10 +1788,13 @@ object SparkEntry {
        |sc as (select c.doc_id, c.bid, cast($agree as bigint) as agree
        |       from cand c join dsig ds on c.doc_id = ds.doc_id
        |                   join bsig bs on c.bid = bs.bid),
+       |sc2 as (select doc_id, bid, agree,
+       |          max(agree) over (partition by doc_id) as ba
+       |        from sc),
        |best as (select doc_id, cast(count(*) as bigint) as n_candidates,
        |           cast(max(agree) as bigint) as best_agree,
-       |           arg_min(bid, bid - agree * 1099511627776) as best_bench
-       |         from sc group by doc_id)
+       |           min(case when agree = ba then bid end) as best_bench
+       |         from sc2 group by doc_id)
        |select d.doc_id,
        | coalesce(n_candidates, 0) as n_candidates,
        | best_bench, best_agree,
@@ -2824,8 +2827,8 @@ object SparkEntry {
          |from d order by doc_id""".stripMargin,
     "dedup_minhash" -> minhashDupOfSql,
     // fuzzy-decontam twin: identical cross-corpus signatures/bands,
-    // integer agreement, integer-keyed arg_min tiebreak, one exact
-    // division for the estimate
+    // integer agreement, window-max + conditional-min tiebreak
+    // (id-range-safe), one exact division for the estimate
     "text_decontam_fuzzy" -> fuzzyDecontamSql,
     "dedup_clusters" -> minhashClustersSql,
     "dedup_purge" -> dedupPurgeSql,
@@ -3570,11 +3573,13 @@ object SparkEntry {
         |from d
         |order by user_id, ts_us, event_id""".stripMargin,
     // hashing-trick oracle: identical token hashes, bucket = h mod 16,
-    // sign from hash bit 16, integer list_sum per bucket (order-free)
+    // sign from hash bit 16, integer list_sum per bucket (order-free).
+    // list_sum returns HUGEINT in DuckDB — cast to BIGINT so the
+    // driver's typed hash matches Spark's int64 output.
     "text_hash_features" -> {
       val fs = (0 until 16).map { b =>
-        s"coalesce(list_sum(list_transform(th, h -> " +
-          s"case when h % 16 = $b then 1 - 2 * ((h >> 16) & 1) else 0 end)), 0) as f$b"
+        s"cast(coalesce(list_sum(list_transform(th, h -> " +
+          s"case when h % 16 = $b then 1 - 2 * ((h >> 16) & 1) else 0 end)), 0) as bigint) as f$b"
       }.mkString(",\n ")
       s"""with t as (select doc_id, ${SqlTwins.toks("text")} as t from documents),
          |thc as (select doc_id, ${SqlTwins.tokenHashes32("t")} as th from t)

@@ -348,12 +348,19 @@ object Dedup {
       .join(dSig, Seq(idCol))
       .join(hint(bSigR), Seq("__bid"))
       .select(col(idCol), col("__bid"), agree.as("__agree"))
-    // best match via an integer-keyed min_by: highest agreement first,
-    // lowest benchmark id on ties — one partial-aggregated exchange
-    val best = scored.groupBy(col(idCol)).agg(
-      count(lit(1)).as("n_candidates"),
-      max(col("__agree")).as("best_agree"),
-      min_by(col("__bid"), col("__bid") - col("__agree") * lit(1L << 40)).as("best_bench"))
+    // best match = highest agreement, lowest benchmark id on ties.
+    // A window max over the doc partition + conditional min (instead
+    // of an arithmetic packed min_by key) stays exact for ANY 64-bit
+    // benchmark id — a packed `bid - agree·2^40` key mis-orders or
+    // overflows once ids reach 2^40 or go negative. The window rides
+    // the same doc-keyed exchange as the groupBy that follows.
+    val wDoc = Window.partitionBy(col(idCol))
+    val best = scored
+      .withColumn("__ba", max(col("__agree")).over(wDoc))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_candidates"),
+        max(col("__agree")).as("best_agree"),
+        min(when(col("__agree") === col("__ba"), col("__bid"))).as("best_bench"))
     docs.select(col(idCol)).join(best, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),

@@ -724,8 +724,13 @@ object TimeOps {
     * Scale shape: ONE series-keyed self-join (AQE-splittable) whose
     * fan-out is O(n²/2) per series — the inherent Theil-Sen cost,
     * fine for feature-window-length series; monster series should
-    * pre-sample pairs (documented) — then one partial-agg groupBy
-    * carrying a sorted slope list per series.
+    * pre-sample pairs (documented). The median itself is a window
+    * rank pick (row_number over slope order + count over the series
+    * partition): WindowExec buffers each series in a SPILLABLE
+    * external row array, so peak executor memory is bounded even on
+    * monster series — unlike a collect_list aggregation buffer,
+    * which would hold all O(n²/2) slopes of a series on-heap (the
+    * r11 scale killer this shape replaced).
     */
   def theilSen(
       df: DataFrame,
@@ -758,12 +763,20 @@ object TimeOps {
     val pairs = kept
       .select(groupCols.map(col) :+
         ((col("__vb") - col("__va")) / (col("__tb") - col("__ta"))).as("__slope"): _*)
-    pairs.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_pairs"),
-        sort_array(collect_list(col("__slope"))).as("__sorted"))
+    // Lower-median pick without materializing the slope list: one
+    // hash exchange on the series key, one sort, then two Window
+    // nodes sharing the exchange (count needs only clustering). The
+    // row at rank ⌈N/2⌉ of the slope order IS element ⌈N/2⌉ of the
+    // sorted list — identical verdict, ties included (equal slopes
+    // at the boundary yield the same value whichever tie wins).
+    val wRank = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__slope"))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    pairs
+      .withColumn("n_pairs", count(lit(1)).over(wAll))
+      .withColumn("__rk", row_number().over(wRank))
+      .where(col("__rk") === ((col("n_pairs") + 1) / 2).cast("int"))
       .select(groupCols.map(col) ++ Seq(col("n_pairs"),
-        element_at(col("__sorted"), ((col("n_pairs") + 1) / 2).cast("int"))
-          .as("sen_slope")): _*)
+        col("__slope").as("sen_slope")): _*)
   }
 
   /** Mann-Kendall trend TEST — the significance companion of
@@ -772,7 +785,14 @@ object TimeOps {
     * S = 0) — the nonparametric "is there a monotone trend at all"
     * statistic run before fitting a slope. The no-ties variance is
     * used (documented; tied values contribute sign 0 to S either
-    * way). Cross-engine exactness: S and the counts are integers, the
+    * way). CONTRACT: timestamps must be unique within a series — the
+    * strict `ta < tb` pair join drops pairs with tied timestamps
+    * while the variance uses the full n(n−1)(2n+5)/18, so z would be
+    * inconsistent on duplicate-ts series (verify with
+    * n_pairs = n_obs·(n_obs−1)/2 in the output, which holds iff the
+    * contract does; dedupe or aggregate per timestamp first — e.g.
+    * [[resample]] — if your feed can repeat ts). Cross-engine
+    * exactness: S and the counts are integers, the
     * variance is ONE integer product cast to double and ONE division,
     * z is one subtraction + division + correctly-rounded sqrt —
     * bit-exact with no rounding. Same series-keyed O(n²/2) pair join

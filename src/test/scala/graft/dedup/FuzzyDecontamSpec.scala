@@ -49,11 +49,35 @@ class FuzzyDecontamSpec extends SparkSpec {
       s"two identical benchmark docs -> lowest id wins: $out")
   }
 
-  test("scale shape: benchmark side broadcasts, verdict is partial-agg, no window") {
+  test("tie-break survives 64-bit / negative benchmark ids (packed-key regression)") {
+    // ids ≥ 2^40 and negative ids broke the old arithmetic
+    // `bid - agree·2^40` min_by key (overflow / mis-order); the
+    // window-max + conditional-min verdict must rank by agreement
+    // first for ANY int64 id. A lower-id bench doc with LOWER
+    // agreement (one-token edit) must lose to an exact match at a
+    // huge id, and a negative id must win a true agreement tie.
+    val hugeBench = Seq(
+      (-5L, benchText.replaceAll("four$", "edited")), // near, not exact
+      ((1L << 45) + 7L, benchText)).toDF("doc_id", "text")
+    val out = Dedup.fuzzyContamination(docs, hugeBench, "doc_id", "text")
+      .where(col("doc_id") === 1L).collect().head
+    assert(out.getLong(3) == 16L && out.getLong(2) == (1L << 45) + 7L,
+      s"exact match at huge id must beat nearer id with lower agreement: $out")
+    val negTie = Seq((-9L, benchText), (8L, benchText)).toDF("doc_id", "text")
+    val out2 = Dedup.fuzzyContamination(docs, negTie, "doc_id", "text")
+      .where(col("doc_id") === 1L).collect().head
+    assert(out2.getLong(2) == -9L, s"agreement tie -> lowest (negative) id wins: $out2")
+  }
+
+  test("scale shape: benchmark side broadcasts, verdict partial-aggs, window only doc-keyed") {
     val plan = Dedup.fuzzyContamination(docs, bench, "doc_id", "text")
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"benchmark must broadcast:\n${plan.take(1500)}")
-    assert(!plan.contains("Window "), s"no window in the verdict path:\n${plan.take(1500)}")
+    // the tie-break window partitions on the DOC id (diffuse key,
+    // candidates per doc bounded by the band join) — never on a
+    // content-derived key; exactly one such window node
+    assert(plan.toLowerCase.contains("windowspecdefinition(doc_id"),
+      s"tie-break window must key on doc_id:\n${plan.take(1500)}")
     assert(plan.contains("partial_count") || plan.contains("partial_min"),
       s"verdict must partial-aggregate:\n${plan.take(1500)}")
   }

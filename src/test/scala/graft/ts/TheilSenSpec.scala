@@ -51,6 +51,34 @@ class TheilSenSpec extends SparkSpec {
     assert(kept > 0.15 && kept < 0.35, s"~25% of pairs must survive, got $kept")
   }
 
+  test("bounded median: no collect_list buffer, spillable window rank pick (long series)") {
+    // r11 scale killer: all O(n²/2) pair slopes of a series landed in
+    // ONE sort_array(collect_list(...)) aggregation buffer — on-heap,
+    // unbounded, non-spillable. The window rank pick routes the same
+    // lower-median verdict through WindowExec's spillable external
+    // row array. Pin the plan (no CollectList/SortArray anywhere) and
+    // the verdict on a long noisy series vs a brute-force median.
+    val n = 400 // 79,800 pair slopes through the window path
+    val rows = (0 until n).map { t =>
+      // deterministic noise, no RNG: slope 3 plus a bounded wobble
+      (1L, t.toLong, 3.0 * t + ((t * 2654435761L) % 97L).toDouble / 97.0)
+    }
+    val df = rows.toDF("user_id", "ts_us", "value")
+    val q = TimeOps.theilSen(df, "value", "ts_us", Seq("user_id"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list") && !plan.contains("sort_array"),
+      s"median must not buffer slopes in an agg:\n${plan.take(1500)}")
+    assert(plan.toLowerCase.contains("windowspecdefinition"),
+      s"rank pick must ride WindowExec (spillable):\n${plan.take(1500)}")
+    val out = q.collect().head
+    val slopes = (for {
+      i <- 0 until n; j <- (i + 1) until n
+    } yield (rows(j)._3 - rows(i)._3) / (j - i).toDouble).sorted
+    assert(out.getLong(1) == slopes.size.toLong)
+    assert(out.getDouble(2) == slopes((slopes.size + 1) / 2 - 1),
+      s"window rank pick must equal brute-force lower median: $out")
+  }
+
   test("type-1 median: even pair count picks the lower middle element") {
     // 2 points per series -> 1 pair; 3 points -> 3 pairs, median = 2nd
     val rows = Seq((1L, 0L, 0.0), (1L, 1L, 1.0), (1L, 2L, 5.0))
