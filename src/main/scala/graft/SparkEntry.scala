@@ -660,6 +660,18 @@ object SparkEntry {
         expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"),
         Seq(("q25_cents", 25), ("q50_cents", 50), ("q75_cents", 75), ("q95_cents", 95)))
     },
+    // GROUPED exact quantiles on the histogram route: per event_type,
+    // integer-cents type-1 quantiles — the grouped companion of
+    // q_quantiles_hist. Per-group cumulative rank runs over the
+    // group's value HISTOGRAM (bounded by the cents range, not group
+    // size, and WindowExec spills), so a monster group cannot blow an
+    // executor the way percentile()'s value buffer does
+    "q_quantiles_ghist" -> { (s, dir) =>
+      Profile.groupedHistogramQuantiles(Tables.events(s, dir), Seq("event_type"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)"),
+        Seq(("q25_cents", 25), ("q50_cents", 50), ("q75_cents", 75), ("q95_cents", 95)))
+        .orderBy("event_type")
+    },
     // the 100 TB quantile path: approx_percentile keeps ~O(accuracy)
     // samples per group (rank error <= n/accuracy) where exact
     // `percentile` buffers every value; at oracle scale accuracy >= n
@@ -2745,6 +2757,26 @@ object SparkEntry {
         | cast(min(case when cum * 100 >= 95 * n then v end) as bigint) as q95_cents,
         | cast(max(n) as bigint) as n_rows
         |from cum cross join t""".stripMargin,
+    // grouped histogram-quantile twin: identical cents histogram,
+    // per-group cumulative rank, pure-integer type-1 verdict; emitted
+    // sums cast to BIGINT (DuckDB window sum of BIGINT -> HUGEINT)
+    "q_quantiles_ghist" ->
+      """with h as (select event_type,
+        |    cast(floor(value * 100 + 0.5) as bigint) as v, count(*) as c
+        |  from events group by event_type, v),
+        |cum as (select event_type, v,
+        |    sum(c) over (partition by event_type order by v
+        |                 rows between unbounded preceding and current row) as cum,
+        |    sum(c) over (partition by event_type) as n
+        |  from h)
+        |select event_type,
+        | cast(min(case when cum * 100 >= 25 * n then v end) as bigint) as q25_cents,
+        | cast(min(case when cum * 100 >= 50 * n then v end) as bigint) as q50_cents,
+        | cast(min(case when cum * 100 >= 75 * n then v end) as bigint) as q75_cents,
+        | cast(min(case when cum * 100 >= 95 * n then v end) as bigint) as q95_cents,
+        | cast(max(n) as bigint) as n_rows
+        |from cum group by event_type
+        |order by event_type""".stripMargin,
     "q_quantiles" ->
       """select event_type,
         | round(quantile_cont(value, 0.25), 4) as q25,

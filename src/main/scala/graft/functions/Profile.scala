@@ -6,10 +6,20 @@ import org.apache.spark.sql.functions._
 /** Dataset profiling: the pipeline health-check scan. One aggregation
   * pass computes per-column row/null counts, min/max/mean/std, and
   * exact distinct counts for every requested numeric column, then the
-  * single result row unpivots into one row per column. Everything is
-  * map-side combinable except the exact distincts (Spark plans those
-  * with one Expand over the same scan); at 100 TB swap
-  * `approx_count_distinct` exactly like the quantile family documents.
+  * single result row unpivots into one row per column.
+  *
+  * Scale shape (verified from the planned physical plan, ProfileSpec):
+  * the moments are map-side combinable, and the exact distincts plan
+  * as ONE Expand over the same scan followed by a DISTRIBUTED dedup —
+  * partial aggregation keyed on (gid, value) collapses duplicates
+  * map-side, the dedup exchange is hash-partitioned on the VALUE (≤
+  * one row per mapper per distinct value — the histogram route's
+  * bound), and the final single-partition exchange carries only
+  * per-task count partials, never values. So exact distincts are
+  * 100 TB-safe whenever |distinct| is bounded (categorical,
+  * fixed-point, id-like columns); only a genuinely-unbounded
+  * continuous double (|distinct| ≈ N) makes the dedup exchange
+  * corpus-sized — for those, swap `approx_count_distinct`.
   */
 object Profile {
 
@@ -174,6 +184,38 @@ object Profile {
       min(when(col("__cum") * 100 >= lit(pct.toLong) * col("__n"), col("v"))).as(name)
     } :+ max(col("__n")).as("n_rows")
     cum.crossJoin(total).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** EXACT per-group quantiles via the bounded value histogram — the
+    * GROUPED companion of [[histogramQuantiles]], closing the "exact
+    * grouped quantiles are oracle-scale-only" caveat for integer-
+    * scalable measures. Same route, group-keyed: ONE partial-agg
+    * groupBy(group, v) collapses each group's values to ≤ |value
+    * range| histogram rows (map-side combine absorbs hot values, the
+    * group key diffuses hot groups), then the cumulative rank runs
+    * over the HISTOGRAM per group — the window partition is a group's
+    * histogram (bounded by the value RANGE, independent of group
+    * size) and WindowExec spills, so no monster group can blow an
+    * executor the way `percentile()`'s buffer-every-value does. The
+    * final rollup rides the same group partitioning. Verdict is the
+    * identical pure-integer type-1 quantile (100·cum ≥ pct·N).
+    */
+  def groupedHistogramQuantiles(df: DataFrame, groupCols: Seq[String],
+      cents: Column, pcts: Seq[(String, Int)]): DataFrame = {
+    require(groupCols.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(groupCols.map(col) :+ cents.as("v"): _*)
+      .groupBy(groupCols.map(col) :+ col("v"): _*).agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(groupCols.map(col): _*).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val aggs = pcts.map { case (name, pct) =>
+      min(when(col("__cum") * 100 >= lit(pct.toLong) * col("__n"), col("v"))).as(name)
+    } :+ max(col("__n")).as("n_rows")
+    cum.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Schema-on-read JSON sidecar rollup over an events frame whose

@@ -33,6 +33,40 @@ class HistogramQuantilesSpec extends SparkSpec {
     assert(out.getLong(pcts.size) == vals.size.toLong)
   }
 
+  test("grouped: per-group verdicts match the per-group sorted-array rank formula") {
+    val rnd = new scala.util.Random(7)
+    // deliberately skewed group sizes: g0 has 10x the rows of g2
+    val rows = (0 until 500).map(i => ("g" + (if (i < 300) 0 else if (i < 450) 1 else 2),
+      rnd.nextInt(25).toLong))
+    val out = Profile.groupedHistogramQuantiles(rows.toDF("g", "v"), Seq("g"), col("v"), pcts)
+      .collect().map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val sorted = grp.map(_._2).sorted
+      val r = out(g)
+      pcts.zipWithIndex.foreach { case ((_, pct), i) =>
+        val rank = (pct * sorted.size + 99) / 100
+        assert(r.getLong(i + 1) == sorted(rank - 1), s"group $g pct $pct: $r")
+      }
+      assert(r.getLong(pcts.size + 1) == sorted.size.toLong, s"group $g n: $r")
+    }
+  }
+
+  test("grouped scale shape: one group-keyed exchange chain, windows over the histogram only") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val q = Profile.groupedHistogramQuantiles(df, Seq("event_type"),
+      expr("cast(floor(value * 100 + 0.5) as bigint)"), pcts)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count(1)"),
+      s"histogram must map-side combine:\n${plan.take(2000)}")
+    // cumulative rank must consume the AGGREGATED histogram — the
+    // bounded-buffer guarantee: window partitions hold ≤ |cents
+    // range| rows regardless of group size (and WindowExec spills)
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0 && plan.indexOf("HashAggregate", winIdx) >= 0,
+      s"window must run over histogram rows:\n${plan.take(2000)}")
+    assert(!plan.contains("percentile"), "no value-buffering percentile anywhere")
+  }
+
   test("scale shape: histogram partial-aggregates before any exchange; window sees only the histogram") {
     val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val plan = Profile.histogramQuantiles(df,
