@@ -381,6 +381,19 @@ object SparkEntry {
       TimeOps.seasonalDecompose(daily, "filled_value", Seq("user_id"), Seq("bucket"), 7, phase)
         .orderBy("user_id", "bucket")
     },
+    // STL-style ROBUST decomposition: LOESS trend (tricube, literal
+    // coefficient tables) + bisquare robustness reweighting from the
+    // first pass's remainder — a wild outlier gets rho ~ 0 and stops
+    // dragging the trend / polluting its phase's seasonal index.
+    // All cross-engine-ordered aggregation in s4 integer space
+    "ts_stl" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
+      val daily = TimeOps.resampleFfill(ev, Seq("user_id"), "ts_us", 86400000000L, max(col("value")))
+        .select("user_id", "bucket", "filled_value")
+      val phase = pmod(expr("bucket div 86400000000") + 3, lit(7)).cast("int")
+      graft.ts.Stl.robustDecompose(daily, "filled_value", Seq("user_id"), "bucket", phase, q = 7)
+        .orderBy("user_id", "bucket")
+    },
     // the pandas fillna family on a regular spine: forward fill,
     // backward fill, and constant fallback in one window pass each
     "ts_fill" -> { (s, dir) =>
@@ -2178,6 +2191,21 @@ object SparkEntry {
         | det - seasonal as remainder
         |from sn
         |order by user_id, bucket""".stripMargin,
+    // STL twin: identical literal loess coefficient tables + fold
+    // order + s4 integer space, generated from the same Scala code
+    // (graft.ts.Stl.oracleSql — the OracleGen pattern)
+    "ts_stl" -> graft.ts.Stl.oracleSql(
+      """with pb as (
+        |  select user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000) as bucket, max(value) as bucket_value
+        |  from events group by 1, 2),
+        |bounds as (select user_id, min(bucket) as b0, max(bucket) as b1 from pb group by 1),
+        |spine as (select user_id, unnest(generate_series(b0, b1, 86400000000)) as bucket from bounds),
+        |j as (select s.user_id, s.bucket, pb.bucket_value
+        |      from spine s left join pb on s.user_id = pb.user_id and s.bucket = pb.bucket),
+        |f as (select user_id, bucket,
+        |  last_value(bucket_value ignore nulls) over (partition by user_id order by bucket
+        |    rows between unbounded preceding and current row) as filled_value
+        | from j)""".stripMargin, q = 7),
     "ts_fill" ->
       """with pb as (
         |  select user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000) as bucket, max(value) as bucket_value

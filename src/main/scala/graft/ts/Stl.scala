@@ -1,0 +1,218 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** STL-style ROBUST seasonal decomposition — the outlier-resistant
+  * upgrade of [[TimeOps.seasonalDecompose]] (classical additive), in
+  * the spirit of Cleveland et al.'s STL (J. Official Statistics 1990):
+  * a LOESS trend, phase-mean seasonal, and ONE outer robustness
+  * iteration that re-weights both by bisquare weights of the first
+  * pass's remainder — so a wild outlier no longer drags the trend or
+  * pollutes its phase's seasonal index (the property classical
+  * decomposition lacks; pinned in StlSpec).
+  *
+  * Exactness design (every float op identical cross-engine):
+  *  - LOESS pass 1 (all robustness weights 1): the degree-1 local fit
+  *    at the center of a SYMMETRIC tricube window reduces to a
+  *    weighted moving average, so the trend is a fixed 2q+1-tap
+  *    convolution whose normalized coefficients are LITERAL doubles
+  *    computed once here and emitted into both the Column tree and
+  *    the DuckDB SQL (the TaylorBasis pattern) — one left-associated
+  *    fold, bit-identical.
+  *  - LOESS pass 2 carries data-dependent weights ρ, so the local
+  *    linear fit is evaluated from five explicit weighted sums
+  *    (Σwρ, Σwρu, Σwρu², Σwρv, Σwρuv; u = integer tap offset) — each
+  *    a left-associated fold over the same tap order with literal
+  *    w·u coefficients; the fitted value at the center is the
+  *    intercept (S2·T0 − S1·T1)/(S0·S2 − S1²).
+  *  - Everything aggregated across engine-ORDER-DEPENDENT sets
+  *    (seasonal phase means, the remainder median) runs in s4
+  *    INTEGER space: detrended values and weights are quantized with
+  *    floor(x·10⁴ + 0.5) (identical FP ops, unlike round()'s
+  *    cross-engine halfway semantics), integer sums are exact and
+  *    association-free, and the published trend/seasonal/remainder/ρ
+  *    are s4-scaled BIGINTs — zero FP-aggregation hash surface.
+  *  - Robustness weights: a4 = |remainder₁|·10⁴ as integer, per-series
+  *    lower median picked by rank (row_number over a4 NULLS LAST —
+  *    the engines' default null order differs — with the time column
+  *    as tiebreak), h = 6·median (STL's convention), bisquare
+  *    ρ = (1 − u²)² for u = a4/h < 1 else 0; rows the LOESS window
+  *    could not reach (edges) and degenerate series (h = 0 or no
+  *    median) keep ρ = 1.
+  *
+  * Scale shape: everything rides window partitions keyed on the
+  * series (or series × phase) over the RESAMPLED daily spine — rows
+  * ≈ series × days, orders of magnitude below the event count; the
+  * median pick is the bounded rank-pick shape (no collect_list
+  * buffer, WindowExec spills), matching the theilSen r12 fix. Edge
+  * rows (within q of either end) publish null trend/remainder — the
+  * classical truncated-window convention.
+  */
+object Stl {
+
+  /** Tricube weight table over taps −q..q, |u| scaled by (q+1) so the
+    * boundary taps stay positive (the loess interior convention).
+    */
+  def tricube(q: Int): IndexedSeq[Double] = (-q to q).map { i =>
+    val u = math.abs(i).toDouble / (q + 1.0)
+    val t = 1.0 - u * u * u
+    t * t * t
+  }
+
+  /** Pass-1 normalized convolution coefficients (weights / Σweights),
+    * computed HERE once so both engines consume identical literals.
+    */
+  def pass1Coefs(q: Int): IndexedSeq[Double] = {
+    val w = tricube(q)
+    val s0 = w.sum
+    w.map(_ / s0)
+  }
+
+  private def tap(c: Column, i: Int, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    if (i < 0) lag(c, -i).over(w) else if (i == 0) c else lead(c, i).over(w)
+
+  private def s4(c: Column): Column = floor(c * lit(10000d) + lit(0.5d)).cast("long")
+
+  def robustDecompose(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCol: String,
+      phase: Column,
+      q: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+    val v = col(valueCol)
+    val taps = -q to q
+    val c1 = pass1Coefs(q)
+    val wt = tricube(q)
+
+    // pass 1: literal-coefficient tricube moving average
+    val trend1 = taps.map(i => lit(c1(i + q)) * tap(v, i, w)).reduceLeft(_ + _)
+    val base = df
+      .withColumn("phase", phase)
+      .withColumn("__m", s4(v - trend1))
+    // unweighted phase mean of the s4 detrended values (integer sums)
+    val pw = Window.partitionBy(groupCols.map(col) :+ col("phase"): _*)
+    val withS1 = base.withColumn("__s1",
+      sum(col("__m")).over(pw).cast("double") / count(col("__m")).over(pw).cast("double") / lit(10000d))
+    val withA4 = withS1.withColumn("__a4",
+      abs(col("__m") - floor(col("__s1") * lit(10000d) + lit(0.5d)).cast("long")))
+    // per-series lower median of |remainder| by bounded rank pick
+    val wRank = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__a4").asc_nulls_last, col(orderCol))
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val withMed = withA4
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("__cnt", count(col("__a4")).over(wAll))
+      .withColumn("__med",
+        max(when(col("__rn") === ((col("__cnt") + 1) / 2).cast("long"), col("__a4"))).over(wAll))
+    val h = col("__med") * lit(6L)
+    val u = col("__a4").cast("double") / h.cast("double")
+    val biT = lit(1.0) - u * u
+    val withRho = withMed.withColumn("rho",
+      when(col("__a4").isNull, lit(1.0))
+        .when(col("__med").isNull, lit(1.0))
+        .when(h === 0, lit(1.0))
+        .when(u >= 1.0, lit(0.0))
+        .otherwise(biT * biT))
+
+    // pass 2: weighted degree-1 loess from five explicit folds
+    val rho = col("rho")
+    val rv = rho * v
+    def fold(src: Column, coef: Int => Double): Column =
+      taps.map(i => lit(coef(i)) * tap(src, i, w)).reduceLeft(_ + _)
+    val s0c = fold(rho, i => wt(i + q))
+    val s1c = fold(rho, i => wt(i + q) * i)
+    val s2c = fold(rho, i => wt(i + q) * i * i)
+    val t0c = fold(rv, i => wt(i + q))
+    val t1c = fold(rv, i => wt(i + q) * i)
+    val denom = s0c * s2c - s1c * s1c
+    val trend2 = when(denom === 0, lit(null)).otherwise((s2c * t0c - s1c * t1c) / denom)
+    val withT2 = withRho
+      .withColumn("__d4", s4(v - trend2))
+      .withColumn("__r4", s4(rho))
+    val sw = sum(when(col("__d4").isNotNull, col("__d4") * col("__r4"))).over(pw)
+    val sr = sum(when(col("__d4").isNotNull, col("__r4"))).over(pw)
+    val seas = when(sr.isNull || sr === 0, lit(null))
+      .otherwise(sw.cast("double") / sr.cast("double") / lit(10000d))
+    withT2
+      .withColumn("trend_s4", s4(trend2))
+      .withColumn("seasonal_s4", floor(seas * lit(10000d) + lit(0.5d)).cast("long"))
+      .withColumn("remainder_s4", col("__d4") - col("seasonal_s4"))
+      .withColumn("rho_s4", col("__r4"))
+      .select(groupCols.map(col) ++ Seq(col(orderCol), v.as("value"), col("phase"),
+        col("trend_s4"), col("seasonal_s4"), col("remainder_s4"), col("rho_s4")): _*)
+  }
+
+  /** DuckDB twin of [[robustDecompose]] over the daily events spine —
+    * the same literal coefficient tables, the same fold order, the
+    * same s4 integer space, term for term. `spineCtes` supplies the
+    * pb/bounds/spine/j/f chain ending in f(user_id, bucket,
+    * filled_value) (the ts_seasonal oracle's spine).
+    */
+  def oracleSql(spineCtes: String, q: Int): String = {
+    import OracleGen.litD
+    val taps = -q to q
+    val c1 = pass1Coefs(q)
+    val wt = tricube(q)
+    def tapS(c: String, i: Int): String =
+      if (i < 0) s"lag($c, ${-i}) over w" else if (i == 0) c else s"lead($c, $i) over w"
+    def foldS(c: String, coef: Int => Double): String =
+      taps.map(i => s"(${litD(coef(i))} * ${tapS(c, i)})").reduceLeft((a, b) => s"($a + $b)")
+    def s4S(x: String): String = s"cast(floor($x * 10000E0 + 0.5E0) as bigint)"
+    val trend1 = taps.map(i => s"(${litD(c1(i + q))} * ${tapS("filled_value", i)})")
+      .reduceLeft((a, b) => s"($a + $b)")
+    val s0c = foldS("rho", i => wt(i + q))
+    val s1c = foldS("rho", i => wt(i + q) * i)
+    val s2c = foldS("rho", i => wt(i + q) * i * i)
+    val t0c = foldS("rv", i => wt(i + q))
+    val t1c = foldS("rv", i => wt(i + q) * i)
+    s"""$spineCtes,
+       |t1 as (select user_id, bucket, filled_value,
+       |  cast((bucket // 86400000000 + 3) % 7 as int) as phase,
+       |  ${s4S(s"(filled_value - $trend1)")} as m
+       | from f window w as (partition by user_id order by bucket)),
+       |sn1 as (select *,
+       |  cast(sum(m) over pw as double) / cast(count(m) over pw as double) / 10000E0 as s1
+       | from t1 window pw as (partition by user_id, phase)),
+       |ab as (select *, abs(m - cast(floor(s1 * 10000E0 + 0.5E0) as bigint)) as a4 from sn1),
+       |rk as (select *,
+       |  row_number() over (partition by user_id order by a4 asc nulls last, bucket) as rn,
+       |  count(a4) over (partition by user_id) as cnt
+       | from ab),
+       |md as (select *,
+       |  max(case when rn = (cnt + 1) // 2 then a4 end) over (partition by user_id) as med
+       | from rk),
+       |rw as (select user_id, bucket, filled_value, phase,
+       |  case when a4 is null then 1.0E0
+       |       when med is null then 1.0E0
+       |       when med * 6 = 0 then 1.0E0
+       |       when cast(a4 as double) / cast(med * 6 as double) >= 1.0E0 then 0.0E0
+       |       else (1.0E0 - (cast(a4 as double) / cast(med * 6 as double)) * (cast(a4 as double) / cast(med * 6 as double)))
+       |            * (1.0E0 - (cast(a4 as double) / cast(med * 6 as double)) * (cast(a4 as double) / cast(med * 6 as double)))
+       |  end as rho
+       | from md),
+       |p2 as (select *, rho * filled_value as rv from rw),
+       |t2 as (select user_id, bucket, filled_value, phase, rho,
+       |  case when ($s0c * $s2c - $s1c * $s1c) = 0 then null
+       |       else (($s2c * $t0c - $s1c * $t1c) / ($s0c * $s2c - $s1c * $s1c)) end as trend2
+       | from p2 window w as (partition by user_id order by bucket)),
+       |q2 as (select *, ${s4S("(filled_value - trend2)")} as d4, ${s4S("rho")} as r4 from t2),
+       |sn2 as (select *,
+       |  case when sum(case when d4 is not null then r4 end) over pw is null
+       |         or sum(case when d4 is not null then r4 end) over pw = 0 then null
+       |       else cast(sum(case when d4 is not null then d4 * r4 end) over pw as double)
+       |            / cast(sum(case when d4 is not null then r4 end) over pw as double) / 10000E0
+       |  end as seas
+       | from q2 window pw as (partition by user_id, phase))
+       |select user_id, bucket, filled_value as value, phase,
+       | ${s4S("trend2")} as trend_s4,
+       | cast(floor(seas * 10000E0 + 0.5E0) as bigint) as seasonal_s4,
+       | d4 - cast(floor(seas * 10000E0 + 0.5E0) as bigint) as remainder_s4,
+       | r4 as rho_s4
+       |from sn2
+       |order by user_id, bucket""".stripMargin
+  }
+}
