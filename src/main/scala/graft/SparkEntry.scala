@@ -1395,6 +1395,25 @@ object SparkEntry {
           min("doc_id").as("min_doc_id"))
         .orderBy("host")
     },
+    // per-domain rate cap: the pass every crawl pipeline runs after
+    // host extraction — cap each host's contribution to ~CAP docs via
+    // a corpus-adaptive deterministic hash rate (keep iff
+    // bucket·n_host < cap·10⁴ ⟺ P(keep) ≈ min(1, cap/n)), so a
+    // megahost can't dominate the corpus. De-skewed by construction:
+    // ONE partial-agg host rollup (~#hosts rows) broadcast-joined
+    // back, verdict map-only by id hash — no host-partitioned window
+    // anywhere (hosts are Zipfian; the text_quality_buckets shape)
+    "web_domain_cap" -> { (s, dir) =>
+      val cap = 50L
+      val scored = Tables.documents(s, dir).select(col("doc_id"),
+        concat(col("source"), lit(".example.com")).as("host"),
+        Sampling.hashBucket(col("doc_id"), 10000).as("__b"))
+      val counts = scored.groupBy("host").agg(count(lit(1)).as("n_host_docs"))
+      scored.join(broadcast(counts), Seq("host"))
+        .select(col("doc_id"), col("host"), col("n_host_docs"),
+          (col("__b") * col("n_host_docs") < lit(cap * 10000L)).as("kept"))
+        .orderBy("doc_id")
+    },
     // temperature (α = 0.5) language rebalancing: keep probability
     // min(1, scale/√N_l) is corpus-adaptive (one partial-agg count
     // table, broadcast back), the verdict map-only by id hash; α
@@ -3862,6 +3881,17 @@ object SparkEntry {
     // url twin: the injection is closed-form, so the oracle derives
     // host and page directly from the columns the URL was built from
     // — any parse_url host/query bug breaks the match
+    // domain-cap twin: identical h60 id-hash buckets, integer
+    // product-vs-cap verdict, host rollup joined back
+    "web_domain_cap" ->
+      s"""with d as (select doc_id, source || '.example.com' as host,
+         |    ${SqlTwins.h60("cast(doc_id as varchar)")} % 10000 as b
+         |  from documents),
+         |c as (select host, cast(count(*) as bigint) as n_host_docs from d group by host)
+         |select d.doc_id, d.host, c.n_host_docs,
+         | (d.b * c.n_host_docs < 50 * 10000) as kept
+         |from d join c using (host)
+         |order by d.doc_id""".stripMargin,
     "web_url_stats" ->
       """select source || '.example.com' as host,
         | count(*) as n_docs,
