@@ -520,4 +520,56 @@ object KernelRuntime {
     // + 0.0 canonicalizes the single-token case's -0.0 to 0.0
     -h + 0.0
   }
+
+  /** See [[StlConvKernel]]: fixed-coefficient convolution over a full
+    * sliding frame — Σᵢ coefs(i)·xs(i), left-fold starting from the
+    * i = 0 TERM (not 0.0 — preserves the Column `reduceLeft` bit
+    * pattern including the −0.0 corner). A clipped edge frame
+    * (size ≠ taps) or a null element yields null, matching the
+    * declarative lag/lead chain's null propagation.
+    */
+  def stlConv(xs: ArrayData, coefs: Array[Double]): java.lang.Double = {
+    val n = xs.numElements()
+    if (n != coefs.length || xs.isNullAt(0)) return null
+    var acc = coefs(0) * xs.getDouble(0)
+    var i = 1
+    while (i < n) {
+      if (xs.isNullAt(i)) return null
+      acc = acc + coefs(i) * xs.getDouble(i)
+      i += 1
+    }
+    D(acc)
+  }
+
+  /** See [[StlLoessFitKernel]]: the weighted degree-1 local fit at the
+    * frame center from five simultaneous left-folds over [ρ, v] pairs.
+    * Term arithmetic replicates the Column form exactly — each term is
+    * wₖ(i)·ρ or wₖ(i)·(ρ·v) (that grouping), folds start from the
+    * i = 0 term, and the fit is (S2·T0 − S1·T1)/(S0·S2 − S1²) with a
+    * null verdict on a zero denominator or any clipped/null input.
+    */
+  def stlLoessFit(xs: ArrayData, w0: Array[Double], w1: Array[Double],
+      w2: Array[Double]): java.lang.Double = {
+    val n = xs.numElements()
+    if (n != w0.length) return null
+    var s0 = 0d; var s1 = 0d; var s2 = 0d; var t0 = 0d; var t1 = 0d
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) return null
+      val e = xs.getArray(i)
+      if (e.isNullAt(0) || e.isNullAt(1)) return null
+      val r = e.getDouble(0)
+      val rv = r * e.getDouble(1)
+      if (i == 0) {
+        s0 = w0(0) * r; s1 = w1(0) * r; s2 = w2(0) * r
+        t0 = w0(0) * rv; t1 = w1(0) * rv
+      } else {
+        s0 = s0 + w0(i) * r; s1 = s1 + w1(i) * r; s2 = s2 + w2(i) * r
+        t0 = t0 + w0(i) * rv; t1 = t1 + w1(i) * rv
+      }
+      i += 1
+    }
+    val den = s0 * s2 - s1 * s1
+    if (den == 0.0) null else D((s2 * t0 - s1 * t1) / den)
+  }
 }

@@ -75,21 +75,32 @@ object Stl {
 
   private def s4(c: Column): Column = floor(c * lit(10000d) + lit(0.5d)).cast("long")
 
+  /** `useKernel = true` (default): both loess passes run as fused
+    * kernels over ONE sliding collect_list frame each ([[graft.plans
+    * .StlKernels]]) instead of 2·(2q+1) offset frame processors —
+    * measured ~2× the whole query's cost at sf0.1. `false` keeps the
+    * declarative lag/lead fold form; StlSpec pins both paths
+    * bit-equal (same fold order by construction).
+    */
   def robustDecompose(
       df: DataFrame,
       valueCol: String,
       groupCols: Seq[String],
       orderCol: String,
       phase: Column,
-      q: Int): DataFrame = {
+      q: Int,
+      useKernel: Boolean = true): DataFrame = {
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
+    val frame = w.rowsBetween(-q, q)
     val v = col(valueCol)
     val taps = -q to q
     val c1 = pass1Coefs(q)
     val wt = tricube(q)
 
     // pass 1: literal-coefficient tricube moving average
-    val trend1 = taps.map(i => lit(c1(i + q)) * tap(v, i, w)).reduceLeft(_ + _)
+    val trend1 =
+      if (useKernel) graft.plans.StlKernels.conv(collect_list(v).over(frame), c1.toArray)
+      else taps.map(i => lit(c1(i + q)) * tap(v, i, w)).reduceLeft(_ + _)
     val base = df
       .withColumn("phase", phase)
       .withColumn("__m", s4(v - trend1))
@@ -123,22 +134,37 @@ object Stl {
     val rv = rho * v
     def fold(src: Column, coef: Int => Double): Column =
       taps.map(i => lit(coef(i)) * tap(src, i, w)).reduceLeft(_ + _)
-    val s0c = fold(rho, i => wt(i + q))
-    val s1c = fold(rho, i => wt(i + q) * i)
-    val s2c = fold(rho, i => wt(i + q) * i * i)
-    val t0c = fold(rv, i => wt(i + q))
-    val t1c = fold(rv, i => wt(i + q) * i)
-    val denom = s0c * s2c - s1c * s1c
-    val trend2 = when(denom === 0, lit(null)).otherwise((s2c * t0c - s1c * t1c) / denom)
+    val w0 = taps.map(i => wt(i + q)).toArray
+    val w1 = taps.map(i => wt(i + q) * i).toArray
+    val w2 = taps.map(i => wt(i + q) * i * i).toArray
+    val trend2 =
+      if (useKernel)
+        graft.plans.StlKernels.loessFit(
+          collect_list(array(rho, v)).over(frame), w0, w1, w2)
+      else {
+        val s0c = fold(rho, i => wt(i + q))
+        val s1c = fold(rho, i => wt(i + q) * i)
+        val s2c = fold(rho, i => wt(i + q) * i * i)
+        val t0c = fold(rv, i => wt(i + q))
+        val t1c = fold(rv, i => wt(i + q) * i)
+        val denom = s0c * s2c - s1c * s1c
+        when(denom === 0, lit(null)).otherwise((s2c * t0c - s1c * t1c) / denom)
+      }
+    // materialize the pass-2 fit ONCE: reusing the `trend2` Column in
+    // a later stage would re-extract its whole window stack into a
+    // second pass-2 Window node (30 offset frames re-evaluated —
+    // measured ~2× the query's cost); downstream consumers reference
+    // the materialized attribute instead
     val withT2 = withRho
-      .withColumn("__d4", s4(v - trend2))
+      .withColumn("__t2", trend2)
+      .withColumn("__d4", s4(v - col("__t2")))
       .withColumn("__r4", s4(rho))
     val sw = sum(when(col("__d4").isNotNull, col("__d4") * col("__r4"))).over(pw)
     val sr = sum(when(col("__d4").isNotNull, col("__r4"))).over(pw)
     val seas = when(sr.isNull || sr === 0, lit(null))
       .otherwise(sw.cast("double") / sr.cast("double") / lit(10000d))
     withT2
-      .withColumn("trend_s4", s4(trend2))
+      .withColumn("trend_s4", s4(col("__t2")))
       .withColumn("seasonal_s4", floor(seas * lit(10000d) + lit(0.5d)).cast("long"))
       .withColumn("remainder_s4", col("__d4") - col("seasonal_s4"))
       .withColumn("rho_s4", col("__r4"))

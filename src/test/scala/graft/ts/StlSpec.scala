@@ -93,13 +93,28 @@ class StlSpec extends SparkSpec {
     }
   }
 
-  private def runStl(v: IndexedSeq[Double]) = {
+  private def runStl(v: IndexedSeq[Double], useKernel: Boolean = true) = {
     val day = 86400000000L
     val rows = v.zipWithIndex.map { case (x, t) => (1L, t.toLong * day, x) }
     val daily = rows.toDF("user_id", "bucket", "filled_value")
     val phase = pmod(expr("bucket div 86400000000") + 3, lit(7)).cast("int")
-    Stl.robustDecompose(daily, "filled_value", Seq("user_id"), "bucket", phase, q)
+    Stl.robustDecompose(daily, "filled_value", Seq("user_id"), "bucket", phase, q,
+        useKernel = useKernel)
       .orderBy("bucket").collect()
+  }
+
+  test("kernel and declarative fold paths are bit-equal (outlier series)") {
+    val v = series(42, outlierAt = 20)
+    val k = runStl(v, useKernel = true)
+    val d = runStl(v, useKernel = false)
+    assert(k.length == d.length)
+    k.zip(d).zipWithIndex.foreach { case ((a, b), t) =>
+      (4 to 7).foreach { i =>
+        assert(a.isNullAt(i) == b.isNullAt(i) &&
+          (a.isNullAt(i) || a.getLong(i) == b.getLong(i)),
+          s"t=$t col $i: $a vs $b")
+      }
+    }
   }
 
   test("golden: bit-exact vs the independent loop reimplementation (outlier series)") {
@@ -150,7 +165,7 @@ class StlSpec extends SparkSpec {
     }
   }
 
-  test("scale shape: series-keyed windows over the daily spine, no collect_list, spillable median") {
+  test("scale shape: series-keyed windows, bounded kernel frames only, spillable median") {
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
       .select("user_id", "ts_us", "value")
     val daily = TimeOps.resampleFfill(ev, Seq("user_id"), "ts_us", 86400000000L, max(col("value")))
@@ -158,9 +173,16 @@ class StlSpec extends SparkSpec {
     val phase = pmod(expr("bucket div 86400000000") + 3, lit(7)).cast("int")
     val plan = Stl.robustDecompose(daily, "filled_value", Seq("user_id"), "bucket", phase, q)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("collect_list") && !plan.contains("sort_array"),
-      s"no buffering aggregation anywhere:\n${plan.take(1500)}")
     val lower = plan.toLowerCase
+    // no unbounded buffering aggregation: the median is the rank pick,
+    // and the only collect_lists are the two BOUNDED ±q sliding kernel
+    // frames (every collect_list in the plan carries the -7/7 RowFrame)
+    assert(!plan.contains("sort_array"), s"no sort_array median:\n${plan.take(1500)}")
+    assert("collect_list".r.findAllIn(lower).size == 2 &&
+      "specifiedwindowframe\\(rowframe, -7, 7\\)".r.findAllIn(lower).size == 2,
+      s"exactly the two bounded kernel frames:\n${plan.take(2000)}")
+    assert(lower.contains("stlconvkernel") && lower.contains("stlloessfitkernel"),
+      s"fused kernels must be in the executed plan:\n${plan.take(2000)}")
     assert(lower.contains("windowspecdefinition(user_id"),
       s"windows must key on the series:\n${plan.take(1500)}")
   }
