@@ -764,15 +764,18 @@ object TimeOps {
       .select(groupCols.map(col) :+
         ((col("__vb") - col("__va")) / (col("__tb") - col("__ta"))).as("__slope"): _*)
     // Lower-median pick without materializing the slope list: one
-    // hash exchange on the series key, one sort, then two Window
-    // nodes sharing the exchange (count needs only clustering). The
-    // row at rank ⌈N/2⌉ of the slope order IS element ⌈N/2⌉ of the
-    // sorted list — identical verdict, ties included (equal slopes
-    // at the boundary yield the same value whichever tie wins).
+    // hash exchange on the series key, one sort, ONE Window node —
+    // the count uses the SAME (partition, order) spec as the rank
+    // with an explicit full frame, so both functions share a single
+    // WindowExec pass (a partition-only count spec would plan a
+    // second node and re-buffer every series). The row at rank ⌈N/2⌉
+    // of the slope order IS element ⌈N/2⌉ of the sorted list —
+    // identical verdict, ties included (equal slopes at the boundary
+    // yield the same value whichever tie wins).
     val wRank = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__slope"))
-    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val wFull = wRank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     pairs
-      .withColumn("n_pairs", count(lit(1)).over(wAll))
+      .withColumn("n_pairs", count(lit(1)).over(wFull))
       .withColumn("__rk", row_number().over(wRank))
       .where(col("__rk") === ((col("n_pairs") + 1) / 2).cast("int"))
       .select(groupCols.map(col) ++ Seq(col("n_pairs"),
