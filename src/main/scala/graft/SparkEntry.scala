@@ -459,6 +459,13 @@ object SparkEntry {
       TimeOps.theilSen(ev, "value", "ts_us", Seq("user_id"))
         .orderBy("user_id")
     },
+    // the full robust line: slope + Sen's intercept (lower median of
+    // v - slope*t residuals), both element picks — no FP aggregation
+    "ts_theilsen_line" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
+      TimeOps.theilSenLine(ev, "value", "ts_us", Seq("user_id"))
+        .orderBy("user_id")
+    },
     // Forecast backtesting: per-series one-step-ahead MAE of the
     // naive (carry-forward) vs seasonal-naive (period 4) baselines —
     // the eval harness every forecasting pipeline runs before trusting
@@ -2611,6 +2618,24 @@ object SparkEntry {
         |select user_id, cast(count(*) as bigint) as n_pairs,
         | (list(slope order by slope))[cast((count(*) + 1) // 2 as int)] as sen_slope
         |from p group by user_id
+        |order by user_id""".stripMargin,
+    // line twin: same slope pick, then Sen's intercept = lower median
+    // of v - slope*t residuals (identical subtract/multiply, element
+    // pick — no FP aggregation on either engine)
+    "ts_theilsen_line" ->
+      """with p as (select a.user_id,
+        |    (b.value - a.value) / (epoch_us(b.ts) - epoch_us(a.ts)) as slope
+        |  from events a join events b
+        |    on a.user_id = b.user_id and epoch_us(a.ts) < epoch_us(b.ts)),
+        |s as (select user_id, cast(count(*) as bigint) as n_pairs,
+        |    (list(slope order by slope))[cast((count(*) + 1) // 2 as int)] as sen_slope
+        |  from p group by user_id),
+        |r as (select e.user_id, s.n_pairs, s.sen_slope,
+        |    e.value - s.sen_slope * cast(epoch_us(e.ts) as double) as resid
+        |  from events e join s using (user_id))
+        |select user_id, n_pairs, sen_slope,
+        | (list(resid order by resid))[cast((count(*) + 1) // 2 as int)] as sen_intercept
+        |from r group by user_id, n_pairs, sen_slope
         |order by user_id""".stripMargin,
     // holt-winters twin: the identical coupled recursion replayed as
     // a RECURSIVE CTE stepping one observation per iteration (a

@@ -782,6 +782,38 @@ object TimeOps {
         col("__slope").as("sen_slope")): _*)
   }
 
+  /** The full Theil-Sen LINE: the [[theilSen]] slope plus Sen's
+    * intercept — the lower median of the per-point residuals
+    * vᵢ − slope·tᵢ (Sen 1968's standard intercept choice; the robust
+    * line is then v̂ = intercept + slope·t). Same exactness story as
+    * the slope: the intercept is an element PICK (rank ⌈n/2⌉ of the
+    * residual order), the residual arithmetic is one subtract + one
+    * multiply both engines execute identically, and the pick rides
+    * the same single-Window-node rank shape — bounded memory, no
+    * value buffer. One extra join of the per-series slope row back to
+    * the points (tiny build side, AQE broadcasts) + one exchange for
+    * the residual rank.
+    */
+  def theilSenLine(
+      df: DataFrame,
+      valueCol: String,
+      tsCol: String,
+      groupCols: Seq[String],
+      pairFrac: Option[Double] = None): DataFrame = {
+    val slopes = theilSen(df, valueCol, tsCol, groupCols, pairFrac)
+    val pts = df.select(groupCols.map(col) ++ Seq(col(tsCol), col(valueCol)): _*)
+      .join(slopes, groupCols)
+      .withColumn("__resid", col(valueCol) - col("sen_slope") * col(tsCol).cast("double"))
+    val wR = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__resid"))
+    val wF = wR.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pts
+      .withColumn("__n", count(lit(1)).over(wF))
+      .withColumn("__rk", row_number().over(wR))
+      .where(col("__rk") === ((col("__n") + 1) / 2).cast("int"))
+      .select(groupCols.map(col) ++ Seq(col("n_pairs"), col("sen_slope"),
+        col("__resid").as("sen_intercept")): _*)
+  }
+
   /** Mann-Kendall trend TEST — the significance companion of
     * [[theilSen]]: S = Σ_{i<j} sign(vⱼ−vᵢ) over time-ordered pairs,
     * normalized z = (S − sign(S)) / √(n(n−1)(2n+5)/18) (0 when

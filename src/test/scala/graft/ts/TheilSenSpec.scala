@@ -79,6 +79,20 @@ class TheilSenSpec extends SparkSpec {
       s"window rank pick must equal brute-force lower median: $out")
   }
 
+  test("full line: Sen's intercept recovers the clean line and shrugs off an outlier") {
+    // v = 5 + 3t exactly: slope 3, every residual exactly 5
+    val clean = (0L until 9L).map(t => (1L, t, 5.0 + 3.0 * t))
+    val line = TimeOps.theilSenLine(clean.toDF("user_id", "ts_us", "value"),
+      "value", "ts_us", Seq("user_id")).collect().head
+    assert(line.getDouble(2) == 3.0 && line.getDouble(3) == 5.0, line.toString)
+    // one wild point: slope median and residual median both robust
+    val spiked = clean.updated(4, (1L, 4L, 1.0e7))
+    val r = TimeOps.theilSenLine(spiked.toDF("user_id", "ts_us", "value"),
+      "value", "ts_us", Seq("user_id")).collect().head
+    assert(r.getDouble(2) == 3.0 && r.getDouble(3) == 5.0,
+      s"robust line must ignore the outlier: $r")
+  }
+
   test("type-1 median: even pair count picks the lower middle element") {
     // 2 points per series -> 1 pair; 3 points -> 3 pairs, median = 2nd
     val rows = Seq((1L, 0L, 0.0), (1L, 1L, 1.0), (1L, 2L, 5.0))
