@@ -394,6 +394,19 @@ object SparkEntry {
       graft.ts.Stl.robustDecompose(daily, "filled_value", Seq("user_id"), "bucket", phase, q = 7)
         .orderBy("user_id", "bucket")
     },
+    // strength-of-components diagnostics (tsfeatures F_trend /
+    // F_seasonal) on the robust decomposition: exact integer variance
+    // numerators over the s4 components, one partial-agg rollup
+    "ts_stl_strength" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
+      val daily = TimeOps.resampleFfill(ev, Seq("user_id"), "ts_us", 86400000000L, max(col("value")))
+        .select("user_id", "bucket", "filled_value")
+      val phase = pmod(expr("bucket div 86400000000") + 3, lit(7)).cast("int")
+      graft.ts.Stl.strength(
+        graft.ts.Stl.robustDecompose(daily, "filled_value", Seq("user_id"), "bucket", phase, q = 7),
+        Seq("user_id"))
+        .orderBy("user_id")
+    },
     // the pandas fillna family on a regular spine: forward fill,
     // backward fill, and constant fallback in one window pass each
     "ts_fill" -> { (s, dir) =>
@@ -1827,6 +1840,23 @@ object SparkEntry {
        |)""".stripMargin
   }
 
+  /** The daily events spine CTE chain (pb/bounds/spine/j/f) shared by
+    * the ts_stl family oracles — identical to the ts_seasonal/ts_fill
+    * inline spines.
+    */
+  private lazy val stlSpineCtes: String =
+    """with pb as (
+      |  select user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000) as bucket, max(value) as bucket_value
+      |  from events group by 1, 2),
+      |bounds as (select user_id, min(bucket) as b0, max(bucket) as b1 from pb group by 1),
+      |spine as (select user_id, unnest(generate_series(b0, b1, 86400000000)) as bucket from bounds),
+      |j as (select s.user_id, s.bucket, pb.bucket_value
+      |      from spine s left join pb on s.user_id = pb.user_id and s.bucket = pb.bucket),
+      |f as (select user_id, bucket,
+      |  last_value(bucket_value ignore nulls) over (partition by user_id order by bucket
+      |    rows between unbounded preceding and current row) as filled_value
+      | from j)""".stripMargin
+
   private lazy val fuzzyDecontamSql: String = {
     val agree = (0 until mhK)
       .map(i => s"(case when ds.mh$i = bs.mh$i then 1 else 0 end)")
@@ -2220,18 +2250,10 @@ object SparkEntry {
     // STL twin: identical literal loess coefficient tables + fold
     // order + s4 integer space, generated from the same Scala code
     // (graft.ts.Stl.oracleSql — the OracleGen pattern)
-    "ts_stl" -> graft.ts.Stl.oracleSql(
-      """with pb as (
-        |  select user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000) as bucket, max(value) as bucket_value
-        |  from events group by 1, 2),
-        |bounds as (select user_id, min(bucket) as b0, max(bucket) as b1 from pb group by 1),
-        |spine as (select user_id, unnest(generate_series(b0, b1, 86400000000)) as bucket from bounds),
-        |j as (select s.user_id, s.bucket, pb.bucket_value
-        |      from spine s left join pb on s.user_id = pb.user_id and s.bucket = pb.bucket),
-        |f as (select user_id, bucket,
-        |  last_value(bucket_value ignore nulls) over (partition by user_id order by bucket
-        |    rows between unbounded preceding and current row) as filled_value
-        | from j)""".stripMargin, q = 7),
+    "ts_stl" -> graft.ts.Stl.oracleSql(stlSpineCtes, q = 7),
+    // strength twin: same core CTEs + exact integer variance
+    // numerators (HUGEINT vs decimal(38,0) — both exact)
+    "ts_stl_strength" -> graft.ts.Stl.strengthOracleSql(stlSpineCtes, q = 7),
     "ts_fill" ->
       """with pb as (
         |  select user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000) as bucket, max(value) as bucket_value

@@ -178,7 +178,22 @@ object Stl {
     * pb/bounds/spine/j/f chain ending in f(user_id, bucket,
     * filled_value) (the ts_seasonal oracle's spine).
     */
-  def oracleSql(spineCtes: String, q: Int): String = {
+  def oracleSql(spineCtes: String, q: Int): String =
+    oracleCoreCtes(spineCtes, q) + s"""
+       |select user_id, bucket, filled_value as value, phase,
+       | ${s4Sql("trend2")} as trend_s4,
+       | cast(floor(seas * 10000E0 + 0.5E0) as bigint) as seasonal_s4,
+       | d4 - cast(floor(seas * 10000E0 + 0.5E0) as bigint) as remainder_s4,
+       | r4 as rho_s4
+       |from sn2
+       |order by user_id, bucket""".stripMargin
+
+  private def s4Sql(x: String): String = s"cast(floor($x * 10000E0 + 0.5E0) as bigint)"
+
+  /** The oracle's CTE chain up to sn2 (per-row trend2 / d4 / r4 /
+    * seas) — shared by [[oracleSql]] and [[strengthOracleSql]].
+    */
+  def oracleCoreCtes(spineCtes: String, q: Int): String = {
     import OracleGen.litD
     val taps = -q to q
     val c1 = pass1Coefs(q)
@@ -232,13 +247,76 @@ object Stl {
        |       else cast(sum(case when d4 is not null then d4 * r4 end) over pw as double)
        |            / cast(sum(case when d4 is not null then r4 end) over pw as double) / 10000E0
        |  end as seas
-       | from q2 window pw as (partition by user_id, phase))
-       |select user_id, bucket, filled_value as value, phase,
-       | ${s4S("trend2")} as trend_s4,
-       | cast(floor(seas * 10000E0 + 0.5E0) as bigint) as seasonal_s4,
-       | d4 - cast(floor(seas * 10000E0 + 0.5E0) as bigint) as remainder_s4,
-       | r4 as rho_s4
-       |from sn2
-       |order by user_id, bucket""".stripMargin
+       | from q2 window pw as (partition by user_id, phase))""".stripMargin
+  }
+
+  /** DuckDB twin of [[strength]] over the [[oracleCoreCtes]] chain:
+    * the same s4 component integers, the same exact integer variance
+    * numerators (DuckDB sums BIGINT→HUGEINT where Spark sums
+    * decimal(38,0) — both exact, both cast-to-double correctly
+    * rounded from the identical integer), the same clamp/round.
+    */
+  def strengthOracleSql(spineCtes: String, q: Int): String =
+    oracleCoreCtes(spineCtes, q) + s""",
+       |comp as (select user_id,
+       |   d4 - ${s4Sql("seas")} as r,
+       |   ${s4Sql("trend2")} + (d4 - ${s4Sql("seas")}) as y,
+       |   ${s4Sql("seas")} + (d4 - ${s4Sql("seas")}) as z
+       | from sn2
+       | where trend2 is not null and seas is not null and d4 is not null),
+       |ag as (select user_id, cast(count(*) as bigint) as n,
+       |   sum(r) as sr, sum(r * r) as srr,
+       |   sum(y) as sy, sum(y * y) as syy,
+       |   sum(z) as sz, sum(z * z) as szz
+       | from comp group by user_id)
+       |select user_id, n,
+       | case when n * syy - sy * sy = 0 then null
+       |      else round(greatest(0.0E0,
+       |        1.0E0 - cast(n * srr - sr * sr as double)
+       |              / cast(n * syy - sy * sy as double)), 4) end as f_trend,
+       | case when n * szz - sz * sz = 0 then null
+       |      else round(greatest(0.0E0,
+       |        1.0E0 - cast(n * srr - sr * sr as double)
+       |              / cast(n * szz - sz * sz as double)), 4) end as f_seasonal
+       |from ag
+       |order by user_id""".stripMargin
+
+  /** STL strength-of-components diagnostics (the tsfeatures /
+    * Hyndman-Athanasopoulos FPP metrics) from a [[robustDecompose]]
+    * output: F_trend = max(0, 1 − Var(R)/Var(T+R)) and
+    * F_seasonal = max(0, 1 − Var(R)/Var(S+R)), per series, over rows
+    * where every component is defined. Exactness: variances are
+    * computed as the INTEGER numerators n·Σx² − (Σx)² of the s4
+    * component longs — per-row squares stay in int64 (|x| ≤ 3·10⁹
+    * documented bound), the n-scaled sums ride exact decimal(38,0)
+    * aggregation (the q_rollup lesson: association-free, matching
+    * DuckDB's HUGEINT) — the shared n·… factors cancel in the ratio,
+    * and both engines divide the identical correctly-rounded doubles.
+    * ONE partial-agg groupBy on the series key; map-side combinable.
+    */
+  def strength(decomposed: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val ok = decomposed.where(
+      col("trend_s4").isNotNull && col("seasonal_s4").isNotNull &&
+        col("remainder_s4").isNotNull)
+    val r = col("remainder_s4")
+    val y = col("trend_s4") + col("remainder_s4")
+    val z = col("seasonal_s4") + col("remainder_s4")
+    def dsum(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    val agg = ok.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      dsum(r).as("__sr"), dsum(r * r).as("__srr"),
+      dsum(y).as("__sy"), dsum(y * y).as("__syy"),
+      dsum(z).as("__sz"), dsum(z * z).as("__szz"))
+    val n = col("n").cast("decimal(38,0)")
+    val num = n * col("__srr") - col("__sr") * col("__sr")
+    def f(syy: Column, sy: Column): Column = {
+      val den = n * syy - sy * sy
+      when(den === 0, lit(null)).otherwise(
+        round(greatest(lit(0.0),
+          lit(1.0) - num.cast("double") / den.cast("double")), 4))
+    }
+    agg.select(groupCols.map(col) ++ Seq(col("n"),
+      f(col("__syy"), col("__sy")).as("f_trend"),
+      f(col("__szz"), col("__sz")).as("f_seasonal")): _*)
   }
 }

@@ -165,6 +165,32 @@ class StlSpec extends SparkSpec {
     }
   }
 
+  test("strength: trended+seasonal series scores high on both; pure noise scores low") {
+    val day = 86400000000L
+    def frame(uid: Long, f: Int => Double) = (0 until 56).map { t =>
+      (uid, t.toLong * day, f(t))
+    }
+    // structured: strong trend + strong weekly pattern, tiny wobble
+    val structured = frame(1L, t => 100.0 + 5.0 * t + 20.0 * pattern(t % 7)
+      + ((t * 2654435761L) % 97L).toDouble / 97.0)
+    // noise: no trend, no seasonality — deterministic hash noise
+    val noise = frame(2L, t => ((t * 2654435761L) % 9973L).toDouble / 99.0)
+    val daily = (structured ++ noise).toDF("user_id", "bucket", "filled_value")
+    val phase = pmod(expr("bucket div 86400000000") + 3, lit(7)).cast("int")
+    val out = Stl.strength(
+      Stl.robustDecompose(daily, "filled_value", Seq("user_id"), "bucket", phase, q),
+      Seq("user_id")).collect().map(r => r.getLong(0) -> r).toMap
+    val s = out(1L); val z = out(2L)
+    assert(s.getDouble(2) > 0.95 && s.getDouble(3) > 0.9,
+      s"structured series must score high: $s")
+    assert(z.getDouble(2) < 0.6 && z.getDouble(3) < 0.6,
+      s"hash noise must score low: $z")
+    out.values.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0 &&
+        r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, s"clamped to [0,1]: $r")
+    }
+  }
+
   test("scale shape: series-keyed windows, bounded kernel frames only, spillable median") {
     val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
       .select("user_id", "ts_us", "value")
