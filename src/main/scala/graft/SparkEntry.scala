@@ -472,6 +472,14 @@ object SparkEntry {
       TimeOps.theilSen(ev, "value", "ts_us", Seq("user_id"))
         .orderBy("user_id")
     },
+    // rolling robust slope feature: lower-median pairwise slope of
+    // the trailing 14-row window per row, one fused kernel pass over
+    // a bounded sliding frame (the oracle unrolls the 91 lag pairs)
+    "ts_rolltheilsen" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.rollTheilSen(ev, "value", "ts_us", evGroup, evOrder, w = 14)
+        .orderBy("user_id", "ts_us", "event_id")
+    },
     // the full robust line: slope + Sen's intercept (lower median of
     // v - slope*t residuals), both element picks — no FP aggregation
     "ts_theilsen_line" -> { (s, dir) =>
@@ -2641,6 +2649,28 @@ object SparkEntry {
         | (list(slope order by slope))[cast((count(*) + 1) // 2 as int)] as sen_slope
         |from p group by user_id
         |order by user_id""".stripMargin,
+    // rolling twin: the kernel's w(w−1)/2 slopes unrolled as lag
+    // pairs (array index a ↔ lag depth w−1−a, so pair (a<b) is
+    // (lag_i − lag_j)/(t_i − t_j) with i = w−1−b < j = w−1−a —
+    // identical operands), list_sort + the same ⌈m/2⌉ element pick;
+    // full-window gate = deepest lag non-null
+    "ts_rolltheilsen" -> {
+      val w = 14
+      def lv(k: Int) = if (k == 0) "value" else s"lag(value, $k) over w"
+      def lt(k: Int) = if (k == 0) "t" else s"lag(t, $k) over w"
+      val slopes = (for { i <- 0 until w; j <- (i + 1) until w }
+        yield s"((${lv(i)} - ${lv(j)}) / (${lt(i)} - ${lt(j)}))").mkString(",\n   ")
+      val m = w * (w - 1) / 2
+      s"""with e as (select user_id, epoch_us(ts) as ts_us, event_id, value,
+         |    cast(epoch_us(ts) as double) as t from events)
+         |select user_id, ts_us, event_id, value,
+         | case when lag(value, ${w - 1}) over w is null then null
+         |      else (list_sort(list_value(
+         |   $slopes)))[${(m + 1) / 2}] end as roll_sen
+         |from e
+         |window w as (partition by user_id order by ts_us, event_id)
+         |order by user_id, ts_us, event_id""".stripMargin
+    },
     // line twin: same slope pick, then Sen's intercept = lower median
     // of v - slope*t residuals (identical subtract/multiply, element
     // pick — no FP aggregation on either engine)

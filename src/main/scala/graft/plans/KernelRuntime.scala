@@ -572,4 +572,45 @@ object KernelRuntime {
     val den = s0 * s2 - s1 * s1
     if (den == 0.0) null else D((s2 * t0 - s1 * t1) / den)
   }
+
+  /** See [[RollTheilSenKernel]]: lower-median pairwise slope of one
+    * FULL trailing window of [t, v] rows — all w(w−1)/2 slopes
+    * (v_b − v_a)/(t_b − t_a) for a < b in time order, sorted, element
+    * ⌈m/2⌉ picked (the theilSen type-1 convention). The slope
+    * operands are the identical subtract/divide the oracle's
+    * lag-pair expressions compute; sorting a fixed multiset of
+    * doubles and picking a rank is engine-independent (ties yield
+    * equal values; a tied-timestamp pair divides to ±Infinity on both
+    * engines — the documented unique-ts contract makes it moot). A
+    * clipped edge frame (size ≠ w) or null element yields null.
+    */
+  def rollTheilSen(xs: ArrayData, w: Int): java.lang.Double = {
+    val n = xs.numElements()
+    if (n != w) return null
+    val ts = new Array[Double](w)
+    val vs = new Array[Double](w)
+    var i = 0
+    while (i < w) {
+      if (xs.isNullAt(i)) return null
+      val e = xs.getArray(i)
+      if (e.isNullAt(0) || e.isNullAt(1)) return null
+      ts(i) = e.getDouble(0); vs(i) = e.getDouble(1)
+      i += 1
+    }
+    val m = w * (w - 1) / 2
+    val slopes = new Array[Double](m)
+    var k = 0
+    var a = 0
+    while (a < w - 1) {
+      var b = a + 1
+      while (b < w) {
+        slopes(k) = (vs(b) - vs(a)) / (ts(b) - ts(a))
+        k += 1
+        b += 1
+      }
+      a += 1
+    }
+    java.util.Arrays.sort(slopes)
+    D(slopes((m + 1) / 2 - 1))
+  }
 }

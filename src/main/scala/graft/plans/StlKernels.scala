@@ -81,6 +81,38 @@ case class StlLoessFitKernel(
     copy(child = newChild)
 }
 
+/** Rolling Theil-Sen: the lower-median pairwise slope of one trailing
+  * [t, v] window — the outlier-robust rolling trend FEATURE (the
+  * windowed sibling of TimeOps.theilSen's whole-series estimator),
+  * evaluated per row from a single bounded collect_list frame. The
+  * declarative equivalent would be w(w−1)/2 ≈ 91 distinct lag-pair
+  * expressions per row; see [[KernelRuntime.rollTheilSen]] for the
+  * exactness contract (same slope operands as the oracle's unrolled
+  * lag pairs, rank pick over an identical double multiset).
+  */
+case class RollTheilSenKernel(child: Expression, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    KernelRuntime.rollTheilSen(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => {
+      val tmp = ctx.freshName("rollSen")
+      s"""
+         |java.lang.Double $tmp = graft.plans.KernelRuntime.rollTheilSen($xs, $w);
+         |${ev.isNull} = $tmp == null;
+         |if (!${ev.isNull}) ${ev.value} = $tmp.doubleValue();
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollTheilSenKernel =
+    copy(child = newChild)
+}
+
 object StlKernels {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -89,4 +121,7 @@ object StlKernels {
 
   def loessFit(xs: Column, w0: Array[Double], w1: Array[Double], w2: Array[Double]): Column =
     column(StlLoessFitKernel(expression(xs), w0, w1, w2))
+
+  def rollTheilSen(xs: Column, w: Int): Column =
+    column(RollTheilSenKernel(expression(xs), w))
 }

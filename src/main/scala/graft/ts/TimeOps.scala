@@ -782,6 +782,36 @@ object TimeOps {
         col("__slope").as("sen_slope")): _*)
   }
 
+  /** ROLLING Theil-Sen: per row, the lower-median pairwise slope of
+    * the trailing `w`-row window — the outlier-robust rolling trend
+    * FEATURE (where [[theilSen]] fits the whole series once, this is
+    * its windowed sibling for featurization: one robust slope per
+    * observation, immune to a spike that would swing a rolling OLS).
+    * Evaluated by [[graft.plans.RollTheilSenKernel]] over ONE bounded
+    * sliding collect_list frame of [t, v] rows — w(w−1)/2 slopes +
+    * an in-kernel rank pick per row, instead of ~91 lag-pair window
+    * expressions; the oracle unrolls exactly those lag pairs and
+    * sorts the identical double multiset. Rows before the window
+    * fills emit null (the rollmean minP = w convention). Timestamps
+    * are cast to double (µs fit exactly below 2^53). Unique-ts
+    * contract as [[mannKendall]] (a tied pair divides to ±Inf/NaN —
+    * deterministic on both engines, but not meaningful).
+    */
+  def rollTheilSen(
+      df: DataFrame,
+      valueCol: String,
+      tsCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      w: Int,
+      out: String = "roll_sen"): DataFrame = {
+    require(w >= 2, s"window must hold at least one pair, got $w")
+    val win = Featurize.seriesWindow(groupCols, orderCols).rowsBetween(-(w - 1), 0)
+    df.withColumn(out,
+      graft.plans.StlKernels.rollTheilSen(
+        collect_list(array(col(tsCol).cast("double"), col(valueCol).cast("double"))).over(win), w))
+  }
+
   /** The full Theil-Sen LINE: the [[theilSen]] slope plus Sen's
     * intercept — the lower median of the per-point residuals
     * vᵢ − slope·tᵢ (Sen 1968's standard intercept choice; the robust
