@@ -1549,6 +1549,13 @@ object SparkEntry {
           StreamingFeaturize.rollingFeatures(ds, w = 7).toDF())
         .orderBy("user_id", "ts_us")
     },
+    // streaming rolling robust slope: same KernelRuntime body as the
+    // batch kernel over a (w−1)-deep [t, v] ring per key
+    "stream_rolltheilsen" -> { (s, dir) =>
+      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+          StreamingFeaturize.streamingRollTheilSen(ds, w = 14).toDF())
+        .orderBy("user_id", "ts_us")
+    },
     "stream_ewma" -> { (s, dir) =>
       StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
           StreamingFeaturize.streamingEwma(ds, alpha = 0.2).toDF())
@@ -4225,6 +4232,25 @@ object SparkEntry {
     // ---- streaming twins: the batch semantics ARE the oracle. The
     // replay arrives in event-time order (unique (user_id, ts) in the
     // data), so the stream's per-key fold order equals this window order.
+    // streaming rolling Theil-Sen twin: the batch unrolled-lag-pair
+    // oracle over the (user, ts) stream ordering, no event_id column
+    "stream_rolltheilsen" -> {
+      val w = 14
+      def lv(k: Int) = if (k == 0) "value" else s"lag(value, $k) over w"
+      def lt(k: Int) = if (k == 0) "t" else s"lag(t, $k) over w"
+      val slopes = (for { i <- 0 until w; j <- (i + 1) until w }
+        yield s"((${lv(i)} - ${lv(j)}) / (${lt(i)} - ${lt(j)}))").mkString(",\n   ")
+      val m = w * (w - 1) / 2
+      s"""with e as (select user_id, epoch_us(ts) as ts_us, value,
+         |    cast(epoch_us(ts) as double) as t from events)
+         |select user_id, ts_us, value,
+         | case when lag(value, ${w - 1}) over w is null then null
+         |      else (list_sort(list_value(
+         |   $slopes)))[${(m + 1) / 2}] end as roll_sen
+         |from e
+         |window w as (partition by user_id order by ts_us)
+         |order by user_id, ts_us""".stripMargin
+    },
     "stream_rollfeat" -> {
       val lag1 = OracleGen.lagExpr("value", 1, svOver)
       val rm = OracleGen.rollmeanExpr("value", 7, 7, svOver)

@@ -37,6 +37,9 @@ case class EwmVolOut(user_id: Long, ts_us: Long, value: Double,
 
 case class CusumState(sPos: Double, sNeg: Double, lastTs: Long = Long.MinValue)
 
+case class TsRing(ts: Array[Double], vs: Array[Double], lastTs: Long = Long.MinValue)
+case class RollSenOut(user_id: Long, ts_us: Long, value: Double, roll_sen: Option[Double])
+
 case class KalmanState(init: Boolean, x: Double, p: Double, lastTs: Long = Long.MinValue)
 
 case class KalmanOut(user_id: Long, ts_us: Long, value: Double, kalman: Double)
@@ -158,6 +161,45 @@ object StreamingFeaturize {
             RollFeat(key, e.ts_us, e.value, lag1, mean)
           }
           state.update(RingState(ring.toArray, evSeq.lastOption.map(_.ts_us).getOrElse(lastTs)))
+          out.iterator
+        })
+  }
+
+  /** Streaming rolling Theil-Sen: the [[graft.ts.TimeOps.rollTheilSen]]
+    * twin — per event, the lower-median pairwise slope of the trailing
+    * `w` [t, v] rows, from a (w−1)-deep [ts, value] ring per key
+    * (O(w) state, unbounded stream). BIT-identical to batch by
+    * construction: each full window is handed to the SAME
+    * [[graft.plans.KernelRuntime.rollTheilSen]] body the batch kernel
+    * compiles — one code path, one verdict. Null until the window
+    * fills (minPeriods = w), sortedStrict order contract as the other
+    * twins.
+    */
+  def streamingRollTheilSen(events: Dataset[Ev], w: Int): Dataset[RollSenOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, evs: Iterator[Ev], state: GroupState[TsRing]) => {
+          var ts: Vector[Double] = state.getOption.map(_.ts.toVector).getOrElse(Vector.empty)
+          var vs: Vector[Double] = state.getOption.map(_.vs.toVector).getOrElse(Vector.empty)
+          val lastTs = state.getOption.map(_.lastTs).getOrElse(Long.MinValue)
+          val evSeq = sortedStrict(evs, lastTs, key)
+          val out = evSeq.map { e =>
+            val wt = (ts :+ e.ts_us.toDouble).takeRight(w)
+            val wv = (vs :+ e.value).takeRight(w)
+            val sen =
+              if (wt.size == w) {
+                val xs = new GenericArrayData(wt.indices.map(i =>
+                  new GenericArrayData(Array[Any](wt(i), wv(i)))).toArray[Any])
+                Option(graft.plans.KernelRuntime.rollTheilSen(xs, w)).map(_.doubleValue)
+              } else None
+            ts = wt.takeRight(w - 1); vs = wv.takeRight(w - 1)
+            RollSenOut(key, e.ts_us, e.value, sen)
+          }
+          state.update(TsRing(ts.toArray, vs.toArray,
+            evSeq.lastOption.map(_.ts_us).getOrElse(lastTs)))
           out.iterator
         })
   }

@@ -45,6 +45,35 @@ class StreamingFeaturizeSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingRollTheilSen equals batch rollTheilSen bit-for-bit across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val w = 5
+    val q = StreamingFeaturize.streamingRollTheilSen(input.toDS(), w)
+      .writeStream.format("memory").queryName("rollsen_out").outputMode("append").start()
+    try {
+      // noisy + one spike so the median pick actually works
+      val all = (0 until 18).map(i =>
+        Ev(1, i.toLong * 1000000,
+          if (i == 9) 1e6 else 2.0 * i + math.sin(i * 0.7))) ++ evs(2, 8)
+      input.addData(all.filter(_.ts_us < 5000000): _*)
+      q.processAllAvailable()
+      input.addData(all.filter(e => e.ts_us >= 5000000 && e.ts_us < 11000000): _*)
+      q.processAllAvailable()
+      input.addData(all.filter(_.ts_us >= 11000000): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("rollsen_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+      val batch = graft.ts.TimeOps.rollTheilSen(
+          all.toDF("user_id", "ts_us", "value"),
+          "value", "ts_us", Seq("user_id"), Seq("ts_us"), w)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+      assert(streamed == batch, s"stream/batch divergence:\n${streamed.diff(batch)}")
+    } finally q.stop()
+  }
+
   test("streamingPack equals batch packFragments across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val rng = new scala.util.Random(5)
