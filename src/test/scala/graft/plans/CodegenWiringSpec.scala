@@ -103,6 +103,29 @@ class CodegenWiringSpec extends SparkSpec {
       HashExpressions.nearestCentroidL2($"va", cents).as("ncl2"))
   }
 
+  // the STL loess + rolling Theil-Sen kernels over their real bounded
+  // sliding frames; series short enough that edge (null) rows exist
+  private def stlQuery: DataFrame = {
+    val q = 3
+    val d = (for (g <- 0 until 2; t <- 0 until 15)
+      yield (g, t.toLong, math.sin(t * 0.4) + 2.0 * t + g)).toDF("g", "t", "v")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("t").rowsBetween(-q, q)
+    val winT = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("t").rowsBetween(-4, 0)
+    val wt = graft.ts.Stl.tricube(q)
+    val w0 = (-q to q).map(i => wt(i + q)).toArray
+    val w1 = (-q to q).map(i => wt(i + q) * i).toArray
+    val w2 = (-q to q).map(i => wt(i + q) * i * i).toArray
+    d.select($"g", $"t",
+      StlKernels.conv(collect_list($"v").over(win),
+        graft.ts.Stl.pass1Coefs(q).toArray).as("conv"),
+      StlKernels.loessFit(collect_list(array(lit(1.0), $"v")).over(win),
+        w0, w1, w2).as("fit"),
+      StlKernels.rollTheilSen(
+        collect_list(array($"t".cast("double"), $"v")).over(winT), 5).as("sen"))
+  }
+
   test("generated code calls KernelRuntime (kernels are inside codegen)") {
     // AQE wraps the un-executed plan in AdaptiveSparkPlanExec, which hides
     // the codegen subtrees from codegenString — turn it off for the pin.
@@ -130,7 +153,21 @@ class CodegenWiringSpec extends SparkSpec {
       for (m <- Seq("KernelRuntime.minhashPerms", "KernelRuntime.simhash32",
         "KernelRuntime.cosineSim", "KernelRuntime.lshBucket", "KernelRuntime.nearestCentroid"))
         assert(genHash.contains(s"graft.plans.$m"), s"generated code lacks $m")
+      val genStl = org.apache.spark.sql.execution.debug.codegenString(
+        stlQuery.queryExecution.executedPlan)
+      for (m <- Seq("KernelRuntime.stlConv", "KernelRuntime.stlLoessFit",
+        "KernelRuntime.rollTheilSen"))
+        assert(genStl.contains(s"graft.plans.$m"), s"generated code lacks $m")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("stl/rollTheilSen kernels: CODEGEN_ONLY equals NO_CODEGEN (incl. edge null rows)") {
+    val a = withCodegen("CODEGEN_ONLY")(stlQuery.orderBy("g", "t").collect().toSeq)
+    val b = withCodegen("NO_CODEGEN")(stlQuery.orderBy("g", "t").collect().toSeq)
+    assert(a == b)
+    assert(a.exists(_.isNullAt(2)) && a.exists(!_.isNullAt(2)), "conv edge + interior rows")
+    assert(a.exists(_.isNullAt(3)) && a.exists(!_.isNullAt(3)), "fit edge + interior rows")
+    assert(a.exists(_.isNullAt(4)) && a.exists(!_.isNullAt(4)), "sen warmup + full rows")
   }
 
   test("hash kernels: CODEGEN_ONLY equals NO_CODEGEN (incl. null/empty/mismatch rows)") {
