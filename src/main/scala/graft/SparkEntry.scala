@@ -1430,7 +1430,11 @@ object SparkEntry {
     // megahost can't dominate the corpus. De-skewed by construction:
     // ONE partial-agg host rollup (~#hosts rows) broadcast-joined
     // back, verdict map-only by id hash — no host-partitioned window
-    // anywhere (hosts are Zipfian; the text_quality_buckets shape)
+    // anywhere (hosts are Zipfian; the text_quality_buckets shape).
+    // The explicit broadcast hint assumes #hosts ≪ corpus (true here
+    // and for per-crawl-slice runs); at full registered-domain
+    // cardinality (~1e8 hosts) drop the hint and let AQE pick the
+    // shuffled hash join — the shape stays de-skewed either way
     "web_domain_cap" -> { (s, dir) =>
       val cap = 50L
       val scored = Tables.documents(s, dir).select(col("doc_id"),
