@@ -713,6 +713,15 @@ object SparkEntry {
         Seq(("q25_cents", 25), ("q50_cents", 50), ("q75_cents", 75), ("q95_cents", 95)))
         .orderBy("event_type")
     },
+    // EXACT quantiles of an UNBOUNDED continuous double — the gap
+    // neither percentile() (buffers every value) nor the fixed-point
+    // histogram route (|distinct| ≈ N) covers: order-preserving
+    // IEEE bit keys + 4-round 2^16-radix rank selection, ≤65k-row
+    // bounded histograms per round, four map-side-combinable scans
+    "q_quantiles_exactd" -> { (s, dir) =>
+      Profile.exactDoubleQuantiles(Tables.events(s, dir), col("value"),
+        Seq(("q25", 25), ("q50", 50), ("q75", 75), ("q95", 95)))
+    },
     // the 100 TB quantile path: approx_percentile keeps ~O(accuracy)
     // samples per group (rank error <= n/accuracy) where exact
     // `percentile` buffers every value; at oracle scale accuracy >= n
@@ -2912,6 +2921,18 @@ object SparkEntry {
         | cast(max(n) as bigint) as n_rows
         |from cum group by event_type
         |order by event_type""".stripMargin,
+    // exact-double twin: the radix selection picks the type-1 element
+    // at rank ceil(p*N/100) of the ascending numeric order — the same
+    // element a sorted-list pick returns (strictly monotone key map)
+    "q_quantiles_exactd" ->
+      """with v as (select value from events where value is not null)
+        |select
+        | (list(value order by value))[cast((25 * count(*) + 99) // 100 as bigint)] as q25,
+        | (list(value order by value))[cast((50 * count(*) + 99) // 100 as bigint)] as q50,
+        | (list(value order by value))[cast((75 * count(*) + 99) // 100 as bigint)] as q75,
+        | (list(value order by value))[cast((95 * count(*) + 99) // 100 as bigint)] as q95,
+        | cast(count(*) as bigint) as n_rows
+        |from v""".stripMargin,
     "q_quantiles" ->
       """select event_type,
         | round(quantile_cont(value, 0.25), 4) as q25,

@@ -218,6 +218,81 @@ object Profile {
     cum.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** EXACT quantiles of a genuinely-UNBOUNDED continuous double column
+    * — the op the fixed-point histogram route cannot cover (a
+    * full-precision double has |distinct| ≈ N, so no value histogram
+    * is bounded). Route: map each double to its order-preserving
+    * IEEE-754 int64 key ([[graft.plans.SortableDoubleBits]]), then run
+    * a 4-round 2^16-radix RANK SELECTION: each round one distributed
+    * partial-agg histogram over the NEXT 16 key bits of the rows
+    * matching each target's known prefix (all targets share the scan
+    * via one explode), ≤ pcts·65,536 rows collected per round — the
+    * bounded-driver-state discipline of the Bloom bitset — after
+    * which every target's full 64-bit key, hence its exact double, is
+    * known. Four scans total, every aggregation map-side combinable,
+    * per-round driver state ≤ ~1 MB regardless of corpus size: the
+    * 100 TB-exact answer for continuous measures.
+    *
+    * Verdict: the type-1 element at rank ⌈p·N/100⌉ of the ascending
+    * numeric order — identical to a sorted-list pick (the DuckDB
+    * oracle), since the key map is strictly monotone. Nulls excluded;
+    * NaN is out of contract (it maps above +∞, consistently, but
+    * engines disagree on NaN sort semantics); −0.0 orders just below
+    * +0.0 (numerically equal — either pick compares equal).
+    */
+  def exactDoubleQuantiles(df: DataFrame, c: Column,
+      pcts: Seq[(String, Int)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val spark = df.sparkSession
+    // bias by Long.MinValue so UNSIGNED 16-bit radix digits ascend with
+    // the SIGNED key order (the sign bit lives in round 1's digit)
+    val keyed = df.select(c.cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+      .select(graft.plans.SortableDoubleBits.of(col("__v"))
+        .bitwiseXOR(lit(Long.MinValue)).as("__u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = keyed.count()
+      val schema = StructType(pcts.map(p => StructField(p._1, DoubleType, nullable = true)) :+
+        StructField("n_rows", LongType, nullable = false))
+      if (n == 0) {
+        val row = Row.fromSeq(pcts.map(_ => null) :+ 0L)
+        return spark.createDataFrame(java.util.Arrays.asList(row), schema)
+      }
+      // (remaining 1-based rank within the prefix-matched set, prefix)
+      var st: Seq[(Long, Long)] = pcts.map { case (_, p) => ((p.toLong * n + 99L) / 100L, 0L) }
+      for (round <- 0 until 4) {
+        val d = 48 - 16 * round
+        val entries = array(st.zipWithIndex.map { case ((_, prefix), i) =>
+          val matches =
+            if (round == 0) lit(true)
+            else shiftrightunsigned(col("__u"), d + 16) === lit(prefix)
+          when(matches, struct(lit(i).as("p"),
+            shiftrightunsigned(col("__u"), d).bitwiseAND(lit(0xFFFFL)).as("b")))
+        }: _*)
+        val hist = keyed
+          .select(explode(filter(entries, e => e.isNotNull)).as("e"))
+          .groupBy(col("e.p").as("p"), col("e.b").as("b")).agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        st = st.zipWithIndex.map { case ((r0, prefix), i) =>
+          val buckets = hist.filter(_._1 == i).map(t => (t._2, t._3)).sortBy(_._1)
+          var cum = 0L
+          var res: Option[(Long, Long)] = None
+          for ((b, cnt) <- buckets if res.isEmpty) {
+            if (cum + cnt >= r0) res = Some((r0 - cum, (prefix << 16) | b))
+            else cum += cnt
+          }
+          res.getOrElse(sys.error(s"rank $r0 not found for pct ${pcts(i)._1} — corrupt histogram"))
+        }
+      }
+      val row = Row.fromSeq(st.map { case (_, fullKey) =>
+        graft.plans.KernelRuntime.sortableBitsToDouble(fullKey ^ Long.MinValue)
+      } :+ n)
+      spark.createDataFrame(java.util.Arrays.asList(row), schema)
+    } finally keyed.unpersist()
+  }
+
   /** Schema-on-read JSON sidecar rollup over an events frame whose
     * `propsCol` is a JSON string blob: extract one integer field with
     * get_json_object (a native codegen'd path expression — no UDF, no

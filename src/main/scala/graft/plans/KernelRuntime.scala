@@ -573,6 +573,22 @@ object KernelRuntime {
     if (den == 0.0) null else D((s2 * t0 - s1 * t1) / den)
   }
 
+  /** See [[SortableDoubleBits]]: the order-preserving IEEE-754 int64
+    * mapping k = bits XOR ((bits >> 63) & Long.MaxValue) — flips the
+    * magnitude bits of negatives so SIGNED k ascends exactly with the
+    * double's numeric order over all finite values and infinities
+    * (−∞ near Long.MinValue, −0.0 = −1, +0.0 = 0, +∞ = 0x7FF0…; NaN
+    * maps above +∞ — documented). The map is an involution, so the
+    * same function inverts it on the raw bits.
+    */
+  def sortableDoubleBits(x: Double): Long = {
+    val bits = java.lang.Double.doubleToRawLongBits(x)
+    bits ^ ((bits >> 63) & java.lang.Long.MAX_VALUE)
+  }
+
+  def sortableBitsToDouble(k: Long): Double =
+    java.lang.Double.longBitsToDouble(k ^ ((k >> 63) & java.lang.Long.MAX_VALUE))
+
   /** See [[RollTheilSenKernel]]: lower-median pairwise slope of one
     * FULL trailing window of [t, v] rows — all w(w−1)/2 slopes
     * (v_b − v_a)/(t_b − t_a) for a < b in time order, sorted, element
