@@ -722,6 +722,14 @@ object SparkEntry {
       Profile.exactDoubleQuantiles(Tables.events(s, dir), col("value"),
         Seq(("q25", 25), ("q50", 50), ("q75", 75), ("q95", 95)))
     },
+    // grouped exact-continuous: the same radix selection with
+    // (event_type, pct) targets — exact per-category quantiles of an
+    // unbounded double, driver state bounded by the enforced group cap
+    "q_quantiles_gexactd" -> { (s, dir) =>
+      Profile.exactDoubleQuantilesBy(Tables.events(s, dir), "event_type", col("value"),
+        Seq(("q25", 25), ("q50", 50), ("q75", 75), ("q95", 95)))
+        .orderBy("event_type")
+    },
     // the 100 TB quantile path: approx_percentile keeps ~O(accuracy)
     // samples per group (rank error <= n/accuracy) where exact
     // `percentile` buffers every value; at oracle scale accuracy >= n
@@ -2933,6 +2941,17 @@ object SparkEntry {
         | (list(value order by value))[cast((95 * count(*) + 99) // 100 as bigint)] as q95,
         | cast(count(*) as bigint) as n_rows
         |from v""".stripMargin,
+    // grouped exact-double twin: per-category sorted-list picks
+    "q_quantiles_gexactd" ->
+      """with v as (select event_type, value from events where value is not null)
+        |select event_type,
+        | (list(value order by value))[cast((25 * count(*) + 99) // 100 as bigint)] as q25,
+        | (list(value order by value))[cast((50 * count(*) + 99) // 100 as bigint)] as q50,
+        | (list(value order by value))[cast((75 * count(*) + 99) // 100 as bigint)] as q75,
+        | (list(value order by value))[cast((95 * count(*) + 99) // 100 as bigint)] as q95,
+        | cast(count(*) as bigint) as n_rows
+        |from v group by event_type
+        |order by event_type""".stripMargin,
     "q_quantiles" ->
       """select event_type,
         | round(quantile_cont(value, 0.25), 4) as q25,

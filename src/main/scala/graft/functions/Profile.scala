@@ -293,6 +293,75 @@ object Profile {
     } finally keyed.unpersist()
   }
 
+  /** GROUPED companion of [[exactDoubleQuantiles]] for group keys of
+    * DRIVER-BOUNDED cardinality (≤ `maxGroups`, enforced): the same
+    * 4-round IEEE-key radix selection with (group, pct) targets — per
+    * round still ONE shared scan (a row evaluates only its group's
+    * targets), collected state ≤ groups·pcts·65,536 histogram rows.
+    * This closes the exact-continuous-quantile story for the common
+    * "quantiles per category" case (event types, languages, sources);
+    * Zipf-many groups (users, hosts) stay on q_quantiles_ghist /
+    * approx_percentile — the documented boundary.
+    */
+  def exactDoubleQuantilesBy(df: DataFrame, groupCol: String, c: Column,
+      pcts: Seq[(String, Int)], maxGroups: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val keyed = df.select(col(groupCol).cast("string").as("__g"), c.cast("double").as("__v"))
+      .where(col("__v").isNotNull)
+      .select(col("__g"), graft.plans.SortableDoubleBits.of(col("__v"))
+        .bitwiseXOR(lit(Long.MinValue)).as("__u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ns = keyed.groupBy("__g").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      require(ns.length <= maxGroups,
+        s"${ns.length} groups exceed the driver-bounded limit $maxGroups — " +
+          "use groupedHistogramQuantiles/approx_percentile for high-cardinality keys")
+      // target = (group, rank-within-prefix-set, prefix)
+      var st: Seq[(String, Long, Long)] = for {
+        (g, n) <- ns.toSeq; (_, p) <- pcts
+      } yield (g, (p.toLong * n + 99L) / 100L, 0L)
+      for (round <- 0 until 4) {
+        val d = 48 - 16 * round
+        val entries = array(st.zipWithIndex.map { case ((g, _, prefix), i) =>
+          val matches = (col("__g") === lit(g)) &&
+            (if (round == 0) lit(true)
+             else shiftrightunsigned(col("__u"), d + 16) === lit(prefix))
+          when(matches, struct(lit(i).as("p"),
+            shiftrightunsigned(col("__u"), d).bitwiseAND(lit(0xFFFFL)).as("b")))
+        }: _*)
+        val hist = keyed
+          .select(explode(filter(entries, e => e.isNotNull)).as("e"))
+          .groupBy(col("e.p").as("p"), col("e.b").as("b")).agg(count(lit(1)).as("c"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+        st = st.zipWithIndex.map { case ((g, r0, prefix), i) =>
+          val buckets = hist.filter(_._1 == i).map(t => (t._2, t._3)).sortBy(_._1)
+          var cum = 0L
+          var res: Option[(String, Long, Long)] = None
+          for ((b, cnt) <- buckets if res.isEmpty) {
+            if (cum + cnt >= r0) res = Some((g, r0 - cum, (prefix << 16) | b))
+            else cum += cnt
+          }
+          res.getOrElse(sys.error(s"rank $r0 not found for group $g — corrupt histogram"))
+        }
+      }
+      val byGroup = st.grouped(pcts.size).toSeq
+      val schema = StructType(
+        StructField(groupCol, org.apache.spark.sql.types.StringType, nullable = false) +:
+        pcts.map(p => StructField(p._1, DoubleType, nullable = true)) :+
+        StructField("n_rows", LongType, nullable = false))
+      val rows: java.util.List[Row] = java.util.Arrays.asList(
+        ns.zip(byGroup).map { case ((g, n), targets) =>
+          Row.fromSeq(g +: targets.map { case (_, _, fullKey) =>
+            graft.plans.KernelRuntime.sortableBitsToDouble(fullKey ^ Long.MinValue)
+          } :+ n)
+        }: _*)
+      spark.createDataFrame(rows, schema)
+    } finally keyed.unpersist()
+  }
+
   /** Schema-on-read JSON sidecar rollup over an events frame whose
     * `propsCol` is a JSON string blob: extract one integer field with
     * get_json_object (a native codegen'd path expression — no UDF, no

@@ -47,6 +47,28 @@ class ExactDoubleQuantileSpec extends SparkSpec {
     assert(out.getLong(pcts.size) == vals.size.toLong)
   }
 
+  test("grouped: per-group verdicts match per-group sorted picks; group cap enforced") {
+    val rnd = new scala.util.Random(77)
+    val rows = (0 until 900).map(i =>
+      ("g" + (i % 3), rnd.nextDouble() * 2000 - 1000))
+    val out = Profile.exactDoubleQuantilesBy(rows.toDF("g", "v"), "g", col("v"), pcts)
+      .collect().map(r => r.getString(0) -> r).toMap
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val sorted = grp.map(_._2).sorted
+      pcts.zipWithIndex.foreach { case ((_, p), i) =>
+        val rank = ((p.toLong * sorted.size + 99) / 100).toInt
+        assert(out(g).getDouble(i + 1) == sorted(rank - 1), s"group $g pct $p")
+      }
+      assert(out(g).getLong(pcts.size + 1) == sorted.size.toLong)
+    }
+    val boom = intercept[IllegalArgumentException] {
+      Profile.exactDoubleQuantilesBy(
+        (0 until 50).map(i => (s"g$i", 1.0)).toDF("g", "v"), "g", col("v"),
+        Seq(("q50", 50)), maxGroups = 10)
+    }
+    assert(boom.getMessage.contains("driver-bounded"), boom.getMessage)
+  }
+
   test("nulls excluded; empty input yields null quantiles and n_rows 0") {
     val withNulls = (Seq[java.lang.Double](3.0, null, 1.0, 2.0, null))
       .toDF("v")
