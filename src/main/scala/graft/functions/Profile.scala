@@ -260,11 +260,16 @@ object Profile {
         val row = Row.fromSeq(pcts.map(_ => null) :+ 0L)
         return spark.createDataFrame(java.util.Arrays.asList(row), schema)
       }
-      // (remaining 1-based rank within the prefix-matched set, prefix)
+      // (remaining 1-based rank within the prefix-matched set, prefix).
+      // Targets sharing a prefix share ONE histogram per round (all
+      // pcts do in round 0, and adjacent pcts keep colliding after) —
+      // the per-row condition count is #distinct prefixes, not #pcts.
       var st: Seq[(Long, Long)] = pcts.map { case (_, p) => ((p.toLong * n + 99L) / 100L, 0L) }
       for (round <- 0 until 4) {
         val d = 48 - 16 * round
-        val entries = array(st.zipWithIndex.map { case ((_, prefix), i) =>
+        val prefixes = st.map(_._2).distinct
+        val pidx = prefixes.zipWithIndex.toMap
+        val entries = array(prefixes.zipWithIndex.map { case (prefix, i) =>
           val matches =
             if (round == 0) lit(true)
             else shiftrightunsigned(col("__u"), d + 16) === lit(prefix)
@@ -275,15 +280,15 @@ object Profile {
           .select(explode(filter(entries, e => e.isNotNull)).as("e"))
           .groupBy(col("e.p").as("p"), col("e.b").as("b")).agg(count(lit(1)).as("c"))
           .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-        st = st.zipWithIndex.map { case ((r0, prefix), i) =>
-          val buckets = hist.filter(_._1 == i).map(t => (t._2, t._3)).sortBy(_._1)
+        st = st.map { case (r0, prefix) =>
+          val buckets = hist.filter(_._1 == pidx(prefix)).map(t => (t._2, t._3)).sortBy(_._1)
           var cum = 0L
           var res: Option[(Long, Long)] = None
           for ((b, cnt) <- buckets if res.isEmpty) {
             if (cum + cnt >= r0) res = Some((r0 - cum, (prefix << 16) | b))
             else cum += cnt
           }
-          res.getOrElse(sys.error(s"rank $r0 not found for pct ${pcts(i)._1} — corrupt histogram"))
+          res.getOrElse(sys.error(s"rank $r0 not found — corrupt histogram"))
         }
       }
       val row = Row.fromSeq(st.map { case (_, fullKey) =>
@@ -319,13 +324,17 @@ object Profile {
       require(ns.length <= maxGroups,
         s"${ns.length} groups exceed the driver-bounded limit $maxGroups — " +
           "use groupedHistogramQuantiles/approx_percentile for high-cardinality keys")
-      // target = (group, rank-within-prefix-set, prefix)
+      // target = (group, rank-within-prefix-set, prefix); targets
+      // sharing (group, prefix) share ONE histogram per round — round
+      // 0 evaluates #groups conditions per row, not groups·pcts
       var st: Seq[(String, Long, Long)] = for {
         (g, n) <- ns.toSeq; (_, p) <- pcts
       } yield (g, (p.toLong * n + 99L) / 100L, 0L)
       for (round <- 0 until 4) {
         val d = 48 - 16 * round
-        val entries = array(st.zipWithIndex.map { case ((g, _, prefix), i) =>
+        val keys = st.map(t => (t._1, t._3)).distinct
+        val kidx = keys.zipWithIndex.toMap
+        val entries = array(keys.zipWithIndex.map { case ((g, prefix), i) =>
           val matches = (col("__g") === lit(g)) &&
             (if (round == 0) lit(true)
              else shiftrightunsigned(col("__u"), d + 16) === lit(prefix))
@@ -336,8 +345,8 @@ object Profile {
           .select(explode(filter(entries, e => e.isNotNull)).as("e"))
           .groupBy(col("e.p").as("p"), col("e.b").as("b")).agg(count(lit(1)).as("c"))
           .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-        st = st.zipWithIndex.map { case ((g, r0, prefix), i) =>
-          val buckets = hist.filter(_._1 == i).map(t => (t._2, t._3)).sortBy(_._1)
+        st = st.map { case (g, r0, prefix) =>
+          val buckets = hist.filter(_._1 == kidx((g, prefix))).map(t => (t._2, t._3)).sortBy(_._1)
           var cum = 0L
           var res: Option[(String, Long, Long)] = None
           for ((b, cnt) <- buckets if res.isEmpty) {
