@@ -313,8 +313,11 @@ object Profile {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val spark = df.sparkSession
+    // null group keys are EXCLUDED (a lit(null) equality filter can
+    // never match, so they could not be targeted) — coalesce upstream
+    // if a null category must participate
     val keyed = df.select(col(groupCol).cast("string").as("__g"), c.cast("double").as("__v"))
-      .where(col("__v").isNotNull)
+      .where(col("__v").isNotNull && col(groupCol).isNotNull)
       .select(col("__g"), graft.plans.SortableDoubleBits.of(col("__v"))
         .bitwiseXOR(lit(Long.MinValue)).as("__u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
