@@ -194,13 +194,26 @@ object Bench {
     val byName = selected.toMap
     val rerunEv = scala.collection.mutable.ArrayBuffer
       .empty[(String, (Seq[Double], Seq[Double], String))]
+    // The tail replaces the first pass only when it is lower by MORE
+    // than the documented intra-boot noise band (BENCH_NOTES: ±25-30%
+    // same-code drift): taking min(first, tail) of two noisy medians
+    // is a systematically downward-biased estimator, while genuine
+    // contention pollution (the case this pass exists for) inflates
+    // rows 2-6×, far past the band. A rep that THROWS taints its pass:
+    // a fast-failing rerun (transient write error) would otherwise
+    // certify an artificially low median.
+    val rerunBand = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_BAND", "0.25").toDouble)
+      .getOrElse(0.25)
     flaggedNames.foreach { name =>
       byName.get(name).foreach { fn =>
         System.gc()
+        var tailFailed = false
         val times = (0 until reps).map { _ =>
           val t0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch { case e: Throwable =>
+            tailFailed = true
             System.err.println(s"[bench] rerun $name failed: ${e.getClass.getSimpleName}: " +
               String.valueOf(e.getMessage).linesIterator.take(3).mkString(" | ").take(400))
           }
@@ -208,7 +221,10 @@ object Bench {
         }
         val i = acc.indexWhere(_._1 == name)
         val first = acc(i)._2
-        val kept = if (med(times) < med(first)) "tail" else "first"
+        val kept =
+          if (tailFailed) "first_tail_failed"
+          else if (med(times) < med(first) * (1.0 - rerunBand)) "tail"
+          else "first"
         if (kept == "tail") acc(i) = (name, times)
         rerunEv += (name -> ((first, times, kept)))
         System.err.println(f"[bench] rerun $name%-24s first=${med(first)}%.3f tail=${med(times)}%.3f -> $kept")

@@ -2898,7 +2898,7 @@ object SparkEntry {
     // verdict — zero FP surface
     "q_quantiles_hist" ->
       """with h as (select cast(floor(o_totalprice * 100 + 0.5) as bigint) as v, count(*) as c
-        |           from orders group by v),
+        |           from orders where o_totalprice is not null group by v),
         |cum as (select v, sum(c) over (order by v rows between unbounded preceding and current row) as cum
         |        from h),
         |t as (select cast(sum(c) as bigint) as n from h)
@@ -2915,7 +2915,7 @@ object SparkEntry {
     "q_quantiles_ghist" ->
       """with h as (select event_type,
         |    cast(floor(value * 100 + 0.5) as bigint) as v, count(*) as c
-        |  from events group by event_type, v),
+        |  from events where value is not null group by event_type, v),
         |cum as (select event_type, v,
         |    sum(c) over (partition by event_type order by v
         |                 rows between unbounded preceding and current row) as cum,

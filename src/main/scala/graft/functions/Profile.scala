@@ -173,7 +173,13 @@ object Profile {
     */
   def histogramQuantiles(df: DataFrame, cents: Column,
       pcts: Seq[(String, Int)]): DataFrame = {
-    val hist = df.select(cents.as("v")).groupBy("v").agg(count(lit(1)).as("__c"))
+    // NULL values are excluded (quantiles are over present values, the
+    // `percentile`/`quantile_cont` convention): Spark's ascending
+    // window orders NULL FIRST while DuckDB orders NULL LAST, so an
+    // unfiltered null bucket would shift every cumulative rank on the
+    // Spark side only and diverge the engines.
+    val hist = df.select(cents.as("v")).where(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("__c"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("v"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -204,7 +210,11 @@ object Profile {
       cents: Column, pcts: Seq[(String, Int)]): DataFrame = {
     require(groupCols.nonEmpty)
     import org.apache.spark.sql.expressions.Window
+    // NULL values excluded — same cross-engine null-ordering argument
+    // as histogramQuantiles (Spark windows sort NULL first, DuckDB
+    // last; a null bucket would shift every group's ranks one-sided).
     val hist = df.select(groupCols.map(col) :+ cents.as("v"): _*)
+      .where(col("v").isNotNull)
       .groupBy(groupCols.map(col) :+ col("v"): _*).agg(count(lit(1)).as("__c"))
     val wCum = Window.partitionBy(groupCols.map(col): _*).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -774,10 +774,22 @@ object TimeOps {
     // yield the same value whichever tie wins).
     val wRank = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__slope"))
     val wFull = wRank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // row_number() is IntegerType: a series past ~2^31 pairs (~65k
+    // points unsampled) is OUT OF CONTRACT. The guard makes that a
+    // LOUD failure — without it the old `.cast("int")` rank target
+    // overflowed, the where matched no row, and the series silently
+    // vanished from the output (advisor r12). assert_true returns
+    // null when the predicate holds, so anchoring it in the filter
+    // keeps it un-prunable at zero row cost.
     pairs
       .withColumn("n_pairs", count(lit(1)).over(wFull))
       .withColumn("__rk", row_number().over(wRank))
-      .where(col("__rk") === ((col("n_pairs") + 1) / 2).cast("int"))
+      .where(
+        assert_true(col("n_pairs") < lit(Int.MaxValue.toLong),
+          concat(lit("theilSen: pair count exceeds row_number's 32-bit range "
+            + "(series would silently drop) — pre-sample with pairFrac; n_pairs="),
+            col("n_pairs"))).isNull &&
+        col("__rk").cast("long") === ((col("n_pairs") + 1) / 2).cast("long"))
       .select(groupCols.map(col) ++ Seq(col("n_pairs"),
         col("__slope").as("sen_slope")): _*)
   }
@@ -839,7 +851,13 @@ object TimeOps {
     pts
       .withColumn("__n", count(lit(1)).over(wF))
       .withColumn("__rk", row_number().over(wR))
-      .where(col("__rk") === ((col("__n") + 1) / 2).cast("int"))
+      // same loud 32-bit rank guard as theilSen (a >2^31-POINT series
+      // is far out of contract, but silence is never the failure mode)
+      .where(
+        assert_true(col("__n") < lit(Int.MaxValue.toLong),
+          concat(lit("theilSenLine: point count exceeds row_number's 32-bit "
+            + "range (series would silently drop); n="), col("__n"))).isNull &&
+        col("__rk").cast("long") === ((col("__n") + 1) / 2).cast("long"))
       .select(groupCols.map(col) ++ Seq(col("n_pairs"), col("sen_slope"),
         col("__resid").as("sen_intercept")): _*)
   }

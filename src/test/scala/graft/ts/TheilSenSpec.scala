@@ -101,4 +101,23 @@ class TheilSenSpec extends SparkSpec {
       "value", "ts_us", Seq("user_id")).collect().head
     assert(out.getLong(1) == 3L && out.getDouble(2) == 2.5, out.toString)
   }
+
+  test("overflow guard: the 32-bit rank assert survives optimization (loud, not silent)") {
+    // A >2^31-pair series can't be materialized in a test; what CAN
+    // regress silently is the optimizer folding the assert_true away
+    // (its .isNull conjunct is the only thing keeping it in the
+    // filter). Pin that BOTH the slope and line plans still carry the
+    // assert after optimization, so an out-of-contract series raises
+    // instead of vanishing (advisor r12: cast-to-int rank matched no
+    // row and dropped the series).
+    val df = (0L until 5L).map(t => (1L, t, t.toDouble)).toDF("user_id", "ts_us", "value")
+    for (plan <- Seq(
+        TimeOps.theilSen(df, "value", "ts_us", Seq("user_id")),
+        TimeOps.theilSenLine(df, "value", "ts_us", Seq("user_id")))) {
+      // assert_true lowers to `if (cond) true else isnull(raise_error(…))`
+      val optimized = plan.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("raise_error"),
+        s"rank-overflow assert was optimized away:\n$optimized")
+    }
+  }
 }
