@@ -1261,23 +1261,24 @@ object SparkEntry {
         .select("user_id", "event_id", "ts_us", "s_start", "s_end")
         .orderBy("user_id", "ts_us", "event_id")
     },
-    // per-group exact-percentile winsorization: the clip bounds ride an
-    // unbounded window agg on the same group partition — no extra join
+    // per-group winsorization via the bounded integer-histogram rank
+    // pick (type-1 bounds, the q_quantiles_ghist shape — no window
+    // ever buffers a group; the former exact-`percentile` window form
+    // was the last unbounded-buffer plan at 100×). Clip verdicts are
+    // integer comparisons and interior values pass through verbatim,
+    // so the gate needs NO rounding.
     "ts_winsorize" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
-      // round(4) on both sides: the engines' percentile interpolation
-      // arithmetic differs in the last ulp (same rule as q_quantiles)
-      TimeOps.winsorize(ev, "value", Seq("user_id"), 0.05, 0.95, "value_winsor")
-        .withColumn("value_winsor", round(col("value_winsor"), 4))
+      TimeOps.winsorize(ev, "value", Seq("user_id"), 5, 95, "value_winsor")
         .orderBy("user_id", "ts_us", "event_id")
     },
-    // MAD-based robust z-score: outlier-resistant anomaly flagging;
-    // exact group median + MAD as window aggs, one shuffle, round(4)
-    // like every percentile query
+    // MAD-based robust z-score: outlier-resistant anomaly flagging.
+    // Median + MAD via the same bounded histogram rank picks (integer
+    // cents, type-1); the only FP is the final (c−med)/(1.4826·mad) —
+    // identical operands both engines, bit-exact, no rounding.
     "ts_robust_zscore" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
       TimeOps.robustZscore(ev, "value", Seq("user_id"), "rz")
-        .withColumn("rz", round(col("rz"), 4))
         .orderBy("user_id", "ts_us", "event_id")
     },
     // one-scan dataset profile: per-column counts/nulls/min/max/mean/
@@ -3761,23 +3762,40 @@ object SparkEntry {
          |join iv on e.user_id = iv.user_id
          |  and epoch_us(e.ts) between iv.s_start and iv.s_end
          |order by e.user_id, ts_us, e.event_id""".stripMargin,
+    // winsorize twin: identical integer-cents grid, per-group type-1
+    // bounds (quantile_disc ≡ element at rank ceil(p·n), the pinned
+    // QuantileApproxSpec convention = the histogram rank pick's
+    // 100·cum ≥ pct·n verdict), integer clip comparisons, interior
+    // values verbatim — exact, no rounding
     "ts_winsorize" ->
-      """select user_id, epoch_us(ts) as ts_us, event_id, value,
-        | round(greatest(quantile_cont(value, 0.05E0) over (partition by user_id),
-        |   least(quantile_cont(value, 0.95E0) over (partition by user_id),
-        |         cast(value as double))), 4) as value_winsor
-        |from events
+      """with d as (select user_id, epoch_us(ts) as ts_us, event_id, value,
+        |    cast(floor(value * 100 + 0.5) as bigint) as c from events),
+        |b as (select user_id,
+        |    quantile_disc(c, 0.05) as lo_c,
+        |    quantile_disc(c, 0.95) as hi_c
+        |  from d where c is not null group by user_id)
+        |select d.user_id, d.ts_us, d.event_id, d.value,
+        | case when d.c < b.lo_c then cast(b.lo_c as double) / 100
+        |      when d.c > b.hi_c then cast(b.hi_c as double) / 100
+        |      else cast(d.value as double) end as value_winsor
+        |from d left join b using (user_id)
         |order by user_id, ts_us, event_id""".stripMargin,
+    // robust-zscore twin: integer-cents type-1 median + MAD (scale
+    // cancels), one multiply + one divide with identical operands —
+    // bit-exact; zero MAD gates to NULL on both sides
     "ts_robust_zscore" ->
-      """with m as (
-        |  select user_id, epoch_us(ts) as ts_us, event_id, value,
-        |   quantile_cont(value, 0.5E0) over (partition by user_id) as med
-        |  from events),
-        |d as (select *, abs(cast(value as double) - med) as dev from m)
-        |select user_id, ts_us, event_id, value,
-        | round((cast(value as double) - med)
-        |   / (1.4826E0 * (quantile_cont(dev, 0.5E0) over (partition by user_id))), 4) as rz
-        |from d
+      """with d as (select user_id, epoch_us(ts) as ts_us, event_id, value,
+        |    cast(floor(value * 100 + 0.5) as bigint) as c from events),
+        |m as (select user_id, quantile_disc(c, 0.5) as med_c
+        |      from d where c is not null group by user_id),
+        |dm as (select d.user_id, d.ts_us, d.event_id, d.value, d.c, m.med_c
+        |       from d left join m using (user_id)),
+        |md as (select user_id, quantile_disc(abs(c - med_c), 0.5) as mad_c
+        |       from dm group by user_id)
+        |select dm.user_id, dm.ts_us, dm.event_id, dm.value,
+        | case when md.mad_c > 0 then
+        |   cast(dm.c - dm.med_c as double) / (1.4826E0 * cast(md.mad_c as double)) end as rz
+        |from dm left join md using (user_id)
         |order by user_id, ts_us, event_id""".stripMargin,
     // hashing-trick oracle: identical token hashes, bucket = h mod 16,
     // sign from hash bit 16, integer list_sum per bucket (order-free).

@@ -7,18 +7,58 @@ import org.apache.spark.sql.functions._
 class WinsorizeCalendarSpec extends SparkSpec {
   import spark.implicits._
 
-  test("winsorize clips to the group's exact percentiles, leaving interior values alone") {
+  test("winsorize (bounded histogram route) clips to type-1 group bounds, interiors verbatim") {
     val df = ((1 to 100).map(i => (1, i.toDouble)) :+ ((2, 1000.0))).toDF("g", "v")
-    val out = TimeOps.winsorize(df, "v", Seq("g"), 0.05, 0.95, "vw")
+    val out = TimeOps.winsorize(df, "v", Seq("g"), 5, 95, "vw")
+      .where($"g" === 1).select("v", "vw").as[(Double, Double)].collect().toMap
+    // type-1 bounds over 1..100: rank ceil(0.05·100)=5 → 5.0,
+    // rank ceil(0.95·100)=95 → 95.0 — OBSERVED values, not interpolated
+    assert(out(1.0) == 5.0 && out(3.0) == 5.0, "low outliers clip to the p05 element")
+    assert(out(100.0) == 95.0, "high outliers clip to the p95 element")
+    assert(out(5.0) == 5.0 && out(95.0) == 95.0, "bound elements themselves untouched")
+    assert(out(50.0) == 50.0, "interior values untouched")
+    // single-row group: both bounds are the value itself
+    val g2 = TimeOps.winsorize(df, "v", Seq("g"), 5, 95, "vw")
+      .where($"g" === 2).select("vw").as[Double].head()
+    assert(g2 == 1000.0)
+  }
+
+  test("winsorizeExactPercentile (showcase twin) interpolates like quantile_cont") {
+    val df = ((1 to 100).map(i => (1, i.toDouble)) :+ ((2, 1000.0))).toDF("g", "v")
+    val out = TimeOps.winsorizeExactPercentile(df, "v", Seq("g"), 0.05, 0.95, "vw")
       .where($"g" === 1).select("v", "vw").as[(Double, Double)].collect().toMap
     // percentile(0.05) over 1..100 = 5.95, percentile(0.95) = 95.05
     assert(out(1.0) == 5.95 && out(3.0) == 5.95, "low outliers clip to p05")
     assert(out(100.0) == 95.05, "high outliers clip to p95")
     assert(out(50.0) == 50.0, "interior values untouched")
-    // single-row group: both percentiles are the value itself
-    val g2 = TimeOps.winsorize(df, "v", Seq("g"), 0.05, 0.95, "vw")
-      .where($"g" === 2).select("vw").as[Double].head()
-    assert(g2 == 1000.0)
+  }
+
+  test("robustZscore (bounded histogram route): hand-computed median/MAD, zero-MAD gates null") {
+    // 1..9: med cents = 500 (rank ceil(4.5)=5), deviations sorted
+    // 0,100,100,200,200,300,300,400,400 → MAD cents = 200
+    val df = (1 to 9).map(i => (1, i.toDouble)).toDF("g", "v")
+    val rz = TimeOps.robustZscore(df, "v", Seq("g"), "rz")
+      .select("v", "rz").as[(Double, Double)].collect().toMap
+    assert(rz(5.0) == 0.0, "median row scores 0")
+    assert(rz(9.0) == 400.0 / (1.4826 * 200.0), s"hand-computed rz: ${rz(9.0)}")
+    // constant group: MAD = 0 → null, never ±Inf
+    val const = Seq((1, 7.0), (1, 7.0), (1, 7.0)).toDF("g", "v")
+    val gated = TimeOps.robustZscore(const, "v", Seq("g"), "rz")
+      .select("rz").collect()
+    assert(gated.forall(_.isNullAt(0)), "zero MAD must gate to null")
+  }
+
+  test("plan pin: winsorize + robustZscore plans carry NO percentile window (bounded at 100x)") {
+    // parquet read, not toDF: LocalRelation plan pins constant-fold
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select("user_id", "value")
+    for (plan <- Seq(
+        TimeOps.winsorize(ev, "value", Seq("user_id"), 5, 95, "vw"),
+        TimeOps.robustZscore(ev, "value", Seq("user_id"), "rz"))) {
+      val phys = plan.queryExecution.executedPlan.toString
+      assert(!phys.contains("percentile"),
+        s"bounded route must not plan a percentile agg:\n${phys.take(2000)}")
+    }
   }
 
   test("calendarFeatures: known dates map to the right weekday/hour/month") {
