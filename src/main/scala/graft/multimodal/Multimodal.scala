@@ -28,6 +28,19 @@ object Multimodal {
   def withBinary(df: DataFrame, srcCol: String, out: String = "payload"): DataFrame =
     df.withColumn(out, encode(col(srcCol), "UTF-8"))
 
+  /** Fan the tiny synthesis id frame out to the session's full
+    * parallelism before a CPU-heavy per-row codec map. The synthetic
+    * id frame reads as ONE parquet split (a few KB), which would pin
+    * the whole encode pass on one core (measured: mm_audio_flac_stereo
+    * spent ~1.4 s of single-threaded encode on a 32-core host); a
+    * round-robin exchange of 8-byte id rows is free by comparison.
+    * Harness-side only: production DECODE scans read naturally-split
+    * payload storage and inherit its parallelism — the stats/parse
+    * kernels stay map-only.
+    */
+  private def fanOut(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   private def be32(b: Array[Byte], o: Int): Int =
     ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
   private def be16(b: Array[Byte], o: Int): Int =
@@ -127,7 +140,7 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    df.mapPartitions { rows =>
+    fanOut(df).mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(_.map { r =>
         val id = r.getLong(idIdx)
         val w = 16 + (id % 1000L).toInt
@@ -207,7 +220,7 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    df.mapPartitions { rows =>
+    fanOut(df).mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(_.map { r =>
         val id = r.getLong(idIdx)
         Row(id, synthWav(
@@ -236,7 +249,7 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    df.mapPartitions { rows =>
+    fanOut(df).mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(_.map { r =>
         val id = r.getLong(idIdx)
         val n = 100 + (id % 400L).toInt
@@ -366,7 +379,7 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    df.mapPartitions { rows =>
+    fanOut(df).mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(_.map { r =>
         val id = r.getLong(idIdx)
         val n = 100 + (id % 400L).toInt
@@ -398,7 +411,7 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    df.mapPartitions { rows =>
+    fanOut(df).mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(_.map { r =>
         val id = r.getLong(idIdx)
         val n = 100 + (id % 400L).toInt
@@ -556,7 +569,7 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    df.mapPartitions { rows =>
+    fanOut(df).mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(_.map { r =>
         val id = r.getLong(idIdx)
         val w = 8 + (id % 9L).toInt
@@ -783,7 +796,7 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    df.mapPartitions { rows =>
+    fanOut(df).mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(_.map { r =>
         val id = r.getLong(idIdx)
         val w = 8 + (id % 9L).toInt
@@ -840,7 +853,7 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    df.mapPartitions { rows =>
+    fanOut(df).mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(_.map { r =>
         val id = r.getLong(idIdx)
         val bw = 1 + (id % 3L).toInt
@@ -911,7 +924,7 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    df.mapPartitions { rows =>
+    fanOut(df).mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(_.map { r =>
         val id = r.getLong(idIdx)
         val bw = 1 + ((id * 3L + 1L) % 3L).toInt
@@ -948,7 +961,7 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    df.mapPartitions { rows =>
+    fanOut(df).mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(_.map { r =>
         val id = r.getLong(idIdx)
         // dims in 16px MCU units (1-2 each) → 8px tile grid is 2·mw × 2·mh
