@@ -1217,6 +1217,18 @@ object SparkEntry {
       Multimodal.sceneStats(Tables.documents(s, dir), "doc_id", "text", frameChars = 64)
         .orderBy("doc_id")
     },
+    // REAL video-frame decode (r13, closes the last simulated
+    // modality): synthesized multi-frame Y4M containers — the public
+    // codec-free YUV4MPEG2 format — parsed back by a hand-rolled
+    // header/frame-plane walk; per-doc luma/chroma plane statistics
+    // and CONTENT-BASED shot detection (mean |ΔY| threshold over the
+    // actual decoded pixels — the real-pixel twin of mm_scenes' hash
+    // stand-in). Batched map-only codec scan; every field closed-form
+    // in (doc_id, frame, x, y) so the oracle predicts the decode.
+    "mm_video_y4m" -> { (s, dir) =>
+      val payloads = Multimodal.synthY4ms(Tables.documents(s, dir).select("doc_id"), "doc_id")
+      Multimodal.y4mVideoStats(payloads, "doc_id", "payload").orderBy("doc_id")
+    },
     // multimodal → similarity composition: frame-hash pseudo-embedding
     // (the encoder stand-in) bucketed by the same LSH path embeddings use
     "mm_embed" -> { (s, dir) =>
@@ -3725,6 +3737,55 @@ object SparkEntry {
         | count(*) as n_scenes,
         | cast(max(len) as bigint) as longest_scene
         |from sz group by doc_id order by doc_id""".stripMargin,
+    // Y4M twin: the synthesis pixel contract is closed-form arithmetic
+    // in (doc_id, frame, x, y) — the oracle rebuilds every per-frame
+    // plane statistic and the scene structure (cut at f>0 iff
+    // (id+f)%4=0; the decoder's Σ|ΔY| > 5·w·h verdict fires exactly
+    // there because in-scene frames differ by the ±1 dither while cuts
+    // jump the base by 10), so ANY decode/diff bug breaks the gate.
+    // Per-frame sums: Σ(base+x+2y+10s+f%2) = w·h·(base+10s+f%2)
+    //   + h·w(w−1)/2 + w·h·(h−1); chroma analogues at half resolution.
+    "mm_video_y4m" ->
+      """with p as (select doc_id,
+        |    8 + 4 * (doc_id % 4) as w,
+        |    8 + 4 * ((3 * doc_id + 1) % 4) as h,
+        |    2 + (doc_id % 6) as nf,
+        |    doc_id % 64 as base
+        |  from documents),
+        |f as (select doc_id, w, h, nf, base, unnest(generate_series(0, nf - 1)) as fi from p),
+        |s as (select *,
+        |    sum(case when fi > 0 and (doc_id + fi) % 4 = 0 then 1 else 0 end)
+        |      over (partition by doc_id order by fi
+        |            rows between unbounded preceding and current row) as sid
+        |  from f),
+        |fr as (select doc_id, w, h, nf, fi, sid,
+        |    w * h * (base + 10 * sid + fi % 2)
+        |      + h * (w * (w - 1) // 2) + w * h * (h - 1) as ysum,
+        |    base + 10 * sid + fi % 2 as ymin,
+        |    base + (w - 1) + 2 * (h - 1) + 10 * sid + fi % 2 as ymax,
+        |    (w // 2) * (h // 2) * (64 + 3 * fi)
+        |      + (h // 2) * ((w // 2) * (w // 2 - 1) // 2)
+        |      + (w // 2) * (h // 2) * (h // 2 - 1) as cbsum,
+        |    (w // 2) * (h // 2) * (160 - 2 * fi)
+        |      - (h // 2) * ((w // 2) * (w // 2 - 1) // 2)
+        |      - (w // 2) * ((h // 2) * (h // 2 - 1) // 2) as crsum
+        |  from s),
+        |runs as (select doc_id, sid, count(*) as run from fr group by doc_id, sid),
+        |agg as (select doc_id,
+        |    cast(max(nf) as bigint) as n_frames,
+        |    cast(max(w) as bigint) as width, cast(max(h) as bigint) as height,
+        |    cast(sum(ysum) as bigint) as luma_sum,
+        |    cast(min(ymin) as bigint) as luma_min,
+        |    cast(max(ymax) as bigint) as luma_max,
+        |    cast(sum(cbsum) as bigint) as cb_sum,
+        |    cast(sum(crsum) as bigint) as cr_sum
+        |  from fr group by doc_id),
+        |sagg as (select doc_id, cast(count(*) as bigint) as n_scenes,
+        |    cast(max(run) as bigint) as longest_scene
+        |  from runs group by doc_id)
+        |select agg.*, sagg.n_scenes, sagg.longest_scene
+        |from agg join sagg using (doc_id)
+        |order by doc_id""".stripMargin,
     "ts_pipeline_multi" -> {
       val lags = for (c <- Seq("value", "v2"); k <- Seq(1, 7)) yield OracleGen.lagExpr(c, k, evOver)
       val rms = for (c <- Seq("value", "v2"); w <- Seq(7, 28)) yield OracleGen.rollmeanExpr(c, w, w, evOver)

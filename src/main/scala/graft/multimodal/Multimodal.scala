@@ -1148,4 +1148,150 @@ object Multimodal {
       .withColumn("share_frac",
         col("n_shared").cast("double") / col("n_frames").cast("double"))
   }
+
+  // ---- real video frames: Y4M (YUV4MPEG2) ----------------------------
+
+  /** Y4M synthesis pixel contract — every plane value is closed-form
+    * arithmetic in (doc_id, frame, x, y), so the DuckDB oracle
+    * predicts the decoded statistics exactly (the BMP contract of
+    * [[synthBitmaps]], lifted to a multi-frame video container):
+    *  - dims: w = 8 + 4·(id%4), h = 8 + 4·((3·id+1)%4)   (even, ≤ 20)
+    *  - frames: nf = 2 + id%6
+    *  - scene structure: a CUT lands at frame f>0 iff (id+f)%4 == 0;
+    *    s(f) = number of cuts ≤ f (the scene id)
+    *  - luma  Y(x,y,f)  = (id%64) + x + 2y + 10·s(f) + (f%2) — scenes
+    *    jump the base by 10 while consecutive in-scene frames differ
+    *    by exactly |±1| per pixel (the f%2 dither), so REAL
+    *    frame-content shot detection has a crisp margin: mean |ΔY| is
+    *    exactly 1 within a scene and 9 or 11 across a cut
+    *  - chroma Cb(cx,cy,f) = 64 + cx + 2·cy + 3·f,
+    *           Cr(cx,cy,f) = 160 − cx − cy − 2·f    (half-res planes)
+    * All values stay in [0, 255] by construction (no wraparound — the
+    * closed forms hold exactly).
+    */
+  def y4mLuma(id: Long, f: Int, x: Int, y: Int, sceneId: Int): Int =
+    ((id % 64L).toInt + x + 2 * y + 10 * sceneId + (f % 2))
+  def y4mSceneId(id: Long, f: Int): Int = {
+    var s = 0
+    var i = 1
+    while (i <= f) { if ((id + i) % 4L == 0L) s += 1; i += 1 }
+    s
+  }
+
+  /** Synthesized multi-frame C420jpeg Y4M streams per id (contract in
+    * [[y4mLuma]]). Real container bytes through [[Y4mCodec.write]].
+    */
+  def synthY4ms(df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    fanOut(df).mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val id = r.getLong(idIdx)
+        val w = 8 + 4 * (id % 4L).toInt
+        val h = 8 + 4 * ((3 * id + 1) % 4L).toInt
+        val nf = 2 + (id % 6L).toInt
+        val cw = w / 2
+        val ch = h / 2
+        val frames = (0 until nf).map { f =>
+          val s = y4mSceneId(id, f)
+          val y = new Array[Byte](w * h)
+          var yy = 0
+          while (yy < h) {
+            var x = 0
+            while (x < w) { y(yy * w + x) = y4mLuma(id, f, x, yy, s).toByte; x += 1 }
+            yy += 1
+          }
+          val cb = new Array[Byte](cw * ch)
+          val cr = new Array[Byte](cw * ch)
+          var cy = 0
+          while (cy < ch) {
+            var cx = 0
+            while (cx < cw) {
+              cb(cy * cw + cx) = (64 + cx + 2 * cy + 3 * f).toByte
+              cr(cy * cw + cx) = (160 - cx - cy - 2 * f).toByte
+              cx += 1
+            }
+            cy += 1
+          }
+          (y, cb, cr)
+        }
+        Row(id, Y4mCodec.write(w, h, frames))
+      })
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** REAL video-frame decode + shot detection: parse the Y4M container,
+    * walk the ACTUAL decoded planes, and emit per-doc frame statistics
+    * plus content-based scene segmentation — a cut is declared when the
+    * mean absolute luma difference against the previous frame exceeds
+    * `sceneThreshold` (integer verdict: Σ|ΔY| > thr·w·h — no FP). This
+    * is the real-pixel upgrade of mm_scenes' hash-equality stand-in:
+    * swap the threshold rule for an embedding distance and nothing
+    * downstream changes. Batched map-only codec scan, zero shuffle
+    * before the final rollup; undecodable payloads yield null fields
+    * (never a crash — Y4mCodec's hostile-bytes contract).
+    */
+  def y4mVideoStats(df: DataFrame, idCol: String, payloadCol: String,
+      sceneThreshold: Long = 5L, batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_frames", LongType),
+      StructField("width", LongType), StructField("height", LongType),
+      StructField("luma_sum", LongType), StructField("luma_min", LongType),
+      StructField("luma_max", LongType), StructField("cb_sum", LongType),
+      StructField("cr_sum", LongType), StructField("n_scenes", LongType),
+      StructField("longest_scene", LongType)))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val id = r.getLong(idIdx)
+        Y4mCodec.parse(r.getAs[Array[Byte]](pIdx)) match {
+          case Some(v) if v.frames.nonEmpty =>
+            var lumaSum = 0L
+            var lumaMin = Long.MaxValue
+            var lumaMax = Long.MinValue
+            var cbSum = 0L
+            var crSum = 0L
+            var nScenes = 1L
+            var run = 1L
+            var longest = 1L
+            val px = v.width.toLong * v.height
+            var prev: Array[Byte] = null
+            v.frames.foreach { fr =>
+              var i = 0
+              while (i < fr.y.length) {
+                val s = fr.y(i) & 0xff
+                lumaSum += s
+                if (s < lumaMin) lumaMin = s
+                if (s > lumaMax) lumaMax = s
+                i += 1
+              }
+              i = 0
+              while (i < fr.cb.length) { cbSum += fr.cb(i) & 0xff; i += 1 }
+              i = 0
+              while (i < fr.cr.length) { crSum += fr.cr(i) & 0xff; i += 1 }
+              if (prev != null) {
+                var d = 0L
+                var j = 0
+                while (j < fr.y.length) {
+                  d += math.abs((fr.y(j) & 0xff) - (prev(j) & 0xff))
+                  j += 1
+                }
+                if (d > sceneThreshold * px) { // content-based cut
+                  nScenes += 1
+                  if (run > longest) longest = run
+                  run = 1L
+                } else run += 1L
+              }
+              prev = fr.y
+            }
+            if (run > longest) longest = run
+            Row(id, v.frames.length.toLong, v.width.toLong, v.height.toLong,
+              lumaSum, lumaMin, lumaMax, cbSum, crSum, nScenes, longest)
+          case _ => Row(id, null, null, null, null, null, null, null, null, null, null)
+        }
+      })
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
 }

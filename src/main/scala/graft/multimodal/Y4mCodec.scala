@@ -1,0 +1,154 @@
+package graft.multimodal
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+
+/** Hand-rolled YUV4MPEG2 (.y4m) container codec — the PUBLIC,
+  * CODEC-FREE video interchange format (mjpegtools lineage; plain
+  * ASCII stream header + per-frame `FRAME` markers + raw planar YUV
+  * payloads, no entropy coding anywhere). This closes the last
+  * simulated modality: mm_frames/mm_scenes chunk document text as
+  * pseudo-frames, while mm_video_y4m decodes REAL frame pixel planes
+  * from real container bytes, with the same synth→parse round-trip
+  * oracle discipline as the BMP/WAV/FLAC codecs.
+  *
+  * Format surface (public spec):
+  *  - stream header: `YUV4MPEG2 W<w> H<h> F<n>:<d> [Ip|It|Ib] [A<n>:<d>]
+  *    [C<space>] [X<token>]\n` — space-separated tagged params in any
+  *    order; unknown tags skip.
+  *  - colorspaces: C420/C420jpeg/C420mpeg2/C420paldv (half-res chroma),
+  *    C444 (full-res), Cmono (no chroma). C422 (half-width) included
+  *    for decode completeness. Default when absent: 420 (spec).
+  *  - each frame: `FRAME[ <params>]\n` then the raw planes back to
+  *    back: Y (w·h bytes), Cb, Cr at the colorspace's resolution.
+  *
+  * Hostile-bytes contract (spec-pinned like every codec here): any
+  * malformed input — bad magic, absent/garbage dims, odd dims under
+  * 420, truncated frame payload, junk between frames — returns None,
+  * never throws, and never allocates from unvalidated sizes (dims are
+  * bounded before any plane allocation).
+  */
+object Y4mCodec {
+
+  /** One decoded frame: raw planes (bytes are unsigned samples). */
+  final case class Frame(y: Array[Byte], cb: Array[Byte], cr: Array[Byte])
+
+  /** A decoded stream: dims, chroma sub-sampling mode, frames. */
+  final case class Y4m(width: Int, height: Int, colorspace: String,
+      frames: Vector[Frame]) {
+    def chromaWidth: Int = colorspace match {
+      case "mono" => 0
+      case "444"  => width
+      case "422"  => width / 2
+      case _      => width / 2 // 420 family
+    }
+    def chromaHeight: Int = colorspace match {
+      case "mono" => 0
+      case "444" | "422" => height
+      case _      => height / 2 // 420 family
+    }
+  }
+
+  /** Sanity bound on w·h before any allocation: hostile headers can
+    * declare absurd dims; real test payloads are tiny. 1<<22 (4 MP)
+    * is far above anything the harness writes and far below OOM.
+    */
+  private val MaxPixels = 1 << 22
+
+  // ---- writer ---------------------------------------------------------
+
+  /** Write a .y4m stream. `frames` carry (y, cb, cr) planes already at
+    * the colorspace's resolution; Cmono ignores cb/cr.
+    */
+  def write(width: Int, height: Int,
+      frames: Seq[(Array[Byte], Array[Byte], Array[Byte])],
+      colorspace: String = "C420jpeg", fpsNum: Int = 25, fpsDen: Int = 1): Array[Byte] = {
+    val out = new ByteArrayOutputStream
+    val header = s"YUV4MPEG2 W$width H$height F$fpsNum:$fpsDen Ip A1:1 $colorspace\n"
+    out.write(header.getBytes(StandardCharsets.US_ASCII))
+    frames.foreach { case (y, cb, cr) =>
+      out.write("FRAME\n".getBytes(StandardCharsets.US_ASCII))
+      out.write(y)
+      if (colorspace != "Cmono") { out.write(cb); out.write(cr) }
+    }
+    out.toByteArray
+  }
+
+  // ---- parser ---------------------------------------------------------
+
+  private def lineEnd(b: Array[Byte], from: Int, limit: Int): Int = {
+    var i = from
+    val max = math.min(b.length, limit)
+    while (i < max) {
+      if (b(i) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse a .y4m stream; None on any malformation (never throws). */
+  def parse(bytes: Array[Byte]): Option[Y4m] = {
+    try parseOrNull(bytes) catch { case _: Throwable => None }
+  }
+
+  private def parseOrNull(b: Array[Byte]): Option[Y4m] = {
+    // stream header line (bounded search: a real header is short)
+    val hEnd = lineEnd(b, 0, 256)
+    if (hEnd < 0) return None
+    val header = new String(b, 0, hEnd, StandardCharsets.US_ASCII)
+    val toks = header.split(' ')
+    if (toks.isEmpty || toks(0) != "YUV4MPEG2") return None
+    var w = -1
+    var h = -1
+    var cs = "420" // spec default when no C tag
+    toks.iterator.drop(1).foreach { t =>
+      if (t.nonEmpty) t.charAt(0) match {
+        case 'W' => w = t.drop(1).toIntOption.getOrElse(-1)
+        case 'H' => h = t.drop(1).toIntOption.getOrElse(-1)
+        case 'C' => cs = t.drop(1) match {
+          case "mono" => "mono"
+          case "444"  => "444"
+          case "422"  => "422"
+          case s if s.startsWith("420") => "420"
+          case _ => return None // unknown colorspace: refuse, don't guess sizes
+        }
+        case _ => () // F/I/A/X tags don't affect plane walking
+      }
+    }
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
+    if (cs == "420" && ((w & 1) == 1 || (h & 1) == 1)) return None
+    if (cs == "422" && (w & 1) == 1) return None
+    val ySize = w * h
+    val cSize = cs match {
+      case "mono" => 0
+      case "444"  => w * h
+      case "422"  => (w / 2) * h
+      case _      => (w / 2) * (h / 2)
+    }
+    val frames = Vector.newBuilder[Frame]
+    var pos = hEnd + 1
+    while (pos < b.length) {
+      // FRAME marker + optional params to end of line
+      if (pos + 5 > b.length) return None
+      if (!(b(pos) == 'F' && b(pos + 1) == 'R' && b(pos + 2) == 'A' &&
+            b(pos + 3) == 'M' && b(pos + 4) == 'E')) return None
+      val fEnd = lineEnd(b, pos + 5, pos + 5 + 256)
+      if (fEnd < 0) return None
+      if (fEnd > pos + 5 && b(pos + 5) != ' ') return None // params need a space
+      pos = fEnd + 1
+      if (pos + ySize + 2L * cSize > b.length) return None // truncated payload
+      val y = java.util.Arrays.copyOfRange(b, pos, pos + ySize)
+      pos += ySize
+      val (cbP, crP) =
+        if (cSize == 0) (Array.emptyByteArray, Array.emptyByteArray)
+        else {
+          val cb = java.util.Arrays.copyOfRange(b, pos, pos + cSize)
+          val cr = java.util.Arrays.copyOfRange(b, pos + cSize, pos + 2 * cSize)
+          pos += 2 * cSize
+          (cb, cr)
+        }
+      frames += Frame(y, cbP, crP)
+    }
+    Some(Y4m(w, h, cs, frames.result()))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+/** Pins the Y4M container codec (write/parse round-trip, hostile
+  * bytes) and the real-pixel video stats + content-based shot
+  * detection of mm_video_y4m.
+  */
+class Y4mCodecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planes(w: Int, h: Int, seed: Int): (Array[Byte], Array[Byte], Array[Byte]) = {
+    val y = Array.tabulate(w * h)(i => (seed + i % 251).toByte)
+    val cb = Array.tabulate((w / 2) * (h / 2))(i => (seed + 2 * i % 97).toByte)
+    val cr = Array.tabulate((w / 2) * (h / 2))(i => (seed + 3 * i % 89).toByte)
+    (y, cb, cr)
+  }
+
+  test("round-trip: written planes come back byte-identical, dims and frame count exact") {
+    val frames = Seq(planes(12, 8, 3), planes(12, 8, 77), planes(12, 8, 200))
+    val bytes = Y4mCodec.write(12, 8, frames)
+    val v = Y4mCodec.parse(bytes).get
+    assert(v.width == 12 && v.height == 8 && v.colorspace == "420")
+    assert(v.frames.length == 3)
+    v.frames.zip(frames).foreach { case (got, (y, cb, cr)) =>
+      assert(java.util.Arrays.equals(got.y, y))
+      assert(java.util.Arrays.equals(got.cb, cb))
+      assert(java.util.Arrays.equals(got.cr, cr))
+    }
+  }
+
+  test("header tolerance: tag order, unknown X tags, FRAME params, C444 and Cmono planes") {
+    // hand-built header with shuffled tags + an X extension tag
+    val y = Array.tabulate(16)(_.toByte)
+    val body = "YUV4MPEG2 F30:1 XCOLORRANGE=FULL H4 W4 C444 Ip\nFRAME Iv\n"
+    val full = body.getBytes("US-ASCII") ++ y ++ y ++ y
+    val v = Y4mCodec.parse(full).get
+    assert(v.width == 4 && v.height == 4 && v.colorspace == "444" && v.frames.length == 1)
+    assert(java.util.Arrays.equals(v.frames.head.cb, y))
+    val mono = ("YUV4MPEG2 W4 H4 F25:1 Cmono\nFRAME\n").getBytes("US-ASCII") ++ y
+    val m = Y4mCodec.parse(mono).get
+    assert(m.colorspace == "mono" && m.frames.head.cb.isEmpty)
+  }
+
+  test("hostile bytes: None, never a crash") {
+    val good = Y4mCodec.write(8, 8, Seq(planes(8, 8, 5)))
+    val cases: Seq[Array[Byte]] = Seq(
+      Array.emptyByteArray,
+      "JUNK".getBytes("US-ASCII"),
+      "YUV4MPEG2".getBytes("US-ASCII"),                       // no newline
+      "YUV4MPEG2 W0 H8 F1:1\n".getBytes("US-ASCII"),          // zero width
+      "YUV4MPEG2 W9 H9 F1:1 C420\n".getBytes("US-ASCII"),     // odd dims under 420
+      "YUV4MPEG2 W8 H8 F1:1 C999\n".getBytes("US-ASCII"),     // unknown colorspace
+      "YUV4MPEG2 W99999 H99999 F1:1\n".getBytes("US-ASCII"),  // absurd dims
+      good.dropRight(1),                                      // truncated last plane
+      good.take(good.length - (8 * 8 + 2 * 16) - 3),          // truncated mid-frame
+      good ++ "FRAME\n".getBytes("US-ASCII"),                 // frame marker, no payload
+      good ++ Array[Byte](1, 2, 3),                           // junk after last frame
+      { val b = good.clone(); b(good.indexOf('\n') + 1) = 'G'; b } // corrupt FRAME magic
+    )
+    cases.zipWithIndex.foreach { case (b, i) =>
+      assert(Y4mCodec.parse(b).isEmpty, s"case $i must refuse, not crash/accept")
+    }
+  }
+
+  test("mm_video_y4m stats: closed-form luma/chroma sums and scene structure on real decode") {
+    val df = Seq(0L, 1L, 3L, 4L, 7L, 11L).toDF("doc_id")
+    val out = Multimodal.y4mVideoStats(Multimodal.synthY4ms(df, "doc_id"), "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val w = 8 + 4 * (id % 4).toInt
+      val h = 8 + 4 * ((3 * id + 1) % 4).toInt
+      val nf = 2 + (id % 6).toInt
+      val base = (id % 64).toInt
+      assert(r.getLong(1) == nf && r.getLong(2) == w && r.getLong(3) == h, r.toString)
+      // brute-force the contract independently of the synth code path
+      var lumaSum = 0L
+      var cuts = 0
+      var maxLuma = Long.MinValue
+      val runs = scala.collection.mutable.ArrayBuffer(0L)
+      for (f <- 0 until nf) {
+        if (f > 0 && (id + f) % 4 == 0) { cuts += 1; runs += 0L }
+        runs(runs.length - 1) += 1
+        val s = Multimodal.y4mSceneId(id, f)
+        for (y <- 0 until h; x <- 0 until w) {
+          val v = base + x + 2 * y + 10 * s + (f % 2)
+          lumaSum += v
+          if (v > maxLuma) maxLuma = v
+        }
+      }
+      assert(r.getLong(4) == lumaSum, s"luma_sum id=$id")
+      assert(r.getLong(5) == base, s"luma_min id=$id")
+      assert(r.getLong(6) == maxLuma, s"luma_max id=$id")
+      assert(r.getLong(9) == cuts + 1L, s"n_scenes id=$id: ${r.getLong(9)} vs ${cuts + 1}")
+      assert(r.getLong(10) == runs.max, s"longest_scene id=$id")
+    }
+  }
+
+  test("shot detection is CONTENT-based: tampering one frame's pixels changes the verdict") {
+    // id=1: nf=3, no cuts ((1+1)%4, (1+2)%4 != 0) -> 1 scene
+    val df = Seq(1L).toDF("doc_id")
+    val payload = Multimodal.synthY4ms(df, "doc_id").collect().head.getAs[Array[Byte]](1)
+    val base = Multimodal.y4mVideoStats(
+      Seq((1L, payload)).toDF("doc_id", "payload"), "doc_id", "payload").collect().head
+    assert(base.getLong(9) == 1L, s"untampered: one scene, got ${base.getLong(9)}")
+    // brighten every luma pixel of the LAST frame by 50: a real cut
+    val v = Y4mCodec.parse(payload).get
+    val tampered = v.frames.init :+ {
+      val f = v.frames.last
+      Y4mCodec.Frame(f.y.map(b => ((b & 0xff) + 50).toByte), f.cb, f.cr)
+    }
+    val tamperedBytes = Y4mCodec.write(v.width, v.height,
+      tampered.map(f => (f.y, f.cb, f.cr)))
+    val out = Multimodal.y4mVideoStats(
+      Seq((1L, tamperedBytes)).toDF("doc_id", "payload"), "doc_id", "payload").collect().head
+    assert(out.getLong(9) == 2L, s"tampered frame must cut a new scene, got ${out.getLong(9)}")
+  }
+
+  test("undecodable payloads emit null fields, not crashes") {
+    val df = Seq((1L, "not a video".getBytes("US-ASCII")), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("doc_id", "payload")
+    val rows = Multimodal.y4mVideoStats(df, "doc_id", "payload").orderBy("doc_id").collect()
+    assert(rows.length == 2 && rows.forall(r => r.isNullAt(1) && r.isNullAt(9)))
+  }
+}
