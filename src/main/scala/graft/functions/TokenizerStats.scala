@@ -51,6 +51,105 @@ object TokenizerStats {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
 
+  /** Unsigned UTF-8 byte order — Spark's string `asc` compares
+    * UTF8String bytes, and the local trainer must break ties exactly
+    * as the distributed argmax does (Java String.compareTo orders by
+    * UTF-16 units, which diverges outside the BMP).
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-local BPE merge loop over a collected (word, freq)
+    * vocabulary — bit-identical algorithm to the distributed loop:
+    * same freq-weighted pair counts, same (count desc, lhs, rhs)
+    * UTF-8-binary tie-break, same greedy left-to-right
+    * non-overlapping fuse as [[mergeOnce]]. Spec-pinned equal to the
+    * distributed verdicts ([[bpeTrain]] routes here under the
+    * local-finish threshold).
+    */
+  private[functions] def bpeTrainLocal(vocab: Array[(String, Long)],
+      rounds: Int): Seq[(Long, String, String, Long)] = {
+    // split into code-point symbols exactly like split(word, "") does
+    val syms: Array[Array[String]] = vocab.map { case (w, _) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        out += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      out.toArray
+    }
+    val freqs = vocab.map(_._2)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var wi = 0
+      while (wi < syms.length) {
+        val s = syms(wi)
+        val f = freqs(wi)
+        var i = 0
+        while (i < s.length - 1) {
+          val k = (s(i), s(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+        wi += 1
+      }
+      if (counts.isEmpty) done = true
+      else {
+        var best: (String, String) = null
+        var bestN = Long.MinValue
+        counts.foreach { case (k, n) =>
+          val wins = best == null || n > bestN || (n == bestN &&
+            (utf8Less(k._1, best._1) ||
+              (k._1 == best._1 && utf8Less(k._2, best._2))))
+          if (wins) { best = k; bestN = n }
+        }
+        val (a, b) = best
+        merges += ((r.toLong, a, b, bestN))
+        val ab = a + b
+        wi = 0
+        while (wi < syms.length) {
+          val s = syms(wi)
+          var has = false
+          var i = 0
+          while (!has && i < s.length - 1) {
+            if (s(i) == a && s(i + 1) == b) has = true
+            i += 1
+          }
+          if (has) {
+            // greedy left-to-right, continuing AFTER each fuse — the
+            // mergeOnce fold rule (the fused symbol no longer equals a)
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            i = 0
+            while (i < s.length) {
+              if (i < s.length - 1 && s(i) == a && s(i + 1) == b) {
+                out += ab; i += 2
+              } else { out += s(i); i += 1 }
+            }
+            syms(wi) = out.toArray
+          }
+          wi += 1
+        }
+        r += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** Distributed BPE training (the iterated loop over [[topPairs]]'
     * one-round scan — Sennrich et al. 1508.07909 re-expressed for
     * Spark): learn `rounds` merges over the corpus, returning the
@@ -63,17 +162,30 @@ object TokenizerStats {
     *     table (Heaps' law), which is what every subsequent round
     *     touches. This is the classic trainer trick: pair statistics
     *     over words × freq equal pair statistics over the corpus.
-    *  2. Each round: adjacent-pair explode weighted by freq →
+    *  2. LOCAL FINISH (r13): the vocabulary's measured row count
+    *     decides the loop's venue. A real tokenizer needs 30k+ merges
+    *     = 30k+ Spark jobs if every argmax round-trips the cluster;
+    *     once the collapsed (word, freq) table fits the driver bound
+    *     (`localFinishMaxVocab` rows — the knob; 0 forces the
+    *     distributed loop), the remaining merges run driver-local
+    *     over the collected vocab with the BIT-IDENTICAL algorithm
+    *     (same weighted counts, same UTF-8-binary tie-break, same
+    *     greedy fuse — spec-pinned equal). The corpus scan is still
+    *     the distributed part; only the vocabulary-sized iteration
+    *     moves. Web-scale vocabularies above the bound keep the
+    *     distributed loop below.
+    *  3. Distributed rounds: adjacent-pair explode weighted by freq →
     *     partial-agg groupBy(pair) → the argmax pair (ONE row) to the
     *     driver — the only driver state is the merge table itself.
-    *  3. The merge applies as a fold over each word's symbol array
+    *     The merge applies as a fold over each word's symbol array
     *     ([[mergeOnce]] — map-only), and the new state is persisted
     *     while the previous round's is freed, so lineage stays one
     *     fold deep regardless of `rounds`.
     * Ties break deterministically (count desc, then the pair), and all
     * arithmetic is integer — no FP parity surface.
     */
-  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int,
+      localFinishMaxVocab: Long = 1L << 18): DataFrame = {
     val spark = docs.sparkSession
     // chars of the normalized word; array_remove guards the empty
     // strings Java's split("") can emit at the boundaries
@@ -83,6 +195,15 @@ object TokenizerStats {
       .select(col("__w"), col("__f"),
         array_remove(split(col("__w"), ""), "").as("__s"))
     var state = words.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (localFinishMaxVocab > 0 && state.count() <= localFinishMaxVocab) {
+      // vocab fits the driver: finish every merge locally (one job for
+      // the collect instead of `rounds` argmax jobs)
+      val vocab = state.select(col("__w"), col("__f")).collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      state.unpersist()
+      import spark.implicits._
+      return bpeTrainLocal(vocab, rounds).toDF("rank", "lhs", "rhs", "pair_count")
+    }
     // deferred unpersist: round r's argmax action is what materializes
     // state_r's cache (computing the pair aggregate computes — and
     // therefore caches — its persisted input), so state_{r-1} becomes

@@ -121,4 +121,27 @@ class TokenizerStatsSpec extends SparkSpec {
     val out = TokenizerStats.bpeTrain(docs, "text", rounds = 5).collect()
     assert(out.isEmpty, "no intra-word pairs → no merges learned")
   }
+
+  test("local-finish threshold: driver-local merges equal the distributed loop verdict-for-verdict") {
+    // ties on purpose (every bigram of "abab"/"baba" shows up twice;
+    // "zz zz" vs "yy yy" tie on count and must break on the pair),
+    // plus enough rounds to exhaust one word family mid-run
+    val corpus = Seq(
+      "abab baba abab", "zz zz yy yy", "the cat sat on the mat",
+      "mississippi mississippi", "deterministic deterministic merge")
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val local = table(TokenizerStats.bpeTrain(docs, "text", rounds = 15)) // default: local finish
+    val dist = table(TokenizerStats.bpeTrain(docs, "text", rounds = 15,
+      localFinishMaxVocab = 0)) // knob at 0 forces the distributed loop
+    assert(local.nonEmpty && local == dist,
+      s"\nlocal: $local\ndist:  $dist")
+    // early-exhaustion parity: both venues stop at the same round
+    val tiny = Seq((1L, "aa aa")).toDF("doc_id", "text")
+    val l2 = table(TokenizerStats.bpeTrain(tiny, "text", rounds = 10))
+    val d2 = table(TokenizerStats.bpeTrain(tiny, "text", rounds = 10, localFinishMaxVocab = 0))
+    assert(l2 == d2 && l2.length == 1, s"one learnable merge: $l2 vs $d2")
+  }
 }
