@@ -1296,7 +1296,13 @@ object SparkEntry {
     // one-scan dataset profile: per-column counts/nulls/min/max/mean/
     // std/exact-distinct, unpivoted to a row per column
     "stats_profile" -> { (s, dir) =>
-      Profile.profile(Tables.events(s, dir), Seq("user_id", "value"))
+      // `value` opts into the EXACT distinct class: it is fixed-point
+      // (2-decimal money grid), so |distinct| is bounded by the value
+      // RANGE, not the corpus — the documented exception to the
+      // floats-ride-HLL default (a genuinely-continuous double would
+      // omit the override and profile via approx_count_distinct)
+      Profile.profile(Tables.events(s, dir), Seq("user_id", "value"),
+        exactDistinctCols = Set("value"))
     },
     // feature-hashing vectorizer: 16-bucket signed hashing-trick
     // encoding per doc — the linear-classifier input prep, map-only

@@ -19,21 +19,45 @@ import org.apache.spark.sql.functions._
   * 100 TB-safe whenever |distinct| is bounded (categorical,
   * fixed-point, id-like columns); only a genuinely-unbounded
   * continuous double (|distinct| ≈ N) makes the dedup exchange
-  * corpus-sized — for those, swap `approx_count_distinct`.
+  * corpus-sized — and for those the swap is now WIRED AS THE DEFAULT
+  * (r13): floating-point columns profile with `approx_count_distinct`
+  * (HLL++, fixed sketch memory, no value exchange) unless explicitly
+  * opted into the exact class via `exactDistinctCols` (the right call
+  * for fixed-point/low-cardinality doubles, where |distinct| is a
+  * function of the value RANGE). Both plan shapes are pinned per
+  * column class in ProfileSpec.
   */
 object Profile {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** Per-column distinct-count class rule: floating-point types are
+    * treated as genuinely-unbounded (|distinct| ≈ N at corpus scale)
+    * and ride the HLL sketch; every other type (ints, strings,
+    * decimals, dates) is a bounded class and counts exactly via the
+    * distributed Expand+dedup shape. `exactDistinctCols` overrides a
+    * float column into the exact class — callers assert the
+    * fixed-point contract the override claims.
+    */
+  def profile(df: DataFrame, cols: Seq[String],
+      exactDistinctCols: Set[String] = Set.empty,
+      approxRsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty)
     def d(c: String): Column = col(c).cast("double")
+    val floaty: Set[String] = df.schema.fields
+      .filter(f => f.dataType == org.apache.spark.sql.types.DoubleType ||
+        f.dataType == org.apache.spark.sql.types.FloatType)
+      .map(_.name).toSet
     val aggs = cols.flatMap { c =>
+      val nd =
+        if (floaty(c) && !exactDistinctCols(c))
+          approx_count_distinct(col(c), approxRsd)
+        else countDistinct(col(c))
       Seq(
         count(col(c)).as(s"__${c}_nonnull"),
         min(d(c)).as(s"__${c}_min"),
         max(d(c)).as(s"__${c}_max"),
         round(avg(d(c)), 4).as(s"__${c}_mean"),
         round(stddev_samp(d(c)), 4).as(s"__${c}_std"),
-        countDistinct(col(c)).as(s"__${c}_distinct"))
+        nd.as(s"__${c}_distinct"))
     }
     val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
     val rows = cols.map { c =>
