@@ -394,6 +394,20 @@ object SparkEntry {
       graft.ts.Stl.robustDecompose(daily, "filled_value", Seq("user_id"), "bucket", phase, q = 7)
         .orderBy("user_id", "bucket")
     },
+    // ts_stl with TWO outer robustness passes (Cleveland's n_o ≥ 1
+    // convergence loop, r13 knob): the second pass recomputes bisquare
+    // weights from the first pass's remainder — an outlier whose
+    // leverage partially survived pass 1 loses more of it (spec-pinned);
+    // same single-exchange plan, window nodes scale linearly with n_o
+    "ts_stl2" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
+      val daily = TimeOps.resampleFfill(ev, Seq("user_id"), "ts_us", 86400000000L, max(col("value")))
+        .select("user_id", "bucket", "filled_value")
+      val phase = pmod(expr("bucket div 86400000000") + 3, lit(7)).cast("int")
+      graft.ts.Stl.robustDecompose(daily, "filled_value", Seq("user_id"), "bucket", phase,
+          q = 7, outerIters = 2)
+        .orderBy("user_id", "bucket")
+    },
     // strength-of-components diagnostics (tsfeatures F_trend /
     // F_seasonal) on the robust decomposition: exact integer variance
     // numerators over the s4 components, one partial-agg rollup
@@ -2306,6 +2320,10 @@ object SparkEntry {
     // order + s4 integer space, generated from the same Scala code
     // (graft.ts.Stl.oracleSql — the OracleGen pattern)
     "ts_stl" -> graft.ts.Stl.oracleSql(stlSpineCtes, q = 7),
+    // the two-outer-pass twin: the generator replays the identical
+    // weighted chain once more under suffixed CTEs (oracle regenerated
+    // with the knob, not hand-edited)
+    "ts_stl2" -> graft.ts.Stl.oracleSql(stlSpineCtes, q = 7, outerIters = 2),
     // strength twin: same core CTEs + exact integer variance
     // numerators (HUGEINT vs decimal(38,0) — both exact)
     "ts_stl_strength" -> graft.ts.Stl.strengthOracleSql(stlSpineCtes, q = 7),

@@ -81,6 +81,16 @@ object Stl {
     * measured ~2× the whole query's cost at sf0.1. `false` keeps the
     * declarative lag/lead fold form; StlSpec pins both paths
     * bit-equal (same fold order by construction).
+    *
+    * `outerIters` (r13): Cleveland's STL runs n_o ≥ 1 outer
+    * robustness passes with convergence in 2-3; each extra pass
+    * recomputes the bisquare weights from the CURRENT remainder
+    * (|d4 − seasonal_s4|) and re-runs the SAME weighted loess +
+    * weighted phase-mean kernels — so an outlier whose first-pass
+    * remainder was partially absorbed into the fit loses MORE
+    * leverage on the second pass (spec-pinned). Every iteration rides
+    * the same series/phase window partitioning: the plan grows window
+    * nodes linearly but never adds an exchange.
     */
   def robustDecompose(
       df: DataFrame,
@@ -89,7 +99,9 @@ object Stl {
       orderCol: String,
       phase: Column,
       q: Int,
-      useKernel: Boolean = true): DataFrame = {
+      useKernel: Boolean = true,
+      outerIters: Int = 1): DataFrame = {
+    require(outerIters >= 1, s"need at least one robustness pass, got $outerIters")
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(orderCol))
     val frame = w.rowsBetween(-q, q)
     val v = col(valueCol)
@@ -97,76 +109,89 @@ object Stl {
     val c1 = pass1Coefs(q)
     val wt = tricube(q)
 
-    // pass 1: literal-coefficient tricube moving average
+    // pass 1: literal-coefficient tricube moving average (the rho≡1
+    // local-linear fit at a symmetric window's center)
     val trend1 =
       if (useKernel) graft.plans.StlKernels.conv(collect_list(v).over(frame), c1.toArray)
       else taps.map(i => lit(c1(i + q)) * tap(v, i, w)).reduceLeft(_ + _)
+    val pw = Window.partitionBy(groupCols.map(col) :+ col("phase"): _*)
+    // iteration state: __d4 = s4 detrended value, __ss4 = s4 seasonal
     val base = df
       .withColumn("phase", phase)
-      .withColumn("__m", s4(v - trend1))
-    // unweighted phase mean of the s4 detrended values (integer sums)
-    val pw = Window.partitionBy(groupCols.map(col) :+ col("phase"): _*)
+      .withColumn("__d4", s4(v - trend1))
     val withS1 = base.withColumn("__s1",
-      sum(col("__m")).over(pw).cast("double") / count(col("__m")).over(pw).cast("double") / lit(10000d))
-    val withA4 = withS1.withColumn("__a4",
-      abs(col("__m") - floor(col("__s1") * lit(10000d) + lit(0.5d)).cast("long")))
-    // per-series lower median of |remainder| by bounded rank pick
+      sum(col("__d4")).over(pw).cast("double") / count(col("__d4")).over(pw).cast("double") / lit(10000d))
+      .withColumn("__ss4", floor(col("__s1") * lit(10000d) + lit(0.5d)).cast("long"))
+
     val wRank = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("__a4").asc_nulls_last, col(orderCol))
     val wAll = Window.partitionBy(groupCols.map(col): _*)
-    val withMed = withA4
-      .withColumn("__rn", row_number().over(wRank))
-      .withColumn("__cnt", count(col("__a4")).over(wAll))
-      .withColumn("__med",
-        max(when(col("__rn") === ((col("__cnt") + 1) / 2).cast("long"), col("__a4"))).over(wAll))
-    val h = col("__med") * lit(6L)
-    val u = col("__a4").cast("double") / h.cast("double")
-    val biT = lit(1.0) - u * u
-    val withRho = withMed.withColumn("rho",
-      when(col("__a4").isNull, lit(1.0))
-        .when(col("__med").isNull, lit(1.0))
-        .when(h === 0, lit(1.0))
-        .when(u >= 1.0, lit(0.0))
-        .otherwise(biT * biT))
-
-    // pass 2: weighted degree-1 loess from five explicit folds
-    val rho = col("rho")
-    val rv = rho * v
     def fold(src: Column, coef: Int => Double): Column =
       taps.map(i => lit(coef(i)) * tap(src, i, w)).reduceLeft(_ + _)
     val w0 = taps.map(i => wt(i + q)).toArray
     val w1 = taps.map(i => wt(i + q) * i).toArray
     val w2 = taps.map(i => wt(i + q) * i * i).toArray
-    val trend2 =
-      if (useKernel)
-        graft.plans.StlKernels.loessFit(
-          collect_list(array(rho, v)).over(frame), w0, w1, w2)
-      else {
-        val s0c = fold(rho, i => wt(i + q))
-        val s1c = fold(rho, i => wt(i + q) * i)
-        val s2c = fold(rho, i => wt(i + q) * i * i)
-        val t0c = fold(rv, i => wt(i + q))
-        val t1c = fold(rv, i => wt(i + q) * i)
-        val denom = s0c * s2c - s1c * s1c
-        when(denom === 0, lit(null)).otherwise((s2c * t0c - s1c * t1c) / denom)
-      }
-    // materialize the pass-2 fit ONCE: reusing the `trend2` Column in
-    // a later stage would re-extract its whole window stack into a
-    // second pass-2 Window node (30 offset frames re-evaluated —
-    // measured ~2× the query's cost); downstream consumers reference
-    // the materialized attribute instead
-    val withT2 = withRho
-      .withColumn("__t2", trend2)
-      .withColumn("__d4", s4(v - col("__t2")))
-      .withColumn("__r4", s4(rho))
-    val sw = sum(when(col("__d4").isNotNull, col("__d4") * col("__r4"))).over(pw)
-    val sr = sum(when(col("__d4").isNotNull, col("__r4"))).over(pw)
-    val seas = when(sr.isNull || sr === 0, lit(null))
-      .otherwise(sw.cast("double") / sr.cast("double") / lit(10000d))
-    withT2
+
+    var cur = withS1
+    var o = 1
+    while (o <= outerIters) {
+      // robustness weights from the CURRENT remainder |d4 − ss4|:
+      // per-series lower median by bounded rank pick, h = 6·median,
+      // bisquare ρ = (1 − u²)² (edges/degenerate series keep ρ = 1)
+      val withA4 = cur.withColumn("__a4", abs(col("__d4") - col("__ss4")))
+      val withMed = withA4
+        .withColumn("__rn", row_number().over(wRank))
+        .withColumn("__cnt", count(col("__a4")).over(wAll))
+        .withColumn("__med",
+          max(when(col("__rn") === ((col("__cnt") + 1) / 2).cast("long"), col("__a4"))).over(wAll))
+      val h = col("__med") * lit(6L)
+      val u = col("__a4").cast("double") / h.cast("double")
+      val biT = lit(1.0) - u * u
+      val withRho = withMed.withColumn("rho",
+        when(col("__a4").isNull, lit(1.0))
+          .when(col("__med").isNull, lit(1.0))
+          .when(h === 0, lit(1.0))
+          .when(u >= 1.0, lit(0.0))
+          .otherwise(biT * biT))
+
+      // weighted degree-1 loess from five explicit folds
+      val rho = col("rho")
+      val rv = rho * v
+      val trend2 =
+        if (useKernel)
+          graft.plans.StlKernels.loessFit(
+            collect_list(array(rho, v)).over(frame), w0, w1, w2)
+        else {
+          val s0c = fold(rho, i => wt(i + q))
+          val s1c = fold(rho, i => wt(i + q) * i)
+          val s2c = fold(rho, i => wt(i + q) * i * i)
+          val t0c = fold(rv, i => wt(i + q))
+          val t1c = fold(rv, i => wt(i + q) * i)
+          val denom = s0c * s2c - s1c * s1c
+          when(denom === 0, lit(null)).otherwise((s2c * t0c - s1c * t1c) / denom)
+        }
+      // materialize the pass-2 fit ONCE: reusing the `trend2` Column in
+      // a later stage would re-extract its whole window stack into a
+      // second pass-2 Window node (30 offset frames re-evaluated —
+      // measured ~2× the query's cost); downstream consumers reference
+      // the materialized attribute instead
+      val withT2 = withRho
+        .withColumn("__t2", trend2)
+        .withColumn("__d4", s4(v - col("__t2")))
+        .withColumn("__r4", s4(rho))
+      val sw = sum(when(col("__d4").isNotNull, col("__d4") * col("__r4"))).over(pw)
+      val sr = sum(when(col("__d4").isNotNull, col("__r4"))).over(pw)
+      val seas = when(sr.isNull || sr === 0, lit(null))
+        .otherwise(sw.cast("double") / sr.cast("double") / lit(10000d))
+      cur = withT2
+        .withColumn("__seas", seas)
+        .withColumn("__ss4", floor(col("__seas") * lit(10000d) + lit(0.5d)).cast("long"))
+      o += 1
+    }
+    cur
       .withColumn("trend_s4", s4(col("__t2")))
-      .withColumn("seasonal_s4", floor(seas * lit(10000d) + lit(0.5d)).cast("long"))
-      .withColumn("remainder_s4", col("__d4") - col("seasonal_s4"))
+      .withColumn("seasonal_s4", col("__ss4"))
+      .withColumn("remainder_s4", col("__d4") - col("__ss4"))
       .withColumn("rho_s4", col("__r4"))
       .select(groupCols.map(col) ++ Seq(col(orderCol), v.as("value"), col("phase"),
         col("trend_s4"), col("seasonal_s4"), col("remainder_s4"), col("rho_s4")): _*)
@@ -178,22 +203,34 @@ object Stl {
     * pb/bounds/spine/j/f chain ending in f(user_id, bucket,
     * filled_value) (the ts_seasonal oracle's spine).
     */
-  def oracleSql(spineCtes: String, q: Int): String =
-    oracleCoreCtes(spineCtes, q) + s"""
+  def oracleSql(spineCtes: String, q: Int, outerIters: Int = 1): String =
+    oracleCoreCtes(spineCtes, q, outerIters) + s"""
        |select user_id, bucket, filled_value as value, phase,
        | ${s4Sql("trend2")} as trend_s4,
        | cast(floor(seas * 10000E0 + 0.5E0) as bigint) as seasonal_s4,
        | d4 - cast(floor(seas * 10000E0 + 0.5E0) as bigint) as remainder_s4,
        | r4 as rho_s4
-       |from sn2
+       |from ${lastCte(outerIters)}
        |order by user_id, bucket""".stripMargin
+
+  /** Name of the final per-row CTE for a given outer-iteration count
+    * (iteration 1 keeps the historical unsuffixed names).
+    */
+  private def lastCte(outerIters: Int): String =
+    if (outerIters <= 1) "sn2" else s"sn2_$outerIters"
 
   private def s4Sql(x: String): String = s"cast(floor($x * 10000E0 + 0.5E0) as bigint)"
 
-  /** The oracle's CTE chain up to sn2 (per-row trend2 / d4 / r4 /
-    * seas) — shared by [[oracleSql]] and [[strengthOracleSql]].
+  /** The oracle's CTE chain up to the last iteration's sn2 (per-row
+    * trend2 / d4 / r4 / seas) — shared by [[oracleSql]] and
+    * [[strengthOracleSql]]. For `outerIters > 1`, each extra
+    * robustness pass appends a suffixed chain (ab_o…sn2_o) that
+    * recomputes a4 from the previous pass's (d4, seas) and re-runs
+    * the identical weighted fit — mirroring the Scala loop pass for
+    * pass.
     */
-  def oracleCoreCtes(spineCtes: String, q: Int): String = {
+  def oracleCoreCtes(spineCtes: String, q: Int, outerIters: Int = 1): String = {
+    require(outerIters >= 1)
     import OracleGen.litD
     val taps = -q to q
     val c1 = pass1Coefs(q)
@@ -247,7 +284,48 @@ object Stl {
        |       else cast(sum(case when d4 is not null then d4 * r4 end) over pw as double)
        |            / cast(sum(case when d4 is not null then r4 end) over pw as double) / 10000E0
        |  end as seas
-       | from q2 window pw as (partition by user_id, phase))""".stripMargin
+       | from q2 window pw as (partition by user_id, phase))""".stripMargin +
+      // extra outer robustness passes: each recomputes a4 from the
+      // previous pass's (d4, seas) and replays the identical weighted
+      // chain under suffixed CTE names — mirroring the Scala loop
+      (2 to outerIters).map { o =>
+        val prev = if (o == 2) "sn2" else s"sn2_${o - 1}"
+        val rhoCase =
+          """case when a4 is null then 1.0E0
+            |       when med is null then 1.0E0
+            |       when med * 6 = 0 then 1.0E0
+            |       when cast(a4 as double) / cast(med * 6 as double) >= 1.0E0 then 0.0E0
+            |       else (1.0E0 - (cast(a4 as double) / cast(med * 6 as double)) * (cast(a4 as double) / cast(med * 6 as double)))
+            |            * (1.0E0 - (cast(a4 as double) / cast(med * 6 as double)) * (cast(a4 as double) / cast(med * 6 as double)))
+            |  end""".stripMargin
+        s""",
+           |ab_$o as (select user_id, bucket, filled_value, phase, d4,
+           |  abs(d4 - cast(floor(seas * 10000E0 + 0.5E0) as bigint)) as a4
+           | from $prev),
+           |rk_$o as (select *,
+           |  row_number() over (partition by user_id order by a4 asc nulls last, bucket) as rn,
+           |  count(a4) over (partition by user_id) as cnt
+           | from ab_$o),
+           |md_$o as (select *,
+           |  max(case when rn = (cnt + 1) // 2 then a4 end) over (partition by user_id) as med
+           | from rk_$o),
+           |rw_$o as (select user_id, bucket, filled_value, phase,
+           |  $rhoCase as rho
+           | from md_$o),
+           |p2_$o as (select *, rho * filled_value as rv from rw_$o),
+           |t2_$o as (select user_id, bucket, filled_value, phase, rho,
+           |  case when ($s0c * $s2c - $s1c * $s1c) = 0 then null
+           |       else (($s2c * $t0c - $s1c * $t1c) / ($s0c * $s2c - $s1c * $s1c)) end as trend2
+           | from p2_$o window w as (partition by user_id order by bucket)),
+           |q2_$o as (select *, ${s4S("(filled_value - trend2)")} as d4, ${s4S("rho")} as r4 from t2_$o),
+           |sn2_$o as (select *,
+           |  case when sum(case when d4 is not null then r4 end) over pw is null
+           |         or sum(case when d4 is not null then r4 end) over pw = 0 then null
+           |       else cast(sum(case when d4 is not null then d4 * r4 end) over pw as double)
+           |            / cast(sum(case when d4 is not null then r4 end) over pw as double) / 10000E0
+           |  end as seas
+           | from q2_$o window pw as (partition by user_id, phase))""".stripMargin
+      }.mkString
   }
 
   /** DuckDB twin of [[strength]] over the [[oracleCoreCtes]] chain:
@@ -256,13 +334,13 @@ object Stl {
     * decimal(38,0) — both exact, both cast-to-double correctly
     * rounded from the identical integer), the same clamp/round.
     */
-  def strengthOracleSql(spineCtes: String, q: Int): String =
-    oracleCoreCtes(spineCtes, q) + s""",
+  def strengthOracleSql(spineCtes: String, q: Int, outerIters: Int = 1): String =
+    oracleCoreCtes(spineCtes, q, outerIters) + s""",
        |comp as (select user_id,
        |   d4 - ${s4Sql("seas")} as r,
        |   ${s4Sql("trend2")} + (d4 - ${s4Sql("seas")}) as y,
        |   ${s4Sql("seas")} + (d4 - ${s4Sql("seas")}) as z
-       | from sn2
+       | from ${lastCte(outerIters)}
        | where trend2 is not null and seas is not null and d4 is not null),
        |ag as (select user_id, cast(count(*) as bigint) as n,
        |   sum(r) as sr, sum(r * r) as srr,

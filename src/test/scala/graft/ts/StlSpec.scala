@@ -93,13 +93,14 @@ class StlSpec extends SparkSpec {
     }
   }
 
-  private def runStl(v: IndexedSeq[Double], useKernel: Boolean = true) = {
+  private def runStl(v: IndexedSeq[Double], useKernel: Boolean = true,
+      outerIters: Int = 1) = {
     val day = 86400000000L
     val rows = v.zipWithIndex.map { case (x, t) => (1L, t.toLong * day, x) }
     val daily = rows.toDF("user_id", "bucket", "filled_value")
     val phase = pmod(expr("bucket div 86400000000") + 3, lit(7)).cast("int")
     Stl.robustDecompose(daily, "filled_value", Seq("user_id"), "bucket", phase, q,
-        useKernel = useKernel)
+        useKernel = useKernel, outerIters = outerIters)
       .orderBy("bucket").collect()
   }
 
@@ -151,6 +152,38 @@ class StlSpec extends SparkSpec {
       val a = clean.find(r => r.getInt(3) == p && !r.isNullAt(5)).get.getLong(5)
       val b = spiked.find(r => r.getInt(3) == p && !r.isNullAt(5)).get.getLong(5)
       assert(math.abs(a - b) <= 50000L, s"phase $p seasonal: $a vs $b")
+    }
+  }
+
+  test("outer iterations: a second bisquare pass further shrinks the outlier's leverage") {
+    val clean = runStl(series(42))
+    val spiked = series(42, outlierAt = 20)
+    val one = runStl(spiked, outerIters = 1)
+    val two = runStl(spiked, outerIters = 2)
+    // pass-2 weights come from pass-1's ROBUST remainder (pass-1's came
+    // from the polluted pass-1 fit), so the neighbors' trend moves back
+    // toward the clean series' trend
+    def dev(rows: Array[org.apache.spark.sql.Row]): Long =
+      (10 until 30).filter(_ != 20).map { t =>
+        math.abs(rows(t).getLong(4) - clean(t).getLong(4))
+      }.sum
+    val d1 = dev(one)
+    val d2 = dev(two)
+    assert(d2 < d1, s"second pass must shrink trend distortion: $d2 vs $d1 (s4)")
+    // the outlier itself stays fully rejected on the second pass
+    assert(two(20).getLong(7) == 0L, s"outlier rho after pass 2: ${two(20)}")
+  }
+
+  test("outer iterations: kernel and fold paths stay bit-equal at n_o = 2") {
+    val v = series(42, outlierAt = 20)
+    val k = runStl(v, useKernel = true, outerIters = 2)
+    val d = runStl(v, useKernel = false, outerIters = 2)
+    k.zip(d).zipWithIndex.foreach { case ((a, b), t) =>
+      (4 to 7).foreach { i =>
+        assert(a.isNullAt(i) == b.isNullAt(i) &&
+          (a.isNullAt(i) || a.getLong(i) == b.getLong(i)),
+          s"t=$t col $i: $a vs $b")
+      }
     }
   }
 
