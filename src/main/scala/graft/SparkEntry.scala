@@ -1243,6 +1243,19 @@ object SparkEntry {
       val payloads = Multimodal.synthY4ms(Tables.documents(s, dir).select("doc_id"), "doc_id")
       Multimodal.y4mVideoStats(payloads, "doc_id", "payload").orderBy("doc_id")
     },
+    // REAL-pixel frame embedding → similarity (r13): per decoded frame,
+    // 8 luma band sums (4 horizontal + 4 vertical) over the ACTUAL Y
+    // plane — integers exact in float32 — bucketed by the SAME LSH path
+    // real embeddings ride. Retires mm_embed's text-hash stand-in for
+    // video: swap an encoder's output column for the band sums and
+    // nothing downstream changes.
+    "mm_video_embed" -> { (s, dir) =>
+      val payloads = Multimodal.synthY4ms(Tables.documents(s, dir).select("doc_id"), "doc_id")
+      val emb = Multimodal.y4mFrameEmbedding(payloads, "doc_id", "payload")
+      emb.withColumn("bucket", graft.functions.VectorOps.lshBucket(
+          array((0 until 8).map(j => col(s"e$j").cast("float")): _*), mmPlanes))
+        .orderBy("doc_id", "frame_idx")
+    },
     // multimodal → similarity composition: frame-hash pseudo-embedding
     // (the encoder stand-in) bucketed by the same LSH path embeddings use
     "mm_embed" -> { (s, dir) =>
@@ -1736,6 +1749,19 @@ object SparkEntry {
             "doc_id", "payload"))
         .orderBy("doc_id")
     },
+    // streaming video-frame decode (24th twin): Y4M decode + per-doc
+    // frame stats + content-based shot detection are STATELESS per
+    // payload (scene state lives within one document's frame walk), so
+    // the batch codec kernels compose into the stream unchanged — the
+    // stream_flac argument, now for the video modality; bit-identical
+    // to mm_video_y4m and sharing its SQL twin
+    "stream_video" -> { (s, dir) =>
+      StreamRunner.run(s, streamDocs(s, dir), nChunks = 5, "append")(ds =>
+          Multimodal.y4mVideoStats(
+            Multimodal.synthY4ms(ds.toDF().select("doc_id"), "doc_id"),
+            "doc_id", "payload"))
+        .orderBy("doc_id")
+    },
     // the pack_sequences twin: packing is naturally incremental — one
     // long of state per shard (the running token total); fragments for
     // each doc emit in its arrival micro-batch, bit-identical to batch
@@ -2001,6 +2027,51 @@ object SparkEntry {
         |from lab join fam using (cluster_id) order by lab.doc_id""".stripMargin
   private val mhParams = TextOps.minhashParams(mhK)
   private val annPlanes = VectorOps.lshPlanes(8, 64)
+  /** Shared Y4M stats oracle — mm_video_y4m AND its streaming twin
+    * (stateless decode makes them value-identical).
+    */
+  private lazy val y4mStatsSql: String =
+      """with p as (select doc_id,
+        |    8 + 4 * (doc_id % 4) as w,
+        |    8 + 4 * ((3 * doc_id + 1) % 4) as h,
+        |    2 + (doc_id % 6) as nf,
+        |    doc_id % 64 as base
+        |  from documents),
+        |f as (select doc_id, w, h, nf, base, unnest(generate_series(0, nf - 1)) as fi from p),
+        |s as (select *,
+        |    sum(case when fi > 0 and (doc_id + fi) % 4 = 0 then 1 else 0 end)
+        |      over (partition by doc_id order by fi
+        |            rows between unbounded preceding and current row) as sid
+        |  from f),
+        |fr as (select doc_id, w, h, nf, fi, sid,
+        |    w * h * (base + 10 * sid + fi % 2)
+        |      + h * (w * (w - 1) // 2) + w * h * (h - 1) as ysum,
+        |    base + 10 * sid + fi % 2 as ymin,
+        |    base + (w - 1) + 2 * (h - 1) + 10 * sid + fi % 2 as ymax,
+        |    (w // 2) * (h // 2) * (64 + 3 * fi)
+        |      + (h // 2) * ((w // 2) * (w // 2 - 1) // 2)
+        |      + (w // 2) * (h // 2) * (h // 2 - 1) as cbsum,
+        |    (w // 2) * (h // 2) * (160 - 2 * fi)
+        |      - (h // 2) * ((w // 2) * (w // 2 - 1) // 2)
+        |      - (w // 2) * ((h // 2) * (h // 2 - 1) // 2) as crsum
+        |  from s),
+        |runs as (select doc_id, sid, count(*) as run from fr group by doc_id, sid),
+        |agg as (select doc_id,
+        |    cast(max(nf) as bigint) as n_frames,
+        |    cast(max(w) as bigint) as width, cast(max(h) as bigint) as height,
+        |    cast(sum(ysum) as bigint) as luma_sum,
+        |    cast(min(ymin) as bigint) as luma_min,
+        |    cast(max(ymax) as bigint) as luma_max,
+        |    cast(sum(cbsum) as bigint) as cb_sum,
+        |    cast(sum(crsum) as bigint) as cr_sum
+        |  from fr group by doc_id),
+        |sagg as (select doc_id, cast(count(*) as bigint) as n_scenes,
+        |    cast(max(run) as bigint) as longest_scene
+        |  from runs group by doc_id)
+        |select agg.*, sagg.n_scenes, sagg.longest_scene
+        |from agg join sagg using (doc_id)
+        |order by doc_id""".stripMargin
+
   private val mmPlanes = VectorOps.lshPlanes(4, 8, seed = 13L)
 
   private def taylorOracle(spec: ts.TaylorBasis.Spec): String = {
@@ -3769,47 +3840,43 @@ object SparkEntry {
     // jump the base by 10), so ANY decode/diff bug breaks the gate.
     // Per-frame sums: Σ(base+x+2y+10s+f%2) = w·h·(base+10s+f%2)
     //   + h·w(w−1)/2 + w·h·(h−1); chroma analogues at half resolution.
-    "mm_video_y4m" ->
-      """with p as (select doc_id,
-        |    8 + 4 * (doc_id % 4) as w,
-        |    8 + 4 * ((3 * doc_id + 1) % 4) as h,
-        |    2 + (doc_id % 6) as nf,
-        |    doc_id % 64 as base
-        |  from documents),
-        |f as (select doc_id, w, h, nf, base, unnest(generate_series(0, nf - 1)) as fi from p),
-        |s as (select *,
-        |    sum(case when fi > 0 and (doc_id + fi) % 4 = 0 then 1 else 0 end)
-        |      over (partition by doc_id order by fi
-        |            rows between unbounded preceding and current row) as sid
-        |  from f),
-        |fr as (select doc_id, w, h, nf, fi, sid,
-        |    w * h * (base + 10 * sid + fi % 2)
-        |      + h * (w * (w - 1) // 2) + w * h * (h - 1) as ysum,
-        |    base + 10 * sid + fi % 2 as ymin,
-        |    base + (w - 1) + 2 * (h - 1) + 10 * sid + fi % 2 as ymax,
-        |    (w // 2) * (h // 2) * (64 + 3 * fi)
-        |      + (h // 2) * ((w // 2) * (w // 2 - 1) // 2)
-        |      + (w // 2) * (h // 2) * (h // 2 - 1) as cbsum,
-        |    (w // 2) * (h // 2) * (160 - 2 * fi)
-        |      - (h // 2) * ((w // 2) * (w // 2 - 1) // 2)
-        |      - (w // 2) * ((h // 2) * (h // 2 - 1) // 2) as crsum
-        |  from s),
-        |runs as (select doc_id, sid, count(*) as run from fr group by doc_id, sid),
-        |agg as (select doc_id,
-        |    cast(max(nf) as bigint) as n_frames,
-        |    cast(max(w) as bigint) as width, cast(max(h) as bigint) as height,
-        |    cast(sum(ysum) as bigint) as luma_sum,
-        |    cast(min(ymin) as bigint) as luma_min,
-        |    cast(max(ymax) as bigint) as luma_max,
-        |    cast(sum(cbsum) as bigint) as cb_sum,
-        |    cast(sum(crsum) as bigint) as cr_sum
-        |  from fr group by doc_id),
-        |sagg as (select doc_id, cast(count(*) as bigint) as n_scenes,
-        |    cast(max(run) as bigint) as longest_scene
-        |  from runs group by doc_id)
-        |select agg.*, sagg.n_scenes, sagg.longest_scene
-        |from agg join sagg using (doc_id)
-        |order by doc_id""".stripMargin,
+    "mm_video_y4m" -> y4mStatsSql,
+    // stateless per-payload decode → the streaming twin shares the
+    // batch oracle verbatim (the stream_flac argument)
+    "stream_video" -> y4mStatsSql,
+    // embedding twin: the same closed-form (doc, frame, scene) chain,
+    // band sums in pure integer arithmetic, the shared literal-plane
+    // LSH bucket fold (float components exact — sums ≪ 2²⁴)
+    "mm_video_embed" -> {
+      val hbands = (0 until 4).map { b =>
+        s"cast(hb * w * bb + hb * (w * (w - 1) // 2) + 2 * w * (hb * ($b * hb) + hb * (hb - 1) // 2) as bigint) as e$b"
+      }
+      val vbands = (0 until 4).map { b =>
+        s"cast(h * wb * bb + h * (wb * ($b * wb) + wb * (wb - 1) // 2) + wb * h * (h - 1) as bigint) as e${4 + b}"
+      }
+      val vec = (0 until 8).map(j => s"cast(e$j as real)").mkString("[", ", ", "]")
+      s"""with p as (select doc_id,
+         |    8 + 4 * (doc_id % 4) as w,
+         |    8 + 4 * ((3 * doc_id + 1) % 4) as h,
+         |    2 + (doc_id % 6) as nf,
+         |    doc_id % 64 as base
+         |  from documents),
+         |f as (select doc_id, w, h, nf, base, unnest(generate_series(0, nf - 1)) as fi from p),
+         |s as (select *,
+         |    sum(case when fi > 0 and (doc_id + fi) % 4 = 0 then 1 else 0 end)
+         |      over (partition by doc_id order by fi
+         |            rows between unbounded preceding and current row) as sid
+         |  from f),
+         |g as (select doc_id, fi, w, h, w // 4 as wb, h // 4 as hb,
+         |    base + 10 * sid + fi % 2 as bb from s),
+         |v as (select doc_id, fi as frame_idx,
+         | ${(hbands ++ vbands).mkString(",\n ")}
+         |from g)
+         |select doc_id, frame_idx, ${(0 until 8).map(j => s"e$j").mkString(", ")},
+         | cast(${SqlTwins.lshBucket(vec, mmPlanes)} as bigint) as bucket
+         |from v order by doc_id, frame_idx""".stripMargin
+    },
+
     "ts_pipeline_multi" -> {
       val lags = for (c <- Seq("value", "v2"); k <- Seq(1, 7)) yield OracleGen.lagExpr(c, k, evOver)
       val rms = for (c <- Seq("value", "v2"); w <- Seq(7, 28)) yield OracleGen.rollmeanExpr(c, w, w, evOver)

@@ -1221,6 +1221,55 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** REAL-pixel frame embedding: per decoded frame, an 8-component
+    * feature vector of luma BAND SUMS — 4 horizontal bands (h/4 rows
+    * each) + 4 vertical bands (w/4 columns each) over the ACTUAL
+    * decoded Y plane. This retires the mm_embed text-hash stand-in
+    * for video: the vector is a pure function of real pixel content
+    * (closed-form under the synth contract, so the oracle predicts
+    * every component), integers exact in float32 (≤ ~20·5·255 ≪ 2²⁴),
+    * and it feeds the SAME LSH bucket path real embeddings ride —
+    * swap these band sums for an encoder's output column and nothing
+    * downstream changes. Requires w, h divisible by 4 (the synth
+    * contract guarantees it); other streams emit no rows for safety.
+    */
+  def y4mFrameEmbedding(df: DataFrame, idCol: String, payloadCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val schema = StructType(
+      StructField("doc_id", LongType) +: StructField("frame_idx", LongType) +:
+        (0 until 8).map(j => StructField(s"e$j", LongType)))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.flatMap { r =>
+        val id = r.getLong(idIdx)
+        Y4mCodec.parse(r.getAs[Array[Byte]](pIdx)) match {
+          case Some(v) if v.width % 4 == 0 && v.height % 4 == 0 =>
+            val w = v.width
+            val h = v.height
+            val hb = h / 4
+            val wb = w / 4
+            v.frames.zipWithIndex.map { case (fr, fi) =>
+              val e = new Array[Long](8)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val s = (fr.y(y * w + x) & 0xff).toLong
+                  e(y / hb) += s
+                  e(4 + x / wb) += s
+                  x += 1
+                }
+                y += 1
+              }
+              Row.fromSeq(id +: fi.toLong +: e.toSeq)
+            }
+          case _ => Nil
+        }
+      })
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** REAL video-frame decode + shot detection: parse the Y4M container,
     * walk the ACTUAL decoded planes, and emit per-doc frame statistics
     * plus content-based scene segmentation — a cut is declared when the

@@ -117,6 +117,45 @@ class Y4mCodecSpec extends SparkSpec {
     assert(out.getLong(9) == 2L, s"tampered frame must cut a new scene, got ${out.getLong(9)}")
   }
 
+  test("y4mFrameEmbedding: band sums equal a brute walk of the real decoded pixels") {
+    val df = Seq(2L, 5L, 8L).toDF("doc_id")
+    val emb = Multimodal.y4mFrameEmbedding(
+        Multimodal.synthY4ms(df, "doc_id"), "doc_id", "payload")
+      .orderBy("doc_id", "frame_idx").collect()
+    assert(emb.nonEmpty)
+    emb.foreach { r =>
+      val id = r.getLong(0)
+      val fi = r.getLong(1).toInt
+      val w = 8 + 4 * (id % 4).toInt
+      val h = 8 + 4 * ((3 * id + 1) % 4).toInt
+      val s = Multimodal.y4mSceneId(id, fi)
+      val e = new Array[Long](8)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = Multimodal.y4mLuma(id, fi, x, y, s).toLong
+        e(y / (h / 4)) += v
+        e(4 + x / (w / 4)) += v
+      }
+      (0 until 8).foreach(j =>
+        assert(r.getLong(2 + j) == e(j), s"id=$id f=$fi e$j: ${r.getLong(2 + j)} vs ${e(j)}"))
+    }
+    // hostile payloads emit no rows (never crash)
+    val bad = Seq((9L, "garbage".getBytes("US-ASCII"))).toDF("doc_id", "payload")
+    assert(Multimodal.y4mFrameEmbedding(bad, "doc_id", "payload").count() == 0L)
+  }
+
+  test("video decode composes into a stream unchanged (stateless): stream == batch") {
+    import graft.streaming.{Doc, StreamRunner}
+    val ids = (0L until 20L).map(i => Doc(i, s"doc $i"))
+    val batch = Multimodal.y4mVideoStats(
+        Multimodal.synthY4ms(ids.toDF().select("doc_id"), "doc_id"), "doc_id", "payload")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val stream = StreamRunner.run(spark, ids, nChunks = 4, "append")(ds =>
+        Multimodal.y4mVideoStats(
+          Multimodal.synthY4ms(ds.toDF().select("doc_id"), "doc_id"), "doc_id", "payload"))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(stream.toSeq == batch.toSeq)
+  }
+
   test("undecodable payloads emit null fields, not crashes") {
     val df = Seq((1L, "not a video".getBytes("US-ASCII")), (2L, null.asInstanceOf[Array[Byte]]))
       .toDF("doc_id", "payload")
