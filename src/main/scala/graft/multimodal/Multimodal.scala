@@ -29,14 +29,22 @@ object Multimodal {
     df.withColumn(out, encode(col(srcCol), "UTF-8"))
 
   /** Fan the tiny synthesis id frame out to the session's full
-    * parallelism before a CPU-heavy per-row codec map. The synthetic
+    * parallelism before a CPU-HEAVY per-row codec map. The synthetic
     * id frame reads as ONE parquet split (a few KB), which would pin
     * the whole encode pass on one core (measured: mm_audio_flac_stereo
     * spent ~1.4 s of single-threaded encode on a 32-core host); a
     * round-robin exchange of 8-byte id rows is free by comparison.
-    * Harness-side only: production DECODE scans read naturally-split
-    * payload storage and inherit its parallelism — the stats/parse
-    * kernels stay map-only.
+    *
+    * SELECTIVE (r13 bench adjudication): the exchange carries a ~0.2 s
+    * fixed stage cost locally, so only the genuinely expensive encoders
+    * use it — FLAC (rice planning × all candidates), the entropy-coded
+    * JPEG color/4:2:0 paths, and zlib PNG (measured wins 1.4-5×). The
+    * cheap writers (headers, BMP/WAV byte layout, uncompressed Y4M,
+    * gray JPEG on constant tiles) stay on the input partitioning where
+    * the exchange costs more than it buys. Harness-side only either
+    * way: production DECODE scans read naturally-split payload storage
+    * and inherit its parallelism — the stats/parse kernels stay
+    * map-only.
     */
   private def fanOut(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
@@ -140,7 +148,7 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    fanOut(df).mapPartitions { rows =>
+    df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(_.map { r =>
         val id = r.getLong(idIdx)
         val w = 16 + (id % 1000L).toInt
@@ -220,7 +228,7 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    fanOut(df).mapPartitions { rows =>
+    df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(_.map { r =>
         val id = r.getLong(idIdx)
         Row(id, synthWav(
@@ -249,7 +257,7 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    fanOut(df).mapPartitions { rows =>
+    df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(_.map { r =>
         val id = r.getLong(idIdx)
         val n = 100 + (id % 400L).toInt
@@ -569,7 +577,7 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    fanOut(df).mapPartitions { rows =>
+    df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(_.map { r =>
         val id = r.getLong(idIdx)
         val w = 8 + (id % 9L).toInt
@@ -853,7 +861,7 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    fanOut(df).mapPartitions { rows =>
+    df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(_.map { r =>
         val id = r.getLong(idIdx)
         val bw = 1 + (id % 3L).toInt
@@ -1185,7 +1193,7 @@ object Multimodal {
     val idIdx = df.schema.fieldIndex(idCol)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
-    fanOut(df).mapPartitions { rows =>
+    df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(_.map { r =>
         val id = r.getLong(idIdx)
         val w = 8 + 4 * (id % 4L).toInt
