@@ -1096,6 +1096,15 @@ object SparkEntry {
     // the full BPE trainer loop over that scan: 8 learned merges on
     // the corpus — pair argmax + fold-applied merge per round, state
     // collapsed to the (word, freq) vocabulary after ONE corpus scan
+    // APPLY the trained tokenizer (r13): learn 8 merges, then encode
+    // every document under them — per-doc whitespace-word vs BPE-token
+    // counts, the numbers context windows and compute are budgeted by.
+    // Merges fold over the DISTINCT-word vocab (Heaps), broadcast-gated
+    // join back; integer counts + one identical-operand division.
+    "text_bpe_encode" -> { (s, dir) =>
+      TokenizerStats.bpeEncodeCounts(Tables.documents(s, dir), "doc_id", "text", rounds = 8)
+        .orderBy("doc_id")
+    },
     "text_bpe_train" -> { (s, dir) =>
       TokenizerStats.bpeTrain(Tables.documents(s, dir), "text", rounds = 8)
         .orderBy("rank")
@@ -2085,10 +2094,21 @@ object SparkEntry {
     * non-overlapping replace() (adjacent matches share no characters);
     * pairs are re-derived each round by splitting the encoding.
     */
-  private def bpeTrainOracleSql(rounds: Int): String = {
+  /** The chr(1)-encoded merge-chain CTEs w0..w{rounds} (the BPE fuse
+    * as left-to-right non-overlapping replace — see text_bpe_train),
+    * shared by the trainer oracle and the encode oracle.
+    *
+    * Every CTE is MATERIALIZED: DuckDB inlines CTEs by default, and
+    * each w_r references m_r twice (the two scalar subqueries) plus
+    * w_{r-1} once — inlined, the evaluation tree holds ~3^rounds
+    * copies of the w0 scan (MEASURED: 235 s at sf0.01 for 8 rounds;
+    * 0.5 s materialized — the correctness gate had been paying ~4
+    * minutes on this one oracle every round).
+    */
+  private def bpeMergeChainCtes(rounds: Int): String = {
     val d = "chr(1)"
     val sb = new StringBuilder
-    sb ++= s"""with w0 as (
+    sb ++= s"""with w0 as materialized (
       |  select w, cast(count(*) as bigint) as f,
       |    regexp_replace(w, '(.)', $d || '\\1' || $d, 'g') as s
       |  from (select unnest(${graft.functions.SqlTwins.toks("text")}) as w from documents) tw
@@ -2096,22 +2116,28 @@ object SparkEntry {
       |)""".stripMargin
     for (r <- 1 to rounds) {
       sb ++= s""",
-      |p$r as (
+      |p$r as materialized (
       |  select t[i] as l, t[i + 1] as r2, f
       |  from (select string_split(trim(s, $d), $d || $d) as t, f from w${r - 1}) x,
       |       unnest(case when len(t) >= 2 then range(1, len(t)) else [] end) as u(i)
       |),
-      |m$r as (
+      |m$r as materialized (
       |  select l, r2, cast(sum(f) as bigint) as n from p$r
       |  group by l, r2 order by n desc, l, r2 limit 1
       |),
-      |w$r as (
+      |w$r as materialized (
       |  select w, f,
       |    replace(s, (select $d || l || $d || $d || r2 || $d from m$r),
       |               (select $d || l || r2 || $d from m$r)) as s
       |  from w${r - 1}
       |)""".stripMargin
     }
+    sb.toString
+  }
+
+  private def bpeTrainOracleSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= bpeMergeChainCtes(rounds)
     sb ++= "\nselect * from (\n"
     sb ++= (1 to rounds).map(r =>
       s"  select cast($r as bigint) as rank, l as lhs, r2 as rhs, n as pair_count from m$r")
@@ -3429,6 +3455,27 @@ object SparkEntry {
          |       from t, unnest(case when len(t) >= 2 then range(1, len(t)) else [] end) as u(i))
          |select w1, w2, count(*) as n from pr group by w1, w2
          |order by n desc, w1, w2 limit 100""".stripMargin,
+    // encode twin: the SAME merge chain (shared bpeMergeChainCtes) —
+    // the final vocab's symbol count per word joins back to per-doc
+    // word multiplicities; empty docs keep null counts via the left
+    // join on documents
+    "text_bpe_encode" -> {
+      val d = "chr(1)"
+      bpeMergeChainCtes(8) + s""",
+        |wt as (select w, cast(len(string_split(trim(s, $d), $d || $d)) as bigint) as n_tok
+        |       from w8),
+        |dw as (select doc_id, w, cast(count(*) as bigint) as cnt
+        |       from (select doc_id, unnest(${SqlTwins.toks("text")}) as w from documents) x
+        |       group by doc_id, w),
+        |pd as (select doc_id,
+        |    cast(sum(cnt) as bigint) as n_words,
+        |    cast(sum(cnt * n_tok) as bigint) as n_bpe_tokens
+        |  from dw join wt using (w) group by doc_id)
+        |select d.doc_id, pd.n_words, pd.n_bpe_tokens,
+        | cast(pd.n_bpe_tokens as double) / cast(pd.n_words as double) as tokens_per_word
+        |from documents d left join pd using (doc_id)
+        |order by d.doc_id""".stripMargin
+    },
     "text_bpe_train" ->
       // replays the SAME greedy algorithm: words collapse to (word,
       // freq) once; each round takes the (count desc, pair asc) argmax

@@ -244,4 +244,52 @@ object TokenizerStats {
     import spark.implicits._
     merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
   }
+
+  /** APPLY the trained tokenizer — the second half of the BPE story
+    * (training a merge table is pointless until the corpus is encoded
+    * with it): learn `rounds` merges via [[bpeTrain]], then tokenize
+    * every document under them and report per-doc whitespace-word and
+    * BPE-token counts (the numbers a data pipeline budgets context
+    * windows and compute by).
+    *
+    * Scale shape: the merge table is `rounds` rows of driver state;
+    * merges apply to the DISTINCT-WORD vocabulary (Heaps' law — the
+    * same collapse the trainer rides), as `rounds` chained
+    * [[mergeOnce]] folds (codegen'd `aggregate` HOFs; for a 30k-merge
+    * production tokenizer swap the fold chain for a trie-walk
+    * mapPartitions — documented, not needed at feature-scale rounds).
+    * Per-(doc, word) multiplicities partial-aggregate BEFORE the
+    * vocab join (Zipf-hot words collapse map-side, the text_lm_score
+    * shape), and the token-count table joins back broadcast-gated on
+    * its measured size (vocab ≪ corpus; shuffle fallback above the
+    * bound). Integer counts everywhere; the one division
+    * (tokens_per_word) is identical-operand cross-engine.
+    */
+  def bpeEncodeCounts(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int, localFinishMaxVocab: Long = 1L << 18,
+      maxBroadcastVocab: Long = 4000000L): DataFrame = {
+    val merges = bpeTrain(docs, textCol, rounds, localFinishMaxVocab)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val dw = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__w"))
+      .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__cnt"))
+    val vocab0 = dw.select("__w").distinct()
+      .withColumn("__s", array_remove(split(col("__w"), ""), ""))
+    val mergedVocab = merges.foldLeft(vocab0) { case (df, (a, b)) =>
+      df.withColumn("__s", mergeOnce(col("__s"), a, b))
+    }
+    val nTok = mergedVocab
+      .select(col("__w"), size(col("__s")).cast("long").as("__ntok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gate = if (nTok.count() <= maxBroadcastVocab) broadcast(nTok) else nTok
+    val perDoc = dw.join(gate, Seq("__w"))
+      .groupBy(col(idCol)).agg(
+        sum(col("__cnt")).as("n_words"),
+        sum(col("__cnt") * col("__ntok")).as("n_bpe_tokens"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"), col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+          .as("tokens_per_word"))
+  }
 }

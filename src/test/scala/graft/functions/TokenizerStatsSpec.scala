@@ -122,6 +122,47 @@ class TokenizerStatsSpec extends SparkSpec {
     assert(out.isEmpty, "no intra-word pairs → no merges learned")
   }
 
+  test("bpeEncodeCounts: hand-checked token counts under the learned merges") {
+    // corpus: "aaab aaab ab xyz" per doc → merges learn (a,a) then (aa,a)
+    // or similar; verify counts against a from-scratch replay
+    val corpus = Seq("aaab aaab ab", "xyz aaab", "")
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rounds = 3
+    val out = TokenizerStats.bpeEncodeCounts(docs, "doc_id", "text", rounds)
+      .orderBy("doc_id").collect()
+    // independent replay: train merges via the (already spec-pinned)
+    // local trainer, then encode each word by the same greedy fuse
+    val wordFreq = scala.collection.mutable.Map.empty[String, Long]
+    def tok(s: String) = s.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    corpus.flatMap(tok).foreach(w => wordFreq(w) = wordFreq.getOrElse(w, 0L) + 1)
+    val merges = TokenizerStats.bpeTrainLocal(wordFreq.toArray, rounds).map(m => (m._2, m._3))
+    def encode(w: String): Int = {
+      var syms = w.map(_.toString).toVector
+      merges.foreach { case (a, b) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) { out += a + b; i += 2 }
+          else { out += syms(i); i += 1 }
+        }
+        syms = out.toVector
+      }
+      syms.length
+    }
+    corpus.zipWithIndex.foreach { case (t, i) =>
+      // the pinned tokenizer convention: empty text yields ONE empty
+      // token (the reference's `case Nil => Seq("")`), which encodes
+      // to zero symbols — so an empty doc reports (1, 0, 0.0), not null
+      val words0 = tok(t)
+      val words = if (words0.isEmpty) Array("") else words0
+      val r = out(i)
+      assert(r.getLong(1) == words.length.toLong, s"doc $i n_words: $r")
+      val expTok = words.map(encode(_).toLong).sum
+      assert(r.getLong(2) == expTok, s"doc $i n_bpe_tokens: ${r.getLong(2)} vs $expTok")
+      assert(r.getDouble(3) == expTok.toDouble / words.length, s"doc $i ratio: $r")
+    }
+  }
+
   test("local-finish threshold: driver-local merges equal the distributed loop verdict-for-verdict") {
     // ties on purpose (every bigram of "abab"/"baba" shows up twice;
     // "zz zz" vs "yy yy" tie on count and must break on the pair),
