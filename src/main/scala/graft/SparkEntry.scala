@@ -299,6 +299,14 @@ object SparkEntry {
       TimeOps.rollQuantiles(ev, "value", evGroup, evOrder, w = 7)
         .orderBy("user_id", "ts_us", "event_id")
     },
+    // Hampel outlier repair (r13): centered rolling median/MAD spike
+    // detection + median replacement — integer-cents element picks,
+    // pure-integer 10⁴·dev > 44478·mad verdict, no rounding anywhere
+    "ts_hampel" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.hampel(ev, "value", evGroup, evOrder, k = 3)
+        .orderBy("user_id", "ts_us", "event_id")
+    },
     // AR(2) Yule-Walker fit + 3-step mean-reverting forecast — the
     // autoregressive model class ts_pacf identifies; one window pass +
     // one partial-agg groupBy, closed-form algebra on rounded ACFs
@@ -2568,6 +2576,23 @@ object SparkEntry {
         | case when cnt = 7 then arr[4] end as value_med_w7,
         | case when cnt = 7 then arr[6] end as value_q3_w7
         |from l order by user_id, ts_us, event_id""".stripMargin,
+    // hampel twin: identical cents grid, identical rank-(k+1) element
+    // picks for median and MAD, the same pure-integer verdict
+    "ts_hampel" ->
+      """with d as (select user_id, epoch_us(ts) as ts_us, event_id, value,
+        |    cast(floor(value * 100 + 0.5) as bigint) as c from events),
+        |l as (select *, count(c) over w as cnt,
+        |    list_sort(list(c) over w) as arr
+        |  from d window w as (partition by user_id order by ts_us, event_id
+        |      rows between 3 preceding and 3 following)),
+        |m as (select *, arr[4] as med from l),
+        |v as (select *, list_sort(list_transform(arr, x -> abs(x - med)))[4] as mad,
+        |    abs(c - med) as dev from m)
+        |select user_id, ts_us, event_id, value,
+        | case when cnt = 7 and 10000 * dev > 44478 * mad then true else false end as is_outlier,
+        | case when cnt = 7 and 10000 * dev > 44478 * mad then cast(med as double) / 100
+        |      else cast(value as double) end as value_hampel
+        |from v order by user_id, ts_us, event_id""".stripMargin,
     // AR twin: the shared ACF CTEs (identical rounded r1/r2), last two
     // observations via ordered-list picks, then the Yule-Walker closed
     // forms and the forecast recursion unrolled CTE-by-CTE in the

@@ -1233,6 +1233,52 @@ object TimeOps {
     * (w ≤ ~100); for large w use approx_percentile over the window.
     * One exchange on the series key.
     */
+  /** Hampel filter: the standard rolling-median outlier REPAIR pass
+    * run before featurization (detect a spike against the centered
+    * window's median ± 3·1.4826·MAD, replace it with the median; a
+    * rolling MEAN filter would let the spike drag its own threshold).
+    *
+    * Exactness: values quantize to integer cents (fixed-point contract
+    * as [[winsorize]]), both medians are sorted-element PICKS (the
+    * rollQuantiles convention — lower median at rank k+1 of 2k+1), the
+    * deviation is an integer, and the outlier verdict is the PURE
+    * INTEGER comparison 10⁴·dev > 44478·mad (⟺ dev > 3·1.4826·mad —
+    * the cents scale cancels, 3·1.4826·10⁴ = 44478 exactly), so the
+    * gate needs no rounding anywhere. Edge rows (incomplete centered
+    * window) pass through unflagged. One exchange on the series key;
+    * the window is bounded (2k+1 rows) — scale-safe by construction.
+    */
+  def hampel(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      k: Int = 3,
+      scale: Long = 100L,
+      out: String = "value_hampel"): DataFrame = {
+    require(k >= 1, s"need a window of at least 3, got k=$k")
+    require(scale > 0)
+    val w = 2 * k + 1
+    val win = Featurize.seriesWindow(groupCols, orderCols).rowsBetween(-k, k)
+    val withC = df.withColumn("__c", floor(col(valueCol) * scale + lit(0.5)).cast("long"))
+    val withArr = withC
+      .withColumn("__cnt", count(col("__c")).over(win))
+      .withColumn("__arr", sort_array(collect_list(col("__c")).over(win)))
+    val withMed = withArr
+      .withColumn("__med", element_at(col("__arr"), k + 1))
+      .withColumn("__dev", abs(col("__c") - col("__med")))
+    val withMad = withMed.withColumn("__mad",
+      element_at(array_sort(transform(col("__arr"), x => abs(x - col("__med")))), k + 1))
+    val isOut = col("__cnt") === w &&
+      col("__dev") * lit(10000L) > col("__mad") * lit(44478L)
+    withMad
+      .withColumn("is_outlier", when(isOut, lit(true)).otherwise(lit(false)))
+      .withColumn(out,
+        when(isOut, col("__med").cast("double") / scale)
+          .otherwise(col(valueCol).cast("double")))
+      .drop("__c", "__cnt", "__arr", "__med", "__dev", "__mad")
+  }
+
   def rollQuantiles(
       df: DataFrame,
       valueCol: String,

@@ -48,6 +48,33 @@ class WinsorizeCalendarSpec extends SparkSpec {
     assert(gated.forall(_.isNullAt(0)), "zero MAD must gate to null")
   }
 
+  test("hampel: a spike repairs to the window median; clean rows and edges pass through") {
+    // steady ramp with one wild spike at t=10
+    val rows = (0 until 21).map { t =>
+      (1, t.toLong, if (t == 10) 1000.0 else 50.0 + t)
+    }
+    val out = TimeOps.hampel(rows.toDF("g", "ts", "v"), "v", Seq("g"), Seq("ts"), k = 3)
+      .orderBy("ts").collect()
+    val spike = out(10)
+    assert(spike.getBoolean(3), s"spike must flag: $spike")
+    // centered window at t=10: values 57,58,59,1000,61,62,63 → sorted
+    // lower median (rank 4) = 61.0
+    assert(spike.getDouble(4) == 61.0, s"spike repairs to the window median: $spike")
+    // neighbors are NOT flagged (the median shrugs the spike off) and
+    // pass through verbatim
+    (7 to 13).filter(_ != 10).foreach { t =>
+      assert(!out(t).getBoolean(3) && out(t).getDouble(4) == 50.0 + t, s"t=$t: ${out(t)}")
+    }
+    // edge rows (incomplete centered window) pass through unflagged
+    (0 to 2).foreach { t =>
+      assert(!out(t).getBoolean(3) && out(t).getDouble(4) == 50.0 + t, s"edge t=$t: ${out(t)}")
+    }
+    // constant series: MAD = 0, dev = 0 → 0 > 0 false → nothing flags
+    val const = (0 until 9).map(t => (1, t.toLong, 5.0)).toDF("g", "ts", "v")
+    val c = TimeOps.hampel(const, "v", Seq("g"), Seq("ts"), k = 2).collect()
+    assert(c.forall(r => !r.getBoolean(3) && r.getDouble(4) == 5.0))
+  }
+
   test("plan pin: winsorize + robustZscore plans carry NO percentile window (bounded at 100x)") {
     // parquet read, not toDF: LocalRelation plan pins constant-fold
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
