@@ -330,6 +330,21 @@ object SparkEntry {
           s4(col("mean_right")).as("mean_right_s4"))
         .orderBy("user_id")
     },
+    // depth-2 binary segmentation (r13): the single-split max-|CUSUM|
+    // machinery run once per series, then once per resulting segment —
+    // up to three mean-shifts from two rounds; same left-fold FP
+    // contract, stats presented s4
+    "ts_binseg" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      def s4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        floor(c * 10000d + 0.5d)
+      TimeOps.binseg2(ev, "value", evGroup, evOrder)
+        .select(col("user_id"), col("n"), col("cp_k"), col("cp_ord").as("cp_ts_us"),
+          s4(col("stat")).as("stat_s4"),
+          col("cp_left_ord").as("cp_left_ts_us"), s4(col("stat_left")).as("stat_left_s4"),
+          col("cp_right_ord").as("cp_right_ts_us"), s4(col("stat_right")).as("stat_right_s4"))
+        .orderBy("user_id")
+    },
     // PACF at lags 1..3 (Durbin-Levinson closed forms on the ACF
     // values) — AR-order identification; arithmetic on the identical
     // rounded ACFs, so the result is bit-exact with no extra rounding.
@@ -2648,6 +2663,58 @@ object SparkEntry {
         | cast(floor((sk / k) * 10000 + 0.5) as bigint) as mean_left_s4,
         | cast(floor(((sn - sk) / (n - k)) * 10000 + 0.5) as bigint) as mean_right_s4
         |from p where rn = 1 order by user_id""".stripMargin,
+    // binseg twin: the level-1 chain verbatim, the ts-boundary segment
+    // assignment, and the SAME per-prefix left-fold chain re-keyed on
+    // (user, seg). CTEs MATERIALIZED (the bpe lesson: DuckDB inlines by
+    // default, and l1 is referenced three times over an O(n²) chain)
+    "ts_binseg" ->
+      """with g as materialized (
+        |  select user_id,
+        |    list(value order by epoch_us(ts), event_id) as xs,
+        |    list(epoch_us(ts) order by epoch_us(ts), event_id) as tsl
+        |  from events where value is not null group by user_id),
+        | u as materialized (select user_id,
+        |    unnest(range(1, len(xs) + 1)) as ki,
+        |    unnest(tsl) as ts_us,
+        |    unnest(list_transform(range(1, len(xs) + 1), t -> list_reduce(xs[1:t], (a, b) -> a + b))) as sk,
+        |    cast(len(xs) as double) as n,
+        |    list_reduce(xs, (a, b) -> a + b) as sn
+        |  from g),
+        | c as materialized (select user_id, cast(ki as double) as k, ts_us, sk, n, sn,
+        |    abs(sk - (cast(ki as double) * sn) / n) as d
+        |  from u where ki < n),
+        | p as materialized (select *, row_number() over (partition by user_id order by d desc, k) as rn from c),
+        | l1 as materialized (select user_id, n, k, ts_us as cp1_ts, d from p where rn = 1),
+        | e2 as materialized (select e.user_id, epoch_us(e.ts) as ts_us, e.event_id, e.value,
+        |    case when epoch_us(e.ts) <= l1.cp1_ts then 0 else 1 end as seg
+        |  from events e join l1 using (user_id) where e.value is not null),
+        | g2 as materialized (select user_id, seg,
+        |    list(value order by ts_us, event_id) as xs,
+        |    list(ts_us order by ts_us, event_id) as tsl
+        |  from e2 group by user_id, seg),
+        | u2 as materialized (select user_id, seg,
+        |    unnest(range(1, len(xs) + 1)) as ki,
+        |    unnest(tsl) as ts_us,
+        |    unnest(list_transform(range(1, len(xs) + 1), t -> list_reduce(xs[1:t], (a, b) -> a + b))) as sk,
+        |    cast(len(xs) as double) as n,
+        |    list_reduce(xs, (a, b) -> a + b) as sn
+        |  from g2),
+        | c2 as materialized (select user_id, seg, cast(ki as double) as k, ts_us,
+        |    abs(sk - (cast(ki as double) * sn) / n) as d
+        |  from u2 where ki < n),
+        | p2 as materialized (select *,
+        |    row_number() over (partition by user_id, seg order by d desc, k) as rn from c2)
+        |select l1.user_id, cast(l1.n as bigint) as n, cast(l1.k as bigint) as cp_k,
+        | l1.cp1_ts as cp_ts_us,
+        | cast(floor(l1.d * 10000 + 0.5) as bigint) as stat_s4,
+        | L.ts_us as cp_left_ts_us,
+        | cast(floor(L.d * 10000 + 0.5) as bigint) as stat_left_s4,
+        | R.ts_us as cp_right_ts_us,
+        | cast(floor(R.d * 10000 + 0.5) as bigint) as stat_right_s4
+        |from l1
+        |left join (select * from p2 where rn = 1 and seg = 0) L using (user_id)
+        |left join (select * from p2 where rn = 1 and seg = 1) R using (user_id)
+        |order by l1.user_id""".stripMargin,
     "ts_deltas" ->
       """with g as (
         |  select user_id,

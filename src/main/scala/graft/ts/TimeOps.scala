@@ -1444,6 +1444,42 @@ object TimeOps {
       ((b("sn") - b("sk")) / (b("n") - b("k"))).as("mean_right")): _*)
   }
 
+  /** Depth-2 BINARY SEGMENTATION (the ruptures-style multi-changepoint
+    * estimator): run [[changepoint]] once per series, split each
+    * series at the winning order value, and run the SAME max-|CUSUM|
+    * estimator again inside each segment — up to three mean-shifts
+    * located with two rounds of the single-split machinery. Segment
+    * membership is defined by the ORDER-COLUMN boundary (row at
+    * `orderCols.head` ≤ the level-1 winner's → left), a pure function
+    * of the row both engines evaluate identically. A segment too short
+    * to split (< 2 points) reports null level-2 columns.
+    *
+    * Shape: level 1 is the one-exchange changepoint; the winner row
+    * (one per series) joins back (AQE broadcasts at any sane series
+    * count), and level 2 re-keys the window on (series, segment) — the
+    * same bounded machinery, one more exchange. Same left-fold FP
+    * contract as [[changepoint]].
+    */
+  def binseg2(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val l1 = changepoint(df, valueCol, groupCols, orderCols)
+    val ordHead = orderCols.head
+    val withSeg = df.where(col(valueCol).isNotNull)
+      .join(l1.select(groupCols.map(col) :+ col("cp_ord"): _*), groupCols)
+      .withColumn("__seg", when(col(ordHead) <= col("cp_ord"), lit(0)).otherwise(lit(1)))
+    val l2 = changepoint(withSeg, valueCol, groupCols :+ "__seg", orderCols)
+    def side(seg: Int, suffix: String): DataFrame =
+      l2.where(col("__seg") === seg).select(groupCols.map(col) ++ Seq(
+        col("cp_ord").as(s"cp_${suffix}_ord"),
+        col("stat").as(s"stat_$suffix")): _*)
+    l1.select(groupCols.map(col) ++ Seq(col("n"), col("cp_k"), col("cp_ord"), col("stat")): _*)
+      .join(side(0, "left"), groupCols, "left")
+      .join(side(1, "right"), groupCols, "left")
+  }
+
   /** Calendar features from a µs-epoch timestamp — pure integer
     * arithmetic where possible (day index, Monday-based weekday,
     * weekend flag, hour of day: engine-independent by construction;
