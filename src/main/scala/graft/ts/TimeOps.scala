@@ -1264,11 +1264,14 @@ object TimeOps {
     val withArr = withC
       .withColumn("__cnt", count(col("__c")).over(win))
       .withColumn("__arr", sort_array(collect_list(col("__c")).over(win)))
+    // get() (0-based, null out of bounds), NOT element_at: under ANSI
+    // a series shorter than k+1 rows would THROW on its edge windows
+    // before the cnt gate ever applies (element_at is eager per row)
     val withMed = withArr
-      .withColumn("__med", element_at(col("__arr"), k + 1))
+      .withColumn("__med", get(col("__arr"), lit(k)))
       .withColumn("__dev", abs(col("__c") - col("__med")))
     val withMad = withMed.withColumn("__mad",
-      element_at(array_sort(transform(col("__arr"), x => abs(x - col("__med")))), k + 1))
+      get(array_sort(transform(col("__arr"), x => abs(x - col("__med")))), lit(k)))
     val isOut = col("__cnt") === w &&
       col("__dev") * lit(10000L) > col("__mad") * lit(44478L)
     withMad

@@ -73,6 +73,13 @@ class WinsorizeCalendarSpec extends SparkSpec {
     val const = (0 until 9).map(t => (1, t.toLong, 5.0)).toDF("g", "ts", "v")
     val c = TimeOps.hampel(const, "v", Seq("g"), Seq("ts"), k = 2).collect()
     assert(c.forall(r => !r.getBoolean(3) && r.getDouble(4) == 5.0))
+    // a series SHORTER than k+1: every window is sub-median-rank —
+    // must pass through, not throw (ANSI element_at would raise on
+    // the edge windows before the full-window gate applies)
+    val short = Seq((1, 0L, 1.0), (1, 1L, 99.0)).toDF("g", "ts", "v")
+    val s = TimeOps.hampel(short, "v", Seq("g"), Seq("ts"), k = 3)
+      .orderBy("ts").collect()
+    assert(s.map(_.getDouble(4)).toSeq == Seq(1.0, 99.0) && s.forall(!_.getBoolean(3)))
   }
 
   test("plan pin: winsorize + robustZscore plans carry NO percentile window (bounded at 100x)") {
