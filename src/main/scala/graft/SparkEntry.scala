@@ -652,14 +652,20 @@ object SparkEntry {
       spend.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .orderBy("c_nationkey", "rn")
     },
+    // continuous per-category quantiles, BOUNDED-state default (r14):
+    // radix rank selection of the two bracketing order statistics per
+    // (group, pct) + Spark's Percentile interpolation on the driver —
+    // bit-identical to the unbounded percentile() agg (the spec twin,
+    // Profile.quantilesContExactPercentileTwin / QuantilesContSpec)
+    // without ever buffering a group's values
     "q_quantiles" -> { (s, dir) =>
       val ev = Tables.events(s, dir)
-      ev.groupBy("event_type").agg(
-        round(expr("percentile(value, 0.25)"), 4).as("q25"),
-        round(expr("percentile(value, 0.5)"), 4).as("q50"),
-        round(expr("percentile(value, 0.75)"), 4).as("q75"),
-        round(expr("percentile(value, 0.95)"), 4).as("q95"),
-        count(lit(1)).as("n"))
+      Profile.quantilesContBy(ev, "event_type", col("value"),
+        Seq(("q25", 0.25), ("q50", 0.5), ("q75", 0.75), ("q95", 0.95)))
+        .select(col("event_type"),
+          round(col("q25"), 4).as("q25"), round(col("q50"), 4).as("q50"),
+          round(col("q75"), 4).as("q75"), round(col("q95"), 4).as("q95"),
+          col("n"))
         .orderBy("event_type")
     },
     // period-over-period growth (the MoM revenue report): monthly

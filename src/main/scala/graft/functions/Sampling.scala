@@ -39,8 +39,12 @@ object Sampling {
     * BROADCAST join back (a handful of rows), NOT a window partitioned
     * by language — lang has a handful of values, so a lang-partitioned
     * window would put whole sub-corpora in single unsplittable
-    * partitions. Exact percentile is the oracle path; swap
-    * approx_percentile at 100 TB per the q_quantiles_approx note.
+    * partitions. The exact percentile here is BOUNDED-state despite
+    * its name: Spark's Percentile agg buffers a value→count hash, and
+    * q4 is a fixed-point s4 integer with ≤10,001 possible values, so
+    * the buffer is ≤10,001 entries per lang regardless of corpus size
+    * (the unbounded case is a continuous double — that's q_quantiles,
+    * which routes through the radix selector).
     * Scores are s4 integers and the boundaries are floored to
     * integers, so every bucket verdict is an integer comparison.
     */
