@@ -274,16 +274,74 @@ object Profile {
     * engines disagree on NaN sort semantics); −0.0 orders just below
     * +0.0 (numerically equal — either pick compares equal).
     */
+  /** Shared core of the radix rank selectors: given rows keyed as
+    * (__g string group, __u bias-shifted order-preserving int64 key)
+    * and a distinct set of (group, 1-based rank) targets, runs the
+    * 4-round 2^16-radix RANK SELECTION and returns each target's full
+    * 64-bit (still biased) key. Per round (r15 shape): rows probe ONE
+    * broadcast hash relation of the live (group, prefix) keys — a row
+    * carries exactly one such pair, so dispatch is a vectorized join
+    * lookup, not the r14 per-target `when`-array fan — the matches
+    * partial-aggregate into per-(group, prefix) ≤2^16-bucket
+    * histograms that stay DISTRIBUTED, the cumulative-rank pick runs
+    * as a window over the histogram (partitions bounded at 65,536
+    * rows, spillable), and the driver collects exactly ONE row per
+    * live target. Driver state is O(#targets) per round; the former
+    * groups·pcts·65,536-row histogram collect (a ~537M-row OOM risk
+    * at adversarial spread — ADVICE r14) is gone.
+    */
+  private def radixSelect(keyed: DataFrame,
+      targets: Seq[(String, Long)]): Map[(String, Long), Long] = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val ids = targets.distinct
+    // per target: (remaining rank within its prefix-matched set, prefix)
+    val st: Array[(Long, Long)] = ids.map(t => (t._2, 0L)).toArray
+    for (round <- 0 until 4 if ids.nonEmpty) {
+      val d = 48 - 16 * round
+      val tdf = broadcast(ids.indices
+        .map(i => (ids(i)._1, st(i)._2, st(i)._1, i))
+        .toDF("__g", "__pfx", "__r0", "__tid"))
+      val keysDf = broadcast(tdf.select("__g", "__pfx").distinct())
+      // round 0 is the empty prefix; shiftrightunsigned(u, 64) would be
+      // a NO-OP shift (the JVM masks the count to 6 bits), so pin 0
+      val rowPfx = if (round == 0) lit(0L) else shiftrightunsigned(col("__u"), d + 16)
+      val hist = keyed
+        .withColumn("__pfx", rowPfx)
+        .join(keysDf, Seq("__g", "__pfx"))
+        .groupBy(col("__g"), col("__pfx"),
+          shiftrightunsigned(col("__u"), d).bitwiseAND(lit(0xFFFFL)).as("__b"))
+        .agg(count(lit(1)).as("__c"))
+      val wc = Window.partitionBy(col("__g"), col("__pfx")).orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val picks = hist.withColumn("__cum", sum(col("__c")).over(wc))
+        .join(tdf, Seq("__g", "__pfx"))
+        .where(col("__cum") >= col("__r0") && col("__cum") - col("__c") < col("__r0"))
+        .select(col("__tid"), col("__b"),
+          (col("__r0") - col("__cum") + col("__c")).as("__rem"))
+        .collect()
+      require(picks.length == ids.length,
+        s"radix round $round resolved ${picks.length}/${ids.length} targets — corrupt histogram")
+      picks.foreach { r =>
+        val tid = r.getInt(0)
+        st(tid) = (r.getLong(2), (st(tid)._2 << 16) | r.getLong(1))
+      }
+    }
+    ids.zipWithIndex.map { case (id, i) => id -> st(i)._2 }.toMap
+  }
+
   def exactDoubleQuantiles(df: DataFrame, c: Column,
       pcts: Seq[(String, Int)]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val spark = df.sparkSession
     // bias by Long.MinValue so UNSIGNED 16-bit radix digits ascend with
-    // the SIGNED key order (the sign bit lives in round 1's digit)
+    // the SIGNED key order (the sign bit lives in round 1's digit);
+    // the constant "" group makes this the one-group case of radixSelect
     val keyed = df.select(c.cast("double").as("__v"))
       .where(col("__v").isNotNull)
-      .select(graft.plans.SortableDoubleBits.of(col("__v"))
+      .select(lit("").as("__g"), graft.plans.SortableDoubleBits.of(col("__v"))
         .bitwiseXOR(lit(Long.MinValue)).as("__u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -294,39 +352,10 @@ object Profile {
         val row = Row.fromSeq(pcts.map(_ => null) :+ 0L)
         return spark.createDataFrame(java.util.Arrays.asList(row), schema)
       }
-      // (remaining 1-based rank within the prefix-matched set, prefix).
-      // Targets sharing a prefix share ONE histogram per round (all
-      // pcts do in round 0, and adjacent pcts keep colliding after) —
-      // the per-row condition count is #distinct prefixes, not #pcts.
-      var st: Seq[(Long, Long)] = pcts.map { case (_, p) => ((p.toLong * n + 99L) / 100L, 0L) }
-      for (round <- 0 until 4) {
-        val d = 48 - 16 * round
-        val prefixes = st.map(_._2).distinct
-        val pidx = prefixes.zipWithIndex.toMap
-        val entries = array(prefixes.zipWithIndex.map { case (prefix, i) =>
-          val matches =
-            if (round == 0) lit(true)
-            else shiftrightunsigned(col("__u"), d + 16) === lit(prefix)
-          when(matches, struct(lit(i).as("p"),
-            shiftrightunsigned(col("__u"), d).bitwiseAND(lit(0xFFFFL)).as("b")))
-        }: _*)
-        val hist = keyed
-          .select(explode(filter(entries, e => e.isNotNull)).as("e"))
-          .groupBy(col("e.p").as("p"), col("e.b").as("b")).agg(count(lit(1)).as("c"))
-          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-        st = st.map { case (r0, prefix) =>
-          val buckets = hist.filter(_._1 == pidx(prefix)).map(t => (t._2, t._3)).sortBy(_._1)
-          var cum = 0L
-          var res: Option[(Long, Long)] = None
-          for ((b, cnt) <- buckets if res.isEmpty) {
-            if (cum + cnt >= r0) res = Some((r0 - cum, (prefix << 16) | b))
-            else cum += cnt
-          }
-          res.getOrElse(sys.error(s"rank $r0 not found — corrupt histogram"))
-        }
-      }
-      val row = Row.fromSeq(st.map { case (_, fullKey) =>
-        graft.plans.KernelRuntime.sortableBitsToDouble(fullKey ^ Long.MinValue)
+      val ranks = pcts.map { case (_, p) => (p.toLong * n + 99L) / 100L }
+      val picked = radixSelect(keyed, ranks.map(("", _)))
+      val row = Row.fromSeq(ranks.map { r =>
+        graft.plans.KernelRuntime.sortableBitsToDouble(picked(("", r)) ^ Long.MinValue)
       } :+ n)
       spark.createDataFrame(java.util.Arrays.asList(row), schema)
     } finally keyed.unpersist()
@@ -356,52 +385,26 @@ object Profile {
         .bitwiseXOR(lit(Long.MinValue)).as("__u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // the LIMIT maxGroups+1 bounds the collect itself: a runaway-
+      // cardinality key surfaces as the require below, never as a
+      // driver OOM inside this collect (ADVICE r14)
       val ns = keyed.groupBy("__g").agg(count(lit(1)).as("n"))
+        .limit(maxGroups + 1)
         .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
       require(ns.length <= maxGroups,
-        s"${ns.length} groups exceed the driver-bounded limit $maxGroups — " +
+        s"${ns.length}+ groups exceed the driver-bounded limit $maxGroups — " +
           "use groupedHistogramQuantiles/approx_percentile for high-cardinality keys")
-      // target = (group, rank-within-prefix-set, prefix); targets
-      // sharing (group, prefix) share ONE histogram per round — round
-      // 0 evaluates #groups conditions per row, not groups·pcts
-      var st: Seq[(String, Long, Long)] = for {
-        (g, n) <- ns.toSeq; (_, p) <- pcts
-      } yield (g, (p.toLong * n + 99L) / 100L, 0L)
-      for (round <- 0 until 4) {
-        val d = 48 - 16 * round
-        val keys = st.map(t => (t._1, t._3)).distinct
-        val kidx = keys.zipWithIndex.toMap
-        val entries = array(keys.zipWithIndex.map { case ((g, prefix), i) =>
-          val matches = (col("__g") === lit(g)) &&
-            (if (round == 0) lit(true)
-             else shiftrightunsigned(col("__u"), d + 16) === lit(prefix))
-          when(matches, struct(lit(i).as("p"),
-            shiftrightunsigned(col("__u"), d).bitwiseAND(lit(0xFFFFL)).as("b")))
-        }: _*)
-        val hist = keyed
-          .select(explode(filter(entries, e => e.isNotNull)).as("e"))
-          .groupBy(col("e.p").as("p"), col("e.b").as("b")).agg(count(lit(1)).as("c"))
-          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-        st = st.map { case (g, r0, prefix) =>
-          val buckets = hist.filter(_._1 == kidx((g, prefix))).map(t => (t._2, t._3)).sortBy(_._1)
-          var cum = 0L
-          var res: Option[(String, Long, Long)] = None
-          for ((b, cnt) <- buckets if res.isEmpty) {
-            if (cum + cnt >= r0) res = Some((g, r0 - cum, (prefix << 16) | b))
-            else cum += cnt
-          }
-          res.getOrElse(sys.error(s"rank $r0 not found for group $g — corrupt histogram"))
-        }
-      }
-      val byGroup = st.grouped(pcts.size).toSeq
+      val rank = (n: Long, p: Int) => (p.toLong * n + 99L) / 100L
+      val picked = radixSelect(keyed,
+        for { (g, n) <- ns.toSeq; (_, p) <- pcts } yield (g, rank(n, p)))
       val schema = StructType(
         StructField(groupCol, org.apache.spark.sql.types.StringType, nullable = false) +:
         pcts.map(p => StructField(p._1, DoubleType, nullable = true)) :+
         StructField("n_rows", LongType, nullable = false))
       val rows: java.util.List[Row] = java.util.Arrays.asList(
-        ns.zip(byGroup).map { case ((g, n), targets) =>
-          Row.fromSeq(g +: targets.map { case (_, _, fullKey) =>
-            graft.plans.KernelRuntime.sortableBitsToDouble(fullKey ^ Long.MinValue)
+        ns.map { case (g, n) =>
+          Row.fromSeq(g +: pcts.map { case (_, p) =>
+            graft.plans.KernelRuntime.sortableBitsToDouble(picked((g, rank(n, p))) ^ Long.MinValue)
           } :+ n)
         }: _*)
       spark.createDataFrame(rows, schema)

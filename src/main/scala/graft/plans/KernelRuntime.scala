@@ -577,12 +577,19 @@ object KernelRuntime {
     * mapping k = bits XOR ((bits >> 63) & Long.MaxValue) — flips the
     * magnitude bits of negatives so SIGNED k ascends exactly with the
     * double's numeric order over all finite values and infinities
-    * (−∞ near Long.MinValue, −0.0 = −1, +0.0 = 0, +∞ = 0x7FF0…; NaN
-    * maps above +∞ — documented). The map is an involution, so the
-    * same function inverts it on the raw bits.
+    * (−∞ near Long.MinValue, −0.0 = −1, +0.0 = 0, +∞ = 0x7FF0…).
+    * `doubleToLongBits` (NOT raw) canonicalizes every NaN — sign-bit
+    * and payload variants included — to the single positive pattern
+    * 0x7FF8…, so ALL NaNs collapse to ONE key that orders ABOVE +∞,
+    * exactly Spark percentile()'s NaN semantics (boxed Double.equals
+    * + Double.compare); a raw-bits sign-bit NaN would otherwise map
+    * BELOW −∞ and distinct payloads would count as distinct keys
+    * (ADVICE r14). The map is an involution on canonical bit
+    * patterns (every non-NaN, plus the canonical NaN), so the same
+    * XOR inverts it.
     */
   def sortableDoubleBits(x: Double): Long = {
-    val bits = java.lang.Double.doubleToRawLongBits(x)
+    val bits = java.lang.Double.doubleToLongBits(x)
     bits ^ ((bits >> 63) & java.lang.Long.MAX_VALUE)
   }
 
