@@ -345,6 +345,12 @@ object Profile {
         .bitwiseXOR(lit(Long.MinValue)).as("__u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // up-front validation: p ≤ 0 would yield rank 0 (unpickable —
+      // the cumulative predicate can never hold) and p > 100 rank > n,
+      // both of which would surface as a misleading "corrupt
+      // histogram" internal error inside radixSelect (ADVICE r15)
+      require(pcts.forall(p => p._2 >= 1 && p._2 <= 100),
+        s"percentile out of [1, 100]: ${pcts.filterNot(p => p._2 >= 1 && p._2 <= 100).map(_._2).mkString(", ")}")
       val n = keyed.count()
       val schema = StructType(pcts.map(p => StructField(p._1, DoubleType, nullable = true)) :+
         StructField("n_rows", LongType, nullable = false))
@@ -385,6 +391,8 @@ object Profile {
         .bitwiseXOR(lit(Long.MinValue)).as("__u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      require(pcts.forall(p => p._2 >= 1 && p._2 <= 100),
+        s"percentile out of [1, 100]: ${pcts.filterNot(p => p._2 >= 1 && p._2 <= 100).map(_._2).mkString(", ")}")
       // the LIMIT maxGroups+1 bounds the collect itself: a runaway-
       // cardinality key surfaces as the require below, never as a
       // driver OOM inside this collect (ADVICE r14)
@@ -418,13 +426,16 @@ object Profile {
     * 100 TB killer); this computes the identical verdict by radix RANK
     * SELECTION: for each (group, p) the continuous quantile sits at
     * 0-based position p·(n−1) between the 1-based order statistics
-    * ⌊pos⌋+1 and ⌈pos⌉+1, so we select exactly those ranks with the
-    * same 4-round 2^16-radix IEEE-key machinery as
-    * [[exactDoubleQuantilesBy]] (one shared scan per round, map-side
-    * combinable histograms, ≤ groups·2·pcts·65,536 collected rows)
-    * and interpolate on the driver with Spark's own Percentile
-    * formula `(hi−pos)·v_lo + (pos−lo)·v_hi` — so the result matches
-    * the unbounded `percentile` twin bit-for-bit (QuantilesContSpec).
+    * ⌊pos⌋+1 and ⌈pos⌉+1, so we select exactly those ranks through
+    * the shared [[radixSelect]] core (histograms stay DISTRIBUTED,
+    * one broadcast-join dispatch per round, the driver collects
+    * exactly one row per live target — O(groups·2·pcts) state) and
+    * interpolate on the driver with Spark's own Percentile rule:
+    * return v_lo verbatim when the two bracketing order statistics
+    * are the same value (integral position OR duplicated data),
+    * `(hi−pos)·v_lo + (pos−lo)·v_hi` otherwise — so the result
+    * matches the unbounded `percentile` twin bit-for-bit
+    * (QuantilesContSpec, incl. the duplicated-values and NaN cases).
     *
     * `n` in the output counts ALL group rows (null values included),
     * matching `count(*)` in the percentile form; quantiles are over
@@ -443,53 +454,36 @@ object Profile {
         .bitwiseXOR(lit(Long.MinValue)).as("__u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      require(pcts.forall(p => p._2 >= 0.0 && p._2 <= 1.0),
+        s"percentage out of [0, 1]: ${pcts.filterNot(p => p._2 >= 0.0 && p._2 <= 1.0).map(_._2).mkString(", ")}")
       // group sizes: total rows (the emitted n, = count(*)) and
-      // non-null values (the rank universe) in ONE partial-agg pass
+      // non-null values (the rank universe) in ONE partial-agg pass.
+      // LIMIT maxGroups+1 bounds the collect itself: a runaway-
+      // cardinality key surfaces as the require below, never as a
+      // driver OOM inside this collect (ADVICE r15)
       val ns = df.select(col(groupCol).cast("string").as("__g"), c.cast("double").as("__v"))
         .where(col(groupCol).isNotNull)
         .groupBy("__g").agg(count(lit(1)).as("nt"), count(col("__v")).as("nv"))
+        .limit(maxGroups + 1)
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
       require(ns.length <= maxGroups,
-        s"${ns.length} groups exceed the driver-bounded limit $maxGroups — " +
+        s"${ns.length}+ groups exceed the driver-bounded limit $maxGroups — " +
           "use groupedHistogramQuantiles/approx_percentile for high-cardinality keys")
-      // the distinct (group, 1-based rank) set each interpolation needs
+      // the distinct (group, 1-based rank) set each interpolation
+      // needs — ⌊pos⌋+1 and ⌈pos⌉+1 are just two radixSelect targets
+      // per pct, so the shared selector (distributed histograms, one
+      // broadcast-join dispatch per round, O(#targets) driver state)
+      // replaces the former per-round full-histogram collect and
+      // per-row when-array fan (ADVICE r15)
       val rankTargets: Seq[(String, Long)] = (for {
         (g, _, nv) <- ns if nv > 0
         (_, p) <- pcts
         pos = p * (nv - 1).toDouble
         r <- Seq(math.floor(pos).toLong + 1L, math.ceil(pos).toLong + 1L)
       } yield (g, r)).distinct
-      var st: Seq[((String, Long), Long, Long)] =
-        rankTargets.map { case (g, r) => ((g, r), r, 0L) }
-      for (round <- 0 until 4 if st.nonEmpty) {
-        val d = 48 - 16 * round
-        val keys = st.map(t => (t._1._1, t._3)).distinct
-        val kidx = keys.zipWithIndex.toMap
-        val entries = array(keys.zipWithIndex.map { case ((g, prefix), i) =>
-          val matches = (col("__g") === lit(g)) &&
-            (if (round == 0) lit(true)
-             else shiftrightunsigned(col("__u"), d + 16) === lit(prefix))
-          when(matches, struct(lit(i).as("p"),
-            shiftrightunsigned(col("__u"), d).bitwiseAND(lit(0xFFFFL)).as("b")))
-        }: _*)
-        val hist = keyed
-          .select(explode(filter(entries, e => e.isNotNull)).as("e"))
-          .groupBy(col("e.p").as("p"), col("e.b").as("b")).agg(count(lit(1)).as("c"))
-          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-        st = st.map { case (id, r0, prefix) =>
-          val buckets = hist.filter(_._1 == kidx((id._1, prefix))).map(t => (t._2, t._3)).sortBy(_._1)
-          var cum = 0L
-          var res: Option[((String, Long), Long, Long)] = None
-          for ((b, cnt) <- buckets if res.isEmpty) {
-            if (cum + cnt >= r0) res = Some((id, r0 - cum, (prefix << 16) | b))
-            else cum += cnt
-          }
-          res.getOrElse(sys.error(s"rank ${id._2} not found for group ${id._1} — corrupt histogram"))
-        }
-      }
-      val picked: Map[(String, Long), Double] = st.map { case (id, _, fullKey) =>
-        id -> graft.plans.KernelRuntime.sortableBitsToDouble(fullKey ^ Long.MinValue)
-      }.toMap
+      // biased 64-bit keys, NOT doubles: the equal-keys short-circuit
+      // below must compare raw bits (doubleToRawLongBits semantics)
+      val picked: Map[(String, Long), Long] = radixSelect(keyed, rankTargets)
       val schema = StructType(
         StructField(groupCol, StringType, nullable = false) +:
         pcts.map(p => StructField(p._1, DoubleType, nullable = true)) :+
@@ -502,11 +496,19 @@ object Profile {
               val pos = p * (nv - 1).toDouble
               val lo = math.floor(pos).toLong
               val hi = math.ceil(pos).toLong
-              val vLo = picked((g, lo + 1L))
-              if (hi == lo) vLo
+              val kLo = picked((g, lo + 1L))
+              val vLo = graft.plans.KernelRuntime.sortableBitsToDouble(kLo ^ Long.MinValue)
+              // Spark Percentile.getPercentile returns the LOWER order
+              // statistic verbatim whenever the two bracketing values
+              // are identical (integral position, or duplicated data
+              // putting the same value at both ranks) — interpolating
+              // (hi−pos)·v + (pos−lo)·v instead can differ by 1 ulp,
+              // so short-circuit on equal picked KEYS (ADVICE r15)
+              if (hi == lo || picked((g, hi + 1L)) == kLo) vLo
               else {
                 // Spark Percentile.getPercentile's exact interpolation
-                val vHi = picked((g, hi + 1L))
+                val vHi = graft.plans.KernelRuntime.sortableBitsToDouble(
+                  picked((g, hi + 1L)) ^ Long.MinValue)
                 (hi - pos) * vLo + (pos - lo) * vHi
               }
             }

@@ -55,6 +55,64 @@ class QuantilesContSpec extends SparkSpec {
     compare(rows.toDF("g", "v"), "adversarial")
   }
 
+  test("equal-keys short-circuit: duplicated NON-DYADIC values at fractional positions") {
+    // When both bracketing order statistics are the same value v at a
+    // fractional position, Spark Percentile returns v verbatim;
+    // interpolating (hi−pos)·v + (pos−lo)·v instead differs by 1 ulp
+    // for ~3.5 % of (v, pos) pairs (ADVICE r15). Non-dyadic duplicated
+    // values (0.1, 0.3, …) at group sizes that put every pct at a
+    // fractional pos make the divergence deterministic, not sampled.
+    // DETERMINISTIC divergent cases: constant groups at (n, v) combos
+    // where (hi−pos)·v + (pos−lo)·v ≠ v in IEEE double — for q95,
+    // pos = 0.95·(n−1): (n=7, v=0.9), (n=5, v=7.7), (n=10, v=7.7)
+    // all flip the last bit, so the old interpolate-always code FAILS
+    // this test (verified against doubleToLongBits off-line)
+    val constant: Seq[(String, Option[Double])] =
+      Seq((7, 0.9), (5, 7.7), (10, 7.7)).zipWithIndex.flatMap {
+        case ((n, v), gi) => (0 until n).map(_ => ("c" + gi, Some(v)))
+      }
+    // plus randomized heavy-duplication groups over non-dyadic values
+    val rnd = new scala.util.Random(1717)
+    val vals = Array(0.1, 0.3, 0.7, 1.0 / 3.0, 2.0 / 7.0, -0.1, 9.4, 7.7, 0.9)
+    val random: Seq[(String, Option[Double])] = (for {
+      (n, gi) <- Seq(7, 11, 13, 22, 46).zipWithIndex
+      i <- 0 until n
+    } yield ("d" + gi, Some(vals(rnd.nextInt(3) match {
+      case 0 => gi % vals.length // heavy duplication of one value
+      case _ => rnd.nextInt(vals.length)
+    }))))
+    compare((constant ++ random).toDF("g", "v"), "dup-nondyadic")
+  }
+
+  test("NaN and −0.0 adversarial values (KernelRuntime canonicalization)") {
+    // NaN canonicalizes (doubleToLongBits) to ONE key above +∞ in
+    // SortableDoubleBits — matching percentile()'s boxed-Double
+    // dedup/ordering where every NaN payload is one entry sorting
+    // last; −0.0 keys just below +0.0 and must NOT be conflated with
+    // it (boxed equals distinguishes them, so the twin interpolates).
+    val rnd = new scala.util.Random(9090)
+    val rows: Seq[(String, Option[Double])] = (0 until 900).map { i =>
+      val v: Option[Double] = rnd.nextInt(6) match {
+        case 0 => Some(Double.NaN)
+        case 1 => Some(java.lang.Double.longBitsToDouble(0xFFF8000000000123L)) // payload NaN
+        case 2 => Some(-0.0)
+        case 3 => Some(0.0)
+        case 4 => Some(Double.PositiveInfinity)
+        case _ => Some(rnd.nextDouble() - 0.5)
+      }
+      ("n" + (i % 4), v)
+    } :+ (("allnan", Some(Double.NaN)))
+    compare(rows.toDF("g", "v"), "nan-negzero")
+  }
+
+  test("out-of-range percentiles rejected up front, not as a corrupt-histogram error") {
+    val rows = Seq(("g0", 1.0), ("g0", 2.0))
+    val e = intercept[IllegalArgumentException] {
+      Profile.quantilesContBy(rows.toDF("g", "v"), "g", col("v"), Seq(("bad", 1.5)))
+    }
+    assert(e.getMessage.contains("percentage out of [0, 1]"))
+  }
+
   test("bit-identical to the twin on sf0.001 events (the q_quantiles shape)") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select(col("event_type").as("g"), col("value").as("v"))
