@@ -558,6 +558,27 @@ object SparkEntry {
       TimeOps.theilSen(ev, "value", "ts_us", Seq("user_id"), pairFrac = Some(0.25))
         .orderBy("user_id")
     },
+    // the AUTO-ROUTED Theil-Sen (r16): per-series pair budget (1000
+    // pairs → 44-point budget) engages the consistent point-sampled
+    // estimator exactly where a series' n demands it — no manual
+    // pairFrac, no failed job — while in-budget series stay EXACT
+    // (the integer keep-threshold passes every row when n ≤ budget).
+    // Every gate-scale series exceeds 44 points, so the SAMPLED path
+    // is what this query oracle-checks (the exact path is the
+    // untouched ts_theilsen; in-budget bit-identity is pinned in
+    // TheilSenAutoSpec)
+    "ts_theilsen_auto" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
+      TimeOps.theilSen(ev, "value", "ts_us", Seq("user_id"), autoMaxPairs = Some(1000L))
+        .orderBy("user_id")
+    },
+    // Mann-Kendall through the same auto-route: S, n_obs and the
+    // variance all over the SAME subsample — internally consistent
+    "ts_mannkendall_auto" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
+      TimeOps.mannKendall(ev, "value", "ts_us", Seq("user_id"), autoMaxPairs = Some(1000L))
+        .orderBy("user_id")
+    },
     // Mann-Kendall monotone-trend test — the significance companion
     // of ts_theilsen (same pair join): integer S statistic + exact
     // normalized z (one int-product variance, one division, one sqrt)
@@ -2881,6 +2902,40 @@ object SparkEntry {
          | (list(slope order by slope))[cast((count(*) + 1) // 2 as int)] as sen_slope
          |from p group by user_id
          |order by user_id""".stripMargin,
+    // auto-route twin: the integer point keep-rule replayed verbatim
+    // (44-point budget ⌊√(2·1000)⌋; threshold (44·P) div n keeps ALL
+    // rows of an in-budget series), then the identical exact pipeline
+    // over the surviving points
+    "ts_theilsen_auto" ->
+      """with nn as (select user_id, cast(count(*) as bigint) as n
+        |  from events group by user_id),
+        |k as (select e.user_id, epoch_us(e.ts) as t, e.value
+        |  from events e join nn using (user_id)
+        |  where ((((epoch_us(e.ts) % 1000003) * 1000033) % 1000000007 % 999983) * 999979) % 1000000007 < 44000000308 // n),
+        |p as (select a.user_id, (b.value - a.value) / (b.t - a.t) as slope
+        |  from k a join k b on a.user_id = b.user_id and a.t < b.t)
+        |select user_id, cast(count(*) as bigint) as n_pairs,
+        | (list(slope order by slope))[cast((count(*) + 1) // 2 as int)] as sen_slope
+        |from p group by user_id
+        |order by user_id""".stripMargin,
+    "ts_mannkendall_auto" ->
+      """with nn as (select user_id, cast(count(*) as bigint) as n
+        |  from events group by user_id),
+        |k as (select e.user_id, epoch_us(e.ts) as t, e.value
+        |  from events e join nn using (user_id)
+        |  where ((((epoch_us(e.ts) % 1000003) * 1000033) % 1000000007 % 999983) * 999979) % 1000000007 < 44000000308 // n),
+        |p as (select a.user_id, cast(sign(b.value - a.value) as bigint) as s
+        |  from k a join k b on a.user_id = b.user_id and a.t < b.t),
+        |ag as (select user_id, cast(count(*) as bigint) as n_pairs,
+        |       cast(sum(s) as bigint) as s_stat from p group by user_id),
+        |n2 as (select user_id, cast(count(*) as bigint) as n_obs from k group by user_id)
+        |select n2.user_id, n_obs, n_pairs, s_stat,
+        | case when s_stat = 0 then 0.0E0
+        |      else cast(s_stat - sign(s_stat) as double)
+        |           / sqrt(cast((n_obs * (n_obs - 1) * (2 * n_obs + 5)) as double) / 18.0E0)
+        | end as z
+        |from ag join n2 on ag.user_id = n2.user_id
+        |order by n2.user_id""".stripMargin,
     // mann-kendall twin: integer S, one cast-double product variance,
     // one division + sqrt — zero rounding
     "ts_mannkendall" ->
