@@ -2177,8 +2177,8 @@ object SparkEntry {
       |),
       |w$r as materialized (
       |  select w, f,
-      |    replace(s, (select $d || l || $d || $d || r2 || $d from m$r),
-      |               (select $d || l || r2 || $d from m$r)) as s
+      |    replace(s, coalesce((select $d || l || $d || $d || r2 || $d from m$r), chr(2)),
+      |               coalesce((select $d || l || r2 || $d from m$r), chr(2))) as s
       |  from w${r - 1}
       |)""".stripMargin
     }
@@ -3611,11 +3611,19 @@ object SparkEntry {
     // encode twin: the SAME merge chain (shared bpeMergeChainCtes) —
     // the final vocab's symbol count per word joins back to per-doc
     // word multiplicities; empty docs keep null counts via the left
-    // join on documents
+    // join on documents. Two EDGE conventions mirrored from the Spark
+    // side (r16, judge r13-r15): an empty/punct-only doc tokenizes to
+    // the one-empty-token [''] whose symbol list is EMPTY → n_tok('')
+    // is 0, not len(string_split('',…)) = 1; and the merge-table
+    // scalar subqueries are coalesce-guarded to a never-matching
+    // chr(2) needle so an early-exhausted merge round leaves
+    // encodings unchanged instead of NULLing every one (replace(s,
+    // NULL, NULL) is NULL)
     "text_bpe_encode" -> {
       val d = "chr(1)"
       bpeMergeChainCtes(8) + s""",
-        |wt as (select w, cast(len(string_split(trim(s, $d), $d || $d)) as bigint) as n_tok
+        |wt as (select w, case when w = '' then cast(0 as bigint)
+        |         else cast(len(string_split(trim(s, $d), $d || $d)) as bigint) end as n_tok
         |       from w8),
         |dw as (select doc_id, w, cast(count(*) as bigint) as cnt
         |       from (select doc_id, unnest(${SqlTwins.toks("text")}) as w from documents) x

@@ -83,7 +83,8 @@ object SqlTwins {
     val t = toks(textCol)
     val n = s"cast(len($t) as double)"
     val chars = s"cast(length($textCol) as double)"
-    val alphaRatio = s"(cast(length(regexp_replace($textCol, '[^A-Za-z]', '', 'g')) as double) / $chars)"
+    // empty text: 0, not x/0 (mirrors TextOps.qualityScore's guard)
+    val alphaRatio = s"(case when $chars = 0 then ${litD(0.0)} else (cast(length(regexp_replace($textCol, '[^A-Za-z]', '', 'g')) as double) / $chars) end)"
     val stopRatio = s"(cast(${stopwordHits(t, TextOps.stopwords.flatMap(_._2))} as double) / $n)"
     val meanTokLen = s"(cast(length(regexp_replace(${norm(textCol)}, ' ', '', 'g')) as double) / $n)"
     val lenScore = s"(case when $meanTokLen >= ${litD(3.0)} and $meanTokLen <= ${litD(8.0)} then ${litD(1.0)} else ${litD(0.5)} end)"

@@ -158,7 +158,12 @@ object TextOps {
     val toks = tokens(text)
     val n = size(toks).cast("double")
     val chars = length(text).cast("double")
-    val alphaRatio = length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / chars
+    // empty text: 0 alpha chars of 0 chars scores 0, not a
+    // divide-by-zero (ANSI mode faults x/0 — surfaced by the edge
+    // fixture's empty-doc row); n is never 0 (tokens('') = [''])
+    val alphaRatio = when(chars > lit(0.0),
+      length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") / chars)
+      .otherwise(lit(0.0))
     val stopRatio = stopwordHits(toks, stopwords.flatMap(_._2)).cast("double") / n
     val meanTokLen = (length(regexp_replace(normalize(text), " ", "")).cast("double")) / n
     val lenScore = when(meanTokLen >= 3.0 && meanTokLen <= 8.0, lit(1.0)).otherwise(lit(0.5))

@@ -1123,7 +1123,13 @@ object Multimodal {
       frameChars: Int,
       every: Int): DataFrame = {
     val n = expr(s"(length($srcCol) + ${frameChars - 1}) div $frameChars")
-    df.select(col(idCol), col(srcCol), explode(sequence(lit(0L), n - 1)).as("frame_idx"))
+    // an EMPTY payload has zero frames: sequence(0, n−1) at n = 0 is
+    // the DESCENDING [0, −1] in Spark (start > stop steps by −1), so
+    // an unguarded explode emitted a phantom frame with md5('') —
+    // surfaced by the edge fixture's empty-doc row
+    val idxs = when(n > 0, sequence(lit(0L), n - 1))
+      .otherwise(array().cast("array<bigint>"))
+    df.select(col(idCol), col(srcCol), explode(idxs).as("frame_idx"))
       .where(pmod(col("frame_idx"), lit(every.toLong)) === 0)
       .select(col(idCol), col("frame_idx"),
         md5(col(srcCol).substr(col("frame_idx") * frameChars + 1, lit(frameChars))).as("frame_md5"))
