@@ -1671,19 +1671,19 @@ object SparkEntry {
     // Events replay in event-time order (the watermark layer's contract),
     // documents in doc_id order (pins the first-seen-wins verdicts).
     "stream_rollfeat" -> { (s, dir) =>
-      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+      StreamRunner.runFileSource[Ev](s, streamEventsDf(s, dir), evArrival, nChunks = 6, "append")(ds =>
           StreamingFeaturize.rollingFeatures(ds, w = 7).toDF())
         .orderBy("user_id", "ts_us")
     },
     // streaming rolling robust slope: same KernelRuntime body as the
     // batch kernel over a (w−1)-deep [t, v] ring per key
     "stream_rolltheilsen" -> { (s, dir) =>
-      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+      StreamRunner.runFileSource[Ev](s, streamEventsDf(s, dir), evArrival, nChunks = 6, "append")(ds =>
           StreamingFeaturize.streamingRollTheilSen(ds, w = 14).toDF())
         .orderBy("user_id", "ts_us")
     },
     "stream_ewma" -> { (s, dir) =>
-      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+      StreamRunner.runFileSource[Ev](s, streamEventsDf(s, dir), evArrival, nChunks = 6, "append")(ds =>
           StreamingFeaturize.streamingEwma(ds, alpha = 0.2).toDF())
         .select(col("user_id"), col("ts_us"), col("value"), col("value_rollmean").as("ewma"))
         .orderBy("user_id", "ts_us")
@@ -1693,7 +1693,7 @@ object SparkEntry {
     // (integer monoids, order-free); value-identical to
     // ts_backtest_naive
     "stream_backtest" -> { (s, dir) =>
-      val perEvent = StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+      val perEvent = StreamRunner.runFileSource[Ev](s, streamEventsDf(s, dir), evArrival, nChunks = 6, "append")(ds =>
         StreamingFeaturize.streamingNaiveBacktest(ds).toDF())
       perEvent.groupBy("user_id")
         .agg(count(col("e4")).as("n_evals"),
@@ -1710,7 +1710,7 @@ object SparkEntry {
     // online seasonal forecaster — the ts_holtwinters recursion
     // carried as (t, level, trend, m seasonal indices) per key
     "stream_holtwinters" -> { (s, dir) =>
-      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+      StreamRunner.runFileSource[Ev](s, streamEventsDf(s, dir), evArrival, nChunks = 6, "append")(ds =>
           StreamingFeaturize.streamingHoltWinters(ds,
             alpha = 0.5, beta = 0.3, gamma = 0.2, period = 4))
         .orderBy("user_id", "ts_us")
@@ -1718,34 +1718,34 @@ object SparkEntry {
     // online volatility monitor — the ts_ewmvol recursion carried as
     // three scalars of state per key across micro-batches
     "stream_ewmvol" -> { (s, dir) =>
-      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+      StreamRunner.runFileSource[Ev](s, streamEventsDf(s, dir), evArrival, nChunks = 6, "append")(ds =>
           StreamingFeaturize.streamingEwmVol(ds, alpha = 0.2))
         .orderBy("user_id", "ts_us")
     },
     "stream_cusum" -> { (s, dir) =>
-      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+      StreamRunner.runFileSource[Ev](s, streamEventsDf(s, dir), evArrival, nChunks = 6, "append")(ds =>
           StreamingFeaturize.streamingCusum(ds, target = 50.0, slack = 25.0, threshold = 250.0).toDF())
         .orderBy("user_id", "ts_us")
     },
     // the ts_kalman twin: the filter recursion is already online —
     // three scalars of state per key, bit-identical to batch
     "stream_kalman" -> { (s, dir) =>
-      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+      StreamRunner.runFileSource[Ev](s, streamEventsDf(s, dir), evArrival, nChunks = 6, "append")(ds =>
           StreamingFeaturize.streamingKalman(ds, q = 25.0, r = 100.0).toDF())
         .orderBy("user_id", "ts_us")
     },
     "stream_holt" -> { (s, dir) =>
-      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+      StreamRunner.runFileSource[Ev](s, streamEventsDf(s, dir), evArrival, nChunks = 6, "append")(ds =>
           StreamingFeaturize.streamingBrown(ds, alpha = 0.2).toDF())
         .orderBy("user_id", "ts_us")
     },
     "stream_trend" -> { (s, dir) =>
-      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+      StreamRunner.runFileSource[Ev](s, streamEventsDf(s, dir), evArrival, nChunks = 6, "append")(ds =>
           StreamingFeaturize.streamingTrend(ds).toDF())
         .orderBy("user_id", "ts_us")
     },
     "stream_drawdown" -> { (s, dir) =>
-      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+      StreamRunner.runFileSource[Ev](s, streamEventsDf(s, dir), evArrival, nChunks = 6, "append")(ds =>
           StreamingFeaturize.streamingDrawdown(ds).toDF())
         .orderBy("user_id", "ts_us")
     },
@@ -1754,9 +1754,9 @@ object SparkEntry {
     // global rollup runs batch-side; value-identical to q_funnel
     "stream_funnel" -> { (s, dir) =>
       import s.implicits._
-      val rows = Tables.events(s, dir).select("user_id", "ts_us", "event_type")
-        .orderBy("ts_us", "user_id").as[TypedEv].collect().toSeq
-      val stages = StreamRunner.run(s, rows, nChunks = 6, "complete")(ds =>
+      val stages = StreamRunner.runFileSource[TypedEv](s,
+        Tables.events(s, dir).select("user_id", "ts_us", "event_type"),
+        evArrival, nChunks = 6, "complete")(ds =>
         StreamingFeaturize.streamingFunnelStages(ds))
       stages.agg(
         count(when(col("t_view").isNotNull, 1)).as("n_view"),
@@ -1765,7 +1765,7 @@ object SparkEntry {
           .as("n_view_click_purchase"))
     },
     "stream_dedup_exact" -> { (s, dir) =>
-      StreamRunner.run(s, streamDocs(s, dir), nChunks = 5, "append")(ds =>
+      StreamRunner.runFileSource[Doc](s, streamDocsDf(s, dir), Seq("doc_id"), nChunks = 5, "append")(ds =>
           StreamingFeaturize.streamingExactDedup(ds).toDF())
         .orderBy("doc_id")
     },
@@ -1773,7 +1773,7 @@ object SparkEntry {
     // batch operator composes into the stream unchanged — domain (lang
     // id) computed in-scan, keep decision by id-hash bucket, zero state
     "stream_mixture" -> { (s, dir) =>
-      StreamRunner.run(s, streamDocs(s, dir), nChunks = 5, "append")(ds =>
+      StreamRunner.runFileSource[Doc](s, streamDocsDf(s, dir), Seq("doc_id"), nChunks = 5, "append")(ds =>
           Sampling.mixtureSample(
             ds.toDF().withColumn("lang_pred", TextOps.langid(TextOps.tokens(col("text")))),
             "doc_id", col("lang_pred"),
@@ -1792,9 +1792,11 @@ object SparkEntry {
     // value-identical to events_json, sharing its oracle
     "stream_events_json" -> { (s, dir) =>
       import s.implicits._
-      val rows = Tables.events(s, dir).select("event_type", "props", "user_id", "value")
-        .as[JsonEv].collect().toSeq
-      val perUser = StreamRunner.run(s, rows, nChunks = 6, "complete")(ds =>
+      // arrival order is irrelevant here (complete-mode integer
+      // monoids), but the chunker needs a deterministic split key
+      val perUser = StreamRunner.runFileSource[JsonEv](s,
+        Tables.events(s, dir).select("event_type", "props", "user_id", "value"),
+        Seq("user_id", "event_type", "value"), nChunks = 6, "complete")(ds =>
         StreamingFeaturize.streamingJsonRollup(ds, "k", bucketWidth = 10))
       perUser.groupBy("event_type", "k_bucket")
         .agg(sum("n_events").as("n_events"), sum("sum_k").as("sum_k"),
@@ -1802,7 +1804,7 @@ object SparkEntry {
         .orderBy("event_type", "k_bucket")
     },
     "stream_flac" -> { (s, dir) =>
-      StreamRunner.run(s, streamDocs(s, dir), nChunks = 5, "append")(ds =>
+      StreamRunner.runFileSource[Doc](s, streamDocsDf(s, dir), Seq("doc_id"), nChunks = 5, "append")(ds =>
           Multimodal.flacPcmStats(
             Multimodal.synthFlacs(ds.toDF().select("doc_id"), "doc_id"),
             "doc_id", "payload"))
@@ -1815,7 +1817,7 @@ object SparkEntry {
     // stream_flac argument, now for the video modality; bit-identical
     // to mm_video_y4m and sharing its SQL twin
     "stream_video" -> { (s, dir) =>
-      StreamRunner.run(s, streamDocs(s, dir), nChunks = 5, "append")(ds =>
+      StreamRunner.runFileSource[Doc](s, streamDocsDf(s, dir), Seq("doc_id"), nChunks = 5, "append")(ds =>
           Multimodal.y4mVideoStats(
             Multimodal.synthY4ms(ds.toDF().select("doc_id"), "doc_id"),
             "doc_id", "payload"))
@@ -1825,7 +1827,7 @@ object SparkEntry {
     // long of state per shard (the running token total); fragments for
     // each doc emit in its arrival micro-batch, bit-identical to batch
     "stream_pack" -> { (s, dir) =>
-      StreamRunner.run(s, streamDocs(s, dir), nChunks = 5, "append")(ds =>
+      StreamRunner.runFileSource[Doc](s, streamDocsDf(s, dir), Seq("doc_id"), nChunks = 5, "append")(ds =>
           StreamingFeaturize.streamingPack(ds).toDF())
         .orderBy("shard", "bin_id", "doc_id")
     },
@@ -1833,39 +1835,39 @@ object SparkEntry {
       // complete mode: the trailing per-doc min over band candidates is a
       // streaming aggregation; docs with no bands (null signature) come
       // back via the left join, exactly like the batch query's doc spine
-      val verdicts = StreamRunner.run(s, streamDocs(s, dir), nChunks = 5, "complete")(ds =>
+      val verdicts = StreamRunner.runFileSource[Doc](s, streamDocsDf(s, dir), Seq("doc_id"), nChunks = 5, "complete")(ds =>
         StreamingFeaturize.streamingMinhashDedup(ds))
       Tables.documents(s, dir).select("doc_id")
         .join(verdicts, Seq("doc_id"), "left")
         .orderBy("doc_id")
     },
     "stream_taylor" -> { (s, dir) =>
-      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+      StreamRunner.runFileSource[Ev](s, streamEventsDf(s, dir), evArrival, nChunks = 6, "append")(ds =>
           StreamingFeaturize.streamingTaylor(ds,
             ts.TaylorBasis.Spec("value", 2, 14, "trailing", None, fillEdges = false)))
         .orderBy("user_id", "ts_us")
     },
     "stream_domfreq" -> { (s, dir) =>
-      val res = StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "append")(ds =>
+      val res = StreamRunner.runFileSource[Ev](s, streamEventsDf(s, dir), evArrival, nChunks = 6, "append")(ds =>
         StreamingFeaturize.streamingDomfreq(ds, w = 16, nDomfreq = 3))
       ts.DomFreq.featureNames("value", 16, "trailing", 3).filter(_.contains("logpow"))
         .foldLeft(res)((d, n) => d.withColumn(n, round(col(n), 4)))
         .orderBy("user_id", "ts_us")
     },
     "stream_tumbling" -> { (s, dir) =>
-      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "complete")(ds =>
+      StreamRunner.runFileSource[Ev](s, streamEventsDf(s, dir), evArrival, nChunks = 6, "complete")(ds =>
           StreamingFeaturize.tumblingAgg(ds.toDF(), "ts_us", "1 hour", "1 day"))
         .select(col("user_id"), col("day_us"), col("n_events"),
           round(col("sum_value"), 4).as("sum_value"))
         .orderBy("user_id", "day_us")
     },
     "stream_ohlc" -> { (s, dir) =>
-      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "complete")(ds =>
+      StreamRunner.runFileSource[Ev](s, streamEventsDf(s, dir), evArrival, nChunks = 6, "complete")(ds =>
           StreamingFeaturize.tumblingOhlc(ds.toDF(), "ts_us", "1 hour", "1 day"))
         .orderBy("user_id", "bucket")
     },
     "stream_sessions" -> { (s, dir) =>
-      StreamRunner.run(s, streamEvents(s, dir), nChunks = 6, "complete")(ds =>
+      StreamRunner.runFileSource[Ev](s, streamEventsDf(s, dir), evArrival, nChunks = 6, "complete")(ds =>
           StreamingFeaturize.sessionAgg(ds.toDF(), "ts_us", "1 hour", "30 minutes"))
         .select(col("user_id"), col("session_start_us"), col("session_end_us"),
           col("n_events"), round(col("sum_value"), 4).as("sum_value"))
@@ -1881,12 +1883,16 @@ object SparkEntry {
     org.apache.spark.sql.Encoders.product[Ev]
   private implicit val docEnc: org.apache.spark.sql.Encoder[Doc] =
     org.apache.spark.sql.Encoders.product[Doc]
-  private def streamEvents(s: SparkSession, dir: String): Seq[Ev] =
+  /** Arrival order of the event stream replay (shared by every events
+    * twin): the same (ts_us, user_id) order the MemoryStream harness
+    * replayed in — now only a chunking KEY for the distributed
+    * file-source writer, never a driver collect (r16).
+    */
+  private val evArrival = Seq("ts_us", "user_id")
+  private def streamEventsDf(s: SparkSession, dir: String) =
     Tables.events(s, dir).select("user_id", "ts_us", "value")
-      .orderBy("ts_us", "user_id").as[Ev].collect().toSeq
-  private def streamDocs(s: SparkSession, dir: String): Seq[Doc] =
+  private def streamDocsDf(s: SparkSession, dir: String) =
     Tables.documents(s, dir).select("doc_id", "text")
-      .orderBy("doc_id").as[Doc].collect().toSeq
 
   /** Shared constants between Spark queries and SQL oracles. */
   private val mhK = 16
@@ -2196,7 +2202,35 @@ object SparkEntry {
     sb.toString
   }
 
+  /** GOLDEN oracle for text_compress_ratio — the one op no SQL engine
+    * can twin (no deflate in DuckDB). The checked-in golden
+    * (src/main/resources/compress_golden_sf001.csv) is computed
+    * INDEPENDENTLY of the Spark implementation by
+    * tools/make_compress_golden.py: python zlib at level 6 emits the
+    * same zlib stream sizes as java.util.zip.Deflater(6, nowrap=false)
+    * (byte-size parity validated over the full corpus + edge fixture).
+    * The ratio division runs IN DuckDB over the golden integers so the
+    * one FP op is engine-identical. Bound to the correctness-gate
+    * scale (sf0.01, the dir the driver always gates on) — regenerate
+    * via the tool if testdata ever regenerates.
+    */
+  private lazy val compressGoldenSql: String = {
+    val in = getClass.getClassLoader.getResourceAsStream("compress_golden_sf001.csv")
+    require(in != null, "compress_golden_sf001.csv resource missing")
+    val rows = scala.io.Source.fromInputStream(in, "UTF-8").getLines().drop(1)
+      .map { l => val p = l.split(','); s"(${p(0)},${p(1)},${p(2)})" }
+      .mkString(",")
+    s"""select cast(doc_id as bigint) as doc_id,
+       | cast(n_bytes as bigint) as n_bytes,
+       | cast(n_deflate as bigint) as n_deflate,
+       | case when n_bytes = 0 then null
+       |      else cast(n_deflate as double) / cast(n_bytes as double) end as ratio
+       |from (values $rows) g(doc_id, n_bytes, n_deflate)
+       |order by doc_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "text_compress_ratio" -> compressGoldenSql,
     "q1_agg" ->
       """select l_returnflag, l_linestatus,
         | round(sum(l_quantity), 4) as sum_qty,

@@ -10,8 +10,10 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   * below natural text; encrypted/garbled spans barely compress —
   * thresholding both tails is a standard pre-training cut.
   *
-  * This is the one text op WITHOUT a SQL oracle: no SQL engine
-  * exposes deflate, so the driver records the weaker rows-only check
+  * No SQL engine exposes deflate, so the oracle is a checked-in
+  * GOLDEN (r16): tools/make_compress_golden.py computes the sizes
+  * independently via python zlib (byte-size-identical stream format
+  * at level 6), SparkEntry.oracleSql inlines them as a VALUES table,
   * and the ScalaTest spec carries the semantics (monotonicity on
   * repetition, determinism, edge contracts). Shape: batched
   * mapPartitions (a Deflater is an imperative native object — the

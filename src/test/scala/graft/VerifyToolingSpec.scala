@@ -67,10 +67,11 @@ class VerifyToolingSpec extends AnyFunSuite {
     // a query without an oracle row silently downgrades to a weaker
     // rows-only check; an oracle without a query is dead SQL the
     // driver would flag — both are contract drift, keep the sets equal
-    // EXCEPT the explicit rows-only allowlist: ops no SQL engine can
-    // express, each carrying its own semantic spec instead
-    val rowsOnly = Set("text_compress_ratio") // deflate is not SQL-expressible (CompressSpec gates it)
-    val q = SparkEntry.queries.keySet -- rowsOnly
+    // The former rows-only allowlist is EMPTY since r16:
+    // text_compress_ratio (deflate, not SQL-expressible) now gates
+    // against the checked-in python-zlib GOLDEN inlined as a VALUES
+    // table — every registered query has a value oracle
+    val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert((q -- o).isEmpty, s"queries without an oracle: ${(q -- o).toSeq.sorted}")
     assert((o -- q).isEmpty, s"oracles without a query: ${(o -- q).toSeq.sorted}")

@@ -12,8 +12,12 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    json_out = next((a.split("=", 1)[1] for a in sys.argv[1:]
+                     if a.startswith("--json=")), None)
+    sfdir, outdir = args[0], args[1]
+    only = set(args[2:])
+    report = {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"create view {t} as select * from read_parquet('{sfdir}/{t}.parquet')")
@@ -22,28 +26,38 @@ def main():
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        report[name] = {"rows_match": False, "schema_match": False,
+                        "values_match": False, "err": None}
         try:
             exp = con.execute(sql).df()
         except Exception as e:
             print(f"{name}: ORACLE SQL ERROR: {e}")
+            report[name]["err"] = f"oracle_sql: {e}"
             fails += 1
             continue
         try:
             got = pq.read_table(f"{outdir}/{name}").to_pandas()
         except Exception as e:
             print(f"{name}: SPARK OUTPUT MISSING: {e}")
+            report[name]["err"] = f"spark_output_missing: {e}"
             fails += 1
             continue
+        report[name]["spark_rows"] = len(got)
+        report[name]["oracle_rows"] = len(exp)
         exp = exp.reindex(sorted(exp.columns), axis=1)
         got = got.reindex(sorted(got.columns), axis=1)
         if list(exp.columns) != list(got.columns):
             print(f"{name}: SCHEMA MISMATCH exp={list(exp.columns)} got={list(got.columns)}")
+            report[name]["err"] = "schema_mismatch"
             fails += 1
             continue
+        report[name]["schema_match"] = True
         if len(exp) != len(got):
             print(f"{name}: ROWCOUNT exp={len(exp)} got={len(got)}")
+            report[name]["err"] = "rowcount_mismatch"
             fails += 1
             continue
+        report[name]["rows_match"] = True
         bad = []
         for c in exp.columns:
             e, g = exp[c], got[c]
@@ -58,9 +72,14 @@ def main():
                 bad.append(f"{c}: {n} diffs, first@{i}: exp={e[i]!r} got={g[i]!r}")
         if bad:
             print(f"{name}: VALUE MISMATCH\n  " + "\n  ".join(bad))
+            report[name]["err"] = "value_mismatch: " + "; ".join(bad)[:500]
             fails += 1
         else:
             print(f"{name}: OK ({len(exp)} rows, {len(exp.columns)} cols)")
+            report[name]["values_match"] = True
+    if json_out:
+        json.dump(report, open(json_out, "w"), indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     sys.exit(1 if fails else 0)
 
 if __name__ == "__main__":
