@@ -999,7 +999,15 @@ object SparkEntry {
     // data-adaptive sibling of dedup_embcos_lsh's fixed hyperplanes
     "dedup_semantic" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val cents = Ann.ivfSeedCentroids(emb, "vec_id", "embedding", k = 16)
+      // SemDeDup's cluster count must TRACK the corpus (r16, sf1
+      // sweep): fixed k=16 made per-cell occupancy — hence the
+      // within-cell pair fan-out — grow linearly, i.e. quadratic
+      // total pairs (the one super-linear row of the first sf1
+      // bench). k = max(16, N/125) pins occupancy ~125 → linear
+      // pairs; the oracle computes the identical k from count(*).
+      // (16 exactly reproduces the old constant at the gate scales.)
+      val k = math.max(16L, emb.count() / 125L).toInt
+      val cents = Ann.ivfSeedCentroids(emb, "vec_id", "embedding", k = k)
       Dedup.semanticDedup(emb, "vec_id", "embedding", cents, threshold = 0.3)
         .orderBy("vec_id")
     },
@@ -1614,11 +1622,16 @@ object SparkEntry {
         .orderBy("shard", "bin_id", "doc_id")
     },
     // heavy hitters via Misra-Gries candidates + exact recount — the
-    // bounded-memory top-terms path (no vocabulary shuffle); capacity 64
-    // ≥ the synthetic vocab so the result provably equals exact top-k
-    // (the eviction path is spec-pinned on a zipf corpus)
+    // bounded-memory top-terms path (no vocabulary shuffle). The MG
+    // survival bound is per-partition-count > N_p/(capacity+1): the
+    // r15 capacity of 64 held for the gate corpus but broke at the
+    // sf1 sweep (10× the term instances, same absolute top-k counts —
+    // rank-15 no longer cleared N_p/65 and a lesser term slipped into
+    // the candidate set). 2048 clears sf1 with ~5× margin at a few
+    // hundred KB of per-task summary; the eviction path is
+    // spec-pinned on a zipf corpus
     "text_topterms_sketch" -> { (s, dir) =>
-      Sketch.topTermsSketched(Tables.documents(s, dir), "text", k = 15, capacity = 64)
+      Sketch.topTermsSketched(Tables.documents(s, dir), "text", k = 15, capacity = 2048)
         .orderBy(col("n").desc, col("term"))
     },
     // PQ code assignment: m=4 subspaces x k=4 seed centroids, squared-L2
@@ -3378,16 +3391,24 @@ object SparkEntry {
            |       j.doc_id = rep.rep_id as kept
            |from j join fam using (cluster_id) join rep using (cluster_id)
            |order by j.doc_id""".stripMargin),
+    // the MATE side replicates the Spark route's maxBucket cap (the
+    // 1024 smallest ids per (band, key) bucket are eligible mates;
+    // any row may probe) — uncapped, the twin found mates the bounded
+    // operator deliberately never sees once buckets outgrow the cap
+    // (first bound at the sf1 sweep, r16)
     "dedup_simhash" ->
       s"""with sig as (select doc_id, ${SqlTwins.simhash32(SqlTwins.toks("text"))} as simhash from documents),
          |bands as (
          |  select doc_id, simhash, v.band_idx, (simhash >> (v.band_idx * 8)) & 255 as band_key
          |  from sig cross join (values (0), (1), (2), (3)) as v(band_idx)),
+         |mates as (
+         |  select *, row_number() over (partition by band_idx, band_key order by doc_id) as rn
+         |  from bands),
          |buddies as (
          |  select a.doc_id as doc_id, min(b.doc_id) as dup_of
-         |  from bands a join bands b
+         |  from bands a join mates b
          |    on a.band_idx = b.band_idx and a.band_key = b.band_key and b.doc_id < a.doc_id
-         |  where bit_count(xor(a.simhash, b.simhash)) <= 3
+         |  where b.rn <= 1024 and bit_count(xor(a.simhash, b.simhash)) <= 3
          |  group by a.doc_id)
          |select sig.doc_id, sig.simhash, buddies.dup_of
          |from sig left join buddies using (doc_id)
@@ -3484,7 +3505,8 @@ object SparkEntry {
     // cosine-desc/cid tie argmax), same-cell pairs, keep-min rollup;
     // the threshold compares bit-identical cosine doubles
     "dedup_semantic" ->
-      s"""with c as (select vec_id as cid, embedding as cvec from embeddings order by vec_id limit 16),
+      s"""with c as (select vec_id as cid, embedding as cvec from embeddings order by vec_id
+         |           limit (select greatest(16, count(*) // 125) from embeddings)),
          |scored as (
          |  select e.vec_id, e.embedding, c.cid, ${SqlTwins.cosine("e.embedding", "c.cvec", 64)} as ccos
          |  from embeddings e cross join c),

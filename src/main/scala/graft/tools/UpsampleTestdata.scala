@@ -25,9 +25,18 @@ import org.apache.spark.sql.functions._
   *    shingles — duplicate GROUPS scale linearly instead of every doc
   *    gaining `factor`−1 exact twins (which would blow dedup pair
   *    counts up ~factor² and fake super-linear growth)
-  *  - `embeddings` perturbs each copied vector by a deterministic
-  *    per-(vec_id, dim) sinusoid, so ANN/near-dup candidate structure
-  *    scales linearly instead of every vector gaining cosine-1.0 twins
+  *  - `embeddings` applies per-copy RADEMACHER SIGN FLIPS (a
+  *    deterministic ±1 per (copy, dim)): within a copy every pairwise
+  *    dot product (hence every cosine, every ANN neighborhood) is
+  *    EXACTLY the source's — s_j² = 1 — while cross-copy dots carry
+  *    independent ± signs per term and cancel REGARDLESS of vector
+  *    structure, so near-dup counts scale linearly. Two weaker
+  *    transforms were tried first and FAKED super-linear growth: a
+  *    ±0.05 additive perturbation left cross-copy cosines ≈ 0.999,
+  *    and a cyclic dimension shift decorrelates only unstructured
+  *    vectors (these synthetic embeddings are smooth in the dim
+  *    index, so shifted copies stayed near-dups — dedup_embcos rows
+  *    grew 104×). Sign flips are the structure-independent fix.
   *  - `region`/`nation` stay fixed (real dims don't grow with volume)
   *
   * Pure DataFrame union of `factor` key-shifted projections — one
@@ -104,9 +113,12 @@ object UpsampleTestdata {
     write(copies(emb)((d, i) => d
       .withColumn("vec_id", col("vec_id") + lit(i * vecS))
       .withColumn("embedding", if (i == 0) col("embedding")
-        else transform(col("embedding"), (x, j) =>
-          (x + sin(col("vec_id") * lit(31) + j * lit(7)) * lit(0.05f)).cast("float")))),
-      dst, "embeddings")
+        else transform(col("embedding"), (x, j) => {
+          // deterministic ±1 from an LCG-mixed (copy, dim) parity
+          val bit = pmod(shiftright((j.cast("long") + 1L) * lit(1103515245L)
+            + lit(i * 12345L), 16), lit(2L))
+          when(bit === 0L, x).otherwise(-x)
+        }))), dst, "embeddings")
   }
 
   /** Write one parquet FILE at dst/<name>.parquet (Spark writes a
