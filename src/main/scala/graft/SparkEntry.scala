@@ -1310,6 +1310,17 @@ object SparkEntry {
       val payloads = Multimodal.synthY4ms(Tables.documents(s, dir).select("doc_id"), "doc_id")
       Multimodal.y4mVideoStats(payloads, "doc_id", "payload").orderBy("doc_id")
     },
+    // MJPEG-in-AVI container decode (r16, the last codec-family gap):
+    // real RIFF chunk walk (AviCodec) composing the existing JPEG
+    // Huffman/DCT decoder per '00dc' frame — container parsing and
+    // image decode composed exactly as a production ingest composes
+    // them. Per-doc luma stats + content-based shot detection over
+    // the DCT-decoded pixels; closed-form synthesis → the oracle
+    // predicts the whole chain
+    "mm_video_avi" -> { (s, dir) =>
+      val payloads = Multimodal.synthAvis(Tables.documents(s, dir).select("doc_id"), "doc_id")
+      Multimodal.aviVideoStats(payloads, "doc_id", "payload").orderBy("doc_id")
+    },
     // REAL-pixel frame embedding → similarity (r13): per decoded frame,
     // 8 luma band sums (4 horizontal + 4 vertical) over the ACTUAL Y
     // plane — integers exact in float32 — bucketed by the SAME LSH path
@@ -4140,6 +4151,38 @@ object SparkEntry {
          | cast(${SqlTwins.lshBucket(vec, mmPlanes)} as bigint) as bucket
          |from v order by doc_id, frame_idx""".stripMargin
     },
+
+    // MJPEG-in-AVI twin: the synthesis law is closed-form in
+    // (doc_id, frame, tile) and the DC-only JPEG tiles round-trip
+    // bit-exactly, so the oracle predicts the CONTAINER walk + the
+    // Huffman decode + the scene structure without touching a byte:
+    // even/odd frame pairs are identical (no cut), every pair
+    // boundary shifts all tiles by 41 mod 256 (|Δ| ∈ {41, 215} ≥
+    // thr=5 per pixel — a guaranteed cut) → n_scenes = 1 + (nf−1)//2
+    "mm_video_avi" ->
+      """with p as (select doc_id,
+        |    1 + doc_id % 4 as nf,
+        |    1 + doc_id % 3 as bw,
+        |    1 + (doc_id * 5 + 3) % 3 as bh
+        |  from documents),
+        |t as (select doc_id, nf, bw, bh,
+        |    unnest(generate_series(0, nf - 1)) as f from p),
+        |v as (select doc_id, nf, bw, bh, f,
+        |    unnest(generate_series(0, bw * bh - 1)) as ti from t),
+        |g as (select doc_id, nf, bw, bh,
+        |    (doc_id * 7 + (ti % bw) * 31 + (ti // bw) * 23 + (f // 2) * 41) % 256 as val
+        |  from v)
+        |select doc_id,
+        | cast(nf as bigint) as n_frames,
+        | cast(8 * bw as bigint) as width,
+        | cast(8 * bh as bigint) as height,
+        | cast(sum(val) * 64 as bigint) as sum_gray,
+        | cast(min(val) as bigint) as min_gray,
+        | cast(max(val) as bigint) as max_gray,
+        | cast(1 + (nf - 1) // 2 as bigint) as n_scenes,
+        | cast(least(nf, 2) as bigint) as longest_scene
+        |from g group by doc_id, nf, bw, bh
+        |order by doc_id""".stripMargin,
 
     "ts_pipeline_multi" -> {
       val lags = for (c <- Seq("value", "v2"); k <- Seq(1, 7)) yield OracleGen.lagExpr(c, k, evOver)

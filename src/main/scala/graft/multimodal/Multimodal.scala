@@ -1357,4 +1357,115 @@ object Multimodal {
       })
     }(org.apache.spark.sql.Encoders.row(schema))
   }
+
+  /** Deterministic synthesized MJPEG-in-AVI containers (r16, the last
+    * codec-family gap): per doc, 1 + id%4 grayscale JPEG frames in a
+    * real RIFF/AVI wrapper ([[AviCodec.write]]). Frame content reuses
+    * the [[synthJpegs]] constant-8×8-tile law with a per-PAIR frame
+    * term — tile (bx, by) of frame f is
+    * (id·7 + bx·31 + by·23 + (f/2)·41) mod 256 — so JPEG round-trips
+    * bit-exactly (DC-only blocks), consecutive EVEN/ODD frames are
+    * identical (no scene cut) and every pair boundary jumps all tiles
+    * by ±41/215 (a guaranteed cut): the oracle predicts frames, sums
+    * AND the scene structure in closed form.
+    */
+  def synthAvis(df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    fanOut(df).mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val id = r.getLong(idIdx)
+        val nf = 1 + (id % 4L).toInt
+        val bw = 1 + (id % 3L).toInt
+        val bh = 1 + ((id * 5L + 3L) % 3L).toInt
+        val w = 8 * bw
+        val h = 8 * bh
+        val frames = (0 until nf).map { f =>
+          val pix = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              pix(y * w + x) =
+                ((id * 7L + (x / 8) * 31L + (y / 8) * 23L + (f / 2) * 41L) % 256L).toInt
+              x += 1
+            }
+            y += 1
+          }
+          JpegCodec.encodeGray(w, h, pix)
+        }
+        Row(id, AviCodec.write(w, h, frames))
+      })
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** REAL container + image decode composition: walk the AVI's RIFF
+    * chunks ([[AviCodec.parse]]), Huffman-decode every MJPEG frame
+    * ([[JpegCodec.decodeGrayPixels]]), and roll up per-doc luma stats
+    * plus CONTENT-based shot detection (integer verdict
+    * Σ|ΔY| > thr·w·h against the previous decoded frame — the
+    * y4mVideoStats rule over DCT-decoded pixels). A frame that fails
+    * JPEG decode, dims disagreeing with the container header, or an
+    * unparseable container all yield null fields — never a crash.
+    * Batched map-only codec scan, zero shuffle before the rollup.
+    */
+  def aviVideoStats(df: DataFrame, idCol: String, payloadCol: String,
+      sceneThreshold: Long = 5L, batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("n_frames", LongType),
+      StructField("width", LongType), StructField("height", LongType),
+      StructField("sum_gray", LongType), StructField("min_gray", LongType),
+      StructField("max_gray", LongType), StructField("n_scenes", LongType),
+      StructField("longest_scene", LongType)))
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val id = r.getLong(idIdx)
+        val parsed = Option(r.getAs[Array[Byte]](pIdx)).flatMap(AviCodec.parse)
+        val decoded = parsed.map { v =>
+          (v, v.frames.map(JpegCodec.decodeGrayPixels))
+        }
+        decoded match {
+          case Some((v, frames)) if frames.forall(f =>
+              f.exists(d => d._1 == v.width && d._2 == v.height)) =>
+            val px = v.width.toLong * v.height
+            var sum = 0L
+            var mn = 255L
+            var mx = 0L
+            var nScenes = 1L
+            var longest = 0L
+            var run = 0L
+            var prev: Array[Int] = null
+            frames.foreach { fo =>
+              val pix = fo.get._3
+              var i = 0
+              while (i < pix.length) {
+                val p = pix(i)
+                sum += p
+                if (p < mn) mn = p
+                if (p > mx) mx = p
+                i += 1
+              }
+              if (prev != null) {
+                var d = 0L
+                var j = 0
+                while (j < pix.length) { d += math.abs(pix(j) - prev(j)); j += 1 }
+                if (d > sceneThreshold * px) {
+                  nScenes += 1
+                  if (run > longest) longest = run
+                  run = 1L
+                } else run += 1L
+              } else run = 1L
+              prev = pix
+            }
+            if (run > longest) longest = run
+            Row(id, v.frames.length.toLong, v.width.toLong, v.height.toLong,
+              sum, mn, mx, nScenes, longest)
+          case _ => Row(id, null, null, null, null, null, null, null, null)
+        }
+      })
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
 }
