@@ -67,31 +67,50 @@ object KernelRuntime {
           out(o) = if (cnt >= sp.minP) D(acc / cnt) else null
           o += 1
         case 1 => // rollstats: min/max/std over non-nulls
-          var s1 = 0.0; var s2 = 0.0; var mn = Double.MaxValue; var mx = Double.MinValue
+          var s1 = 0.0; var mn = Double.MaxValue; var mx = Double.MinValue
           var cnt = 0; var i = end
           while (i >= start) {
             if (!nul(i)) {
               val v = at(i)
-              s1 += v; s2 += v * v
+              s1 += v
               if (v < mn) mn = v
               if (v > mx) mx = v
               cnt += 1
             }
             i -= 1
           }
-          val std = math.sqrt((s2 - (s1 * s1) / cnt) / (cnt - 1))
+          // SHIFTED two-pass variance (r16): s2 − s1²/n cancels
+          // catastrophically at large magnitudes (negative operand →
+          // NaN here, a hard error in the DuckDB twin); (v − mean)²
+          // is non-negative by construction. Same newest-first fold
+          // order as the declarative form and the oracle.
+          val mean1 = s1 / cnt
+          var s2c = 0.0
+          i = end
+          while (i >= start) {
+            if (!nul(i)) { val d = at(i) - mean1; s2c += d * d }
+            i -= 1
+          }
+          val std = math.sqrt(s2c / (cnt - 1))
           out(o) = if (cnt >= sp.minP) D(mn) else null
           out(o + 1) = if (cnt >= sp.minP) D(mx) else null
           out(o + 2) = if (cnt >= math.max(sp.minP, 2)) D(std) else null
           o += 3
         case 2 => // zscore of the current row against its trailing window
-          var s1 = 0.0; var s2 = 0.0; var cnt = 0; var i = end
-          while (i >= start) { if (!nul(i)) { val v = at(i); s1 += v; s2 += v * v; cnt += 1 }; i -= 1 }
+          // shifted two-pass std — see case 1 (r16 cancellation fix)
+          var s1 = 0.0; var cnt = 0; var i = end
+          while (i >= start) { if (!nul(i)) { s1 += at(i); cnt += 1 }; i -= 1 }
           out(o) =
             if (cnt >= sp.w && end >= 0 && !nul(end)) {
               val x = at(end)
               val mean = s1 / cnt
-              val std = math.sqrt((s2 - (s1 * s1) / cnt) / (cnt - 1))
+              var s2c = 0.0
+              i = end
+              while (i >= start) {
+                if (!nul(i)) { val d = at(i) - mean; s2c += d * d }
+                i -= 1
+              }
+              val std = math.sqrt(s2c / (cnt - 1))
               D((x - mean) / std)
             } else null
           o += 1
@@ -108,20 +127,35 @@ object KernelRuntime {
           out(o) = D(num / den)
           o += 1
         case 4 => // autocorr over trailing pairs, gate nPairs >= w
-          var np = 0; var sx = 0.0; var sy = 0.0; var sxx = 0.0; var syy = 0.0; var sxy = 0.0
+          // SHIFTED Pearson (r16): the five-raw-sums form's
+          // n·sxx − sx² denominators cancel catastrophically at large
+          // magnitudes (the two engines' identical formulas produced
+          // DIFFERENT garbage signs at 1e12 — events edge fixture);
+          // centered sums are exact where raw sums are noise
+          var np = 0; var sx = 0.0; var sy = 0.0
           var i = 0
           while (i < sp.w) {
             val xi = end - i
             val yi = xi - sp.lagK
-            if (yi >= start && !nul(xi) && !nul(yi)) {
-              val x = at(xi)
-              val y = at(yi)
-              np += 1; sx += x; sy += y; sxx += x * x; syy += y * y; sxy += x * y
-            }
+            if (yi >= start && !nul(xi) && !nul(yi)) { np += 1; sx += at(xi); sy += at(yi) }
             i += 1
           }
           val nd = np.toDouble
-          val r = (nd * sxy - sx * sy) / math.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+          val mx = sx / nd
+          val my = sy / nd
+          var sxxc = 0.0; var syyc = 0.0; var sxyc = 0.0
+          i = 0
+          while (i < sp.w) {
+            val xi = end - i
+            val yi = xi - sp.lagK
+            if (yi >= start && !nul(xi) && !nul(yi)) {
+              val dx = at(xi) - mx
+              val dy = at(yi) - my
+              sxxc += dx * dx; syyc += dy * dy; sxyc += dx * dy
+            }
+            i += 1
+          }
+          val r = sxyc / math.sqrt(sxxc * syyc)
           out(o) = if (np >= sp.w) D(r) else null
           o += 1
         case 6 => // rolling cross-correlation col[colIdx] vs col[lagK]
@@ -130,38 +164,53 @@ object KernelRuntime {
           val c2 = sp.lagK
           @inline def nul2(i: Int): Boolean = if (bare) nul(i) else xs.getArray(i).isNullAt(c2)
           @inline def at2(i: Int): Double = if (bare) at(i) else xs.getArray(i).getDouble(c2)
-          var np = 0; var sx = 0.0; var sy = 0.0; var sxx = 0.0; var syy = 0.0; var sxy = 0.0
+          // shifted Pearson — see case 4 (r16 cancellation fix)
+          var np = 0; var sx = 0.0; var sy = 0.0
           var i = 0
           while (i < sp.w) {
             val xi = end - i
-            if (xi >= start && !nul(xi) && !nul2(xi)) {
-              val x = at(xi)
-              val y = at2(xi)
-              np += 1; sx += x; sy += y; sxx += x * x; syy += y * y; sxy += x * y
-            }
+            if (xi >= start && !nul(xi) && !nul2(xi)) { np += 1; sx += at(xi); sy += at2(xi) }
             i += 1
           }
           val nd = np.toDouble
-          val r = (nd * sxy - sx * sy) / math.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+          val mx = sx / nd
+          val my = sy / nd
+          var sxxc = 0.0; var syyc = 0.0; var sxyc = 0.0
+          i = 0
+          while (i < sp.w) {
+            val xi = end - i
+            if (xi >= start && !nul(xi) && !nul2(xi)) {
+              val dx = at(xi) - mx
+              val dy = at2(xi) - my
+              sxxc += dx * dx; syyc += dy * dy; sxyc += dx * dy
+            }
+            i += 1
+          }
+          val r = sxyc / math.sqrt(sxxc * syyc)
           out(o) = if (np >= sp.w) D(r) else null
           o += 1
         case _ => // mode 5: skew + kurtosis, weights = momentCoefs(w)
-          var s1 = 0.0; var s2 = 0.0; var s3 = 0.0; var s4 = 0.0
-          var cnt = 0; var i = end
-          while (i >= start) {
-            if (!nul(i)) {
-              val v = at(i)
-              s1 += v; s2 += v * v; s3 += v * v * v; s4 += v * v * v * v
-              cnt += 1
-            }
-            i -= 1
-          }
+          // CENTERED power sums (r16): the raw-power-sum expansions of
+          // m2/m3/m4 cancel catastrophically at large magnitudes (1e12
+          // values: s4 ~ 1e48 — the centered moments drown in noise);
+          // Σ(v−mean)^p is exact where the expansion is garbage
+          var s1 = 0.0; var cnt = 0; var i = end
+          while (i >= start) { if (!nul(i)) { s1 += at(i); cnt += 1 }; i -= 1 }
           if (cnt >= sp.w) {
             val mean = s1 / cnt
-            val m2 = s2 / cnt - mean * mean
-            val m3 = s3 / cnt - 3.0 * mean * (s2 / cnt) + 2.0 * mean * mean * mean
-            val m4 = s4 / cnt - 4.0 * mean * (s3 / cnt) + 6.0 * (mean * mean) * (s2 / cnt) -
-              3.0 * (mean * mean) * (mean * mean)
+            var m2s = 0.0; var m3s = 0.0; var m4s = 0.0
+            i = end
+            while (i >= start) {
+              if (!nul(i)) {
+                val d = at(i) - mean
+                val d2 = d * d
+                m2s += d2; m3s += d2 * d; m4s += d2 * d2
+              }
+              i -= 1
+            }
+            val m2 = m2s / cnt
+            val m3 = m3s / cnt
+            val m4 = m4s / cnt
             out(o) = D(sp.weights(0) * (m3 / (m2 * math.sqrt(m2))))
             out(o + 1) = D(sp.weights(1) * ((sp.weights(2) * ((m4 / (m2 * m2)) - 3.0)) + 6.0))
           } else { out(o) = null; out(o + 1) = null }

@@ -60,19 +60,26 @@ case class RollFoldKernel(
         var i = n - 1
         while (i >= 0) {
           val v = xs.getDouble(i)
-          s1 += v; s2 += v * v
+          s1 += v
           if (v < mn) mn = v
           if (v > mx) mx = v
           i -= 1
         }
-        val std = math.sqrt((s2 - (s1 * s1) / n) / (n - 1))
+        // shifted two-pass variance — KernelRuntime mode 1 mirror
+        // (r16: s2 − s1²/n cancels catastrophically at large
+        // magnitudes; squares of deviations are non-negative)
+        val mean1 = s1 / n
+        var s2c = 0.0
+        i = n - 1
+        while (i >= 0) { val d = xs.getDouble(i) - mean1; s2c += d * d; i -= 1 }
+        val std = math.sqrt(s2c / (n - 1))
         new GenericArrayData(Array[Any](
           if (n >= minP) D(mn) else null,
           if (n >= minP) D(mx) else null,
           if (n >= math.max(minP, 2)) D(std) else null))
       case 2 =>
-        var s1 = 0.0; var s2 = 0.0; var i = n - 1
-        while (i >= 0) { val v = xs.getDouble(i); s1 += v; s2 += v * v; i -= 1 }
+        var s1 = 0.0; var i = n - 1
+        while (i >= 0) { s1 += xs.getDouble(i); i -= 1 }
         val out: Any =
           if (n >= w) {
             val rAny = right.eval(input)
@@ -80,7 +87,10 @@ case class RollFoldKernel(
             else {
               val x = rAny.asInstanceOf[Double]
               val mean = s1 / n
-              val std = math.sqrt((s2 - (s1 * s1) / n) / (n - 1))
+              var s2c = 0.0
+              i = n - 1
+              while (i >= 0) { val d = xs.getDouble(i) - mean; s2c += d * d; i -= 1 }
+              val std = math.sqrt(s2c / (n - 1))
               D((x - mean) / std)
             }
           } else null
@@ -94,40 +104,58 @@ case class RollFoldKernel(
         }
         new GenericArrayData(Array[Any](D(num / den)))
       case 4 =>
-        var np = 0; var sx = 0.0; var sy = 0.0; var sxx = 0.0; var syy = 0.0; var sxy = 0.0
+        // shifted Pearson — KernelRuntime mode 4 mirror (r16
+        // cancellation fix; same newest-first pair scan twice)
+        var np = 0; var sx = 0.0; var sy = 0.0
         var i = 0
         while (i < w) {
           val xi = n - 1 - i
           val yi = n - 1 - i - lagK
-          if (yi >= 0) {
-            val x = xs.getDouble(xi)
-            val y = xs.getDouble(yi)
-            np += 1; sx += x; sy += y; sxx += x * x; syy += y * y; sxy += x * y
-          }
+          if (yi >= 0) { np += 1; sx += xs.getDouble(xi); sy += xs.getDouble(yi) }
           i += 1
         }
         val nd = np.toDouble
-        val r = (nd * sxy - sx * sy) / math.sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+        val mx = sx / nd
+        val my = sy / nd
+        var sxxc = 0.0; var syyc = 0.0; var sxyc = 0.0
+        i = 0
+        while (i < w) {
+          val xi = n - 1 - i
+          val yi = n - 1 - i - lagK
+          if (yi >= 0) {
+            val dx = xs.getDouble(xi) - mx
+            val dy = xs.getDouble(yi) - my
+            sxxc += dx * dx; syyc += dy * dy; sxyc += dx * dy
+          }
+          i += 1
+        }
+        val r = sxyc / math.sqrt(sxxc * syyc)
         new GenericArrayData(Array[Any](if (np >= w) D(r) else null))
       case _ =>
         // mode 5: sample skewness + excess kurtosis over the full
         // window (gate n >= w, so n == w and the bias-correction
         // coefficients are the compile-time constants in `weights`:
         // [skewCoef, kurtA, kurtB] — shared with the SQL emitter)
-        var s1 = 0.0; var s2 = 0.0; var s3 = 0.0; var s4 = 0.0
+        // centered power sums — KernelRuntime mode 5 mirror (r16
+        // cancellation fix; d2·d for p=3, d2·d2 for p=4, matching the
+        // SQL emitter's multiply grouping)
+        var s1 = 0.0
         var i = n - 1
-        while (i >= 0) {
-          val v = xs.getDouble(i)
-          s1 += v; s2 += v * v; s3 += v * v * v; s4 += v * v * v * v
-          i -= 1
-        }
+        while (i >= 0) { s1 += xs.getDouble(i); i -= 1 }
         val out: (Any, Any) =
           if (n >= w) {
             val mean = s1 / n
-            val m2 = s2 / n - mean * mean
-            val m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean
-            val m4 = s4 / n - 4.0 * mean * (s3 / n) + 6.0 * (mean * mean) * (s2 / n) -
-              3.0 * (mean * mean) * (mean * mean)
+            var m2s = 0.0; var m3s = 0.0; var m4s = 0.0
+            i = n - 1
+            while (i >= 0) {
+              val d = xs.getDouble(i) - mean
+              val d2 = d * d
+              m2s += d2; m3s += d2 * d; m4s += d2 * d2
+              i -= 1
+            }
+            val m2 = m2s / n
+            val m3 = m3s / n
+            val m4 = m4s / n
             val skew = weights(0) * (m3 / (m2 * math.sqrt(m2)))
             val kurt = weights(1) * ((weights(2) * ((m4 / (m2 * m2)) - 3.0)) + 6.0)
             (D(skew), D(kurt))

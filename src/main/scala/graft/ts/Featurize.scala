@@ -363,9 +363,14 @@ object Featurize {
       val frame = win.rowsBetween(-(w - 1), Window.currentRow)
       def term(i: Int): Column = if (i == 0) col(c) else lag(col(c), i).over(win)
       val sum1 = (0 until w).map(i => coalesce(term(i).cast("double"), lit(0.0))).reduceLeft(_ + _)
-      val sum2 = (0 until w).map(i => coalesce(term(i).cast("double") * term(i).cast("double"), lit(0.0))).reduceLeft(_ + _)
       val cnt = (0 until w).map(i => when(term(i).isNotNull, 1).otherwise(0)).reduceLeft(_ + _)
-      val std = sqrt((sum2 - (sum1 * sum1) / cnt) / (cnt - 1))
+      // shifted two-pass variance — see OracleGen.rollstatsExprs (r16:
+      // the s2 − s1²/n form went negative on large-magnitude windows)
+      val mean = sum1 / cnt
+      val s2c = (0 until w)
+        .map(i => coalesce((term(i).cast("double") - mean) * (term(i).cast("double") - mean), lit(0.0)))
+        .reduceLeft(_ + _)
+      val std = sqrt(s2c / (cnt - 1))
       Seq(
         s"${c}_rollmin_w$w" -> when(cnt >= minP, min(col(c)).over(frame)),
         s"${c}_rollmax_w$w" -> when(cnt >= minP, max(col(c)).over(frame)),
@@ -422,10 +427,16 @@ object Featurize {
     val nd = n.cast("double")
     val sx = fold(i => when(pair(i), x(i).cast("double")).otherwise(lit(0.0)))
     val sy = fold(i => when(pair(i), y(i).cast("double")).otherwise(lit(0.0)))
-    val sxx = fold(i => when(pair(i), x(i).cast("double") * x(i).cast("double")).otherwise(lit(0.0)))
-    val syy = fold(i => when(pair(i), y(i).cast("double") * y(i).cast("double")).otherwise(lit(0.0)))
-    val sxy = fold(i => when(pair(i), x(i).cast("double") * y(i).cast("double")).otherwise(lit(0.0)))
-    val r = (nd * sxy - sx * sy) / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    // shifted Pearson — see KernelRuntime mode 4 (r16 cancellation fix)
+    val mx = sx / nd
+    val my = sy / nd
+    val sxxc = fold(i => when(pair(i),
+      (x(i).cast("double") - mx) * (x(i).cast("double") - mx)).otherwise(lit(0.0)))
+    val syyc = fold(i => when(pair(i),
+      (y(i).cast("double") - my) * (y(i).cast("double") - my)).otherwise(lit(0.0)))
+    val sxyc = fold(i => when(pair(i),
+      (x(i).cast("double") - mx) * (y(i).cast("double") - my)).otherwise(lit(0.0)))
+    val r = sxyc / sqrt(sxxc * syyc)
     val name = s"${c}_autocorr_l${lagK}_w$w"
     FeatureResult(df.withColumn(name, when(n >= w, r)), Seq(name))
   }
@@ -471,10 +482,13 @@ object Featurize {
     }
     def term(i: Int): Column = if (i == 0) col(c) else lag(col(c), i).over(win)
     val sum1 = (0 until w).map(i => coalesce(term(i).cast("double"), lit(0.0))).reduceLeft(_ + _)
-    val sum2 = (0 until w).map(i => coalesce(term(i).cast("double") * term(i).cast("double"), lit(0.0))).reduceLeft(_ + _)
     val cnt = (0 until w).map(i => when(term(i).isNotNull, 1).otherwise(0)).reduceLeft(_ + _)
+    // shifted two-pass std — see rollStats (r16 cancellation fix)
     val mean = sum1 / cnt
-    val std = sqrt((sum2 - (sum1 * sum1) / cnt) / (cnt - 1))
+    val s2c = (0 until w)
+      .map(i => coalesce((term(i).cast("double") - mean) * (term(i).cast("double") - mean), lit(0.0)))
+      .reduceLeft(_ + _)
+    val std = sqrt(s2c / (cnt - 1))
     val name = s"${c}_zscore_w$w"
     FeatureResult(df.withColumn(name, when(cnt >= w, (col(c).cast("double") - mean) / std)), Seq(name))
   }

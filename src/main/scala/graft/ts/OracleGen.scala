@@ -48,10 +48,19 @@ object OracleGen {
     def term(i: Int): String = if (i == 0) c else s"lag($c, $i) over $ov"
     val frame = ov.dropRight(1) + s" rows between ${w - 1} preceding and current row)"
     val sum1 = (0 until w).map(i => s"coalesce(cast(${term(i)} as double), 0.0)").reduceLeft((a, b) => s"($a + $b)")
-    val sum2 = (0 until w).map(i => s"coalesce(cast(${term(i)} as double) * cast(${term(i)} as double), 0.0)")
-      .reduceLeft((a, b) => s"($a + $b)")
     val cnt = (0 until w).map(i => s"(case when ${term(i)} is not null then 1 else 0 end)").reduceLeft((a, b) => s"($a + $b)")
-    val std = s"sqrt((($sum2 - (($sum1 * $sum1) / $cnt)) / ($cnt - 1)))"
+    // SHIFTED two-pass variance (r16): the sum-of-squares form
+    // s2 − s1²/n cancels catastrophically at large magnitudes (a
+    // 1e12-valued window turned it NEGATIVE — Spark sqrt gave NaN,
+    // DuckDB sqrt threw; surfaced by the events edge fixture).
+    // Squares of (term − mean) are non-negative by construction and
+    // numerically honest; identical fold order on every path
+    // (kernel / declarative / this twin) keeps bit-parity.
+    val mean = s"($sum1 / $cnt)"
+    val s2c = (0 until w)
+      .map(i => s"coalesce((cast(${term(i)} as double) - $mean) * (cast(${term(i)} as double) - $mean), 0.0)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    val std = s"sqrt(($s2c / ($cnt - 1)))"
     Seq(
       s"case when $cnt >= $minP then min($c) over $frame end as ${c}_rollmin_w$w",
       s"case when $cnt >= $minP then max($c) over $frame end as ${c}_rollmax_w$w",
@@ -70,10 +79,15 @@ object OracleGen {
       fold(i => s"(case when ${pair(i)} then ${body(i)} else 0.0 end)")
     val sx = s(i => s"cast(${x(i)} as double)")
     val sy = s(i => s"cast(${y(i)} as double)")
-    val sxx = s(i => s"cast(${x(i)} as double) * cast(${x(i)} as double)")
-    val syy = s(i => s"cast(${y(i)} as double) * cast(${y(i)} as double)")
-    val sxy = s(i => s"cast(${x(i)} as double) * cast(${y(i)} as double)")
-    val r = s"((($nd * $sxy) - ($sx * $sy)) / sqrt(((($nd * $sxx) - ($sx * $sx)) * (($nd * $syy) - ($sy * $sy)))))"
+    // SHIFTED Pearson — see KernelRuntime mode 4 (r16: the raw-sums
+    // n·sxx − sx² denominators cancel at large magnitudes and the two
+    // engines' identical formulas produced different garbage)
+    val mx = s"($sx / $nd)"
+    val my = s"($sy / $nd)"
+    val sxxc = s(i => s"(cast(${x(i)} as double) - $mx) * (cast(${x(i)} as double) - $mx)")
+    val syyc = s(i => s"(cast(${y(i)} as double) - $my) * (cast(${y(i)} as double) - $my)")
+    val sxyc = s(i => s"(cast(${x(i)} as double) - $mx) * (cast(${y(i)} as double) - $my)")
+    val r = s"($sxyc / sqrt(($sxxc * $syyc)))"
     s"case when $n >= $w then $r end as ${c}_autocorr_l${lagK}_w$w"
   }
 
@@ -92,10 +106,13 @@ object OracleGen {
       fold(i => s"(case when ${pair(i)} then ${body(i)} else 0.0 end)")
     val sx = s(i => s"cast(${x(i)} as double)")
     val sy = s(i => s"cast(${y(i)} as double)")
-    val sxx = s(i => s"cast(${x(i)} as double) * cast(${x(i)} as double)")
-    val syy = s(i => s"cast(${y(i)} as double) * cast(${y(i)} as double)")
-    val sxy = s(i => s"cast(${x(i)} as double) * cast(${y(i)} as double)")
-    val r = s"((($nd * $sxy) - ($sx * $sy)) / sqrt(((($nd * $sxx) - ($sx * $sx)) * (($nd * $syy) - ($sy * $sy)))))"
+    // shifted Pearson — see autocorrExpr (r16 cancellation fix)
+    val mx = s"($sx / $nd)"
+    val my = s"($sy / $nd)"
+    val sxxc = s(i => s"(cast(${x(i)} as double) - $mx) * (cast(${x(i)} as double) - $mx)")
+    val syyc = s(i => s"(cast(${y(i)} as double) - $my) * (cast(${y(i)} as double) - $my)")
+    val sxyc = s(i => s"(cast(${x(i)} as double) - $mx) * (cast(${y(i)} as double) - $my)")
+    val r = s"($sxyc / sqrt(($sxxc * $syyc)))"
     s"case when $n >= $w then $r end as ${cx}_${cy}_crosscorr_w$w"
   }
 
@@ -112,11 +129,19 @@ object OracleGen {
       .reduceLeft((a, b) => s"($a + $b)")
     val cnt = (0 until w).map(i => s"(case when ${term(i)} is not null then 1 else 0 end)")
       .reduceLeft((a, b) => s"($a + $b)")
-    val (s1, s2, s3, s4) = (fold(1), fold(2), fold(3), fold(4))
+    val s1 = fold(1)
+    // CENTERED power sums — see KernelRuntime mode 5 (r16: the
+    // raw-power-sum expansions drown in cancellation noise at large
+    // magnitudes; Σ(v−mean)^p with the kernel's exact multiply
+    // grouping — d2·d for p=3, d2·d2 for p=4 — stays bit-parallel)
     val mean = s"($s1 / $w)"
-    val m2 = s"(($s2 / $w) - ($mean * $mean))"
-    val m3 = s"((($s3 / $w) - ((3.0E0 * $mean) * ($s2 / $w))) + (((2.0E0 * $mean) * $mean) * $mean))"
-    val m4 = s"(((($s4 / $w) - ((4.0E0 * $mean) * ($s3 / $w))) + ((6.0E0 * ($mean * $mean)) * ($s2 / $w))) - ((3.0E0 * ($mean * $mean)) * ($mean * $mean)))"
+    def d(i: Int): String = s"(cast(${term(i)} as double) - $mean)"
+    def d2(i: Int): String = s"(${d(i)} * ${d(i)})"
+    def cfold(body: Int => String): String = (0 until w)
+      .map(i => s"coalesce(${body(i)}, 0.0)").reduceLeft((a, b) => s"($a + $b)")
+    val m2 = s"(${cfold(d2)} / $w)"
+    val m3 = s"(${cfold(i => s"(${d2(i)} * ${d(i)})")} / $w)"
+    val m4 = s"(${cfold(i => s"(${d2(i)} * ${d2(i)})")} / $w)"
     val skew = s"(${litD(coefs(0))} * ($m3 / ($m2 * sqrt($m2))))"
     val kurt = s"(${litD(coefs(1))} * ((${litD(coefs(2))} * (($m4 / ($m2 * $m2)) - 3.0E0)) + 6.0E0))"
     Seq(
@@ -128,11 +153,13 @@ object OracleGen {
   def zscoreExpr(c: String, w: Int, ov: String): String = {
     def term(i: Int): String = if (i == 0) c else s"lag($c, $i) over $ov"
     val sum1 = (0 until w).map(i => s"coalesce(cast(${term(i)} as double), 0.0)").reduceLeft((a, b) => s"($a + $b)")
-    val sum2 = (0 until w).map(i => s"coalesce(cast(${term(i)} as double) * cast(${term(i)} as double), 0.0)")
-      .reduceLeft((a, b) => s"($a + $b)")
     val cnt = (0 until w).map(i => s"(case when ${term(i)} is not null then 1 else 0 end)").reduceLeft((a, b) => s"($a + $b)")
+    // shifted two-pass std — see rollstatsExprs (r16 cancellation fix)
     val mean = s"($sum1 / $cnt)"
-    val std = s"sqrt((($sum2 - (($sum1 * $sum1) / $cnt)) / ($cnt - 1)))"
+    val s2c = (0 until w)
+      .map(i => s"coalesce((cast(${term(i)} as double) - $mean) * (cast(${term(i)} as double) - $mean), 0.0)")
+      .reduceLeft((a, b) => s"($a + $b)")
+    val std = s"sqrt(($s2c / ($cnt - 1)))"
     s"case when $cnt >= $w then ((cast($c as double) - $mean) / $std) end as ${c}_zscore_w$w"
   }
 

@@ -15,7 +15,9 @@ class CrossCorrSpec extends SparkSpec {
       .toDF("g", "t", "v", "u")
   }
 
-  test("crossCorr equals the declarative five-sums expression form") {
+  test("crossCorr equals the declarative SHIFTED-Pearson expression form") {
+    // r16: the five-raw-sums reference was replaced by the shifted
+    // (centered) form everywhere — see KernelRuntime mode 4
     val w = 10
     val win = Featurize.seriesWindow(Seq("g"), Seq("t"))
     def x(i: Int): Column = if (i == 0) $"v" else lag($"v", i).over(win)
@@ -26,10 +28,15 @@ class CrossCorrSpec extends SparkSpec {
     val nd = n.cast("double")
     val sx = fold(i => when(pair(i), x(i).cast("double")).otherwise(lit(0.0)))
     val sy = fold(i => when(pair(i), y(i).cast("double")).otherwise(lit(0.0)))
-    val sxx = fold(i => when(pair(i), x(i).cast("double") * x(i).cast("double")).otherwise(lit(0.0)))
-    val syy = fold(i => when(pair(i), y(i).cast("double") * y(i).cast("double")).otherwise(lit(0.0)))
-    val sxy = fold(i => when(pair(i), x(i).cast("double") * y(i).cast("double")).otherwise(lit(0.0)))
-    val r = (nd * sxy - sx * sy) / sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy))
+    val mx = sx / nd
+    val my = sy / nd
+    val sxxc = fold(i => when(pair(i),
+      (x(i).cast("double") - mx) * (x(i).cast("double") - mx)).otherwise(lit(0.0)))
+    val syyc = fold(i => when(pair(i),
+      (y(i).cast("double") - my) * (y(i).cast("double") - my)).otherwise(lit(0.0)))
+    val sxyc = fold(i => when(pair(i),
+      (x(i).cast("double") - mx) * (y(i).cast("double") - my)).otherwise(lit(0.0)))
+    val r = sxyc / sqrt(sxxc * syyc)
     val decl = df.withColumn("expected", when(n >= w, r))
       .select($"g", $"t", $"expected").orderBy("g", "t").collect()
       .map(r0 => if (r0.isNullAt(2)) None else Some(r0.getDouble(2))).toSeq
