@@ -29,8 +29,11 @@ import org.apache.spark.sql.functions._
   *    deterministic ±1 per (copy, dim)): within a copy every pairwise
   *    dot product (hence every cosine, every ANN neighborhood) is
   *    EXACTLY the source's — s_j² = 1 — while cross-copy dots carry
-  *    independent ± signs per term and cancel REGARDLESS of vector
-  *    structure, so near-dup counts scale linearly. Two weaker
+  *    xxhash64-mixed ± signs per term that agree on ~half the dims
+  *    for EVERY copy pair (UpsampleSignSpec pins the agreement band),
+  *    so cross-copy cosines concentrate near 0 (O(1/√d) fluctuation,
+  *    whatever the vector structure) and near-dup counts scale
+  *    linearly. Two weaker
   *    transforms were tried first and FAKED super-linear growth: a
   *    ±0.05 additive perturbation left cross-copy cosines ≈ 0.999,
   *    and a cyclic dimension shift decorrelates only unstructured
@@ -113,13 +116,21 @@ object UpsampleTestdata {
     write(copies(emb)((d, i) => d
       .withColumn("vec_id", col("vec_id") + lit(i * vecS))
       .withColumn("embedding", if (i == 0) col("embedding")
-        else transform(col("embedding"), (x, j) => {
-          // deterministic ±1 from an LCG-mixed (copy, dim) parity
-          val bit = pmod(shiftright((j.cast("long") + 1L) * lit(1103515245L)
-            + lit(i * 12345L), 16), lit(2L))
-          when(bit === 0L, x).otherwise(-x)
-        }))), dst, "embeddings")
+        else transform(col("embedding"), (x, j) => x * copySign(i, j)))), dst, "embeddings")
   }
+
+  /** Deterministic ±1 for (copy, dim) from xxhash64 — a REAL
+    * avalanche mix (advisor r16: the previous single linear form's
+    * bit 16 was strongly structured across copies — some copy pairs
+    * agreed on only 3/64 dims, cross-copy cosine ≈ −0.9, fake
+    * NEGATIVE structure an absolute-threshold operator would see).
+    * The generator is never oracle-replayed (both engines read the
+    * same parquet), so the int64-replayable constraint of the
+    * query-side keep rules does not apply here; UpsampleSignSpec pins
+    * the per-pair agreement band.
+    */
+  private[graft] def copySign(i: Int, j: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(pmod(xxhash64(lit(i), j), lit(2L)) === 0L, lit(1.0)).otherwise(lit(-1.0))
 
   /** Write one parquet FILE at dst/<name>.parquet (Spark writes a
     * directory; both Tables and duckdb's read_parquet expect the

@@ -843,6 +843,24 @@ object TimeOps {
     * series stay EXACT with no separate code path, and the estimator
     * engages per series, only where n demands it.
     */
+  /** Point budget for a pair budget `mp`: ⌊√(2·mp)⌋, CLAMPED to
+    * 63488 = 65536 − 8·√65536. The clamp is the overflow-headroom fix
+    * (advisor r16): the hash keep-rule's kept count fluctuates around
+    * the budget with binomial sd ≤ √budget (~252 here), and
+    * row_number's rank guard trips at 65537 kept points
+    * (K·(K−1)/2 > 2³¹−1). The default budget's raw ⌊√(2·(2³¹−1))⌋ =
+    * 65535 left ZERO margin — a genuine monster series tripped the
+    * loud guard with ~50% probability, a failed job where the
+    * auto-route promises a degraded estimate. 63488 puts the ceiling
+    * 8.1 sd away (p ~ 1e−16 per series) while leaving every small
+    * explicit budget (gates pass Some(1000L) → 44 points) bit-exactly
+    * unchanged — the clamp binds only where overflow is reachable,
+    * which is also why it applies at ANY mp: no point budget may make
+    * the 32-bit rank guard reachable.
+    */
+  private[graft] def pointBudget(mp: Long): Long =
+    math.max(2L, math.min(math.sqrt(2.0 * mp).toLong, 63488L))
+
   private[graft] def sampleSeriesPoints(
       df: DataFrame,
       tsCol: String,
@@ -866,14 +884,15 @@ object TimeOps {
       pairFrac: Option[Double] = None,
       autoMaxPairs: Option[Long] = Some(Int.MaxValue.toLong - 1)): DataFrame = {
     // auto-route FIRST: a series whose pair count would exceed the
-    // budget (default: just under row_number's 2^31 range, so the
-    // rank-overflow guard below is unreachable by construction)
-    // degrades to the consistent point-sampled estimator instead of
-    // an O(n²) fan-out or a failed job; in-budget series are
-    // untouched (the threshold keeps every row when n ≤ maxPoints)
+    // budget degrades to the consistent point-sampled estimator
+    // instead of an O(n²) fan-out or a failed job; in-budget series
+    // are untouched (the threshold keeps every row when n ≤
+    // maxPoints). The point budget is clamped 8 sd under the 2^31
+    // rank ceiling ([[pointBudget]]), so the rank-overflow guard
+    // below is unreachable even through kept-count fluctuation.
     val dfs = autoMaxPairs match {
       case Some(mp) =>
-        sampleSeriesPoints(df, tsCol, groupCols, math.max(2L, math.sqrt(2.0 * mp).toLong))
+        sampleSeriesPoints(df, tsCol, groupCols, pointBudget(mp))
       case None => df
     }
     val a = dfs.select(groupCols.map(col) ++ Seq(col(tsCol).as("__ta"), col(valueCol).as("__va")): _*)
@@ -988,7 +1007,7 @@ object TimeOps {
     // slope and intercept are both medians over the SAME subsample)
     val dfs = autoMaxPairs match {
       case Some(mp) =>
-        sampleSeriesPoints(df, tsCol, groupCols, math.max(2L, math.sqrt(2.0 * mp).toLong))
+        sampleSeriesPoints(df, tsCol, groupCols, pointBudget(mp))
       case None => df
     }
     val slopes = theilSen(dfs, valueCol, tsCol, groupCols, pairFrac, autoMaxPairs = None)
@@ -1041,7 +1060,7 @@ object TimeOps {
     // test statistic stays internally consistent when it engages
     val dfs = autoMaxPairs match {
       case Some(mp) =>
-        sampleSeriesPoints(df, tsCol, groupCols, math.max(2L, math.sqrt(2.0 * mp).toLong))
+        sampleSeriesPoints(df, tsCol, groupCols, pointBudget(mp))
       case None => df
     }
     val a = dfs.select(groupCols.map(col) ++ Seq(col(tsCol).as("__ta"), col(valueCol).as("__va")): _*)

@@ -16,6 +16,25 @@ class TheilSenAutoSpec extends SparkSpec {
   // budget 1000 pairs → 44-point budget (⌊√2000⌋)
   private val budget = Some(1000L)
 
+  test("pointBudget leaves 8-sd headroom under the 2^31 rank ceiling") {
+    // small explicit budgets are bit-exactly the old ⌊√(2·mp)⌋ —
+    // gates pass Some(1000L) and their oracles inline 44 points
+    assert(TimeOps.pointBudget(1000L) == 44L)
+    assert(TimeOps.pointBudget(100L) == 14L)
+    assert(TimeOps.pointBudget(3L) == 2L)
+    // the default budget clamps: raw ⌊√(2·(2³¹−1))⌋ = 65535 left ZERO
+    // margin against kept-count fluctuation (sd ≈ √budget ≈ 252; the
+    // rank guard trips at 65537 kept points). 63488 = 65536 − 8·√65536
+    // puts the ceiling ~8 sd away for ANY budget
+    assert(TimeOps.pointBudget(Int.MaxValue.toLong - 1) == 63488L)
+    assert(TimeOps.pointBudget(Long.MaxValue / 4) == 63488L)
+    // headroom arithmetic: even budget + 8 sd of kept points stays
+    // under the 65536-point pair ceiling (65536·65535/2 < 2³¹)
+    val b = TimeOps.pointBudget(Int.MaxValue.toLong - 1)
+    val worst = b + 8L * math.sqrt(b.toDouble).ceil.toLong
+    assert(worst * (worst - 1) / 2 < Int.MaxValue.toLong, s"b=$b worst=$worst")
+  }
+
   test("monster series auto-samples: bounded pairs, exact slope on clean linear data") {
     // 500 points, v = 2t exactly: EVERY pairwise slope is 2, so any
     // subsample's median is bit-exactly 2.0 — the sampling is visible
