@@ -181,6 +181,7 @@ object Multimodal {
       val size = le32(b, o + 4).toLong & 0xffffffffL
       if (tag(o, "fmt ")) {
         if (size < 16 || o + 8 + 16 > b.length) return None
+        if (!pcmFmtCoherent(b, o)) return None
         fmt = Some((le16(b, o + 10), le32(b, o + 12), le16(b, o + 22), le16(b, o + 20)))
       } else if (tag(o, "data")) dataSize = size
       // chunks are word-aligned; Long arithmetic guards hostile declared
@@ -196,6 +197,30 @@ object Multimodal {
         Some((ch, rate, bits, dataSize / block))
       case _ => None
     }
+  }
+
+  /** fmt-chunk COHERENCE gate shared by both WAV parsers (found by
+    * CodecFuzzSpec r17: a random byte flip in fmt yielded
+    * channels=16386 passed through as "sane" metadata). A PCM fmt
+    * chunk is internally redundant — blockAlign and byteRate are
+    * DERIVED fields — so corruption that touches any of the six
+    * numbers breaks the arithmetic with high probability. Accepts
+    * exactly: format=1 (PCM), channels ≥ 1, bits ∈ {8,16,24,32},
+    * rate ≥ 1, blockAlign = channels·bits/8, byteRate = rate·blockAlign.
+    * `o` is the chunk start (the "fmt " tag offset); caller has
+    * bounds-checked o+8+16.
+    */
+  private def pcmFmtCoherent(b: Array[Byte], o: Int): Boolean = {
+    val format = le16(b, o + 8)
+    val ch = le16(b, o + 10)
+    val rate = le32(b, o + 12)
+    val byteRate = le32(b, o + 16)
+    val block = le16(b, o + 20)
+    val bits = le16(b, o + 22)
+    format == 1 && ch >= 1 && rate >= 1 &&
+      (bits == 8 || bits == 16 || bits == 24 || bits == 32) &&
+      block == ch * bits / 8 &&
+      byteRate.toLong == rate.toLong * block
   }
 
   /** A VALID minimal WAV: RIFF/WAVE + a junk "LIST" chunk (the parser
@@ -294,6 +319,7 @@ object Multimodal {
       val size = le32(b, o + 4).toLong & 0xffffffffL
       if (tag(o, "fmt ")) {
         if (size < 16 || o + 8 + 16 > b.length) return None
+        if (!pcmFmtCoherent(b, o)) return None
         fmt = Some((le16(b, o + 10), le32(b, o + 12), le16(b, o + 22)))
       } else if (tag(o, "data")) { dataOff = o + 8; dataSize = size }
       // same hostile-size guard as parseWav: never let a crafted 32-bit
@@ -741,8 +767,12 @@ object Multimodal {
       o += 12 + len
     }
     if (!sawIhdr || w <= 0 || h <= 0 || idat.size == 0) return None
+    // LONG arithmetic before any allocation: a hostile IHDR width up
+    // to 2^31−1 overflows `3*w` in int, flipping the size guard's sign
+    // and passing a negative rawLen to the allocator (found by
+    // CodecFuzzSpec's 25k-case sweep, r17)
+    if (w > (1 << 24) || h > (1 << 24) || 3L * w * h + h > Int.MaxValue) return None
     val stride = 3 * w
-    if (h.toLong * (1 + stride) > Int.MaxValue) return None
     val rawLen = h * (1 + stride)
     val raw = new Array[Byte](rawLen)
     val inf = new java.util.zip.Inflater()
