@@ -35,9 +35,15 @@ object Bench {
     // MemoryStream (verification harness, ~3s of replay machinery per
     // query at sf0.1) — they gate correctness in Verify, not throughput
     // here
+    // real_* twins run the same builders over the FIXED checked-in
+    // real-text corpus — correctness hardening in Verify, not part of
+    // the sf-scaled throughput surface (their input never grows with
+    // SPARK_GRAFT_SF_DIR, so timing them here would dilute the
+    // scaling signal)
     val selected = only match {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None        => SparkEntry.queries.filter { case (n, _) => !n.startsWith("stream_") }
+      case None        => SparkEntry.queries.filter { case (n, _) =>
+        !n.startsWith("stream_") && !n.startsWith("real_") }
     }
     // deterministic name order: per-query timings stay comparable
     // across rounds as queries are added (Map hash order shifts)

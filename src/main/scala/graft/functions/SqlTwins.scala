@@ -11,9 +11,21 @@ object SqlTwins {
 
   /** TextOps.normalize — NOTE the 'g' flag: DuckDB regexp_replace is
     * first-match-only by default, Spark replaces all.
+    *
+    * The chr(304) pre-replace replays the ONE token-affecting case
+    * mapping the engines disagree on (found by the real-corpus gate,
+    * r17): Spark/JVM lower('İ' U+0130) expands to 'i' + combining dot
+    * U+0307 (the dot then normalizes to a token-splitting space:
+    * "İstanbul" → "i stanbul"), while DuckDB's utf8proc maps it 1:1 to
+    * 'i' ("istanbul"). A full-Unicode word-context sweep found no
+    * other code point whose lower() difference survives the
+    * [^a-z0-9 ] strip, so this single replace makes the twins
+    * hash-exact on any corpus. (Both sides of the JVM mapping assume
+    * a non-Turkish default locale — the same assumption Spark's own
+    * lower() makes.)
     */
   def norm(c: String): String =
-    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+    s"trim(regexp_replace(regexp_replace(lower(replace($c, chr(304), 'i' || chr(775))), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
   def toks(c: String): String = s"string_split(${norm(c)}, ' ')"
 
