@@ -2281,20 +2281,53 @@ object SparkEntry {
     * scale (sf0.01, the dir the driver always gates on) — regenerate
     * via the tool if testdata ever regenerates.
     */
-  private lazy val compressGoldenSql: String = {
-    val in = getClass.getClassLoader.getResourceAsStream("compress_golden_sf001.csv")
-    require(in != null, "compress_golden_sf001.csv resource missing")
-    val rows = scala.io.Source.fromInputStream(in, "UTF-8").getLines().drop(1)
-      .map { l => val p = l.split(','); s"(${p(0)},${p(1)},${p(2)})" }
-      .mkString(",")
-    s"""select cast(doc_id as bigint) as doc_id,
+  private lazy val compressGoldenSql: String =
+    compressGoldenSqlFor("sf001").getOrElse(
+      sys.error("compress_golden_sf001.csv resource missing"))
+
+  /** Corpus TAG for a data dir: basename, lowercased, non-alnum
+    * stripped ("/root/testdata/sf0.01" → "sf001", "/tmp/graft_sf1" →
+    * "graftsf1") — the key goldens are stored under.
+    */
+  private[graft] def corpusTag(dir: String): String =
+    new java.io.File(dir).getName.toLowerCase.replaceAll("[^a-z0-9]", "")
+
+  /** Golden for the corpus tagged `tag`, or None when no golden ships
+    * for that corpus (ADVICE r16: the sf001 golden inlined
+    * unconditionally made text_compress_ratio hard-fail at every other
+    * scale; an absent oracle instead downgrades the driver's check to
+    * rows-only). Regenerate per corpus with
+    * `tools/make_compress_golden.py <dir>`.
+    */
+  private[graft] def compressGoldenSqlFor(tag: String): Option[String] = {
+    val in = getClass.getClassLoader.getResourceAsStream(s"compress_golden_$tag.csv")
+    if (in == null) None
+    else {
+      val rows = scala.io.Source.fromInputStream(in, "UTF-8").getLines().drop(1)
+        .map { l => val p = l.split(','); s"(${p(0)},${p(1)},${p(2)})" }
+        .mkString(",")
+      Some(s"""select cast(doc_id as bigint) as doc_id,
        | cast(n_bytes as bigint) as n_bytes,
        | cast(n_deflate as bigint) as n_deflate,
        | case when n_bytes = 0 then null
        |      else cast(n_deflate as double) / cast(n_bytes as double) end as ratio
        |from (values $rows) g(doc_id, n_bytes, n_deflate)
-       |order by doc_id""".stripMargin
+       |order by doc_id""".stripMargin)
+    }
   }
+
+  /** The oracle map BOUND TO A DATA DIR: identical to [[oracleSql]]
+    * except text_compress_ratio rides the golden matching the dir's
+    * corpus tag — present when a golden ships for it, absent (→
+    * rows-only driver check) otherwise. Verify dumps THIS, so gating
+    * sf0.1 / the sf1 upsample / an edge fixture no longer hard-fails
+    * the one scale-dependent oracle.
+    */
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    compressGoldenSqlFor(corpusTag(sfDir)) match {
+      case Some(sql) => oracleSql.updated("text_compress_ratio", sql)
+      case None      => oracleSql - "text_compress_ratio"
+    }
 
   private lazy val baseOracleSql: Map[String, String] = Map(
     "text_compress_ratio" -> compressGoldenSql,

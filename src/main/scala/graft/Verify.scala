@@ -44,7 +44,9 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // oracle_sql.json FIRST: it costs nothing to produce, and the driver
     // needs it to score whatever parquet dumps survive a timeout.
-    val json = SparkEntry.oracleSql
+    // dir-bound oracles: text_compress_ratio's golden must match the
+    // corpus being gated (absent golden → rows-only, not a hard fail)
+    val json = SparkEntry.oracleSqlFor(sfDir)
       .toSeq.sortBy(_._1)
       .map { case (k, v) => s"${jsonEscape(k)}: ${jsonEscape(v)}" }
       .mkString("{", ",", "}")
