@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.ts.TimeOps
+
+/** Monster-series measurement for the Theil-Sen auto-route (judge r17
+  * item 7, the unfinished half of r16 #5): ONE synthetic 10⁵-point
+  * series, wall-times for
+  *
+  *   - `auto`    — the default clamped budget (autoMaxPairs =
+  *                 2³¹−2 → pointBudget 63488 → ~2.0·10⁹ pairs),
+  *   - `budget1m`— an explicit 10⁶-pair budget (→ 1414 points —
+  *                 the budget a production job would actually set),
+  *   - `exact`   — autoMaxPairs = None (10⁵ points → 5.0·10⁹ pairs),
+  *                 optional via arg `exact` (it is ~2.5× auto's pair
+  *                 volume and exists to bound the auto-route's win).
+  *
+  * The series is deterministic (value = 3·ts + xxhash64 noise) so
+  * reruns are comparable; the table lands in SCALING.md. Note the
+  * structural lesson this measures: a SINGLE monster series hashes to
+  * ONE join partition, so pair volume — not core count — is the whole
+  * wall-clock; the auto-route's point sample is the only lever.
+  *
+  * Usage: runMain graft.tools.MonsterTheilSen [n] [routes,csv]
+  */
+object MonsterTheilSen {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(100000L)
+    val routes = args.drop(1).headOption.map(_.split(",").toSet)
+      .getOrElse(Set("auto", "budget1m"))
+    val spark = SparkSession.builder()
+      .appName("graft-monster-theilsen")
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = s"/tmp/graft_monster_$n"
+    spark.range(n)
+      .select(lit(1L).as("user_id"), col("id").as("ts_us"),
+        (col("id") * 3.0 +
+          (pmod(xxhash64(col("id")), lit(1000L)).cast("double") / 100.0)).as("value"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    df.count() // warm the file index + codegen outside the timers
+    def time(tag: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val rows = mk.collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"route":"$tag","n":$n,"sec":$secs%.1f,"n_pairs":${rows.head.getAs[Long]("n_pairs")},"slope":${rows.head.getAs[Double]("sen_slope")}%.6f}""")
+    }
+    if (routes("budget1m"))
+      time("budget1m")(TimeOps.theilSen(df, "value", "ts_us", Seq("user_id"),
+        autoMaxPairs = Some(1000000L)))
+    if (routes("auto"))
+      time("auto")(TimeOps.theilSen(df, "value", "ts_us", Seq("user_id")))
+    if (routes("exact"))
+      time("exact")(TimeOps.theilSen(df, "value", "ts_us", Seq("user_id"),
+        autoMaxPairs = None))
+    spark.stop()
+  }
+}

@@ -21,20 +21,28 @@ import zlib
 
 import duckdb
 
-OUT = "src/main/resources/compress_golden_sf001.csv"
+import os
+import re
+
+
+def corpus_tag(sfdir):
+    """Mirror SparkEntry.corpusTag: basename, lowercased, non-alnum
+    stripped — the key the golden resource is looked up under."""
+    return re.sub(r"[^a-z0-9]", "", os.path.basename(sfdir.rstrip("/")).lower())
 
 
 def main():
     sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = f"src/main/resources/compress_golden_{corpus_tag(sfdir)}.csv"
     docs = duckdb.sql(
         f"select doc_id, text from '{sfdir}/documents.parquet' order by doc_id"
     ).fetchall()
-    with open(OUT, "w") as f:
+    with open(out, "w") as f:
         f.write("doc_id,n_bytes,n_deflate\n")
         for did, text in docs:
             raw = (text or "").encode("utf-8")
             f.write(f"{did},{len(raw)},{len(zlib.compress(raw, 6))}\n")
-    print(f"wrote {OUT}: {len(docs)} rows from {sfdir}")
+    print(f"wrote {out}: {len(docs)} rows from {sfdir}")
 
 
 if __name__ == "__main__":
