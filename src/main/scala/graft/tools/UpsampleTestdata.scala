@@ -130,7 +130,12 @@ object UpsampleTestdata {
     * the per-pair agreement band.
     */
   private[graft] def copySign(i: Int, j: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(pmod(xxhash64(lit(i), j), lit(2L)) === 0L, lit(1.0)).otherwise(lit(-1.0))
+    // FLOAT literals: a double ±1.0 would promote the float embedding
+    // elements to array<double> through the multiply, silently breaking
+    // every array<float>-typed consumer downstream (the r18 sf1 sweep
+    // failed all ANN queries on exactly that). ±1.0f keeps the element
+    // type AND the bit-exactness (a sign flip is exact in any width).
+    when(pmod(xxhash64(lit(i), j), lit(2L)) === 0L, lit(1.0f)).otherwise(lit(-1.0f))
 
   /** Write one parquet FILE at dst/<name>.parquet (Spark writes a
     * directory; both Tables and duckdb's read_parquet expect the

@@ -18,12 +18,14 @@ class UpsampleSignSpec extends SparkSpec {
   test("cross-copy sign agreement concentrates near d/2 for every copy pair") {
     val d = 64
     val copies = 0 to 10 // copy 0 is identity (+1 on every dim)
-    val signs: Map[Int, Array[Double]] = copies.map { i =>
+    // FLOAT signs (r18): copySign emits ±1.0f so the embedding multiply
+    // preserves array<float> — the spec reads the same type
+    val signs: Map[Int, Array[Float]] = copies.map { i =>
       val row = spark.range(d.toLong).toDF("j")
         .select(collect_list(
-          if (i == 0) lit(1.0)
+          if (i == 0) lit(1.0f)
           else UpsampleTestdata.copySign(i, col("j").cast("int"))).as("s"))
-        .head().getSeq[Double](0).toArray
+        .head().getSeq[Float](0).toArray
       i -> row
     }.toMap
     val pairs = for {
@@ -48,8 +50,20 @@ class UpsampleSignSpec extends SparkSpec {
     (1 to 4).foreach { i =>
       val s = spark.range(d.toLong).toDF("j")
         .select(collect_list(UpsampleTestdata.copySign(i, col("j").cast("int"))).as("s"))
-        .head().getSeq[Double](0)
-      assert(s.forall(v => v == 1.0 || v == -1.0), s"copy $i signs not ±1: $s")
+        .head().getSeq[Float](0)
+      assert(s.forall(v => v == 1.0f || v == -1.0f), s"copy $i signs not ±1: $s")
     }
+  }
+
+  test("sign multiply preserves array<float> (sf1 schema parity)") {
+    // the r18 sf1 sweep failed every ANN query because a double ±1.0
+    // literal promoted the embedding elements to array<double>; this
+    // pins the upsampled element type to the source's FloatType
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val df = Seq((1L, Array(1.0f, -2.0f))).toDF("vec_id", "embedding")
+    val out = df.withColumn("embedding",
+      transform(col("embedding"), (x, j) => x * UpsampleTestdata.copySign(3, j)))
+    val et = out.schema("embedding").dataType.asInstanceOf[ArrayType].elementType
+    assert(et == FloatType, s"element type promoted to $et")
   }
 }
