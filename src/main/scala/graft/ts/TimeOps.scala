@@ -876,6 +876,14 @@ object TimeOps {
       .drop("__n")
   }
 
+  /** NOTE on the default budget (measured, SCALING.md r18): the
+    * default autoMaxPairs is the CORRECTNESS-maximal 2³¹−2 — the most
+    * exact estimate the 32-bit rank can address — and on one monster
+    * series that is ~2·10⁹ pairs in ONE task (~320-350k pairs/s
+    * single-partition; the series key pins the join to one
+    * partition). For a genuine monster series pass an explicit budget:
+    * 10⁶ pairs ran 5.0 s on a 10⁵-point series at 4·10⁻⁶ slope error.
+    */
   def theilSen(
       df: DataFrame,
       valueCol: String,

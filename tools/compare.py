@@ -18,14 +18,22 @@ def main():
     sfdir, outdir = args[0], args[1]
     only = set(args[2:])
     report = {}
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"create view {t} as select * from read_parquet('{sfdir}/{t}.parquet')")
+    def fresh_con():
+        # fresh connection per query: a long-lived connection's buffer
+        # manager accumulated state across a 200-query sf1 sweep until
+        # mid-sized queries died with "bad allocation" (standalone the
+        # same query peaks at 4.5 GB); reconnecting is ~ms and isolates
+        # every query's memory footprint
+        c = duckdb.connect()
+        for t in TABLES:
+            c.execute(f"create view {t} as select * from read_parquet('{sfdir}/{t}.parquet')")
+        return c
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     fails = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        con = fresh_con()
         report[name] = {"rows_match": False, "schema_match": False,
                         "values_match": False, "err": None}
         try:
@@ -63,6 +71,11 @@ def main():
             e, g = exp[c], got[c]
             if e.dtype.kind == 'f' or g.dtype.kind == 'f':
                 e = e.astype('float64'); g = g.astype('float64')
+                neq = ~((e.isna() & g.isna()) | (e == g))
+            elif e.dtype == g.dtype:
+                # same dtype: vectorized equality, no object-boxing
+                # (astype(object) on a 15M-row sf1 column doubled into
+                # a MemoryError under co-resident JVM pressure)
                 neq = ~((e.isna() & g.isna()) | (e == g))
             else:
                 neq = ~((e.isna() & g.isna()) | (e.astype(object) == g.astype(object)))
