@@ -1982,7 +1982,27 @@ object SparkEntry {
     // changelog headers) is exactly their target distribution
     "text_lm_score", "text_tfidf", "text_collocations", "text_topterms",
     "text_topterms_sketch", "text_entropy", "text_repetition",
-    "dedup_substring")
+    "dedup_substring",
+    // r18 (second pass): EVERY remaining documents-only batch query —
+    // the whole dedup family (the recursive-closure purge path rides
+    // the WITH RECURSIVE splice), decontamination, fingerprint/hash
+    // features, corpus reporting, sampling, packing, the URL ops, and
+    // the end-to-end pipeline itself. The real corpus has the same
+    // schema as the synth table (doc_id, text, lang, source, n_chars),
+    // so the twins are pure re-binds — the curation path's behavior on
+    // genuine text is gated wholesale, not per hand-picked component.
+    "pipeline_e2e",
+    "dedup_exact", "dedup_exact_verified", "dedup_bloom",
+    "dedup_clusters", "dedup_purge", "dedup_purge_quality",
+    "dedup_simhash", "dedup_ngram_jaccard",
+    "text_decontam", "text_decontam_fuzzy",
+    "text_tokens", "text_fingerprint", "text_hash_features",
+    "text_quality_buckets",
+    "corpus_funnel", "corpus_report",
+    "sample_importance", "sample_split", "sample_stratified",
+    "sample_shards", "sample_mixture", "sample_temperature",
+    "pack_sequences", "pack_sequences_curriculum", "pack_budget_cut",
+    "web_url_stats", "web_domain_cap")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     baseQueries ++ realTwins.map { q =>
@@ -1990,17 +2010,20 @@ object SparkEntry {
     }
 
   /** Rebind an oracle's `documents` reference to the real corpus: a
-    * leading CTE shadows the driver-created view (none of the twinned
-    * oracles are WITH RECURSIVE; the require pins that so a future
-    * twin can't silently mis-splice).
+    * leading CTE shadows the driver-created view. WITH RECURSIVE
+    * oracles splice the same way — a non-recursive CTE is legal
+    * anywhere in a RECURSIVE with-list, so the shadow goes first and
+    * the recursive members keep their keyword (r18: unlocked the
+    * dedup_clusters / purge family twins).
     */
   private def realOracle(sql: String): String = {
     val cte = "documents as (select * from " +
       s"read_parquet('$realCorpusDir/documents.parquet'))"
     val t = sql.trim
-    require(!t.toLowerCase.startsWith("with recursive"),
-      "realOracle: splice not implemented for WITH RECURSIVE")
-    if (t.toLowerCase.startsWith("with ")) s"with $cte, ${t.drop(5)}"
+    val low = t.toLowerCase
+    if (low.startsWith("with recursive "))
+      s"with recursive $cte, ${t.drop("with recursive ".length)}"
+    else if (low.startsWith("with ")) s"with $cte, ${t.drop(5)}"
     else s"with $cte $t"
   }
 
@@ -3947,10 +3970,12 @@ object SparkEntry {
          |      end as mean_prob
          |from documents d left join a on d.doc_id = a.doc_id
          |order by d.doc_id""".stripMargin,
+    // explicit whitespace class (NOT \s): Java-\s includes VT (0x0B),
+    // RE2-\s does not — the real corpus' 22 VT-carrying docs diverged
     "text_tokens" ->
       s"""select doc_id,
          | cast(len(${SqlTwins.toks("text")}) as int) as n_tokens,
-         | cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) as int) as n_bpeish
+         | cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) as int) as n_bpeish
          |from documents order by doc_id""".stripMargin,
     "text_fingerprint" ->
       s"select doc_id, ${SqlTwins.fingerprint(SqlTwins.toks("text"))} as fp\nfrom documents order by doc_id",

@@ -276,9 +276,17 @@ object Dedup {
       n: Int = 5,
       maxBroadcastGrams: Long = 4000000L): DataFrame = {
     import graft.functions.TextOps
+    // PERSIST the per-doc gram arrays BEFORE any explode (r18): the
+    // optimizer otherwise inlines the whole tokenize→md5→gram chain
+    // into the Filter it inserts around the Generate, re-evaluating
+    // it once per EXPLODED GRAM row — O(tokens²) md5 work per doc.
+    // Invisible at ~250 tokens/doc (synth), a 35-minute hang on the
+    // real corpus' 15k-token documents. The cached array relation is
+    // an optimizer barrier: the chain runs exactly once per doc.
     def grams(df: DataFrame, extra: Seq[Column]): DataFrame =
       df.select(extra :+ TextOps.tokenHashes32Kernel(col(textCol)).as("__th"): _*)
         .select(extra :+ array_distinct(TextOps.gramHashes(col("__th"), n)).as("__grams"): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // persist before the gate count: the gram set feeds both the count
     // and the join, and benchmark-side tokenize+md5 shouldn't run twice
     val bg = grams(benchmark, Nil)

@@ -32,9 +32,16 @@ object TextOps {
 
   /** BPE-ish subword count: letter runs, single digits, and isolated
     * punctuation — a cheap stand-in for a real tokenizer's token count.
+    *
+    * Whitespace is an EXPLICIT class, not `\s`: Java's ASCII `\s`
+    * includes vertical tab (0x0B) while RE2's excludes it, so the two
+    * engines disagreed on every real document carrying a VT (22 of the
+    * real corpus' 518 — found by the r18 real_text_tokens gate). The
+    * explicit `[ \t\n\x0B\f\r]` is Java-`\s`-identical and parses the
+    * same in both engines; VT counts as whitespace, not a token.
     */
   def bpeishCount(c: Column): Column =
-    regexp_count(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+    regexp_count(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"))
 
   /** 60-bit deterministic string hash: the first 15 hex chars of md5.
     * Chosen because BOTH engines compute it exactly: Spark

@@ -32,6 +32,21 @@ class NormalizeTokensSpec extends SparkSpec {
     }
   }
 
+  test("bpeishCount: vertical tab is whitespace, not a token (Java-\\s vs RE2-\\s)") {
+    // Java's ASCII \s includes VT (0x0B), RE2's excludes it — the old
+    // `[^A-Za-z0-9\s]` tail made DuckDB count a token per VT that the
+    // Spark side never saw (22 real-corpus docs diverged, r18). The
+    // explicit class pins the agreed contract: VT separates, like \t.
+    val rows = Seq(
+      ("a\u000Bb", 2),   // two letter runs split by VT, VT not counted
+      ("a b", 2),
+      ("a.b", 3),        // punctuation IS a token
+      ("\u000B\u000B", 0)
+    ).toDF("s", "exp")
+    rows.select(TextOps.bpeishCount(col("s")).as("got"), col("exp")).collect()
+      .foreach(r => assert(r.getAs[Int]("got") == r.getAs[Int]("exp"), r.toString))
+  }
+
   test("kernel normalize/tokens == declarative on the sf0.001 documents corpus") {
     val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
     val bad = docs.select(
