@@ -57,6 +57,33 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  /** The checked-in real-text corpus (see SparkEntry.realCorpusDir's
+    * doc): ONE small parquet file → ONE input partition, but its docs
+    * run to 100k chars, so r18's gate serialized ~6 min of per-doc text
+    * work on a single core (real_dedup_substring 246 s single-task).
+    */
+  val realCorpusDir = "/root/repo/src/test/resources/real_corpus"
+
+  /** The checked-in REAL time-series fixture (tools/make_real_events.py):
+    * the reference library's own demo dataset — 51 US locations × 274
+    * daily COVID hospitalization observations — in the synth `events`
+    * schema, so the featurize/asof/resample surface twins onto genuine
+    * grouped time-series data the same way the curation path twins onto
+    * the real text corpus. 14k rows: no spread needed (every ts query
+    * shuffles on the series key immediately).
+    */
+  val realEventsDir = "/root/repo/src/test/resources/real_events"
+
+  /** documents, with the real corpus spread over the executor threads:
+    * one deterministic round-robin exchange (sortBeforeRepartition is
+    * on by default) buys per-doc parallelism for every real_* twin.
+    * Synthetic sf* documents are also single files but their docs are
+    * tiny and their queries shuffle immediately anyway — only the real
+    * corpus pays the extra exchange.
+    */
+  def documents(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = table(spark, sfDir, "documents")
+    if (sfDir == realCorpusDir) df.repartition(32) else df
+  }
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 }

@@ -289,10 +289,17 @@ object Dedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // persist before the gate count: the gram set feeds both the count
     // and the join, and benchmark-side tokenize+md5 shouldn't run twice
-    val bg = grams(benchmark, Nil)
+    val bGrams = grams(benchmark, Nil)
+    val bg = bGrams
       .select(explode(col("__grams")).as("bg")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hinted = if (bg.count() <= maxBroadcastGrams) broadcast(bg) else bg
+    // the count above materialized bg's cache, which is the only
+    // consumer of the benchmark gram arrays — release them now instead
+    // of waiting for the ContextCleaner (the docs-side gram cache below
+    // must outlive this call: it backs the returned lazy query, and is
+    // freed by the cleaner once the caller drops the frame)
+    bGrams.unpersist(blocking = false)
     grams(docs, Seq(col(idCol)))
       .select(col(idCol), size(col("__grams")).as("n_grams"), explode_outer(col("__grams")).as("g"))
       .join(hinted, col("g") === col("bg"), "left")
@@ -421,17 +428,17 @@ object Dedup {
     require(winLen >= 1 && stride >= 1)
     // positions 1, 1+stride, … ≤ len−winLen+1 over the normalized text;
     // a doc shorter than winLen yields zero spans but MUST survive to
-    // the output (explode_outer) with n_spans = 0
+    // the output (explode_outer of the empty array → one null row) with
+    // n_spans = 0. SpanHash60 replaces the declarative
+    // transform(sequence, i -> h60(substring(t,i,winLen))) — which was
+    // QUADRATIC per doc (each substring scans from byte 0 to find its
+    // char offset; 137 s of the r18 real-corpus gate) — with one
+    // byte-pass per doc (TextHashKernelSpec pins bit-equality).
     val spans = docs
       .select(col(idCol), TextOps.normalize(col(textCol)).as("__t"))
       .select(col(idCol),
-        when(length(col("__t")) >= winLen,
-          expr(s"transform(sequence(1, length(__t) - ${winLen - 1}, $stride), " +
-            s"i -> substring(__t, i, $winLen))"))
-          .otherwise(array().cast("array<string>")).as("__spans"))
-      .select(col(idCol), explode_outer(col("__spans")).as("__span"))
-      .select(col(idCol),
-        when(col("__span").isNotNull, TextOps.h60(col("__span"))).as("__h"))
+        explode_outer(graft.plans.TextHashKernels.spanHash60(col("__t"), winLen, stride))
+          .as("__h"))
     // stage 1: per-(doc, hash) multiplicity — doc id in the key
     // diffuses a corpus-hot span; null rows (zero-span docs) ride
     // through as (doc, null) so every doc reaches the rollup

@@ -283,34 +283,74 @@ object KernelRuntime {
     new GenericArrayData(out)
   }
 
-  /** See [[NormalizeText]]: one pass over the UTF8String's bytes for
-    * ASCII input (no String round-trip at all — lowercase, map
-    * non-[a-z0-9 ] to space, collapse runs, trim, straight into a new
-    * byte buffer); any non-ASCII byte falls back to the exact-JVM-call
-    * NormalizeImpl path. Bit-identical to the declarative regex
-    * pipeline (NormalizeTokensSpec pins it).
+  /** See [[NormalizeText]]: ONE pass over the UTF8String's bytes for
+    * ANY input — no String round-trip, no regex (r19: the old version
+    * fell back to per-doc Pattern.replaceAll on the first non-ASCII
+    * byte, which serialized ~6 min of single-task normalize on the
+    * mixed-script real corpus under the gate).
+    *
+    * Why a byte loop is exact off the ASCII path too: the declarative
+    * pipeline is lower → map non-[a-z0-9 ] to space → collapse → trim.
+    * After lowercasing, every non-ASCII code point maps to a space
+    * (which then collapses), UNLESS its JVM lowercase lands in ASCII
+    * [a-z0-9]. Exactly two code points in the JVM's casing tables do:
+    * U+212A KELVIN SIGN → 'k' (bytes E2 84 AA) and U+0130 İ → "i" +
+    * U+0307 combining dot (bytes C4 B0; the combining dot is itself a
+    * separator). NormalizeTokensSpec scans the full code-point range
+    * to pin that claim against the running JVM, and fuzzes byte-path
+    * equality vs the exact-JVM-call NormalizeImpl reference. Locale
+    * context rules (Greek final sigma) pick between two non-ASCII
+    * lowercase forms, so both collapse to the same separator.
+    *
+    * Malformed bytes (crawler accidents): String decode turns each
+    * malformed sequence into U+FFFD(s) → separators. The scanner only
+    * ever consumes continuation bytes (0x80-0xBF) after a lead byte —
+    * never an ASCII byte — so kept characters can't be swallowed, and
+    * separator multiplicity is irrelevant under run-collapse.
     */
   def normalizeText(s: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
     val b = s.getBytes
     val n = b.length
-    var ascii = true
-    var i = 0
-    while (ascii && i < n) { if (b(i) < 0) ascii = false; i += 1 }
-    if (!ascii)
-      return org.apache.spark.unsafe.types.UTF8String.fromString(
-        NormalizeImpl.normalize(s.toString))
+    // Output never exceeds input: ASCII 1→1; E2 84 AA (3)→'k' (1);
+    // C4 B0 (2)→"i " (2); any other sequence (≥1)→ at most one ' '.
     val out = new Array[Byte](n)
     var o = 0
     var lastSpace = true // suppresses leading spaces + collapses runs
-    i = 0
+    var i = 0
     while (i < n) {
-      var c: Int = b(i)
-      if (c >= 'A' && c <= 'Z') c += 32
-      val keep = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
-      if (keep) { out(o) = c.toByte; o += 1; lastSpace = false }
-      else if (!lastSpace) { out(o) = ' '; o += 1; lastSpace = true }
-      i += 1
+      val c0: Int = b(i) & 0xff
+      if (c0 < 0x80) {
+        var c = c0
+        if (c >= 'A' && c <= 'Z') c += 32
+        val keep = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+        if (keep) { out(o) = c.toByte; o += 1; lastSpace = false }
+        else if (!lastSpace) { out(o) = ' '; o += 1; lastSpace = true }
+        i += 1
+      } else if (c0 == 0xc4 && i + 1 < n && b(i + 1) == 0xb0.toByte) {
+        // U+0130 İ → 'i' + combining dot; the dot is a separator
+        out(o) = 'i'; o += 1
+        out(o) = ' '; o += 1; lastSpace = true
+        i += 2
+      } else if (c0 == 0xe2 && i + 2 < n && b(i + 1) == 0x84.toByte &&
+                 b(i + 2) == 0xaa.toByte) {
+        // U+212A KELVIN SIGN → 'k'
+        out(o) = 'k'; o += 1; lastSpace = false
+        i += 3
+      } else {
+        // any other non-ASCII code point → separator; skip the lead
+        // byte plus up to (expected-length - 1) CONTINUATION bytes
+        if (!lastSpace) { out(o) = ' '; o += 1; lastSpace = true }
+        var rem =
+          if (c0 >= 0xf0 && c0 <= 0xf7) 3
+          else if (c0 >= 0xe0) 2
+          else if (c0 >= 0xc0) 1
+          else 0 // bare continuation or invalid lead: itself only
+        i += 1
+        while (rem > 0 && i < n && (b(i) & 0xc0) == 0x80) { i += 1; rem -= 1 }
+      }
     }
+    // drop a single trailing space (runs were already collapsed, and
+    // a kept 'i' from U+0130 re-enters the normal flow above)
     if (o > 0 && out(o - 1) == ' ') o -= 1
     org.apache.spark.unsafe.types.UTF8String.fromBytes(out, 0, o)
   }
@@ -523,6 +563,57 @@ object KernelRuntime {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** See [[SpanHash60]]: full 60-bit h60 (no mod) of each winLen-char
+    * window at the given stride. Direct byte offsets on ASCII input
+    * (the normalize contract guarantees [a-z0-9 ]); the non-ASCII
+    * defensive path replays the declarative code-point semantics.
+    */
+  def spanHash60(s: org.apache.spark.unsafe.types.UTF8String, winLen: Int, stride: Int): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    var ascii = true
+    var i = 0
+    while (ascii && i < n) { if (b(i) < 0) ascii = false; i += 1 }
+    val md = TextHash.localDigest()
+    @inline def h60of(d: Array[Byte]): Long = {
+      var v = 0L
+      var j = 0
+      while (j < 7) { v |= (d(j) & 0xffL) << (52 - 8 * j); j += 1 }
+      v | ((d(7) & 0xf0L) >>> 4)
+    }
+    if (ascii) {
+      if (n < winLen) return new GenericArrayData(Array.empty[Long])
+      val cnt = (n - winLen) / stride + 1
+      val out = new Array[Long](cnt)
+      var k = 0
+      var off = 0
+      while (k < cnt) {
+        md.reset()
+        md.update(b, off, winLen)
+        out(k) = h60of(md.digest())
+        k += 1
+        off += stride
+      }
+      new GenericArrayData(out)
+    } else {
+      // defensive: windows by CODE POINTS (what substring(t,i,winLen)
+      // and length(t) count), hashed over each window's UTF-8 bytes
+      val nc = s.numChars()
+      if (nc < winLen) return new GenericArrayData(Array.empty[Long])
+      val cnt = (nc - winLen) / stride + 1
+      val out = new Array[Long](cnt)
+      var k = 0
+      var pos = 0
+      while (k < cnt) {
+        md.reset()
+        out(k) = h60of(md.digest(s.substring(pos, pos + winLen).getBytes))
+        k += 1
+        pos += stride
+      }
+      new GenericArrayData(out)
+    }
   }
 
   /** See [[TokenHash60]]. */

@@ -119,11 +119,42 @@ case class TokenEntropy(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): TokenEntropy = copy(child = newChild)
 }
 
+/** Strided-window span hashes in one byte pass: h60 of every
+  * `winLen`-char window at stride `stride` over the (normalized, hence
+  * ASCII) text; empty array when the text is shorter than one window.
+  * Bit-identical to
+  * `transform(sequence(1, length(t)-winLen+1, stride), i -> h60(substring(t, i, winLen)))`
+  * — which is QUADRATIC in doc length: each UTF8String.substring scans
+  * from byte 0 to locate its char offset, so a 100k-char doc pays
+  * ~len²/(2·stride) byte touches (measured: real_dedup_substring spent
+  * 137 s here at 4 cores, r19). The kernel indexes windows directly
+  * (chars == bytes on normalized text) and feeds raw bytes to MD5 —
+  * O(len·winLen/stride). Non-ASCII input (never produced by normalize;
+  * pure defense) falls back to code-point windows via
+  * UTF8String.substring, matching the declarative form exactly.
+  */
+case class SpanHash60(child: Expression, winLen: Int, stride: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    KernelRuntime.spanHash60(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], winLen, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.KernelRuntime.spanHash60($c, $winLen, $stride)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpanHash60 = copy(child = newChild)
+}
+
 object TextHashKernels {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def shingleHash60(tokens: Column, n: Int, mod: Long): Column =
     column(ShingleHash60(expression(tokens), n, mod))
+  def spanHash60(text: Column, winLen: Int, stride: Int): Column =
+    column(SpanHash60(expression(text), winLen, stride))
   def tokenHash60(tokens: Column, mod: Long): Column =
     column(TokenHash60(expression(tokens), mod))
   def fingerprint(tokens: Column, mod: Long): Column =

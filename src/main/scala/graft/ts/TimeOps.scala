@@ -876,21 +876,31 @@ object TimeOps {
       .drop("__n")
   }
 
-  /** NOTE on the default budget (measured, SCALING.md r18): the
-    * default autoMaxPairs is the CORRECTNESS-maximal 2³¹−2 — the most
-    * exact estimate the 32-bit rank can address — and on one monster
-    * series that is ~2·10⁹ pairs in ONE task (~320-350k pairs/s
-    * single-partition; the series key pins the join to one
-    * partition). For a genuine monster series pass an explicit budget:
-    * 10⁶ pairs ran 5.0 s on a 10⁵-point series at 4·10⁻⁶ slope error.
+  /** Default auto budget: a PERFORMANCE budget, not the
+    * correctness-maximal one (r19, measured in SCALING.md r18): at the
+    * old default 2³¹−2 (point budget 63488 → ~2·10⁹ pairs) ONE
+    * 10⁵-point series was a single join partition that ran >100 min
+    * and was killed (29 GB single-task sort spill) — the auto-route's
+    * contract is "no manual knob, no failed job", and the default sat
+    * on exactly the series the route exists for. AutoMaxPairsDefault =
+    * 10⁷ caps the worst-case series at pointBudget = ⌊√(2·10⁷)⌋ = 4472
+    * points ≈ 10⁷ pairs ≈ 30 s single-task at the measured 320-350k
+    * pairs/s, with estimator error negligible at this sample size
+    * (the r18 table: a 10⁶-pair budget already hit 4·10⁻⁶ slope
+    * error). Series ≤ 4472 points remain BIT-EXACT (the keep rule
+    * passes every row when n ≤ pointBudget — TheilSenAutoSpec pins
+    * it); the correctness-maximal budget stays one explicit argument
+    * away: autoMaxPairs = Some(Int.MaxValue - 1).
     */
+  val AutoMaxPairsDefault: Long = 10000000L
+
   def theilSen(
       df: DataFrame,
       valueCol: String,
       tsCol: String,
       groupCols: Seq[String],
       pairFrac: Option[Double] = None,
-      autoMaxPairs: Option[Long] = Some(Int.MaxValue.toLong - 1)): DataFrame = {
+      autoMaxPairs: Option[Long] = Some(AutoMaxPairsDefault)): DataFrame = {
     // auto-route FIRST: a series whose pair count would exceed the
     // budget degrades to the consistent point-sampled estimator
     // instead of an O(n²) fan-out or a failed job; in-budget series
@@ -1007,7 +1017,7 @@ object TimeOps {
       tsCol: String,
       groupCols: Seq[String],
       pairFrac: Option[Double] = None,
-      autoMaxPairs: Option[Long] = Some(Int.MaxValue.toLong - 1)): DataFrame = {
+      autoMaxPairs: Option[Long] = Some(AutoMaxPairsDefault)): DataFrame = {
     // sample ONCE and feed the same point set to both stages: the
     // slope's pair join is bounded by the sampler, and the intercept's
     // residual rank pick then buffers ≤ maxPoints per series instead
@@ -1062,7 +1072,7 @@ object TimeOps {
       valueCol: String,
       tsCol: String,
       groupCols: Seq[String],
-      autoMaxPairs: Option[Long] = Some(Int.MaxValue.toLong - 1)): DataFrame = {
+      autoMaxPairs: Option[Long] = Some(AutoMaxPairsDefault)): DataFrame = {
     // same monster-series auto-route as [[theilSen]]; S, n_obs and
     // the variance are all computed over the SAME subsample, so the
     // test statistic stays internally consistent when it engages

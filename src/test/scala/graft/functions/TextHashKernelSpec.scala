@@ -28,6 +28,32 @@ class TextHashKernelSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
   }
 
+  test("SpanHash60 == declarative transform(sequence, i -> h60(substring))") {
+    // includes the boundary cases: len < winLen (empty array), len ==
+    // winLen (one span), stride remainders, non-ASCII defensive path
+    // (code-point windows), and a long doc that would expose any
+    // offset drift in the strided byte walk
+    val edge = Seq(
+      "", "short", "exactly eight", "a" * 100,
+      "the quick brown fox jumps over the lazy dog " * 40,
+      "ünïcodé spàn tëxt thät éxercises the code-point päth of spans",
+      "日本語テキスト mixed with ascii tokens to shift offsets 日本語")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "t")
+    for ((winLen, stride) <- Seq((8, 3), (13, 13), (32, 8), (1, 1))) {
+      val rows = edge.select(
+        graft.plans.TextHashKernels.spanHash60(col("t"), winLen, stride).as("k"),
+        when(length(col("t")) >= winLen,
+          expr(s"transform(sequence(1, length(t) - ${winLen - 1}, $stride), " +
+            s"i -> conv(substr(md5(substring(t, i, $winLen)),1,15),16,10))"))
+          .otherwise(array().cast("array<string>")).as("d"),
+        col("doc_id")).collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[String](1).map(_.toLong),
+          s"doc ${r.getLong(2)} win=$winLen stride=$stride")
+      }
+    }
+  }
+
   test("TokenHash60 == tokenHashes32") {
     val toks = TextOps.tokens(col("text"))
     val rows = docs.select(

@@ -35,6 +35,49 @@ class TheilSenAutoSpec extends SparkSpec {
     assert(worst * (worst - 1) / 2 < Int.MaxValue.toLong, s"b=$b worst=$worst")
   }
 
+  test("the DEFAULT budget is a time-bounded performance budget (r19)") {
+    // SCALING.md r18: at the old correctness-maximal default (2³¹−2 →
+    // 63488 points → ~2·10⁹ pairs) a genuine 10⁵-point series was ONE
+    // >100-min join task. The default is now 10⁷ pairs: worst case
+    // 4472 points ⇒ 4472·4471/2 ≈ 10⁷ pairs ≈ 30 s single-task at the
+    // measured 320-350k pairs/s. Pins: the point budget, the
+    // worst-case pair count staying inside ~10⁷, and the
+    // correctness-maximal budget remaining reachable explicitly.
+    assert(TimeOps.AutoMaxPairsDefault == 10000000L)
+    val b = TimeOps.pointBudget(TimeOps.AutoMaxPairsDefault)
+    assert(b == 4472L, s"default point budget drifted: $b")
+    // nominal pairs stay inside the 10⁷ budget...
+    assert(b * (b - 1) / 2 <= 10000000L, s"nominal pairs: ${b * (b - 1) / 2}")
+    // ...and even +8 sd of kept-count fluctuation (points scale with
+    // √: pairs grow ~(1+8/√b)² ≈ 1.25×) keeps the worst-case series
+    // around ~40 s single-task at the measured 320-350k pairs/s —
+    // nowhere near the old default's ~2·10⁹-pair, >100-min kill
+    val worst = b + 8L * math.sqrt(b.toDouble).ceil.toLong
+    assert(worst * (worst - 1) / 2 <= 13000000L, s"worst-case pairs: $worst")
+    // the maximal budget is still one explicit argument away
+    assert(TimeOps.pointBudget(Int.MaxValue.toLong - 1) == 63488L)
+  }
+
+  test("the default is BIT-IDENTICAL to the exact path on gate-scale series") {
+    // every sf0.001 series is ≤ 88 points « 4472, so theilSen/
+    // mannKendall WITH NO ARGUMENTS must equal autoMaxPairs = None to
+    // the last bit — this is what keeps the plain ts_theilsen /
+    // ts_mannkendall oracles (exact all-pairs SQL, no sampler) valid
+    // under the r19 default change
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts_us"), col("value"))
+    val d = TimeOps.theilSen(ev, "value", "ts_us", Seq("user_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val e = TimeOps.theilSen(ev, "value", "ts_us", Seq("user_id"), autoMaxPairs = None)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(d == e, s"default diverged from exact on in-budget series")
+    val dm = TimeOps.mannKendall(ev, "value", "ts_us", Seq("user_id"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val em = TimeOps.mannKendall(ev, "value", "ts_us", Seq("user_id"), autoMaxPairs = None)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(dm == em)
+  }
+
   test("monster series auto-samples: bounded pairs, exact slope on clean linear data") {
     // 500 points, v = 2t exactly: EVERY pairwise slope is 2, so any
     // subsample's median is bit-exactly 2.0 — the sampling is visible
