@@ -2218,13 +2218,18 @@ object SparkEntry {
       val key = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
       s"select doc_id, $bnd as band_idx, concat_ws('_', $key) as band_key from sig where mh0 is not null"
     }.mkString("\n  union all ")
+    // AS MATERIALIZED: DuckDB 1.0 inlines every CTE reference — sig is
+    // referenced once per band select (4×) and bands twice more
+    // downstream, so without the hint the whole tokenize+shingle+md5
+    // chain re-executes per reference (real_dedup_clusters measured
+    // 334 s → 2.1 s with the hints; the recursion itself is 2,077 rows)
     s"""t as (select doc_id, ${SqlTwins.toks("text")} as t from documents),
        |sh as (select doc_id, ${SqlTwins.shingles("t", 3)} as s from t),
        |h as (select doc_id, ${SqlTwins.shingleHashes("s")} as hs from sh),
-       |sig as (select doc_id,
+       |sig as materialized (select doc_id,
        |  $mhs
        |from h),
-       |bands as (
+       |bands as materialized (
        |  $bandSelects
        |)""".stripMargin
   }
@@ -2271,10 +2276,10 @@ object SparkEntry {
     s"""${prefix}t as (select $id, ${SqlTwins.toks("text")} as t from $src),
        |${prefix}sh as (select $id, ${SqlTwins.shingles("t", 3)} as s from ${prefix}t),
        |${prefix}h as (select $id, ${SqlTwins.shingleHashes("s")} as hs from ${prefix}sh),
-       |${prefix}sig as (select $id,
+       |${prefix}sig as materialized (select $id,
        |  $mhs
        |from ${prefix}h),
-       |${prefix}bands as (
+       |${prefix}bands as materialized (
        |  $bandSelects
        |)""".stripMargin
   }
@@ -2350,12 +2355,12 @@ object SparkEntry {
        |e0 as (select distinct m.mn as src, b.doc_id as dst
        |       from bands b join m on b.band_idx = m.band_idx and b.band_key = m.band_key
        |       where b.doc_id > m.mn),
-       |e as (select src, dst from e0 union select dst, src from e0),
+       |e as materialized (select src, dst from e0 union select dst, src from e0),
        |r as (select src, dst from e
        |      union
        |      select r.src, e.dst from r join e on r.dst = e.src),
        |c as (select src as doc_id, min(dst) as mn from r group by src),
-       |lab as (select d.doc_id, least(d.doc_id, coalesce(c.mn, d.doc_id)) as cluster_id
+       |lab as materialized (select d.doc_id, least(d.doc_id, coalesce(c.mn, d.doc_id)) as cluster_id
        |        from (select doc_id from documents) d left join c using (doc_id))""".stripMargin
 
   private lazy val minhashClustersSql: String =
@@ -3696,7 +3701,8 @@ object SparkEntry {
     // operator deliberately never sees once buckets outgrow the cap
     // (first bound at the sf1 sweep, r16)
     "dedup_simhash" ->
-      s"""with sig as (select doc_id, ${SqlTwins.simhash32(SqlTwins.toks("text"))} as simhash from documents),
+      s"""with th as materialized (select doc_id, ${SqlTwins.tokenHashes32(SqlTwins.toks("text"))} as hs from documents),
+         |sig as materialized (select doc_id, ${SqlTwins.simhash32FromHashes("hs")} as simhash from th),
          |bands as (
          |  select doc_id, simhash, v.band_idx, (simhash >> (v.band_idx * 8)) & 255 as band_key
          |  from sig cross join (values (0), (1), (2), (3)) as v(band_idx)),
@@ -3718,11 +3724,11 @@ object SparkEntry {
     "dedup_containment" ->
       s"""with t as (select doc_id, ${SqlTwins.toks("text")} as t from documents),
          |thc as (select doc_id, ${SqlTwins.tokenHashes32("t")} as th from t),
-         |d as (select doc_id, list_distinct(${SqlTwins.gramHashes("th", 3)}) as sh from thc),
-         |c as (select doc_id, cast(len(sh) as bigint) as n_sh from d),
-         |e as (select doc_id, unnest(sh) as gm from d),
+         |d as materialized (select doc_id, list_distinct(${SqlTwins.gramHashes("th", 3)}) as sh from thc),
+         |c as materialized (select doc_id, cast(len(sh) as bigint) as n_sh from d),
+         |e as materialized (select doc_id, unnest(sh) as gm from d),
          |rare as (select gm from e group by gm having count(*) <= 1000),
-         |f as (select e.doc_id, e.gm from e join rare using (gm)),
+         |f as materialized (select e.doc_id, e.gm from e join rare using (gm)),
          |p as (select a.doc_id as id_a, b.doc_id as id_b, count(*) as shared
          |      from f a join f b on a.gm = b.gm and a.doc_id < b.doc_id
          |      group by 1, 2)
@@ -3742,29 +3748,32 @@ object SparkEntry {
         val key = (0 until 4).map(r => s"mh${bnd * 4 + r}").mkString(", ")
         s"select doc_id, $bnd as band_idx, concat_ws('_', $key) as band_key from sig where mh0 is not null"
       }.mkString("\n  union all ")
-      s"""with t as (select doc_id, ${SqlTwins.toks("text")} as t from documents),
+      s"""with t as materialized (select doc_id, ${SqlTwins.toks("text")} as t from documents),
          |sh0 as (select doc_id, ${SqlTwins.shingles("t", 3)} as s from t),
          |thc as (select doc_id, ${SqlTwins.tokenHashes32("t")} as th from t),
-         |d as (select doc_id, list_distinct(${SqlTwins.gramHashes("th", 3)}) as sh from thc),
+         |d as materialized (select doc_id, list_distinct(${SqlTwins.gramHashes("th", 3)}) as sh from thc),
          |h as (select doc_id, ${SqlTwins.shingleHashes("s")} as hs from sh0),
-         |sig as (select doc_id,
+         |sig as materialized (select doc_id,
          |  $mhs
          |from h),
-         |bands as (
+         |bands as materialized (
          |  $bandSelects
          |),
          |cand as (
          |  select distinct a.doc_id as id_a, b.doc_id as id_b
          |  from bands a join bands b
          |    on a.band_idx = b.band_idx and a.band_key = b.band_key and b.doc_id > a.doc_id),
-         |j as (
+         |j0 as (
          |  select id_a, id_b,
          |    len(list_intersect(da.sh, db.sh)) as shared,
-         |    cast(len(list_intersect(da.sh, db.sh)) as double)
-         |      / cast(len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)) as double) as jaccard
+         |    len(da.sh) as na, len(db.sh) as nb
          |  from cand
          |  join d da on da.doc_id = id_a
-         |  join d db on db.doc_id = id_b)
+         |  join d db on db.doc_id = id_b),
+         |j as (
+         |  select id_a, id_b, shared,
+         |    cast(shared as double) / cast(na + nb - shared as double) as jaccard
+         |  from j0)
          |select id_a, id_b, shared, jaccard from j
          |where jaccard >= 0.5E0
          |order by id_a, id_b""".stripMargin
@@ -4311,18 +4320,22 @@ object SparkEntry {
          |order by doc_id, rank""".stripMargin,
     "text_decontam" -> {
       val th = SqlTwins.tokenHashes32("t")
+      // d materialized (referenced by b AND the probe side — inlined,
+      // DuckDB re-runs the tokenize+gram chain twice) and the
+      // list_intersect computed once in m instead of per output column
       s"""with t as (select doc_id, ${SqlTwins.toks("text")} as t from documents),
          |th as (select doc_id, $th as th from t),
-         |d as (select doc_id, list_distinct(${SqlTwins.gramHashes("th", 5)}) as g from th),
+         |d as materialized (select doc_id, list_distinct(${SqlTwins.gramHashes("th", 5)}) as g from th),
          |b as (select distinct unnest(g) as bg from d where doc_id % 37 = 0),
-         |bl as (select coalesce(list(bg), []) as bgl from b)
-         |select doc_id,
-         | len(g) as n_grams,
-         | len(list_intersect(g, bgl)) as matched,
-         | case when len(g) > 0
-         |      then cast(len(list_intersect(g, bgl)) as double) / cast(len(g) as double)
+         |bl as (select coalesce(list(bg), []) as bgl from b),
+         |m as (select doc_id, len(g) as n_grams,
+         |        len(list_intersect(g, bgl)) as matched
+         |      from d cross join bl)
+         |select doc_id, n_grams, matched,
+         | case when n_grams > 0
+         |      then cast(matched as double) / cast(n_grams as double)
          |      else 0.0E0 end as contamination
-         |from d cross join bl
+         |from m
          |order by doc_id""".stripMargin
     },
     "dedup_substring" ->
@@ -4573,7 +4586,7 @@ object SparkEntry {
     // certified ts_winsorize/q_quantiles parity), integer verdicts
     "text_quality_buckets" -> {
       import graft.ts.OracleGen.litD
-      s"""with d as (select doc_id, lang,
+      s"""with d as materialized (select doc_id, lang,
          |    cast(floor(${SqlTwins.qualityScore("text")} * 10000 + 0.5) as bigint) as q4
          |  from documents),
          |b as (select lang,
@@ -4599,7 +4612,7 @@ object SparkEntry {
          |order by doc_id""".stripMargin,
     // funnel oracle: same per-doc scores/verdicts, pure integer rollup
     "corpus_funnel" ->
-      s"""with d as (select doc_id,
+      s"""with d as materialized (select doc_id,
          |    ${SqlTwins.h60(SqlTwins.norm("text"))} as k,
          |    ${SqlTwins.langidSelect("text")} as lang_pred,
          |    cast(floor(${SqlTwins.qualityScore("text")} * 10000 + 0.5) as bigint) as q4,
@@ -4621,7 +4634,7 @@ object SparkEntry {
     // the same hash-groupBy dup verdict, pure integer rollup — exact,
     // no FP aggregation surface at all
     "corpus_report" ->
-      s"""with d as (select doc_id, source, lang,
+      s"""with d as materialized (select doc_id, source, lang,
          |    ${SqlTwins.h60(SqlTwins.norm("text"))} as k,
          |    cast(floor(${SqlTwins.qualityScore("text")} * 10000 + 0.5) as bigint) as q4,
          |    cast(len(${SqlTwins.toks("text")}) as bigint) as nt

@@ -4,7 +4,7 @@ oracle_sql.json query in DuckDB over the sf parquet tables and compare
 against the Spark parquet dumps (column-name-sorted, exact values).
 Usage: compare.py <sfdir> <outdir> [query ...]
 """
-import json, sys, math
+import json, sys, math, time
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
@@ -36,8 +36,10 @@ def main():
         con = fresh_con()
         report[name] = {"rows_match": False, "schema_match": False,
                         "values_match": False, "err": None}
+        t0 = time.monotonic()
         try:
             exp = con.execute(sql).df()
+            report[name]["oracle_sec"] = round(time.monotonic() - t0, 3)
         except Exception as e:
             print(f"{name}: ORACLE SQL ERROR: {e}")
             report[name]["err"] = f"oracle_sql: {e}"
@@ -88,7 +90,8 @@ def main():
             report[name]["err"] = "value_mismatch: " + "; ".join(bad)[:500]
             fails += 1
         else:
-            print(f"{name}: OK ({len(exp)} rows, {len(exp.columns)} cols)")
+            print(f"{name}: OK ({len(exp)} rows, {len(exp.columns)} cols, "
+                  f"oracle {report[name].get('oracle_sec', 0):.1f}s)")
             report[name]["values_match"] = True
     if json_out:
         json.dump(report, open(json_out, "w"), indent=1, sort_keys=True)
