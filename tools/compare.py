@@ -4,7 +4,7 @@ oracle_sql.json query in DuckDB over the sf parquet tables and compare
 against the Spark parquet dumps (column-name-sorted, exact values).
 Usage: compare.py <sfdir> <outdir> [query ...]
 """
-import json, sys, math, time
+import json, sys, math, time, gc
 import duckdb
 import pyarrow.parquet as pq
 import pandas as pd
@@ -30,9 +30,19 @@ def main():
         return c
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     fails = 0
+    con = exp = got = None
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
+        # explicitly close the previous query's connection and drop its
+        # frames BEFORE opening the next one: relying on rebinding left
+        # enough allocator state alive that a 300-query sf0.1 sweep died
+        # with "bad allocation" ~290 queries in, on a query that
+        # standalone needs 1.3 s
+        if con is not None:
+            con.close()
+        exp = got = None
+        gc.collect()
         con = fresh_con()
         report[name] = {"rows_match": False, "schema_match": False,
                         "values_match": False, "err": None}
