@@ -4,8 +4,9 @@ oracle_sql.json query in DuckDB over the sf parquet tables and compare
 against the Spark parquet dumps (column-name-sorted, exact values).
 Usage: compare.py <sfdir> <outdir> [query ...]
 """
-import json, sys, math, time, gc
+import json, sys, math, time, gc, os
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pandas as pd
 
@@ -23,8 +24,19 @@ def main():
         # manager accumulated state across a 200-query sf1 sweep until
         # mid-sized queries died with "bad allocation" (standalone the
         # same query peaks at 4.5 GB); reconnecting is ~ms and isolates
-        # every query's memory footprint
-        c = duckdb.connect()
+        # every query's memory footprint.
+        # memory_limit + temp_directory: allocator fragmentation across
+        # ~300 connections leaves less and less contiguous headroom, so
+        # a late heavy oracle that standalone needs a few GB dies with
+        # "bad allocation" ~query 300 of an sf1 sweep. A bounded buffer
+        # pool spills to disk instead of failing, and caps how much any
+        # one query contributes to the fragmented high-water mark.
+        # Don't set it too low: DuckDB 1.0 window operators do NOT
+        # spill, and the heaviest sf1 oracles (ts_moments' rolling
+        # sums over 1M rows) genuinely need tens of GB.
+        c = duckdb.connect(config={
+            "memory_limit": os.environ.get("GRAFT_ORACLE_MEM", "64GB"),
+            "temp_directory": "/tmp/duckdb_spill"})
         for t in TABLES:
             c.execute(f"create view {t} as select * from read_parquet('{sfdir}/{t}.parquet')")
         return c
@@ -43,6 +55,9 @@ def main():
             con.close()
         exp = got = None
         gc.collect()
+        # pyarrow's default pool retains freed buffers; hand them back
+        # so 300 parquet reads don't ratchet the process high-water mark
+        pa.default_memory_pool().release_unused()
         con = fresh_con()
         report[name] = {"rows_match": False, "schema_match": False,
                         "values_match": False, "err": None}
