@@ -118,10 +118,11 @@ object SqlTwins {
     val alphaRatio = s"(case when $chars = 0 then ${litD(0.0)} else (cast(length(regexp_replace($textCol, '[^A-Za-z]', '', 'g')) as double) / $chars) end)"
     val stopRatio = s"(cast(${stopwordHits("__t", TextOps.stopwords.flatMap(_._2))} as double) / $n)"
     val meanTokLen = s"(cast(length(regexp_replace(__n, ' ', '', 'g')) as double) / $n)"
-    val lenScore = s"(case when $meanTokLen >= ${litD(3.0)} and $meanTokLen <= ${litD(8.0)} then ${litD(1.0)} else ${litD(0.5)} end)"
+    val lenScore = s"(case when __m >= ${litD(3.0)} and __m <= ${litD(8.0)} then ${litD(1.0)} else ${litD(0.5)} end)"
     val body = s"((($alphaRatio * ${litD(0.4)}) + (least($stopRatio * ${litD(4.0)}, ${litD(1.0)}) * ${litD(0.3)})) + ($lenScore * ${litD(0.3)}))"
     s"list_transform([${norm(textCol)}], __n -> " +
-      s"list_transform([string_split(__n, ' ')], __t -> $body)[1])[1]"
+      s"list_transform([string_split(__n, ' ')], __t -> " +
+      s"list_transform([$meanTokLen], __m -> $body)[1])[1])[1]"
   }
 
   /** VectorOps.dot for fixed dim: 0.0-seeded left fold ≡ list_reduce
