@@ -797,18 +797,24 @@ object TimeOps {
     * interpolation, no FP-aggregation surface beyond the per-pair
     * subtract/divide both engines compute identically.
     *
-    * Scale shape: ONE series-keyed self-join (AQE-splittable) whose
-    * fan-out is O(n²/2) per series — the inherent Theil-Sen cost,
-    * fine for feature-window-length series; out-of-budget series
-    * AUTO-ROUTE to the consistent point-sampled estimator
-    * ([[sampleSeriesPoints]], default budget just under the 32-bit
-    * rank range) instead of failing the job. The median itself is a window
-    * rank pick (row_number over slope order + count over the series
-    * partition): WindowExec buffers each series in a SPILLABLE
-    * external row array, so peak executor memory is bounded even on
-    * monster series — unlike a collect_list aggregation buffer,
-    * which would hold all O(n²/2) slopes of a series on-heap (the
-    * r11 scale killer this shape replaced).
+    * Scale shape (r19, two routes):
+    * - AUTO route (any bounded budget, the default): out-of-budget
+    *   series degrade to the consistent point-sampled estimator
+    *   ([[sampleSeriesPoints]]); the bounded points then flow into ONE
+    *   whole-series aggregation kernel
+    *   ([[graft.plans.TheilSenAggKernel]]) — one hash exchange of n
+    *   points per series, no pair fan-out in the plan, no window sort.
+    *   This is NOT the r11 collect_list killer: that buffered all
+    *   O(n²/2) SLOPES in an agg; the kernel buffers ≤ budget POINTS
+    *   (≤ 80 KB/series at the default) and keeps the pair scratch
+    *   transient in-kernel.
+    * - EXACT route (autoMaxPairs = None): the series-keyed self-join
+    *   (AQE-splittable, O(n²/2) fan-out) with the median as a window
+    *   rank pick — WindowExec buffers each series in a SPILLABLE
+    *   external row array, so even a genuinely monster series (whose
+    *   points no agg buffer should hold) completes.
+    * Both routes pick the identical lower-median slope double —
+    * TheilSenKernelSpec pins bit-equality.
     */
   /** Distributed per-series POINT pre-sampler — the monster-series
     * auto-route shared by [[theilSen]] / [[theilSenLine]] /
@@ -894,6 +900,32 @@ object TimeOps {
     */
   val AutoMaxPairsDefault: Long = 10000000L
 
+  /** Kernel-route gate (r19): when the auto-route's point budget is
+    * statically ≤ this cap, theilSen/theilSenLine plan the whole-series
+    * aggregation kernel ([[graft.plans.TheilSenAggKernel]]) instead of
+    * the O(n²/2) pair JOIN + full-slope WindowExec sort. The cap bounds
+    * the kernel's transient slope scratch at ~12.5M doubles (100 MB)
+    * per series task; the default budget (10⁷ pairs → 4472 points)
+    * sits just under it. Larger explicit budgets — and autoMaxPairs =
+    * None — keep the join route, whose WindowExec spills where a
+    * kernel array could not. The two routes are bit-identical
+    * (TheilSenKernelSpec pins it on randomized frames; the sampler and
+    * every DuckDB oracle are untouched — same multiset of slope
+    * doubles, same rank pick).
+    */
+  private[graft] val KernelPointCap: Long = 5000L
+
+  private def kernelRoute(autoMaxPairs: Option[Long]): Boolean =
+    autoMaxPairs.exists(mp => pointBudget(mp) <= KernelPointCap)
+
+  /** The collected per-point payload: [t, v] as doubles. Integer-ts
+    * contract (|ts| < 2^53 — epoch micros are ~1.7e15): the cast is
+    * exact, so in-kernel t_b − t_a is bit-equal to the join route's
+    * int64 subtract-then-cast divisor.
+    */
+  private def tsvPoints(valueCol: String, tsCol: String) =
+    collect_list(array(col(tsCol).cast("double"), col(valueCol).cast("double")))
+
   def theilSen(
       df: DataFrame,
       valueCol: String,
@@ -913,6 +945,28 @@ object TimeOps {
         sampleSeriesPoints(df, tsCol, groupCols, pointBudget(mp))
       case None => df
     }
+    // kernel route (r19): the sampler has already bounded every series
+    // to ≤ KernelPointCap points, so the pair fan-out stays inside ONE
+    // whole-series aggregation kernel — the plan sheds the self-join's
+    // O(n²/2)-row exchange AND the full-slope WindowExec sort; what
+    // remains is one hash exchange of the points. Bit-identical to the
+    // join route below (same slope doubles, same nulls-first rank
+    // pick) — TheilSenKernelSpec pins it; the oracles are unchanged.
+    val fracBuckets: Long = pairFrac match {
+      case Some(f) =>
+        require(f > 0 && f <= 1, s"pairFrac must be in (0,1], got $f")
+        (f * 10000).toLong
+      case None => -1L
+    }
+    if (kernelRoute(autoMaxPairs)) {
+      val agg = dfs.groupBy(groupCols.map(col): _*)
+        .agg(graft.plans.TsAggKernels.theilSen(tsvPoints(valueCol, tsCol), fracBuckets).as("__ts"))
+      return agg
+        .where(col("__ts").getField("n_pairs") > 0)
+        .select(groupCols.map(col) ++ Seq(
+          col("__ts").getField("n_pairs").as("n_pairs"),
+          col("__ts").getField("sen_slope").as("sen_slope")): _*)
+    }
     val a = dfs.select(groupCols.map(col) ++ Seq(col(tsCol).as("__ta"), col(valueCol).as("__va")): _*)
     val b = dfs.select(groupCols.map(col) ++ Seq(col(tsCol).as("__tb"), col(valueCol).as("__vb")): _*)
     val all = a.join(b, groupCols).where(col("__ta") < col("__tb"))
@@ -926,15 +980,12 @@ object TimeOps {
     // query — a per-pair string+digest costs more than the sampling
     // saves — where this stays inside codegen at filter cost.
     // Reproducible and oracle-replicable by construction.
-    val kept = pairFrac match {
-      case Some(f) =>
-        require(f > 0 && f <= 1, s"pairFrac must be in (0,1], got $f")
-        val bucket = pmod(
-          (pmod(col("__ta"), lit(1000003L)) * 1000033L + pmod(col("__tb"), lit(1000003L))),
-          lit(10000L))
-        all.where(bucket < (f * 10000).toLong)
-      case None => all
-    }
+    val kept = if (fracBuckets >= 0L) {
+      val bucket = pmod(
+        (pmod(col("__ta"), lit(1000003L)) * 1000033L + pmod(col("__tb"), lit(1000003L))),
+        lit(10000L))
+      all.where(bucket < fracBuckets)
+    } else all
     val pairs = kept
       .select(groupCols.map(col) :+
         ((col("__vb") - col("__va")) / (col("__tb") - col("__ta"))).as("__slope"): _*)
@@ -1028,6 +1079,26 @@ object TimeOps {
         sampleSeriesPoints(df, tsCol, groupCols, pointBudget(mp))
       case None => df
     }
+    // kernel route (r19): slope AND intercept from the SAME collected
+    // points in ONE aggregation — the whole robust line costs one hash
+    // exchange (the join route below needs the pair join, the slope
+    // window, a join back to the points, and the residual window)
+    if (kernelRoute(autoMaxPairs)) {
+      val fracBuckets: Long = pairFrac match {
+        case Some(f) =>
+          require(f > 0 && f <= 1, s"pairFrac must be in (0,1], got $f")
+          (f * 10000).toLong
+        case None => -1L
+      }
+      val agg = dfs.groupBy(groupCols.map(col): _*)
+        .agg(graft.plans.TsAggKernels.theilSenLine(tsvPoints(valueCol, tsCol), fracBuckets).as("__ts"))
+      return agg
+        .where(col("__ts").getField("n_pairs") > 0)
+        .select(groupCols.map(col) ++ Seq(
+          col("__ts").getField("n_pairs").as("n_pairs"),
+          col("__ts").getField("sen_slope").as("sen_slope"),
+          col("__ts").getField("sen_intercept").as("sen_intercept")): _*)
+    }
     val slopes = theilSen(dfs, valueCol, tsCol, groupCols, pairFrac, autoMaxPairs = None)
     val pts = dfs.select(groupCols.map(col) ++ Seq(col(tsCol), col(valueCol)): _*)
       .join(slopes, groupCols)
@@ -1081,15 +1152,34 @@ object TimeOps {
         sampleSeriesPoints(df, tsCol, groupCols, pointBudget(mp))
       case None => df
     }
-    val a = dfs.select(groupCols.map(col) ++ Seq(col(tsCol).as("__ta"), col(valueCol).as("__va")): _*)
-    val b = dfs.select(groupCols.map(col) ++ Seq(col(tsCol).as("__tb"), col(valueCol).as("__vb")): _*)
-    val pairs = a.join(b, groupCols).where(col("__ta") < col("__tb"))
-      .select(groupCols.map(col) :+
-        signum(col("__vb") - col("__va")).cast("long").as("__s"): _*)
-    val nObs = dfs.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n_obs"))
-    val agg = pairs.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_pairs"), sum(col("__s")).as("s_stat"))
-      .join(nObs, groupCols)
+    // kernel route (r19): any Some budget bounds the collected points
+    // (≤ 63,488 ≈ 1 MB per series — no KernelPointCap needed here: S
+    // is an O(n log n) merge-sort inversion count with NO pair
+    // materialization, pure integer/compare arithmetic), so the plan
+    // sheds the O(n²/2) pair join, the pair-side aggregation AND the
+    // n_obs join — ONE grouped aggregate computes n_obs and the kernel
+    // struct together. Bit-identical (integers) to the join route;
+    // autoMaxPairs = None keeps the join, where even collecting a
+    // genuinely monster series' points would be an unbounded buffer.
+    val agg = if (autoMaxPairs.isDefined) {
+      dfs.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n_obs"),
+          graft.plans.TsAggKernels.mannKendall(tsvPoints(valueCol, tsCol)).as("__mk"))
+        .where(col("__mk").getField("n_pairs") > 0)
+        .select(groupCols.map(col) ++ Seq(col("n_obs"),
+          col("__mk").getField("n_pairs").as("n_pairs"),
+          col("__mk").getField("s_stat").as("s_stat")): _*)
+    } else {
+      val a = dfs.select(groupCols.map(col) ++ Seq(col(tsCol).as("__ta"), col(valueCol).as("__va")): _*)
+      val b = dfs.select(groupCols.map(col) ++ Seq(col(tsCol).as("__tb"), col(valueCol).as("__vb")): _*)
+      val pairs = a.join(b, groupCols).where(col("__ta") < col("__tb"))
+        .select(groupCols.map(col) :+
+          signum(col("__vb") - col("__va")).cast("long").as("__s"): _*)
+      val nObs = dfs.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n_obs"))
+      pairs.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n_pairs"), sum(col("__s")).as("s_stat"))
+        .join(nObs, groupCols)
+    }
     val n = col("n_obs")
     val variance = (n * (n - 1) * (n * 2 + 5)).cast("double") / lit(18.0)
     agg.select(groupCols.map(col) ++ Seq(col("n_obs"), col("n_pairs"), col("s_stat"),

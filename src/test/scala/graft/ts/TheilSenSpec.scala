@@ -51,32 +51,39 @@ class TheilSenSpec extends SparkSpec {
     assert(kept > 0.15 && kept < 0.35, s"~25% of pairs must survive, got $kept")
   }
 
-  test("bounded median: no collect_list buffer, spillable window rank pick (long series)") {
-    // r11 scale killer: all O(n²/2) pair slopes of a series landed in
+  test("bounded median: slopes never land in an agg buffer on EITHER route (long series)") {
+    // r11 scale killer: all O(n²/2) pair SLOPES of a series landed in
     // ONE sort_array(collect_list(...)) aggregation buffer — on-heap,
-    // unbounded, non-spillable. The window rank pick routes the same
-    // lower-median verdict through WindowExec's spillable external
-    // row array. Pin the plan (no CollectList/SortArray anywhere) and
-    // the verdict on a long noisy series vs a brute-force median.
-    val n = 400 // 79,800 pair slopes through the window path
+    // unbounded, non-spillable. The two current routes each avoid it
+    // differently and BOTH must match a brute-force lower median:
+    // - exact route (autoMaxPairs = None): pair join + WindowExec rank
+    //   pick (spillable external row array, no slope agg buffer);
+    // - kernel route (the default): collect_list of sampler-BOUNDED
+    //   POINTS (≤ budget rows, not O(n²/2) slopes) into one
+    //   whole-series kernel — the pair scratch is transient in-kernel.
+    val n = 400 // 79,800 pair slopes
     val rows = (0 until n).map { t =>
       // deterministic noise, no RNG: slope 3 plus a bounded wobble
       (1L, t.toLong, 3.0 * t + ((t * 2654435761L) % 97L).toDouble / 97.0)
     }
     val df = rows.toDF("user_id", "ts_us", "value")
-    val q = TimeOps.theilSen(df, "value", "ts_us", Seq("user_id"))
-    val plan = q.queryExecution.executedPlan.toString
-    assert(!plan.contains("collect_list") && !plan.contains("sort_array"),
-      s"median must not buffer slopes in an agg:\n${plan.take(1500)}")
-    assert(plan.toLowerCase.contains("windowspecdefinition"),
-      s"rank pick must ride WindowExec (spillable):\n${plan.take(1500)}")
-    val out = q.collect().head
     val slopes = (for {
       i <- 0 until n; j <- (i + 1) until n
     } yield (rows(j)._3 - rows(i)._3) / (j - i).toDouble).sorted
-    assert(out.getLong(1) == slopes.size.toLong)
-    assert(out.getDouble(2) == slopes((slopes.size + 1) / 2 - 1),
-      s"window rank pick must equal brute-force lower median: $out")
+    val exact = TimeOps.theilSen(df, "value", "ts_us", Seq("user_id"), autoMaxPairs = None)
+    val ePlan = exact.queryExecution.executedPlan.toString
+    assert(!ePlan.contains("collect_list") && !ePlan.contains("sort_array"),
+      s"exact route must not buffer slopes in an agg:\n${ePlan.take(1500)}")
+    assert(ePlan.toLowerCase.contains("windowspecdefinition"),
+      s"exact-route rank pick must ride WindowExec (spillable):\n${ePlan.take(1500)}")
+    val eOut = exact.collect().head
+    assert(eOut.getLong(1) == slopes.size.toLong)
+    assert(eOut.getDouble(2) == slopes((slopes.size + 1) / 2 - 1),
+      s"window rank pick must equal brute-force lower median: $eOut")
+    // kernel route: same verdict (400 points « 4472 budget → all kept)
+    val kOut = TimeOps.theilSen(df, "value", "ts_us", Seq("user_id")).collect().head
+    assert(kOut.getLong(1) == eOut.getLong(1) && kOut.getDouble(2) == eOut.getDouble(2),
+      s"kernel route diverged: $kOut vs $eOut")
   }
 
   test("full line: Sen's intercept recovers the clean line and shrugs off an outlier") {
@@ -110,10 +117,12 @@ class TheilSenSpec extends SparkSpec {
     // assert after optimization, so an out-of-contract series raises
     // instead of vanishing (advisor r12: cast-to-int rank matched no
     // row and dropped the series).
+    // the guard lives on the JOIN route (autoMaxPairs = None) — the
+    // kernel route is structurally under 2^31 pairs (sampler-bounded)
     val df = (0L until 5L).map(t => (1L, t, t.toDouble)).toDF("user_id", "ts_us", "value")
     for (plan <- Seq(
-        TimeOps.theilSen(df, "value", "ts_us", Seq("user_id")),
-        TimeOps.theilSenLine(df, "value", "ts_us", Seq("user_id")))) {
+        TimeOps.theilSen(df, "value", "ts_us", Seq("user_id"), autoMaxPairs = None),
+        TimeOps.theilSenLine(df, "value", "ts_us", Seq("user_id"), autoMaxPairs = None))) {
       // assert_true lowers to `if (cond) true else isnull(raise_error(…))`
       val optimized = plan.queryExecution.optimizedPlan.toString
       assert(optimized.contains("raise_error"),
