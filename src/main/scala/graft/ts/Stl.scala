@@ -125,7 +125,12 @@ object Stl {
 
     val wRank = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col("__a4").asc_nulls_last, col(orderCol))
-    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    // full-frame twin of wRank, NOT a partition-only spec: the shared
+    // (partition, order) lets __cnt ride the __rn WindowExec and __med
+    // the next one — a partition-only spec beside a sorted one plans a
+    // SEPARATE buffering WindowExec per use (the r12 window-cost
+    // lesson; same values either way, count/max over the full frame)
+    val wAll = wRank.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     def fold(src: Column, coef: Int => Double): Column =
       taps.map(i => lit(coef(i)) * tap(src, i, w)).reduceLeft(_ + _)
     val w0 = taps.map(i => wt(i + q)).toArray
@@ -140,8 +145,11 @@ object Stl {
       // bisquare ρ = (1 − u²)² (edges/degenerate series keep ρ = 1)
       val withA4 = cur.withColumn("__a4", abs(col("__d4") - col("__ss4")))
       val withMed = withA4
-        .withColumn("__rn", row_number().over(wRank))
-        .withColumn("__cnt", count(col("__a4")).over(wAll))
+        // one projection → one shared-spec WindowExec for rank + count
+        // (sequential withColumn would plant a node per call)
+        .withColumns(Map(
+          "__rn" -> row_number().over(wRank),
+          "__cnt" -> count(col("__a4")).over(wAll)))
         .withColumn("__med",
           max(when(col("__rn") === ((col("__cnt") + 1) / 2).cast("long"), col("__a4"))).over(wAll))
       val h = col("__med") * lit(6L)

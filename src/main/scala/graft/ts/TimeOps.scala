@@ -1390,13 +1390,20 @@ object TimeOps {
     val v = col(valueCol)
     val x = col("__x")
     val withX = df.withColumn("__x", row_number().over(w).cast("double") - 1)
-    val sums = withX
-      .withColumn("__n", count(v).over(wcum).cast("double"))
-      .withColumn("__sx", sum(when(v.isNotNull, x)).over(wcum))
-      .withColumn("__sv", sum(v).over(wcum))
-      .withColumn("__sxx", sum(when(v.isNotNull, x * x)).over(wcum))
-      .withColumn("__svv", sum(v * v).over(wcum))
-      .withColumn("__sxv", sum(x * v).over(wcum))
+    // ALL six prefix sums in ONE projection: sequential withColumn
+    // plants one Window NODE per call (the analyzer extracts window
+    // expressions per-Project and the interleaved Projects block
+    // CollapseWindow), so the chained form planned FIVE stacked
+    // WindowExecs — five full re-buffers of every series. One
+    // withColumns → one shared-frame node (plan-budget pinned 2
+    // windows total: the row_number spine + this one).
+    val sums = withX.withColumns(Map(
+      "__n" -> count(v).over(wcum).cast("double"),
+      "__sx" -> sum(when(v.isNotNull, x)).over(wcum),
+      "__sv" -> sum(v).over(wcum),
+      "__sxx" -> sum(when(v.isNotNull, x * x)).over(wcum),
+      "__svv" -> sum(v * v).over(wcum),
+      "__sxv" -> sum(x * v).over(wcum)))
     val n = col("__n"); val sx = col("__sx"); val sv = col("__sv")
     val sxx = col("__sxx"); val svv = col("__svv"); val sxv = col("__sxv")
     val vx = n * sxx - sx * sx
