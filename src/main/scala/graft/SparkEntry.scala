@@ -587,6 +587,26 @@ object SparkEntry {
       TimeOps.mannKendall(ev, "value", "ts_us", Seq("user_id"))
         .orderBy("user_id")
     },
+    // TIE-CORRECTED Mann-Kendall: the proper variance on tied data —
+    // Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18 over the value tie
+    // groups (count-valued series tie constantly; the no-ties variance
+    // overstates Var(S) and understates |z|). tie_adj comes free from
+    // the kernel's sorted tie scan; all-integer until the one division
+    "ts_mannkendall_ties" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
+      TimeOps.mannKendall(ev, "value", "ts_us", Seq("user_id"), tieCorrected = true)
+        .orderBy("user_id")
+    },
+    // SEASONAL Mann-Kendall (Hirsch-Slack): S within each weekday
+    // season (pairs never cross seasons — a weekly cycle can't fake a
+    // trend), variances sum across seasons, one z verdict; the
+    // per-season statistic rides the same whole-series kernel
+    "ts_mannkendall_seasonal" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
+      val phase = pmod(expr("ts_us div 86400000000") + 3, lit(7)).cast("int")
+      TimeOps.mannKendallSeasonal(ev, "value", "ts_us", Seq("user_id"), phase)
+        .orderBy("user_id")
+    },
     // Holt-Winters additive seasonal smoothing — the seasonal member
     // of the exponential family (brown/holt are non-seasonal): coupled
     // level/trend/seasonal-index recursions, O(1)+m state per series
@@ -2042,7 +2062,8 @@ object SparkEntry {
     "ts_drawdown", "ts_drawdown_chunked", "ts_ewma", "ts_ewma_trunc",
     "ts_ewmvol", "ts_fill", "ts_gap_stats", "ts_hampel", "ts_holt",
     "ts_holtwinters", "ts_interpolate", "ts_kalman", "ts_kalman_smooth",
-    "ts_leadlag", "ts_mannkendall", "ts_mannkendall_auto", "ts_moments",
+    "ts_leadlag", "ts_mannkendall", "ts_mannkendall_auto",
+    "ts_mannkendall_seasonal", "ts_mannkendall_ties", "ts_moments",
     "ts_ohlc", "ts_pacf", "ts_pivot", "ts_range_join", "ts_rank",
     "ts_resample", "ts_robust_zscore", "ts_rollquantiles",
     "ts_rollstats", "ts_rolltheilsen", "ts_seasonal", "ts_sessionize",
@@ -3304,6 +3325,53 @@ object SparkEntry {
         | end as z
         |from ag join n on ag.user_id = n.user_id
         |order by n.user_id""".stripMargin,
+    // tie-corrected twin: same pair S, tie_adj from per-value counts,
+    // integer subtraction inside the cast — identical op order to the
+    // Spark side's ((n(n−1)(2n+5)) − tie_adj).cast(double) / 18
+    "ts_mannkendall_ties" ->
+      """with p as (select a.user_id,
+        |    cast(sign(b.value - a.value) as bigint) as s
+        |  from events a join events b
+        |    on a.user_id = b.user_id and epoch_us(a.ts) < epoch_us(b.ts)),
+        |ag as (select user_id, cast(count(*) as bigint) as n_pairs,
+        |       cast(sum(s) as bigint) as s_stat from p group by user_id),
+        |n as (select user_id, cast(count(*) as bigint) as n_obs from events group by user_id),
+        |tg as (select user_id, cast(sum(t * (t - 1) * (2 * t + 5)) as bigint) as tie_adj
+        |  from (select user_id, value, cast(count(*) as bigint) as t
+        |        from events where value is not null group by 1, 2)
+        |  group by user_id)
+        |select n.user_id, n_obs, n_pairs, s_stat, tie_adj,
+        | case when s_stat = 0 then 0.0E0
+        |      else cast(s_stat - sign(s_stat) as double)
+        |           / sqrt(cast((n_obs * (n_obs - 1) * (2 * n_obs + 5)) - tie_adj as double) / 18.0E0)
+        | end as z
+        |from ag join n on ag.user_id = n.user_id
+        |  left join tg on tg.user_id = n.user_id
+        |order by n.user_id""".stripMargin,
+    // seasonal twin: the identical per-(user, weekday) pair S and
+    // no-ties variance, integer-summed across seasons before the one
+    // division + sqrt — same op order as the Spark rollup
+    "ts_mannkendall_seasonal" ->
+      """with e as (select user_id, epoch_us(ts) as t, value,
+        |    cast((epoch_us(ts) // 86400000000 + 3) % 7 as int) as phase from events),
+        |p as (select a.user_id, a.phase, cast(sign(b.value - a.value) as bigint) as s
+        |  from e a join e b
+        |    on a.user_id = b.user_id and a.phase = b.phase and a.t < b.t),
+        |ag as (select user_id, phase, cast(count(*) as bigint) as n_pairs,
+        |       cast(sum(s) as bigint) as s_stat from p group by 1, 2),
+        |n as (select user_id, phase, cast(count(*) as bigint) as n_obs from e group by 1, 2),
+        |per as (select n.user_id, n.phase, n_obs, n_pairs, s_stat
+        |  from ag join n on ag.user_id = n.user_id and ag.phase = n.phase)
+        |select user_id, cast(count(*) as bigint) as n_seasons,
+        | cast(sum(n_obs) as bigint) as n_obs,
+        | cast(sum(n_pairs) as bigint) as n_pairs,
+        | cast(sum(s_stat) as bigint) as s_stat,
+        | case when sum(s_stat) = 0 then 0.0E0
+        |      else cast(sum(s_stat) - sign(sum(s_stat)) as double)
+        |           / sqrt(cast(sum(n_obs * (n_obs - 1) * (2 * n_obs + 5)) as double) / 18.0E0)
+        | end as z
+        |from per group by user_id
+        |order by user_id""".stripMargin,
     // theil-sen twin: identical per-pair subtract/divide, type-1
     // median as a sorted-list element pick — no interpolation
     "ts_theilsen" ->

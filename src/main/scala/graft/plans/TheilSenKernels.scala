@@ -90,9 +90,16 @@ case class TheilSenAggKernel(child: Expression, fracBuckets: Long, withLine: Boo
   * kernel excludes NaN points, same 0 contribution to S).
   */
 case class MannKendallAggKernel(child: Expression) extends UnaryExpression {
+  // tie_adj = Σ over tied-VALUE groups of t·(t−1)·(2t+5) — the standard
+  // Mann-Kendall tie correction term (Var(S) = [n(n−1)(2n+5) − tie_adj]
+  // / 18), computed over the same value set S uses (non-null ts,
+  // non-null non-NaN v) from the already-sorted tie scan; null exactly
+  // when s_stat is null. Consumers of the plain no-ties z simply don't
+  // select it.
   override def dataType: DataType = StructType(Seq(
     StructField("n_pairs", LongType, nullable = false),
-    StructField("s_stat", LongType, nullable = true)))
+    StructField("s_stat", LongType, nullable = true),
+    StructField("tie_adj", LongType, nullable = true)))
   override def nullable: Boolean = child.nullable
 
   override def nullSafeEval(input: Any): Any =
@@ -309,7 +316,7 @@ object TheilSenRuntime {
       nPairs -= r * (r - 1L) / 2L
       i = j
     }
-    if (nPairs == 0L) return new GenericInternalRow(Array[Any](L(0L), null))
+    if (nPairs == 0L) return new GenericInternalRow(Array[Any](L(0L), null, null))
     // s_stat's NULL verdict mirrors the join route's sum(sign(...)):
     // null iff NO cross-run pair has both values non-null. NaN values
     // count as non-null for that verdict (the join's
@@ -329,6 +336,7 @@ object TheilSenRuntime {
       i = j
     }
     totNN += totalNonNull * (totalNonNull - 1L) / 2L
+    var tieAdj: java.lang.Long = null
     val sStat: java.lang.Long = if (totNN == 0L) null else {
       // seq = non-null non-NaN values in ts order; runOf = tied-ts run
       // id per entry (runs are contiguous, so within-run pairs can be
@@ -380,20 +388,23 @@ object TheilSenRuntime {
       // T: tied-value pairs from the sorted array (primitive == merges
       // −0.0/0.0 exactly like sign(v_b − v_a) = ±0.0 → 0 does)
       var tFull = 0L
+      var tAdj = 0L
       var p = 0
       while (p < sn) {
         var q = p + 1
         while (q < sn && work(q) == work(p)) q += 1
         val r = (q - p).toLong
         tFull += r * (r - 1L) / 2L
+        tAdj += r * (r - 1L) * (2L * r + 5L)
         p = q
       }
+      tieAdj = L(tAdj)
       val dCross = dFull - dRun
       val tCross = tFull - tRun
       val pairsCross = sn.toLong * (sn - 1L) / 2L - runPairs
       val pCross = pairsCross - dCross - tCross
       L(pCross - dCross)
     }
-    new GenericInternalRow(Array[Any](L(nPairs), sStat))
+    new GenericInternalRow(Array[Any](L(nPairs), sStat, tieAdj))
   }
 }

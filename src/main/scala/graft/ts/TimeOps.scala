@@ -1143,7 +1143,8 @@ object TimeOps {
       valueCol: String,
       tsCol: String,
       groupCols: Seq[String],
-      autoMaxPairs: Option[Long] = Some(AutoMaxPairsDefault)): DataFrame = {
+      autoMaxPairs: Option[Long] = Some(AutoMaxPairsDefault),
+      tieCorrected: Boolean = false): DataFrame = {
     // same monster-series auto-route as [[theilSen]]; S, n_obs and
     // the variance are all computed over the SAME subsample, so the
     // test statistic stays internally consistent when it engages
@@ -1162,13 +1163,15 @@ object TimeOps {
     // autoMaxPairs = None keeps the join, where even collecting a
     // genuinely monster series' points would be an unbounded buffer.
     val agg = if (autoMaxPairs.isDefined) {
-      dfs.groupBy(groupCols.map(col): _*)
+      val base = dfs.groupBy(groupCols.map(col): _*)
         .agg(count(lit(1)).as("n_obs"),
           graft.plans.TsAggKernels.mannKendall(tsvPoints(valueCol, tsCol)).as("__mk"))
         .where(col("__mk").getField("n_pairs") > 0)
-        .select(groupCols.map(col) ++ Seq(col("n_obs"),
-          col("__mk").getField("n_pairs").as("n_pairs"),
-          col("__mk").getField("s_stat").as("s_stat")): _*)
+      val cols = Seq(col("n_obs"),
+        col("__mk").getField("n_pairs").as("n_pairs"),
+        col("__mk").getField("s_stat").as("s_stat")) ++
+        (if (tieCorrected) Seq(col("__mk").getField("tie_adj").as("tie_adj")) else Nil)
+      base.select(groupCols.map(col) ++ cols: _*)
     } else {
       val a = dfs.select(groupCols.map(col) ++ Seq(col(tsCol).as("__ta"), col(valueCol).as("__va")): _*)
       val b = dfs.select(groupCols.map(col) ++ Seq(col(tsCol).as("__tb"), col(valueCol).as("__vb")): _*)
@@ -1176,16 +1179,73 @@ object TimeOps {
         .select(groupCols.map(col) :+
           signum(col("__vb") - col("__va")).cast("long").as("__s"): _*)
       val nObs = dfs.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n_obs"))
-      pairs.groupBy(groupCols.map(col): _*)
+      val joined = pairs.groupBy(groupCols.map(col): _*)
         .agg(count(lit(1)).as("n_pairs"), sum(col("__s")).as("s_stat"))
         .join(nObs, groupCols)
+      if (!tieCorrected) joined
+      else {
+        // tie groups over the same value set the kernel route scans:
+        // non-null values; LEFT join so an (out-of-contract) all-null
+        // series keeps its row with tie_adj null, matching the kernel
+        val t = col("__t")
+        val ties = dfs.where(col(valueCol).isNotNull)
+          .groupBy((groupCols.map(col) :+ col(valueCol)): _*)
+          .agg(count(lit(1)).as("__t"))
+          .groupBy(groupCols.map(col): _*)
+          .agg(sum(t * (t - 1) * (t * 2 + 5)).as("tie_adj"))
+        joined.join(ties, groupCols, "left")
+      }
     }
     val n = col("n_obs")
-    val variance = (n * (n - 1) * (n * 2 + 5)).cast("double") / lit(18.0)
-    agg.select(groupCols.map(col) ++ Seq(col("n_obs"), col("n_pairs"), col("s_stat"),
+    val var18 =
+      if (tieCorrected) ((n * (n - 1) * (n * 2 + 5)) - col("tie_adj")).cast("double")
+      else (n * (n - 1) * (n * 2 + 5)).cast("double")
+    val variance = var18 / lit(18.0)
+    val outCols = Seq(col("n_obs"), col("n_pairs"), col("s_stat")) ++
+      (if (tieCorrected) Seq(col("tie_adj")) else Nil) :+
       when(col("s_stat") === 0, lit(0.0))
         .otherwise((col("s_stat") - signum(col("s_stat"))).cast("double") / sqrt(variance))
-        .as("z")): _*)
+        .as("z")
+    agg.select(groupCols.map(col) ++ outCols: _*)
+  }
+
+  /** SEASONAL Mann-Kendall (Hirsch & Slack 1984): the trend test for
+    * series with a periodic cycle — S is computed WITHIN each season
+    * (pairs never cross seasons, so a seasonal level shift cannot
+    * masquerade as trend), then S and the no-ties variances sum across
+    * seasons and one z verdict emerges. `phase` labels each row's
+    * season (e.g. weekday of the timestamp). Implementation: the
+    * per-(series, season) statistic IS [[mannKendall]] grouped by
+    * groupCols :+ phase (same kernel, same sampler contract — the
+    * point budget applies per season), followed by one
+    * map-side-combinable integer rollup. Seasons with zero pairs drop
+    * out of both the sum and n_seasons, mirroring the per-season
+    * query's own empty-join semantics. Cross-engine exactness: every
+    * sum is an integer sum; z is one subtraction + division +
+    * correctly-rounded sqrt, the ts_mannkendall contract.
+    */
+  def mannKendallSeasonal(
+      df: DataFrame,
+      valueCol: String,
+      tsCol: String,
+      groupCols: Seq[String],
+      phase: Column,
+      autoMaxPairs: Option[Long] = Some(AutoMaxPairsDefault)): DataFrame = {
+    val per = mannKendall(df.withColumn("__phase", phase), valueCol, tsCol,
+      groupCols :+ "__phase", autoMaxPairs)
+    val n = col("n_obs")
+    per.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_seasons"),
+        sum(n).as("n_obs"),
+        sum(col("n_pairs")).as("n_pairs"),
+        sum(col("s_stat")).as("s_stat"),
+        sum(n * (n - 1) * (n * 2 + 5)).as("__var18"))
+      .select(groupCols.map(col) ++ Seq(col("n_seasons"), col("n_obs"),
+        col("n_pairs"), col("s_stat"),
+        when(col("s_stat") === 0, lit(0.0))
+          .otherwise((col("s_stat") - signum(col("s_stat"))).cast("double")
+            / sqrt(col("__var18").cast("double") / lit(18.0)))
+          .as("z")): _*)
   }
 
   /** Holt-Winters ADDITIVE seasonal exponential smoothing — the

@@ -40,4 +40,76 @@ class MannKendallSpec extends SparkSpec {
     val down = run((0 until 8).map(i => (1L, i.toLong, -i.toDouble)))(1L)
     assert(up._3 == -down._3 && up._4 == -down._4)
   }
+
+  test("tie-corrected variance: closed form on a hand-computed tied series") {
+    // values 1, 2, 2, 3 on ts 0..3: signs + + + 0 + + -> S = 5;
+    // one tie group t = 2 -> tie_adj = 2*1*9 = 18;
+    // n(n-1)(2n+5) = 4*3*13 = 156; Var = (156-18)/18; z = 4/sqrt(...)
+    val df = Seq((1L, 0L, 1.0), (1L, 1L, 2.0), (1L, 2L, 2.0), (1L, 3L, 3.0))
+      .toDF("user_id", "ts_us", "value")
+    val r = TimeOps.mannKendall(df, "value", "ts_us", Seq("user_id"),
+      tieCorrected = true).collect().head
+    assert(r.getLong(1) == 4L && r.getLong(2) == 6L && r.getLong(3) == 5L,
+      s"n/pairs/S: $r")
+    assert(r.getLong(4) == 18L, s"tie_adj: $r")
+    val expectedZ = (5.0 - 1.0) / math.sqrt((156.0 - 18.0) / 18.0)
+    assert(r.getDouble(5) == expectedZ, s"z ${r.getDouble(5)} != $expectedZ")
+  }
+
+  test("tie correction only shrinks the variance: |z_ties| >= |z| on tied data") {
+    val rows = (0 until 30).map(i => (1L, i.toLong, (i % 5).toDouble)) ++
+      (0 until 25).map(i => (2L, i.toLong, i.toDouble + (i % 3))) // ties via repeated steps
+    val df = rows.toDF("user_id", "ts_us", "value")
+    val plain = TimeOps.mannKendall(df, "value", "ts_us", Seq("user_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    val ties = TimeOps.mannKendall(df, "value", "ts_us", Seq("user_id"),
+      tieCorrected = true).collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    for ((u, zt) <- ties)
+      assert(math.abs(zt) >= math.abs(plain(u)),
+        s"user $u: tie-corrected |z| must not shrink: $zt vs ${plain(u)}")
+    // constant-valued series: S = 0 and the S=0 branch fires BEFORE the
+    // (zero) corrected variance could divide
+    val const = (0 until 10).map(i => (9L, i.toLong, 7.5)).toDF("user_id", "ts_us", "value")
+    val cz = TimeOps.mannKendall(const, "value", "ts_us", Seq("user_id"),
+      tieCorrected = true).collect().head
+    assert(cz.getLong(3) == 0L && cz.getDouble(5) == 0.0, cz.toString)
+  }
+
+  test("tie-corrected route parity: kernel == declarative join to the last bit") {
+    val rnd = new scala.util.Random(4242L)
+    val rows = for (u <- 0 until 40; i <- 0 until (3 + rnd.nextInt(25)))
+      yield (u.toLong, i.toLong * 7L, rnd.nextInt(6).toDouble * 1.25)
+    val df = rows.toDF("user_id", "ts_us", "value")
+    val k = TimeOps.mannKendall(df, "value", "ts_us", Seq("user_id"), tieCorrected = true)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val j = TimeOps.mannKendall(df, "value", "ts_us", Seq("user_id"),
+        autoMaxPairs = None, tieCorrected = true)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(k == j, s"routes diverged: ${k.toSeq.sortBy(_._1).take(2)} vs ${j.toSeq.sortBy(_._1).take(2)}")
+  }
+
+  test("seasonal Mann-Kendall: per-season S sums, cross-season pairs never form") {
+    // 4 seasons x 6 points, each season strictly increasing in its own
+    // range BUT ranges interleave so cross-season pairs would flip
+    // signs if they (wrongly) formed: S must be exactly sum of
+    // per-season pair counts
+    val rows = for (p <- 0 until 4; i <- 0 until 6)
+      yield (1L, (i * 4 + p).toLong, (p * 100 + i).toDouble)
+    val df = rows.toDF("user_id", "ts_us", "value")
+    val phase = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.col("ts_us"),
+      org.apache.spark.sql.functions.lit(4L)).cast("int")
+    val r = TimeOps.mannKendallSeasonal(df, "value", "ts_us", Seq("user_id"), phase)
+      .collect().head
+    // n_seasons=4, n_obs=24, per-season pairs 15 -> 60, all concordant
+    assert(r.getLong(1) == 4L && r.getLong(2) == 24L && r.getLong(3) == 60L
+      && r.getLong(4) == 60L, r.toString)
+    val var18 = 4.0 * (6.0 * 5 * 17) / 18.0
+    assert(r.getDouble(5) == (60.0 - 1.0) / math.sqrt(var18), r.toString)
+    // sanity: the UNSEASONED test on the same frame sees the
+    // interleaved ranges as a much weaker trend signal per pair count
+    val plain = TimeOps.mannKendall(df, "value", "ts_us", Seq("user_id"))
+      .collect().head
+    assert(plain.getLong(2) == 276L, s"all cross pairs form in the plain test: $plain")
+  }
 }
