@@ -597,6 +597,15 @@ object SparkEntry {
       TimeOps.mannKendall(ev, "value", "ts_us", Seq("user_id"), tieCorrected = true)
         .orderBy("user_id")
     },
+    // Kendall's τ_b: the tie-adjusted rank-correlation EFFECT SIZE
+    // (−1..1 strength of the monotone association) companion of the
+    // mannkendall z — S over √((n₀−n₁)(n₀−n₂)), where n₀−n₂ IS the
+    // strict-ts pair count; all-tied series emit null (undefined τ)
+    "ts_kendall_tau" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
+      TimeOps.kendallTau(ev, "value", "ts_us", Seq("user_id"))
+        .orderBy("user_id")
+    },
     // SEASONAL Mann-Kendall (Hirsch-Slack): S within each weekday
     // season (pairs never cross seasons — a weekly cycle can't fake a
     // trend), variances sum across seasons, one z verdict; the
@@ -2062,7 +2071,7 @@ object SparkEntry {
     "ts_drawdown", "ts_drawdown_chunked", "ts_ewma", "ts_ewma_trunc",
     "ts_ewmvol", "ts_fill", "ts_gap_stats", "ts_hampel", "ts_holt",
     "ts_holtwinters", "ts_interpolate", "ts_kalman", "ts_kalman_smooth",
-    "ts_leadlag", "ts_mannkendall", "ts_mannkendall_auto",
+    "ts_kendall_tau", "ts_leadlag", "ts_mannkendall", "ts_mannkendall_auto",
     "ts_mannkendall_seasonal", "ts_mannkendall_ties", "ts_moments",
     "ts_ohlc", "ts_pacf", "ts_pivot", "ts_range_join", "ts_rank",
     "ts_resample", "ts_robust_zscore", "ts_rollquantiles",
@@ -3345,6 +3354,30 @@ object SparkEntry {
         |      else cast(s_stat - sign(s_stat) as double)
         |           / sqrt(cast((n_obs * (n_obs - 1) * (2 * n_obs + 5)) - tie_adj as double) / 18.0E0)
         | end as z
+        |from ag join n on ag.user_id = n.user_id
+        |  left join tg on tg.user_id = n.user_id
+        |order by n.user_id""".stripMargin,
+    // τ_b twin: same pair S, n₁ from per-value counts, n₀−n₂ = the
+    // strict pair count — one long subtraction, two casts, one double
+    // multiply, sqrt, one division, same op order as the Spark side
+    "ts_kendall_tau" ->
+      """with p as (select a.user_id,
+        |    cast(sign(b.value - a.value) as bigint) as s
+        |  from events a join events b
+        |    on a.user_id = b.user_id and epoch_us(a.ts) < epoch_us(b.ts)),
+        |ag as (select user_id, cast(count(*) as bigint) as n_pairs,
+        |       cast(sum(s) as bigint) as s_stat from p group by user_id),
+        |n as (select user_id, cast(count(*) as bigint) as n_obs from events group by user_id),
+        |tg as (select user_id, cast(sum((t * (t - 1)) // 2) as bigint) as tie_pairs
+        |  from (select user_id, value, cast(count(*) as bigint) as t
+        |        from events where value is not null group by 1, 2)
+        |  group by user_id)
+        |select n.user_id, n_obs, n_pairs, s_stat, tie_pairs,
+        | case when (n_obs * (n_obs - 1) // 2) - tie_pairs = 0 then null
+        |      else cast(s_stat as double)
+        |           / sqrt(cast((n_obs * (n_obs - 1) // 2) - tie_pairs as double)
+        |                  * cast(n_pairs as double))
+        | end as tau_b
         |from ag join n on ag.user_id = n.user_id
         |  left join tg on tg.user_id = n.user_id
         |order by n.user_id""".stripMargin,

@@ -96,10 +96,15 @@ case class MannKendallAggKernel(child: Expression) extends UnaryExpression {
   // non-null non-NaN v) from the already-sorted tie scan; null exactly
   // when s_stat is null. Consumers of the plain no-ties z simply don't
   // select it.
+  // tie_pairs = Σ t·(t−1)/2 over the same tie groups — the n1 term of
+  // Kendall's τ_b denominator sqrt((n0 − n1)(n0 − n2)); n2 falls out
+  // of n_pairs (n0 − n2 IS the ts-strict pair count), so τ_b needs no
+  // further kernel state.
   override def dataType: DataType = StructType(Seq(
     StructField("n_pairs", LongType, nullable = false),
     StructField("s_stat", LongType, nullable = true),
-    StructField("tie_adj", LongType, nullable = true)))
+    StructField("tie_adj", LongType, nullable = true),
+    StructField("tie_pairs", LongType, nullable = true)))
   override def nullable: Boolean = child.nullable
 
   override def nullSafeEval(input: Any): Any =
@@ -316,7 +321,7 @@ object TheilSenRuntime {
       nPairs -= r * (r - 1L) / 2L
       i = j
     }
-    if (nPairs == 0L) return new GenericInternalRow(Array[Any](L(0L), null, null))
+    if (nPairs == 0L) return new GenericInternalRow(Array[Any](L(0L), null, null, null))
     // s_stat's NULL verdict mirrors the join route's sum(sign(...)):
     // null iff NO cross-run pair has both values non-null. NaN values
     // count as non-null for that verdict (the join's
@@ -337,6 +342,7 @@ object TheilSenRuntime {
     }
     totNN += totalNonNull * (totalNonNull - 1L) / 2L
     var tieAdj: java.lang.Long = null
+    var tiePairs: java.lang.Long = null
     val sStat: java.lang.Long = if (totNN == 0L) null else {
       // seq = non-null non-NaN values in ts order; runOf = tied-ts run
       // id per entry (runs are contiguous, so within-run pairs can be
@@ -399,12 +405,13 @@ object TheilSenRuntime {
         p = q
       }
       tieAdj = L(tAdj)
+      tiePairs = L(tFull)
       val dCross = dFull - dRun
       val tCross = tFull - tRun
       val pairsCross = sn.toLong * (sn - 1L) / 2L - runPairs
       val pCross = pairsCross - dCross - tCross
       L(pCross - dCross)
     }
-    new GenericInternalRow(Array[Any](L(nPairs), sStat, tieAdj))
+    new GenericInternalRow(Array[Any](L(nPairs), sStat, tieAdj, tiePairs))
   }
 }

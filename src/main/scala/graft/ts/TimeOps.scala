@@ -1209,6 +1209,70 @@ object TimeOps {
     agg.select(groupCols.map(col) ++ outCols: _*)
   }
 
+  /** Kendall's τ_b — the tie-adjusted rank-correlation coefficient of
+    * value against time per series: τ_b = S / √((n₀−n₁)(n₀−n₂)) with
+    * n₀ = n(n−1)/2, n₁ = Σ t(t−1)/2 over value tie groups, n₂ = the
+    * ts-tie pairs — and n₀ − n₂ IS the strict-ts pair count the
+    * Mann-Kendall machinery already emits, so the whole effect size
+    * costs one extra kernel field (tie_pairs) and zero extra passes.
+    * τ_b is the EFFECT SIZE companion of the mannKendall z (how strong
+    * is the monotone association, −1..1) where z answers "is there
+    * one". Denominator-zero series (all values tied: n₁ = n₀) emit a
+    * null τ — S is 0 there and the coefficient is undefined. FP
+    * contract: one long subtraction, two casts, one double multiply,
+    * sqrt, one division — identical op order in the DuckDB twin.
+    * Same sampler/kernel/route rules as [[mannKendall]].
+    */
+  def kendallTau(
+      df: DataFrame,
+      valueCol: String,
+      tsCol: String,
+      groupCols: Seq[String],
+      autoMaxPairs: Option[Long] = Some(AutoMaxPairsDefault)): DataFrame = {
+    val dfs = autoMaxPairs match {
+      case Some(mp) =>
+        sampleSeriesPoints(df, tsCol, groupCols, pointBudget(mp))
+      case None => df
+    }
+    val withTies = if (autoMaxPairs.isDefined) {
+      dfs.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n_obs"),
+          graft.plans.TsAggKernels.mannKendall(tsvPoints(valueCol, tsCol)).as("__mk"))
+        .where(col("__mk").getField("n_pairs") > 0)
+        .select(groupCols.map(col) ++ Seq(col("n_obs"),
+          col("__mk").getField("n_pairs").as("n_pairs"),
+          col("__mk").getField("s_stat").as("s_stat"),
+          col("__mk").getField("tie_pairs").as("tie_pairs")): _*)
+    } else {
+      val a = dfs.select(groupCols.map(col) ++ Seq(col(tsCol).as("__ta"), col(valueCol).as("__va")): _*)
+      val b = dfs.select(groupCols.map(col) ++ Seq(col(tsCol).as("__tb"), col(valueCol).as("__vb")): _*)
+      val pairs = a.join(b, groupCols).where(col("__ta") < col("__tb"))
+        .select(groupCols.map(col) :+
+          signum(col("__vb") - col("__va")).cast("long").as("__s"): _*)
+      val nObs = dfs.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n_obs"))
+      val t = col("__t")
+      val ties = dfs.where(col(valueCol).isNotNull)
+        .groupBy((groupCols.map(col) :+ col(valueCol)): _*)
+        .agg(count(lit(1)).as("__t"))
+        .groupBy(groupCols.map(col): _*)
+        // integer `div`, not `/` (Divide on longs is a double in Spark)
+        .agg(sum(expr("__t * (__t - 1) div 2")).as("tie_pairs"))
+      pairs.groupBy(groupCols.map(col): _*)
+        .agg(count(lit(1)).as("n_pairs"), sum(col("__s")).as("s_stat"))
+        .join(nObs, groupCols)
+        .join(ties, groupCols, "left")
+        .select(groupCols.map(col) ++ Seq(col("n_obs"), col("n_pairs"),
+          col("s_stat"), col("tie_pairs")): _*)
+    }
+    val n0 = expr("n_obs * (n_obs - 1) div 2") // integer n₀, not Divide's double
+    withTies.select(groupCols.map(col) ++ Seq(col("n_obs"), col("n_pairs"),
+      col("s_stat"), col("tie_pairs"),
+      when(n0 - col("tie_pairs") === 0, lit(null))
+        .otherwise(col("s_stat").cast("double") /
+          sqrt((n0 - col("tie_pairs")).cast("double") * col("n_pairs").cast("double")))
+        .as("tau_b")): _*)
+  }
+
   /** SEASONAL Mann-Kendall (Hirsch & Slack 1984): the trend test for
     * series with a periodic cycle — S is computed WITHIN each season
     * (pairs never cross seasons, so a seasonal level shift cannot

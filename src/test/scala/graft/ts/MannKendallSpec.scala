@@ -112,4 +112,35 @@ class MannKendallSpec extends SparkSpec {
       .collect().head
     assert(plain.getLong(2) == 276L, s"all cross pairs form in the plain test: $plain")
   }
+
+  test("Kendall tau_b: closed form, tie adjustment, and the undefined-tau guard") {
+    // values 1, 2, 2, 3: S = 5, n0 = 6, n1 = 1 (one tied pair),
+    // n0 - n2 = n_pairs = 6 -> tau_b = 5 / sqrt(5 * 6)
+    val df = Seq((1L, 0L, 1.0), (1L, 1L, 2.0), (1L, 2L, 2.0), (1L, 3L, 3.0))
+      .toDF("user_id", "ts_us", "value")
+    val r = TimeOps.kendallTau(df, "value", "ts_us", Seq("user_id")).collect().head
+    assert(r.getLong(2) == 6L && r.getLong(3) == 5L && r.getLong(4) == 1L, r.toString)
+    assert(r.getDouble(5) == 5.0 / math.sqrt(5.0 * 6.0), r.toString)
+    // strictly increasing, no ties: tau_b = 1 exactly
+    val mono = (0 until 12).map(i => (2L, i.toLong, i * 2.5))
+      .toDF("user_id", "ts_us", "value")
+    val m = TimeOps.kendallTau(mono, "value", "ts_us", Seq("user_id")).collect().head
+    assert(m.getDouble(5) == 1.0, m.toString)
+    // all values tied: n1 = n0, tau undefined -> null (S = 0 anyway)
+    val const = (0 until 8).map(i => (3L, i.toLong, 4.25)).toDF("user_id", "ts_us", "value")
+    val c = TimeOps.kendallTau(const, "value", "ts_us", Seq("user_id")).collect().head
+    assert(c.getLong(3) == 0L && c.isNullAt(5), c.toString)
+  }
+
+  test("Kendall tau_b route parity: kernel == declarative join to the last bit") {
+    val rnd = new scala.util.Random(777L)
+    val rows = for (u <- 0 until 30; i <- 0 until (2 + rnd.nextInt(20)))
+      yield (u.toLong, i.toLong * 3L, rnd.nextInt(5).toDouble * 0.75)
+    val df = rows.toDF("user_id", "ts_us", "value")
+    val k = TimeOps.kendallTau(df, "value", "ts_us", Seq("user_id"))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val j = TimeOps.kendallTau(df, "value", "ts_us", Seq("user_id"), autoMaxPairs = None)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(k == j, s"routes diverged")
+  }
 }
