@@ -616,6 +616,55 @@ object SparkEntry {
       TimeOps.mannKendallSeasonal(ev, "value", "ts_us", Seq("user_id"), phase)
         .orderBy("user_id")
     },
+    // tie-corrected Spearman's ρ of value vs TIME: the rank-difference
+    // weighted −1..1 trend strength (τ_b's classical sibling) — 2×rank
+    // integer state in one whole-series kernel, one shared-SQL double
+    "ts_spearman" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
+      TimeOps.spearman(ev, "value", "ts_us", Seq("user_id"))
+        .orderBy("user_id")
+    },
+    // Pettitt changepoint test: rank-form U_t prefix scan, integer
+    // K = max|U_t|, first-max timestamp, p ≈ 2·exp(−6K²/(n³+n²))
+    "ts_pettitt" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
+      TimeOps.pettitt(ev, "value", "ts_us", Seq("user_id"))
+        .orderBy("user_id")
+    },
+    // Ljung-Box portmanteau: "is there ANY autocorrelation in the
+    // first 10 lags" — the residual-whiteness diagnostic to run after
+    // any smoother; Q over the rounded per-lag Pearson ACF
+    "ts_ljungbox" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.ljungBox(ev, "value", evGroup, evOrder, maxLag = 10)
+        .orderBy("user_id")
+    },
+    // SEASONAL Theil-Sen: the Sen-slope half of the Hirsch-Slack
+    // toolkit — lower median of within-weekday pairwise slopes (a
+    // weekly cycle contributes no slope; the estimator reads the
+    // underlying trend with the cycle structurally removed)
+    "ts_theilsen_seasonal" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
+      val phase = pmod(expr("ts_us div 86400000000") + 3, lit(7)).cast("int")
+      TimeOps.theilSenSeasonal(ev, "value", "ts_us", Seq("user_id"), phase)
+        .orderBy("user_id")
+    },
+    // Cox-Stuart sign test: first half paired against second half,
+    // one long-range comparison per observation — the O(n) trend
+    // triage beside Mann-Kendall's O(n²)-pair verdict
+    "ts_cox_stuart" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
+      TimeOps.coxStuart(ev, "value", "ts_us", Seq("user_id"))
+        .orderBy("user_id")
+    },
+    // Wald-Wolfowitz runs test about the (lower) median: sign-sequence
+    // randomness verdict — clustered runs expose shifts/trends the
+    // mean-based detectors assume rather than test
+    "ts_runs_test" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
+      TimeOps.runsTest(ev, "value", "ts_us", Seq("user_id"))
+        .orderBy("user_id")
+    },
     // Holt-Winters additive seasonal smoothing — the seasonal member
     // of the exponential family (brown/holt are non-seasonal): coupled
     // level/trend/seasonal-index recursions, O(1)+m state per series
@@ -2072,6 +2121,8 @@ object SparkEntry {
     "ts_ewmvol", "ts_fill", "ts_gap_stats", "ts_hampel", "ts_holt",
     "ts_holtwinters", "ts_interpolate", "ts_kalman", "ts_kalman_smooth",
     "ts_kendall_tau", "ts_leadlag", "ts_mannkendall", "ts_mannkendall_auto",
+    "ts_spearman", "ts_pettitt", "ts_runs_test", "ts_cox_stuart",
+    "ts_theilsen_seasonal", "ts_ljungbox",
     "ts_mannkendall_seasonal", "ts_mannkendall_ties", "ts_moments",
     "ts_ohlc", "ts_pacf", "ts_pivot", "ts_range_join", "ts_rank",
     "ts_resample", "ts_robust_zscore", "ts_rollquantiles",
@@ -2290,6 +2341,36 @@ object SparkEntry {
       s" $sums\n" +
       s" from l group by user_id),\n" +
       s"rr as (select user_id,\n $rs\nfrom a)"
+  }
+
+  /** The [[leadLagAcfCtes]] chain over FIRST-VALUE-SHIFTED values
+    * (TimeOps.ljungBox contract: r is shift-invariant, the shift
+    * kills 1e12 cancellation garbage deterministically) plus the
+    * per-series n_obs the Q statistic needs.
+    */
+  private def ljungBoxCtes(lags: Range): String = {
+    val lagCols = lags.map(k => s"lag(d, $k) over w as l$k").mkString(",\n  ")
+    val sums = lags.map(k =>
+      s"cast(count(l$k) as double) as n$k,\n" +
+        s"  sum(case when l$k is not null then d end) as sx$k,\n" +
+        s"  sum(l$k) as sy$k,\n" +
+        s"  sum(case when l$k is not null then d * d end) as sxx$k,\n" +
+        s"  sum(l$k * l$k) as syy$k,\n" +
+        s"  sum((case when l$k is not null then d end) * l$k) as sxy$k").mkString(",\n ")
+    val rs = lags.map(k =>
+      s"round(case when (n$k * sxx$k - sx$k * sx$k) <= 0 or (n$k * syy$k - sy$k * sy$k) <= 0 then null " +
+        s"else (n$k * sxy$k - sx$k * sy$k) / (sqrt(n$k * sxx$k - sx$k * sx$k) * sqrt(n$k * syy$k - sy$k * sy$k)) end, 4) as r_lag$k")
+      .mkString(",\n ")
+    s"s0 as (select user_id, epoch_us(ts) as t, event_id,\n" +
+      s"  value - first_value(value) over (partition by user_id order by epoch_us(ts), event_id) as d\n" +
+      s" from events),\n" +
+      s"l as (select user_id, d,\n" +
+      s"  $lagCols\n" +
+      s" from s0 window w as (partition by user_id order by t, event_id)),\n" +
+      s"a as (select user_id, cast(count(*) as bigint) as n_obs,\n" +
+      s" $sums\n" +
+      s" from l group by user_id),\n" +
+      s"rr as (select user_id, n_obs,\n $rs\nfrom a)"
   }
 
   /** Signature + band CTE chain over an arbitrary source, id column
@@ -3405,6 +3486,135 @@ object SparkEntry {
         | end as z
         |from per group by user_id
         |order by user_id""".stripMargin,
+    // Spearman twin: tie-averaged ranks carried as 2·rank integers
+    // (2·rank() + tie_count − 1), exact int64 sums, and the IDENTICAL
+    // shared rho expression text the Spark side parses — bit-equal by
+    // construction. `e` is referenced by four CTEs → materialized once
+    "ts_spearman" ->
+      s"""with e as materialized (select user_id, epoch_us(ts) as t, value
+         |  from events where value is not null),
+         |r as (select user_id,
+         |    2*rank() over (partition by user_id order by value)
+         |      + count(*) over (partition by user_id, value) - 1 as rx2,
+         |    2*rank() over (partition by user_id order by t)
+         |      + count(*) over (partition by user_id, t) - 1 as rt2
+         |  from e),
+         |s as (select user_id, cast(count(*) as bigint) as n_obs,
+         |    cast(sum((rx2 - rt2)*(rx2 - rt2)) as bigint) as d4
+         |  from r group by user_id),
+         |tv as (select user_id, cast(sum(c*c*c - c) as bigint) as t12v
+         |  from (select user_id, cast(count(*) as bigint) as c
+         |        from e group by user_id, value) tvg group by user_id),
+         |tt as (select user_id, cast(sum(c*c*c - c) as bigint) as t12t
+         |  from (select user_id, cast(count(*) as bigint) as c
+         |        from e group by user_id, t) ttg group by user_id)
+         |select s.user_id, n_obs, d4, t12v, t12t,
+         | ${graft.ts.TimeOps.SpearmanRhoSql} as rho
+         |from s join tv on s.user_id = tv.user_id
+         |  join tt on s.user_id = tt.user_id
+         |order by s.user_id""".stripMargin,
+    // Pettitt twin: the same 2·rank prefix-sum U_t, integer max, and
+    // the first-max timestamp via min(t) over the max-|U| rows; the
+    // shared p expression (exp → round(…,4), the one libm surface)
+    "ts_pettitt" ->
+      s"""with e as materialized (select user_id, epoch_us(ts) as t, value
+         |  from events where value is not null),
+         |r as (select user_id, t,
+         |    2*rank() over (partition by user_id order by value)
+         |      + count(*) over (partition by user_id, value) - 1 as rx2,
+         |    row_number() over (partition by user_id order by t) as i,
+         |    count(*) over (partition by user_id) as n
+         |  from e),
+         |u as materialized (select user_id, t, i, n,
+         |    cast(i as bigint) * (cast(n as bigint) + 1)
+         |      - cast(sum(rx2) over (partition by user_id order by i
+         |                            rows unbounded preceding) as bigint) as ut
+         |  from r),
+         |k as (select user_id, cast(any_value(n) as bigint) as n_obs,
+         |    cast(max(abs(ut)) as bigint) as k_stat
+         |  from u where i < n group by user_id),
+         |cp as (select u.user_id, min(u.t) as cp_t
+         |  from u join k on u.user_id = k.user_id
+         |  where u.i < u.n and abs(u.ut) = k.k_stat
+         |  group by u.user_id)
+         |select k.user_id, n_obs, k_stat, cp_t,
+         | ${graft.ts.TimeOps.PettittPSql} as p_value
+         |from k join cp on k.user_id = cp.user_id
+         |order by k.user_id""".stripMargin,
+    // Ljung-Box twin: the shifted ACF chain + the SAME generated Q
+    // text the Spark side parses (fixed-order arithmetic over the
+    // bit-identical rounded r columns — q_lb needs no rounding)
+    "ts_ljungbox" ->
+      s"""with ${ljungBoxCtes(1 to 10)}
+         |select user_id, n_obs, ${(1 to 10).map(k => s"r_lag$k").mkString(", ")},
+         | ${graft.ts.TimeOps.ljungBoxQSql(10)} as q_lb
+         |from rr
+         |order by user_id""".stripMargin,
+    // seasonal Sen twin: the ts_theilsen pair join restricted to
+    // equal-phase pairs, same list-pick lower median — identical
+    // per-pair subtract/divide operands as the kernel
+    "ts_theilsen_seasonal" ->
+      """with e as (select user_id, epoch_us(ts) as t, value,
+        |    cast((epoch_us(ts) // 86400000000 + 3) % 7 as int) as phase from events),
+        |p as (select a.user_id,
+        |    (b.value - a.value) / (b.t - a.t) as slope
+        |  from e a join e b
+        |    on a.user_id = b.user_id and a.phase = b.phase and a.t < b.t)
+        |select user_id, cast(count(*) as bigint) as n_pairs,
+        | (list(slope order by slope))[cast((count(*) + 1) // 2 as int)] as sen_slope
+        |from p group by user_id
+        |order by user_id""".stripMargin,
+    // Cox-Stuart twin: row_number pairing i ↔ i + (n − n//2), tied
+    // pairs discarded, zero-filled counts via the left join so
+    // tie-degenerate series keep their row (null z from the guard)
+    "ts_cox_stuart" ->
+      s"""with e as materialized (select user_id, epoch_us(ts) as t, value
+         |  from events where value is not null),
+         |r as (select user_id, value,
+         |    row_number() over (partition by user_id order by t) as i,
+         |    count(*) over (partition by user_id) as n
+         |  from e),
+         |p as (select a.user_id,
+         |    case when b.value > a.value then 1 else 0 end as up,
+         |    case when b.value < a.value then 1 else 0 end as dn
+         |  from r a join r b
+         |    on a.user_id = b.user_id and b.i = a.i + (a.n - a.n // 2)
+         |  where a.i <= a.n // 2 and a.value <> b.value),
+         |n0 as (select user_id, cast(count(*) as bigint) as n_obs from e group by user_id),
+         |ag as (select user_id, cast(sum(up) as bigint) as s_plus,
+         |    cast(sum(dn) as bigint) as s_minus from p group by user_id),
+         |base as (select n0.user_id, n_obs,
+         |    coalesce(s_plus, cast(0 as bigint)) as s_plus,
+         |    coalesce(s_minus, cast(0 as bigint)) as s_minus
+         |  from n0 left join ag on n0.user_id = ag.user_id)
+         |select user_id, n_obs, s_plus, s_minus,
+         | ${graft.ts.TimeOps.CoxStuartZSql} as z
+         |from base
+         |order by user_id""".stripMargin,
+    // runs-test twin: the house type-1 median pick, equal-to-median
+    // rows discarded, runs = 1 + sign transitions in time order, and
+    // the shared z expression (pure IEEE mul/div/sqrt — no rounding)
+    "ts_runs_test" ->
+      s"""with e as materialized (select user_id, epoch_us(ts) as t, value
+         |  from events where value is not null),
+         |m as materialized (select user_id, cast(count(*) as bigint) as n_obs,
+         |    (list(value order by value))[cast((count(*) + 1) // 2 as int)] as med
+         |  from e group by user_id),
+         |sg as (select e.user_id, e.t,
+         |    case when e.value > m.med then 1 else 0 end as sgn
+         |  from e join m on e.user_id = m.user_id where e.value <> m.med),
+         |r as (select user_id, sgn,
+         |    lag(sgn) over (partition by user_id order by t) as prev from sg),
+         |agg as (select user_id,
+         |    cast(sum(sgn) as bigint) as n_above,
+         |    cast(sum(1 - sgn) as bigint) as n_below,
+         |    cast(1 + sum(case when prev is not null and sgn <> prev
+         |                 then 1 else 0 end) as bigint) as runs
+         |  from r group by user_id)
+         |select a.user_id, m.n_obs, n_above, n_below, runs,
+         | ${graft.ts.TimeOps.RunsZSql} as z
+         |from agg a join m on a.user_id = m.user_id
+         |order by a.user_id""".stripMargin,
     // theil-sen twin: identical per-pair subtract/divide, type-1
     // median as a sorted-list element pick — no interpolation
     "ts_theilsen" ->

@@ -121,6 +121,42 @@ case class MannKendallAggKernel(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** SEASONAL Theil-Sen (the Sen-slope half of the Hirsch-Slack 1984
+  * seasonal toolkit, companion of `TimeOps.mannKendallSeasonal`): the
+  * lower median of all WITHIN-season pairwise slopes of one series —
+  * pairs never cross seasons, so a clean periodic cycle contributes
+  * no slopes at all (the seasonal-MK pair rule applied to the
+  * estimator). Input elements are [t, v, phase] triples; the kernel
+  * runs the [[TheilSenAggKernel]] pair/median machinery per phase
+  * bucket and ranks ONE combined slope multiset. Slope arithmetic,
+  * nulls-first rank pick and the strict-ts pair rule are identical to
+  * the plain kernel — the oracle is the ts_theilsen pair join plus a
+  * phase-equality predicate. The sampler upstream bounds points PER
+  * (series, season) (mirroring the seasonal-MK sampler contract), so
+  * the scratch bound is seasons·budget²/2 — callers keep the default
+  * seasonal budget small enough that the plain kernel's 1e8 backstop
+  * still holds.
+  */
+case class SeasonalTheilSenAggKernel(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_pairs", LongType, nullable = false),
+    StructField("sen_slope", DoubleType, nullable = true)))
+  override def nullable: Boolean = child.nullable
+
+  override def nullSafeEval(input: Any): Any =
+    TheilSenRuntime.seasonalTheilSenSeries(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, xs => {
+      s"""
+         |${ev.value} = graft.plans.TheilSenRuntime.seasonalTheilSenSeries($xs);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SeasonalTheilSenAggKernel =
+    copy(child = newChild)
+}
+
 object TsAggKernels {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -136,6 +172,9 @@ object TsAggKernels {
 
   def mannKendall(pts: Column): Column =
     column(MannKendallAggKernel(expression(pts)))
+
+  def seasonalTheilSen(pts: Column): Column =
+    column(SeasonalTheilSenAggKernel(expression(pts)))
 }
 
 object TheilSenRuntime {
@@ -270,6 +309,98 @@ object TheilSenRuntime {
     val intercept: java.lang.Double =
       if (kr <= nullResids) null else D(resids((kr - nullResids - 1L).toInt))
     new GenericInternalRow(Array[Any](L(nPairs), slope, intercept))
+  }
+
+  /** Seasonal Sen slope over one collected series of [t, v, phase]
+    * triples: the plain [[theilSenSeries]] pair/median machinery run
+    * per phase bucket with ONE combined slope rank pick. Null-ts and
+    * null-phase points join no pair (SQL's `a.phase = b.phase` is
+    * never true on null); null-VALUED pairs count toward n_pairs and
+    * sort first, exactly the plain kernel's nulls-first offset.
+    */
+  def seasonalTheilSenSeries(xs: ArrayData): InternalRow = {
+    val m = xs.numElements()
+    val ts = new Array[Double](m)
+    val vs = new Array[Double](m)
+    val ph = new Array[Double](m)
+    val vNull = new Array[Boolean](m)
+    var cnt = 0
+    val elig = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      val e = xs.getArray(i)
+      val tNull = e.isNullAt(0)
+      val pNull = e.isNullAt(2)
+      if (!tNull) ts(i) = e.getDouble(0)
+      if (e.isNullAt(1)) vNull(i) = true else vs(i) = e.getDouble(1)
+      if (!pNull) ph(i) = e.getDouble(2)
+      if (!tNull && !pNull) { elig(cnt) = i; cnt += 1 }
+      i += 1
+    }
+    // sort eligible indices by (phase, ts) — phases become contiguous
+    // runs, and within a phase the plain strict-ts pair walk applies
+    val boxed = new Array[Integer](cnt)
+    i = 0
+    while (i < cnt) { boxed(i) = Integer.valueOf(elig(i)); i += 1 }
+    java.util.Arrays.sort(boxed, new java.util.Comparator[Integer] {
+      override def compare(x: Integer, y: Integer): Int = {
+        val a = x.intValue(); val b = y.intValue()
+        val c = java.lang.Double.compare(ph(a), ph(b))
+        if (c != 0) c else java.lang.Double.compare(ts(a), ts(b))
+      }
+    })
+    val ord = new Array[Int](cnt)
+    i = 0
+    while (i < cnt) { ord(i) = boxed(i).intValue(); i += 1 }
+    // pass 1: count within-phase strict-ts pairs
+    var nPairs = 0L
+    var p0 = 0
+    while (p0 < cnt) {
+      var p1 = p0 + 1
+      while (p1 < cnt && ph(ord(p1)) == ph(ord(p0))) p1 += 1
+      var runStart = p0
+      var b = p0 + 1
+      while (b < p1) {
+        if (ts(ord(b)) != ts(ord(b - 1))) runStart = b
+        nPairs += runStart - p0
+        b += 1
+      }
+      p0 = p1
+    }
+    if (nPairs == 0L)
+      return new GenericInternalRow(Array[Any](L(0L), null))
+    require(nPairs <= 100000000L,
+      s"SeasonalTheilSenAggKernel: $nPairs pair slopes exceed the in-kernel scratch bound — " +
+        "this kernel must only be planned on sampler-bounded series")
+    // pass 2: fill slopes (identical arithmetic to the plain kernel)
+    val slopes = new Array[Double](nPairs.toInt)
+    var w = 0
+    var nullSlopes = 0L
+    p0 = 0
+    while (p0 < cnt) {
+      var p1 = p0 + 1
+      while (p1 < cnt && ph(ord(p1)) == ph(ord(p0))) p1 += 1
+      var runStart = p0
+      var b = p0 + 1
+      while (b < p1) {
+        val ib = ord(b)
+        if (ts(ib) != ts(ord(b - 1))) runStart = b
+        var a = p0
+        while (a < runStart) {
+          val ia = ord(a)
+          if (vNull(ia) || vNull(ib)) nullSlopes += 1
+          else { slopes(w) = (vs(ib) - vs(ia)) / (ts(ib) - ts(ia)); w += 1 }
+          a += 1
+        }
+        b += 1
+      }
+      p0 = p1
+    }
+    java.util.Arrays.sort(slopes, 0, w)
+    val k = (nPairs + 1L) / 2L
+    val slope: java.lang.Double =
+      if (k <= nullSlopes) null else D(slopes((k - nullSlopes - 1L).toInt))
+    new GenericInternalRow(Array[Any](L(nPairs), slope))
   }
 
   /** Strict inversion count (pairs a < b with v(b) < v(a)) via

@@ -1312,6 +1312,242 @@ object TimeOps {
           .as("z")): _*)
   }
 
+  /** The one FP surface of each rank test, as a SQL string SHARED
+    * VERBATIM with the DuckDB oracle (the OracleGen parity pattern:
+    * same text → same parse → same IEEE op order → bit-equal output).
+    * Inputs are the kernel's exact int64 fields; every literal uses
+    * the E0 exponent form so BOTH engines parse a double (a bare
+    * `2.0` is DECIMAL in Spark SQL). A12/B12 = n³−n−t12v / n³−n−t12t
+    * are ≤ n³ ≈ 2.6e14 at the sampler cap — exact as doubles — and
+    * their product is taken IN double, so nothing here can overflow.
+    */
+  val SpearmanRhoSql: String =
+    """case when (n_obs*n_obs*n_obs - n_obs - t12v) = 0
+      |       or (n_obs*n_obs*n_obs - n_obs - t12t) = 0 then null
+      |     else cast((n_obs*n_obs*n_obs - n_obs - t12v)
+      |               + (n_obs*n_obs*n_obs - n_obs - t12t) - 3*d4 as double)
+      |          / (2.0E0 * sqrt(cast(n_obs*n_obs*n_obs - n_obs - t12v as double)
+      |                          * cast(n_obs*n_obs*n_obs - n_obs - t12t as double)))
+      |end""".stripMargin
+
+  /** Pettitt's p ≈ 2·exp(−6K²/(n³+n²)), clamped to 1 and rounded to 4
+    * decimals — exp is the one libm call in the family (not
+    * IEEE-dictated to the last ulp across engines), so this is the
+    * house round(…,4) case; K and n ride along exact.
+    */
+  val PettittPSql: String =
+    """round(least(1.0E0,
+      |  2.0E0 * exp((-6.0E0 * cast(k_stat as double) * cast(k_stat as double))
+      |              / cast(n_obs*n_obs*n_obs + n_obs*n_obs as double))), 4)""".stripMargin
+
+  /** Runs-test z = (R − μ)/σ with μ = 1 + 2n₁n₂/N and
+    * σ² = 2n₁n₂(2n₁n₂ − N)/(N²(N−1)): NULL when either side is empty
+    * or when n₁ = n₂ = 1 (σ = 0 — the 2n₁n₂ = N guard), every product
+    * taken in double with one fixed op order.
+    */
+  val RunsZSql: String =
+    """case when n_above = 0 or n_below = 0
+      |       or 2*n_above*n_below = n_above + n_below then null
+      |     else (cast(runs as double)
+      |           - (1.0E0 + 2.0E0 * cast(n_above * n_below as double)
+      |                      / cast(n_above + n_below as double)))
+      |          / sqrt((2.0E0 * cast(n_above * n_below as double)
+      |                  * (2.0E0 * cast(n_above * n_below as double)
+      |                     - cast(n_above + n_below as double)))
+      |                 / (cast(n_above + n_below as double)
+      |                    * cast(n_above + n_below as double)
+      |                    * (cast(n_above + n_below as double) - 1.0E0)))
+      |end""".stripMargin
+
+  /** Cox-Stuart z: the paired sign test's normal approximation —
+    * (S⁺ − S⁻)/√(S⁺ + S⁻), i.e. the binomial(n_eff, ½) deviation in
+    * units of its √n_eff scale. NULL when every pair ties (n_eff = 0).
+    */
+  val CoxStuartZSql: String =
+    """case when s_plus + s_minus = 0 then null
+      |     else cast(s_plus - s_minus as double)
+      |          / sqrt(cast(s_plus + s_minus as double))
+      |end""".stripMargin
+
+  /** Shared fan-in of the rank-statistics family: sampler (same
+    * autoMaxPairs contract as [[theilSen]]/[[mannKendall]] — the
+    * default budget bounds every series at 4,472 points and leaves
+    * in-budget series bit-exact) → ONE grouped aggregation of the
+    * collected points through [[graft.plans.RankStatsAggKernel]].
+    */
+  private def rankStatsAgg(
+      df: DataFrame,
+      valueCol: String,
+      tsCol: String,
+      groupCols: Seq[String],
+      autoMaxPairs: Option[Long]): DataFrame = {
+    val dfs = autoMaxPairs match {
+      case Some(mp) =>
+        sampleSeriesPoints(df, tsCol, groupCols, pointBudget(mp))
+      case None => df
+    }
+    dfs.groupBy(groupCols.map(col): _*)
+      .agg(graft.plans.RankStatsKernel.rankStats(tsvPoints(valueCol, tsCol)).as("__rs"))
+  }
+
+  /** Tie-corrected Spearman's ρ of value against TIME per series — the
+    * rank-correlation trend strength (the Pearson-of-average-ranks
+    * form): with A = (n³−n)/12 − Σ(t³−t)/12 over value ties and B the
+    * same over ts ties, ρ = (A + B − Σd²)/(2√(AB)) — which the kernel
+    * carries as the ×12 integers A12/B12 and ×4 integer d4, collapsing
+    * to the classic 1 − 6Σd²/(n³−n) on tie-free data. Complements
+    * [[kendallTau]]: same −1..1 monotone-association scale, but
+    * rank-difference weighted (a far-displaced observation moves ρ
+    * more than τ), and the classical companion of [[pettitt]]'s rank
+    * machinery. All-tied series (A12 = 0) emit NULL, matching τ_b's
+    * undefined verdict. Everything is integer until the one shared
+    * [[SpearmanRhoSql]] expression — bit-exact vs the oracle.
+    */
+  def spearman(
+      df: DataFrame,
+      valueCol: String,
+      tsCol: String,
+      groupCols: Seq[String],
+      autoMaxPairs: Option[Long] = Some(AutoMaxPairsDefault)): DataFrame = {
+    val rs = rankStatsAgg(df, valueCol, tsCol, groupCols, autoMaxPairs)
+    rs.where(col("__rs").getField("n_cc") > 0)
+      .select(groupCols.map(col) ++ Seq(
+        col("__rs").getField("n_cc").as("n_obs"),
+        col("__rs").getField("d4").as("d4"),
+        col("__rs").getField("t12v").as("t12v"),
+        col("__rs").getField("t12t").as("t12t")): _*)
+      .select(groupCols.map(col) ++ Seq(col("n_obs"), col("d4"),
+        col("t12v"), col("t12t"), expr(SpearmanRhoSql).as("rho")): _*)
+  }
+
+  /** Pettitt's nonparametric changepoint test per series: the rank
+    * form U_t = t(n+1) − 2Σ_{k≤t}R_k of the double-sum sign statistic
+    * (identical by the tie-averaged-rank identity 2R_i − (n+1) =
+    * Σ_j sgn(x_i − x_j)), K = max interior |U_t|, the FIRST maximizing
+    * observation's timestamp as the changepoint candidate, and the
+    * standard p ≈ 2·exp(−6K²/(n³+n²)). The distribution-free
+    * complement of [[changepoint]]'s mean-shift scan: no variance
+    * estimate, ~29%-breakdown robust to outliers, exact integer K.
+    * Single-observation series have no interior split and drop out
+    * (the oracle's empty `t < n` set).
+    */
+  def pettitt(
+      df: DataFrame,
+      valueCol: String,
+      tsCol: String,
+      groupCols: Seq[String],
+      autoMaxPairs: Option[Long] = Some(AutoMaxPairsDefault)): DataFrame = {
+    val rs = rankStatsAgg(df, valueCol, tsCol, groupCols, autoMaxPairs)
+    rs.where(col("__rs").getField("k_stat").isNotNull)
+      .select(groupCols.map(col) ++ Seq(
+        col("__rs").getField("n_cc").as("n_obs"),
+        col("__rs").getField("k_stat").as("k_stat"),
+        col("__rs").getField("cp_t").as("cp_t")): _*)
+      .select(groupCols.map(col) ++ Seq(col("n_obs"), col("k_stat"),
+        col("cp_t"), expr(PettittPSql).as("p_value")): _*)
+  }
+
+  /** Cox-Stuart trend test per series: the minimal-assumption sign
+    * test — observation i paired with its second-half partner
+    * i + (n − ⌊n/2⌋) (odd series drop the middle point), S⁺/S⁻ = the
+    * up/down pair counts with ties discarded, z = (S⁺ − S⁻)/√(S⁺+S⁻).
+    * Where Mann-Kendall weighs ALL O(n²) pairs, Cox-Stuart reads one
+    * long-range comparison per observation — the cheap first-pass
+    * trend triage (and the textbook companion of [[runsTest]]: same
+    * sign machinery, opposite null). Integer counts from the same
+    * one-pass kernel; z is the shared [[CoxStuartZSql]] expression —
+    * subtraction, sqrt, division, nothing else.
+    */
+  def coxStuart(
+      df: DataFrame,
+      valueCol: String,
+      tsCol: String,
+      groupCols: Seq[String],
+      autoMaxPairs: Option[Long] = Some(AutoMaxPairsDefault)): DataFrame = {
+    val rs = rankStatsAgg(df, valueCol, tsCol, groupCols, autoMaxPairs)
+    rs.where(col("__rs").getField("n_cc") > 0)
+      .select(groupCols.map(col) ++ Seq(
+        col("__rs").getField("n_cc").as("n_obs"),
+        col("__rs").getField("s_plus").as("s_plus"),
+        col("__rs").getField("s_minus").as("s_minus")): _*)
+      .select(groupCols.map(col) ++ Seq(col("n_obs"), col("s_plus"),
+        col("s_minus"), expr(CoxStuartZSql).as("z")): _*)
+  }
+
+  /** Wald-Wolfowitz runs test about the median per series — is the
+    * sign sequence of deviations RANDOM, or does it cluster (fewer
+    * runs: level shifts, trends, strong autocorrelation) or alternate
+    * (more runs: negative autocorrelation)? Median = the house type-1
+    * lower pick; equal-to-median observations are discarded (the
+    * classical convention — and count data sits ON its median
+    * constantly, so the discard rule is load-bearing here, not an
+    * edge case). Integer counts (n_above, n_below, runs) until the one
+    * shared [[RunsZSql]] z expression; series with an empty side after
+    * the discard drop out (z would be undefined and the oracle's sign
+    * frame is empty).
+    */
+  def runsTest(
+      df: DataFrame,
+      valueCol: String,
+      tsCol: String,
+      groupCols: Seq[String],
+      autoMaxPairs: Option[Long] = Some(AutoMaxPairsDefault)): DataFrame = {
+    val rs = rankStatsAgg(df, valueCol, tsCol, groupCols, autoMaxPairs)
+    rs.where(col("__rs").getField("n_above") + col("__rs").getField("n_below") > 0)
+      .select(groupCols.map(col) ++ Seq(
+        col("__rs").getField("n_cc").as("n_obs"),
+        col("__rs").getField("n_above").as("n_above"),
+        col("__rs").getField("n_below").as("n_below"),
+        col("__rs").getField("runs").as("runs")): _*)
+      .select(groupCols.map(col) ++ Seq(col("n_obs"), col("n_above"),
+        col("n_below"), col("runs"), expr(RunsZSql).as("z")): _*)
+  }
+
+  /** Default pair budget of the SEASONAL Sen slope — smaller than
+    * [[AutoMaxPairsDefault]] because the sampler binds per (series,
+    * season) (the seasonal-MK contract) while the slope scratch is
+    * per SERIES: seasons·pointBudget²/2 slopes live in one kernel
+    * call. 10⁶ → 1,414 points/season → ≈ 7·10⁶ slopes for a weekly
+    * phase (56 MB transient, well under the kernel's 1e8 backstop);
+    * every gate-scale season is far smaller, so the sampler keeps all
+    * rows and the oracle needs no replication.
+    */
+  val SeasonalAutoMaxPairsDefault: Long = 1000000L
+
+  /** SEASONAL Theil-Sen — the Sen-slope half of the Hirsch-Slack
+    * seasonal toolkit ([[mannKendallSeasonal]] is the test half): the
+    * lower median of all WITHIN-season pairwise slopes. Pairs never
+    * cross seasons, so a clean periodic cycle contributes no slope at
+    * all — the estimator answers "how fast is the underlying trend,
+    * cycle removed" with the same ~29% breakdown robustness as
+    * [[theilSen]]. One whole-series kernel over [t, v, phase] triples
+    * (identical slope arithmetic and nulls-first rank pick — the
+    * oracle is the ts_theilsen pair join plus a phase-equality
+    * predicate); the sampler bounds points per (series, season).
+    */
+  def theilSenSeasonal(
+      df: DataFrame,
+      valueCol: String,
+      tsCol: String,
+      groupCols: Seq[String],
+      phase: Column,
+      autoMaxPairs: Option[Long] = Some(SeasonalAutoMaxPairsDefault)): DataFrame = {
+    val withPhase = df.withColumn("__phase", phase)
+    val dfs = autoMaxPairs match {
+      case Some(mp) =>
+        sampleSeriesPoints(withPhase, tsCol, groupCols :+ "__phase", pointBudget(mp))
+      case None => withPhase
+    }
+    dfs.groupBy(groupCols.map(col): _*)
+      .agg(graft.plans.TsAggKernels.seasonalTheilSen(
+        collect_list(array(col(tsCol).cast("double"), col(valueCol).cast("double"),
+          col("__phase").cast("double")))).as("__sts"))
+      .where(col("__sts").getField("n_pairs") > 0)
+      .select(groupCols.map(col) ++ Seq(
+        col("__sts").getField("n_pairs").as("n_pairs"),
+        col("__sts").getField("sen_slope").as("sen_slope")): _*)
+  }
+
   /** Holt-Winters ADDITIVE seasonal exponential smoothing — the
     * seasonal member of the smoothing family (brown/holt are
     * non-seasonal): coupled level/trend/seasonal-index recursions
@@ -1442,6 +1678,70 @@ object TimeOps {
       when(wins(k), lit(k)).otherwise(els)
     }
     withR.withColumn("best_lag", best)
+  }
+
+  /** The Ljung-Box Q statistic as portable SQL over the ROUNDED
+    * r_lag1..h columns and n_obs — Q = n(n+2)·Σ r_k²/(n−k), summed
+    * left-associated with null (degenerate-variance) terms coalesced
+    * to 0. Inputs are bit-identical on both engines (integer n, the
+    * round(…,4) ACF columns), every op double with one fixed order —
+    * Q itself needs NO rounding.
+    */
+  def ljungBoxQSql(maxLag: Int): String = {
+    val terms = (1 to maxLag)
+      .map(k => s"coalesce(r_lag$k * r_lag$k / (cast(n_obs as double) - $k.0E0), 0.0E0)")
+      .mkString("\n   + ")
+    s"cast(n_obs as double) * (cast(n_obs as double) + 2.0E0)\n * ($terms)"
+  }
+
+  /** Ljung-Box portmanteau whiteness test per series: Q =
+    * n(n+2)·Σ_{k≤h} ρ̂_k²/(n−k) — "is there ANY autocorrelation left
+    * in the first h lags", the standard residual diagnostic to run
+    * after a smoother/forecast (large Q ⇒ the model left structure on
+    * the table). ρ̂_k here is the per-lag complete-pairs Pearson ACF
+    * (the [[leadLagCorr]] estimator, round(…,4) — group-sum order is
+    * engine-specific) computed over FIRST-VALUE-SHIFTED values:
+    * r is algebraically shift-invariant, and subtracting the series'
+    * deterministic first observation kills the n·Σx² − (Σx)²
+    * cancellation garbage at 1e12 offsets (the r16 lesson) without
+    * introducing an engine-dependent mean. Q is then pure fixed-order
+    * arithmetic on bit-identical inputs — exact, unrounded. Degenerate
+    * lags (no pairs, zero variance) contribute 0, so a constant
+    * series reads Q = 0 rather than null.
+    */
+  def ljungBox(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      maxLag: Int = 10): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val w = Featurize.seriesWindow(groupCols, orderCols)
+    val shifted = df.withColumn("__d",
+      col(valueCol) - first(col(valueCol)).over(w))
+    val withLags = (1 to maxLag).foldLeft(shifted) { (cur, k) =>
+      cur.withColumn(s"__l$k", lag(col("__d"), k).over(w))
+    }
+    val aggs = count(lit(1)).as("n_obs") +: (1 to maxLag).flatMap { k =>
+      val y = col(s"__l$k")
+      val x = when(y.isNotNull, col("__d"))
+      Seq(
+        count(y).cast("double").as(s"__n$k"),
+        sum(x).as(s"__sx$k"), sum(y).as(s"__sy$k"),
+        sum(x * x).as(s"__sxx$k"), sum(y * y).as(s"__syy$k"), sum(x * y).as(s"__sxy$k"))
+    }
+    val g = withLags.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val rCols = (1 to maxLag).map { k =>
+      val n = col(s"__n$k"); val sx = col(s"__sx$k"); val sy = col(s"__sy$k")
+      val sxx = col(s"__sxx$k"); val syy = col(s"__syy$k"); val sxy = col(s"__sxy$k")
+      val vx = n * sxx - sx * sx
+      val vy = n * syy - sy * sy
+      round(when(vx <= 0 || vy <= 0, lit(null))
+        .otherwise((n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))), 4)
+        .as(s"r_lag$k")
+    }
+    g.select(groupCols.map(col) ++ (col("n_obs") +: rCols): _*)
+      .withColumn("q_lb", expr(ljungBoxQSql(maxLag)))
   }
 
   /** Classical additive seasonal decomposition on a regular series:
