@@ -631,6 +631,14 @@ object SparkEntry {
       TimeOps.pettitt(ev, "value", "ts_us", Seq("user_id"))
         .orderBy("user_id")
     },
+    // ADF(1) unit-root test: does the level pull back (stationary,
+    // strongly negative t) or wander (random walk, t ≈ 0)? One window
+    // pass + nine sums + a shared-text Cramer solve
+    "ts_adf" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.adfTest(ev, "value", evGroup, evOrder)
+        .orderBy("user_id")
+    },
     // Ljung-Box portmanteau: "is there ANY autocorrelation in the
     // first 10 lags" — the residual-whiteness diagnostic to run after
     // any smoother; Q over the rounded per-lag Pearson ACF
@@ -2122,7 +2130,7 @@ object SparkEntry {
     "ts_holtwinters", "ts_interpolate", "ts_kalman", "ts_kalman_smooth",
     "ts_kendall_tau", "ts_leadlag", "ts_mannkendall", "ts_mannkendall_auto",
     "ts_spearman", "ts_pettitt", "ts_runs_test", "ts_cox_stuart",
-    "ts_theilsen_seasonal", "ts_ljungbox",
+    "ts_theilsen_seasonal", "ts_ljungbox", "ts_adf",
     "ts_mannkendall_seasonal", "ts_mannkendall_ties", "ts_moments",
     "ts_ohlc", "ts_pacf", "ts_pivot", "ts_range_join", "ts_rank",
     "ts_resample", "ts_robust_zscore", "ts_rollquantiles",
@@ -3541,6 +3549,29 @@ object SparkEntry {
          | ${graft.ts.TimeOps.PettittPSql} as p_value
          |from k join cp on k.user_id = cp.user_id
          |order by k.user_id""".stripMargin,
+    // ADF twin: the shifted lag chain, the identical nine sums, and
+    // the SAME generated Cramer text (beta and t round(…,4) — the
+    // sums are the only engine-order surface)
+    "ts_adf" ->
+      s"""with s0 as (select user_id, epoch_us(ts) as t, event_id,
+         |    value - first_value(value) over (partition by user_id
+         |      order by epoch_us(ts), event_id) as d
+         |  from events),
+         |l as (select user_id, d,
+         |    lag(d, 1) over w as x1, lag(d, 2) over w as x2
+         |  from s0 window w as (partition by user_id order by t, event_id)),
+         |r as (select user_id, (d - x1) as y, x1 as a, (x1 - x2) as b
+         |  from l where x2 is not null and x1 is not null and d is not null),
+         |g as (select user_id, cast(count(*) as double) as m,
+         |    sum(a) as sa, sum(b) as sb, sum(y) as sy,
+         |    sum(a * a) as saa, sum(b * b) as sbb, sum(a * b) as sab,
+         |    sum(a * y) as say, sum(b * y) as sby, sum(y * y) as syy
+         |  from r group by user_id)
+         |select user_id, cast(m as bigint) as n_reg,
+         | ${graft.ts.TimeOps.AdfStatSqls("beta")} as beta,
+         | ${graft.ts.TimeOps.AdfStatSqls("t_stat")} as t_stat
+         |from g
+         |order by user_id""".stripMargin,
     // Ljung-Box twin: the shifted ACF chain + the SAME generated Q
     // text the Spark side parses (fixed-order arithmetic over the
     // bit-identical rounded r columns — q_lb needs no rounding)

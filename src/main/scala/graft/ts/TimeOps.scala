@@ -1694,6 +1694,89 @@ object TimeOps {
     s"cast(n_obs as double) * (cast(n_obs as double) + 2.0E0)\n * ($terms)"
   }
 
+  /** The ADF(1) regression statistics as portable SQL over the nine
+    * raw sums (m, sa, sb, sy, saa, sbb, sab, say, sby, syy) of the
+    * regression Δx_t = α + β·x_{t−1} + γ·Δx_{t−1}: the 3×3 normal
+    * equations solved by Cramer determinants written out longhand —
+    * the same TEXT parses on both engines, so the only cross-engine
+    * surface is the sums themselves (engine aggregation order ⇒ the
+    * round(…,4) on the emitted β and t). Null verdict when the design
+    * is degenerate: fewer than 4 usable rows, a non-positive normal
+    * determinant, or a non-positive residual/variance term (constant
+    * and near-constant series land here on both engines — the guards
+    * fire on the same ≤ 0 comparisons).
+    */
+  val AdfStatSqls: Map[String, String] = {
+    val det =
+      """(m * (saa * sbb - sab * sab)
+        | - sa * (sa * sbb - sab * sb)
+        | + sb * (sa * sab - saa * sb))""".stripMargin
+    val d1 = // α numerator: column 1 ← rhs
+      """(sy * (saa * sbb - sab * sab)
+        | - sa * (say * sbb - sab * sby)
+        | + sb * (say * sab - saa * sby))""".stripMargin
+    val d2 = // β numerator: column 2 ← rhs
+      """(m * (say * sbb - sab * sby)
+        | - sy * (sa * sbb - sab * sb)
+        | + sb * (sa * sby - say * sb))""".stripMargin
+    val d3 = // γ numerator: column 3 ← rhs
+      """(m * (saa * sby - say * sab)
+        | - sa * (sa * sby - say * sb)
+        | + sy * (sa * sab - saa * sb))""".stripMargin
+    val rss = s"(syy - ($d1 / $det) * sy - ($d2 / $det) * say - ($d3 / $det) * sby)"
+    val c22 = "(m * sbb - sb * sb)"
+    val guard =
+      s"m < 4.0E0 or $det <= 0.0E0 or $c22 <= 0.0E0 or $rss <= 0.0E0"
+    Map(
+      "beta" -> s"round(case when $guard then null else $d2 / $det end, 4)",
+      "t_stat" -> (s"round(case when $guard then null else ($d2 / $det) / " +
+        s"sqrt($rss / (m - 3.0E0) * ($c22 / $det)) end, 4)"))
+  }
+
+  /** Augmented Dickey-Fuller unit-root test, one lag (ADF(1)), per
+    * series: regress Δx_t on [1, x_{t−1}, Δx_{t−1}] and report the
+    * x_{t−1} coefficient β and its t statistic — the canonical
+    * stationarity question ("does the level pull back, or does the
+    * series wander?"; strongly negative t rejects the unit root; t
+    * near 0 is a random walk — compare to the Dickey-Fuller critical
+    * values, ≈ −2.86 at 5%). One window pass builds x_{t−1}/Δ columns
+    * over FIRST-VALUE-shifted values (shift-invariant regression,
+    * kills 1e12 cancellation deterministically — the [[ljungBox]]
+    * contract), one partial-agg groupBy takes the nine sums, and the
+    * whole 3×3 Cramer solve is ONE shared-text expression
+    * ([[AdfStatSqls]]) — the spec cross-checks it against an
+    * independent Gaussian-elimination solve.
+    */
+  def adfTest(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val w = Featurize.seriesWindow(groupCols, orderCols)
+    val shifted = df.withColumn("__d",
+      col(valueCol) - first(col(valueCol)).over(w))
+    val lagged = shifted
+      .withColumn("__x1", lag(col("__d"), 1).over(w))
+      .withColumn("__x2", lag(col("__d"), 2).over(w))
+    // usable row: all three lags present (t ≥ 3 in series order)
+    val t = lagged
+      .withColumn("__y", col("__d") - col("__x1"))
+      .withColumn("__b", col("__x1") - col("__x2"))
+      .where(col("__x2").isNotNull && col("__x1").isNotNull && col("__d").isNotNull)
+    val a = col("__x1")
+    val b = col("__b")
+    val y = col("__y")
+    val g = t.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).cast("double").as("m"),
+      sum(a).as("sa"), sum(b).as("sb"), sum(y).as("sy"),
+      sum(a * a).as("saa"), sum(b * b).as("sbb"), sum(a * b).as("sab"),
+      sum(a * y).as("say"), sum(b * y).as("sby"), sum(y * y).as("syy"))
+    g.select(groupCols.map(col) ++ Seq(
+      col("m").cast("long").as("n_reg"),
+      expr(AdfStatSqls("beta")).as("beta"),
+      expr(AdfStatSqls("t_stat")).as("t_stat")): _*)
+  }
+
   /** Ljung-Box portmanteau whiteness test per series: Q =
     * n(n+2)·Σ_{k≤h} ρ̂_k²/(n−k) — "is there ANY autocorrelation left
     * in the first h lags", the standard residual diagnostic to run

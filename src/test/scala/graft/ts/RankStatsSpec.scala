@@ -310,6 +310,99 @@ class RankStatsSpec extends SparkSpec {
     assert(q(const) == 0.0)
   }
 
+  test("adf: Cramer solve matches an independent Gaussian elimination; verdicts separate") {
+    def runAdf(pts: Seq[(Long, Double)]) = {
+      val rows = pts.zipWithIndex.map { case ((t, v), i) =>
+        Row(1L, java.lang.Long.valueOf(t), java.lang.Long.valueOf(i.toLong), java.lang.Double.valueOf(v))
+      }
+      val schema2 = StructType(Seq(
+        StructField("user_id", LongType, nullable = false),
+        StructField("ts_us", LongType, nullable = true),
+        StructField("event_id", LongType, nullable = false),
+        StructField("value", DoubleType, nullable = true)))
+      val frame = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema2)
+      TimeOps.adfTest(frame, "value", Seq("user_id"), Seq("ts_us", "event_id")).collect()
+    }
+    // independent reference: build the regression rows, solve the 3×3
+    // normal equations by Gaussian elimination with partial pivoting
+    // (a DIFFERENT algorithm than the production Cramer text)
+    def refAdf(pts: Seq[(Long, Double)]): Option[(Double, Double)] = {
+      val x = pts.sortBy(_._1).map(_._2)
+      val x0 = x.head
+      val d = x.map(_ - x0)
+      val rows = (2 until d.size).map(t => (1.0, d(t - 1), d(t - 1) - d(t - 2), d(t) - d(t - 1)))
+      val m = rows.size
+      if (m < 4) return None
+      val a = Array.ofDim[Double](3, 4)
+      for ((c1, c2, c3, y) <- rows) {
+        val v = Array(c1, c2, c3)
+        for (i <- 0 until 3; j <- 0 until 3) a(i)(j) += v(i) * v(j)
+        for (i <- 0 until 3) a(i)(3) += v(i) * y
+      }
+      val mat = a.map(_.clone())
+      for (p <- 0 until 3) {
+        val piv = (p until 3).maxBy(r => math.abs(mat(r)(p)))
+        if (math.abs(mat(piv)(p)) < 1e-300) return None
+        val tmp = mat(p); mat(p) = mat(piv); mat(piv) = tmp
+        for (r <- p + 1 until 3) {
+          val f = mat(r)(p) / mat(p)(p)
+          for (c2 <- p to 3) mat(r)(c2) -= f * mat(p)(c2)
+        }
+      }
+      val coef = new Array[Double](3)
+      for (p <- 2 to 0 by -1) {
+        var s = mat(p)(3)
+        for (c2 <- p + 1 until 3) s -= mat(p)(c2) * coef(c2)
+        coef(p) = s / mat(p)(p)
+      }
+      val rss = rows.map { case (c1, c2, c3, y) =>
+        val e = y - coef(0) * c1 - coef(1) * c2 - coef(2) * c3; e * e
+      }.sum
+      if (rss <= 0) return None
+      // (A⁻¹)₂₂ via the cofactor over the ORIGINAL normal matrix
+      val det = a(0)(0) * (a(1)(1) * a(2)(2) - a(1)(2) * a(2)(1)) -
+        a(0)(1) * (a(1)(0) * a(2)(2) - a(1)(2) * a(2)(0)) +
+        a(0)(2) * (a(1)(0) * a(2)(1) - a(1)(1) * a(2)(0))
+      val c22 = a(0)(0) * a(2)(2) - a(0)(2) * a(2)(0)
+      if (det <= 0 || c22 <= 0) return None
+      val se = math.sqrt(rss / (m - 3.0) * (c22 / det))
+      Some((coef(1), coef(1) / se))
+    }
+    for (seed <- Seq(3, 9); n <- Seq(30, 80)) {
+      // bursty but mean-reverting count-ish series
+      val pts = mkSeries(n, seed)
+      val got = runAdf(pts)(0)
+      val Some((beta, t)) = refAdf(pts): @unchecked
+      assert(math.abs(got.getAs[Double]("beta") - beta) < 1e-3,
+        s"n=$n seed=$seed: ${got.getAs[Double]("beta")} vs $beta")
+      assert(math.abs(got.getAs[Double]("t_stat") - t) < 1e-3,
+        s"n=$n seed=$seed: ${got.getAs[Double]("t_stat")} vs $t")
+    }
+    // seeded white noise: strongly stationary — t far negative.
+    // (A hash/Weyl sequence is NOT noise: modular rotations are
+    // structured, and a zero-mean modular STEP walk is a bounded
+    // periodic oscillation — i.e. stationary, the opposite fixture.)
+    val rng = new scala.util.Random(7)
+    val noise = (0 until 200).map(i => (i.toLong, rng.nextGaussian() * 10))
+    assert(runAdf(noise)(0).getAs[Double]("t_stat") < -5.0)
+    // seeded random walk: unit root — t must not reject
+    val rng2 = new scala.util.Random(11)
+    var acc = 0.0
+    val walk = (0 until 200).map { i => acc += rng2.nextGaussian(); (i.toLong, acc) }
+    val tWalk = runAdf(walk)(0).getAs[Double]("t_stat")
+    assert(tWalk > -2.86, s"a random walk must not reject the unit root: $tWalk")
+    // constant series: degenerate design — NULL verdict, row present
+    val const = (0 until 30).map(i => (i.toLong, 7.0))
+    val rc = runAdf(const)(0)
+    assert(rc.isNullAt(rc.fieldIndex("t_stat")) && rc.isNullAt(rc.fieldIndex("beta")))
+    // 1e12 offset: the shift makes the regression offset-stable
+    val base = mkSeries(60, 5)
+    val off = base.map { case (t, v) => (t, v + 1.0e12) }
+    val tB = runAdf(base)(0).getAs[Double]("t_stat")
+    val tO = runAdf(off)(0).getAs[Double]("t_stat")
+    assert(math.abs(tB - tO) < 1e-2, s"offset stability: $tB vs $tO")
+  }
+
   test("null values and null timestamps are excluded as complete cases") {
     val rows = Seq(
       Row(1L, java.lang.Long.valueOf(0L), java.lang.Double.valueOf(1.0)),
