@@ -631,6 +631,22 @@ object SparkEntry {
       TimeOps.pettitt(ev, "value", "ts_us", Seq("user_id"))
         .orderBy("user_id")
     },
+    // permutation entropy (order 3): ordinal complexity — noise reads
+    // ≈1, regular/monotone structure reads → 0; integer pattern
+    // machinery end to end (1e12 offsets are a non-event)
+    "ts_perm_entropy" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.permEntropy(ev, "value", evGroup, evOrder)
+        .orderBy("user_id")
+    },
+    // KPSS level-stationarity test (lag-0): the ADF complement — the
+    // null here is "stationary", large η rejects; together the pair
+    // reads four ways (agree/agree/inconclusive quadrants)
+    "ts_kpss" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.kpss(ev, "value", evGroup, evOrder)
+        .orderBy("user_id")
+    },
     // ADF(1) unit-root test: does the level pull back (stationary,
     // strongly negative t) or wander (random walk, t ≈ 0)? One window
     // pass + nine sums + a shared-text Cramer solve
@@ -2130,7 +2146,8 @@ object SparkEntry {
     "ts_holtwinters", "ts_interpolate", "ts_kalman", "ts_kalman_smooth",
     "ts_kendall_tau", "ts_leadlag", "ts_mannkendall", "ts_mannkendall_auto",
     "ts_spearman", "ts_pettitt", "ts_runs_test", "ts_cox_stuart",
-    "ts_theilsen_seasonal", "ts_ljungbox", "ts_adf",
+    "ts_theilsen_seasonal", "ts_ljungbox", "ts_adf", "ts_kpss",
+    "ts_perm_entropy",
     "ts_mannkendall_seasonal", "ts_mannkendall_ties", "ts_moments",
     "ts_ohlc", "ts_pacf", "ts_pivot", "ts_range_join", "ts_rank",
     "ts_resample", "ts_robust_zscore", "ts_rollquantiles",
@@ -3549,6 +3566,46 @@ object SparkEntry {
          | ${graft.ts.TimeOps.PettittPSql} as p_value
          |from k join cp on k.user_id = cp.user_id
          |order by k.user_id""".stripMargin,
+    // permutation-entropy twin: the same stable-rank pattern text,
+    // six conditional counts, the same ln expression (round(…,4))
+    "ts_perm_entropy" -> {
+      val countCols = Seq(5, 7, 11, 15, 19, 21).zipWithIndex.map { case (pid, k) =>
+        s"cast(sum(case when pid = $pid then 1 else 0 end) as bigint) as c$k"
+      }.mkString(",\n    ")
+      s"""with l as (select user_id,
+         |    lag(value, 2) over w as a, lag(value, 1) over w as b, value as c
+         |  from events window w as (partition by user_id order by epoch_us(ts), event_id)),
+         |p as (select user_id, ${graft.ts.TimeOps.PermPatternSql} as pid
+         |  from l where a is not null and b is not null and c is not null),
+         |g as (select user_id, cast(count(*) as bigint) as m,
+         |    $countCols
+         |  from p group by user_id)
+         |select user_id, m as n_triples, c0, c1, c2, c3, c4, c5,
+         | ${graft.ts.TimeOps.PermEntropySql} as perm_entropy
+         |from g
+         |order by user_id""".stripMargin
+    },
+    // KPSS twin: shift → demean → partial-sum window chain, the same
+    // three sums, the shared η text (round(…,4))
+    "ts_kpss" ->
+      s"""with s0 as (select user_id, epoch_us(ts) as t, event_id,
+         |    value - first_value(value) over (partition by user_id
+         |      order by epoch_us(ts), event_id) as d
+         |  from events),
+         |m as (select user_id, t, event_id,
+         |    d - avg(d) over (partition by user_id) as e
+         |  from s0),
+         |c as (select user_id, e,
+         |    sum(e) over (partition by user_id order by t, event_id
+         |                 rows between unbounded preceding and current row) as s
+         |  from m),
+         |g as (select user_id, cast(count(*) as double) as n,
+         |    sum(s * s) as ss2, sum(e * e) as se2
+         |  from c group by user_id)
+         |select user_id, cast(n as bigint) as n_obs,
+         | ${graft.ts.TimeOps.KpssEtaSql} as eta
+         |from g
+         |order by user_id""".stripMargin,
     // ADF twin: the shifted lag chain, the identical nine sums, and
     // the SAME generated Cramer text (beta and t round(…,4) — the
     // sums are the only engine-order surface)

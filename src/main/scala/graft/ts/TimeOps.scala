@@ -1733,6 +1733,110 @@ object TimeOps {
         s"sqrt($rss / (m - 3.0E0) * ($c22 / $det)) end, 4)"))
   }
 
+  /** KPSS η as portable SQL over (n, ss2, se2): η = ΣS_t²/(n·Σe_t²),
+    * rounded 4 (the sums are engine-aggregation-order FP); non-positive
+    * residual energy (constant / single-point series) nulls on the
+    * same comparison both engines evaluate.
+    */
+  val KpssEtaSql: String =
+    "case when se2 <= 0.0E0 then null else round(ss2 / (n * se2), 4) end"
+
+  /** Order-3 Bandt-Pompe pattern id over columns (a, b, c) = the
+    * triple in TIME order: stable ranks (ties broken toward the
+    * earlier observation, the standard convention) packed as
+    * 9·rank(a) + 3·rank(b) + rank(c) — six reachable ids, pure
+    * integer comparisons, identical text on both engines.
+    */
+  val PermPatternSql: String =
+    """((case when b < a then 1 else 0 end) + (case when c < a then 1 else 0 end)) * 9
+      | + ((case when a <= b then 1 else 0 end) + (case when c < b then 1 else 0 end)) * 3
+      | + ((case when a <= c then 1 else 0 end) + (case when b <= c then 1 else 0 end))""".stripMargin
+
+  /** Normalized permutation entropy over the six pattern counts
+    * c0..c5 and their total m: H/ln 6 ∈ [0, 1], zero-count terms
+    * dropped; ln is libm (like exp in Pettitt's p) → round(…,4).
+    */
+  val PermEntropySql: String = {
+    val terms = (0 to 5).map(k =>
+      s"(case when c$k = 0 then 0.0E0 else (cast(c$k as double) / cast(m as double)) " +
+        s"* ln(cast(c$k as double) / cast(m as double)) end)")
+      .mkString("\n   + ")
+    s"round(-($terms) / ln(6.0E0), 4)"
+  }
+
+  /** Permutation entropy (Bandt & Pompe 2002), order 3, per series:
+    * the distribution of ORDER PATTERNS of consecutive triples — a
+    * model-free complexity/determinism read (white noise → every
+    * pattern equally likely, H ≈ 1; a monotone or strongly regular
+    * signal concentrates on few patterns, H → 0) that complements
+    * [[ljungBox]] (linear autocorrelation) with ordinal,
+    * nonlinearity-sensitive structure. Integer machinery end to end:
+    * stable-tie ranks ([[PermPatternSql]] — exact on both engines,
+    * no value arithmetic at all, so 1e12 offsets are a non-event),
+    * six conditional count sums, one ln-based shared expression.
+    * Series shorter than 3 complete triples drop out (no pattern).
+    */
+  def permEntropy(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val w = Featurize.seriesWindow(groupCols, orderCols)
+    val lagged = df
+      .withColumn("b", lag(col(valueCol), 1).over(w))
+      .withColumn("a", lag(col(valueCol), 2).over(w))
+      .withColumn("c", col(valueCol))
+      .where(col("a").isNotNull && col("b").isNotNull && col("c").isNotNull)
+      .withColumn("__pid", expr(PermPatternSql))
+    val patternIds = Seq(5, 7, 11, 15, 19, 21) // the six reachable packings
+    val counts = patternIds.zipWithIndex.map { case (pid, k) =>
+      sum(when(col("__pid") === pid, 1L).otherwise(0L)).as(s"c$k")
+    }
+    lagged.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("m"), counts: _*)
+      .select(groupCols.map(col) ++ Seq(col("m").as("n_triples")) ++
+        (0 to 5).map(k => col(s"c$k")) :+
+        expr(PermEntropySql).as("perm_entropy"): _*)
+  }
+
+  /** KPSS level-stationarity test (lag-0 variant) per series — the
+    * COMPLEMENT of [[adfTest]]: here the null is "stationary around a
+    * level" and a LARGE η rejects it (≈ 0.463 at 5%), so the pair
+    * reads four ways (both agree stationary, both agree unit root, or
+    * the two inconclusive quadrants). η = Σ_t S_t² / (n²·σ̂²) with
+    * S_t the partial sums of the demeaned series and σ̂² = Σe²/n (the
+    * lag-0 long-run variance — the HAC-bandwidth generalization is a
+    * documented non-goal; at daily grain the lag-0 statistic is the
+    * standard first read). Numerics: demeaning is done on
+    * FIRST-VALUE-shifted values — algebraically identical to
+    * value − mean(value), but the cross-engine mean delta then lives
+    * at the ulp of O(values-range) numbers instead of the 2.4e−4 ulp
+    * of a 1e12 level, which keeps round(…,4) safely away from
+    * boundary flips. Three stacked window passes (shift → demean →
+    * partial sum: each genuinely consumes the previous output) on ONE
+    * series-key exchange, then a three-sum groupBy.
+    */
+  def kpss(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String]): DataFrame = {
+    val w = Featurize.seriesWindow(groupCols, orderCols)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val shifted = df.withColumn("__d",
+      col(valueCol) - first(col(valueCol)).over(w))
+    val demeaned = shifted.withColumn("__e", col("__d") - avg(col("__d")).over(wFull))
+    val cum = demeaned.withColumn("__s", sum(col("__e")).over(wCum))
+    cum.groupBy(groupCols.map(col): _*).agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("__s") * col("__s")).as("ss2"),
+        sum(col("__e") * col("__e")).as("se2"))
+      .select(groupCols.map(col) ++ Seq(
+        col("n").cast("long").as("n_obs"),
+        expr(KpssEtaSql).as("eta")): _*)
+  }
+
   /** Augmented Dickey-Fuller unit-root test, one lag (ADF(1)), per
     * series: regress Δx_t on [1, x_{t−1}, Δx_{t−1}] and report the
     * x_{t−1} coefficient β and its t statistic — the canonical

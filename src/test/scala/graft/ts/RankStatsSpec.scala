@@ -403,6 +403,100 @@ class RankStatsSpec extends SparkSpec {
     assert(math.abs(tB - tO) < 1e-2, s"offset stability: $tB vs $tO")
   }
 
+  test("kpss: verdicts complement adf; brute-force partial-sum check; offset-stable") {
+    def runKpss(pts: Seq[(Long, Double)]) = {
+      val rows = pts.zipWithIndex.map { case ((t, v), i) =>
+        Row(1L, java.lang.Long.valueOf(t), java.lang.Long.valueOf(i.toLong), java.lang.Double.valueOf(v))
+      }
+      val schema2 = StructType(Seq(
+        StructField("user_id", LongType, nullable = false),
+        StructField("ts_us", LongType, nullable = true),
+        StructField("event_id", LongType, nullable = false),
+        StructField("value", DoubleType, nullable = true)))
+      val frame = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema2)
+      TimeOps.kpss(frame, "value", Seq("user_id"), Seq("ts_us", "event_id")).collect()
+    }
+    def refEta(pts: Seq[(Long, Double)]): Option[Double] = {
+      val x = pts.sortBy(_._1).map(_._2)
+      val mean = x.sum / x.size
+      val e = x.map(_ - mean)
+      val s = e.scanLeft(0.0)(_ + _).drop(1)
+      val se2 = e.map(v => v * v).sum
+      if (se2 <= 0) None else Some(s.map(v => v * v).sum / (x.size * se2))
+    }
+    // brute-force parity (round-4 tolerance: the spec path and the
+    // production path demean with differently-ordered sums)
+    for (seed <- Seq(3, 9); n <- Seq(17, 80)) {
+      val pts = mkSeries(n, seed)
+      val got = runKpss(pts)(0).getAs[Double]("eta")
+      val Some(want) = refEta(pts): @unchecked
+      assert(math.abs(got - want) < 1e-3, s"n=$n seed=$seed: $got vs $want")
+    }
+    // seeded white noise: level-stationary — small η (5% bar 0.463)
+    val rng = new scala.util.Random(7)
+    val noise = (0 until 200).map(i => (i.toLong, rng.nextGaussian() * 10))
+    assert(runKpss(noise)(0).getAs[Double]("eta") < 0.463)
+    // seeded random walk: unit root — η far above the bar
+    val rng2 = new scala.util.Random(11)
+    var acc = 0.0
+    val walk = (0 until 200).map { i => acc += rng2.nextGaussian(); (i.toLong, acc) }
+    assert(runKpss(walk)(0).getAs[Double]("eta") > 1.0)
+    // constant: zero residual energy — NULL η, row present
+    val const = (0 until 30).map(i => (i.toLong, 7.0))
+    val rc = runKpss(const)(0)
+    assert(rc.isNullAt(rc.fieldIndex("eta")))
+    // 1e12 offset: the shift keeps demeaning at small-number precision
+    val base = mkSeries(60, 5)
+    val off = base.map { case (t, v) => (t, v + 1.0e12) }
+    assert(math.abs(runKpss(base)(0).getAs[Double]("eta") -
+      runKpss(off)(0).getAs[Double]("eta")) < 1e-3)
+  }
+
+  test("perm entropy: closed forms, brute-force counts, offset is a non-event") {
+    def run(pts: Seq[(Long, Double)]) = {
+      val rows = pts.zipWithIndex.map { case ((t, v), i) =>
+        Row(1L, java.lang.Long.valueOf(t), java.lang.Long.valueOf(i.toLong), java.lang.Double.valueOf(v))
+      }
+      val schema2 = StructType(Seq(
+        StructField("user_id", LongType, nullable = false),
+        StructField("ts_us", LongType, nullable = true),
+        StructField("event_id", LongType, nullable = false),
+        StructField("value", DoubleType, nullable = true)))
+      val frame = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema2)
+      TimeOps.permEntropy(frame, "value", Seq("user_id"), Seq("ts_us", "event_id")).collect()
+    }
+    // monotone: one pattern only — H = 0
+    val mono = (0 until 40).map(i => (i.toLong, i.toDouble))
+    val rM = run(mono)(0)
+    assert(rM.getAs[Double]("perm_entropy") == 0.0)
+    assert(rM.getAs[Long]("c0") == 38L, "ascending triples land in the 012 pattern")
+    // constant: stable tie rule also reads as ascending — H = 0
+    val const = (0 until 20).map(i => (i.toLong, 3.0))
+    assert(run(const)(0).getAs[Double]("perm_entropy") == 0.0)
+    // seeded noise: near-uniform pattern use — H close to 1
+    val rng = new scala.util.Random(7)
+    val noise = (0 until 600).map(i => (i.toLong, rng.nextGaussian()))
+    val hN = run(noise)(0).getAs[Double]("perm_entropy")
+    assert(hN > 0.95 && hN <= 1.0, s"white noise must use all patterns: $hN")
+    // brute-force count parity on a tied bursty series
+    val pts = mkSeries(60, 5)
+    def rank3(a: Double, b: Double, c: Double): Int =
+      ((if (b < a) 1 else 0) + (if (c < a) 1 else 0)) * 9 +
+        ((if (a <= b) 1 else 0) + (if (c < b) 1 else 0)) * 3 +
+        ((if (a <= c) 1 else 0) + (if (b <= c) 1 else 0))
+    val byT = pts.sortBy(_._1).map(_._2)
+    val want = byT.sliding(3).map { case Seq(a, b, c) => rank3(a, b, c) }.toSeq
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = run(pts)(0)
+    Seq(5, 7, 11, 15, 19, 21).zipWithIndex.foreach { case (pid, k) =>
+      assert(got.getAs[Long](s"c$k") == want.getOrElse(pid, 0L), s"pattern $pid")
+    }
+    // ordinal statistics ignore level entirely: 1e12 offset bit-equal
+    val off = pts.map { case (t, v) => (t, v + 1.0e12) }
+    assert(run(off)(0).getAs[Double]("perm_entropy") ==
+      got.getAs[Double]("perm_entropy"))
+  }
+
   test("null values and null timestamps are excluded as complete cases") {
     val rows = Seq(
       Row(1L, java.lang.Long.valueOf(0L), java.lang.Double.valueOf(1.0)),
