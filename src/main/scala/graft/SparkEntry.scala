@@ -1229,6 +1229,31 @@ object SparkEntry {
         .orderBy(col("n").desc, col("term"))
         .limit(50)
     },
+    // Zipf-law fit of the corpus term-frequency distribution: OLS of
+    // ln(freq) on ln(rank) over the top 500 terms — slope ≈ −1 is the
+    // natural-language signature; a far-off slope flags template spam
+    // or tokenizer damage. The 500-row ranked frame is the ONLY
+    // single-partition stage (bounded by construction); the fit is
+    // the shared OlsFitSqls text over six sums, round(…,4)
+    "text_zipf_fit" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val top = Tables.documents(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(500)
+      val ranked = top.withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("term"))))
+      val x = log(col("rank").cast("double"))
+      val y = log(col("n").cast("double"))
+      ranked.agg(
+          count(lit(1)).cast("double").as("k"),
+          sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+        .select(col("k").cast("long").as("n_terms"),
+          expr(graft.functions.SqlTwins.OlsFitSqls("slope")).as("slope"),
+          expr(graft.functions.SqlTwins.OlsFitSqls("intercept")).as("intercept"),
+          expr(graft.functions.SqlTwins.OlsFitSqls("r2")).as("r2"))
+    },
     // PII scrub round-trip: the corpus has no PII, so the query first
     // INJECTS deterministic doc_id-derived emails/phones (both engines
     // build the same strings), then detects and redacts them — the
@@ -1872,6 +1897,17 @@ object SparkEntry {
           StreamingFeaturize.streamingRollTheilSen(ds, w = 14).toDF())
         .orderBy("user_id", "ts_us")
     },
+    // online ordinal-complexity monitor — the ts_perm_entropy twin:
+    // O(1) state per key (two values + six integer counts), running
+    // counts per completed triple, the shared entropy text batch-side
+    "stream_perm_entropy" -> { (s, dir) =>
+      StreamRunner.runFileSource[Ev](s, streamEventsDf(s, dir), evArrival, nChunks = 6, "append")(ds =>
+          StreamingFeaturize.streamingPermEntropy(ds).toDF())
+        .select(col("user_id"), col("ts_us"), col("m").as("n_triples"),
+          col("c0"), col("c1"), col("c2"), col("c3"), col("c4"), col("c5"),
+          expr(graft.ts.TimeOps.PermEntropySql).as("perm_entropy"))
+        .orderBy("user_id", "ts_us")
+    },
     "stream_ewma" -> { (s, dir) =>
       StreamRunner.runFileSource[Ev](s, streamEventsDf(s, dir), evArrival, nChunks = 6, "append")(ds =>
           StreamingFeaturize.streamingEwma(ds, alpha = 0.2).toDF())
@@ -2092,6 +2128,7 @@ object SparkEntry {
     // changelog headers) is exactly their target distribution
     "text_lm_score", "text_tfidf", "text_collocations", "text_topterms",
     "text_topterms_sketch", "text_entropy", "text_repetition",
+    "text_zipf_fit",
     "dedup_substring",
     // r18 (second pass): EVERY remaining documents-only batch query —
     // the whole dedup family (the recursive-closure purge path rides
@@ -4325,6 +4362,26 @@ object SparkEntry {
          |group by term
          |order by n desc, term
          |limit 50""".stripMargin,
+    // Zipf-fit twin: the same tokenize chain, the same deterministic
+    // (n desc, term) rank, the same shared OLS text over ln sums
+    "text_zipf_fit" ->
+      s"""with tc as materialized (select term, cast(count(*) as bigint) as n
+         |  from (select unnest(${SqlTwins.toks("text")}) as term from documents) tu
+         |  group by term order by n desc, term limit 500),
+         |rk as (select term, n,
+         |    row_number() over (order by n desc, term) as rank from tc),
+         |s as (select cast(count(*) as double) as k,
+         |    sum(ln(cast(rank as double))) as sx,
+         |    sum(ln(cast(n as double))) as sy,
+         |    sum(ln(cast(rank as double)) * ln(cast(rank as double))) as sxx,
+         |    sum(ln(cast(n as double)) * ln(cast(n as double))) as syy,
+         |    sum(ln(cast(rank as double)) * ln(cast(n as double))) as sxy
+         |  from rk)
+         |select cast(k as bigint) as n_terms,
+         | ${graft.functions.SqlTwins.OlsFitSqls("slope")} as slope,
+         | ${graft.functions.SqlTwins.OlsFitSqls("intercept")} as intercept,
+         | ${graft.functions.SqlTwins.OlsFitSqls("r2")} as r2
+         |from s""".stripMargin,
     // the twin injects the SAME doc_id-derived PII strings, then runs
     // the same two regex passes (patterns are Java-regex/RE2-common;
     // DuckDB needs the explicit 'g' flag Spark applies by default)
@@ -5498,6 +5555,27 @@ object SparkEntry {
          | $lag1,
          | $rm
          |from events
+         |order by user_id, ts_us""".stripMargin
+    },
+    // streaming perm-entropy twin: cumulative conditional pattern
+    // counts per (series, time) prefix + the same shared entropy text
+    "stream_perm_entropy" -> {
+      val runningCounts = Seq(5, 7, 11, 15, 19, 21).zipWithIndex.map { case (pid, k) =>
+        s"cast(sum(case when pid = $pid then 1 else 0 end) over wc as bigint) as c$k"
+      }.mkString(",\n    ")
+      s"""with l as (select user_id, epoch_us(ts) as t, event_id,
+         |    lag(value, 2) over w as a, lag(value, 1) over w as b, value as c
+         |  from events window w as (partition by user_id order by epoch_us(ts), event_id)),
+         |p as (select user_id, t, ${graft.ts.TimeOps.PermPatternSql} as pid
+         |  from l where a is not null and b is not null and c is not null),
+         |r as (select user_id, t,
+         |    cast(count(*) over wc as bigint) as m,
+         |    $runningCounts
+         |  from p window wc as (partition by user_id order by t
+         |                       rows between unbounded preceding and current row))
+         |select user_id, t as ts_us, m as n_triples, c0, c1, c2, c3, c4, c5,
+         | ${graft.ts.TimeOps.PermEntropySql} as perm_entropy
+         |from r
          |order by user_id, ts_us""".stripMargin
     },
     "stream_ewma" -> {

@@ -24,6 +24,24 @@ object SqlTwins {
     * a non-Turkish default locale — the same assumption Spark's own
     * lower() makes.)
     */
+  /** Simple-OLS statistics from the six raw sums (k, sx, sy, sxx,
+    * syy, sxy) as portable SQL — the same TEXT parses on both engines
+    * (the rank-diagnostics parity pattern), so the only cross-engine
+    * surface is the sums' aggregation order ⇒ round(…,4). Degenerate
+    * designs (zero x or y variance) null on the shared ≤ 0 guard.
+    */
+  val OlsFitSqls: Map[String, String] = {
+    val vx = "(k * sxx - sx * sx)"
+    val vy = "(k * syy - sy * sy)"
+    val cov = "(k * sxy - sx * sy)"
+    Map(
+      "slope" -> s"round(case when $vx <= 0.0E0 then null else $cov / $vx end, 4)",
+      "intercept" -> (s"round(case when $vx <= 0.0E0 then null " +
+        s"else (sy - ($cov / $vx) * sx) / k end, 4)"),
+      "r2" -> (s"round(case when $vx <= 0.0E0 or $vy <= 0.0E0 then null " +
+        s"else ($cov * $cov) / ($vx * $vy) end, 4)"))
+  }
+
   def norm(c: String): String =
     s"trim(regexp_replace(regexp_replace(lower(replace($c, chr(304), 'i' || chr(775))), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 

@@ -40,6 +40,20 @@ case class CusumState(sPos: Double, sNeg: Double, lastTs: Long = Long.MinValue)
 case class TsRing(ts: Array[Double], vs: Array[Double], lastTs: Long = Long.MinValue)
 case class RollSenOut(user_id: Long, ts_us: Long, value: Double, roll_sen: Option[Double])
 
+case class PermEntState(
+    hasA: Boolean,
+    a: Double,
+    hasB: Boolean,
+    b: Double,
+    counts: Array[Long],
+    lastTs: Long = Long.MinValue)
+
+case class PermEntOut(
+    user_id: Long,
+    ts_us: Long,
+    m: Long,
+    c0: Long, c1: Long, c2: Long, c3: Long, c4: Long, c5: Long)
+
 case class KalmanState(init: Boolean, x: Double, p: Double, lastTs: Long = Long.MinValue)
 
 case class KalmanOut(user_id: Long, ts_us: Long, value: Double, kalman: Double)
@@ -161,6 +175,61 @@ object StreamingFeaturize {
             RollFeat(key, e.ts_us, e.value, lag1, mean)
           }
           state.update(RingState(ring.toArray, evSeq.lastOption.map(_.ts_us).getOrElse(lastTs)))
+          out.iterator
+        })
+  }
+
+  /** The ts_perm_entropy pattern id in Scala — the SAME comparisons
+    * the shared SQL text (`TimeOps.PermPatternSql`) evaluates, mapped
+    * to the dense 0..5 index of the six reachable packings.
+    */
+  private def permPatternIndex(a: Double, b: Double, c: Double): Int = {
+    val id = ((if (b < a) 1 else 0) + (if (c < a) 1 else 0)) * 9 +
+      ((if (a <= b) 1 else 0) + (if (c < b) 1 else 0)) * 3 +
+      ((if (a <= c) 1 else 0) + (if (b <= c) 1 else 0))
+    id match {
+      case 5 => 0; case 7 => 1; case 11 => 2
+      case 15 => 3; case 19 => 4; case 21 => 5
+      case other => throw new IllegalStateException(s"unreachable pattern id $other")
+    }
+  }
+
+  /** Streaming permutation-entropy monitor — the ts_perm_entropy twin
+    * as an online ordinal-complexity read: O(1) state per key (the
+    * last two values + six integer pattern counts), one output row per
+    * COMPLETED triple carrying the RUNNING counts. The entropy itself
+    * is applied batch-side over these columns with the same shared
+    * `TimeOps.PermEntropySql` text, so stream and oracle are exact by
+    * construction; the batch query's final row equals each series'
+    * last streamed row.
+    */
+  def streamingPermEntropy(events: Dataset[Ev]): Dataset[PermEntOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, evs: Iterator[Ev], state: GroupState[PermEntState]) => {
+          val st = state.getOption.getOrElse(
+            PermEntState(hasA = false, 0.0, hasB = false, 0.0, new Array[Long](6)))
+          val counts = st.counts.clone()
+          var hasA = st.hasA; var a = st.a
+          var hasB = st.hasB; var b = st.b
+          var m = counts.sum
+          val evSeq = sortedStrict(evs, st.lastTs, key)
+          val out = evSeq.flatMap { e =>
+            val c = e.value
+            val row = if (hasA && hasB) {
+              counts(permPatternIndex(a, b, c)) += 1
+              m += 1
+              Some(PermEntOut(key, e.ts_us, m,
+                counts(0), counts(1), counts(2), counts(3), counts(4), counts(5)))
+            } else None
+            hasA = hasB; a = b
+            hasB = true; b = c
+            row
+          }
+          state.update(PermEntState(hasA, a, hasB, b, counts,
+            evSeq.lastOption.map(_.ts_us).getOrElse(st.lastTs)))
           out.iterator
         })
   }
