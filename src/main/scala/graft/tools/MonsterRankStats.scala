@@ -75,6 +75,16 @@ object MonsterRankStats {
     if (routes("ljungbox"))
       time("ljungbox_window", "q_lb")(
         TimeOps.ljungBox(df, "value", Seq("user_id"), Seq("ts_us", "event_id")))
+    // the window-route stationarity/complexity trio: like ljungbox,
+    // NO sampler by design — linear single-series window passes
+    if (routes("window")) {
+      time("adf_window", "t_stat")(
+        TimeOps.adfTest(df, "value", Seq("user_id"), Seq("ts_us", "event_id")))
+      time("kpss_window", "eta")(
+        TimeOps.kpss(df, "value", Seq("user_id"), Seq("ts_us", "event_id")))
+      time("perm_entropy_window", "perm_entropy")(
+        TimeOps.permEntropy(df, "value", Seq("user_id"), Seq("ts_us", "event_id")))
+    }
     spark.stop()
   }
 }
