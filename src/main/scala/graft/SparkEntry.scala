@@ -230,7 +230,10 @@ object SparkEntry {
       dec2.withColumn("__mad", mad)
         .select(col("user_id"), col("bucket"), col("filled_value"), col("remainder"),
           when(col("__mad") > 0,
-            round((col("remainder") - col("__med")) / (lit(1.4826) * col("__mad")), 4)).as("rz"))
+            // + 0.0 after the round: remainder-med lands in (-5e-5, 0)
+            // on real data → DuckDB rounds to -0.0, Spark to +0.0;
+            // canonicalize both engines (oracle text mirrored)
+            round((col("remainder") - col("__med")) / (lit(1.4826) * col("__mad")), 4) + lit(0.0)).as("rz"))
         .withColumn("is_anomaly", abs(col("rz")) > lit(3.0))
         .orderBy("user_id", "bucket")
     },
@@ -2394,7 +2397,7 @@ object SparkEntry {
     // null (DuckDB sqrt RAISES on ε-negative cancellation; Spark NaNs)
     val rs = lags.map(k =>
       s"round(case when (n$k * sxx$k - sx$k * sx$k) <= 0 or (n$k * syy$k - sy$k * sy$k) <= 0 then null " +
-        s"else (n$k * sxy$k - sx$k * sy$k) / (sqrt(n$k * sxx$k - sx$k * sx$k) * sqrt(n$k * syy$k - sy$k * sy$k)) end, 4) as r_lag$k")
+        s"else (n$k * sxy$k - sx$k * sy$k) / (sqrt(n$k * sxx$k - sx$k * sx$k) * sqrt(n$k * syy$k - sy$k * sy$k)) end, 4) + 0.0E0 as r_lag$k")
       .mkString(",\n ")
     s"l as (select user_id, value,\n" +
       s"  $lagCols\n" +
@@ -2421,7 +2424,7 @@ object SparkEntry {
         s"  sum((case when l$k is not null then d end) * l$k) as sxy$k").mkString(",\n ")
     val rs = lags.map(k =>
       s"round(case when (n$k * sxx$k - sx$k * sx$k) <= 0 or (n$k * syy$k - sy$k * sy$k) <= 0 then null " +
-        s"else (n$k * sxy$k - sx$k * sy$k) / (sqrt(n$k * sxx$k - sx$k * sx$k) * sqrt(n$k * syy$k - sy$k * sy$k)) end, 4) as r_lag$k")
+        s"else (n$k * sxy$k - sx$k * sy$k) / (sqrt(n$k * sxx$k - sx$k * sx$k) * sqrt(n$k * syy$k - sy$k * sy$k)) end, 4) + 0.0E0 as r_lag$k")
       .mkString(",\n ")
     s"s0 as (select user_id, epoch_us(ts) as t, event_id,\n" +
       s"  value - first_value(value) over (partition by user_id order by epoch_us(ts), event_id) as d\n" +
@@ -2897,13 +2900,13 @@ object SparkEntry {
         |    / 7.0E0 as trend
         | from f window w as (partition by user_id order by bucket)),
         |d as (select *, filled_value - trend as det from t),
-        |sn as (select *, round(avg(det) over (partition by user_id, phase), 4) as seasonal from d),
+        |sn as (select *, round(avg(det) over (partition by user_id, phase), 4) + 0.0E0 as seasonal from d),
         |r as (select user_id, bucket, filled_value, det - seasonal as remainder from sn),
         |m as (select *, quantile_cont(remainder, 0.5E0) over (partition by user_id) as med from r),
         |v as (select *, abs(remainder - med) as dev from m),
         |md as (select *, quantile_cont(dev, 0.5E0) over (partition by user_id) as mad from v),
         |z as (select user_id, bucket, filled_value, remainder,
-        |  case when mad > 0 then round((remainder - med) / (1.4826E0 * mad), 4) end as rz
+        |  case when mad > 0 then round((remainder - med) / (1.4826E0 * mad), 4) + 0.0E0 end as rz
         | from md)
         |select user_id, bucket, filled_value, remainder, rz, abs(rz) > 3.0E0 as is_anomaly
         |from z
@@ -2982,7 +2985,7 @@ object SparkEntry {
         |    / 7.0E0 as trend
         | from f window w as (partition by user_id order by bucket)),
         |d as (select *, filled_value - trend as det from t),
-        |sn as (select *, round(avg(det) over (partition by user_id, phase), 4) as seasonal from d)
+        |sn as (select *, round(avg(det) over (partition by user_id, phase), 4) + 0.0E0 as seasonal from d)
         |select user_id, bucket, filled_value, phase, trend, seasonal,
         | det - seasonal as remainder
         |from sn

@@ -34,12 +34,16 @@ object SqlTwins {
     val vx = "(k * sxx - sx * sx)"
     val vy = "(k * syy - sy * sy)"
     val cov = "(k * sxy - sx * sy)"
+    // round(…,4) + 0.0E0: a tiny-negative slope/intercept lands in
+    // (-5e-5, 0), where DuckDB's round preserves -0.0 and Spark's
+    // normalizes to +0.0 — the trailing add canonicalizes both
+    // engines to +0.0 (exact identity elsewhere, null-safe).
     Map(
-      "slope" -> s"round(case when $vx <= 0.0E0 then null else $cov / $vx end, 4)",
+      "slope" -> s"round(case when $vx <= 0.0E0 then null else $cov / $vx end, 4) + 0.0E0",
       "intercept" -> (s"round(case when $vx <= 0.0E0 then null " +
-        s"else (sy - ($cov / $vx) * sx) / k end, 4)"),
+        s"else (sy - ($cov / $vx) * sx) / k end, 4) + 0.0E0"),
       "r2" -> (s"round(case when $vx <= 0.0E0 or $vy <= 0.0E0 then null " +
-        s"else ($cov * $cov) / ($vx * $vy) end, 4)"))
+        s"else ($cov * $cov) / ($vx * $vy) end, 4) + 0.0E0"))
   }
 
   def norm(c: String): String =

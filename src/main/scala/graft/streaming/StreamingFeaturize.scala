@@ -181,12 +181,25 @@ object StreamingFeaturize {
 
   /** The ts_perm_entropy pattern id in Scala — the SAME comparisons
     * the shared SQL text (`TimeOps.PermPatternSql`) evaluates, mapped
-    * to the dense 0..5 index of the six reachable packings.
+    * to the dense 0..5 index of the six reachable packings. The
+    * comparisons go through `java.lang.Double.compare`, NOT primitive
+    * `<`/`<=`: SQL comparison semantics (Spark and DuckDB both) treat
+    * NaN as greater than everything and equal to itself, while a Java
+    * primitive comparison on NaN is always false — which would pack
+    * an id outside the six reachable ones and kill the stream, where
+    * the batch twin computes a valid pattern.
     */
-  private def permPatternIndex(a: Double, b: Double, c: Double): Int = {
-    val id = ((if (b < a) 1 else 0) + (if (c < a) 1 else 0)) * 9 +
-      ((if (a <= b) 1 else 0) + (if (c < b) 1 else 0)) * 3 +
-      ((if (a <= c) 1 else 0) + (if (b <= c) 1 else 0))
+  private def permPatternIndex(a0: Double, b0: Double, c0: Double): Int = {
+    // -0.0 → +0.0 first: Double.compare orders -0.0 < +0.0 but SQL
+    // treats the two zeros as equal (the one place Double.compare and
+    // SQL total order disagree besides nothing).
+    def z(v: Double): Double = if (v == 0.0) 0.0 else v
+    val a = z(a0); val b = z(b0); val c = z(c0)
+    def lt(x: Double, y: Double): Int = if (java.lang.Double.compare(x, y) < 0) 1 else 0
+    def le(x: Double, y: Double): Int = if (java.lang.Double.compare(x, y) <= 0) 1 else 0
+    val id = (lt(b, a) + lt(c, a)) * 9 +
+      (le(a, b) + lt(c, b)) * 3 +
+      (le(a, c) + le(b, c))
     id match {
       case 5 => 0; case 7 => 1; case 11 => 2
       case 15 => 3; case 19 => 4; case 21 => 5

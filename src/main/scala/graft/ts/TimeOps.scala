@@ -1320,6 +1320,18 @@ object TimeOps {
     * `2.0` is DECIMAL in Spark SQL). A12/B12 = n³−n−t12v / n³−n−t12t
     * are ≤ n³ ≈ 2.6e14 at the sampler cap — exact as doubles — and
     * their product is taken IN double, so nothing here can overflow.
+    *
+    * PER-SERIES ROW CEILING (the Theil-Sen-family contract): the
+    * n³ terms here and in [[PettittPSql]] are computed in int64, so
+    * any series beyond n ≈ 2,097,151 (⌊∛(2⁶³−1)⌋) overflows bigint —
+    * DuckDB errors loudly, Spark wraps silently. The SPARK side of
+    * ts_spearman/ts_pettitt samples each series down to the 4,472-row
+    * budget before this SQL ever sees it, so the engine is safe at any
+    * scale; the ORACLE twin runs over the full unsampled series by
+    * construction (no sampler in DuckDB), so the gate contract is
+    * series ≤ the sampler budget — an out-of-contract gate fixture
+    * diverges by construction (sampled vs unsampled inputs) long
+    * before the int64 ceiling is a concern.
     */
   val SpearmanRhoSql: String =
     """case when (n_obs*n_obs*n_obs - n_obs - t12v) = 0
@@ -1338,7 +1350,7 @@ object TimeOps {
   val PettittPSql: String =
     """round(least(1.0E0,
       |  2.0E0 * exp((-6.0E0 * cast(k_stat as double) * cast(k_stat as double))
-      |              / cast(n_obs*n_obs*n_obs + n_obs*n_obs as double))), 4)""".stripMargin
+      |              / cast(n_obs*n_obs*n_obs + n_obs*n_obs as double))), 4) + 0.0E0""".stripMargin
 
   /** Runs-test z = (R − μ)/σ with μ = 1 + 2n₁n₂/N and
     * σ² = 2n₁n₂(2n₁n₂ − N)/(N²(N−1)): NULL when either side is empty
@@ -1666,8 +1678,11 @@ object TimeOps {
       // (mirrored in leadLagAcfCtes).
       val vx = n * sxx - sx * sx
       val vy = n * syy - sy * sy
-      round(when(vx <= 0 || vy <= 0, lit(null))
-        .otherwise((n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))), 4)
+      // + 0.0 after the round: white-noise ACFs hover around 0, and a
+      // tiny-negative r rounds to -0.0 in DuckDB but +0.0 in Spark —
+      // canonicalize both engines (mirrored in the oracle CTE texts).
+      (round(when(vx <= 0 || vy <= 0, lit(null))
+        .otherwise((n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))), 4) + lit(0.0))
         .as(s"r_lag$k")
     }
     val withR = g.select(groupCols.map(col) ++ rCols: _*)
@@ -1727,10 +1742,14 @@ object TimeOps {
     val c22 = "(m * sbb - sb * sb)"
     val guard =
       s"m < 4.0E0 or $det <= 0.0E0 or $c22 <= 0.0E0 or $rss <= 0.0E0"
+    // round(…,4) + 0.0E0: a tiny-negative β/t (near-unit-root noise)
+    // lands in (-5e-5, 0), where DuckDB's round preserves -0.0 and
+    // Spark's normalizes to +0.0 — the trailing add canonicalizes
+    // both engines to +0.0 (exact identity elsewhere, null-safe).
     Map(
-      "beta" -> s"round(case when $guard then null else $d2 / $det end, 4)",
+      "beta" -> s"round(case when $guard then null else $d2 / $det end, 4) + 0.0E0",
       "t_stat" -> (s"round(case when $guard then null else ($d2 / $det) / " +
-        s"sqrt($rss / (m - 3.0E0) * ($c22 / $det)) end, 4)"))
+        s"sqrt($rss / (m - 3.0E0) * ($c22 / $det)) end, 4) + 0.0E0"))
   }
 
   /** KPSS η as portable SQL over (n, ss2, se2): η = ΣS_t²/(n·Σe_t²),
@@ -1739,7 +1758,7 @@ object TimeOps {
     * same comparison both engines evaluate.
     */
   val KpssEtaSql: String =
-    "case when se2 <= 0.0E0 then null else round(ss2 / (n * se2), 4) end"
+    "case when se2 <= 0.0E0 then null else round(ss2 / (n * se2), 4) + 0.0E0 end"
 
   /** Order-3 Bandt-Pompe pattern id over columns (a, b, c) = the
     * triple in TIME order: stable ranks (ties broken toward the
@@ -1761,7 +1780,12 @@ object TimeOps {
       s"(case when c$k = 0 then 0.0E0 else (cast(c$k as double) / cast(m as double)) " +
         s"* ln(cast(c$k as double) / cast(m as double)) end)")
       .mkString("\n   + ")
-    s"round(-($terms) / ln(6.0E0), 4)"
+    // + 0.0E0 OUTSIDE the round: a fully-concentrated distribution
+    // makes -(Σ 0.0) = -0.0, and DuckDB's round() preserves the zero
+    // sign while Spark's BigDecimal path normalizes to +0.0 — the
+    // trailing add canonicalizes both engines to +0.0 (and is an
+    // exact identity for every nonzero double).
+    s"round(-($terms) / ln(6.0E0), 4) + 0.0E0"
   }
 
   /** Permutation entropy (Bandt & Pompe 2002), order 3, per series:
@@ -1923,8 +1947,11 @@ object TimeOps {
       val sxx = col(s"__sxx$k"); val syy = col(s"__syy$k"); val sxy = col(s"__sxy$k")
       val vx = n * sxx - sx * sx
       val vy = n * syy - sy * sy
-      round(when(vx <= 0 || vy <= 0, lit(null))
-        .otherwise((n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))), 4)
+      // + 0.0 after the round: white-noise ACFs hover around 0, and a
+      // tiny-negative r rounds to -0.0 in DuckDB but +0.0 in Spark —
+      // canonicalize both engines (mirrored in the oracle CTE texts).
+      (round(when(vx <= 0 || vy <= 0, lit(null))
+        .otherwise((n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))), 4) + lit(0.0))
         .as(s"r_lag$k")
     }
     g.select(groupCols.map(col) ++ (col("n_obs") +: rCols): _*)
@@ -1967,7 +1994,9 @@ object TimeOps {
       .withColumn("__det", col(valueCol) - col("trend"))
     val pw = Window.partitionBy(groupCols.map(col) :+ col("phase"): _*)
     withTrend
-      .withColumn("seasonal", round(avg(col("__det")).over(pw), 4))
+      // + 0.0 after the round: a tiny-negative phase mean rounds to
+      // -0.0 in DuckDB vs +0.0 in Spark; canonicalize (oracle mirrored)
+      .withColumn("seasonal", round(avg(col("__det")).over(pw), 4) + lit(0.0))
       .withColumn("remainder", col("__det") - col("seasonal"))
       .drop("__det")
   }
@@ -2193,8 +2222,10 @@ object TimeOps {
       val sxx = col(s"__sxx$k"); val syy = col(s"__syy$k"); val sxy = col(s"__sxy$k")
       val vx = n * sxx - sx * sx
       val vy = n * syy - sy * sy
+      // + 0.0 after the round: mirrors the leadLagAcfCtes oracle text
+      // (-0.0 → +0.0 canonicalization, see leadLagCorr)
       round(when(vx <= 0 || vy <= 0, lit(null))
-        .otherwise((n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))), 4)
+        .otherwise((n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))), 4) + lit(0.0)
     }
     val fit = g
       .withColumn("r_lag1", rLag(1))

@@ -2,9 +2,18 @@
 """Dev-loop stand-in for the driver's correctness gate: run each
 oracle_sql.json query in DuckDB over the sf parquet tables and compare
 against the Spark parquet dumps (column-name-sorted, exact values).
-Usage: compare.py <sfdir> <outdir> [query ...]
+Usage: compare.py [--bitexact] <sfdir> <outdir> [query ...]
+
+--bitexact compares float columns at the IEEE BIT level (uint64 view)
+instead of `==`, mirroring the driver's hash gate: `==` says
+-0.0 == +0.0, but the driver's value hash does not — the r19 red rows
+(stream_perm_entropy, real_ts_anomaly) were exactly this class, green
+here and red at the gate. NaNs compare equal regardless of payload
+(both engines emit the canonical quiet NaN, and null→NaN conflation
+matches the default path's isna handling).
 """
 import json, sys, math, time, gc, os
+import numpy as np
 import duckdb
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -13,9 +22,11 @@ import pandas as pd
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--json")]
+    args = [a for a in sys.argv[1:]
+            if not a.startswith("--json") and a != "--bitexact"]
     json_out = next((a.split("=", 1)[1] for a in sys.argv[1:]
                      if a.startswith("--json=")), None)
+    bitexact = "--bitexact" in sys.argv[1:]
     sfdir, outdir = args[0], args[1]
     only = set(args[2:])
     report = {}
@@ -98,7 +109,15 @@ def main():
             e, g = exp[c], got[c]
             if e.dtype.kind == 'f' or g.dtype.kind == 'f':
                 e = e.astype('float64'); g = g.astype('float64')
-                neq = ~((e.isna() & g.isna()) | (e == g))
+                if bitexact:
+                    ev = e.to_numpy(dtype='float64', na_value=np.nan)
+                    gv = g.to_numpy(dtype='float64', na_value=np.nan)
+                    neq = pd.Series(
+                        ~((np.isnan(ev) & np.isnan(gv))
+                          | (ev.view('uint64') == gv.view('uint64'))),
+                        index=e.index)
+                else:
+                    neq = ~((e.isna() & g.isna()) | (e == g))
             elif e.dtype == g.dtype:
                 # same dtype: vectorized equality, no object-boxing
                 # (astype(object) on a 15M-row sf1 column doubled into
