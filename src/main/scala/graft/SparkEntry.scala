@@ -128,7 +128,7 @@ object SparkEntry {
         Featurize.HorizonTargets(Seq("value"), Seq(7), "wide"),
         Featurize.Domfreq(Seq("value"), Seq(9), Seq("centered"), nDomfreq = 2)))
       res.featureNames.filter(_.contains("logpow"))
-        .foldLeft(res.df)((d, n) => d.withColumn(n, round(col(n), 4)))
+        .foldLeft(res.df)((d, n) => d.withColumn(n, round(col(n), 4) + lit(0.0)))
         .orderBy("user_id", "ts_us", "event_id")
     },
     // freq features exact vs the SQL DFT twin (identical literal trig
@@ -138,7 +138,7 @@ object SparkEntry {
       val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
       val res = ts.DomFreq.domfreq(ev, Seq("value"), evGroup, evOrder, Seq(21), Seq("centered"))
       res.featureNames.filter(_.contains("logpow"))
-        .foldLeft(res.df)((d, n) => d.withColumn(n, round(col(n), 4)))
+        .foldLeft(res.df)((d, n) => d.withColumn(n, round(col(n), 4) + lit(0.0)))
         .orderBy("user_id", "ts_us", "event_id")
     },
     // trailing + EVEN window: undefined in the reference (its rolling
@@ -148,7 +148,7 @@ object SparkEntry {
       val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
       val res = ts.DomFreq.domfreq(ev, Seq("value"), evGroup, evOrder, Seq(16), Seq("trailing"), nDomfreq = 3)
       res.featureNames.filter(_.contains("logpow"))
-        .foldLeft(res.df)((d, n) => d.withColumn(n, round(col(n), 4)))
+        .foldLeft(res.df)((d, n) => d.withColumn(n, round(col(n), 4) + lit(0.0)))
         .orderBy("user_id", "ts_us", "event_id")
     },
     "ts_train_matrix" -> { (s, dir) =>
@@ -215,25 +215,23 @@ object SparkEntry {
     },
     // end-to-end seasonal anomaly detector: daily spine → classical
     // decomposition → robust (median/MAD) threshold on the remainder.
-    // The TS capstone composition, like text_curation for text.
+    // The TS capstone composition, like text_curation for text. The
+    // threshold rides the BOUNDED integer-histogram rank picks
+    // (TimeOps.robustZscore at s4 scale) rather than an exact
+    // `percentile().over(user)` pair — no per-key buffer of every
+    // remainder, so a monster series costs a histogram, not an OOM.
+    // rz = (r_s4 − med_s4)/(1.4826·mad_s4): integer-exact operands,
+    // one multiply + one divide with one IEEE op order — bit-exact
+    // cross-engine RAW, with no round() and hence no −0.0 class
+    // (a nonzero integer numerator can't divide to ±0).
     "ts_anomaly" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
       val daily = TimeOps.resampleFfill(ev, Seq("user_id"), "ts_us", 86400000000L, max(col("value")))
         .select("user_id", "bucket", "filled_value")
       val phase = pmod(expr("bucket div 86400000000") + 3, lit(7)).cast("int")
       val dec = TimeOps.seasonalDecompose(daily, "filled_value", Seq("user_id"), Seq("bucket"), 7, phase)
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
-      val med = expr(s"percentile(remainder, ${OracleGen.litD(0.5)})").over(w)
-      val dec2 = dec.withColumn("__med", med)
-        .withColumn("__dev", abs(col("remainder") - col("__med")))
-      val mad = expr(s"percentile(__dev, ${OracleGen.litD(0.5)})").over(w)
-      dec2.withColumn("__mad", mad)
-        .select(col("user_id"), col("bucket"), col("filled_value"), col("remainder"),
-          when(col("__mad") > 0,
-            // + 0.0 after the round: remainder-med lands in (-5e-5, 0)
-            // on real data → DuckDB rounds to -0.0, Spark to +0.0;
-            // canonicalize both engines (oracle text mirrored)
-            round((col("remainder") - col("__med")) / (lit(1.4826) * col("__mad")), 4) + lit(0.0)).as("rz"))
+      TimeOps.robustZscore(dec, "remainder", Seq("user_id"), "rz", scale = 10000L)
+        .select(col("user_id"), col("bucket"), col("filled_value"), col("remainder"), col("rz"))
         .withColumn("is_anomaly", abs(col("rz")) > lit(3.0))
         .orderBy("user_id", "bucket")
     },
@@ -648,6 +646,14 @@ object SparkEntry {
     "ts_kpss" -> { (s, dir) =>
       val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
       TimeOps.kpss(ev, "value", evGroup, evOrder)
+        .orderBy("user_id")
+    },
+    // KPSS with the statsmodels-default Newey-West long-run variance
+    // (bandwidth ⌊4(n/100)^¼⌋ in pure integers): the HAC η a user
+    // comparing against statsmodels.tsa.stattools.kpss checks first
+    "ts_kpss_hac" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.kpssHac(ev, "value", evGroup, evOrder)
         .orderBy("user_id")
     },
     // ADF(1) unit-root test: does the level pull back (stationary,
@@ -2080,7 +2086,7 @@ object SparkEntry {
       val res = StreamRunner.runFileSource[Ev](s, streamEventsDf(s, dir), evArrival, nChunks = 6, "append")(ds =>
         StreamingFeaturize.streamingDomfreq(ds, w = 16, nDomfreq = 3))
       ts.DomFreq.featureNames("value", 16, "trailing", 3).filter(_.contains("logpow"))
-        .foldLeft(res)((d, n) => d.withColumn(n, round(col(n), 4)))
+        .foldLeft(res)((d, n) => d.withColumn(n, round(col(n), 4) + lit(0.0)))
         .orderBy("user_id", "ts_us")
     },
     "stream_tumbling" -> { (s, dir) =>
@@ -2186,7 +2192,7 @@ object SparkEntry {
     "ts_holtwinters", "ts_interpolate", "ts_kalman", "ts_kalman_smooth",
     "ts_kendall_tau", "ts_leadlag", "ts_mannkendall", "ts_mannkendall_auto",
     "ts_spearman", "ts_pettitt", "ts_runs_test", "ts_cox_stuart",
-    "ts_theilsen_seasonal", "ts_ljungbox", "ts_adf", "ts_kpss",
+    "ts_theilsen_seasonal", "ts_ljungbox", "ts_adf", "ts_kpss", "ts_kpss_hac",
     "ts_perm_entropy",
     "ts_mannkendall_seasonal", "ts_mannkendall_ties", "ts_moments",
     "ts_ohlc", "ts_pacf", "ts_pivot", "ts_range_join", "ts_rank",
@@ -2877,9 +2883,14 @@ object SparkEntry {
         |   rows between unbounded preceding and current row) as filled_value
         |from j
         |order by user_id, bucket""".stripMargin,
-    // the ts_seasonal pipeline + exact median/MAD windows on top; rz
-    // gated on mad > 0 (ffill can make over half a user's remainders
-    // identical) — both engines compute the identical gate
+    // the ts_seasonal pipeline + the s4 integer median/MAD threshold
+    // on top (the ts_robust_zscore twin at 10⁴ scale): type-1
+    // quantile_disc over the quantized remainder mirrors the Spark
+    // side's 100·cum ≥ pct·N histogram rank pick, and rz is one
+    // integer subtraction + one multiply + one divide — bit-exact
+    // raw, no round(). rz gated on mad > 0 (ffill can make over half
+    // a user's remainders identical) — both engines compute the
+    // identical integer gate.
     "ts_anomaly" ->
       """with pb as (
         |  select user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000) as bucket, max(value) as bucket_value
@@ -2900,14 +2911,21 @@ object SparkEntry {
         |    / 7.0E0 as trend
         | from f window w as (partition by user_id order by bucket)),
         |d as (select *, filled_value - trend as det from t),
-        |sn as (select *, round(avg(det) over (partition by user_id, phase), 4) + 0.0E0 as seasonal from d),
+        |d4 as (select *, cast(floor(det * 10000 + 0.5) as bigint) as det_s4 from d),
+        |sn as (select *, (cast(sum(det_s4) over pw as double)
+        |    / cast(count(det_s4) over pw as double)) / 10000.0E0 as seasonal
+        | from d4 window pw as (partition by user_id, phase)),
         |r as (select user_id, bucket, filled_value, det - seasonal as remainder from sn),
-        |m as (select *, quantile_cont(remainder, 0.5E0) over (partition by user_id) as med from r),
-        |v as (select *, abs(remainder - med) as dev from m),
-        |md as (select *, quantile_cont(dev, 0.5E0) over (partition by user_id) as mad from v),
-        |z as (select user_id, bucket, filled_value, remainder,
-        |  case when mad > 0 then round((remainder - med) / (1.4826E0 * mad), 4) + 0.0E0 end as rz
-        | from md)
+        |rc as (select *, cast(floor(remainder * 10000 + 0.5) as bigint) as r_s4 from r),
+        |m as (select user_id, quantile_disc(r_s4, 0.5) as med_s4
+        |      from rc where r_s4 is not null group by user_id),
+        |dm as (select rc.*, m.med_s4 from rc left join m using (user_id)),
+        |md as (select user_id, quantile_disc(abs(r_s4 - med_s4), 0.5) as mad_s4
+        |       from dm where r_s4 is not null group by user_id),
+        |z as (select dm.user_id, dm.bucket, dm.filled_value, dm.remainder,
+        |  case when md.mad_s4 > 0 then
+        |    cast(dm.r_s4 - dm.med_s4 as double) / (1.4826E0 * cast(md.mad_s4 as double)) end as rz
+        | from dm left join md using (user_id))
         |select user_id, bucket, filled_value, remainder, rz, abs(rz) > 3.0E0 as is_anomaly
         |from z
         |order by user_id, bucket""".stripMargin,
@@ -2963,8 +2981,9 @@ object SparkEntry {
         |order by user_id""".stripMargin,
     // decomposition twin: the trend sum is written in the same
     // left-associated term order the Spark reduceLeft emits, so trend
-    // and remainder are bit-exact; only the seasonal mean (engine
-    // aggregation order) is rounded on both sides
+    // and remainder are bit-exact; the seasonal mean is the mean of
+    // the s4-QUANTIZED detrended values (int64 sum — association-free
+    // on both engines, no round() step; the ts_stl precedent)
     "ts_seasonal" ->
       """with pb as (
         |  select user_id, (epoch_us(ts) - epoch_us(ts) % 86400000000) as bucket, max(value) as bucket_value
@@ -2985,7 +3004,10 @@ object SparkEntry {
         |    / 7.0E0 as trend
         | from f window w as (partition by user_id order by bucket)),
         |d as (select *, filled_value - trend as det from t),
-        |sn as (select *, round(avg(det) over (partition by user_id, phase), 4) + 0.0E0 as seasonal from d)
+        |d4 as (select *, cast(floor(det * 10000 + 0.5) as bigint) as det_s4 from d),
+        |sn as (select *, (cast(sum(det_s4) over pw as double)
+        |    / cast(count(det_s4) over pw as double)) / 10000.0E0 as seasonal
+        | from d4 window pw as (partition by user_id, phase))
         |select user_id, bucket, filled_value, phase, trend, seasonal,
         | det - seasonal as remainder
         |from sn
@@ -3646,6 +3668,34 @@ object SparkEntry {
          | ${graft.ts.TimeOps.KpssEtaSql} as eta
          |from g
          |order by user_id""".stripMargin,
+    // HAC twin: the ts_kpss chain + 16 lag frames of e in the same
+    // window, the Bartlett-weighted covariance sums, the pure-integer
+    // bandwidth count, and the shared η text
+    "ts_kpss_hac" -> {
+      val lagCols = (1 to 16).map(j => s"lag(e, $j) over w2 as el$j").mkString(",\n    ")
+      val covSums = (1 to 16).map(j => s"sum(e * el$j) as c$j").mkString(",\n    ")
+      s"""with s0 as (select user_id, epoch_us(ts) as t, event_id,
+         |    value - first_value(value) over (partition by user_id
+         |      order by epoch_us(ts), event_id) as d
+         |  from events),
+         |m as (select user_id, t, event_id,
+         |    d - avg(d) over (partition by user_id) as e
+         |  from s0),
+         |c as (select user_id, e,
+         |    sum(e) over (partition by user_id order by t, event_id
+         |                 rows between unbounded preceding and current row) as s,
+         |    $lagCols
+         |  from m window w2 as (partition by user_id order by t, event_id)),
+         |g as (select user_id, cast(count(*) as double) as n,
+         |    sum(s * s) as ss2, sum(e * e) as se2,
+         |    $covSums
+         |  from c group by user_id),
+         |gq as (select *, ${graft.ts.TimeOps.KpssBandwidthSql(16)} as q from g)
+         |select user_id, cast(n as bigint) as n_obs, cast(q as int) as bandwidth,
+         | ${graft.ts.TimeOps.KpssHacEtaSql(16)} as eta
+         |from gq
+         |order by user_id""".stripMargin
+    },
     // ADF twin: the shifted lag chain, the identical nine sums, and
     // the SAME generated Cramer text (beta and t round(…,4) — the
     // sums are the only engine-order surface)
@@ -5173,7 +5223,7 @@ object SparkEntry {
         s"""select '$a' as col_a, '$b' as col_b,
            | round(case when (n * ss_$a - s_$a * s_$a) <= 0 or (n * ss_$b - s_$b * s_$b) <= 0 then null
            |   else (n * sp_${a}__$b - s_$a * s_$b)
-           |   / (sqrt(n * ss_$a - s_$a * s_$a) * sqrt(n * ss_$b - s_$b * s_$b)) end, 4) as corr
+           |   / (sqrt(n * ss_$a - s_$a * s_$a) * sqrt(n * ss_$b - s_$b * s_$b)) end, 4) + 0.0E0 as corr
            |from a""".stripMargin
       }
       val notNull = cs.map(c => s"$c is not null").mkString(" and ")

@@ -170,8 +170,11 @@ object Profile {
       struct(
         lit(a).as("col_a"),
         lit(b).as("col_b"),
-        round(when(vx <= 0 || vy <= 0, lit(null))
-          .otherwise((n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))), 4)
+        // + 0.0 after the round: a near-zero column pair's r lands in
+        // (-5e-5, 0), where DuckDB rounds to -0.0 and Spark to +0.0 —
+        // canonicalize both engines (stats_corr oracle mirrored)
+        (round(when(vx <= 0 || vy <= 0, lit(null))
+          .otherwise((n * sxy - sx * sy) / (sqrt(vx) * sqrt(vy))), 4) + lit(0.0))
           .as("corr"))
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*").orderBy("col_a", "col_b")
@@ -204,14 +207,24 @@ object Profile {
     // Spark side only and diverge the engines.
     val hist = df.select(cents.as("v")).where(col("v").isNotNull)
       .groupBy("v").agg(count(lit(1)).as("__c"))
+    histogramQuantilesFromHist(hist, "v", "__c", pcts)
+  }
+
+  /** [[histogramQuantiles]] over a PREBUILT (value, count) histogram —
+    * for callers that derive one histogram from another (e.g. the
+    * robust-zscore deviation histogram |v − med|, computable from the
+    * value histogram without a second pass over the data).
+    */
+  def histogramQuantilesFromHist(hist: DataFrame, vCol: String, cCol: String,
+      pcts: Seq[(String, Int)]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("v"))
+      .orderBy(col(vCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val cum = hist.withColumn("__cum", sum(col("__c")).over(w))
-    val total = broadcast(hist.agg(sum(col("__c")).as("__n")))
+    val cum = hist.withColumn("__cum", sum(col(cCol)).over(w))
+    val total = broadcast(hist.agg(sum(col(cCol)).as("__n")))
     val aggs = pcts.map { case (name, pct) =>
-      min(when(col("__cum") * 100 >= lit(pct.toLong) * col("__n"), col("v"))).as(name)
+      min(when(col("__cum") * 100 >= lit(pct.toLong) * col("__n"), col(vCol))).as(name)
     } :+ max(col("__n")).as("n_rows")
     cum.crossJoin(total).agg(aggs.head, aggs.tail: _*)
   }
@@ -233,21 +246,31 @@ object Profile {
   def groupedHistogramQuantiles(df: DataFrame, groupCols: Seq[String],
       cents: Column, pcts: Seq[(String, Int)]): DataFrame = {
     require(groupCols.nonEmpty)
-    import org.apache.spark.sql.expressions.Window
     // NULL values excluded — same cross-engine null-ordering argument
     // as histogramQuantiles (Spark windows sort NULL first, DuckDB
     // last; a null bucket would shift every group's ranks one-sided).
     val hist = df.select(groupCols.map(col) :+ cents.as("v"): _*)
       .where(col("v").isNotNull)
       .groupBy(groupCols.map(col) :+ col("v"): _*).agg(count(lit(1)).as("__c"))
-    val wCum = Window.partitionBy(groupCols.map(col): _*).orderBy(col("v"))
+    groupedHistogramQuantilesFromHist(hist, groupCols, "v", "__c", pcts)
+  }
+
+  /** [[groupedHistogramQuantiles]] over a PREBUILT per-group (value,
+    * count) histogram — the grouped companion of
+    * [[histogramQuantilesFromHist]].
+    */
+  def groupedHistogramQuantilesFromHist(hist: DataFrame, groupCols: Seq[String],
+      vCol: String, cCol: String, pcts: Seq[(String, Int)]): DataFrame = {
+    require(groupCols.nonEmpty)
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(groupCols.map(col): _*).orderBy(col(vCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(groupCols.map(col): _*)
     val cum = hist
-      .withColumn("__cum", sum(col("__c")).over(wCum))
-      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__cum", sum(col(cCol)).over(wCum))
+      .withColumn("__n", sum(col(cCol)).over(wAll))
     val aggs = pcts.map { case (name, pct) =>
-      min(when(col("__cum") * 100 >= lit(pct.toLong) * col("__n"), col("v"))).as(name)
+      min(when(col("__cum") * 100 >= lit(pct.toLong) * col("__n"), col(vCol))).as(name)
     } :+ max(col("__n")).as("n_rows")
     cum.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }

@@ -261,7 +261,10 @@ object OracleGen {
     val feats = (0 until kEff).flatMap { i =>
       Seq(
         s"(ord[${i + 1}].b * ${litD(fs)}) / $w as ${names(i)}",
-        s"round(case when ord[${i + 1}].p = 0.0E0 then cast('-infinity' as double) else ln(ord[${i + 1}].p) end, 4) as ${names(nDomfreq + i)}")
+        // + 0.0E0 after the round: logpow = ln(p) <= 0, and p in
+        // (0.99995, 1) rounds to -0.0 in DuckDB vs +0.0 in Spark —
+        // canonicalize (the Spark side appends + lit(0.0) identically)
+        s"round(case when ord[${i + 1}].p = 0.0E0 then cast('-infinity' as double) else ln(ord[${i + 1}].p) end, 4) + 0.0E0 as ${names(nDomfreq + i)}")
     }.mkString(",\n ")
     s"""with base as (
        |  select $baseSelect,

@@ -515,20 +515,48 @@ object TimeOps {
       out: String,
       scale: Long = 100L): DataFrame = {
     require(scale > 0, s"scale must be positive, got $scale")
+    val P = graft.functions.Profile
     val cents = floor(col(c) * scale + lit(0.5)).cast("long")
-    def bounds(src: DataFrame, v: Column, name: String): DataFrame =
+    // ONE histogram pass over the data serves BOTH quantiles: the MAD's
+    // deviation histogram |v − med| is a pure regrouping of the value
+    // histogram (each row's deviation depends only on its value), so it
+    // never re-reads `df` — the input pipeline is scanned once for the
+    // threshold and once for the scoring join, not three times.
+    val hist =
       if (groupCols.isEmpty)
-        broadcast(graft.functions.Profile.histogramQuantiles(src, v, Seq((name, 50)))
-          .select(name))
+        df.select(cents.as("__v")).where(col("__v").isNotNull)
+          .groupBy("__v").agg(count(lit(1)).as("__hc"))
       else
-        graft.functions.Profile.groupedHistogramQuantiles(src, groupCols, v, Seq((name, 50)))
-          .select(groupCols.map(col) :+ col(name): _*)
-    def joinBack(base: DataFrame, b: DataFrame): DataFrame =
-      if (groupCols.isEmpty) base.crossJoin(b) else base.join(b, groupCols, "left")
-    val medB = bounds(df, cents, "__med_c")
-    val withMed = joinBack(df.withColumn("__c", cents), medB)
-    val madB = bounds(withMed, abs(col("__c") - col("__med_c")), "__mad_c")
-    joinBack(withMed, madB)
+        df.select(groupCols.map(col) :+ cents.as("__v"): _*)
+          .where(col("__v").isNotNull)
+          .groupBy(groupCols.map(col) :+ col("__v"): _*).agg(count(lit(1)).as("__hc"))
+    val medB =
+      if (groupCols.isEmpty)
+        P.histogramQuantilesFromHist(hist, "__v", "__hc", Seq(("__med_c", 50)))
+          .select("__med_c")
+      else
+        P.groupedHistogramQuantilesFromHist(hist, groupCols, "__v", "__hc", Seq(("__med_c", 50)))
+          .select(groupCols.map(col) :+ col("__med_c"): _*)
+    val histMed =
+      if (groupCols.isEmpty) hist.crossJoin(broadcast(medB))
+      else hist.join(medB, groupCols)
+    val devHist = histMed
+      .groupBy(groupCols.map(col) :+ abs(col("__v") - col("__med_c")).as("__d"): _*)
+      .agg(sum(col("__hc")).as("__dc"))
+    val madB =
+      if (groupCols.isEmpty)
+        P.histogramQuantilesFromHist(devHist, "__d", "__dc", Seq(("__mad_c", 50)))
+          .select("__mad_c")
+      else
+        P.groupedHistogramQuantilesFromHist(devHist, groupCols, "__d", "__dc", Seq(("__mad_c", 50)))
+          .select(groupCols.map(col) :+ col("__mad_c"): _*)
+    val bounds =
+      if (groupCols.isEmpty) broadcast(medB.crossJoin(madB))
+      else medB.join(madB, groupCols)
+    val joined =
+      if (groupCols.isEmpty) df.withColumn("__c", cents).crossJoin(bounds)
+      else df.withColumn("__c", cents).join(bounds, groupCols, "left")
+    joined
       .withColumn(out,
         when(col("__mad_c") > 0,
           (col("__c") - col("__med_c")).cast("double") /
@@ -1760,6 +1788,41 @@ object TimeOps {
   val KpssEtaSql: String =
     "case when se2 <= 0.0E0 then null else round(ss2 / (n * se2), 4) + 0.0E0 end"
 
+  /** The Newey-West bandwidth q = ⌊4·(n/100)^¼⌋ (the statsmodels/KPSS
+    * default) as PURE INTEGER arithmetic, capped at `maxLag`:
+    * 4·(n/100)^¼ ≥ k ⇔ 256·n/100 ≥ k⁴ ⇔ 64·n ≥ 25·k⁴, so q is simply
+    * the count of k ∈ [1, maxLag] passing the int64 comparison — no
+    * libm `pow`, whose ulp-level engine differences could flip the
+    * floor at an exact boundary. Identical text on both engines.
+    */
+  def KpssBandwidthSql(maxLag: Int): String =
+    if (maxLag == 0) "0"
+    else (1 to maxLag)
+      .map(k => s"(case when 64 * cast(n as bigint) >= ${25L * k * k * k * k} then 1 else 0 end)")
+      .mkString("(", "\n   + ", ")")
+
+  /** KPSS η with a Newey-West (Bartlett-kernel) long-run variance as
+    * portable SQL over (n, ss2, se2, q, c1..c_maxLag):
+    *   η = ΣS² / (n · (Σe² + 2·Σ_{j≤q} (1 − j/(q+1))·c_j)),
+    * c_j = Σ_t e_t·e_{t−j} (complete pairs; coalesced to 0 for series
+    * shorter than the lag — the ljungBoxQSql convention). The Bartlett
+    * weights keep the variance estimate non-negative; a non-positive
+    * long-run variance (constant series) nulls on the same comparison
+    * both engines evaluate. round(…,4) + 0.0E0: engine sum order and
+    * the −0.0 canonicalization, as everywhere.
+    */
+  def KpssHacEtaSql(maxLag: Int): String = {
+    val terms =
+      if (maxLag == 0) "0.0E0"
+      else (1 to maxLag)
+        .map(j => s"(case when $j <= q then " +
+          s"(1.0E0 - $j.0E0 / (cast(q as double) + 1.0E0)) * coalesce(c$j, 0.0E0) " +
+          "else 0.0E0 end)")
+        .mkString("(", "\n   + ", ")")
+    val lrv = s"(se2 + 2.0E0 * $terms)"
+    s"case when $lrv <= 0.0E0 then null else round(ss2 / (n * $lrv), 4) + 0.0E0 end"
+  }
+
   /** Order-3 Bandt-Pompe pattern id over columns (a, b, c) = the
     * triple in TIME order: stable ranks (ties broken toward the
     * earlier observation, the standard convention) packed as
@@ -1859,6 +1922,57 @@ object TimeOps {
       .select(groupCols.map(col) ++ Seq(
         col("n").cast("long").as("n_obs"),
         expr(KpssEtaSql).as("eta")): _*)
+  }
+
+  /** KPSS with the statsmodels-default Newey-West long-run variance —
+    * the HAC companion of [[kpss]] (whose η uses the lag-0 variance):
+    * on autocorrelated series the lag-0 denominator understates the
+    * variance and over-rejects stationarity; the Bartlett-weighted
+    * sum of the first q autocovariances (q = ⌊4·(n/100)^¼⌋, the
+    * statsmodels default, computed in pure integers —
+    * [[KpssBandwidthSql]]) is what a user comparing against
+    * `statsmodels.tsa.stattools.kpss` will check first.
+    *
+    * Shape: the [[kpss]] chain plus `maxBandwidth` lag frames in the
+    * same series window (the [[ljungBox]] precedent — linear in n),
+    * one partial-agg groupBy for all sums, shared-text η.
+    *
+    * BANDWIDTH CEILING (documented contract, Theil-Sen style): q is
+    * capped at `maxBandwidth` (default 16), which equals the
+    * statsmodels formula for series up to 100·(17/4)⁴ ≈ 32,600 rows;
+    * beyond that the capped estimator remains consistent but is no
+    * longer statsmodels-equal. `maxBandwidth = 0` degenerates to the
+    * lag-0 [[kpss]] statistic exactly (pinned in KpssHacSpec).
+    */
+  def kpssHac(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      maxBandwidth: Int = 16): DataFrame = {
+    require(maxBandwidth >= 0, s"maxBandwidth must be >= 0, got $maxBandwidth")
+    val w = Featurize.seriesWindow(groupCols, orderCols)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val shifted = df.withColumn("__d",
+      col(valueCol) - first(col(valueCol)).over(w))
+    val demeaned = shifted.withColumn("__e", col("__d") - avg(col("__d")).over(wFull))
+    val cum = demeaned.withColumn("__s", sum(col("__e")).over(wCum))
+    val lagged = (1 to maxBandwidth).foldLeft(cum) { (d, j) =>
+      d.withColumn(s"__el$j", lag(col("__e"), j).over(w))
+    }
+    val covSums = (1 to maxBandwidth).map(j =>
+      sum(col("__e") * col(s"__el$j")).as(s"c$j"))
+    val baseAggs = Seq(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("__s") * col("__s")).as("ss2"),
+      sum(col("__e") * col("__e")).as("se2")) ++ covSums
+    lagged.groupBy(groupCols.map(col): _*).agg(baseAggs.head, baseAggs.tail: _*)
+      .withColumn("q", expr(KpssBandwidthSql(maxBandwidth)))
+      .select(groupCols.map(col) ++ Seq(
+        col("n").cast("long").as("n_obs"),
+        col("q").cast("int").as("bandwidth"),
+        expr(KpssHacEtaSql(maxBandwidth)).as("eta")): _*)
   }
 
   /** Augmented Dickey-Fuller unit-root test, one lag (ADF(1)), per
@@ -1994,11 +2108,22 @@ object TimeOps {
       .withColumn("__det", col(valueCol) - col("trend"))
     val pw = Window.partitionBy(groupCols.map(col) :+ col("phase"): _*)
     withTrend
-      // + 0.0 after the round: a tiny-negative phase mean rounds to
-      // -0.0 in DuckDB vs +0.0 in Spark; canonicalize (oracle mirrored)
-      .withColumn("seasonal", round(avg(col("__det")).over(pw), 4) + lit(0.0))
+      // Seasonal = mean of the s4-QUANTIZED detrended values, summed
+      // as int64 (the ts_stl precedent): a plain FP `avg` over an
+      // unordered partition follows task/scan order, so a phase mean
+      // near a .00005 boundary could flip between runs or engines
+      // under round(…,4). floor(det·10⁴ + 0.5) is bit-determined by
+      // det (itself bit-exact cross-engine), the integer sum is
+      // association-free, and the two closing divisions are one fixed
+      // IEEE op order — deterministic, no rounding step at all.
+      // Overflow headroom: |det_s4| ≤ range·10⁴ (~5e6 on money-grid
+      // data), so a phase group needs ~10¹² rows to threaten int64.
+      .withColumn("__det_s4", floor(col("__det") * lit(10000.0) + lit(0.5)).cast("long"))
+      .withColumn("seasonal",
+        (sum(col("__det_s4")).over(pw).cast("double") /
+          count(col("__det_s4")).over(pw).cast("double")) / lit(10000.0))
       .withColumn("remainder", col("__det") - col("seasonal"))
-      .drop("__det")
+      .drop("__det", "__det_s4")
   }
 
   /** Expanding-window OLS trend per series: slope / intercept / R² of

@@ -68,4 +68,33 @@ class EdgeEventsSpec extends SparkSpec {
     val zs = Featurize.zscore(df, "value", evGroup, evOrder, w = 7).df.collect()
     assert(zs.length == 3 && zs.forall(_.isNullAt(4)))
   }
+
+  test("seasonal mean at a .00005 boundary is association-free (s4 integer sums)") {
+    // A constant-level series with a period-7 additive pattern whose
+    // phase-0 detrended values average EXACTLY onto a 4-decimal
+    // rounding boundary. The former round(avg(det), 4) answered by FP
+    // sum order — task/scan layout could flip the .00005 mean between
+    // runs or engines. The s4 route floors each det to an int64 ONCE
+    // (bit-determined by det), sums integers (association-free), and
+    // divides in one fixed op order — the result is a pure function
+    // of the data, pinned here across adversarial repartitionings.
+    val season = Seq(0.0001, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    // alternate the phase-0 bump on and off so its det mean sits at
+    // (0.0001 + 0)/2 = .00005 — the exact boundary
+    val vals = (0 until 70).map(i => 10.0 + (if ((i / 7) % 2 == 0) season(i % 7) else 0.0))
+    def run(parts: Int) = {
+      val df = vals.zipWithIndex.map { case (v, i) => ("a", i.toLong, v) }
+        .toDF("k", "pos", "x").repartition(parts)
+      TimeOps.seasonalDecompose(df, "x", Seq("k"), Seq("pos"), period = 7,
+          phase = pmod(col("pos"), lit(7)).cast("int"))
+        .orderBy("pos").select("pos", "seasonal").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    }
+    val a = run(1); val b = run(13)
+    // bit-identical across partition layouts (compare raw bits, not ==)
+    assert(a.length == b.length && a.zip(b).forall { case ((p1, v1), (p2, v2)) =>
+      p1 == p2 && (v1.map(java.lang.Double.doubleToRawLongBits) ==
+        v2.map(java.lang.Double.doubleToRawLongBits))
+    }, "seasonal must be bit-identical under any partitioning")
+  }
 }

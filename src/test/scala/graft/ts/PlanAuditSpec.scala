@@ -104,4 +104,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"the term stream must not shuffle into a sort-merge join:\n${plan.take(1500)}")
   }
+
+  test("ts_anomaly plans NO percentile window (bounded histogram threshold) and reuses the decompose exchange") {
+    // The median/MAD threshold rides the bounded integer-histogram
+    // rank picks: nothing in the plan may buffer every remainder in a
+    // per-key percentile evaluator. The plan replicates the decompose
+    // subtree under the histogram branch and the scoring branch —
+    // assert the replicas dedup into reused exchanges/stages at
+    // execution, so the decompose shuffle runs once.
+    val df = graft.SparkEntry.queries("ts_anomaly")(spark, "/root/testdata/sf0.001")
+    val before = df.queryExecution.executedPlan.toString
+    assert(!before.toLowerCase.contains("percentile"),
+      s"bounded route must not plan a percentile agg:\n${before.take(2000)}")
+    df.collect() // materialize THIS query execution so AQE finalizes stage reuse
+    val after = df.queryExecution.executedPlan.toString
+    assert(after.contains("ReusedExchange") || after.contains("ReusedQueryStage") ||
+      after.contains("reused"), // marker spelling varies by Spark version
+      s"decompose replicas must dedup via exchange/stage reuse:\n${after.take(3000)}")
+  }
 }

@@ -452,6 +452,68 @@ class RankStatsSpec extends SparkSpec {
       runKpss(off)(0).getAs[Double]("eta")) < 1e-3)
   }
 
+  test("kpss HAC: statsmodels-style brute force; bandwidth integers; knob=0 ≡ lag-0") {
+    def mkFrame(pts: Seq[(Long, Double)]) = {
+      val rows = pts.zipWithIndex.map { case ((t, v), i) =>
+        Row(1L, java.lang.Long.valueOf(t), java.lang.Long.valueOf(i.toLong), java.lang.Double.valueOf(v))
+      }
+      val schema2 = StructType(Seq(
+        StructField("user_id", LongType, nullable = false),
+        StructField("ts_us", LongType, nullable = true),
+        StructField("event_id", LongType, nullable = false),
+        StructField("value", DoubleType, nullable = true)))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema2)
+    }
+    def runHac(pts: Seq[(Long, Double)], bw: Int = 16) =
+      TimeOps.kpssHac(mkFrame(pts), "value", Seq("user_id"), Seq("ts_us", "event_id"), bw)
+        .collect()
+    // statsmodels reference: q = floor(4*(n/100)^0.25), Bartlett lrv
+    def refHac(pts: Seq[(Long, Double)]): (Int, Option[Double]) = {
+      val x = pts.sortBy(_._1).map(_._2)
+      val n = x.size
+      val mean = x.sum / n
+      val e = x.map(_ - mean)
+      val s = e.scanLeft(0.0)(_ + _).drop(1)
+      val q = math.floor(4.0 * math.pow(n / 100.0, 0.25)).toInt
+      val cov = (1 to q).map(j => (j until n).map(t => e(t) * e(t - j)).sum)
+      val lrv = e.map(v => v * v).sum +
+        2.0 * (1 to q).map(j => (1.0 - j.toDouble / (q + 1)) * cov(j - 1)).sum
+      (q, if (lrv <= 0) None else Some(s.map(v => v * v).sum / (n * lrv)))
+    }
+    for (seed <- Seq(3, 9); n <- Seq(17, 80, 150)) {
+      val pts = mkSeries(n, seed)
+      val row = runHac(pts)(0)
+      val (qWant, Some(etaWant)) = refHac(pts): @unchecked
+      assert(row.getAs[Int]("bandwidth") == qWant, s"n=$n: bandwidth")
+      assert(math.abs(row.getAs[Double]("eta") - etaWant) < 1e-3,
+        s"n=$n seed=$seed: ${row.getAs[Double]("eta")} vs $etaWant")
+    }
+    // the pure-integer bandwidth count == the libm floor formula, n up to the 16-cap
+    for (n <- Seq(1, 5, 99, 100, 101, 274, 1000, 1599, 1600, 1601, 10000, 32600)) {
+      val direct = math.min(16, math.floor(4.0 * math.pow(n / 100.0, 0.25)).toInt)
+      val counted = (1 to 16).count(k => 64L * n >= 25L * k * k * k * k)
+      assert(counted == direct, s"n=$n: integer bandwidth $counted != floor formula $direct")
+    }
+    // knob = 0 degenerates to the lag-0 kpss statistic exactly
+    val pts = mkSeries(80, 5)
+    val lag0 = runHac(pts, bw = 0)(0)
+    val plain = TimeOps.kpss(mkFrame(pts), "value", Seq("user_id"), Seq("ts_us", "event_id"))
+      .collect()(0)
+    assert(lag0.getAs[Int]("bandwidth") == 0)
+    assert(lag0.getAs[Double]("eta") == plain.getAs[Double]("eta"),
+      "maxBandwidth=0 must reproduce lag-0 KPSS bit-for-bit")
+    // autocorrelated series: the HAC denominator grows, η shrinks vs lag-0
+    val rng = new scala.util.Random(13)
+    var ar = 0.0
+    val arSeries = (0 until 300).map { i =>
+      ar = 0.8 * ar + rng.nextGaussian(); (i.toLong, ar)
+    }
+    val hacEta = runHac(arSeries)(0).getAs[Double]("eta")
+    val lag0Eta = TimeOps.kpss(mkFrame(arSeries), "value", Seq("user_id"), Seq("ts_us", "event_id"))
+      .collect()(0).getAs[Double]("eta")
+    assert(hacEta < lag0Eta, s"HAC must deflate η on AR(1) noise: $hacEta vs $lag0Eta")
+  }
+
   test("perm entropy: closed forms, brute-force counts, offset is a non-event") {
     def run(pts: Seq[(Long, Double)]) = {
       val rows = pts.zipWithIndex.map { case ((t, v), i) =>
