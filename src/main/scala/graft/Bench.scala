@@ -167,6 +167,11 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // same per-query cache hygiene as Verify: builder-persisted
+      // intermediates (Dedup gram/signature caches, pipeline_e2e's
+      // kept corpus) are per-query; don't let them accumulate across
+      // the ~180-query sweep and squeeze the benched queries' memory
+      spark.catalog.clearCache()
       val sortedT = times.sorted
       val median =
         if (sortedT.length % 2 == 1) sortedT(sortedT.length / 2)
@@ -225,6 +230,7 @@ object Bench {
           }
           (System.nanoTime() - t0) / 1e9
         }
+        spark.catalog.clearCache() // same per-query hygiene as the first pass
         val i = acc.indexWhere(_._1 == name)
         val first = acc(i)._2
         val kept =
