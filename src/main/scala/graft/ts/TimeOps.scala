@@ -515,44 +515,45 @@ object TimeOps {
       out: String,
       scale: Long = 100L): DataFrame = {
     require(scale > 0, s"scale must be positive, got $scale")
-    val P = graft.functions.Profile
     val cents = floor(col(c) * scale + lit(0.5)).cast("long")
-    // ONE histogram pass over the data serves BOTH quantiles: the MAD's
-    // deviation histogram |v − med| is a pure regrouping of the value
-    // histogram (each row's deviation depends only on its value), so it
-    // never re-reads `df` — the input pipeline is scanned once for the
-    // threshold and once for the scoring join, not three times.
-    val hist =
-      if (groupCols.isEmpty)
-        df.select(cents.as("__v")).where(col("__v").isNotNull)
-          .groupBy("__v").agg(count(lit(1)).as("__hc"))
-      else
-        df.select(groupCols.map(col) :+ cents.as("__v"): _*)
-          .where(col("__v").isNotNull)
-          .groupBy(groupCols.map(col) :+ col("__v"): _*).agg(count(lit(1)).as("__hc"))
-    val medB =
-      if (groupCols.isEmpty)
-        P.histogramQuantilesFromHist(hist, "__v", "__hc", Seq(("__med_c", 50)))
-          .select("__med_c")
-      else
-        P.groupedHistogramQuantilesFromHist(hist, groupCols, "__v", "__hc", Seq(("__med_c", 50)))
-          .select(groupCols.map(col) :+ col("__med_c"): _*)
-    val histMed =
-      if (groupCols.isEmpty) hist.crossJoin(broadcast(medB))
-      else hist.join(medB, groupCols)
-    val devHist = histMed
-      .groupBy(groupCols.map(col) :+ abs(col("__v") - col("__med_c")).as("__d"): _*)
+    // ONE histogram pass over the data serves BOTH quantiles, in ONE
+    // linear chain: the median rank pick rides a full-frame window agg
+    // over the histogram (not a groupBy + join back — that would make
+    // the histogram subtree a shared DAG node and re-evaluate the
+    // input pipeline once per consumer), and the MAD's deviation
+    // histogram |v − med| is a pure regrouping of the value histogram
+    // (each row's deviation depends only on its value). The input is
+    // therefore scanned exactly twice: once into the histogram, once
+    // for the scoring join.
+    val wCum = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    val hist = df
+      .select(groupCols.map(col) :+ cents.as("__v"): _*)
+      .where(col("__v").isNotNull)
+      .groupBy(groupCols.map(col) :+ col("__v"): _*).agg(count(lit(1)).as("__hc"))
+    // type-1 (lower) median in pure integers: min v with 100·cum ≥ 50·N
+    val withMed = hist
+      .withColumn("__cum", sum(col("__hc")).over(wCum))
+      .withColumn("__n", sum(col("__hc")).over(wAll))
+      .withColumn("__med_c",
+        min(when(col("__cum") * 100 >= lit(50L) * col("__n"), col("__v"))).over(wAll))
+    // deviation histogram, median carried along as a constant-per-group key
+    val devHist = withMed
+      .groupBy(groupCols.map(col) ++ Seq(col("__med_c"),
+        abs(col("__v") - col("__med_c")).as("__d")): _*)
       .agg(sum(col("__hc")).as("__dc"))
-    val madB =
-      if (groupCols.isEmpty)
-        P.histogramQuantilesFromHist(devHist, "__d", "__dc", Seq(("__mad_c", 50)))
-          .select("__mad_c")
-      else
-        P.groupedHistogramQuantilesFromHist(devHist, groupCols, "__d", "__dc", Seq(("__mad_c", 50)))
-          .select(groupCols.map(col) :+ col("__mad_c"): _*)
+    val wDevCum = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val devCum = devHist
+      .withColumn("__dcum", sum(col("__dc")).over(wDevCum))
+      .withColumn("__dn", sum(col("__dc")).over(wAll))
+    val boundAggs = Seq(
+      max(col("__med_c")).as("__med_c"),
+      min(when(col("__dcum") * 100 >= lit(50L) * col("__dn"), col("__d"))).as("__mad_c"))
     val bounds =
-      if (groupCols.isEmpty) broadcast(medB.crossJoin(madB))
-      else medB.join(madB, groupCols)
+      if (groupCols.isEmpty) broadcast(devCum.agg(boundAggs.head, boundAggs.tail: _*))
+      else devCum.groupBy(groupCols.map(col): _*).agg(boundAggs.head, boundAggs.tail: _*)
     val joined =
       if (groupCols.isEmpty) df.withColumn("__c", cents).crossJoin(bounds)
       else df.withColumn("__c", cents).join(bounds, groupCols, "left")
