@@ -229,7 +229,13 @@ object SparkEntry {
       val daily = TimeOps.resampleFfill(ev, Seq("user_id"), "ts_us", 86400000000L, max(col("value")))
         .select("user_id", "bucket", "filled_value")
       val phase = pmod(expr("bucket div 86400000000") + 3, lit(7)).cast("int")
+      // persist the decompose output (the pipeline_e2e handoff
+      // precedent): the bounded threshold inherently consumes it twice
+      // (histogram pass + scoring join), and the daily spine is the
+      // SMALL frame here — users × days, not events. Blocks are freed
+      // by the sweeps' per-query clearCache / the ContextCleaner.
       val dec = TimeOps.seasonalDecompose(daily, "filled_value", Seq("user_id"), Seq("bucket"), 7, phase)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       TimeOps.robustZscore(dec, "remainder", Seq("user_id"), "rz", scale = 10000L)
         .select(col("user_id"), col("bucket"), col("filled_value"), col("remainder"), col("rz"))
         .withColumn("is_anomaly", abs(col("rz")) > lit(3.0))

@@ -62,11 +62,17 @@ class PlanBudgetSweepSpec extends SparkSpec {
   }
 
   test("full-surface sweep: every batch query within its exchange/window/join budget") {
+    // deterministic baseline: a cache entry leaked by an earlier spec
+    // (or registered by a persist()-carrying query planned earlier in
+    // THIS sweep) would substitute InMemoryRelation into later plans
+    // and shift their counted shapes
+    spark.catalog.clearCache()
     val qs = SparkEntry.queries.filter(!_._1.startsWith("stream_")).toSeq.sortBy(_._1)
     val actuals = qs.map { case (name, fn) =>
       val plan =
         try fn(spark, sfDir).queryExecution.executedPlan.toString
         catch { case e: Throwable => fail(s"$name failed to plan: ${e.getMessage}") }
+      spark.catalog.clearCache() // drop entries the query itself registered
       name -> counts(plan)
     }
     // always dump actuals for manifest regeneration
