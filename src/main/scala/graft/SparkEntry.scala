@@ -662,6 +662,14 @@ object SparkEntry {
       TimeOps.kpssHac(ev, "value", evGroup, evOrder)
         .orderBy("user_id")
     },
+    // KPSS against a deterministic trend (statsmodels regression='ct'):
+    // OLS detrend on [1, t] (closed-form t-moments), the same partial
+    // sums and Newey-West variance — the companion stationarity knob
+    "ts_kpss_trend" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.kpssTrend(ev, "value", evGroup, evOrder)
+        .orderBy("user_id")
+    },
     // ADF(1) unit-root test: does the level pull back (stationary,
     // strongly negative t) or wander (random walk, t ≈ 0)? One window
     // pass + nine sums + a shared-text Cramer solve
@@ -2199,6 +2207,7 @@ object SparkEntry {
     "ts_kendall_tau", "ts_leadlag", "ts_mannkendall", "ts_mannkendall_auto",
     "ts_spearman", "ts_pettitt", "ts_runs_test", "ts_cox_stuart",
     "ts_theilsen_seasonal", "ts_ljungbox", "ts_adf", "ts_kpss", "ts_kpss_hac",
+    "ts_kpss_trend",
     "ts_perm_entropy",
     "ts_mannkendall_seasonal", "ts_mannkendall_ties", "ts_moments",
     "ts_ohlc", "ts_pacf", "ts_pivot", "ts_range_join", "ts_rank",
@@ -3692,6 +3701,41 @@ object SparkEntry {
          |                 rows between unbounded preceding and current row) as s,
          |    $lagCols
          |  from m window w2 as (partition by user_id order by t, event_id)),
+         |g as (select user_id, cast(count(*) as double) as n,
+         |    sum(s * s) as ss2, sum(e * e) as se2,
+         |    $covSums
+         |  from c group by user_id),
+         |gq as (select *, ${graft.ts.TimeOps.KpssBandwidthSql(16)} as q from g)
+         |select user_id, cast(n as bigint) as n_obs, cast(q as int) as bandwidth,
+         | ${graft.ts.TimeOps.KpssHacEtaSql(16)} as eta
+         |from gq
+         |order by user_id""".stripMargin
+    },
+    // trend-KPSS twin: the same chain with OLS-detrend residuals —
+    // closed-form t-moments from n (exact), the shared detrend texts,
+    // then the identical lag frames / bandwidth / η machinery
+    "ts_kpss_trend" -> {
+      val lagCols = (1 to 16).map(j => s"lag(e, $j) over w2 as el$j").mkString(",\n    ")
+      val covSums = (1 to 16).map(j => s"sum(e * el$j) as c$j").mkString(",\n    ")
+      s"""with s0 as (select user_id, epoch_us(ts) as t0, event_id,
+         |    value - first_value(value) over (partition by user_id
+         |      order by epoch_us(ts), event_id) as d,
+         |    cast(row_number() over (partition by user_id
+         |      order by epoch_us(ts), event_id) - 1 as double) as t
+         |  from events),
+         |m0 as (select user_id, t0, event_id, d, t,
+         |    cast(count(*) over (partition by user_id) as double) as n,
+         |    sum(d) over (partition by user_id) as sd,
+         |    sum(t * d) over (partition by user_id) as std
+         |  from s0),
+         |m1 as (select *, ${graft.ts.TimeOps.KpssDetrendSqls("b")} as b from m0),
+         |m2 as (select *, ${graft.ts.TimeOps.KpssDetrendSqls("a")} as a from m1),
+         |m as (select user_id, t0, event_id, ${graft.ts.TimeOps.KpssDetrendSqls("e")} as e from m2),
+         |c as (select user_id, e,
+         |    sum(e) over (partition by user_id order by t0, event_id
+         |                 rows between unbounded preceding and current row) as s,
+         |    $lagCols
+         |  from m window w2 as (partition by user_id order by t0, event_id)),
          |g as (select user_id, cast(count(*) as double) as n,
          |    sum(s * s) as ss2, sum(e * e) as se2,
          |    $covSums

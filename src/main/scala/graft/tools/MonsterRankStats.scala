@@ -84,6 +84,8 @@ object MonsterRankStats {
         TimeOps.kpss(df, "value", Seq("user_id"), Seq("ts_us", "event_id")))
       time("perm_entropy_window", "perm_entropy")(
         TimeOps.permEntropy(df, "value", Seq("user_id"), Seq("ts_us", "event_id")))
+      time("kpss_hac_window", "eta")(
+        TimeOps.kpssHac(df, "value", Seq("user_id"), Seq("ts_us", "event_id")))
     }
     spark.stop()
   }

@@ -1976,6 +1976,71 @@ object TimeOps {
         expr(KpssHacEtaSql(maxBandwidth)).as("eta")): _*)
   }
 
+  /** The per-row OLS-detrend residual of the shifted series as ONE
+    * shared SQL text over (d, t, n, sd, std): t-moments Σt = n(n−1)/2
+    * and Σt² = n(n−1)(2n−1)/6 are CLOSED FORMS of n (exact doubles —
+    * two of the four regression sums never touch engine aggregation
+    * order), slope/intercept by the textbook normal equations, e =
+    * d − (a + b·t). Degenerate designs (n < 2) null out on the shared
+    * ≤ 0 comparison.
+    */
+  val KpssDetrendSqls: Map[String, String] = {
+    val st = "(n * (n - 1.0E0) / 2.0E0)"
+    val stt = "(n * (n - 1.0E0) * (2.0E0 * n - 1.0E0) / 6.0E0)"
+    val det = s"(n * $stt - $st * $st)"
+    Map(
+      "b" -> s"case when $det <= 0.0E0 then null else (n * std - $st * sd) / $det end",
+      "a" -> s"case when b is null then null else (sd - b * $st) / n end",
+      "e" -> "d - (a + b * t)")
+  }
+
+  /** KPSS against a deterministic TREND (statsmodels
+    * `regression='ct'`) — the companion knob of [[kpssHac]]'s level
+    * test: residuals come from an OLS fit of the shifted series on
+    * [1, t] (so a pure ramp reads stationary-around-trend, where the
+    * level test rejects), then the identical partial-sum machinery
+    * and Newey-West long-run variance. Same window chain + one OLS
+    * stage; same bandwidth integers ([[KpssBandwidthSql]]), same
+    * shared η text ([[KpssHacEtaSql]]), same ceiling contract as
+    * [[kpssHac]]. `maxBandwidth = 0` is the lag-0 trend statistic.
+    */
+  def kpssTrend(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      maxBandwidth: Int = 16): DataFrame = {
+    require(maxBandwidth >= 0, s"maxBandwidth must be >= 0, got $maxBandwidth")
+    val w = Featurize.seriesWindow(groupCols, orderCols)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = df
+      .withColumn("d", col(valueCol) - first(col(valueCol)).over(w))
+      .withColumn("t", (row_number().over(w) - lit(1)).cast("double"))
+      .withColumn("n", count(lit(1)).over(wFull).cast("double"))
+      .withColumn("sd", sum(col("d")).over(wFull))
+      .withColumn("std", sum(col("t") * col("d")).over(wFull))
+      .withColumn("b", expr(KpssDetrendSqls("b")))
+      .withColumn("a", expr(KpssDetrendSqls("a")))
+      .withColumn("__e", expr(KpssDetrendSqls("e")))
+      .withColumn("__s", sum(col("__e")).over(wCum))
+    val lagged = (1 to maxBandwidth).foldLeft(staged) { (acc, j) =>
+      acc.withColumn(s"__el$j", lag(col("__e"), j).over(w))
+    }
+    val covSums = (1 to maxBandwidth).map(j =>
+      sum(col("__e") * col(s"__el$j")).as(s"c$j"))
+    val baseAggs = Seq(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("__s") * col("__s")).as("ss2"),
+      sum(col("__e") * col("__e")).as("se2")) ++ covSums
+    lagged.groupBy(groupCols.map(col): _*).agg(baseAggs.head, baseAggs.tail: _*)
+      .withColumn("q", expr(KpssBandwidthSql(maxBandwidth)))
+      .select(groupCols.map(col) ++ Seq(
+        col("n").cast("long").as("n_obs"),
+        col("q").cast("int").as("bandwidth"),
+        expr(KpssHacEtaSql(maxBandwidth)).as("eta")): _*)
+  }
+
   /** Augmented Dickey-Fuller unit-root test, one lag (ADF(1)), per
     * series: regress Δx_t on [1, x_{t−1}, Δx_{t−1}] and report the
     * x_{t−1} coefficient β and its t statistic — the canonical

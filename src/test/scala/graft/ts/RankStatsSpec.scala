@@ -514,6 +514,60 @@ class RankStatsSpec extends SparkSpec {
     assert(hacEta < lag0Eta, s"HAC must deflate η on AR(1) noise: $hacEta vs $lag0Eta")
   }
 
+  test("kpss trend ('ct'): statsmodels brute force; ramp reads trend-stationary; knob=0") {
+    def mkFrame(pts: Seq[(Long, Double)]) = {
+      val rows = pts.zipWithIndex.map { case ((t, v), i) =>
+        Row(1L, java.lang.Long.valueOf(t), java.lang.Long.valueOf(i.toLong), java.lang.Double.valueOf(v))
+      }
+      val schema2 = StructType(Seq(
+        StructField("user_id", LongType, nullable = false),
+        StructField("ts_us", LongType, nullable = true),
+        StructField("event_id", LongType, nullable = false),
+        StructField("value", DoubleType, nullable = true)))
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 3), schema2)
+    }
+    def runTrend(pts: Seq[(Long, Double)], bw: Int = 16) =
+      TimeOps.kpssTrend(mkFrame(pts), "value", Seq("user_id"), Seq("ts_us", "event_id"), bw)
+        .collect()
+    // statsmodels reference: OLS residuals on [1, t], Bartlett lrv
+    def refTrend(pts: Seq[(Long, Double)]): (Int, Option[Double]) = {
+      val x = pts.sortBy(_._1).map(_._2)
+      val n = x.size
+      val t = (0 until n).map(_.toDouble)
+      val (st, stt, sd, std2) = (t.sum, t.map(v => v * v).sum, x.sum, t.zip(x).map { case (a, b) => a * b }.sum)
+      val b = (n * std2 - st * sd) / (n * stt - st * st)
+      val a = (sd - b * st) / n
+      val e = t.zip(x).map { case (ti, xi) => xi - (a + b * ti) }
+      val s = e.scanLeft(0.0)(_ + _).drop(1)
+      val q = math.floor(4.0 * math.pow(n / 100.0, 0.25)).toInt
+      val cov = (1 to q).map(j => (j until n).map(k => e(k) * e(k - j)).sum)
+      val lrv = e.map(v => v * v).sum +
+        2.0 * (1 to q).map(j => (1.0 - j.toDouble / (q + 1)) * cov(j - 1)).sum
+      (q, if (lrv <= 0) None else Some(s.map(v => v * v).sum / (n * lrv)))
+    }
+    for (seed <- Seq(3, 9); n <- Seq(17, 80, 150)) {
+      val pts = mkSeries(n, seed)
+      val row = runTrend(pts)(0)
+      val (qWant, Some(etaWant)) = refTrend(pts): @unchecked
+      assert(row.getAs[Int]("bandwidth") == qWant)
+      assert(math.abs(row.getAs[Double]("eta") - etaWant) < 1e-3,
+        s"n=$n seed=$seed: ${row.getAs[Double]("eta")} vs $etaWant")
+    }
+    // a noisy RAMP: the LEVEL test rejects, the TREND test accepts —
+    // exactly the discrimination 'ct' exists for
+    val rng = new scala.util.Random(7)
+    val ramp = (0 until 300).map(i => (i.toLong, 0.5 * i + rng.nextGaussian()))
+    val trendEta = runTrend(ramp)(0).getAs[Double]("eta")
+    val levelEta = TimeOps.kpssHac(mkFrame(ramp), "value", Seq("user_id"), Seq("ts_us", "event_id"))
+      .collect()(0).getAs[Double]("eta")
+    assert(trendEta < 0.146, s"ramp must read trend-stationary (5% bar 0.146): $trendEta")
+    assert(levelEta > 0.463, s"ramp must fail the LEVEL test: $levelEta")
+    // pure linear series: residuals are ~0, zero residual energy → null
+    val pure = (0 until 40).map(i => (i.toLong, 3.0 * i + 7.0))
+    val rc = runTrend(pure)(0)
+    assert(rc.isNullAt(rc.fieldIndex("eta")), "an exact line has zero residual energy")
+  }
+
   test("perm entropy: closed forms, brute-force counts, offset is a non-event") {
     def run(pts: Seq[(Long, Double)]) = {
       val rows = pts.zipWithIndex.map { case ((t, v), i) =>
