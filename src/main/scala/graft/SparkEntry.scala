@@ -1400,6 +1400,25 @@ object SparkEntry {
       val payloads = Multimodal.synthJpegs(Tables.documents(s, dir).select("doc_id"), "doc_id")
       Multimodal.jpegPixelStats(payloads, "doc_id", "payload").orderBy("doc_id")
     },
+    // PROGRESSIVE (SOF2) JPEG decode round-trip — the dominant
+    // "optimized web photo" layout the baseline path can't read:
+    // six-scan successive approximation (DC bit-planes, banded AC
+    // first passes, refinement correction bits, cross-block EOB runs)
+    // accumulated into whole-image coefficients, then one dequant+IDCT.
+    // Accumulation to Al=0 is lossless, so the constant-tile closed
+    // form gates the entire multi-scan machinery.
+    "mm_pixels_jpeg_prog" -> { (s, dir) =>
+      val payloads = Multimodal.synthJpegProgs(Tables.documents(s, dir).select("doc_id"), "doc_id")
+      Multimodal.jpegPixelStats(payloads, "doc_id", "payload").orderBy("doc_id")
+    },
+    // PROGRESSIVE COLOR decode round-trip: ten scans — interleaved DC
+    // first/refine plus per-component spectral AC bands (T.81 forbids
+    // interleaved AC) — through the same YCbCr pipeline; gray-content
+    // tiles keep the per-channel closed form exact.
+    "mm_pixels_jpeg_prog_color" -> { (s, dir) =>
+      val payloads = Multimodal.synthJpegProgColors(Tables.documents(s, dir).select("doc_id"), "doc_id")
+      Multimodal.jpegColorPixelStats(payloads, "doc_id", "payload").orderBy("doc_id")
+    },
     // COLOR baseline-JPEG decode round-trip: 3-component 4:4:4
     // interleaved MCUs with per-component quant/Huffman table ids and
     // DC predictors, then YCbCr->RGB. Gray-content tiles land on
@@ -4689,6 +4708,51 @@ object SparkEntry {
         | cast(64 * sum(v) as double) / (64 * bw * bh) as mean_gray,
         | cast(min(v) as bigint) as min_gray,
         | cast(max(v) as bigint) as max_gray
+        |from v group by doc_id, bw, bh order by doc_id""".stripMargin,
+    "mm_pixels_jpeg_prog" ->
+      // predicts the MULTI-SCAN progressive decode of synthJpegProgs:
+      // tile (bx, by) of doc_id is constant gray (id*13 + bx*37 +
+      // by*19) mod 256; successive approximation to Al=0 reconstructs
+      // the baseline coefficients exactly, so the constant-tile round
+      // trip (DC quant = the flat-block DCT gain) stays integer-exact
+      """with p as (select doc_id,
+        |   1 + (doc_id * 2 + 1) % 3 as bw,
+        |   1 + (doc_id * 3 + 2) % 3 as bh
+        | from documents),
+        | t as (select doc_id, bw, bh,
+        |   unnest(generate_series(0, bw * bh - 1)) as k from p),
+        | v as (select doc_id, bw, bh,
+        |   (doc_id * 13 + (k % bw) * 37 + (k // bw) * 19) % 256 as v from t)
+        |select doc_id,
+        | cast(8 * bw as bigint) as width,
+        | cast(8 * bh as bigint) as height,
+        | cast(64 * sum(v) as bigint) as sum_gray,
+        | cast(64 * sum(v) as double) / (64 * bw * bh) as mean_gray,
+        | cast(min(v) as bigint) as min_gray,
+        | cast(max(v) as bigint) as max_gray
+        |from v group by doc_id, bw, bh order by doc_id""".stripMargin,
+    "mm_pixels_jpeg_prog_color" ->
+      // predicts the ten-scan progressive color decode of
+      // synthJpegProgColors: gray-content tiles (R=G=B = (id*19 +
+      // bx*43 + by*29) mod 256) round-trip bit-exactly per channel
+      """with p as (select doc_id,
+        |   1 + (doc_id * 5 + 2) % 3 as bw,
+        |   1 + (doc_id * 11 + 1) % 3 as bh
+        | from documents),
+        | t as (select doc_id, bw, bh,
+        |   unnest(generate_series(0, bw * bh - 1)) as k from p),
+        | v as (select doc_id, bw, bh,
+        |   (doc_id * 19 + (k % bw) * 43 + (k // bw) * 29) % 256 as v from t)
+        |select doc_id,
+        | cast(8 * bw as bigint) as width,
+        | cast(8 * bh as bigint) as height,
+        | cast(64 * sum(v) as bigint) as sum_r,
+        | cast(64 * sum(v) as bigint) as sum_g,
+        | cast(64 * sum(v) as bigint) as sum_b,
+        | cast(min(v) as bigint) as min_r,
+        | cast(max(v) as bigint) as max_r,
+        | cast(min(v) as bigint) as min_b,
+        | cast(max(v) as bigint) as max_b
         |from v group by doc_id, bw, bh order by doc_id""".stripMargin,
     "mm_pixels_jpeg_color" ->
       // predicts the interleaved 3-component Huffman+IDCT+YCbCr->RGB

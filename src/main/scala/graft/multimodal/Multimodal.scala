@@ -984,6 +984,75 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** Deterministic synthesized PROGRESSIVE (SOF2) grayscale JPEGs —
+    * the [[synthJpegs]] constant-tile contract (tile (bx, by) is gray
+    * (id·13 + bx·37 + by·19) mod 256) through
+    * [[JpegCodec.encodeGrayProgressive]]'s six-scan successive-
+    * approximation script: DC split across two bit-planes, AC across
+    * two spectral bands at Al=2 plus two refinement passes, cross-block
+    * EOBn runs throughout (every all-zero AC band folds into one). The
+    * closed-form oracle carries over because progressive accumulation
+    * to Al=0 reconstructs exactly the baseline coefficients.
+    */
+  def synthJpegProgs(df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    fanOut(df).mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val id = r.getLong(idIdx)
+        val bw = 1 + ((id * 2L + 1L) % 3L).toInt
+        val bh = 1 + ((id * 3L + 2L) % 3L).toInt
+        val w = 8 * bw
+        val h = 8 * bh
+        val pix = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            pix(y * w + x) = ((id * 13L + (x / 8) * 37L + (y / 8) * 19L) % 256L).toInt
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, JpegCodec.encodeGrayProgressive(w, h, pix))
+      })
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Deterministic synthesized PROGRESSIVE COLOR JPEGs (SOF2, 4:4:4,
+    * ten scans: interleaved DC first/refine + per-component spectral
+    * AC bands and refinements): gray-content constant tiles — tile
+    * (bx, by) has R=G=B = (id·19 + bx·43 + by·29) mod 256 — so the
+    * JFIF transform lands on Y=tile/Cb=Cr=128 exactly and the
+    * per-channel closed form of the color oracle carries over.
+    */
+  def synthJpegProgColors(df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame = {
+    val idIdx = df.schema.fieldIndex(idCol)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("payload", BinaryType)))
+    fanOut(df).mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val id = r.getLong(idIdx)
+        val bw = 1 + ((id * 5L + 2L) % 3L).toInt
+        val bh = 1 + ((id * 11L + 1L) % 3L).toInt
+        val w = 8 * bw
+        val h = 8 * bh
+        val pix = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            pix(y * w + x) = ((id * 19L + (x / 8) * 43L + (y / 8) * 29L) % 256L).toInt
+            x += 1
+          }
+          y += 1
+        }
+        Row(id, JpegCodec.encodeColorProgressive(w, h, pix, pix, pix))
+      })
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Deterministic synthesized 4:2:0 CHROMA-SUBSAMPLED baseline JPEGs —
     * the dominant real-corpus layout (16×16 MCUs: four Y blocks + one
     * Cb + one Cr from half-resolution planes): gray-content constant
