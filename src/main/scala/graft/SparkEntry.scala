@@ -1400,6 +1400,17 @@ object SparkEntry {
       val payloads = Multimodal.synthJpegs(Tables.documents(s, dir).select("doc_id"), "doc_id")
       Multimodal.jpegPixelStats(payloads, "doc_id", "payload").orderBy("doc_id")
     },
+    // RESTART-INTERVAL baseline-JPEG decode round-trip: the same
+    // constant-tile corpus with DRI + an RSTn marker after EVERY MCU —
+    // maximal marker density, predictor resets, marker-index cycling,
+    // and byte-edge padding before markers. The closed form is the
+    // mm_pixels_jpeg one; what's gated is the restart machinery on
+    // every payload.
+    "mm_pixels_jpeg_dri" -> { (s, dir) =>
+      val payloads = Multimodal.synthJpegs(Tables.documents(s, dir).select("doc_id"),
+        "doc_id", restartInterval = 1)
+      Multimodal.jpegPixelStats(payloads, "doc_id", "payload").orderBy("doc_id")
+    },
     // PROGRESSIVE (SOF2) JPEG decode round-trip — the dominant
     // "optimized web photo" layout the baseline path can't read:
     // six-scan successive approximation (DC bit-planes, banded AC
@@ -4693,6 +4704,26 @@ object SparkEntry {
       // contract) — so sum/min/max are integer-exact and the mean is
       // one correctly-rounded division of exact integers on both
       // engines
+      """with p as (select doc_id,
+        |   1 + doc_id % 3 as bw,
+        |   1 + (doc_id * 5 + 3) % 3 as bh
+        | from documents),
+        | t as (select doc_id, bw, bh,
+        |   unnest(generate_series(0, bw * bh - 1)) as k from p),
+        | v as (select doc_id, bw, bh,
+        |   (doc_id * 7 + (k % bw) * 31 + (k // bw) * 17) % 256 as v from t)
+        |select doc_id,
+        | cast(8 * bw as bigint) as width,
+        | cast(8 * bh as bigint) as height,
+        | cast(64 * sum(v) as bigint) as sum_gray,
+        | cast(64 * sum(v) as double) / (64 * bw * bh) as mean_gray,
+        | cast(min(v) as bigint) as min_gray,
+        | cast(max(v) as bigint) as max_gray
+        |from v group by doc_id, bw, bh order by doc_id""".stripMargin,
+    "mm_pixels_jpeg_dri" ->
+      // same pixel law as mm_pixels_jpeg — the payloads differ only in
+      // the restart markers the decoder must consume and resynchronize
+      // at (DRI interval 1: one RSTn per MCU)
       """with p as (select doc_id,
         |   1 + doc_id % 3 as bw,
         |   1 + (doc_id * 5 + 3) % 3 as bh

@@ -220,7 +220,7 @@ object JpegCodec {
 
   private def writeHeaders(
       out: java.io.ByteArrayOutputStream, width: Int, height: Int, color: Boolean,
-      chroma420: Boolean = false): Unit = {
+      chroma420: Boolean = false, restartInterval: Int = 0): Unit = {
     def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
     def seg(m: Int, payload: Array[Int]): Unit = {
       marker(m)
@@ -245,6 +245,8 @@ object JpegCodec {
     seg(0xc4, (0x00 +: (DcBits ++ DcVals)) ++ (0x10 +: (AcBits ++ AcVals)))
     if (color) // chroma table ids 1, same contents (see DQT comment)
       seg(0xc4, (0x01 +: (DcBits ++ DcVals)) ++ (0x11 +: (AcBits ++ AcVals)))
+    if (restartInterval > 0)
+      seg(0xdd, Array((restartInterval >>> 8) & 0xff, restartInterval & 0xff))
     if (color) seg(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)) // SOS
     else seg(0xda, Array(1, 1, 0x00, 0, 63, 0))
   }
@@ -254,18 +256,30 @@ object JpegCodec {
     * Huffman-coded scan with byte stuffing, EOI. Real FDCT + quantize —
     * constant tiles come out DC-only by mathematics, not by shortcut.
     */
-  def encodeGray(width: Int, height: Int, pix: Array[Int]): Array[Byte] = {
+  def encodeGray(width: Int, height: Int, pix: Array[Int],
+      restartInterval: Int = 0): Array[Byte] = {
     require(width % 8 == 0 && height % 8 == 0, "MCU-aligned dims")
     require(pix.length == width * height)
     val out = new java.io.ByteArrayOutputStream(1024)
-    writeHeaders(out, width, height, color = false)
-    val bw = new BitWriter(out)
+    writeHeaders(out, width, height, color = false, restartInterval = restartInterval)
+    var bw = new BitWriter(out)
     var pred = 0
+    var emitted = 0
+    var rst = 0
     var by = 0
     while (by < height / 8) {
       var bx = 0
       while (bx < width / 8) {
+        if (restartInterval > 0 && emitted == restartInterval) {
+          // restart boundary: pad to the byte edge, RSTn (cycling 0..7),
+          // reset the DC predictor — T.81 E.1.4
+          bw.flush()
+          out.write(0xff); out.write(0xd0 + (rst & 7))
+          rst += 1; emitted = 0; pred = 0
+          bw = new BitWriter(out)
+        }
         pred = encodeBlock(bw, pix, width, bx, by, pred)
+        emitted += 1
         bx += 1
       }
       by += 1
@@ -463,17 +477,25 @@ object JpegCodec {
     }
 
     /** Restart boundary (T.81 E.1.4): discard the partial byte's
-      * padding bits, then consume exactly one RSTn marker. Sets `bad`
-      * (and returns false) if the next two bytes are anything else.
+      * padding bits, then consume one RSTn marker. The pad byte may be
+      * UNREAD when the last code ended exactly on a byte edge (and a
+      * 0xFF pad carries a stuffed 0x00), so scan a short bounded
+      * window forward to the marker — what every production decoder's
+      * read_restart does. Sets `bad` (and returns false) if no RSTn
+      * appears within it.
       */
     def restartMarker(): Boolean = {
       n = 0 // drop pad bits — entropy data is 1-padded to the byte edge
-      if (pos + 2 > b.length) { bad = true; return false }
-      val m0 = b(pos) & 0xff
-      val m1 = b(pos + 1) & 0xff
-      if (m0 != 0xff || m1 < 0xd0 || m1 > 0xd7) { bad = true; return false }
-      pos += 2
-      true
+      var guard = 0
+      while (guard < 4 && pos + 1 < b.length) {
+        val m0 = b(pos) & 0xff
+        val m1 = b(pos + 1) & 0xff
+        if (m0 == 0xff && m1 >= 0xd0 && m1 <= 0xd7) { pos += 2; return true }
+        pos += 1
+        guard += 1
+      }
+      bad = true
+      false
     }
   }
 
@@ -547,9 +569,11 @@ object JpegCodec {
     * upsamples. Returns (w, h, planes, sampH, sampV). None — never a
     * crash or a stuck loop — for progressive/12-bit streams, sampling
     * factors > 2, hostile segment lengths, truncated entropy data, or
-    * over-large declared dimensions. (Restart markers unsupported →
-    * None via the reader's marker refusal; graft's encoder never
-    * emits DRI.)
+    * over-large declared dimensions. Restart intervals (DRI + RSTn
+    * every Ri MCUs — ubiquitous in real crawls, where encoders emit
+    * them for error resilience) reset the DC predictors at each
+    * marker; a missing or out-of-place RSTn is a malformed stream →
+    * None.
     */
   private def decodePlanes(
       b: Array[Byte]): Option[(Int, Int, Array[Array[Int]], Array[Int], Array[Int])] = {
@@ -567,6 +591,7 @@ object JpegCodec {
     val compSv = new Array[Int](4)
     val dcSel = new Array[Int](4)
     val acSel = new Array[Int](4)
+    var restartInterval = 0
     var scanAt = -1
     while (scanAt < 0) {
       // seek the next marker (skip fill bytes)
@@ -646,7 +671,9 @@ object JpegCodec {
               c += 1
             }
             scanAt = end
-          case 0xdd => return None // DRI: restart intervals unsupported
+          case 0xdd => // DRI: restart interval in MCUs (0 = none)
+            if (end - p < 2) return None
+            restartInterval = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
           case _ => () // APPn / COM / others: skip
         }
         o = end
@@ -676,10 +703,16 @@ object JpegCodec {
     val coef = new Array[Double](64)
     val r = new BitReader(b, scanAt)
     val preds = new Array[Int](4)
+    var mcuCount = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (restartInterval > 0 && mcuCount == restartInterval) {
+          if (!r.restartMarker()) return None
+          java.util.Arrays.fill(preds, 0)
+          mcuCount = 0
+        }
         var ci = 0
         while (ci < nc) { // interleaved MCU: h_c × v_c blocks per component
           val q = quant(compQuant(ci))
@@ -734,6 +767,7 @@ object JpegCodec {
           }
           ci += 1
         }
+        mcuCount += 1
         mx += 1
       }
       my += 1

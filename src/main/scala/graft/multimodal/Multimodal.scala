@@ -885,9 +885,13 @@ object Multimodal {
     * oracle predicts every decoded pixel in closed form while the
     * payloads still exercise the full entropy machinery: DC prediction
     * deltas span ±255 (all amplitude categories), per-block EOBs,
-    * stuffed 0xFF bytes.
+    * stuffed 0xFF bytes. `restartInterval` > 0 additionally writes DRI
+    * + an RSTn marker every that-many MCUs (predictor resets, marker
+    * cycling, byte-edge padding) — the error-resilience layout real
+    * crawl JPEGs ship with.
     */
-  def synthJpegs(df: DataFrame, idCol: String, batchSize: Int = 64): DataFrame = {
+  def synthJpegs(df: DataFrame, idCol: String, batchSize: Int = 64,
+      restartInterval: Int = 0): DataFrame = {
     val idIdx = df.schema.fieldIndex(idCol)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("payload", BinaryType)))
@@ -908,7 +912,7 @@ object Multimodal {
           }
           y += 1
         }
-        Row(id, JpegCodec.encodeGray(w, h, pix))
+        Row(id, JpegCodec.encodeGray(w, h, pix, restartInterval))
       })
     }(org.apache.spark.sql.Encoders.row(schema))
   }

@@ -271,15 +271,62 @@ class JpegCodecSpec extends AnyFunSuite {
     assert(JpegCodec.decodeRgbPixels(bad).isEmpty, "sampling 3x3 must be refused")
   }
 
-  test("progressive/multi-component/DRI streams are refused, not mis-decoded") {
+  test("a baseline stream mislabeled SOF2 is malformed, not mis-decoded") {
+    // SOF2 streams are SUPPORTED now (JpegProgressiveSpec), but a
+    // baseline BODY under a progressive frame header is still invalid:
+    // a [0, 63] scan band is illegal in a progressive frame (DC scans
+    // are exactly [0, 0]) — the dispatcher must route it to the
+    // progressive path and that path must refuse it.
     val (w, h, pix) = tileImage(3L)
     val enc = JpegCodec.encodeGray(w, h, pix)
-    // rewrite SOF0 (FFC0) to SOF2 (FFC2): progressive
     val prog = enc.clone()
     val sof = (0 until prog.length - 1).indexWhere(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0)
     assert(sof >= 0)
     prog(sof + 1) = 0xc2.toByte
-    assert(JpegCodec.decodeGrayPixels(prog).isEmpty, "SOF2 must be refused")
+    assert(JpegCodec.decodeGrayPixels(prog).isEmpty,
+      "baseline scan header inside a progressive frame must be refused")
+  }
+
+  test("restart intervals: DRI baseline streams decode bit-identically to plain ones") {
+    // interval 1 maximizes marker density and hits chunks that end
+    // exactly on a byte edge (the unread-pad-byte case the reader's
+    // bounded forward scan exists for)
+    (0L until 20L).foreach { id =>
+      val (w, h, pix) = tileImage(id)
+      Seq(1, 2, 5).foreach { ri =>
+        val enc = JpegCodec.encodeGray(w, h, pix, restartInterval = ri)
+        val Some((dw, dh, dec)) = JpegCodec.decodeGrayPixels(enc)
+        assert(dw == w && dh == h)
+        assert(dec.sameElements(pix), s"id=$id ri=$ri DRI round-trip")
+      }
+    }
+    // AC-laden content too: predictors reset mid-gradient
+    val w = 32; val h = 24
+    val pix = Array.tabulate(w * h)(i => ((i % w) * 7 + (i / w) * 11) % 256)
+    val plain = JpegCodec.decodeGrayPixels(JpegCodec.encodeGray(w, h, pix))
+    val dri = JpegCodec.decodeGrayPixels(JpegCodec.encodeGray(w, h, pix, restartInterval = 3))
+    assert(plain.isDefined && dri.isDefined)
+    assert(plain.get._3.sameElements(dri.get._3),
+      "restart-marker stream must decode to the same pixels")
+  }
+
+  test("restart intervals: ImageIO agrees on our DRI streams") {
+    val (w, h, pix) = tileImage(7L)
+    val enc = JpegCodec.encodeGray(w, h, pix, restartInterval = 1)
+    val (iw, ih, ipix) = imageIoDecode(enc)
+    assert(iw == w && ih == h)
+    assert(ipix.sameElements(pix), "ImageIO must accept and exactly decode the DRI stream")
+  }
+
+  test("restart intervals: a corrupted RSTn marker yields None, not garbage") {
+    val (w, h, pix) = tileImage(5L)
+    val enc = JpegCodec.encodeGray(w, h, pix, restartInterval = 1)
+    val rst = (2 until enc.length - 1).indexWhere(i =>
+      (enc(i) & 0xff) == 0xff && (enc(i + 1) & 0xff) >= 0xd0 && (enc(i + 1) & 0xff) <= 0xd7)
+    assert(rst >= 0, "the stream really contains an RSTn marker")
+    val bad = enc.clone()
+    bad(rst + 1) = 0xd9.toByte // turn the restart into a premature EOI
+    assert(JpegCodec.decodeGrayPixels(bad).isEmpty)
   }
 }
