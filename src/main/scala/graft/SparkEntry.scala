@@ -604,6 +604,23 @@ object SparkEntry {
       TimeOps.mannKendall(ev, "value", "ts_us", Seq("user_id"), tieCorrected = true)
         .orderBy("user_id")
     },
+    // EXACT small-n Mann-Kendall: the permutation-null tail table for
+    // 3 <= n <= 10 untied series (r20 — closes the r19 "exact small-n
+    // tables absent" gap). Corpus: each user's EARLIEST (user_id%9+2)
+    // events, so n sweeps 2..10 and every branch of the shared
+    // integer-literal table (plus the n<3 null) is exercised; p_exact
+    // is (2*tailcount)/n! — two exact integers, one IEEE division,
+    // bit-exact on both engines by construction.
+    "ts_mannkendall_exact" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "value")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us")
+      val small = ev.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= pmod(col("user_id"), lit(9)) + 2)
+        .drop("__rn")
+      TimeOps.mannKendallExact(small, "value", "ts_us", Seq("user_id"))
+        .orderBy("user_id")
+    },
     // Kendall's τ_b: the tie-adjusted rank-correlation EFFECT SIZE
     // (−1..1 strength of the monotone association) companion of the
     // mannkendall z — S over √((n₀−n₁)(n₀−n₂)), where n₀−n₂ IS the
@@ -3567,6 +3584,35 @@ object SparkEntry {
         |      else cast(s_stat - sign(s_stat) as double)
         |           / sqrt(cast((n_obs * (n_obs - 1) * (2 * n_obs + 5)) - tie_adj as double) / 18.0E0)
         | end as z
+        |from ag join n on ag.user_id = n.user_id
+        |  left join tg on tg.user_id = n.user_id
+        |order by n.user_id""".stripMargin,
+    // exact small-n twin: the ties body over the earliest-(user_id%9+2)
+    // corpus, plus the SHARED TimeOps.MkExactPSql permutation-table
+    // text appended verbatim — integer literals and one division, so
+    // the p column is bit-exact cross-engine by construction
+    "ts_mannkendall_exact" ->
+      s"""with e0 as (select user_id, ts, value,
+        |    row_number() over (partition by user_id order by epoch_us(ts)) as rn
+        |  from events),
+        |e as (select user_id, ts, value from e0 where rn <= user_id % 9 + 2),
+        |p as (select a.user_id,
+        |    cast(sign(b.value - a.value) as bigint) as s
+        |  from e a join e b
+        |    on a.user_id = b.user_id and epoch_us(a.ts) < epoch_us(b.ts)),
+        |ag as (select user_id, cast(count(*) as bigint) as n_pairs,
+        |       cast(sum(s) as bigint) as s_stat from p group by user_id),
+        |n as (select user_id, cast(count(*) as bigint) as n_obs from e group by user_id),
+        |tg as (select user_id, cast(sum(t * (t - 1) * (2 * t + 5)) as bigint) as tie_adj
+        |  from (select user_id, value, cast(count(*) as bigint) as t
+        |        from e where value is not null group by 1, 2)
+        |  group by user_id)
+        |select n.user_id, n_obs, n_pairs, s_stat, tie_adj,
+        | case when s_stat = 0 then 0.0E0
+        |      else cast(s_stat - sign(s_stat) as double)
+        |           / sqrt(cast((n_obs * (n_obs - 1) * (2 * n_obs + 5)) - tie_adj as double) / 18.0E0)
+        | end as z,
+        | ${graft.ts.TimeOps.MkExactPSql} as p_exact
         |from ag join n on ag.user_id = n.user_id
         |  left join tg on tg.user_id = n.user_id
         |order by n.user_id""".stripMargin,

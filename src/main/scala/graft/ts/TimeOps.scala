@@ -1238,6 +1238,85 @@ object TimeOps {
     agg.select(groupCols.map(col) ++ outCols: _*)
   }
 
+  /** Exact Mann-Kendall tail counts for small n: the number of
+    * permutations of n UNTIED observations with S ≥ s, from the
+    * Mahonian (inversion-number) recurrence — the generating function
+    * ∏_{j=1..n}(1 + x + … + x^{j−1}) counts permutations by inversions
+    * and S = n(n−1)/2 − 2·inv. Pure integer DP (max count 10! =
+    * 3,628,800 ≪ 2⁶³); MannKendallExactSpec pins it against literal
+    * permutation enumeration. This is the exact small-sample table
+    * (Mann 1945 / the classic Gilbert appendix) the normal
+    * approximation replaces at n ≥ ~10.
+    */
+  private[graft] def mkExactTailCounts(n: Int): Map[Int, Long] = {
+    require(n >= 2 && n <= 12, "exact table range")
+    var counts = Array(1L) // counts(inv) for 1 element
+    var j = 2
+    while (j <= n) {
+      val m = counts.length + j - 1
+      val next = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        var d = math.max(0, i - (counts.length - 1))
+        val dMax = math.min(j - 1, i)
+        var s = 0L
+        while (d <= dMax) { s += counts(i - d); d += 1 }
+        next(i) = s
+        i += 1
+      }
+      counts = next
+      j += 1
+    }
+    val maxS = n * (n - 1) / 2
+    val bySign: Seq[(Int, Long)] =
+      counts.zipWithIndex.map { case (c, inv) => (maxS - 2 * inv, c) }.toSeq
+    (1 to maxS).map(s => s -> bySign.collect { case (sv, c) if sv >= s => c }.sum).toMap
+  }
+
+  /** Shared SQL text: exact two-sided Mann-Kendall p over columns
+    * (n_obs, s_stat, tie_adj). By S-symmetry P(|S| ≥ s) = 2·P(S ≥ s)
+    * for s > 0 and 1 at S = 0. Every branch value is (2·tailcount)/n!
+    * with BOTH operands exact integer literals and one IEEE division —
+    * bit-exact on any engine by construction, no decimal-literal
+    * round-trip in sight. Null when the table doesn't apply: n < 3,
+    * n > 10, or ANY value tie (tie_adj ≠ 0 — the permutation null
+    * distribution assumes distinct values; same convention as R's
+    * cor.test exact=TRUE). Only parity-achievable S values appear
+    * (S ≡ n(n−1)/2 mod 2 on untied data).
+    */
+  private[graft] lazy val MkExactPSql: String = {
+    val entries = (3 to 10).flatMap { n =>
+      val tails = mkExactTailCounts(n)
+      val fact = (1 to n).map(_.toLong).product
+      val maxS = n * (n - 1) / 2
+      (1 to maxS).collect {
+        case s if (maxS - s) % 2 == 0 =>
+          s"when ${n * 100 + s} then (2.0E0 * ${tails(s)}) / $fact.0E0"
+      }
+    }
+    "case when n_obs < 3 or n_obs > 10 or tie_adj is null or tie_adj <> 0 then null " +
+      "when s_stat = 0 then 1.0E0 " +
+      s"else case n_obs * 100 + abs(s_stat) ${entries.mkString(" ")} else null end end"
+  }
+
+  /** [[mannKendall]] (tie-corrected) plus `p_exact`: the EXACT
+    * two-sided p-value from the permutation null distribution for
+    * small untied series (3 ≤ n ≤ 10, no value ties — null otherwise),
+    * closing the small-sample gap where the z normal approximation is
+    * known-poor. The tail table is generated by [[mkExactTailCounts]]
+    * and embedded as shared integer-literal SQL ([[MkExactPSql]]), so
+    * engine and oracle evaluate the identical text. Series with nulls
+    * in `valueCol` are out of contract for the exact column (n_obs
+    * counts rows, S only non-null pairs).
+    */
+  def mannKendallExact(
+      df: DataFrame,
+      valueCol: String,
+      tsCol: String,
+      groupCols: Seq[String]): DataFrame =
+    mannKendall(df, valueCol, tsCol, groupCols, tieCorrected = true)
+      .withColumn("p_exact", expr(MkExactPSql))
+
   /** Kendall's τ_b — the tie-adjusted rank-correlation coefficient of
     * value against time per series: τ_b = S / √((n₀−n₁)(n₀−n₂)) with
     * n₀ = n(n−1)/2, n₁ = Σ t(t−1)/2 over value tie groups, n₂ = the
