@@ -1156,6 +1156,24 @@ object SparkEntry {
         winLen = 32, stride = 8)
         .orderBy("doc_id")
     },
+    // LINE-level dedup stats (the CCNet recipe): a trimmed line
+    // recurring in >= 2 distinct docs is boilerplate; per doc the
+    // counts and the chars that survive dropping it. The synthetic
+    // corpus is single-line (the machinery gates on whole-doc dups);
+    // the REAL twin is the meaty one — 20k genuinely duplicated lines
+    // of license/changelog chrome across the checked-in corpus.
+    "dedup_lines" -> { (s, dir) =>
+      Dedup.lineDedup(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    // PSI drift report between the even/odd doc_id halves over log2
+    // length bins — the crawl-snapshot distribution-shift monitor; one
+    // partial-agg groupBy over the corpus, everything else on the
+    // <=16-row reduced frame; psi_cum's last row is the corpus PSI
+    "corpus_drift" -> { (s, dir) =>
+      graft.functions.Drift.corpusDrift(Tables.documents(s, dir), "doc_id", "n_chars")
+        .orderBy("bin")
+    },
     "dedup_embcos" -> { (s, dir) =>
       val sub = Tables.embeddings(s, dir).where(pmod(col("vec_id"), lit(10L)) === 0)
       Dedup.embeddingCosinePairs(sub, "vec_id", "embedding", threshold = 0.3)
@@ -2219,7 +2237,11 @@ object SparkEntry {
     "sample_importance", "sample_split", "sample_stratified",
     "sample_shards", "sample_mixture", "sample_temperature",
     "pack_sequences", "pack_sequences_curriculum", "pack_budget_cut",
-    "web_url_stats", "web_domain_cap")
+    "web_url_stats", "web_domain_cap",
+    // r20: line-level (CCNet) dedup — the real corpus is where the 20k
+    // genuinely duplicated license/changelog lines live — and the PSI
+    // drift monitor over the real length distribution
+    "dedup_lines", "corpus_drift")
 
   private[graft] val realEventsDir = Tables.realEventsDir
 
@@ -5038,6 +5060,49 @@ object SparkEntry {
          |from m
          |order by doc_id""".stripMargin
     },
+    "dedup_lines" ->
+      // line-dedup twin: newline split (keeping empties — both engines
+      // do), trim, length-8 eligibility, md5 line identity, >= 2
+      // DISTINCT docs → dup; counts all-integer, the ratio one
+      // exact-integer IEEE division
+      """with l as (select doc_id, unnest(string_split(text, chr(10))) as line from documents),
+         |t as (select doc_id, line, trim(line) as tl from l),
+         |e as (select doc_id, md5(tl) as k from t where strlen(tl) >= 8),
+         |dk as (select k from e group by k having count(distinct doc_id) >= 2),
+         |f as (select t.doc_id, t.line,
+         |        strlen(trim(t.line)) >= 8
+         |          and md5(trim(t.line)) in (select k from dk) as isdup,
+         |        strlen(trim(t.line)) >= 8 as elig
+         |      from t)
+         |select doc_id,
+         | cast(count(*) as bigint) as n_lines,
+         | cast(sum(case when elig then 1 else 0 end) as bigint) as n_elig,
+         | cast(sum(case when isdup then 1 else 0 end) as bigint) as n_dup,
+         | cast(sum(case when isdup then 0 else strlen(line) end) as bigint) as kept_bytes,
+         | case when sum(case when elig then 1 else 0 end) = 0 then null
+         |      else cast(sum(case when isdup then 1 else 0 end) as double)
+         |           / sum(case when elig then 1 else 0 end) end as dup_line_ratio
+         |from f group by doc_id
+         |order by doc_id""".stripMargin,
+    "corpus_drift" ->
+      // PSI twin: the SHARED Drift texts verbatim — integer log2 bin
+      // ladder, exact-integer fraction divisions, the round(...,4) +
+      // 0.0E0 ln surface, and the running PSI in pinned bin order
+      s"""with b as (select ${graft.functions.Drift.logBinSql("n_chars")} as bin,
+         |    doc_id % 2 = 0 as is_ref from documents),
+         |c as (select bin,
+         |    cast(count(*) filter (where is_ref) as bigint) as ref_n,
+         |    cast(count(*) filter (where not is_ref) as bigint) as cand_n
+         |  from b group by bin),
+         |t as (select *, cast(sum(ref_n) over () as bigint) as ref_t,
+         |    cast(sum(cand_n) over () as bigint) as cand_t from c),
+         |f as (select bin, ref_n, cand_n,
+         |    ${graft.functions.Drift.RefFracSql} as ref_frac,
+         |    ${graft.functions.Drift.CandFracSql} as cand_frac from t),
+         |p as (select *, ${graft.functions.Drift.PsiTermSql} as psi_term from f)
+         |select bin, ref_n, cand_n, ref_frac, cand_frac, psi_term,
+         | sum(psi_term) over (order by bin rows between unbounded preceding and current row) as psi_cum
+         |from p order by bin""".stripMargin,
     "dedup_substring" ->
       // same strided windows: positions 1, 9, … ≤ len−31 (range stop
       // len−30 exclusive ≡ Spark's sequence stop len−31 inclusive);

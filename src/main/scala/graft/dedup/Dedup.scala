@@ -961,4 +961,50 @@ object Dedup {
         s"cast(__p$i % 64 as int)) & 1) = 1"))
     staged.select(col(idCol), tests.reduce(_ && _).as("maybe_in_ref"))
   }
+
+  /** LINE-level deduplication stats (the CCNet recipe): a line that
+    * appears in ≥ `minDocs` DISTINCT documents is boilerplate (license
+    * stanzas, navigation chrome, changelog headers) and a curation
+    * pipeline drops it before training. Per document:
+    * `n_lines` (all newline-split segments), `n_elig` (trimmed UTF-8
+    * BYTE length ≥ `minLen` — short/blank lines are excluded from dup
+    * counting, else the empty line is the ultimate Zipf-hot key; byte
+    * semantics because engines disagree on what a "character" is for
+    * combining sequences — octet_length/strlen agree everywhere),
+    * `n_dup` (eligible line INSTANCES whose trimmed text recurs in ≥
+    * minDocs docs), `kept_bytes` (raw bytes surviving the drop), and
+    * `dup_line_ratio` = n_dup / n_elig (null when nothing is eligible;
+    * one exact-integer IEEE division — bit-exact cross-engine).
+    *
+    * Scale shape: the shuffled payload is (16-byte md5 digest, doc_id)
+    * pairs — never the lines; the per-line doc count is a two-phase
+    * partial-agg distinct; the dup-key set joins back on the digest
+    * (AQE-skew-splittable — a crawl-scale boilerplate line is a hot
+    * key by construction). minLen also caps how short (= how hot) a
+    * digest can get. Same digest-collision contract as [[exact]].
+    */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2, minLen: Int = 8): DataFrame = {
+    val lines = docs.select(col(idCol),
+      explode(split(col(textCol), "\n")).as("__line"))
+      .withColumn("__t", trim(col("__line")))
+      .withColumn("__elig", octet_length(col("__t")) >= minLen)
+      .withColumn("__k", when(col("__elig"), unhex(md5(col("__t")))))
+    val dupKeys = lines.where(col("__elig"))
+      .groupBy(col("__k"))
+      .agg(countDistinct(col(idCol)).as("__d"))
+      .where(col("__d") >= minDocs)
+      .select(col("__k").as("__dk"), lit(1L).as("__dup"))
+    lines.join(dupKeys, lines("__k") === dupKeys("__dk"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__elig"), 1L).otherwise(0L)).as("n_elig"),
+        sum(when(col("__elig") && col("__dup").isNotNull, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("__elig") && col("__dup").isNotNull, 0L)
+          .otherwise(octet_length(col("__line")).cast("long"))).as("kept_bytes"))
+      .withColumn("dup_line_ratio",
+        when(col("n_elig") === 0, lit(null).cast("double"))
+          .otherwise(col("n_dup").cast("double") / col("n_elig")))
+  }
 }
