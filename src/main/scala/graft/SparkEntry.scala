@@ -687,6 +687,17 @@ object SparkEntry {
       TimeOps.kpssTrend(ev, "value", evGroup, evOrder)
         .orderBy("user_id")
     },
+    // Hurst exponent via rescaled-range (R/S) analysis: the
+    // long-memory one-number read (≈0.5 noise, >0.5 persistent, ≈1
+    // random walk) — per dyadic block size the range of cumulative
+    // mean-deviations over the block σ, then the OLS slope of
+    // ln(avg R/S) on log2(m) in shared text. Users shorter than 64
+    // lack the largest size and emit a null H (documented contract).
+    "ts_hurst" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.hurst(ev, "value", evGroup, evOrder)
+        .orderBy("user_id")
+    },
     // ADF(1) unit-root test: does the level pull back (stationary,
     // strongly negative t) or wander (random walk, t ≈ 0)? One window
     // pass + nine sums + a shared-text Cramer solve
@@ -2277,7 +2288,7 @@ object SparkEntry {
     "ts_spearman", "ts_pettitt", "ts_runs_test", "ts_cox_stuart",
     "ts_theilsen_seasonal", "ts_ljungbox", "ts_adf", "ts_kpss", "ts_kpss_hac",
     "ts_kpss_trend",
-    "ts_perm_entropy",
+    "ts_perm_entropy", "ts_hurst", "ts_mannkendall_exact",
     "ts_mannkendall_seasonal", "ts_mannkendall_ties", "ts_moments",
     "ts_ohlc", "ts_pacf", "ts_pivot", "ts_range_join", "ts_rank",
     "ts_resample", "ts_robust_zscore", "ts_rollquantiles",
@@ -3781,6 +3792,76 @@ object SparkEntry {
          | ${graft.ts.TimeOps.KpssEtaSql} as eta
          |from g
          |order by user_id""".stripMargin,
+    // R/S Hurst twin: the identical stage chain — row_number spine,
+    // per-(user, m, block) first-value shift + ordered running sums +
+    // whole-frame totals, association-free max/min range, the running
+    // across-blocks average taken at its last block via max_by, and
+    // the SHARED hurstSlopeSql OLS text
+    "ts_hurst" ->
+      s"""with e as (select user_id, epoch_us(ts) as t, event_id, value,
+         |    row_number() over (partition by user_id order by epoch_us(ts), event_id) as rn
+         |  from events),
+         |n as (select user_id, cast(count(*) as bigint) as n_obs from events group by user_id),
+         |x as (select user_id, rn, value, mw,
+         |    (rn - 1) // mw as blk, (rn - 1) % mw + 1 as k
+         |  from e cross join (select unnest([8, 16, 32, 64]) as mw)),
+         |s as (select user_id, mw, blk, k, rn, value,
+         |    value - first_value(value) over wb as xs,
+         |    count(*) over wf as cnt
+         |  from x
+         |  window wb as (partition by user_id, mw, blk order by rn
+         |                rows between unbounded preceding and current row),
+         |         wf as (partition by user_id, mw, blk)),
+         |c as (select *,
+         |    sum(xs) over wc as cum,
+         |    sum(xs) over wf2 as tot,
+         |    sum(xs * xs) over wf2 as tot2
+         |  from s
+         |  window wc as (partition by user_id, mw, blk order by rn
+         |                rows between unbounded preceding and current row),
+         |         wf2 as (partition by user_id, mw, blk)),
+         |z as (select *, cum - k * (tot / mw) as zv from c where cnt = mw),
+         |b as (select user_id, mw, blk,
+         |    max(zv) as zmax, min(zv) as zmin, max(tot) as t1, max(tot2) as t2
+         |  from z group by 1, 2, 3),
+         |r as (select *,
+         |    case when (t2 / mw - (t1 / mw) * (t1 / mw)) > 0
+         |         then (zmax - zmin) / sqrt(t2 / mw - (t1 / mw) * (t1 / mw))
+         |         else null end as rs
+         |  from b),
+         |q as (select *,
+         |    sum(rs) over wq as rs_cum,
+         |    count(rs) over wq as rs_n
+         |  from r
+         |  window wq as (partition by user_id, mw order by blk
+         |                rows between unbounded preceding and current row)),
+         |p as (select user_id, mw,
+         |    max_by(rs_n, blk) as nb,
+         |    case when max_by(rs_n, blk) > 0
+         |         then max_by(rs_cum, blk) / max_by(rs_n, blk) else null end as avg_rs
+         |  from q group by 1, 2),
+         |v as (select user_id,
+         |    max(case when mw = 8 then nb end) as nbp_8,
+         |    max(case when mw = 16 then nb end) as nbp_16,
+         |    max(case when mw = 32 then nb end) as nbp_32,
+         |    max(case when mw = 64 then nb end) as nbp_64,
+         |    max(case when mw = 8 then avg_rs end) as rs_raw_8,
+         |    max(case when mw = 16 then avg_rs end) as rs_raw_16,
+         |    max(case when mw = 32 then avg_rs end) as rs_raw_32,
+         |    max(case when mw = 64 then avg_rs end) as rs_raw_64
+         |  from p group by user_id)
+         |select n.user_id, n_obs,
+         | cast(coalesce(nbp_8, 0) as bigint) as nb_8,
+         | cast(coalesce(nbp_16, 0) as bigint) as nb_16,
+         | cast(coalesce(nbp_32, 0) as bigint) as nb_32,
+         | cast(coalesce(nbp_64, 0) as bigint) as nb_64,
+         | round(rs_raw_8, 4) + 0.0E0 as rs_8,
+         | round(rs_raw_16, 4) + 0.0E0 as rs_16,
+         | round(rs_raw_32, 4) + 0.0E0 as rs_32,
+         | round(rs_raw_64, 4) + 0.0E0 as rs_64,
+         | ${graft.ts.TimeOps.hurstSlopeSql(Seq(8, 16, 32, 64))} as hurst
+         |from v join n using (user_id)
+         |order by n.user_id""".stripMargin,
     // HAC twin: the ts_kpss chain + 16 lag frames of e in the same
     // window, the Bartlett-weighted covariance sums, the pure-integer
     // bandwidth count, and the shared η text

@@ -1966,6 +1966,118 @@ object TimeOps {
         expr(PermEntropySql).as("perm_entropy"): _*)
   }
 
+  /** Shared SQL text: the Hurst exponent as the OLS slope of
+    * ln(avg R/S) against log2(block size), over columns
+    * `rs_raw_<m>` (one per size). The log2 abscissae are EXACT
+    * integers (the sizes are required dyadic), so the only libm in
+    * the statistic is the ln of each ordinate and the final /ln(2) —
+    * inside the house round(…,4) + 0.0E0 surface. Null unless every
+    * size produced a positive block-average R/S (series too short →
+    * null, the documented contract).
+    */
+  private[graft] def hurstSlopeSql(sizes: Seq[Int]): String = {
+    val ks = sizes.map(m => 31 - Integer.numberOfLeadingZeros(m))
+    val n = sizes.size
+    val sk = ks.sum
+    val skk = ks.map(k => k * k).sum
+    val denom = n * skk - sk * sk
+    val defined = sizes.map(m => s"rs_raw_$m is not null and rs_raw_$m > 0.0E0").mkString(" and ")
+    val sy = sizes.map(m => s"ln(rs_raw_$m)").mkString(" + ")
+    val sky = sizes.zip(ks).map { case (m, k) => s"$k.0E0 * ln(rs_raw_$m)" }.mkString(" + ")
+    s"case when $defined then round((($n.0E0 * ($sky) - $sk.0E0 * ($sy)) / $denom.0E0)" +
+      " / ln(2.0E0), 4) + 0.0E0 else null end"
+  }
+
+  /** Hurst exponent per series via rescaled-range (R/S) analysis —
+    * the long-memory diagnostic (Hurst 1951 / Mandelbrot-Wallis):
+    * H ≈ 0.5 for white noise, > 0.5 for persistent series, ≈ 1 for a
+    * random walk — the "does this series trend or mean-revert"
+    * one-number read a forecasting pipeline uses to pick model
+    * families. For each dyadic block size m: consecutive full blocks
+    * of m time-ordered values; per block the range R of cumulative
+    * mean-deviations and the population σ; H = OLS slope of
+    * ln(avg R/S) on log2(m) (shared text, [[hurstSlopeSql]]).
+    *
+    * Numerics discipline (the KPSS/ts_stl lineage, tightened):
+    * values are FIRST-VALUE-shifted per block (R and S are exactly
+    * shift-invariant, the FP deltas then live at data-range ulp);
+    * running block sums ride ordered window frames (sequential
+    * accumulation in sorted order on BOTH engines); block totals are
+    * whole-frame window sums over ≤ m sorted rows; R = max − min is
+    * association-FREE; the across-blocks average is a RUNNING sum in
+    * ascending-block order whose last row is taken exactly
+    * (max-on-(blk, …) struct / max_by) — no hash-agg association
+    * anywhere on the data-sized path; the final libm surface is
+    * round(…,4) + 0.0E0. Zero-variance blocks contribute null R/S
+    * (skipped by the running count); a size with no valid block
+    * yields null and nulls H.
+    *
+    * Scale: ONE series exchange (the row_number window), then the
+    * |sizes|-times exploded frame re-windows on (series, m, block) —
+    * block frames are ≤ max(sizes) rows, so no unbounded per-key
+    * buffer; everything after the block stage is |blocks|-sized.
+    */
+  def hurst(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      sizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(sizes.size >= 2 && sizes == sizes.sorted && sizes.distinct.size == sizes.size &&
+      sizes.forall(m => m >= 4 && (m & (m - 1)) == 0), "ascending distinct dyadic sizes >= 4")
+    val gw = Featurize.seriesWindow(groupCols, orderCols)
+    val based = df.withColumn("__rn", row_number().over(gw))
+    val nObs = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n_obs"))
+    val exploded = based
+      .withColumn("__m", explode(array(sizes.map(m => lit(m.toLong)): _*)))
+      .withColumn("__blk", expr("(__rn - 1) div __m"))
+      .withColumn("__k", expr("(__rn - 1) % __m + 1"))
+    val bw = Window
+      .partitionBy(groupCols.map(col) ++ Seq(col("__m"), col("__blk")): _*)
+      .orderBy(col("__rn"))
+    val bwCum = bw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwFull = bw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val z = exploded
+      .withColumn("__x", col(valueCol) - first(col(valueCol)).over(bw))
+      .withColumn("__cum", sum(col("__x")).over(bwCum))
+      .withColumn("__tot", sum(col("__x")).over(bwFull))
+      .withColumn("__tot2", sum(col("__x") * col("__x")).over(bwFull))
+      .withColumn("__cnt", count(lit(1)).over(bwFull))
+      .where(col("__cnt") === col("__m")) // full blocks only
+      .withColumn("__z", col("__cum") - col("__k") * (col("__tot") / col("__m")))
+    val blocks = z
+      .groupBy(groupCols.map(col) ++ Seq(col("__m"), col("__blk")): _*)
+      .agg(max(col("__z")).as("__zmax"), min(col("__z")).as("__zmin"),
+        max(col("__tot")).as("__t1"), max(col("__tot2")).as("__t2"))
+      .withColumn("__var",
+        col("__t2") / col("__m") - (col("__t1") / col("__m")) * (col("__t1") / col("__m")))
+      .withColumn("__rs",
+        when(col("__var") > 0, (col("__zmax") - col("__zmin")) / sqrt(col("__var"))))
+    val bq = Window.partitionBy(groupCols.map(col) :+ col("__m"): _*).orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = blocks
+      .withColumn("__rs_cum", sum(col("__rs")).over(bq))
+      .withColumn("__rs_n", count(col("__rs")).over(bq))
+    val perSize = cum
+      .groupBy(groupCols.map(col) :+ col("__m"): _*)
+      .agg(max(struct(col("__blk"), col("__rs_cum"), col("__rs_n"))).as("__last"))
+      .select(groupCols.map(col) ++ Seq(col("__m"),
+        col("__last").getField("__rs_n").as("__nb"),
+        when(col("__last").getField("__rs_n") > 0,
+          col("__last").getField("__rs_cum") / col("__last").getField("__rs_n"))
+          .as("__avg")): _*)
+    val aggCols = sizes.flatMap(m => Seq(
+      max(when(col("__m") === m, col("__nb"))).as(s"__nbp_$m"),
+      max(when(col("__m") === m, col("__avg"))).as(s"rs_raw_$m")))
+    val pivoted = perSize.groupBy(groupCols.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    pivoted.join(nObs, groupCols)
+      .select(groupCols.map(col) ++ Seq(col("n_obs")) ++
+        sizes.map(m => coalesce(col(s"__nbp_$m"), lit(0L)).as(s"nb_$m")) ++
+        sizes.map(m => expr(s"round(rs_raw_$m, 4) + 0.0E0").as(s"rs_$m")) :+
+        expr(hurstSlopeSql(sizes)).as("hurst"): _*)
+  }
+
   /** KPSS level-stationarity test (lag-0 variant) per series — the
     * COMPLEMENT of [[adfTest]]: here the null is "stationary around a
     * level" and a LARGE η rejects it (≈ 0.463 at 5%), so the pair
