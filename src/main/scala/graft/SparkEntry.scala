@@ -698,6 +698,15 @@ object SparkEntry {
       TimeOps.hurst(ev, "value", evGroup, evOrder)
         .orderBy("user_id")
     },
+    // Sample entropy (m=2, r=0.2σ): the METRIC regularity companion
+    // of ts_perm_entropy — template self-similarity counts in s4
+    // integer space (no FP boundary inside the pair predicate), one
+    // ln inside round(,4). Prefix-capped at 2,048 points per series.
+    "ts_sampen" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.sampleEntropy(ev, "value", evGroup, evOrder)
+        .orderBy("user_id")
+    },
     // ADF(1) unit-root test: does the level pull back (stationary,
     // strongly negative t) or wander (random walk, t ≈ 0)? One window
     // pass + nine sums + a shared-text Cramer solve
@@ -2094,6 +2103,14 @@ object SparkEntry {
           StreamingFeaturize.streamingExactDedup(ds).toDF())
         .orderBy("doc_id")
     },
+    // online LINE-level dedup (the streaming half of dedup_lines): per
+    // eligible line instance, the first EARLIER doc carrying it; state
+    // = one long per distinct line hash, (h60, doc_id) pairs shuffle
+    "stream_dedup_lines" -> { (s, dir) =>
+      StreamRunner.runFileSource[Doc](s, streamDocsDf(s, dir), Seq("doc_id"), nChunks = 5, "append")(ds =>
+          StreamingFeaturize.streamingLineDedup(ds).toDF())
+        .orderBy("doc_id", "line_h")
+    },
     // mixture sampling is STATELESS (pure function of each row), so the
     // batch operator composes into the stream unchanged — domain (lang
     // id) computed in-scan, keep decision by id-hash bucket, zero state
@@ -2288,7 +2305,7 @@ object SparkEntry {
     "ts_spearman", "ts_pettitt", "ts_runs_test", "ts_cox_stuart",
     "ts_theilsen_seasonal", "ts_ljungbox", "ts_adf", "ts_kpss", "ts_kpss_hac",
     "ts_kpss_trend",
-    "ts_perm_entropy", "ts_hurst", "ts_mannkendall_exact",
+    "ts_perm_entropy", "ts_hurst", "ts_mannkendall_exact", "ts_sampen",
     "ts_mannkendall_seasonal", "ts_mannkendall_ties", "ts_moments",
     "ts_ohlc", "ts_pacf", "ts_pivot", "ts_range_join", "ts_rank",
     "ts_resample", "ts_robust_zscore", "ts_rollquantiles",
@@ -3791,6 +3808,48 @@ object SparkEntry {
          |select user_id, cast(n as bigint) as n_obs,
          | ${graft.ts.TimeOps.KpssEtaSql} as eta
          |from g
+         |order by user_id""".stripMargin,
+    // SampEn twin: the identical stage chain — prefix spine, shifted
+    // s4 integer templates via leads, integer tolerance r4 from the
+    // floored 0.2σ, the same pair join and the one rounded ln
+    "ts_sampen" ->
+      """with e as (select user_id, epoch_us(ts) as t, event_id, value,
+         |    row_number() over w0 as rn,
+         |    value - first_value(value) over w0 as x
+         |  from events
+         |  window w0 as (partition by user_id order by epoch_us(ts), event_id)),
+         |n as (select user_id, cast(count(*) as bigint) as n_obs from events group by user_id),
+         |p as (select * from e where rn <= 2048),
+         |st as (select user_id, cast(count(*) as bigint) as n_used,
+         |    sum(x) as s1, sum(x * x) as s2 from p group by user_id),
+         |r as (select user_id, n_used,
+         |    cast(floor(0.2E0 * sqrt(case when (s2 / n_used - (s1 / n_used) * (s1 / n_used)) > 0.0E0
+         |          then s2 / n_used - (s1 / n_used) * (s1 / n_used) else 0.0E0 end)
+         |        * 1.0E4 + 0.5E0) as bigint) as r4
+         |  from st),
+         |v as (select user_id, rn, cast(floor(x * 1.0E4 + 0.5E0) as bigint) as v4 from p),
+         |tpl as (select user_id, rn, v4 as a0,
+         |    lead(v4, 1) over (partition by user_id order by rn) as a1,
+         |    lead(v4, 2) over (partition by user_id order by rn) as a2
+         |  from v),
+         |tt as (select * from tpl where a2 is not null),
+         |pr as (select a.user_id,
+         |    sum(case when abs(a.a0 - b.a0) <= r.r4 and abs(a.a1 - b.a1) <= r.r4
+         |             then 1 else 0 end) as bp,
+         |    sum(case when abs(a.a0 - b.a0) <= r.r4 and abs(a.a1 - b.a1) <= r.r4
+         |              and abs(a.a2 - b.a2) <= r.r4 then 1 else 0 end) as ap
+         |  from tt a join tt b on a.user_id = b.user_id and a.rn < b.rn
+         |    join r on r.user_id = a.user_id
+         |  group by a.user_id),
+         |f as (select n.user_id, n_obs, r.n_used, r.r4,
+         |    cast(coalesce(pr.bp, 0) as bigint) as b_pairs,
+         |    cast(coalesce(pr.ap, 0) as bigint) as a_pairs
+         |  from n join r using (user_id) left join pr on pr.user_id = n.user_id)
+         |select user_id, n_obs, n_used, r4, b_pairs, a_pairs,
+         | case when a_pairs > 0 and b_pairs > 0
+         |      then round(ln(cast(b_pairs as double) / cast(a_pairs as double)), 4) + 0.0E0
+         |      else null end as sampen
+         |from f
          |order by user_id""".stripMargin,
     // R/S Hurst twin: the identical stage chain — row_number spine,
     // per-(user, m, block) first-value shift + ordered running sums +
@@ -6185,6 +6244,18 @@ object SparkEntry {
          | case when min(doc_id) over (partition by k) < doc_id
          |      then min(doc_id) over (partition by k) end as dup_of
          |from d order by doc_id""".stripMargin,
+    // line-level twin: the same first-carrier verdict per ELIGIBLE
+    // line instance — doc-id replay order makes "earlier in stream"
+    // = smaller doc_id, so min-per-line-hash IS the stream state
+    "stream_dedup_lines" ->
+      s"""with l as (select doc_id, unnest(string_split(text, chr(10))) as line from documents),
+         |e as (select doc_id, ${SqlTwins.h60("trim(line)")} as line_h
+         |  from l where strlen(trim(line)) >= 8),
+         |m as (select line_h, min(doc_id) as mn from e group by line_h)
+         |select e.doc_id, e.line_h,
+         | case when m.mn < e.doc_id then m.mn end as dup_of
+         |from e join m using (line_h)
+         |order by doc_id, line_h""".stripMargin,
     // stateless per-row decision → the batch SQL IS the streaming oracle
     "stream_mixture" ->
       s"""with d as (select doc_id, ${SqlTwins.langidSelect("text")} as lang_pred,

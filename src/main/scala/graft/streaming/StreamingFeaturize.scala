@@ -15,6 +15,7 @@ case class TypedEv(user_id: Long, ts_us: Long, event_type: String)
 case class Doc(doc_id: Long, text: String)
 case class DedupVerdict(doc_id: Long, dup_of: Option[Long])
 case class SeenDoc(first_id: Long)
+case class LineVerdict(doc_id: Long, line_h: Long, dup_of: Option[Long])
 case class RollFeat(
     user_id: Long,
     ts_us: Long,
@@ -311,6 +312,47 @@ object StreamingFeaturize {
                 first = Some(id)
                 DedupVerdict(id, None)
               case Some(f) => DedupVerdict(id, Some(f))
+            }
+          }
+          state.update(SeenDoc(first.get))
+          out.iterator
+        })
+  }
+
+  /** Streaming LINE-level dedup: the online half of the batch
+    * [[graft.dedup.Dedup.lineDedup]] recipe — per ELIGIBLE line
+    * instance (trimmed UTF-8 byte length ≥ `minLen`, the batch
+    * contract), emit the first EARLIER document that already carried
+    * the line (`dup_of`; null when this document is itself the first
+    * carrier, including re-occurrences within one document). State per
+    * line hash = one long (the first doc id), so the store grows with
+    * DISTINCT eligible lines, never instances; the shuffle carries
+    * (h60, doc_id) pairs only — the streaming-exact-dedup discipline
+    * at line granularity. Within a micro-batch, docs process in id
+    * order (the replay contract), so batch boundaries can't change
+    * verdicts.
+    */
+  def streamingLineDedup(docs: Dataset[Doc], minLen: Int = 8): Dataset[LineVerdict] = {
+    import docs.sparkSession.implicits._
+    val lines = docs.toDF()
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("__line"))
+      .withColumn("__t", trim(col("__line")))
+      .where(octet_length(col("__t")) >= minLen)
+      .select(col("doc_id"), graft.functions.TextOps.h60(col("__t")).as("line_h"))
+      .as[(Long, Long)]
+    lines
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (k: Long, rows: Iterator[(Long, Long)], state: GroupState[SeenDoc]) => {
+          val ids = rows.map(_._1).toSeq.sorted
+          var first = state.getOption.map(_.first_id)
+          val out = ids.map { id =>
+            first match {
+              case None =>
+                first = Some(id)
+                LineVerdict(id, k, None)
+              case Some(f) =>
+                LineVerdict(id, k, if (f < id) Some(f) else None)
             }
           }
           state.update(SeenDoc(first.get))

@@ -87,6 +87,16 @@ object MonsterRankStats {
       time("kpss_hac_window", "eta")(
         TimeOps.kpssHac(df, "value", Seq("user_id"), Seq("ts_us", "event_id")))
     }
+    // r20c additions: hurst is a WINDOW route (the 4×-exploded block
+    // frames are ≤ 64 rows each — linear, no budget needed); sampen is
+    // PREFIX-capped by contract (first 2,048 points), so the monster
+    // cost is the row_number spine scan plus a bounded pair join.
+    if (routes("hurst"))
+      time("hurst_window", "hurst")(
+        TimeOps.hurst(df, "value", Seq("user_id"), Seq("ts_us", "event_id")))
+    if (routes("sampen"))
+      time("sampen_prefix", "sampen")(
+        TimeOps.sampleEntropy(df, "value", Seq("user_id"), Seq("ts_us", "event_id")))
     spark.stop()
   }
 }

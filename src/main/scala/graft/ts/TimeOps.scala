@@ -2078,6 +2078,90 @@ object TimeOps {
         expr(hurstSlopeSql(sizes)).as("hurst"): _*)
   }
 
+  /** Sample entropy (Richman-Moorman 2000), m = 2 — the regularity
+    * companion of [[permEntropy]]: where permutation entropy reads
+    * ORDINAL pattern diversity, SampEn reads METRIC self-similarity —
+    * −ln(A/B) with B = #{template pairs of length 2 within tolerance
+    * r} and A = the same for length 3 (templates start at i ≤ n−2, the
+    * standard convention keeping A and B over the same index set).
+    * Low SampEn = regular/self-similar; high = irregular. r = 0.2·σ,
+    * the classic default.
+    *
+    * Exactness design: values enter the comparisons as s4 INTEGERS
+    * (the ts_trend floor(x·10⁴ + 0.5) idiom on FIRST-VALUE-shifted
+    * values — template distances are shift-invariant) and the
+    * tolerance is the same-scaled integer r4, so A and B are exact
+    * integer counts with no FP boundary inside the pair predicate;
+    * the single libm surface is one ln inside round(…,4) + 0.0E0. σ
+    * rides the KPSS-lineage shifted grouped sums and reaches the
+    * counts only through the r4 floor.
+    *
+    * Scale contract (documented, Theil-Sen style): the statistic is
+    * computed on the first `maxPoints` observations per series
+    * (default 2,048 → ≤ ~2M template pairs per series); a longer
+    * series gets its prefix, visibly via `n_used` < `n_obs`. The pair
+    * join is series-keyed and AQE-splittable; templates carry three
+    * bigints, never values.
+    */
+  def sampleEntropy(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      maxPoints: Int = 2048): DataFrame = {
+    require(maxPoints >= 8, "maxPoints >= 8")
+    val w = Featurize.seriesWindow(groupCols, orderCols)
+    val nObs = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n_obs"))
+    val pre = df
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__x", col(valueCol) - first(col(valueCol)).over(w))
+      .where(col("__rn") <= maxPoints)
+    val stats = pre.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_used"),
+        sum(col("__x")).as("__s1"), sum(col("__x") * col("__x")).as("__s2"))
+      .withColumn("__var",
+        col("__s2") / col("n_used") - (col("__s1") / col("n_used")) * (col("__s1") / col("n_used")))
+      .withColumn("r4", expr(
+        "cast(floor(0.2E0 * sqrt(case when __var > 0.0E0 then __var else 0.0E0 end)" +
+          " * 1.0E4 + 0.5E0) as bigint)"))
+      .select(groupCols.map(col) ++ Seq(col("n_used"), col("r4")): _*)
+    val pw = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__rn"))
+    val tpl = pre
+      .withColumn("__v4", expr("cast(floor(__x * 1.0E4 + 0.5E0) as bigint)"))
+      .withColumn("__a0", col("__v4"))
+      .withColumn("__a1", lead(col("__v4"), 1).over(pw))
+      .withColumn("__a2", lead(col("__v4"), 2).over(pw))
+      .where(col("__a2").isNotNull)
+      .select(groupCols.map(col) ++ Seq(col("__rn"), col("__a0"), col("__a1"), col("__a2")): _*)
+    val a = tpl.select(groupCols.map(c => col(c).as(s"__ga_$c")) ++
+      Seq(col("__rn").as("__ra"), col("__a0").as("__p0"),
+        col("__a1").as("__p1"), col("__a2").as("__p2")): _*)
+    val b = tpl.select(groupCols.map(c => col(c).as(s"__gb_$c")) ++
+      Seq(col("__rn").as("__rb"), col("__a0").as("__q0"),
+        col("__a1").as("__q1"), col("__a2").as("__q2")): _*)
+    val joinCond = groupCols.map(c => col(s"__ga_$c") === col(s"__gb_$c"))
+      .reduce(_ && _) && col("__ra") < col("__rb")
+    val rJoined = a.join(b, joinCond)
+      .join(stats, groupCols.map(c => col(s"__ga_$c") === stats(c)).reduce(_ && _))
+    val bm = abs(col("__p0") - col("__q0")) <= col("r4") &&
+      abs(col("__p1") - col("__q1")) <= col("r4")
+    val am = bm && abs(col("__p2") - col("__q2")) <= col("r4")
+    val pairs = rJoined
+      .groupBy(groupCols.map(c => col(s"__ga_$c").as(c)): _*)
+      .agg(sum(when(bm, 1L).otherwise(0L)).as("__bp"),
+        sum(when(am, 1L).otherwise(0L)).as("__ap"))
+    nObs.join(stats, groupCols)
+      .join(pairs, groupCols, "left")
+      .withColumn("b_pairs", coalesce(col("__bp"), lit(0L)))
+      .withColumn("a_pairs", coalesce(col("__ap"), lit(0L)))
+      .withColumn("sampen", expr(
+        "case when a_pairs > 0 and b_pairs > 0 " +
+          "then round(ln(cast(b_pairs as double) / cast(a_pairs as double)), 4) + 0.0E0 " +
+          "else null end"))
+      .select(groupCols.map(col) ++ Seq(col("n_obs"), col("n_used"), col("r4"),
+        col("b_pairs"), col("a_pairs"), col("sampen")): _*)
+  }
+
   /** KPSS level-stationarity test (lag-0 variant) per series — the
     * COMPLEMENT of [[adfTest]]: here the null is "stationary around a
     * level" and a LARGE η rejects it (≈ 0.463 at 5%), so the pair
