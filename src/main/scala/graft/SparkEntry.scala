@@ -3815,36 +3815,37 @@ object SparkEntry {
     "ts_sampen" ->
       """with e as (select user_id, epoch_us(ts) as t, event_id, value,
          |    row_number() over w0 as rn,
-         |    value - first_value(value) over w0 as x
+         |    value - first_value(value) over w0 as x,
+         |    cast(count(*) over (partition by user_id) as bigint) as n_obs
          |  from events
          |  window w0 as (partition by user_id order by epoch_us(ts), event_id)),
-         |n as (select user_id, cast(count(*) as bigint) as n_obs from events group by user_id),
          |p as (select * from e where rn <= 2048),
-         |st as (select user_id, cast(count(*) as bigint) as n_used,
-         |    sum(x) as s1, sum(x * x) as s2 from p group by user_id),
-         |r as (select user_id, n_used,
+         |s as (select *, cast(count(*) over wp as bigint) as n_used,
+         |    sum(x) over wp as s1, sum(x * x) over wp as s2
+         |  from p window wp as (partition by user_id)),
+         |r as (select *,
          |    cast(floor(0.2E0 * sqrt(case when (s2 / n_used - (s1 / n_used) * (s1 / n_used)) > 0.0E0
          |          then s2 / n_used - (s1 / n_used) * (s1 / n_used) else 0.0E0 end)
-         |        * 1.0E4 + 0.5E0) as bigint) as r4
-         |  from st),
-         |v as (select user_id, rn, cast(floor(x * 1.0E4 + 0.5E0) as bigint) as v4 from p),
-         |tpl as (select user_id, rn, v4 as a0,
+         |        * 1.0E4 + 0.5E0) as bigint) as r4,
+         |    cast(floor(x * 1.0E4 + 0.5E0) as bigint) as v4
+         |  from s),
+         |tpl as (select user_id, rn, n_obs, n_used, r4, v4 as a0,
          |    lead(v4, 1) over (partition by user_id order by rn) as a1,
          |    lead(v4, 2) over (partition by user_id order by rn) as a2
-         |  from v),
+         |  from r),
+         |h as (select user_id, n_obs, n_used, r4 from tpl where rn = 1),
          |tt as (select * from tpl where a2 is not null),
          |pr as (select a.user_id,
-         |    sum(case when abs(a.a0 - b.a0) <= r.r4 and abs(a.a1 - b.a1) <= r.r4
+         |    sum(case when abs(a.a0 - b.a0) <= a.r4 and abs(a.a1 - b.a1) <= a.r4
          |             then 1 else 0 end) as bp,
-         |    sum(case when abs(a.a0 - b.a0) <= r.r4 and abs(a.a1 - b.a1) <= r.r4
-         |              and abs(a.a2 - b.a2) <= r.r4 then 1 else 0 end) as ap
+         |    sum(case when abs(a.a0 - b.a0) <= a.r4 and abs(a.a1 - b.a1) <= a.r4
+         |              and abs(a.a2 - b.a2) <= a.r4 then 1 else 0 end) as ap
          |  from tt a join tt b on a.user_id = b.user_id and a.rn < b.rn
-         |    join r on r.user_id = a.user_id
          |  group by a.user_id),
-         |f as (select n.user_id, n_obs, r.n_used, r.r4,
+         |f as (select h.user_id, n_obs, n_used, r4,
          |    cast(coalesce(pr.bp, 0) as bigint) as b_pairs,
          |    cast(coalesce(pr.ap, 0) as bigint) as a_pairs
-         |  from n join r using (user_id) left join pr on pr.user_id = n.user_id)
+         |  from h left join pr on pr.user_id = h.user_id)
          |select user_id, n_obs, n_used, r4, b_pairs, a_pairs,
          | case when a_pairs > 0 and b_pairs > 0
          |      then round(ln(cast(b_pairs as double) / cast(a_pairs as double)), 4) + 0.0E0

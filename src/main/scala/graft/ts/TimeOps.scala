@@ -2110,48 +2110,57 @@ object TimeOps {
       orderCols: Seq[String],
       maxPoints: Int = 2048): DataFrame = {
     require(maxPoints >= 8, "maxPoints >= 8")
+    // ONE window chain carries everything (n_obs as a full-frame count
+    // on the SAME sorted spec — no second buffering WindowExec, no
+    // separate groupBy branches re-executing the series sort): spine →
+    // prefix filter → a second WindowExec over the ≤ maxPoints rows
+    // per series (partitioning preserved, only a cheap re-sort on the
+    // reduced frame) computing prefix stats, r4, and the s4 template
+    // leads. Per-series scalars are then read off the rn = 1 row. The
+    // only remaining spine re-execution is the self-join's two sides —
+    // structural to the declarative pair shape, bounded by the prefix.
     val w = Featurize.seriesWindow(groupCols, orderCols)
-    val nObs = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n_obs"))
-    val pre = df
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val spine = df
       .withColumn("__rn", row_number().over(w))
       .withColumn("__x", col(valueCol) - first(col(valueCol)).over(w))
+      .withColumn("n_obs", count(lit(1)).over(wFull))
       .where(col("__rn") <= maxPoints)
-    val stats = pre.groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("n_used"),
-        sum(col("__x")).as("__s1"), sum(col("__x") * col("__x")).as("__s2"))
+    val pw = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__rn"))
+    val pwFull = pw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val tpl = spine
+      .withColumn("n_used", count(lit(1)).over(pwFull))
+      .withColumn("__s1", sum(col("__x")).over(pwFull))
+      .withColumn("__s2", sum(col("__x") * col("__x")).over(pwFull))
       .withColumn("__var",
         col("__s2") / col("n_used") - (col("__s1") / col("n_used")) * (col("__s1") / col("n_used")))
       .withColumn("r4", expr(
         "cast(floor(0.2E0 * sqrt(case when __var > 0.0E0 then __var else 0.0E0 end)" +
           " * 1.0E4 + 0.5E0) as bigint)"))
-      .select(groupCols.map(col) ++ Seq(col("n_used"), col("r4")): _*)
-    val pw = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__rn"))
-    val tpl = pre
       .withColumn("__v4", expr("cast(floor(__x * 1.0E4 + 0.5E0) as bigint)"))
-      .withColumn("__a0", col("__v4"))
       .withColumn("__a1", lead(col("__v4"), 1).over(pw))
       .withColumn("__a2", lead(col("__v4"), 2).over(pw))
-      .where(col("__a2").isNotNull)
-      .select(groupCols.map(col) ++ Seq(col("__rn"), col("__a0"), col("__a1"), col("__a2")): _*)
-    val a = tpl.select(groupCols.map(c => col(c).as(s"__ga_$c")) ++
-      Seq(col("__rn").as("__ra"), col("__a0").as("__p0"),
+    val head = tpl.where(col("__rn") === 1)
+      .select(groupCols.map(col) ++ Seq(col("n_obs"), col("n_used"), col("r4")): _*)
+    val t = tpl.where(col("__a2").isNotNull)
+      .select(groupCols.map(col) ++ Seq(col("__rn"), col("r4"),
+        col("__v4").as("__a0"), col("__a1"), col("__a2")): _*)
+    val a = t.select(groupCols.map(c => col(c).as(s"__ga_$c")) ++
+      Seq(col("__rn").as("__ra"), col("r4"), col("__a0").as("__p0"),
         col("__a1").as("__p1"), col("__a2").as("__p2")): _*)
-    val b = tpl.select(groupCols.map(c => col(c).as(s"__gb_$c")) ++
+    val b = t.select(groupCols.map(c => col(c).as(s"__gb_$c")) ++
       Seq(col("__rn").as("__rb"), col("__a0").as("__q0"),
         col("__a1").as("__q1"), col("__a2").as("__q2")): _*)
     val joinCond = groupCols.map(c => col(s"__ga_$c") === col(s"__gb_$c"))
       .reduce(_ && _) && col("__ra") < col("__rb")
-    val rJoined = a.join(b, joinCond)
-      .join(stats, groupCols.map(c => col(s"__ga_$c") === stats(c)).reduce(_ && _))
     val bm = abs(col("__p0") - col("__q0")) <= col("r4") &&
       abs(col("__p1") - col("__q1")) <= col("r4")
     val am = bm && abs(col("__p2") - col("__q2")) <= col("r4")
-    val pairs = rJoined
+    val pairs = a.join(b, joinCond)
       .groupBy(groupCols.map(c => col(s"__ga_$c").as(c)): _*)
       .agg(sum(when(bm, 1L).otherwise(0L)).as("__bp"),
         sum(when(am, 1L).otherwise(0L)).as("__ap"))
-    nObs.join(stats, groupCols)
-      .join(pairs, groupCols, "left")
+    head.join(pairs, groupCols, "left")
       .withColumn("b_pairs", coalesce(col("__bp"), lit(0L)))
       .withColumn("a_pairs", coalesce(col("__ap"), lit(0L)))
       .withColumn("sampen", expr(
