@@ -78,6 +78,40 @@ object MonsterDoc {
     if (routes("containment"))
       time("containment")(Dedup.ngramContainmentPairs(docs, "doc_id", "text",
         shingleSize = 3, threshold = 0.2))
+    // r20c: line-level dedup — a separate newline corpus: ONE doc of
+    // ~monsterChars/10 lines (every 50th a LICENSE stanza from a
+    // 100-stanza pool) + 200 normal docs carrying the stanzas, so the
+    // pass finds genuine cross-doc boilerplate while the monster's
+    // explode/digest/count-distinct chain carries ~10⁶ lines. Cost
+    // must stay linear in the LINE count (the line digest shuffle is
+    // (16B, id) pairs; the stanza keys are the deliberate hot keys).
+    if (routes("lines")) {
+      val nLines = monsterChars / 10L
+      val mDoc = spark.range(nLines)
+        .select(lit(0L).as("doc_id"),
+          struct(col("id"),
+            when(pmod(col("id"), lit(50L)) === 0,
+              concat(lit("LICENSE boilerplate stanza "),
+                pmod(expr("id div 50"), lit(100L))))
+              .otherwise(concat(lit("content line "),
+                pmod(xxhash64(col("id")), lit(100000000L)))).as("t")).as("__s"))
+        .groupBy("doc_id")
+        .agg(concat_ws("\n",
+          expr("transform(sort_array(collect_list(__s)), x -> x.t)")).as("text"))
+      val nDocs = spark.range(1L, 201L)
+        .select(col("id").as("doc_id"),
+          concat_ws("\n", (0 until 40).map(j =>
+            if (j % 4 == 0)
+              concat(lit("LICENSE boilerplate stanza "),
+                pmod(col("id") * 7 + lit(j), lit(100L)))
+            else
+              concat(lit("normal line "), xxhash64(col("id") * 1000 + lit(j)))): _*)
+            .as("text"))
+      val ldir = s"/tmp/graft_monsterlines_$monsterChars"
+      mDoc.unionByName(nDocs).write.mode("overwrite").parquet(ldir)
+      val ldocs = spark.read.parquet(ldir).repartition(32)
+      time("lines")(Dedup.lineDedup(ldocs, "doc_id", "text"))
+    }
     spark.stop()
   }
 }
