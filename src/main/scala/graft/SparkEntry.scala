@@ -698,6 +698,15 @@ object SparkEntry {
       TimeOps.hurst(ev, "value", evGroup, evOrder)
         .orderBy("user_id")
     },
+    // DFA(1): the detrended complement of ts_hurst — per-block linear
+    // fits on the cumulative profile (closed-form integer abscissa
+    // moments), fluctuation-vs-size slope; α ≈ 0.5 noise / 1.5 walk,
+    // robust to drifts that bias raw R/S
+    "ts_dfa" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.dfa(ev, "value", evGroup, evOrder)
+        .orderBy("user_id")
+    },
     // Sample entropy (m=2, r=0.2σ): the METRIC regularity companion
     // of ts_perm_entropy — template self-similarity counts in s4
     // integer space (no FP boundary inside the pair predicate), one
@@ -2305,7 +2314,7 @@ object SparkEntry {
     "ts_spearman", "ts_pettitt", "ts_runs_test", "ts_cox_stuart",
     "ts_theilsen_seasonal", "ts_ljungbox", "ts_adf", "ts_kpss", "ts_kpss_hac",
     "ts_kpss_trend",
-    "ts_perm_entropy", "ts_hurst", "ts_mannkendall_exact", "ts_sampen",
+    "ts_perm_entropy", "ts_hurst", "ts_dfa", "ts_mannkendall_exact", "ts_sampen",
     "ts_mannkendall_seasonal", "ts_mannkendall_ties", "ts_moments",
     "ts_ohlc", "ts_pacf", "ts_pivot", "ts_range_join", "ts_rank",
     "ts_resample", "ts_robust_zscore", "ts_rollquantiles",
@@ -3809,6 +3818,76 @@ object SparkEntry {
          | ${graft.ts.TimeOps.KpssEtaSql} as eta
          |from g
          |order by user_id""".stripMargin,
+    // DFA twin: the hurst chain over the cumulative profile with
+    // per-block closed-form linear fits — Σk/Σk² as exact integer
+    // closed forms, b/a/SSres in the identical operation order, the
+    // SHARED log2-slope text over the f_raw columns
+    "ts_dfa" ->
+      s"""with e as (select user_id, epoch_us(ts) as t, event_id, value,
+         |    row_number() over w0 as rn,
+         |    value - first_value(value) over w0 as sx
+         |  from events
+         |  window w0 as (partition by user_id order by epoch_us(ts), event_id)),
+         |d as (select *, sx - avg(sx) over (partition by user_id) as ev from e),
+         |y as (select user_id, rn,
+         |    sum(ev) over (partition by user_id order by rn
+         |                  rows between unbounded preceding and current row) as yv
+         |  from d),
+         |n as (select user_id, cast(count(*) as bigint) as n_obs from events group by user_id),
+         |x as (select user_id, rn, yv, mw, (rn - 1) // mw as blk, (rn - 1) % mw + 1 as k
+         |  from y cross join (select unnest([8, 16, 32, 64]) as mw)),
+         |s as (select user_id, mw, blk, k, yv,
+         |    sum(yv) over wf as sy,
+         |    sum(cast(k as double) * yv) over wf as sky,
+         |    count(*) over wf as cnt
+         |  from x window wf as (partition by user_id, mw, blk)),
+         |b1 as (select user_id, mw, blk, k, yv, sy, sky,
+         |    cast((mw * (mw + 1)) // 2 as double) as skc,
+         |    cast((mw * (mw + 1) * (2 * mw + 1)) // 6 as double) as skkc,
+         |    mw as mwv
+         |  from s where cnt = mw),
+         |b2 as (select *,
+         |    (cast(mwv as double) * sky - skc * sy)
+         |      / (cast(mwv as double) * skkc - skc * skc) as b
+         |  from b1),
+         |b3 as (select *, (sy - b * skc) / mwv as a,
+         |    yv - (sy - b * skc) / mwv - b * cast(k as double) as r
+         |  from b2),
+         |b4 as (select user_id, mw, blk,
+         |    sum(r * r) over wf2 as ssr, k
+         |  from b3 window wf2 as (partition by user_id, mw, blk)),
+         |b5 as (select user_id, mw, blk, ssr from b4 where k = 1),
+         |q as (select *,
+         |    sum(ssr) over wq as ss_cum, count(ssr) over wq as nb_cum
+         |  from b5 window wq as (partition by user_id, mw order by blk
+         |                        rows between unbounded preceding and current row)),
+         |p as (select user_id, mw, max_by(nb_cum, blk) as nb,
+         |    case when max_by(nb_cum, blk) > 0 and max_by(ss_cum, blk) > 0.0E0
+         |         then sqrt(max_by(ss_cum, blk) / (cast(max_by(nb_cum, blk) as double) * mw))
+         |         else null end as fv
+         |  from q group by 1, 2),
+         |v as (select user_id,
+         |    max(case when mw = 8 then nb end) as nbp_8,
+         |    max(case when mw = 16 then nb end) as nbp_16,
+         |    max(case when mw = 32 then nb end) as nbp_32,
+         |    max(case when mw = 64 then nb end) as nbp_64,
+         |    max(case when mw = 8 then fv end) as f_raw_8,
+         |    max(case when mw = 16 then fv end) as f_raw_16,
+         |    max(case when mw = 32 then fv end) as f_raw_32,
+         |    max(case when mw = 64 then fv end) as f_raw_64
+         |  from p group by user_id)
+         |select n.user_id, n_obs,
+         | cast(coalesce(nbp_8, 0) as bigint) as nb_8,
+         | cast(coalesce(nbp_16, 0) as bigint) as nb_16,
+         | cast(coalesce(nbp_32, 0) as bigint) as nb_32,
+         | cast(coalesce(nbp_64, 0) as bigint) as nb_64,
+         | round(f_raw_8, 4) + 0.0E0 as f_8,
+         | round(f_raw_16, 4) + 0.0E0 as f_16,
+         | round(f_raw_32, 4) + 0.0E0 as f_32,
+         | round(f_raw_64, 4) + 0.0E0 as f_64,
+         | ${graft.ts.TimeOps.log2SlopeSql("f_raw", Seq(8, 16, 32, 64))} as alpha
+         |from n left join v using (user_id)
+         |order by n.user_id""".stripMargin,
     // SampEn twin: the identical stage chain — prefix spine, shifted
     // s4 integer templates via leads, integer tolerance r4 from the
     // floored 0.2σ, the same pair join and the one rounded ln

@@ -94,6 +94,9 @@ object MonsterRankStats {
     if (routes("hurst"))
       time("hurst_window", "hurst")(
         TimeOps.hurst(df, "value", Seq("user_id"), Seq("ts_us", "event_id")))
+    if (routes("dfa"))
+      time("dfa_window", "alpha")(
+        TimeOps.dfa(df, "value", Seq("user_id"), Seq("ts_us", "event_id")))
     if (routes("sampen"))
       time("sampen_prefix", "sampen")(
         TimeOps.sampleEntropy(df, "value", Seq("user_id"), Seq("ts_us", "event_id")))

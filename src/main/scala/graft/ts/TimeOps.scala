@@ -1975,18 +1975,20 @@ object TimeOps {
     * size produced a positive block-average R/S (series too short →
     * null, the documented contract).
     */
-  private[graft] def hurstSlopeSql(sizes: Seq[Int]): String = {
+  private[graft] def log2SlopeSql(prefix: String, sizes: Seq[Int]): String = {
     val ks = sizes.map(m => 31 - Integer.numberOfLeadingZeros(m))
     val n = sizes.size
     val sk = ks.sum
     val skk = ks.map(k => k * k).sum
     val denom = n * skk - sk * sk
-    val defined = sizes.map(m => s"rs_raw_$m is not null and rs_raw_$m > 0.0E0").mkString(" and ")
-    val sy = sizes.map(m => s"ln(rs_raw_$m)").mkString(" + ")
-    val sky = sizes.zip(ks).map { case (m, k) => s"$k.0E0 * ln(rs_raw_$m)" }.mkString(" + ")
+    val defined = sizes.map(m => s"${prefix}_$m is not null and ${prefix}_$m > 0.0E0").mkString(" and ")
+    val sy = sizes.map(m => s"ln(${prefix}_$m)").mkString(" + ")
+    val sky = sizes.zip(ks).map { case (m, k) => s"$k.0E0 * ln(${prefix}_$m)" }.mkString(" + ")
     s"case when $defined then round((($n.0E0 * ($sky) - $sk.0E0 * ($sy)) / $denom.0E0)" +
       " / ln(2.0E0), 4) + 0.0E0 else null end"
   }
+
+  private[graft] def hurstSlopeSql(sizes: Seq[Int]): String = log2SlopeSql("rs_raw", sizes)
 
   /** Hurst exponent per series via rescaled-range (R/S) analysis —
     * the long-memory diagnostic (Hurst 1951 / Mandelbrot-Wallis):
@@ -2076,6 +2078,103 @@ object TimeOps {
         sizes.map(m => coalesce(col(s"__nbp_$m"), lit(0L)).as(s"nb_$m")) ++
         sizes.map(m => expr(s"round(rs_raw_$m, 4) + 0.0E0").as(s"rs_$m")) :+
         expr(hurstSlopeSql(sizes)).as("hurst"): _*)
+  }
+
+  /** Detrended fluctuation analysis, order 1 (Peng et al. 1994) — the
+    * modern complement of [[hurst]]: R/S measures raw range (biased on
+    * nonstationary input); DFA first removes a per-block LINEAR trend
+    * from the cumulative profile, so α reads long-memory through
+    * drifts. α ≈ 0.5 white noise, ≈ 1 1/f, ≈ 1.5 random walk. Per
+    * dyadic block size m: fit a + b·k to the profile y (cumulative
+    * demeaned values) over k = 1..m, F(m) = √(ΣSSres / (n_blocks·m)),
+    * α = OLS slope of ln F on log2(m) / ln 2 (shared [[log2SlopeSql]]
+    * text, the [[hurst]] machinery).
+    *
+    * Numerics: the abscissa moments Σk = m(m+1)/2 and
+    * Σk² = m(m+1)(2m+1)/6 are EXACT INTEGER closed forms (the
+    * kpss_trend precedent), so only Σy, Σk·y, Σy² ride engine
+    * aggregation — whole-frame window sums over ≤ m sorted rows, same
+    * association discipline as [[hurst]]; the profile itself is a
+    * running cumulative sum in pinned order over first-value-shifted,
+    * full-frame-demeaned values (the KPSS chain). The across-blocks
+    * SSres total is a running sum read at its last block (max_by). A
+    * block SSres can go microscopically negative in FP on an exactly
+    * linear profile — clamped at 0, and an all-zero F nulls that
+    * size's point (and α). Same one-exchange + exploded-block-window
+    * scale shape as [[hurst]].
+    */
+  def dfa(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      orderCols: Seq[String],
+      sizes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    require(sizes.size >= 2 && sizes == sizes.sorted && sizes.distinct.size == sizes.size &&
+      sizes.forall(m => m >= 4 && (m & (m - 1)) == 0), "ascending distinct dyadic sizes >= 4")
+    val gw = Featurize.seriesWindow(groupCols, orderCols)
+    val gwFull = gw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val gwCum = gw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val based = df
+      .withColumn("__rn", row_number().over(gw))
+      .withColumn("__sx", col(valueCol) - first(col(valueCol)).over(gw))
+      .withColumn("__e", col("__sx") - avg(col("__sx")).over(gwFull))
+      .withColumn("__y", sum(col("__e")).over(gwCum))
+    val nObs = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n_obs"))
+    val exploded = based
+      .withColumn("__m", explode(array(sizes.map(m => lit(m.toLong)): _*)))
+      .withColumn("__blk", expr("(__rn - 1) div __m"))
+      .withColumn("__k", expr("(__rn - 1) % __m + 1"))
+    val bw = Window
+      .partitionBy(groupCols.map(col) ++ Seq(col("__m"), col("__blk")): _*)
+      .orderBy(col("__rn"))
+    val bwFull = bw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // per-block fit then EXPLICIT residuals: SSres = Σ(y − a − b·k)²,
+    // NOT the algebraic shortcut Σy² − aΣy − bΣky — on a long series
+    // the profile reaches ~n²·slope, the shortcut subtracts ~y²-sized
+    // terms to recover a residual many orders smaller, and the
+    // cancellation garbage flips α (measured: a 10⁷-point ramp read
+    // 0.20 through the shortcut vs the true 2.00 through residuals;
+    // DfaSpec pins the stress case). Residuals subtract SAME-magnitude
+    // quantities, so their squares are accurate at every n. Σk, Σk²
+    // stay exact integer closed forms; Σr² is nonnegative by
+    // construction (no clamp).
+    val fits = exploded
+      .withColumn("__sy", sum(col("__y")).over(bwFull))
+      .withColumn("__sky", sum(col("__k").cast("double") * col("__y")).over(bwFull))
+      .withColumn("__cnt", count(lit(1)).over(bwFull))
+      .where(col("__cnt") === col("__m")) // full blocks, ALL rows kept
+      .withColumn("__skc", expr("cast(__m * (__m + 1) div 2 as double)"))
+      .withColumn("__skkc", expr("cast(__m * (__m + 1) * (2 * __m + 1) div 6 as double)"))
+      .withColumn("__b", (col("__m").cast("double") * col("__sky") - col("__skc") * col("__sy")) /
+        (col("__m").cast("double") * col("__skkc") - col("__skc") * col("__skc")))
+      .withColumn("__a", (col("__sy") - col("__b") * col("__skc")) / col("__m"))
+      .withColumn("__r", col("__y") - col("__a") - col("__b") * col("__k").cast("double"))
+    val ssres = fits
+      .withColumn("__ss", sum(col("__r") * col("__r")).over(bwFull))
+      .where(col("__k") === 1) // one row per block
+    val bq = Window.partitionBy(groupCols.map(col) :+ col("__m"): _*).orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = ssres
+      .withColumn("__ss_cum", sum(col("__ss")).over(bq))
+      .withColumn("__nb_cum", count(col("__ss")).over(bq))
+    val perSize = cum
+      .groupBy(groupCols.map(col) :+ col("__m"): _*)
+      .agg(max(struct(col("__blk"), col("__ss_cum"), col("__nb_cum"))).as("__last"))
+      .select(groupCols.map(col) ++ Seq(col("__m"),
+        col("__last").getField("__nb_cum").as("__nb"),
+        expr("case when __last.__nb_cum > 0 and __last.__ss_cum > 0.0E0 " +
+          "then sqrt(__last.__ss_cum / (cast(__last.__nb_cum as double) * __m)) " +
+          "else null end").as("__f")): _*)
+    val aggCols = sizes.flatMap(m => Seq(
+      max(when(col("__m") === m, col("__nb"))).as(s"__nbp_$m"),
+      max(when(col("__m") === m, col("__f"))).as(s"f_raw_$m")))
+    val pivoted = perSize.groupBy(groupCols.map(col): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    nObs.join(pivoted, groupCols, "left")
+      .select(groupCols.map(col) ++ Seq(col("n_obs")) ++
+        sizes.map(m => coalesce(col(s"__nbp_$m"), lit(0L)).as(s"nb_$m")) ++
+        sizes.map(m => expr(s"round(f_raw_$m, 4) + 0.0E0").as(s"f_$m")) :+
+        expr(log2SlopeSql("f_raw", sizes)).as("alpha"): _*)
   }
 
   /** Sample entropy (Richman-Moorman 2000), m = 2 — the regularity
