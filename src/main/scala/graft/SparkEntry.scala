@@ -3999,7 +3999,7 @@ object SparkEntry {
          | round(rs_raw_32, 4) + 0.0E0 as rs_32,
          | round(rs_raw_64, 4) + 0.0E0 as rs_64,
          | ${graft.ts.TimeOps.hurstSlopeSql(Seq(8, 16, 32, 64))} as hurst
-         |from v join n using (user_id)
+         |from n left join v using (user_id)
          |order by n.user_id""".stripMargin,
     // HAC twin: the ts_kpss chain + 16 lag frames of e in the same
     // window, the Bartlett-weighted covariance sums, the pure-integer

@@ -2073,7 +2073,11 @@ object TimeOps {
       max(when(col("__m") === m, col("__avg"))).as(s"rs_raw_$m")))
     val pivoted = perSize.groupBy(groupCols.map(col): _*)
       .agg(aggCols.head, aggCols.tail: _*)
-    pivoted.join(nObs, groupCols)
+    // LEFT join from the series base: a series too short for ANY full
+    // block keeps its row with zero counts and null statistics (the
+    // dfa/mannKendall convention — dropping rows hides the short-series
+    // case from downstream null-handling)
+    nObs.join(pivoted, groupCols, "left")
       .select(groupCols.map(col) ++ Seq(col("n_obs")) ++
         sizes.map(m => coalesce(col(s"__nbp_$m"), lit(0L)).as(s"nb_$m")) ++
         sizes.map(m => expr(s"round(rs_raw_$m, 4) + 0.0E0").as(s"rs_$m")) :+
