@@ -698,6 +698,14 @@ object SparkEntry {
       TimeOps.hurst(ev, "value", evGroup, evOrder)
         .orderBy("user_id")
     },
+    // DTW distance between consecutive users' series prefixes (K=24):
+    // alignment-tolerant series similarity; the whole DP is abs/min/
+    // plus — bit-exact with NO rounding anywhere
+    "ts_dtw" -> { (s, dir) =>
+      val ev = Tables.events(s, dir).select("user_id", "ts_us", "event_id", "value")
+      TimeOps.dtwPairs(ev, "value", "user_id", evOrder)
+        .orderBy("user_id")
+    },
     // DFA(1): the detrended complement of ts_hurst — per-block linear
     // fits on the cumulative profile (closed-form integer abscissa
     // moments), fluctuation-vs-size slope; α ≈ 0.5 noise / 1.5 walk,
@@ -2315,6 +2323,7 @@ object SparkEntry {
     "ts_theilsen_seasonal", "ts_ljungbox", "ts_adf", "ts_kpss", "ts_kpss_hac",
     "ts_kpss_trend",
     "ts_perm_entropy", "ts_hurst", "ts_dfa", "ts_mannkendall_exact", "ts_sampen",
+    "ts_dtw",
     "ts_mannkendall_seasonal", "ts_mannkendall_ties", "ts_moments",
     "ts_ohlc", "ts_pacf", "ts_pivot", "ts_range_join", "ts_rank",
     "ts_resample", "ts_robust_zscore", "ts_rollquantiles",
@@ -3817,6 +3826,47 @@ object SparkEntry {
          |select user_id, cast(n as bigint) as n_obs,
          | ${graft.ts.TimeOps.KpssEtaSql} as eta
          |from g
+         |order by user_id""".stripMargin,
+    // DTW twin: the same DP stepped ONE CELL PER ITERATION by a
+    // rolling-buffer recursive CTE (buf = the last n2+1 cells, so
+    // up/left/diag are buf[2]/buf[n2+1]/buf[1]) — DuckDB 1.0 lambdas
+    // can't nest-with-seed, the documented fallback; per-cell
+    // arithmetic is identical to the engine's nested folds, so the
+    // distance matches bit-for-bit with no rounding
+    "ts_dtw" ->
+      """with recursive v as (
+         |  select user_id,
+         |    list_slice(list(value order by epoch_us(ts), event_id), 1, 24) as va
+         |  from events group by user_id),
+         |p as (select user_id, va,
+         |    lead(user_id) over (order by user_id) as user_b,
+         |    lead(va) over (order by user_id) as vb
+         |  from v),
+         |pp as (select user_id, user_b, va, vb,
+         |    cast(len(va) as bigint) as n1, cast(len(vb) as bigint) as n2
+         |  from p where vb is not null),
+         |walk as (
+         |  select user_id, user_b, va, vb, n1, n2, cast(1 as bigint) as c,
+         |    list_concat(list_transform(range(1, n2 + 1), x -> 0.0),
+         |                [abs(va[1] - vb[1])]) as buf
+         |  from pp
+         |  union all
+         |  select user_id, user_b, va, vb, n1, n2, c + 1,
+         |    list_concat(list_slice(buf, 2, n2 + 1),
+         |      [case when c // n2 + 1 = 1
+         |            then abs(va[1] - vb[c % n2 + 1]) + buf[n2 + 1]
+         |            when c % n2 + 1 = 1
+         |            then abs(va[c // n2 + 1] - vb[1]) + buf[2]
+         |            else abs(va[c // n2 + 1] - vb[c % n2 + 1])
+         |                 + least(buf[2], buf[n2 + 1], buf[1]) end])
+         |  from walk where c < n1 * n2),
+         |d as (select user_id, user_b, n1, n2, buf[n2 + 1] as dtw
+         |  from walk where c = n1 * n2)
+         |select user_id, user_b, n1, n2, dtw from d
+         |union all
+         |select user_id, null as user_b, cast(len(va) as bigint) as n1,
+         |  cast(null as bigint) as n2, cast(null as double) as dtw
+         |from p where vb is null
          |order by user_id""".stripMargin,
     // DFA twin: the hurst chain over the cumulative profile with
     // per-block closed-form linear fits — Σk/Σk² as exact integer

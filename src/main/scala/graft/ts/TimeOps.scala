@@ -2181,6 +2181,82 @@ object TimeOps {
         expr(log2SlopeSql("f_raw", sizes)).as("alpha"): _*)
   }
 
+  /** The full DTW DP as ONE Spark SQL expression over array columns
+    * `va`, `vb` (lengths `n1`, `n2`): nested `aggregate` folds build
+    * the table row by row; each cell is |vaᵢ−vbⱼ| + least(up, left,
+    * diag) — pure abs/min/plus on doubles, so the value is bit-exact
+    * against ANY evaluation order of the same recurrence (the DuckDB
+    * twin steps a rolling-buffer recursive CTE cell by cell — DuckDB
+    * 1.0's list_reduce takes no seed and can't nest, the documented
+    * lambda limitation — and lands on identical bits with NO rounding
+    * anywhere). `sequence(2, n)` guards: Spark generates DESCENDING
+    * sequences when stop < start, so the n = 1 edges take explicit
+    * CASE branches.
+    */
+  private[graft] val DtwExprSql: String = {
+    val cost11 = "abs(element_at(va, 1) - element_at(vb, 1))"
+    val costI1 = "abs(element_at(va, i) - element_at(vb, 1))"
+    val firstRow =
+      s"case when n2 <= 1 then array($cost11) else " +
+        s"aggregate(sequence(2, cast(n2 as int)), array($cost11), " +
+        "(r, j) -> concat(r, array(abs(element_at(va, 1) - element_at(vb, j)) " +
+        "+ element_at(r, j - 1)))) end"
+    val rowStep =
+      s"case when n2 <= 1 then array($costI1 + element_at(prev, 1)) else " +
+        s"aggregate(sequence(2, cast(n2 as int)), array($costI1 + element_at(prev, 1)), " +
+        "(row, j) -> concat(row, array(abs(element_at(va, i) - element_at(vb, j)) + " +
+        "least(element_at(prev, j), element_at(row, j - 1), element_at(prev, j - 1))))) end"
+    val table =
+      s"case when n1 <= 1 then ($firstRow) else " +
+        s"aggregate(sequence(2, cast(n1 as int)), ($firstRow), (prev, i) -> ($rowStep)) end"
+    s"case when vb is null or n1 < 1 or n2 < 1 then null " +
+      s"else element_at(($table), cast(n2 as int)) end"
+  }
+
+  /** Dynamic-time-warping distance between CONSECUTIVE series — the
+    * series-similarity primitive (alignment-tolerant distance: two
+    * epidemic waves shifted by a week read as near, where Euclidean
+    * reads far). Each series contributes its first `maxPoints`
+    * time-ordered values (prefix contract, [[sampleEntropy]] style —
+    * DTW is O(K²) per pair, so K is the cost knob; banded DTW is the
+    * scale path beyond it); pairing is each key with its successor in
+    * key order (self-contained over one table — in production the
+    * pair list is an explicit join input). L1 point cost, the
+    * standard unconstrained warping band.
+    *
+    * Exactness: the whole DP is abs/min/plus on doubles — bit-exact
+    * across engines with NO rounding ([[DtwExprSql]]). The prefix
+    * collect is bounded BEFORE collect_list by the row_number filter
+    * (never an unbounded per-key buffer); the pairing window runs
+    * over one row per SERIES, not per observation. Last key emits a
+    * null-partner row (kept, null dtw).
+    */
+  def dtwPairs(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      orderCols: Seq[String],
+      maxPoints: Int = 24): DataFrame = {
+    require(maxPoints >= 1 && maxPoints <= 256, "1 <= maxPoints <= 256 (O(K^2) per pair)")
+    val w0 = Featurize.seriesWindow(Seq(groupCol), orderCols)
+    val pre = df
+      .withColumn("__rn", row_number().over(w0))
+      .where(col("__rn") <= maxPoints)
+    val per = pre.groupBy(col(groupCol))
+      .agg(expr(s"transform(sort_array(collect_list(struct(__rn, $valueCol))), x -> x.$valueCol)")
+        .as("va"))
+    // one row per SERIES from here on — the unpartitioned pairing
+    // window is over the series count, not the data
+    val pw = Window.orderBy(groupCol)
+    per
+      .withColumn("user_b", lead(col(groupCol), 1).over(pw))
+      .withColumn("vb", lead(col("va"), 1).over(pw))
+      .withColumn("n1", expr("cast(size(va) as bigint)"))
+      .withColumn("n2", expr("case when vb is null then null else cast(size(vb) as bigint) end"))
+      .withColumn("dtw", expr(DtwExprSql))
+      .select(col(groupCol), col("user_b"), col("n1"), col("n2"), col("dtw"))
+  }
+
   /** Sample entropy (Richman-Moorman 2000), m = 2 — the regularity
     * companion of [[permEntropy]]: where permutation entropy reads
     * ORDINAL pattern diversity, SampEn reads METRIC self-similarity —

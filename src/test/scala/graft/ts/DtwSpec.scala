@@ -1,0 +1,65 @@
+package graft.ts
+
+import graft.SparkSpec
+
+/** DTW pairs (ts_dtw): literal brute-force DP parity (exact doubles —
+  * the operator rounds nothing), the alignment-tolerance property DTW
+  * exists for, unequal lengths, the prefix cap, and the last-key
+  * null-partner row.
+  */
+class DtwSpec extends SparkSpec {
+
+  private def bruteDtw(a: Array[Double], b: Array[Double]): Double = {
+    val d = Array.ofDim[Double](a.length, b.length)
+    for (i <- a.indices; j <- b.indices) {
+      val cost = math.abs(a(i) - b(j))
+      d(i)(j) =
+        if (i == 0 && j == 0) cost
+        else if (i == 0) cost + d(i)(j - 1)
+        else if (j == 0) cost + d(i - 1)(j)
+        else cost + math.min(d(i - 1)(j), math.min(d(i)(j - 1), d(i - 1)(j - 1)))
+    }
+    d(a.length - 1)(b.length - 1)
+  }
+
+  private def run(series: Seq[(Long, Array[Double])], cap: Int = 24) = {
+    val s = spark
+    import s.implicits._
+    val rows = series.flatMap { case (u, xs) =>
+      xs.zipWithIndex.map { case (v, i) => (u, i.toLong * 1000L, i.toLong, v) }
+    }
+    val df = rows.toDF("user_id", "ts_us", "event_id", "value")
+    TimeOps.dtwPairs(df, "value", "user_id", Seq("ts_us", "event_id"), maxPoints = cap)
+      .orderBy("user_id").collect()
+  }
+
+  test("brute-force DP parity, EXACT doubles, incl. unequal lengths and n=1") {
+    val a = Array(1.0, 3.5, 2.25, 7.125, 4.0, 4.0, 1.5)
+    val b = Array(2.0, 2.0, 3.25, 6.5)
+    val c = Array(5.75)
+    val out = run(Seq((1L, a), (2L, b), (3L, c)))
+    assert(out(0).getDouble(4) == bruteDtw(a, b), "pair (1,2)")
+    assert(out(1).getDouble(4) == bruteDtw(b, c), "pair (2,3) — n2 = 1")
+    assert(out(2).isNullAt(4) && out(2).isNullAt(1), "last key: null partner row kept")
+    assert(out(0).getLong(2) == a.length.toLong && out(0).getLong(3) == b.length.toLong)
+  }
+
+  test("alignment tolerance: a time-shifted copy reads near-zero where Euclidean reads far") {
+    val base = Array.tabulate(20)(i => math.sin(2 * math.Pi * i / 10.0) * 5)
+    val shifted = Array.tabulate(20)(i => math.sin(2 * math.Pi * (i - 2) / 10.0) * 5)
+    val out = run(Seq((1L, base), (2L, shifted)))
+    val dtw = out(0).getDouble(4)
+    val euclid = base.zip(shifted).map { case (x, y) => math.abs(x - y) }.sum
+    assert(dtw < euclid / 3, s"dtw=$dtw should warp past the shift, euclid=$euclid")
+    val same = run(Seq((1L, base), (2L, base.clone())))
+    assert(same(0).getDouble(4) == 0.0, "identical series → exactly 0")
+  }
+
+  test("prefix cap: long series contribute exactly their first maxPoints points") {
+    val a = Array.tabulate(40)(i => i.toDouble)
+    val b = Array.tabulate(40)(i => i.toDouble + 0.5)
+    val out = run(Seq((1L, a), (2L, b)), cap = 8)
+    assert(out(0).getLong(2) == 8L && out(0).getLong(3) == 8L)
+    assert(out(0).getDouble(4) == bruteDtw(a.take(8), b.take(8)))
+  }
+}
