@@ -158,6 +158,60 @@ class JpegProgressiveSpec extends AnyFunSuite {
       s"our decode of a foreign progressive stream must agree with ImageIO within ±1, worst=$worst")
   }
 
+  test("our decoder reads ImageIO's progressive COLOR output (foreign scan script + sampling)") {
+    val w = 32; val h = 32
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val rnd = noiseImage(13L, w, h)
+    var i = 0
+    while (i < w * h) {
+      img.setRGB(i % w, i / w,
+        (rnd(i) << 16) | (rnd((i * 7 + 3) % (w * h)) << 8) | rnd((i * 13 + 5) % (w * h)))
+      i += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val baos = new java.io.ByteArrayOutputStream
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close()
+    writer.dispose()
+    val bytes = baos.toByteArray
+    assert((0 until bytes.length - 1).exists(k =>
+      (bytes(k) & 0xff) == 0xff && (bytes(k + 1) & 0xff) == 0xc2), "SOF2 color stream")
+    // fancyChroma: the JDK writer emits 4:2:0 and its reader upsamples
+    // with libjpeg's triangle filter — replication would diverge by
+    // ~10 mean / 73 peak on noise chroma while luma stays exact
+    // (measured during bring-up; the filter choice, not the decode)
+    val ours = JpegCodec.decodeRgbPixels(bytes, fancyChroma = true)
+    assert(ours.isDefined, "our decoder must accept the foreign progressive color stream")
+    val (dw, dh, r, g, b) = ours.get
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(dw == ref.getWidth && dh == ref.getHeight)
+    // the stream really is subsampled: this exercises interleaved DC
+    // scans with h×v luma blocks AND per-component AC scans over the
+    // half-resolution chroma grids
+    // FF C2 len(2) prec(1) h(2) w(2) nc(1) id(1) samp → samp at k+11
+    assert((0 until bytes.length - 11).exists(k =>
+      (bytes(k) & 0xff) == 0xff && (bytes(k + 1) & 0xff) == 0xc2 &&
+        (bytes(k + 11) & 0xff) == 0x22), "JDK color output is 4:2:0 progressive")
+    // same coefficients, same upsampler family, different IDCT/color
+    // precision: the baseline color spec's ±3 bound
+    var worst = 0
+    var p = 0
+    while (p < dw * dh) {
+      val rgb = ref.getRGB(p % dw, p / dw)
+      worst = math.max(worst, math.abs(((rgb >> 16) & 0xff) - r(p)))
+      worst = math.max(worst, math.abs(((rgb >> 8) & 0xff) - g(p)))
+      worst = math.max(worst, math.abs((rgb & 0xff) - b(p)))
+      p += 1
+    }
+    assert(worst <= 3,
+      s"foreign progressive color decode must agree with ImageIO within ±3, worst=$worst")
+  }
+
   test("hostile bytes: None, never a crash") {
     val (w, h, pix) = tileImage(3L)
     val enc = JpegCodec.encodeGrayProgressive(w, h, pix)
