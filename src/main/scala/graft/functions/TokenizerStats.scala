@@ -186,7 +186,6 @@ object TokenizerStats {
     */
   def bpeTrain(docs: DataFrame, textCol: String, rounds: Int,
       localFinishMaxVocab: Long = 1L << 18): DataFrame = {
-    val spark = docs.sparkSession
     // chars of the normalized word; array_remove guards the empty
     // strings Java's split("") can emit at the boundaries
     val words = docs
@@ -194,6 +193,19 @@ object TokenizerStats {
       .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
       .select(col("__w"), col("__f"),
         array_remove(split(col("__w"), ""), "").as("__s"))
+    bpeTrainFromWords(words, rounds, localFinishMaxVocab)
+  }
+
+  /** [[bpeTrain]] taking the collapsed (word, freq, symbols) table
+    * directly — so a caller that already tokenized the corpus (the
+    * encode path's per-(doc, word) rollup) feeds the trainer WITHOUT a
+    * second full-corpus tokenize scan: pair statistics over words ×
+    * freq equal pair statistics over the corpus regardless of which
+    * rollup produced the freqs (identical integer counts).
+    */
+  def bpeTrainFromWords(words: DataFrame, rounds: Int,
+      localFinishMaxVocab: Long = 1L << 18): DataFrame = {
+    val spark = words.sparkSession
     var state = words.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (localFinishMaxVocab > 0 && state.count() <= localFinishMaxVocab) {
       // vocab fits the driver: finish every merge locally (one job for
@@ -268,6 +280,13 @@ object TokenizerStats {
   def bpeEncodeCounts(docs: DataFrame, idCol: String, textCol: String,
       rounds: Int, localFinishMaxVocab: Long = 1L << 18,
       maxBroadcastVocab: Long = 4000000L): DataFrame = {
+    // NOTE (r21): deriving the trainer's (word, freq) vocabulary from a
+    // persisted (doc, word) rollup — one tokenize scan instead of two —
+    // was tried and MEASURED SLOWER (pipeline_e2e 3.88 → 4.9 s at
+    // sf0.1): the rollup cache write plus the extra re-aggregation
+    // outweigh a tokenize scan, whose map-side word collapse already
+    // makes the trainer's own scan cheap. Two lean scans beat one
+    // scan + one fat cache here; kept as the trainer's independent scan.
     val merges = bpeTrain(docs, textCol, rounds, localFinishMaxVocab)
       .orderBy("rank").collect()
       .map(r => (r.getString(1), r.getString(2)))
@@ -276,11 +295,12 @@ object TokenizerStats {
       .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__cnt"))
     val vocab0 = dw.select("__w").distinct()
       .withColumn("__s", array_remove(split(col("__w"), ""), ""))
-    val mergedVocab = merges.foldLeft(vocab0) { case (df, (a, b)) =>
-      df.withColumn("__s", mergeOnce(col("__s"), a, b))
-    }
-    val nTok = mergedVocab
-      .select(col("__w"), size(col("__s")).cast("long").as("__ntok"))
+    // the whole merge chain as ONE kernel call per vocab word
+    // (plans.BpeCountKernel) instead of `rounds` chained interpreted
+    // aggregate() HOF passes — same greedy fuse rule, spec-pinned
+    val nTok = vocab0
+      .select(col("__w"),
+        graft.plans.TextHashKernels.bpeCount(col("__s"), merges.toSeq).as("__ntok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gate = if (nTok.count() <= maxBroadcastVocab) broadcast(nTok) else nTok
     val perDoc = dw.join(gate, Seq("__w"))

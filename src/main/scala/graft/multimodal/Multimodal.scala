@@ -1225,17 +1225,19 @@ object Multimodal {
       srcCol: String,
       frameChars: Int,
       every: Int): DataFrame = {
-    val n = expr(s"(length($srcCol) + ${frameChars - 1}) div $frameChars")
-    // an EMPTY payload has zero frames: sequence(0, n−1) at n = 0 is
-    // the DESCENDING [0, −1] in Spark (start > stop steps by −1), so
-    // an unguarded explode emitted a phantom frame with md5('') —
-    // surfaced by the edge fixture's empty-doc row
-    val idxs = when(n > 0, sequence(lit(0L), n - 1))
-      .otherwise(array().cast("array<bigint>"))
-    df.select(col(idCol), col(srcCol), explode(idxs).as("frame_idx"))
-      .where(pmod(col("frame_idx"), lit(every.toLong)) === 0)
-      .select(col(idCol), col("frame_idx"),
-        md5(col(srcCol).substr(col("frame_idx") * frameChars + 1, lit(frameChars))).as("frame_md5"))
+    // ONE kernel byte pass per payload (plans.FrameMd5Kernel) replaces
+    // the sequence-explode + md5(substr(...)) chain, whose per-frame
+    // substr re-walked the payload from byte 0 to find its char offset
+    // — O(len²/frameChars) per doc (the SpanHash60 lesson). Identical
+    // output rows: kept frame indices are exactly the multiples of
+    // `every` (frame_idx = pos·every), hex strings byte-equal to
+    // md5(), an EMPTY payload still yields zero frames (empty array →
+    // posexplode emits nothing — no phantom md5('')).
+    df.select(col(idCol),
+        posexplode(graft.plans.TextHashKernels.frameMd5(col(srcCol), frameChars, every))
+          .as(Seq("__pos", "frame_md5")))
+      .select(col(idCol), (col("__pos").cast("bigint") * every).as("frame_idx"),
+        col("frame_md5"))
   }
 
   /** Cross-document FRAME-level near-dup detection — the video-dedup
@@ -1254,8 +1256,14 @@ object Multimodal {
     */
   def frameDupStats(df: DataFrame, idCol: String, srcCol: String,
       frameChars: Int): DataFrame = {
+    // PERSISTED: the hash frame feeds both the per-hash doc-frequency
+    // rollup and the join back — without the cache the whole
+    // frame-hash pass (at scale: the video decode feeding it) runs
+    // twice (the ngramJaccardPairs precedent; blocks freed by the
+    // ContextCleaner / per-query cache hygiene)
     val docHash = sampleFrames(df, idCol, srcCol, frameChars, every = 1)
       .select(col(idCol), col("frame_md5"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = docHash.distinct()
       .groupBy(col("frame_md5")).agg(count(lit(1)).as("__nd"))
     docHash.join(freq, Seq("frame_md5"))

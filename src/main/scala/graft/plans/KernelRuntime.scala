@@ -616,6 +616,121 @@ object KernelRuntime {
     }
   }
 
+  private val HexChars = "0123456789abcdef".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** See [[FrameMd5Kernel]]: md5 hex of every `every`-th fixed-width
+    * (`frameChars` code points) frame of the payload, in ONE byte pass.
+    * The declarative form md5(substr(t, idx·fc + 1, fc)) walks from
+    * byte 0 on every substr to find its char offset (the spanHash60
+    * quadratic-substr lesson); here frame-start byte offsets fall out
+    * of a single boundary walk (chars == bytes on the ASCII fast path).
+    * Hex formatting matches Spark's md5() (lowercase), so the output
+    * strings are byte-identical to the expression form — and the
+    * DuckDB oracles are untouched.
+    */
+  def frameMd5(s: org.apache.spark.unsafe.types.UTF8String, frameChars: Int, every: Int): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val md = TextHash.localDigest()
+    @inline def hex(d: Array[Byte]): org.apache.spark.unsafe.types.UTF8String = {
+      val out = new Array[Byte](32)
+      var j = 0
+      while (j < 16) {
+        out(2 * j) = HexChars((d(j) >> 4) & 0xf)
+        out(2 * j + 1) = HexChars(d(j) & 0xf)
+        j += 1
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+    }
+    var ascii = true
+    var i = 0
+    while (ascii && i < n) { if (b(i) < 0) ascii = false; i += 1 }
+    if (ascii) {
+      val nFrames = (n + frameChars - 1) / frameChars
+      val kept = (nFrames + every - 1) / every
+      val out = new Array[Any](kept)
+      var k = 0
+      while (k < kept) {
+        val start = k * every * frameChars
+        val len = math.min(frameChars, n - start)
+        md.reset()
+        md.update(b, start, len)
+        out(k) = hex(md.digest())
+        k += 1
+      }
+      new GenericArrayData(out)
+    } else {
+      // frame boundaries by CODE POINTS (what length()/substr() count):
+      // one walk records each frame's start byte offset
+      val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var chars = 0
+      var off = 0
+      while (off < n) {
+        if (chars % frameChars == 0) starts += off
+        off += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(b(off))
+        chars += 1
+      }
+      val nFrames = starts.length
+      val kept = (nFrames + every - 1) / every
+      val out = new Array[Any](kept)
+      var k = 0
+      while (k < kept) {
+        val f = k * every
+        val s0 = starts(f)
+        val e0 = if (f + 1 < nFrames) starts(f + 1) else n
+        md.reset()
+        md.update(b, s0, e0 - s0)
+        out(k) = hex(md.digest())
+        k += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  /** See [[graft.plans.BpeCountKernel]]: the trained merge table applied
+    * to one word's symbol array, merges in rank order, each a greedy
+    * left-to-right non-overlapping fuse — the exact
+    * [[graft.functions.TokenizerStats.mergeOnce]] fold rule (fuse when
+    * the previous UNFUSED symbol equals lhs and the current equals rhs,
+    * continue AFTER the fused symbol), replacing `rounds` chained
+    * interpreted aggregate() HOF passes with one static call. Returns
+    * the final symbol COUNT (the only thing the encode rollup consumes).
+    */
+  def bpeTokenCount(arr: ArrayData, lhs: Array[String], rhs: Array[String]): Long = {
+    var m0 = arr.numElements()
+    if (m0 == 0) return 0L
+    var s = new Array[String](m0)
+    var i = 0
+    while (i < m0) { s(i) = arr.getUTF8String(i).toString; i += 1 }
+    var m = 0
+    while (m < lhs.length) {
+      val a = lhs(m)
+      val b = rhs(m)
+      var has = false
+      i = 0
+      while (!has && i < m0 - 1) {
+        if (s(i) == a && s(i + 1) == b) has = true
+        i += 1
+      }
+      if (has) {
+        val ab = a + b
+        val out = new Array[String](m0)
+        var w = 0
+        i = 0
+        while (i < m0) {
+          if (i < m0 - 1 && s(i) == a && s(i + 1) == b) { out(w) = ab; i += 2 }
+          else { out(w) = s(i); i += 1 }
+          w += 1
+        }
+        s = out
+        m0 = w
+      }
+      m += 1
+    }
+    m0.toLong
+  }
+
   /** See [[TokenHash60]]. */
   def tokenHash60(arr: ArrayData, mod: Long): ArrayData = {
     val n = arr.numElements()
@@ -775,5 +890,83 @@ object KernelRuntime {
     }
     java.util.Arrays.sort(slopes)
     D(slopes((m + 1) / 2 - 1))
+  }
+
+  /** Catalyst double ordering (SQLOrderingUtil.compareDoubles): plain
+    * `<`/`>` for the fast path, java.lang.Double.compare for the ties —
+    * so NaN sorts greater than everything and −0.0 below +0.0, exactly
+    * the semantics Spark's `least` resolves its winner with.
+    */
+  private def dcmp(x: Double, y: Double): Int =
+    if (x < y) -1 else if (x > y) 1 else java.lang.Double.compare(x, y)
+
+  /** See [[DtwKernel]]: the full DTW DP of [[graft.ts.TimeOps
+    * .DtwExprSql]] as ONE rolling-buffer loop — cell (i, j) =
+    * |vaᵢ − vbⱼ| + least(prev(j), cur(j−1), prev(j−1)), identical
+    * abs/min/plus operations in identical order, so the value is
+    * bit-equal to the nested-aggregate HOF form (DtwKernelSpec pins
+    * parity, nulls/NaN/−0.0 included). Null semantics replicate the
+    * expression tree exactly: a null element nulls its cell's cost
+    * (and the first row's running sum propagates), `least` SKIPS null
+    * arguments left to right (null only when all three are), and `+`
+    * null-propagates. The returned value is table(n1, n2) — null when
+    * either length is < 1 (the expression's explicit guard; the
+    * BinaryExpression wrapper already nulled a null va/vb).
+    */
+  def dtw(va: ArrayData, vb: ArrayData): java.lang.Double = {
+    val n1 = va.numElements()
+    val n2 = vb.numElements()
+    if (n1 < 1 || n2 < 1) return null
+    val prev = new Array[Double](n2)
+    val prevN = new Array[Boolean](n2)
+    // first DP row: r(j) = cost(1, j) + r(j−1), null-propagating
+    val a0n = va.isNullAt(0)
+    val a0 = if (a0n) 0d else va.getDouble(0)
+    var j = 0
+    while (j < n2) {
+      val bn = vb.isNullAt(j)
+      val cn = a0n || bn
+      val c = if (cn) 0d else math.abs(a0 - vb.getDouble(j))
+      if (j == 0) { prevN(0) = cn; prev(0) = c }
+      else {
+        prevN(j) = cn || prevN(j - 1)
+        prev(j) = if (prevN(j)) 0d else c + prev(j - 1)
+      }
+      j += 1
+    }
+    val cur = new Array[Double](n2)
+    val curN = new Array[Boolean](n2)
+    var i = 1
+    while (i < n1) {
+      val ain = va.isNullAt(i)
+      val ai = if (ain) 0d else va.getDouble(i)
+      var j2 = 0
+      while (j2 < n2) {
+        val bn = vb.isNullAt(j2)
+        val cn = ain || bn
+        val c = if (cn) 0d else math.abs(ai - vb.getDouble(j2))
+        if (j2 == 0) {
+          // row(1) = cost(i, 1) + prev(1): plain null-propagating add
+          curN(0) = cn || prevN(0)
+          cur(0) = if (curN(0)) 0d else c + prev(0)
+        } else {
+          // least(prev(j), row(j−1), prev(j−1)): left-fold, skip nulls,
+          // strict `<` per dcmp keeps the EARLIER argument on ties
+          var m = 0d
+          var mn = true
+          if (!prevN(j2)) { m = prev(j2); mn = false }
+          if (!curN(j2 - 1) && (mn || dcmp(cur(j2 - 1), m) < 0)) { m = cur(j2 - 1); mn = false }
+          if (!prevN(j2 - 1) && (mn || dcmp(prev(j2 - 1), m) < 0)) { m = prev(j2 - 1); mn = false }
+          curN(j2) = cn || mn
+          cur(j2) = if (curN(j2)) 0d else c + m
+        }
+        j2 += 1
+      }
+      // roll the buffers: cur becomes prev for the next DP row
+      System.arraycopy(cur, 0, prev, 0, n2)
+      System.arraycopy(curN, 0, prevN, 0, n2)
+      i += 1
+    }
+    if (prevN(n2 - 1)) null else D(prev(n2 - 1))
   }
 }

@@ -148,9 +148,60 @@ case class SpanHash60(child: Expression, winLen: Int, stride: Int)
   override protected def withNewChildInternal(newChild: Expression): SpanHash60 = copy(child = newChild)
 }
 
+/** Every `every`-th fixed-width frame's md5 hex in one byte pass — the
+  * frame-sampling kernel behind [[graft.multimodal.Multimodal
+  * .sampleFrames]]. Bit-identical strings to the declarative
+  * `md5(substr(t, idx·frameChars + 1, frameChars))` chain (which pays a
+  * from-byte-0 char-offset scan PER FRAME — the SpanHash60 lesson);
+  * empty array for an empty payload (zero frames, no phantom md5('')).
+  */
+case class FrameMd5Kernel(child: Expression, frameChars: Int, every: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    KernelRuntime.frameMd5(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], frameChars, every)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.KernelRuntime.frameMd5($c, $frameChars, $every)")
+
+  override protected def withNewChildInternal(newChild: Expression): FrameMd5Kernel = copy(child = newChild)
+}
+
+/** The trained BPE merge table applied to one word's symbol array —
+  * returns the final token COUNT. Replaces `rounds` chained interpreted
+  * [[graft.functions.TokenizerStats.mergeOnce]] aggregate() HOFs with
+  * one static call; BpeKernelSpec pins count parity against the fold
+  * chain (overlap runs, multi-round chains, fused-symbol reuse).
+  */
+case class BpeCountKernel(child: Expression, lhs: Array[String], rhs: Array[String])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(KernelRuntime.bpeTokenCount(
+      input.asInstanceOf[ArrayData], lhs, rhs))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("bpeLhs", lhs, "java.lang.String[]")
+    val r = ctx.addReferenceObj("bpeRhs", rhs, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.KernelRuntime.bpeTokenCount($c, $l, $r)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCountKernel = copy(child = newChild)
+}
+
 object TextHashKernels {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
+  def frameMd5(text: Column, frameChars: Int, every: Int): Column =
+    column(FrameMd5Kernel(expression(text), frameChars, every))
+  def bpeCount(syms: Column, merges: Seq[(String, String)]): Column =
+    column(BpeCountKernel(expression(syms),
+      merges.map(_._1).toArray, merges.map(_._2).toArray))
   def shingleHash60(tokens: Column, n: Int, mod: Long): Column =
     column(ShingleHash60(expression(tokens), n, mod))
   def spanHash60(text: Column, winLen: Int, stride: Int): Column =

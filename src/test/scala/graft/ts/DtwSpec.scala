@@ -62,4 +62,57 @@ class DtwSpec extends SparkSpec {
     assert(out(0).getLong(2) == 8L && out(0).getLong(3) == 8L)
     assert(out(0).getDouble(4) == bruteDtw(a.take(8), b.take(8)))
   }
+
+  test("DtwKernel ≡ nested-aggregate HOF form, BIT-exact (nulls, NaN, ±0.0, n=1, unequal)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    def d(xs: Double*): Seq[Option[Double]] = xs.map(Option(_))
+    val cases: Seq[(Seq[Option[Double]], Seq[Option[Double]])] = Seq(
+      (d(1.0, 3.5, 2.25, 7.125), d(2.0, 2.0, 3.25, 6.5, 1.0)),
+      (d(5.75), d(2.0, 9.0)),
+      (d(5.75), d(4.25)),
+      // null elements: cost nulls, least skips, first-row sum propagates
+      (Seq(Some(1.0), None, Some(3.0)), d(1.5, 2.5, 3.5)),
+      (Seq(None, Some(2.0)), Seq(Some(1.0), None)),
+      // NaN: Catalyst least orders NaN greatest (skipped when an
+      // alternative exists) — both paths must agree bitwise
+      (Seq(Some(Double.NaN), Some(2.0), Some(3.0)), d(1.0, 2.0)),
+      (d(1.0, 2.0, 3.0), Seq(Some(2.0), Some(Double.NaN), Some(4.0))),
+      // signed zero in the inputs (cells are abs-sums, never −0.0)
+      (d(-0.0, 0.0, 1.0), d(0.0, -0.0)),
+      (d(1e308, -1e308, 0.5), d(-1e308, 1e308)))
+    val df = cases.toDF("va", "vb")
+      .withColumn("n1", expr("cast(size(va) as bigint)"))
+      .withColumn("n2", expr("cast(size(vb) as bigint)"))
+      .withColumn("k", graft.plans.DtwKernel.of(col("va"), col("vb")))
+      .withColumn("h", expr(TimeOps.DtwExprSql))
+    val rows = df.select("k", "h").collect()
+    rows.zip(cases).foreach { case (r, c) =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null verdict diverged on $c")
+      if (!r.isNullAt(0))
+        assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToLongBits(r.getDouble(1)), s"bits diverged on $c")
+    }
+  }
+
+  test("bucketed pairing ≡ successor in global key order (gaps, empty buckets, >B keys)") {
+    // 2500 keys with irregular gaps: more keys than the B=1024 buckets,
+    // plus a sparse tail that leaves most high buckets empty — the
+    // cross-bucket stitch must supply every bucket-last row's successor
+    val keys = (0 until 2400).map(i => i.toLong * 7L + (i % 3)) ++
+      Seq(1000000L, 5000000L, 900000000L)
+    val series = keys.map(k => (k, Array(k.toDouble % 11, (k % 5).toDouble)))
+    val out = run(series)
+    val sorted = keys.sorted
+    assert(out.length == sorted.length)
+    sorted.zipWithIndex.foreach { case (k, i) =>
+      val r = out(i)
+      assert(r.getLong(0) == k)
+      if (i < sorted.length - 1)
+        assert(!r.isNullAt(1) && r.getLong(1) == sorted(i + 1),
+          s"successor of $k should be ${sorted(i + 1)}")
+      else assert(r.isNullAt(1) && r.isNullAt(4), "global last: null partner row")
+    }
+  }
 }
