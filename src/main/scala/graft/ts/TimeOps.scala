@@ -2354,9 +2354,17 @@ object TimeOps {
       .withColumn("__v4", expr("cast(floor(__x * 1.0E4 + 0.5E0) as bigint)"))
       .withColumn("__a1", lead(col("__v4"), 1).over(pw))
       .withColumn("__a2", lead(col("__v4"), 2).over(pw))
-    val head = tpl.where(col("__rn") === 1)
+    // PERSISTED narrow projection (r21): tpl feeds THREE consumers (the
+    // rn = 1 scalar head and both self-join sides) — without the cache
+    // the whole spine + two-WindowExec chain executes per consumer.
+    // Only ≤ maxPoints rows × 8 narrow columns per series are cached;
+    // blocks freed by the ContextCleaner / per-query cache hygiene.
+    val proj = tpl.select(groupCols.map(col) ++ Seq(col("__rn"), col("n_obs"),
+        col("n_used"), col("r4"), col("__v4"), col("__a1"), col("__a2")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val head = proj.where(col("__rn") === 1)
       .select(groupCols.map(col) ++ Seq(col("n_obs"), col("n_used"), col("r4")): _*)
-    val t = tpl.where(col("__a2").isNotNull)
+    val t = proj.where(col("__a2").isNotNull)
       .select(groupCols.map(col) ++ Seq(col("__rn"), col("r4"),
         col("__v4").as("__a0"), col("__a1"), col("__a2")): _*)
     val a = t.select(groupCols.map(c => col(c).as(s"__ga_$c")) ++
@@ -3015,19 +3023,31 @@ object TimeOps {
       valueCol: String,
       groupCols: Seq[String],
       orderCols: Seq[String]): DataFrame = {
+    // PERSISTED (r21): l1 is one row per series and feeds BOTH the
+    // segment-membership join and the final output — without the cache
+    // the whole level-1 window chain (a full scan) re-executes per
+    // consumer (the plan showed 5 source scans; now 2: one per level).
     val l1 = changepoint(df, valueCol, groupCols, orderCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ordHead = orderCols.head
     val withSeg = df.where(col(valueCol).isNotNull)
       .join(l1.select(groupCols.map(col) :+ col("cp_ord"): _*), groupCols)
       .withColumn("__seg", when(col(ordHead) <= col("cp_ord"), lit(0)).otherwise(lit(1)))
     val l2 = changepoint(withSeg, valueCol, groupCols :+ "__seg", orderCols)
-    def side(seg: Int, suffix: String): DataFrame =
-      l2.where(col("__seg") === seg).select(groupCols.map(col) ++ Seq(
-        col("cp_ord").as(s"cp_${suffix}_ord"),
-        col("stat").as(s"stat_$suffix")): _*)
+    // both segments pivoted in ONE pass over l2 (each (series, seg) has
+    // exactly one row, so max(when) IS the value; an unsplittable
+    // segment — < 2 points — simply has no row and pivots to null,
+    // exactly the old per-side left joins' verdict) instead of two
+    // side() filters that re-ran the level-2 chain per segment
+    val l2p = l2.groupBy(groupCols.map(col): _*).agg(
+      max(when(col("__seg") === 0, col("cp_ord"))).as("cp_left_ord"),
+      max(when(col("__seg") === 0, col("stat"))).as("stat_left"),
+      max(when(col("__seg") === 1, col("cp_ord"))).as("cp_right_ord"),
+      max(when(col("__seg") === 1, col("stat"))).as("stat_right"))
     l1.select(groupCols.map(col) ++ Seq(col("n"), col("cp_k"), col("cp_ord"), col("stat")): _*)
-      .join(side(0, "left"), groupCols, "left")
-      .join(side(1, "right"), groupCols, "left")
+      .join(l2p, groupCols, "left")
+      .select(groupCols.map(col) ++ Seq(col("n"), col("cp_k"), col("cp_ord"), col("stat"),
+        col("cp_left_ord"), col("stat_left"), col("cp_right_ord"), col("stat_right")): _*)
   }
 
   /** Calendar features from a µs-epoch timestamp — pure integer
