@@ -1,0 +1,212 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+/** Frame-fold AGGREGATE kernels (r21): the sliding-window loess /
+  * rolling-Theil-Sen fits computed directly INSIDE a
+  * TypedImperativeAggregate over a primitive double buffer, replacing
+  * the collect_list → scalar-kernel two-step.
+  *
+  * Why: window collect_list pays, per (output row × frame row), one
+  * boxed append into an ArrayBuffer[Any] (Spark's Collect buffers
+  * box primitives) plus, per output row, the list's GenericArrayData
+  * materialization, its UnsafeRow conversion, and only THEN the fused
+  * kernel's fold. These aggregates keep the frame in one interleaved
+  * double[] (zero boxing, zero per-row allocation), and eval() IS the
+  * fold — the window emits the final double and nothing else.
+  *
+  * EXACTNESS: update() sees the frame rows in frame order (WindowExec
+  * feeds sliding frames in row order), the fold arithmetic is the
+  * byte-for-byte body of the corresponding KernelRuntime scalar
+  * kernel, and the null/edge verdict is structural: `n` counts EVERY
+  * frame row while `nullSeen` latches any null input, so
+  * (n ≠ taps || nullSeen) ⇔ the collect_list form's clipped-frame /
+  * null-element NULL. StlSpec / RollTheilSenSpec pin the aggregate,
+  * scalar-kernel, and declarative-fold forms bit-equal.
+  *
+  * ORDER CONTRACT: these aggregates are only meaningful over an
+  * ORDERED window frame (the fold is order-sensitive). They must not
+  * be planned as a groupBy aggregate, where partial-merge row order
+  * is nondeterministic — merge() exists for interface completeness
+  * and concatenates in merge order, which no production path relies
+  * on (windows never merge).
+  */
+final class FrameState(val cap: Int, val arity: Int) {
+  val xs = new Array[Double](cap * arity)
+  var n = 0
+  var nullSeen = false
+}
+
+abstract class FrameFoldAgg extends TypedImperativeAggregate[FrameState] {
+  /** frame capacity in ROWS — the exact size a full frame must have */
+  protected def cap: Int
+  protected def arity: Int
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): FrameState = new FrameState(cap, arity)
+
+  override def merge(a: FrameState, b: FrameState): FrameState = {
+    // interface completeness only (see the order contract above):
+    // concatenate b after a, clamped at cap like update
+    a.nullSeen |= b.nullSeen
+    val take = math.min(math.min(b.n, b.cap), cap - math.min(a.n, cap))
+    if (take > 0) {
+      System.arraycopy(b.xs, 0, a.xs, math.min(a.n, cap) * arity, take * arity)
+    }
+    a.n += b.n
+    a
+  }
+
+  override def serialize(b: FrameState): Array[Byte] = {
+    val stored = math.min(b.n, cap) * arity
+    val bb = java.nio.ByteBuffer.allocate(5 + 8 * stored)
+    bb.putInt(b.n)
+    bb.put(if (b.nullSeen) 1.toByte else 0.toByte)
+    var i = 0
+    while (i < stored) { bb.putDouble(b.xs(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): FrameState = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val b = new FrameState(cap, arity)
+    b.n = bb.getInt()
+    b.nullSeen = bb.get() == 1.toByte
+    val stored = math.min(b.n, cap) * arity
+    var i = 0
+    while (i < stored) { b.xs(i) = bb.getDouble(); i += 1 }
+    b
+  }
+}
+
+/** Pass-1 tricube moving average: Σᵢ coefs(i)·v(i) over a full ±q
+  * frame — [[KernelRuntime.stlConvFlat]] as the window aggregate.
+  */
+case class StlConvAgg(
+    child: Expression,
+    coefs: Array[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends FrameFoldAgg {
+  override protected def cap: Int = coefs.length
+  override protected def arity: Int = 1
+  override def children: Seq[Expression] = Seq(child)
+
+  override def update(b: FrameState, input: InternalRow): FrameState = {
+    val v = child.eval(input)
+    if (v == null) b.nullSeen = true
+    else if (b.n < b.cap) b.xs(b.n) = v.asInstanceOf[Double]
+    b.n += 1
+    b
+  }
+
+  override def eval(b: FrameState): Any =
+    if (b.nullSeen) null else KernelRuntime.stlConvFlat(b.xs, b.n, coefs)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): StlConvAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): StlConvAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): StlConvAgg =
+    copy(child = newChildren.head)
+}
+
+/** Pass-2 weighted degree-1 loess fit at the frame center —
+  * [[KernelRuntime.stlLoessFitFlat]] over interleaved (ρ, v) pairs.
+  */
+case class StlLoessFitAgg(
+    rho: Expression,
+    v: Expression,
+    w0: Array[Double],
+    w1: Array[Double],
+    w2: Array[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends FrameFoldAgg {
+  override protected def cap: Int = w0.length
+  override protected def arity: Int = 2
+  override def children: Seq[Expression] = Seq(rho, v)
+
+  override def update(b: FrameState, input: InternalRow): FrameState = {
+    val r = rho.eval(input)
+    val x = v.eval(input)
+    if (r == null || x == null) b.nullSeen = true
+    else if (b.n < b.cap) {
+      b.xs(2 * b.n) = r.asInstanceOf[Double]
+      b.xs(2 * b.n + 1) = x.asInstanceOf[Double]
+    }
+    b.n += 1
+    b
+  }
+
+  override def eval(b: FrameState): Any =
+    if (b.nullSeen) null else KernelRuntime.stlLoessFitFlat(b.xs, b.n, w0, w1, w2)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): StlLoessFitAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): StlLoessFitAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): StlLoessFitAgg =
+    copy(rho = newChildren(0), v = newChildren(1))
+}
+
+/** Rolling Theil-Sen lower-median slope over one trailing [t, v]
+  * window — [[KernelRuntime.rollTheilSenFlat]] as the aggregate.
+  */
+case class RollTheilSenAgg(
+    t: Expression,
+    v: Expression,
+    w: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends FrameFoldAgg {
+  override protected def cap: Int = w
+  override protected def arity: Int = 2
+  override def children: Seq[Expression] = Seq(t, v)
+
+  override def update(b: FrameState, input: InternalRow): FrameState = {
+    val a = t.eval(input)
+    val x = v.eval(input)
+    if (a == null || x == null) b.nullSeen = true
+    else if (b.n < b.cap) {
+      b.xs(2 * b.n) = a.asInstanceOf[Double]
+      b.xs(2 * b.n + 1) = x.asInstanceOf[Double]
+    }
+    b.n += 1
+    b
+  }
+
+  override def eval(b: FrameState): Any =
+    if (b.nullSeen) null else KernelRuntime.rollTheilSenFlat(b.xs, b.n, w)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): RollTheilSenAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): RollTheilSenAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): RollTheilSenAgg =
+    copy(t = newChildren(0), v = newChildren(1))
+}
+
+object FrameAggKernels {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  def conv(v: Column, coefs: Array[Double]): Column =
+    column(StlConvAgg(expression(v), coefs).toAggregateExpression())
+
+  def loessFit(rho: Column, v: Column,
+      w0: Array[Double], w1: Array[Double], w2: Array[Double]): Column =
+    column(StlLoessFitAgg(expression(rho), expression(v), w0, w1, w2)
+      .toAggregateExpression())
+
+  def rollTheilSen(t: Column, v: Column, w: Int): Column =
+    column(RollTheilSenAgg(expression(t), expression(v), w).toAggregateExpression())
+}

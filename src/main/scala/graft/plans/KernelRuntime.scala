@@ -828,6 +828,46 @@ object KernelRuntime {
     if (den == 0.0) null else D((s2 * t0 - s1 * t1) / den)
   }
 
+  /** Flat-buffer twin of [[stlConv]] for [[StlConvAgg]] (r21): the
+    * IDENTICAL left-fold over a primitive double[] the aggregate
+    * buffered in frame order — n counts every frame row (clipped ⇒
+    * null); the caller has already nulled on a null element.
+    */
+  def stlConvFlat(xs: Array[Double], n: Int, coefs: Array[Double]): java.lang.Double = {
+    if (n != coefs.length) return null
+    var acc = coefs(0) * xs(0)
+    var i = 1
+    while (i < n) {
+      acc = acc + coefs(i) * xs(i)
+      i += 1
+    }
+    D(acc)
+  }
+
+  /** Flat-buffer twin of [[stlLoessFit]] for [[StlLoessFitAgg]] (r21):
+    * identical five-fold arithmetic over interleaved (ρ, v) pairs.
+    */
+  def stlLoessFitFlat(xs: Array[Double], n: Int, w0: Array[Double],
+      w1: Array[Double], w2: Array[Double]): java.lang.Double = {
+    if (n != w0.length) return null
+    var s0 = 0d; var s1 = 0d; var s2 = 0d; var t0 = 0d; var t1 = 0d
+    var i = 0
+    while (i < n) {
+      val r = xs(2 * i)
+      val rv = r * xs(2 * i + 1)
+      if (i == 0) {
+        s0 = w0(0) * r; s1 = w1(0) * r; s2 = w2(0) * r
+        t0 = w0(0) * rv; t1 = w1(0) * rv
+      } else {
+        s0 = s0 + w0(i) * r; s1 = s1 + w1(i) * r; s2 = s2 + w2(i) * r
+        t0 = t0 + w0(i) * rv; t1 = t1 + w1(i) * rv
+      }
+      i += 1
+    }
+    val den = s0 * s2 - s1 * s1
+    if (den == 0.0) null else D((s2 * t0 - s1 * t1) / den)
+  }
+
   /** See [[SortableDoubleBits]]: the order-preserving IEEE-754 int64
     * mapping k = bits XOR ((bits >> 63) & Long.MaxValue) — flips the
     * magnitude bits of negatives so SIGNED k ascends exactly with the
@@ -883,6 +923,29 @@ object KernelRuntime {
       var b = a + 1
       while (b < w) {
         slopes(k) = (vs(b) - vs(a)) / (ts(b) - ts(a))
+        k += 1
+        b += 1
+      }
+      a += 1
+    }
+    java.util.Arrays.sort(slopes)
+    D(slopes((m + 1) / 2 - 1))
+  }
+
+  /** Flat-buffer twin of [[rollTheilSen]] for [[RollTheilSenAgg]]
+    * (r21): identical slope multiset, sort, and rank pick over
+    * interleaved (t, v) pairs the aggregate buffered in frame order.
+    */
+  def rollTheilSenFlat(xs: Array[Double], n: Int, w: Int): java.lang.Double = {
+    if (n != w) return null
+    val m = w * (w - 1) / 2
+    val slopes = new Array[Double](m)
+    var k = 0
+    var a = 0
+    while (a < w - 1) {
+      var b = a + 1
+      while (b < w) {
+        slopes(k) = (xs(2 * b + 1) - xs(2 * a + 1)) / (xs(2 * b) - xs(2 * a))
         k += 1
         b += 1
       }

@@ -18,6 +18,17 @@ import org.apache.spark.sql.types._
   * term-for-term (StlSpec pins bit-equal outputs of both paths; the
   * DuckDB oracle is unchanged because the fold order is unchanged).
   *
+  * r21: the PRODUCTION window routes moved one step further, to
+  * [[FrameAggKernels]] — the same folds computed directly inside a
+  * TypedImperativeAggregate over a primitive buffer, skipping the
+  * boxed collect_list materialization these scalar kernels consume
+  * (measured −17..−35% on ts_stl/stl2/strength/rolltheilsen at
+  * sf0.1). These scalar forms REMAIN the specs' independent parity
+  * reference (StlSpec / RollTheilSenSpec / CodegenWiringSpec pin
+  * aggregate ≡ scalar kernel ≡ declarative fold bit-equal) and the
+  * streaming route's per-key body (StreamingFeaturize calls
+  * [[KernelRuntime.rollTheilSen]] directly).
+  *
   * Null/edge contract: a frame clipped at the series edge (size ≠
   * 2q+1) or containing a null input yields a NULL fit — identical to
   * the lag/lead chain's null propagation (any tap null → sums null).

@@ -75,12 +75,15 @@ object Stl {
 
   private def s4(c: Column): Column = floor(c * lit(10000d) + lit(0.5d)).cast("long")
 
-  /** `useKernel = true` (default): both loess passes run as fused
-    * kernels over ONE sliding collect_list frame each ([[graft.plans
-    * .StlKernels]]) instead of 2·(2q+1) offset frame processors —
-    * measured ~2× the whole query's cost at sf0.1. `false` keeps the
-    * declarative lag/lead fold form; StlSpec pins both paths
-    * bit-equal (same fold order by construction).
+  /** `useKernel = true` (default): both loess passes run as frame-fold
+    * AGGREGATES ([[graft.plans.FrameAggKernels]], r21) — the fit is
+    * computed directly inside the window over a primitive (ρ, v)
+    * buffer, with no boxed collect_list materialization and no
+    * 2·(2q+1) offset frame processors (the r12→r21 cost ladder:
+    * declarative folds ~2× the query; collect_list + scalar kernel
+    * −50%; the aggregate another −17..−35% measured at sf0.1).
+    * `false` keeps the declarative lag/lead fold form; StlSpec pins
+    * both paths bit-equal (same fold order by construction).
     *
     * `outerIters` (r13): Cleveland's STL runs n_o ≥ 1 outer
     * robustness passes with convergence in 2-3; each extra pass
@@ -112,7 +115,7 @@ object Stl {
     // pass 1: literal-coefficient tricube moving average (the rho≡1
     // local-linear fit at a symmetric window's center)
     val trend1 =
-      if (useKernel) graft.plans.StlKernels.conv(collect_list(v).over(frame), c1.toArray)
+      if (useKernel) graft.plans.FrameAggKernels.conv(v, c1.toArray).over(frame)
       else taps.map(i => lit(c1(i + q)) * tap(v, i, w)).reduceLeft(_ + _)
     val pw = Window.partitionBy(groupCols.map(col) :+ col("phase"): _*)
     // iteration state: __d4 = s4 detrended value, __ss4 = s4 seasonal
@@ -167,8 +170,12 @@ object Stl {
       val rv = rho * v
       val trend2 =
         if (useKernel)
-          graft.plans.StlKernels.loessFit(
-            collect_list(array(rho, v)).over(frame), w0, w1, w2)
+          // the fit IS the window aggregate (r21): one primitive
+          // (ρ, v) frame buffer, eval = the five-fold fit — no boxed
+          // collect_list, no intermediate array row; verdict parity is
+          // structural (n counts every frame row, nullSeen latches a
+          // null input) and StlSpec pins all forms bit-equal
+          graft.plans.FrameAggKernels.loessFit(rho, v, w0, w1, w2).over(frame)
         else {
           val s0c = fold(rho, i => wt(i + q))
           val s1c = fold(rho, i => wt(i + q) * i)

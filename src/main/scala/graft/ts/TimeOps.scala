@@ -1075,8 +1075,12 @@ object TimeOps {
     require(w >= 2, s"window must hold at least one pair, got $w")
     val win = Featurize.seriesWindow(groupCols, orderCols).rowsBetween(-(w - 1), 0)
     df.withColumn(out,
-      graft.plans.StlKernels.rollTheilSen(
-        collect_list(array(col(tsCol).cast("double"), col(valueCol).cast("double"))).over(win), w))
+      // the slope pick IS the window aggregate (r21): one primitive
+      // (t, v) frame buffer, eval = slopes + sort + rank — no boxed
+      // collect_list, no pair-array rows (verdict parity structural;
+      // RollTheilSenSpec pins aggregate ≡ scalar kernel)
+      graft.plans.FrameAggKernels.rollTheilSen(
+        col(tsCol).cast("double"), col(valueCol).cast("double"), w).over(win))
   }
 
   /** The full Theil-Sen LINE: the [[theilSen]] slope plus Sen's

@@ -123,7 +123,13 @@ class CodegenWiringSpec extends SparkSpec {
       StlKernels.loessFit(collect_list(array(lit(1.0), $"v")).over(win),
         w0, w1, w2).as("fit"),
       StlKernels.rollTheilSen(
-        collect_list(array($"t".cast("double"), $"v")).over(winT), 5).as("sen"))
+        collect_list(array($"t".cast("double"), $"v")).over(winT), 5).as("sen"),
+      // the r21 frame-fold AGGREGATE forms (the production path)
+      // beside the scalar-kernel forms: same frames, so the parity
+      // test below pins them bit-equal row by row
+      FrameAggKernels.loessFit(lit(1.0), $"v", w0, w1, w2).over(win).as("fit2"),
+      FrameAggKernels.rollTheilSen($"t".cast("double"), $"v".cast("double"), 5)
+        .over(winT).as("sen2"))
   }
 
   test("generated code calls KernelRuntime (kernels are inside codegen)") {
@@ -155,6 +161,9 @@ class CodegenWiringSpec extends SparkSpec {
         assert(genHash.contains(s"graft.plans.$m"), s"generated code lacks $m")
       val genStl = org.apache.spark.sql.execution.debug.codegenString(
         stlQuery.queryExecution.executedPlan)
+      // the frame-fold AGGREGATES (fit2/sen2 columns) run imperatively
+      // inside WindowExec — they never appear in codegen strings; their
+      // parity with the codegen'd scalar kernels is pinned below
       for (m <- Seq("KernelRuntime.stlConv", "KernelRuntime.stlLoessFit",
         "KernelRuntime.rollTheilSen"))
         assert(genStl.contains(s"graft.plans.$m"), s"generated code lacks $m")
@@ -168,6 +177,16 @@ class CodegenWiringSpec extends SparkSpec {
     assert(a.exists(_.isNullAt(2)) && a.exists(!_.isNullAt(2)), "conv edge + interior rows")
     assert(a.exists(_.isNullAt(3)) && a.exists(!_.isNullAt(3)), "fit edge + interior rows")
     assert(a.exists(_.isNullAt(4)) && a.exists(!_.isNullAt(4)), "sen warmup + full rows")
+    // the two-list forms are bit-equal to their pair forms row by row
+    // (null verdicts included — edge frames clip both the same way)
+    a.foreach { r =>
+      assert(r.isNullAt(3) == r.isNullAt(5) &&
+        (r.isNullAt(3) || java.lang.Double.doubleToRawLongBits(r.getDouble(3)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(5))), s"fit2 != fit: $r")
+      assert(r.isNullAt(4) == r.isNullAt(6) &&
+        (r.isNullAt(4) || java.lang.Double.doubleToRawLongBits(r.getDouble(4)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(6))), s"sen2 != sen: $r")
+    }
   }
 
   test("hash kernels: CODEGEN_ONLY equals NO_CODEGEN (incl. null/empty/mismatch rows)") {

@@ -55,8 +55,39 @@ class RollTheilSenSpec extends SparkSpec {
     val plan = TimeOps.rollTheilSen(ev, "value", "ts_us", Seq("user_id"),
       Seq("ts_us", "event_id"), w).queryExecution.executedPlan.toString
     val lower = plan.toLowerCase
-    assert(lower.contains("rolltheilsenkernel"), s"kernel must plan:\n${plan.take(1500)}")
+    assert(lower.contains("rolltheilsenagg"), s"aggregate must plan:\n${plan.take(1500)}")
     assert("specifiedwindowframe\\(rowframe, -13, currentrow".r.findAllIn(lower).nonEmpty,
       s"frame must be the bounded trailing 14 rows:\n${plan.take(1500)}")
+    // the fold runs INSIDE the window aggregate (r21): no collect_list
+    // materialization anywhere, one Window node
+    assert(plan.linesIterator.count(_.contains("Window [")) == 1 &&
+      !lower.contains("collect_list"),
+      s"one WindowExec, no collect_list:\n${plan.take(2000)}")
+  }
+
+  test("frame-fold aggregate ≡ pair kernel: verdicts align on nulls and clipped frames") {
+    import graft.plans.{FrameAggKernels, StlKernels}
+    // null value at t = 20: every window containing it must be null on
+    // BOTH forms (pair kernel: null element; aggregate: nullSeen latch)
+    val df = (0 until 45).map { t =>
+      (1L, t.toLong * 1000L, if (t == 20) None else Some(2.0 * t + (t % 5)))
+    }.toDF("user_id", "ts_us", "value")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us").rowsBetween(-(w - 1), 0)
+    val got = df.select(col("ts_us"),
+        StlKernels.rollTheilSen(collect_list(
+          array(col("ts_us").cast("double"), col("value").cast("double"))).over(win), w).as("p"),
+        FrameAggKernels.rollTheilSen(
+          col("ts_us").cast("double"), col("value").cast("double"), w).over(win).as("q"))
+      .orderBy("ts_us").collect()
+    got.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"verdict mismatch: $r")
+      if (!r.isNullAt(1))
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)), s"value mismatch: $r")
+    }
+    val nullAt = got.map(r => (r.getLong(0) / 1000L).toInt -> r.isNullAt(2)).toMap
+    (20 until 20 + w).foreach(t => assert(nullAt(t), s"t=$t window holds the null"))
+    assert(!nullAt(19) && !nullAt(20 + w), "clean full windows stay non-null")
   }
 }

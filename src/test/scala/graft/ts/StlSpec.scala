@@ -187,6 +187,39 @@ class StlSpec extends SparkSpec {
     }
   }
 
+  test("null mid-series: aggregate and fold verdicts align (incl. null fits)") {
+    // a null value inside a frame: the fold path null-propagates the
+    // taps; the frame-fold aggregate latches nullSeen — same NULL
+    // verdict by construction, pinned here end-to-end through both
+    // loess passes, the phase means, and the bisquare chain
+    val day = 86400000000L
+    val vOpt: IndexedSeq[Option[Double]] =
+      series(42).map(Option(_)).updated(20, None)
+    def runOpt(useKernel: Boolean) = {
+      val rows = vOpt.zipWithIndex.map { case (x, t) => (1L, t.toLong * day, x) }
+      val daily = rows.toDF("user_id", "bucket", "filled_value")
+      val phase = pmod(expr("bucket div 86400000000") + 3, lit(7)).cast("int")
+      Stl.robustDecompose(daily, "filled_value", Seq("user_id"), "bucket", phase, q,
+          useKernel = useKernel)
+        .orderBy("bucket").collect()
+    }
+    val k = runOpt(true)
+    val d = runOpt(false)
+    assert(k.length == d.length)
+    k.zip(d).zipWithIndex.foreach { case ((a, b), t) =>
+      (4 to 7).foreach { i =>
+        assert(a.isNullAt(i) == b.isNullAt(i) &&
+          (a.isNullAt(i) || a.getLong(i) == b.getLong(i)),
+          s"t=$t col $i: $a vs $b")
+      }
+    }
+    // the null row's ±q neighborhood must actually exercise null fits
+    assert(k(20).isNullAt(4) && k(20 - q).isNullAt(4) && k(20 + q).isNullAt(4),
+      "trend must be null within q of the null value")
+    assert(!k(20 - q - 1).isNullAt(4) && !k(20 + q + 1).isNullAt(4),
+      "trend must recover outside the null's frame reach")
+  }
+
   test("decomposition adds back up: v*1e4 ≈ trend+seasonal+remainder (≤1 s4 quantization)") {
     val v = series(42, outlierAt = 20)
     runStl(v).foreach { r =>
@@ -234,14 +267,18 @@ class StlSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     val lower = plan.toLowerCase
     // no unbounded buffering aggregation: the median is the rank pick,
-    // and the only collect_lists are the two BOUNDED ±q sliding kernel
-    // frames (every collect_list in the plan carries the -7/7 RowFrame)
+    // and both loess passes run as frame-fold AGGREGATES (r21) over
+    // BOUNDED ±q sliding frames — no collect_list materialization
+    // anywhere in the plan, one Window node per pass
     assert(!plan.contains("sort_array"), s"no sort_array median:\n${plan.take(1500)}")
-    assert("collect_list".r.findAllIn(lower).size == 2 &&
+    assert(!lower.contains("collect_list") &&
       "specifiedwindowframe\\(rowframe, -7, 7\\)".r.findAllIn(lower).size == 2,
-      s"exactly the two bounded kernel frames:\n${plan.take(2000)}")
-    assert(lower.contains("stlconvkernel") && lower.contains("stlloessfitkernel"),
-      s"fused kernels must be in the executed plan:\n${plan.take(2000)}")
+      s"exactly the two bounded aggregate frames, no collect_list:\n${plan.take(2000)}")
+    assert(plan.linesIterator.count(l =>
+        l.contains("Window [") && l.contains("RowFrame, -7, 7")) == 2,
+      s"one WindowExec per loess pass:\n${plan.take(2000)}")
+    assert(lower.contains("stlconvagg") && lower.contains("stlloessfitagg"),
+      s"frame-fold aggregates must be in the executed plan:\n${plan.take(2000)}")
     assert(lower.contains("windowspecdefinition(user_id"),
       s"windows must key on the series:\n${plan.take(1500)}")
   }
