@@ -196,11 +196,195 @@ case class RollTheilSenAgg(
     copy(t = newChildren(0), v = newChildren(1))
 }
 
+/** Primitive window-frame COLLECTORS (r21 batch 2): `collect_list`
+  * minus the boxing, for frames whose consumer is a scalar kernel
+  * expression (TaylorKernel / RollFoldKernel / MultiRollKernel) that
+  * reads the array through the ArrayData interface.
+  *
+  * Semantics are exactly CollectList's: null inputs are DROPPED (the
+  * compacted-array contract the bare kernels were built on), the
+  * result is never null (empty frame → empty array), elements arrive
+  * in frame order. The buffer is one growable primitive array —
+  * update() never boxes — and eval() is a single
+  * `UnsafeArrayData.fromPrimitiveArray` memcpy instead of
+  * CollectList's ArrayBuffer[Any] → GenericArrayData → per-element
+  * unsafe conversion.
+  *
+  * `sorted = true` additionally sorts the collected values before
+  * emitting — replacing a `sort_array(collect_list(x))` two-step.
+  * EXACTNESS: `java.util.Arrays.sort(double[])` implements the same
+  * total order as Spark's sort_array on doubles (-0.0 < 0.0, NaN
+  * greatest — both are java.lang.Double.compare order), and long
+  * sorting is unambiguous; nulls were dropped before the sort exactly
+  * as collect_list dropped them (ascending sort_array puts nulls
+  * FIRST, but every call site collects a non-null-filtered frame).
+  *
+  * The ORDER CONTRACT of [[FrameFoldAgg]] applies: window frames only
+  * (WindowExec feeds update() in frame order and never merges); merge
+  * exists for interface completeness.
+  */
+final class DblFrameState(cap: Int) {
+  var xs = new Array[Double](cap)
+  var n = 0
+}
+
+case class DoubleFrameCollect(
+    child: Expression,
+    capHint: Int,
+    sorted: Boolean = false,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[DblFrameState] {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): DblFrameState =
+    new DblFrameState(math.max(capHint, 4))
+
+  override def update(b: DblFrameState, input: InternalRow): DblFrameState = {
+    val v = child.eval(input)
+    if (v != null) {
+      if (b.n == b.xs.length) b.xs = java.util.Arrays.copyOf(b.xs, b.n * 2)
+      b.xs(b.n) = v.asInstanceOf[Double]
+      b.n += 1
+    }
+    b
+  }
+
+  override def merge(a: DblFrameState, b: DblFrameState): DblFrameState = {
+    // interface completeness only (windows never merge): concatenate
+    if (a.n + b.n > a.xs.length) a.xs = java.util.Arrays.copyOf(a.xs, a.n + b.n)
+    System.arraycopy(b.xs, 0, a.xs, a.n, b.n)
+    a.n += b.n
+    a
+  }
+
+  override def eval(b: DblFrameState): Any = {
+    val out = java.util.Arrays.copyOf(b.xs, b.n)
+    if (sorted) java.util.Arrays.sort(out)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def serialize(b: DblFrameState): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * b.n)
+    bb.putInt(b.n)
+    var i = 0
+    while (i < b.n) { bb.putDouble(b.xs(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): DblFrameState = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val b = new DblFrameState(math.max(n, 4))
+    var i = 0
+    while (i < n) { b.xs(i) = bb.getDouble(); i += 1 }
+    b.n = n
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): DoubleFrameCollect =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DoubleFrameCollect =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DoubleFrameCollect =
+    copy(child = newChildren.head)
+}
+
+final class LngFrameState(cap: Int) {
+  var xs = new Array[Long](cap)
+  var n = 0
+}
+
+/** Long twin of [[DoubleFrameCollect]] (hampel's integer-cents frames). */
+case class LongFrameCollect(
+    child: Expression,
+    capHint: Int,
+    sorted: Boolean = false,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[LngFrameState] {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): LngFrameState =
+    new LngFrameState(math.max(capHint, 4))
+
+  override def update(b: LngFrameState, input: InternalRow): LngFrameState = {
+    val v = child.eval(input)
+    if (v != null) {
+      if (b.n == b.xs.length) b.xs = java.util.Arrays.copyOf(b.xs, b.n * 2)
+      b.xs(b.n) = v.asInstanceOf[Long]
+      b.n += 1
+    }
+    b
+  }
+
+  override def merge(a: LngFrameState, b: LngFrameState): LngFrameState = {
+    if (a.n + b.n > a.xs.length) a.xs = java.util.Arrays.copyOf(a.xs, a.n + b.n)
+    System.arraycopy(b.xs, 0, a.xs, a.n, b.n)
+    a.n += b.n
+    a
+  }
+
+  override def eval(b: LngFrameState): Any = {
+    val out = java.util.Arrays.copyOf(b.xs, b.n)
+    if (sorted) java.util.Arrays.sort(out)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def serialize(b: LngFrameState): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * b.n)
+    bb.putInt(b.n)
+    var i = 0
+    while (i < b.n) { bb.putLong(b.xs(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): LngFrameState = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val b = new LngFrameState(math.max(n, 4))
+    var i = 0
+    while (i < n) { b.xs(i) = bb.getLong(); i += 1 }
+    b.n = n
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): LongFrameCollect =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): LongFrameCollect =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): LongFrameCollect =
+    copy(child = newChildren.head)
+}
+
 object FrameAggKernels {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
   def conv(v: Column, coefs: Array[Double]): Column =
     column(StlConvAgg(expression(v), coefs).toAggregateExpression())
+
+  /** Window collect_list(double) without boxing — null inputs dropped,
+    * never null, frame order preserved. `capHint` = the frame's row
+    * bound (a hint only; the buffer grows past it).
+    */
+  def collectDoubles(v: Column, capHint: Int): Column =
+    column(DoubleFrameCollect(expression(v), capHint).toAggregateExpression())
+
+  /** sort_array(collect_list(double)) as ONE primitive pass. */
+  def collectSortedDoubles(v: Column, capHint: Int): Column =
+    column(DoubleFrameCollect(expression(v), capHint, sorted = true).toAggregateExpression())
+
+  /** sort_array(collect_list(long)) as ONE primitive pass. */
+  def collectSortedLongs(v: Column, capHint: Int): Column =
+    column(LongFrameCollect(expression(v), capHint, sorted = true).toAggregateExpression())
 
   def loessFit(rho: Column, v: Column,
       w0: Array[Double], w1: Array[Double], w2: Array[Double]): Column =

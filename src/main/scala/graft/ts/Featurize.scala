@@ -85,7 +85,9 @@ object Featurize {
           val mine = reqs.filter(_.src == c)
           mine.groupBy(r => RollSpecDef(r.mode, 0, r.w, r.minP, r.lagK, r.weights).depth)
             .toSeq.sortBy(_._1).map { case (depth, rs) =>
-              val xs = collect_list(col(c).cast("double")).over(win.rowsBetween(-(depth - 1), 0))
+              val xs = graft.plans.FrameAggKernels
+                .collectDoubles(col(c).cast("double"), depth)
+                .over(win.rowsBetween(-(depth - 1), 0))
               val specs = rs.map(r => RollSpecDef(r.mode, 0, r.w, r.minP, r.lagK, r.weights))
               (MultiRollKernel.ofBare(xs, specs), rs)
             }
@@ -193,7 +195,13 @@ object Featurize {
         val d = col(c).cast("double")
         when(isnan(d), lit(null)).otherwise(d)
       }: _*)
-    val frame = collect_list(elem).over(win.rowsBetween(-frameLo, frameHi))
+    // bare single-column frame: the primitive collector (elem is
+    // coalesce(x, NaN) — never null, so nothing is dropped and rows
+    // keep their position exactly as before). Wrapped multi-column
+    // frames keep collect_list (array elements).
+    val frame =
+      (if (bareNaN) graft.plans.FrameAggKernels.collectDoubles(elem, frameLo + frameHi + 1)
+       else collect_list(elem)).over(win.rowsBetween(-frameLo, frameHi))
     val posC = row_number().over(win).cast("long") - 1
     val cntC =
       if (needsCnt)
@@ -392,7 +400,8 @@ object Featurize {
       orderCols: Seq[String],
       w: Int): FeatureResult = {
     val win = seriesWindow(groupCols, orderCols)
-    val xs = collect_list(col(c).cast("double")).over(win.rowsBetween(-(w - 1), 0))
+    val xs = graft.plans.FrameAggKernels.collectDoubles(col(c).cast("double"), w)
+      .over(win.rowsBetween(-(w - 1), 0))
     val k = graft.plans.RollFoldKernel.moments(xs, w)
     val names = Seq(s"${c}_skew_w$w", s"${c}_kurt_w$w")
     FeatureResult(
@@ -415,7 +424,8 @@ object Featurize {
     val win = seriesWindow(groupCols, orderCols)
     if (useKernel) {
       val name = s"${c}_autocorr_l${lagK}_w$w"
-      val xs = collect_list(col(c).cast("double")).over(win.rowsBetween(-(w + lagK - 1), 0))
+      val xs = graft.plans.FrameAggKernels.collectDoubles(col(c).cast("double"), w + lagK)
+        .over(win.rowsBetween(-(w + lagK - 1), 0))
       val k = graft.plans.RollFoldKernel.autocorr(xs, w, lagK)
       return FeatureResult(df.select(col("*"), element_at(k, 1).as(name)), Seq(name))
     }
@@ -476,7 +486,8 @@ object Featurize {
     val win = seriesWindow(groupCols, orderCols)
     if (useKernel) {
       val name = s"${c}_zscore_w$w"
-      val xs = collect_list(col(c).cast("double")).over(win.rowsBetween(-(w - 1), 0))
+      val xs = graft.plans.FrameAggKernels.collectDoubles(col(c).cast("double"), w)
+        .over(win.rowsBetween(-(w - 1), 0))
       val k = graft.plans.RollFoldKernel.zscore(xs, col(c).cast("double"), w)
       return FeatureResult(df.select(col("*"), element_at(k, 1).as(name)), Seq(name))
     }

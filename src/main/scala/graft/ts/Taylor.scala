@@ -129,7 +129,10 @@ object Taylor {
       val (lo, hi) =
         if (spec.align == "trailing") (-(wsize - 1), 0)
         else { val h = (wsize - 1) / 2; (-h, wsize - 1 - h) }
-      val xs = collect_list(col(spec.column).cast("double"))
+      // primitive frame collector (r21): collect_list semantics (nulls
+      // dropped, frame order) with zero boxing — see FrameAggKernels
+      val xs = graft.plans.FrameAggKernels
+        .collectDoubles(col(spec.column).cast("double"), wsize)
         .over(win.rowsBetween(lo, hi))
       graft.plans.TaylorKernel.fromSpec(spec, xs, posCol, cntCol)
     }

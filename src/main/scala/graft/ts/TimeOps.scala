@@ -367,7 +367,7 @@ object TimeOps {
       // one-pass fold kernel over a single sliding frame; weights are
       // positional (beta^lag-distance), so null-free input is the
       // contract (a null would shift the collected array)
-      val xs = org.apache.spark.sql.functions.collect_list(col(valueCol).cast("double"))
+      val xs = graft.plans.FrameAggKernels.collectDoubles(col(valueCol).cast("double"), k)
         .over(win.rowsBetween(-(k - 1), 0))
       val ker = graft.plans.RollFoldKernel.ewmaTrunc(xs, k, beta)
       return df.select(col("*"), element_at(ker, 1).as(out))
@@ -2820,7 +2820,11 @@ object TimeOps {
     val withC = df.withColumn("__c", floor(col(valueCol) * scale + lit(0.5)).cast("long"))
     val withArr = withC
       .withColumn("__cnt", count(col("__c")).over(win))
-      .withColumn("__arr", sort_array(collect_list(col("__c")).over(win)))
+      // one primitive collect+sort pass (r21) — replaces
+      // sort_array(collect_list(__c)): same null-dropped long multiset,
+      // same ascending order (long sort is unambiguous)
+      .withColumn("__arr", graft.plans.FrameAggKernels
+        .collectSortedLongs(col("__c"), w).over(win))
     // get() (0-based, null out of bounds), NOT element_at: under ANSI
     // a series shorter than k+1 rows would THROW on its edge windows
     // before the cnt gate ever applies (element_at is eager per row)
@@ -2850,9 +2854,17 @@ object TimeOps {
       .rowsBetween(-(w - 1), Window.currentRow)
     val v = col(valueCol)
     def rank(p: Double): Int = math.ceil(p * w).toInt
+    // one primitive collect+sort pass when the value is already a
+    // double (r21): Arrays.sort(double[]) is the same -0.0 < 0.0 < NaN
+    // total order sort_array applies, and collect_list's null-dropping
+    // is replicated; other input types keep the generic two-step
+    val sortedArr =
+      if (df.schema(valueCol).dataType == org.apache.spark.sql.types.DoubleType)
+        graft.plans.FrameAggKernels.collectSortedDoubles(v, w).over(win)
+      else sort_array(collect_list(v).over(win))
     val withArr = df
       .withColumn("__cnt", count(v).over(win))
-      .withColumn("__arr", sort_array(collect_list(v).over(win)))
+      .withColumn("__arr", sortedArr)
     val full = col("__cnt") === w
     withArr
       .withColumn(s"${valueCol}_q1_w$w", when(full, element_at(col("__arr"), rank(0.25))))

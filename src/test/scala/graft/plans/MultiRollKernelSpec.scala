@@ -63,8 +63,13 @@ class MultiRollKernelSpec extends SparkSpec {
         Featurize.Rollmean(Seq("v", "u"), Seq(5, 9)),
         Featurize.HorizonTargets(Seq("v"), Seq(2), "wide")))
       val plan = res.df.queryExecution.executedPlan.toString
+      // bare frames are the r21 primitive collector
+      // (doubleframecollect); the wrapped multi-column frame is still
+      // collect_list(array(...)) — count both so either mode's frame
+      // count is visible
       ("(?m)^\\s*(?:\\+- )?Window ".r.findAllIn(plan).length,
-        "collect_list".r.findAllIn(plan).length,
+        "doubleframecollect".r.findAllIn(plan).length +
+          "collect_list".r.findAllIn(plan).length,
         "Exchange hashpartitioning".r.findAllIn(plan).length)
     }
     val (windows, buffers, hashExchanges) = shape()
