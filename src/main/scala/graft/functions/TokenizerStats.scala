@@ -206,16 +206,24 @@ object TokenizerStats {
   def bpeTrainFromWords(words: DataFrame, rounds: Int,
       localFinishMaxVocab: Long = 1L << 18): DataFrame = {
     val spark = words.sparkSession
-    var state = words.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (localFinishMaxVocab > 0 && state.count() <= localFinishMaxVocab) {
-      // vocab fits the driver: finish every merge locally (one job for
-      // the collect instead of `rounds` argmax jobs)
-      val vocab = state.select(col("__w"), col("__f")).collect()
-        .map(r => (r.getString(0), r.getLong(1)))
-      state.unpersist()
-      import spark.implicits._
-      return bpeTrainLocal(vocab, rounds).toDF("rank", "lhs", "rhs", "pair_count")
+    // r22 (guide §2.6 — fewer sequential driver round-trips): the old
+    // local-finish gate ran TWO jobs over the persisted vocab (count,
+    // then collect) plus the cache write. One size-guarded collect
+    // (limit bound+1 — the extra row is the "too big" sentinel) decides
+    // AND fetches in a single job with no persist at all; identical
+    // verdict (rows ≤ bound ⟺ count ≤ bound) and identical vocab. Only
+    // an over-bound corpus pays a recompute, and it was headed into the
+    // distributed loop's own persist anyway.
+    if (localFinishMaxVocab > 0) {
+      val probe = words.select(col("__w"), col("__f"))
+        .limit((localFinishMaxVocab + 1).min(Int.MaxValue.toLong).toInt).collect()
+      if (probe.length <= localFinishMaxVocab) {
+        val vocab = probe.map(r => (r.getString(0), r.getLong(1)))
+        import spark.implicits._
+        return bpeTrainLocal(vocab, rounds).toDF("rank", "lhs", "rhs", "pair_count")
+      }
     }
+    var state = words.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deferred unpersist: round r's argmax action is what materializes
     // state_r's cache (computing the pair aggregate computes — and
     // therefore caches — its persisted input), so state_{r-1} becomes
@@ -287,9 +295,33 @@ object TokenizerStats {
     // outweigh a tokenize scan, whose map-side word collapse already
     // makes the trainer's own scan cheap. Two lean scans beat one
     // scan + one fat cache here; kept as the trainer's independent scan.
-    val merges = bpeTrain(docs, textCol, rounds, localFinishMaxVocab)
-      .orderBy("rank").collect()
-      .map(r => (r.getString(1), r.getString(2)))
+    // r22: train inline so the local-finish probe's MEASURED vocab
+    // size also decides the encode-side broadcast gate — when the
+    // whole vocabulary fit the driver (≤ localFinishMaxVocab ≤ the
+    // 4M broadcast bound), nTok's row count is that same vocab size
+    // and the former nTok.persist + count() gate action (one full
+    // tokenize+distinct scan + a cache write) is pure overhead. The
+    // distributed-trainer path keeps the measured-count gate.
+    val words0 = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+      .select(col("__w"), col("__f"),
+        array_remove(split(col("__w"), ""), "").as("__s"))
+    val probeRan = localFinishMaxVocab > 0 && localFinishMaxVocab <= maxBroadcastVocab
+    val probe: Array[org.apache.spark.sql.Row] =
+      if (probeRan)
+        words0.select(col("__w"), col("__f"))
+          .limit((localFinishMaxVocab + 1).min(Int.MaxValue.toLong).toInt).collect()
+      else Array.empty
+    val localVocab = probeRan && probe.length <= localFinishMaxVocab
+    val merges: Array[(String, String)] =
+      if (localVocab)
+        bpeTrainLocal(probe.map(r => (r.getString(0), r.getLong(1))), rounds)
+          .map(m => (m._2, m._3)).toArray
+      else
+        bpeTrainFromWords(words0, rounds, if (probeRan) 0 else localFinishMaxVocab)
+          .orderBy("rank").collect()
+          .map(r => (r.getString(1), r.getString(2)))
     val dw = docs
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("__w"))
       .groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__cnt"))
@@ -298,11 +330,21 @@ object TokenizerStats {
     // the whole merge chain as ONE kernel call per vocab word
     // (plans.BpeCountKernel) instead of `rounds` chained interpreted
     // aggregate() HOF passes — same greedy fuse rule, spec-pinned
-    val nTok = vocab0
+    val nTok0 = vocab0
       .select(col("__w"),
         graft.plans.TextHashKernels.bpeCount(col("__s"), merges.toSeq).as("__ntok"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val gate = if (nTok.count() <= maxBroadcastVocab) broadcast(nTok) else nTok
+    // broadcast gate: when the trainer's probe measured the WHOLE
+    // vocabulary under localFinishMaxVocab (≤ the broadcast bound by
+    // the probeRan guard), nTok has exactly that many rows — broadcast
+    // without the former persist + count() action (one fewer full
+    // tokenize scan + cache write per encode). The distributed-trainer
+    // path keeps the measured-count gate verbatim.
+    val gate =
+      if (localVocab) broadcast(nTok0)
+      else {
+        val nTok = nTok0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        if (nTok.count() <= maxBroadcastVocab) broadcast(nTok) else nTok
+      }
     val perDoc = dw.join(gate, Seq("__w"))
       .groupBy(col(idCol)).agg(
         sum(col("__cnt")).as("n_words"),

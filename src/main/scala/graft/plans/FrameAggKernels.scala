@@ -214,10 +214,14 @@ case class RollTheilSenAgg(
   * emitting — replacing a `sort_array(collect_list(x))` two-step.
   * EXACTNESS: `java.util.Arrays.sort(double[])` implements the same
   * total order as Spark's sort_array on doubles (-0.0 < 0.0, NaN
-  * greatest — both are java.lang.Double.compare order), and long
-  * sorting is unambiguous; nulls were dropped before the sort exactly
-  * as collect_list dropped them (ascending sort_array puts nulls
-  * FIRST, but every call site collects a non-null-filtered frame).
+  * greatest — both resolve to java.lang.Double.compare order; an r21
+  * ADVICE note claimed sort_array leaves -0.0/+0.0 in input order,
+  * but FrameCollectSpec's explicit [0.0, -0.0] case pins the running
+  * engine placing -0.0 strictly first, bit-equal to Arrays.sort), and
+  * long sorting is unambiguous; nulls were dropped before the sort
+  * exactly as collect_list dropped them (ascending sort_array puts
+  * nulls FIRST, but every call site collects a non-null-filtered
+  * frame).
   *
   * The ORDER CONTRACT of [[FrameFoldAgg]] applies: window frames only
   * (WindowExec feeds update() in frame order and never merges); merge
@@ -365,8 +369,161 @@ case class LongFrameCollect(
     copy(child = newChildren.head)
 }
 
+/** Frame-fold KERNEL aggregates (r22, the StlLoessFitAgg pattern with N
+  * outputs): the roll-family / trailing-Taylor kernels computed
+  * directly inside a TypedImperativeAggregate over one interleaved
+  * primitive double[] — eval() IS the kernel fold and emits the final
+  * output array. This removes the two-step's remaining per-output-row
+  * work: the collector's frame copy + UnsafeArrayData materialization
+  * and the scalar kernel's ArrayData re-read.
+  *
+  * ENCODING: every child is NaN-ENCODED (`coalesce(x, NaN)` — never
+  * null), so rows keep their POSITION in the buffer and the folds skip
+  * NaN exactly like the wrapped-frame kernels skip null slots. These
+  * are the lag/lead expression forms' — and therefore the DuckDB
+  * oracles' — exact semantics (a genuine NaN value is missing too:
+  * pandas semantics, the same NaN-as-missing contract every frame
+  * encoding shares). Note this is the POSITIONAL contract: the
+  * compacted bare collector reached further back past dropped nulls;
+  * the declarative forms never did. FrameKernelAggSpec pins the
+  * aggregates bit-equal to the useKernel=false declarative folds on
+  * null-bearing input.
+  *
+  * The [[FrameFoldAgg]] ORDER CONTRACT applies: ordered window frames
+  * only (WindowExec feeds update() in frame order and never merges);
+  * merge() exists for interface completeness.
+  */
+final class FlatFrameState(cap: Int) {
+  var xs = new Array[Double](cap)
+  var n = 0 // ROWS stored; xs holds n·arity doubles
+}
+
+abstract class FlatFrameAgg extends TypedImperativeAggregate[FlatFrameState] {
+  protected def arity: Int
+  protected def capRows: Int
+
+  override def createAggregationBuffer(): FlatFrameState =
+    new FlatFrameState(math.max(capRows, 4) * arity)
+
+  override def update(b: FlatFrameState, input: InternalRow): FlatFrameState = {
+    if ((b.n + 1) * arity > b.xs.length)
+      b.xs = java.util.Arrays.copyOf(b.xs, b.xs.length * 2)
+    val base = b.n * arity
+    var k = 0
+    while (k < arity) {
+      val v = children(k).eval(input)
+      // children are coalesce(x, NaN) — the null arm is defensive only
+      b.xs(base + k) = if (v == null) Double.NaN else v.asInstanceOf[Double]
+      k += 1
+    }
+    b.n += 1
+    b
+  }
+
+  override def merge(a: FlatFrameState, b: FlatFrameState): FlatFrameState = {
+    // interface completeness only (windows never merge): concatenate
+    val need = (a.n + b.n) * arity
+    if (need > a.xs.length) a.xs = java.util.Arrays.copyOf(a.xs, need)
+    System.arraycopy(b.xs, 0, a.xs, a.n * arity, b.n * arity)
+    a.n += b.n
+    a
+  }
+
+  override def serialize(b: FlatFrameState): Array[Byte] = {
+    val stored = b.n * arity
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * stored)
+    bb.putInt(b.n)
+    var i = 0
+    while (i < stored) { bb.putDouble(b.xs(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): FlatFrameState = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val b = new FlatFrameState(math.max(n, 4) * arity)
+    val stored = n * arity
+    var i = 0
+    while (i < stored) { b.xs(i) = bb.getDouble(); i += 1 }
+    b.n = n
+    b
+  }
+}
+
+/** The whole [[MultiRollKernel]] feature family as ONE window
+  * aggregate: children are the NaN-encoded source columns (arity ≥ 1),
+  * eval() runs [[KernelRuntime.multiRollFlat]] — identical per-mode
+  * folds, zero frame materialization. Caller contract: trailing frames
+  * only (rowsBetween(-(depth−1), 0)), the current row is the buffer's
+  * last row.
+  */
+case class MultiRollAgg(
+    children: Seq[Expression],
+    specs: Array[RollSpecDef],
+    capHint: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends FlatFrameAgg {
+  override protected def arity: Int = children.length
+  override protected def capRows: Int = capHint
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = false
+
+  override def eval(b: FlatFrameState): Any =
+    KernelRuntime.multiRollFlat(b.xs, b.n, children.length, 0, specs)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MultiRollAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MultiRollAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MultiRollAgg =
+    copy(children = newChildren)
+}
+
+/** One TRAILING Taylor (column, spec) as a window aggregate over a
+  * depth-(w+1) frame — see [[KernelRuntime.taylorFlat]] for the
+  * synthesized-position argument. Emits the degree+1 coefficient array
+  * (null outside every branch — fillEdges=false edges), exactly like
+  * [[TaylorKernel]].
+  */
+case class TaylorTrailingAgg(
+    child: Expression,
+    table: TaylorTable,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends FlatFrameAgg {
+  require(table.trailing, "TaylorTrailingAgg is trailing-only — centered specs " +
+    "need pos/cnt, which a frame aggregate cannot see (keep the two-step there)")
+  override def children: Seq[Expression] = Seq(child)
+  override protected def arity: Int = 1
+  override protected def capRows: Int = table.w + 1
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = true
+
+  override def eval(b: FlatFrameState): Any =
+    KernelRuntime.taylorFlat(b.xs, b.n, table)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TaylorTrailingAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TaylorTrailingAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TaylorTrailingAgg =
+    copy(child = newChildren.head)
+}
+
 object FrameAggKernels {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+
+  /** r22 A/B escape hatch for the frame-fold kernel aggregates
+    * (MultiRollAgg / TaylorTrailingAgg): `spark.graft.frameAgg=false`
+    * (or SPARK_GRAFT_FRAME_AGG=false) restores the collector + scalar
+    * kernel two-step at every converted call site. Default ON.
+    */
+  def aggEnabled(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.frameAgg")
+      .orElse(sys.env.get("SPARK_GRAFT_FRAME_AGG")).forall(_.toBoolean)
 
   def conv(v: Column, coefs: Array[Double]): Column =
     column(StlConvAgg(expression(v), coefs).toAggregateExpression())
@@ -393,4 +550,25 @@ object FrameAggKernels {
 
   def rollTheilSen(t: Column, v: Column, w: Int): Column =
     column(RollTheilSenAgg(expression(t), expression(v), w).toAggregateExpression())
+
+  /** The multi-roll family as one frame-fold aggregate (r22). `cols`
+    * are the raw source columns — NaN-encoding happens here so every
+    * call site shares the one positional contract. `capHint` = the
+    * frame's row depth.
+    */
+  def multiRollAgg(cols: Seq[Column], specs: Seq[RollSpecDef], capHint: Int): Column = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val enc = cols.map(c => expression(coalesce(c.cast("double"), lit(Double.NaN))))
+    column(MultiRollAgg(enc, specs.toArray, capHint).toAggregateExpression())
+  }
+
+  /** One trailing Taylor spec as a frame-fold aggregate (r22) — the
+    * caller must put it over `rowsBetween(-w, 0)` (depth w+1; see
+    * KernelRuntime.taylorFlat).
+    */
+  def taylorTrailingAgg(v: Column, table: TaylorTable): Column = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    column(TaylorTrailingAgg(
+      expression(coalesce(v.cast("double"), lit(Double.NaN))), table).toAggregateExpression())
+  }
 }

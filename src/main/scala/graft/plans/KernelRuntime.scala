@@ -221,6 +221,236 @@ object KernelRuntime {
     new GenericArrayData(out)
   }
 
+  /** Flat-buffer twin of [[multiRoll]] for [[MultiRollAgg]] (r22): the
+    * IDENTICAL per-mode folds over one interleaved primitive double[]
+    * the aggregate buffered in frame order — no frame array is ever
+    * materialized. Encoding is the bareNaN/wrapped POSITIONAL contract
+    * generalized to any arity: row i's column c sits at xs(i·arity+c),
+    * null source values were ENCODED as NaN at update() (so rows keep
+    * their position exactly like the wrapped array frame, and the
+    * folds skip NaN exactly like the wrapped kernels skip null slots —
+    * the lag/lead expression forms' and the DuckDB oracles' semantics).
+    * `futureLen` as in [[multiRoll]] (0 for trailing frames).
+    */
+  def multiRollFlat(xs: Array[Double], nRows: Int, arity: Int, futureLen: Int,
+      specs: Array[RollSpecDef]): ArrayData = {
+    val end = nRows - 1 - futureLen // index of the current row inside the frame
+    var totalOut = 0
+    var t = 0
+    while (t < specs.length) { totalOut += specs(t).nOut; t += 1 }
+    val out = new Array[Any](totalOut)
+    var o = 0
+    var s = 0
+    while (s < specs.length) {
+      val sp = specs(s)
+      val c = sp.colIdx
+      val avail = math.max(0, math.min(sp.depth, end + 1))
+      val start = end + 1 - avail
+      @inline def nul(i: Int): Boolean = java.lang.Double.isNaN(xs(i * arity + c))
+      @inline def at(i: Int): Double = xs(i * arity + c)
+      sp.mode match {
+        case 0 => // rollmean: newest→oldest sum over non-nulls, gate cnt >= minP
+          var acc = 0.0; var cnt = 0; var i = end
+          while (i >= start) { if (!nul(i)) { acc += at(i); cnt += 1 }; i -= 1 }
+          out(o) = if (cnt >= sp.minP) D(acc / cnt) else null
+          o += 1
+        case 1 => // rollstats: min/max/std over non-nulls
+          var s1 = 0.0; var mn = Double.MaxValue; var mx = Double.MinValue
+          var cnt = 0; var i = end
+          while (i >= start) {
+            if (!nul(i)) {
+              val v = at(i)
+              s1 += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              cnt += 1
+            }
+            i -= 1
+          }
+          // shifted two-pass variance — see multiRoll mode 1 (r16)
+          val mean1 = s1 / cnt
+          var s2c = 0.0
+          i = end
+          while (i >= start) {
+            if (!nul(i)) { val d = at(i) - mean1; s2c += d * d }
+            i -= 1
+          }
+          val std = math.sqrt(s2c / (cnt - 1))
+          out(o) = if (cnt >= sp.minP) D(mn) else null
+          out(o + 1) = if (cnt >= sp.minP) D(mx) else null
+          out(o + 2) = if (cnt >= math.max(sp.minP, 2)) D(std) else null
+          o += 3
+        case 2 => // zscore of the current row against its trailing window
+          var s1 = 0.0; var cnt = 0; var i = end
+          while (i >= start) { if (!nul(i)) { s1 += at(i); cnt += 1 }; i -= 1 }
+          out(o) =
+            if (cnt >= sp.w && end >= 0 && !nul(end)) {
+              val x = at(end)
+              val mean = s1 / cnt
+              var s2c = 0.0
+              i = end
+              while (i >= start) {
+                if (!nul(i)) { val d = at(i) - mean; s2c += d * d }
+                i -= 1
+              }
+              val std = math.sqrt(s2c / (cnt - 1))
+              D((x - mean) / std)
+            } else null
+          o += 1
+        case 3 => // truncated EWMA, weights(i) = beta^i newest-first
+          var num = 0.0; var den = 0.0; var i = 0
+          val lim = math.min(sp.w, avail)
+          while (i < lim) {
+            if (!nul(end - i)) {
+              val wi = sp.weights(i)
+              num += wi * at(end - i); den += wi
+            }
+            i += 1
+          }
+          out(o) = D(num / den)
+          o += 1
+        case 4 => // autocorr over trailing pairs, gate nPairs >= w
+          // shifted Pearson — see multiRoll mode 4 (r16)
+          var np = 0; var sx = 0.0; var sy = 0.0
+          var i = 0
+          while (i < sp.w) {
+            val xi = end - i
+            val yi = xi - sp.lagK
+            if (yi >= start && !nul(xi) && !nul(yi)) { np += 1; sx += at(xi); sy += at(yi) }
+            i += 1
+          }
+          val nd = np.toDouble
+          val mx = sx / nd
+          val my = sy / nd
+          var sxxc = 0.0; var syyc = 0.0; var sxyc = 0.0
+          i = 0
+          while (i < sp.w) {
+            val xi = end - i
+            val yi = xi - sp.lagK
+            if (yi >= start && !nul(xi) && !nul(yi)) {
+              val dx = at(xi) - mx
+              val dy = at(yi) - my
+              sxxc += dx * dx; syyc += dy * dy; sxyc += dx * dy
+            }
+            i += 1
+          }
+          val r = sxyc / math.sqrt(sxxc * syyc)
+          out(o) = if (np >= sp.w) D(r) else null
+          o += 1
+        case 6 => // rolling cross-correlation col[colIdx] vs col[lagK]
+          val c2 = sp.lagK
+          @inline def nul2(i: Int): Boolean = java.lang.Double.isNaN(xs(i * arity + c2))
+          @inline def at2(i: Int): Double = xs(i * arity + c2)
+          // shifted Pearson — see multiRoll mode 6 (r16)
+          var np = 0; var sx = 0.0; var sy = 0.0
+          var i = 0
+          while (i < sp.w) {
+            val xi = end - i
+            if (xi >= start && !nul(xi) && !nul2(xi)) { np += 1; sx += at(xi); sy += at2(xi) }
+            i += 1
+          }
+          val nd = np.toDouble
+          val mx = sx / nd
+          val my = sy / nd
+          var sxxc = 0.0; var syyc = 0.0; var sxyc = 0.0
+          i = 0
+          while (i < sp.w) {
+            val xi = end - i
+            if (xi >= start && !nul(xi) && !nul2(xi)) {
+              val dx = at(xi) - mx
+              val dy = at2(xi) - my
+              sxxc += dx * dx; syyc += dy * dy; sxyc += dx * dy
+            }
+            i += 1
+          }
+          val r = sxyc / math.sqrt(sxxc * syyc)
+          out(o) = if (np >= sp.w) D(r) else null
+          o += 1
+        case _ => // mode 5: skew + kurtosis, weights = momentCoefs(w)
+          // centered power sums — see multiRoll mode 5 (r16)
+          var s1 = 0.0; var cnt = 0; var i = end
+          while (i >= start) { if (!nul(i)) { s1 += at(i); cnt += 1 }; i -= 1 }
+          if (cnt >= sp.w) {
+            val mean = s1 / cnt
+            var m2s = 0.0; var m3s = 0.0; var m4s = 0.0
+            i = end
+            while (i >= start) {
+              if (!nul(i)) {
+                val d = at(i) - mean
+                val d2 = d * d
+                m2s += d2; m3s += d2 * d; m4s += d2 * d2
+              }
+              i -= 1
+            }
+            val m2 = m2s / cnt
+            val m3 = m3s / cnt
+            val m4 = m4s / cnt
+            out(o) = D(sp.weights(0) * (m3 / (m2 * math.sqrt(m2))))
+            out(o + 1) = D(sp.weights(1) * ((sp.weights(2) * ((m4 / (m2 * m2)) - 3.0)) + 6.0))
+          } else { out(o) = null; out(o + 1) = null }
+          o += 2
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Flat-buffer twin of [[taylor]] for [[TaylorTrailingAgg]] (r22),
+    * TRAILING specs only. The aggregate's frame is one row DEEPER than
+    * the spec's own window (depth w+1, i.e. frameLo = w), so the
+    * synthesized position pos* = nRows − 1 = min(pos, w) is exact for
+    * every PosEq(i ≤ w−1) branch and reaches the Interior branch
+    * (pos ≥ w) iff the true position does — trailing branch tables
+    * contain ONLY PosEq and Interior conditions and never read rpos,
+    * which is why no cnt column is needed. Values were NaN-ENCODED at
+    * update() (rows keep their position; a branch term touching a
+    * missing value nulls that coefficient — the lag/lead CASE form's
+    * and the oracle's exact semantics). Same fold arithmetic as
+    * [[taylor]], element for element.
+    */
+  def taylorFlat(xs: Array[Double], nRows: Int, t: TaylorTable): ArrayData = {
+    val pos = nRows - 1 // = min(true pos, frameLo) under the depth-(w+1) contract
+    var b = 0
+    var sel = -1
+    while (sel < 0 && b < t.condTypes.length) {
+      val hit = t.condTypes(b) match {
+        case 3 => pos == t.condIs(b)
+        case 4 => pos >= t.w
+        case _ => false // Overlap/NullAt/RposEq never occur in trailing tables
+      }
+      if (hit) sel = b else b += 1
+    }
+    if (sel < 0) return null
+    val curIdx = pos // = min(pos*, frameLo) — the buffer's last row
+    val h = t.h
+    val out = new Array[Any](t.degree + 1)
+    val m = t.ms(sel)
+    val from = t.froms(sel)
+    var d = 0
+    while (d <= t.degree) {
+      if (t.nullRows(sel)(d)) out(d) = null
+      else if (t.zeroRows(sel)(d) || m(d).length == 0) out(d) = D(0.0)
+      else {
+        val row = m(d)
+        var s = 0.0
+        var ok = true
+        var j = 0
+        while (ok && j < row.length) {
+          val idx = curIdx + (from + j) - h
+          if (idx < 0 || idx >= nRows || java.lang.Double.isNaN(xs(idx))) ok = false
+          else {
+            if (j == 0) s = row(0) * xs(idx)
+            else s += row(j) * xs(idx)
+            j += 1
+          }
+        }
+        out(d) = if (ok) D(s) else null
+      }
+      d += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** See [[TaylorKernel]] for the branch/indexing contract; `t` carries
     * the precomputed TaylorBasis tables. Returns null (no array) for
     * rows outside every branch (fillEdges=false edges).

@@ -79,17 +79,30 @@ object Featurize {
       df.sparkSession.conf.getOption("spark.graft.roll.bareSplit")
         .orElse(sys.env.get("SPARK_GRAFT_BARE_SPLIT"))
         .forall(_.toBoolean)
+    // r22: the frame-fold AGGREGATE form — the whole (collector frame →
+    // kernel projection) two-step as ONE window aggregate whose eval()
+    // is the fold (FrameAggKernels.MultiRollAgg). NaN-positional
+    // encoding = the wrapped frame's / the declarative lag folds' / the
+    // oracles' semantics (a dropped-null compacted frame reached
+    // further back past nulls; the lag/lead forms never did).
+    val useAgg = graft.plans.FrameAggKernels.aggEnabled(df.sparkSession)
     val kernels: Seq[(Column, Seq[RollReq])] =
       if (splitOk) {
         colsUsed.flatMap { c =>
           val mine = reqs.filter(_.src == c)
           mine.groupBy(r => RollSpecDef(r.mode, 0, r.w, r.minP, r.lagK, r.weights).depth)
             .toSeq.sortBy(_._1).map { case (depth, rs) =>
-              val xs = graft.plans.FrameAggKernels
-                .collectDoubles(col(c).cast("double"), depth)
-                .over(win.rowsBetween(-(depth - 1), 0))
               val specs = rs.map(r => RollSpecDef(r.mode, 0, r.w, r.minP, r.lagK, r.weights))
-              (MultiRollKernel.ofBare(xs, specs), rs)
+              val frame = win.rowsBetween(-(depth - 1), 0)
+              if (useAgg)
+                (graft.plans.FrameAggKernels.multiRollAgg(Seq(col(c)), specs, depth)
+                  .over(frame), rs)
+              else {
+                val xs = graft.plans.FrameAggKernels
+                  .collectDoubles(col(c).cast("double"), depth)
+                  .over(frame)
+                (MultiRollKernel.ofBare(xs, specs), rs)
+              }
             }
         }
       } else {
@@ -99,13 +112,19 @@ object Featurize {
           RollSpecDef(r.mode, colsUsed.indexOf(r.src), r.w, r.minP, lk, r.weights)
         }
         val depth = specs.map(_.depth).max
-        // NaN → null slot: NaN-as-missing in every frame encoding (same
-        // contract as fusedWindowBlock's wrapped elem)
-        val xs = collect_list(array(colsUsed.map { c =>
-          val d = col(c).cast("double")
-          when(isnan(d), lit(null)).otherwise(d)
-        }: _*)).over(win.rowsBetween(-(depth - 1), 0))
-        Seq((MultiRollKernel.of(xs, specs), reqs))
+        val frame = win.rowsBetween(-(depth - 1), 0)
+        if (useAgg)
+          Seq((graft.plans.FrameAggKernels
+            .multiRollAgg(colsUsed.map(col), specs, depth).over(frame), reqs))
+        else {
+          // NaN → null slot: NaN-as-missing in every frame encoding (same
+          // contract as fusedWindowBlock's wrapped elem)
+          val xs = collect_list(array(colsUsed.map { c =>
+            val d = col(c).cast("double")
+            when(isnan(d), lit(null)).otherwise(d)
+          }: _*)).over(frame)
+          Seq((MultiRollKernel.of(xs, specs), reqs))
+        }
       }
     // two selects: the kernel arrays materialize ONCE, then per-feature
     // element_at projections read them — same Window operator, and each
@@ -157,7 +176,7 @@ object Featurize {
       reqs: Seq[RollReq],
       taylors: Seq[TaylorBasis.Spec],
       extra: Seq[(String, Column)]): DataFrame = {
-    import graft.plans.{MultiRollKernel, RollSpecDef, TaylorKernel}
+    import graft.plans.RollSpecDef
     if (taylors.isEmpty) return applyRollReqs(df, win, reqs, extra)
     if (reqs.isEmpty && taylors.size == 1) {
       val t = taylors.head
@@ -165,6 +184,83 @@ object Featurize {
         Seq(t.align), Seq(t.ewSpan), t.fillEdges, win)
       return df.select(col("*") +: (extra ++ feats).map { case (n, e) => e.as(n) }: _*)
     }
+    val useAgg = graft.plans.FrameAggKernels.aggEnabled(df.sparkSession)
+    val trailOnly = taylors.forall(_.align == "trailing")
+    if (useAgg && trailOnly) {
+      // r22 frame-fold aggregates: every roll request and every
+      // trailing taylor spec folds inside its OWN window aggregate
+      // (MultiRollAgg / TaylorTrailingAgg) — no shared frame array, no
+      // pos/cnt window functions, still ONE Window operator (all
+      // aggregates share the partition/order spec; frames differ per
+      // function, which WindowExec handles natively).
+      val splitOk = reqs.forall(_.src2.isEmpty)
+      val rollKs: Seq[(Column, Seq[RollReq])] =
+        if (reqs.isEmpty) Nil
+        else if (splitOk) {
+          reqs.map(_.src).distinct.flatMap { c =>
+            val mine = reqs.filter(_.src == c)
+            mine.groupBy(r => RollSpecDef(r.mode, 0, r.w, r.minP, r.lagK, r.weights).depth)
+              .toSeq.sortBy(_._1).map { case (depth, rs) =>
+                val specs = rs.map(r => RollSpecDef(r.mode, 0, r.w, r.minP, r.lagK, r.weights))
+                (graft.plans.FrameAggKernels.multiRollAgg(Seq(col(c)), specs, depth)
+                  .over(win.rowsBetween(-(depth - 1), 0)), rs)
+              }
+          }
+        } else {
+          val cu = (reqs.map(_.src) ++ reqs.flatMap(_.src2)).distinct
+          val specs = reqs.map { r =>
+            val lk = r.src2.map(cu.indexOf).getOrElse(r.lagK)
+            RollSpecDef(r.mode, cu.indexOf(r.src), r.w, r.minP, lk, r.weights)
+          }
+          val depth = specs.map(_.depth).max
+          Seq((graft.plans.FrameAggKernels.multiRollAgg(cu.map(col), specs, depth)
+            .over(win.rowsBetween(-(depth - 1), 0)), reqs))
+        }
+      val tayKs: Seq[Column] = taylors.map { t =>
+        val table = graft.plans.TaylorKernel.evaluatorFromSpec(t).table
+          .copy(frameLo = t.windowSize, nanNull = true)
+        graft.plans.FrameAggKernels.taylorTrailingAgg(col(t.column), table)
+          .over(win.rowsBetween(-t.windowSize, 0))
+      }
+      val aggCols = rollKs.zipWithIndex.map { case ((k, _), i) => k.as(s"__roll$i") } ++
+        tayKs.zipWithIndex.map { case (k, i) => k.as(s"__tay$i") }
+      val withAgg = df.select(col("*") +:
+        (aggCols ++ extra.map { case (n, e) => e.as(n) }): _*)
+      val rollProjs = rollKs.zipWithIndex.flatMap { case ((_, rs), i) =>
+        rs.flatMap(_.names).zipWithIndex.map { case (nm, slot) =>
+          element_at(col(s"__roll$i"), slot + 1).as(nm)
+        }
+      }
+      val tayProjs = taylors.zipWithIndex.flatMap { case (t, i) =>
+        (0 to t.degree).map(d => element_at(col(s"__tay$i"), d + 1).as(t.featName(d)))
+      }
+      return withAgg.select(col("*") +: (rollProjs ++ tayProjs): _*)
+        .drop(rollKs.indices.map(i => s"__roll$i") ++
+          taylors.indices.map(i => s"__tay$i"): _*)
+    }
+    if (useAgg && (reqs.nonEmpty || extra.nonEmpty)) {
+      // centered taylors present: the rolls (and lags/leads) still fold
+      // in their own trailing aggregates; only the centered taylors —
+      // whose branch select needs pos/rpos — ride the shared frame
+      val d1 = applyRollReqs(df, win, reqs, extra)
+      return fusedWindowBlock(d1, win, Nil, taylors, Nil)
+    }
+    sharedFrameBlock(df, win, reqs, taylors, extra)
+  }
+
+  /** The pre-r22 shared-frame form: ONE collect frame (bare-NaN or
+    * wrapped) + pos/cnt feeds the MultiRoll and Taylor scalar kernels —
+    * still the only route for CENTERED taylor specs (their branch
+    * select reads pos/rpos, invisible to a frame aggregate) and the
+    * `spark.graft.frameAgg=false` A/B fallback.
+    */
+  private def sharedFrameBlock(
+      df: DataFrame,
+      win: WindowSpec,
+      reqs: Seq[RollReq],
+      taylors: Seq[TaylorBasis.Spec],
+      extra: Seq[(String, Column)]): DataFrame = {
+    import graft.plans.{MultiRollKernel, RollSpecDef, TaylorKernel}
     val colsUsed = (reqs.map(_.src) ++ reqs.flatMap(_.src2) ++ taylors.map(_.column)).distinct
     val specs = reqs.map { r =>
       val lk = r.src2.map(colsUsed.indexOf).getOrElse(r.lagK)
@@ -400,10 +496,21 @@ object Featurize {
       orderCols: Seq[String],
       w: Int): FeatureResult = {
     val win = seriesWindow(groupCols, orderCols)
-    val xs = graft.plans.FrameAggKernels.collectDoubles(col(c).cast("double"), w)
-      .over(win.rowsBetween(-(w - 1), 0))
-    val k = graft.plans.RollFoldKernel.moments(xs, w)
     val names = Seq(s"${c}_skew_w$w", s"${c}_kurt_w$w")
+    // r22 frame-fold aggregate: the moments fold runs inside the window
+    // aggregate's eval() — no frame array (see FrameAggKernels)
+    val k =
+      if (graft.plans.FrameAggKernels.aggEnabled(df.sparkSession)) {
+        require(w >= 4, s"rolling moments need w >= 4, got $w")
+        graft.plans.FrameAggKernels.multiRollAgg(Seq(col(c)),
+          Seq(graft.plans.RollSpecDef(5, 0, w, w,
+            0, graft.plans.RollFoldKernel.momentCoefs(w))), w)
+          .over(win.rowsBetween(-(w - 1), 0))
+      } else {
+        val xs = graft.plans.FrameAggKernels.collectDoubles(col(c).cast("double"), w)
+          .over(win.rowsBetween(-(w - 1), 0))
+        graft.plans.RollFoldKernel.moments(xs, w)
+      }
     FeatureResult(
       df.select(col("*"), element_at(k, 1).as(names(0)), element_at(k, 2).as(names(1))), names)
   }
@@ -424,9 +531,17 @@ object Featurize {
     val win = seriesWindow(groupCols, orderCols)
     if (useKernel) {
       val name = s"${c}_autocorr_l${lagK}_w$w"
-      val xs = graft.plans.FrameAggKernels.collectDoubles(col(c).cast("double"), w + lagK)
-        .over(win.rowsBetween(-(w + lagK - 1), 0))
-      val k = graft.plans.RollFoldKernel.autocorr(xs, w, lagK)
+      // r22 frame-fold aggregate (A/B fallback: collector + kernel)
+      val k =
+        if (graft.plans.FrameAggKernels.aggEnabled(df.sparkSession))
+          graft.plans.FrameAggKernels.multiRollAgg(Seq(col(c)),
+            Seq(graft.plans.RollSpecDef(4, 0, w, w, lagK, Array.empty)), w + lagK)
+            .over(win.rowsBetween(-(w + lagK - 1), 0))
+        else {
+          val xs = graft.plans.FrameAggKernels.collectDoubles(col(c).cast("double"), w + lagK)
+            .over(win.rowsBetween(-(w + lagK - 1), 0))
+          graft.plans.RollFoldKernel.autocorr(xs, w, lagK)
+        }
       return FeatureResult(df.select(col("*"), element_at(k, 1).as(name)), Seq(name))
     }
     def x(i: Int): Column = if (i == 0) col(c) else lag(col(c), i).over(win)
@@ -486,9 +601,19 @@ object Featurize {
     val win = seriesWindow(groupCols, orderCols)
     if (useKernel) {
       val name = s"${c}_zscore_w$w"
-      val xs = graft.plans.FrameAggKernels.collectDoubles(col(c).cast("double"), w)
-        .over(win.rowsBetween(-(w - 1), 0))
-      val k = graft.plans.RollFoldKernel.zscore(xs, col(c).cast("double"), w)
+      // r22 frame-fold aggregate: the current row is the positional
+      // frame's last element, so no separate current-value child is
+      // needed (A/B fallback: collector + kernel)
+      val k =
+        if (graft.plans.FrameAggKernels.aggEnabled(df.sparkSession))
+          graft.plans.FrameAggKernels.multiRollAgg(Seq(col(c)),
+            Seq(graft.plans.RollSpecDef(2, 0, w, w, 0, Array.empty)), w)
+            .over(win.rowsBetween(-(w - 1), 0))
+        else {
+          val xs = graft.plans.FrameAggKernels.collectDoubles(col(c).cast("double"), w)
+            .over(win.rowsBetween(-(w - 1), 0))
+          graft.plans.RollFoldKernel.zscore(xs, col(c).cast("double"), w)
+        }
       return FeatureResult(df.select(col("*"), element_at(k, 1).as(name)), Seq(name))
     }
     def term(i: Int): Column = if (i == 0) col(c) else lag(col(c), i).over(win)

@@ -124,8 +124,22 @@ object Taylor {
     } yield Spec(c, taylorDegree, w, a, s, fillEdges)
     val posCol = row_number().over(win).cast("long") - 1
     val cntCol = if (specs.exists(_.needsCount)) count(lit(1)).over(cntWin) else lit(-1L)
+    // r22: trailing specs fold inside a frame aggregate (no frame
+    // array, no pos/cnt window functions — KernelRuntime.taylorFlat's
+    // synthesized-position contract over a depth-(w+1) frame). Centered
+    // specs keep the collector + kernel two-step: their branch select
+    // reads pos/rpos, which a frame aggregate cannot see.
+    val useAgg = org.apache.spark.sql.SparkSession.active
     def kernelCol(spec: Spec): Column = {
       val wsize = spec.windowSize
+      if (spec.align == "trailing" &&
+          graft.plans.FrameAggKernels.aggEnabled(useAgg)) {
+        val table = graft.plans.TaylorKernel.evaluatorFromSpec(spec).table
+          .copy(frameLo = wsize, nanNull = true)
+        return graft.plans.FrameAggKernels
+          .taylorTrailingAgg(col(spec.column), table)
+          .over(win.rowsBetween(-wsize, 0))
+      }
       val (lo, hi) =
         if (spec.align == "trailing") (-(wsize - 1), 0)
         else { val h = (wsize - 1) / 2; (-h, wsize - 1 - h) }

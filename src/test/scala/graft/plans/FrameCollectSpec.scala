@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
 /** Parity of the r21 primitive window-frame collectors against the
   * collect_list forms they replace: same dropped-null multiset, same
   * frame order, and for the sorted variants the same total order
-  * sort_array applies (-0.0 < 0.0, NaN greatest). Pinned on adversarial
-  * values (null, NaN, ±0.0, ±1e308) over sliding, centered, and
-  * clipped-edge frames.
+  * sort_array applies (-0.0 < 0.0, NaN greatest — an r22 ADVICE note
+  * claimed sort_array keeps ±0.0 in input order; the explicit
+  * [0.0, -0.0] case below pins the running engine refuting that).
+  * Pinned on adversarial values (null, NaN, ±0.0, ±1e308) over
+  * sliding, centered, and clipped-edge frames.
   */
 class FrameCollectSpec extends SparkSpec {
   import spark.implicits._
@@ -56,6 +58,26 @@ class FrameCollectSpec extends SparkSpec {
     rows.zipWithIndex.foreach { case (r, i) =>
       assert(bits(r, 0) == bits(r, 1), s"row $i")
     }
+  }
+
+  test("collectSortedDoubles on an explicit [0.0, -0.0] frame: BIT-equal, -0.0 first") {
+    // pins the signed-zero order against the RUNNING engine instead of
+    // RNG luck (r22 ADVICE asked for this case; it also refutes the
+    // ADVICE's claim that sort_array keeps ±0.0 in input order — both
+    // engines place -0.0 strictly below +0.0, Double.compare order)
+    val zdf = Seq((1, 1, 0.0), (1, 2, -0.0), (1, 3, 1.0))
+      .toDF("g", "t", "v")
+    val frame = win.rowsBetween(-2, 0)
+    val r = zdf
+      .withColumn("a", FrameAggKernels.collectSortedDoubles($"v", 3).over(frame))
+      .withColumn("b", sort_array(collect_list($"v").over(frame)))
+      .orderBy("t").select("a", "b").collect().last
+    assert(bits(r, 0) == bits(r, 1))
+    // both outputs are IEEE total order: -0.0 strictly before +0.0
+    assert(java.lang.Double.doubleToRawLongBits(r.getSeq[Double](0).head) ==
+      java.lang.Double.doubleToRawLongBits(-0.0))
+    assert(java.lang.Double.doubleToRawLongBits(r.getSeq[Double](1).head) ==
+      java.lang.Double.doubleToRawLongBits(-0.0))
   }
 
   test("collectSortedLongs == sort_array(collect_list) on nullable longs") {

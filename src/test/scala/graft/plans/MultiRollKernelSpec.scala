@@ -53,36 +53,44 @@ class MultiRollKernelSpec extends SparkSpec {
   }
 
   test("a 2-column pipeline plans ONE Window, ONE exchange, per-column bare frames") {
-    // Default (bareSplit=true, the measured r9 winner): one bare
-    // collect_list(double) frame per (column, depth) rollmean family —
-    // 4 here — all riding ONE Window op over ONE hash exchange.
-    // Forcing bareSplit=false restores the single wrapped array frame.
-    def shape(): (Int, Int, Int) = {
+    // Default (r22): one frame-fold AGGREGATE per (column, depth)
+    // rollmean family — 4 here, zero frame arrays — all riding ONE
+    // Window op over ONE hash exchange. frameAgg=false restores the
+    // r21 per-(column, depth) primitive collectors (the measured r9
+    // bareSplit winner), and bareSplit=false under it the single
+    // wrapped array frame.
+    def shape(): (Int, Int, Int, Int) = {
       val res = Featurize.featurizeData(df2, Seq("g"), Seq("t"), Seq(
         Featurize.Lag(Seq("v", "u"), Seq(1, 3)),
         Featurize.Rollmean(Seq("v", "u"), Seq(5, 9)),
         Featurize.HorizonTargets(Seq("v"), Seq(2), "wide")))
       val plan = res.df.queryExecution.executedPlan.toString
-      // bare frames are the r21 primitive collector
-      // (doubleframecollect); the wrapped multi-column frame is still
-      // collect_list(array(...)) — count both so either mode's frame
-      // count is visible
       ("(?m)^\\s*(?:\\+- )?Window ".r.findAllIn(plan).length,
         "doubleframecollect".r.findAllIn(plan).length +
           "collect_list".r.findAllIn(plan).length,
-        "Exchange hashpartitioning".r.findAllIn(plan).length)
+        "Exchange hashpartitioning".r.findAllIn(plan).length,
+        "multirollagg".r.findAllIn(plan).length)
     }
-    val (windows, buffers, hashExchanges) = shape()
+    val (windows, buffers, hashExchanges, aggs) = shape()
     assert(windows == 1, s"expected ONE Window op, got $windows")
-    assert(buffers == 4,
-      s"expected one bare frame per (column, w) rollmean — 4 — got $buffers")
+    assert(buffers == 0, s"aggregate mode must plan ZERO frame arrays, got $buffers")
+    assert(aggs == 4,
+      s"expected one fold aggregate per (column, w) rollmean — 4 — got $aggs")
     assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges")
-    spark.conf.set("spark.graft.roll.bareSplit", "false")
+    spark.conf.set("spark.graft.frameAgg", "false")
     try {
-      val (w2, b2, e2) = shape()
+      val (w1, b1, e1, a1) = shape()
+      assert(w1 == 1 && e1 == 1, s"collector mode must keep 1 Window/1 exchange, got $w1/$e1")
+      assert(b1 == 4 && a1 == 0,
+        s"frameAgg=false must restore one bare frame per (column, w) — 4 — got $b1/$a1")
+      spark.conf.set("spark.graft.roll.bareSplit", "false")
+      val (w2, b2, e2, _) = shape()
       assert(w2 == 1 && e2 == 1, s"wrapped mode must keep 1 Window/1 exchange, got $w2/$e2")
       assert(b2 == 1, s"bareSplit=false must restore ONE wrapped frame, got $b2")
-    } finally spark.conf.unset("spark.graft.roll.bareSplit")
+    } finally {
+      spark.conf.unset("spark.graft.roll.bareSplit")
+      spark.conf.unset("spark.graft.frameAgg")
+    }
   }
 
   test("mixed-mode specs against one frame equal their dedicated kernels") {

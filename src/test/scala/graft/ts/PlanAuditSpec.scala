@@ -25,7 +25,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(windows == 1, s"expected the fused feature block to plan ONE Window op, got $windows")
   }
 
-  test("2-column lag+roll+taylor pipeline plans ONE Window and ONE collect_list frame") {
+  test("2-column lag+roll+taylor pipeline plans one exchange; centered taylors share ONE frame") {
+    // r22 shape: the rolls/lags fold in their own frame aggregates
+    // (first Window), the CENTERED taylors — whose branch select needs
+    // pos/rpos — share ONE wrapped collect_list frame in a second
+    // Window op that rides the SAME sort (still one hash exchange,
+    // no extra shuffle or sort)
     val df = (for (g <- 0 until 4; t <- 0 until 60)
       yield (g, t, math.sin(t * 0.1) + g, math.cos(t * 0.2) - g))
       .toDF("g", "t", "v", "u")
@@ -38,10 +43,13 @@ class PlanAuditSpec extends SparkSpec {
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges:\n${plan.take(1200)}")
     val windows = "(?m)^\\s*(?:\\+- )?Window ".r.findAllIn(plan).length
-    assert(windows == 1, s"expected ONE Window op, got $windows")
-    // roll features AND both taylor columns share ONE wrapped frame
+    assert(windows <= 2, s"expected at most TWO Window ops (roll aggs + taylor frame), got $windows")
+    // both centered taylor columns share ONE wrapped frame; the rolls
+    // plan zero frame arrays
     val collects = "collect_list".r.findAllIn(plan).length
     assert(collects == 1, s"expected ONE shared collect_list frame, got $collects:\n${plan.take(2000)}")
+    val aggs = "multirollagg".r.findAllIn(plan).length
+    assert(aggs == 4, s"expected 4 roll fold aggregates, got $aggs")
   }
 
   test("expanding OLS trend plans exactly one hash exchange (prefix sums share the sort)") {

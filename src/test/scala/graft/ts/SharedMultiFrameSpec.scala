@@ -60,11 +60,22 @@ class SharedMultiFrameSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.roll.bareSplit")
   }
 
-  test("cross-column specs still force the wrapped frame") {
-    // analyzed plan: optimization folds the array() projection into the
-    // LocalRelation on this in-memory input, hiding the element shape
+  test("cross-column specs still read both columns in one pass") {
+    // r22: the default route is the multi-child frame-fold aggregate
+    // (MultiRollAgg over NaN-encoded v AND w — no frame array at all);
+    // with frameAgg=false the wrapped collect_list(array(v, w)) frame
+    // is restored. Both shapes read the two columns through ONE window
+    // pass.
     val r = Featurize.crossCorr(df, "v", "w", Seq("g"), Seq("t"), w = 5)
     val plan = r.df.queryExecution.analyzed.toString
-    assert(plan.contains("array("), s"mode-6 cross-corr needs the wrapped frame:\n${plan.take(2000)}")
+    assert(plan.contains("multirollagg"),
+      s"mode-6 cross-corr defaults to the multi-column aggregate:\n${plan.take(2000)}")
+    spark.conf.set("spark.graft.frameAgg", "false")
+    try {
+      val r2 = Featurize.crossCorr(df, "v", "w", Seq("g"), Seq("t"), w = 5)
+      val plan2 = r2.df.queryExecution.analyzed.toString
+      assert(plan2.contains("array("),
+        s"frameAgg=false must restore the wrapped frame:\n${plan2.take(2000)}")
+    } finally spark.conf.unset("spark.graft.frameAgg")
   }
 }
