@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Frame-fold AGGREGATE kernels (r21): the sliding-window loess /
@@ -513,6 +514,167 @@ case class TaylorTrailingAgg(
     copy(child = newChildren.head)
 }
 
+/** Sorted-pick frame aggregates (r22): the `collectSorted* →
+  * element-pick projection` two-steps of rollQuantiles / hampel as ONE
+  * aggregate whose eval() sorts a primitive copy and emits just the
+  * picked elements — the sorted frame array is never materialized as a
+  * row value. Null inputs are DROPPED exactly like the collectors
+  * (sorting makes position irrelevant); picks past the collected count
+  * are null (the `get()`/cnt-gate semantics of the call sites). The
+  * [[FrameFoldAgg]] window-only ORDER CONTRACT applies.
+  */
+case class DoubleSortedPicksAgg(
+    child: Expression,
+    ranks: Array[Int], // 1-based ranks into the ascending sort
+    capHint: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[DblFrameState] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): DblFrameState =
+    new DblFrameState(math.max(capHint, 4))
+
+  override def update(b: DblFrameState, input: InternalRow): DblFrameState = {
+    val v = child.eval(input)
+    if (v != null) {
+      if (b.n == b.xs.length) b.xs = java.util.Arrays.copyOf(b.xs, b.n * 2)
+      b.xs(b.n) = v.asInstanceOf[Double]
+      b.n += 1
+    }
+    b
+  }
+
+  override def merge(a: DblFrameState, b: DblFrameState): DblFrameState = {
+    if (a.n + b.n > a.xs.length) a.xs = java.util.Arrays.copyOf(a.xs, a.n + b.n)
+    System.arraycopy(b.xs, 0, a.xs, a.n, b.n)
+    a.n += b.n
+    a
+  }
+
+  override def eval(b: DblFrameState): Any = {
+    val s = java.util.Arrays.copyOf(b.xs, b.n)
+    java.util.Arrays.sort(s) // same total order as sort_array (FrameCollectSpec pin)
+    val out = new Array[Any](ranks.length)
+    var i = 0
+    while (i < ranks.length) {
+      val r = ranks(i)
+      out(i) = if (r >= 1 && r <= b.n) java.lang.Double.valueOf(s(r - 1)) else null
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(b: DblFrameState): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * b.n)
+    bb.putInt(b.n)
+    var i = 0
+    while (i < b.n) { bb.putDouble(b.xs(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): DblFrameState = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val b = new DblFrameState(math.max(n, 4))
+    var i = 0
+    while (i < n) { b.xs(i) = bb.getDouble(); i += 1 }
+    b.n = n
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): DoubleSortedPicksAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): DoubleSortedPicksAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): DoubleSortedPicksAgg =
+    copy(child = newChildren.head)
+}
+
+/** Hampel's per-frame [median, MAD] over integer cents as ONE
+  * aggregate: eval() sorts the collected longs once for the median,
+  * then sorts the absolute deviations for the MAD — fusing the former
+  * collectSortedLongs window + per-row transform/array_sort projection
+  * (an O(w log w) sort + two array allocations per row) into the
+  * aggregate. Element picks use `get()` semantics: index k out of
+  * bounds → null.
+  */
+case class HampelMedMadAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[LngFrameState] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): LngFrameState =
+    new LngFrameState(2 * k + 1)
+
+  override def update(b: LngFrameState, input: InternalRow): LngFrameState = {
+    val v = child.eval(input)
+    if (v != null) {
+      if (b.n == b.xs.length) b.xs = java.util.Arrays.copyOf(b.xs, b.n * 2)
+      b.xs(b.n) = v.asInstanceOf[Long]
+      b.n += 1
+    }
+    b
+  }
+
+  override def merge(a: LngFrameState, b: LngFrameState): LngFrameState = {
+    if (a.n + b.n > a.xs.length) a.xs = java.util.Arrays.copyOf(a.xs, a.n + b.n)
+    System.arraycopy(b.xs, 0, a.xs, a.n, b.n)
+    a.n += b.n
+    a
+  }
+
+  override def eval(b: LngFrameState): Any = {
+    if (b.n <= k) return new GenericArrayData(Array[Any](null, null))
+    val s = java.util.Arrays.copyOf(b.xs, b.n)
+    java.util.Arrays.sort(s)
+    val med = s(k)
+    // reuse the sorted buffer for the deviations (|x − med| of a sorted
+    // long array is NOT sorted — re-sort)
+    var i = 0
+    while (i < b.n) { s(i) = math.abs(s(i) - med); i += 1 }
+    java.util.Arrays.sort(s)
+    new GenericArrayData(Array[Any](
+      java.lang.Long.valueOf(med), java.lang.Long.valueOf(s(k))))
+  }
+
+  override def serialize(b: LngFrameState): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * b.n)
+    bb.putInt(b.n)
+    var i = 0
+    while (i < b.n) { bb.putLong(b.xs(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): LngFrameState = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val b = new LngFrameState(math.max(n, 4))
+    var i = 0
+    while (i < n) { b.xs(i) = bb.getLong(); i += 1 }
+    b.n = n
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HampelMedMadAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HampelMedMadAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): HampelMedMadAgg =
+    copy(child = newChildren.head)
+}
+
 object FrameAggKernels {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
 
@@ -561,6 +723,17 @@ object FrameAggKernels {
     val enc = cols.map(c => expression(coalesce(c.cast("double"), lit(Double.NaN))))
     column(MultiRollAgg(enc, specs.toArray, capHint).toAggregateExpression())
   }
+
+  /** Ascending-sort element picks (1-based ranks) in one aggregate —
+    * fuses `collectSortedDoubles + element_at` (rollQuantiles).
+    */
+  def sortedPicksAgg(v: Column, ranks: Seq[Int], capHint: Int): Column =
+    column(DoubleSortedPicksAgg(expression(v), ranks.toArray, capHint)
+      .toAggregateExpression())
+
+  /** Hampel's [median, MAD] integer-cents pair in one aggregate. */
+  def hampelMedMadAgg(v: Column, k: Int): Column =
+    column(HampelMedMadAgg(expression(v), k).toAggregateExpression())
 
   /** One trailing Taylor spec as a frame-fold aggregate (r22) — the
     * caller must put it over `rowsBetween(-w, 0)` (depth w+1; see

@@ -2841,21 +2841,40 @@ object TimeOps {
     val w = 2 * k + 1
     val win = Featurize.seriesWindow(groupCols, orderCols).rowsBetween(-k, k)
     val withC = df.withColumn("__c", floor(col(valueCol) * scale + lit(0.5)).cast("long"))
-    val withArr = withC
-      .withColumn("__cnt", count(col("__c")).over(win))
-      // one primitive collect+sort pass (r21) — replaces
-      // sort_array(collect_list(__c)): same null-dropped long multiset,
-      // same ascending order (long sort is unambiguous)
-      .withColumn("__arr", graft.plans.FrameAggKernels
-        .collectSortedLongs(col("__c"), w).over(win))
-    // get() (0-based, null out of bounds), NOT element_at: under ANSI
-    // a series shorter than k+1 rows would THROW on its edge windows
-    // before the cnt gate ever applies (element_at is eager per row)
-    val withMed = withArr
-      .withColumn("__med", get(col("__arr"), lit(k)))
-      .withColumn("__dev", abs(col("__c") - col("__med")))
-    val withMad = withMed.withColumn("__mad",
-      get(array_sort(transform(col("__arr"), x => abs(x - col("__med")))), lit(k)))
+    // r22 frame-fold aggregate: [median, MAD] in ONE aggregate eval —
+    // the former shape materialized the sorted frame per row AND paid a
+    // per-row transform + array_sort for the MAD
+    // (spark.graft.frameAgg=false restores it for A/B). get()-style
+    // null when the window holds ≤ k values, exactly like the old
+    // out-of-bounds picks.
+    val withMad =
+      if (graft.plans.FrameAggKernels.aggEnabled(df.sparkSession)) {
+        withC
+          .withColumn("__cnt", count(col("__c")).over(win))
+          .withColumn("__mm",
+            graft.plans.FrameAggKernels.hampelMedMadAgg(col("__c"), k).over(win))
+          .withColumn("__med", element_at(col("__mm"), 1))
+          .withColumn("__dev", abs(col("__c") - col("__med")))
+          .withColumn("__mad", element_at(col("__mm"), 2))
+          .drop("__mm")
+      } else {
+        val withArr = withC
+          .withColumn("__cnt", count(col("__c")).over(win))
+          // one primitive collect+sort pass (r21) — replaces
+          // sort_array(collect_list(__c)): same null-dropped long multiset,
+          // same ascending order (long sort is unambiguous)
+          .withColumn("__arr", graft.plans.FrameAggKernels
+            .collectSortedLongs(col("__c"), w).over(win))
+        // get() (0-based, null out of bounds), NOT element_at: under ANSI
+        // a series shorter than k+1 rows would THROW on its edge windows
+        // before the cnt gate ever applies (element_at is eager per row)
+        withArr
+          .withColumn("__med", get(col("__arr"), lit(k)))
+          .withColumn("__dev", abs(col("__c") - col("__med")))
+          .withColumn("__mad",
+            get(array_sort(transform(col("__arr"), x => abs(x - col("__med")))), lit(k)))
+          .drop("__arr")
+      }
     val isOut = col("__cnt") === w &&
       col("__dev") * lit(10000L) > col("__mad") * lit(44478L)
     withMad
@@ -2877,13 +2896,29 @@ object TimeOps {
       .rowsBetween(-(w - 1), Window.currentRow)
     val v = col(valueCol)
     def rank(p: Double): Int = math.ceil(p * w).toInt
-    // one primitive collect+sort pass when the value is already a
-    // double (r21): Arrays.sort(double[]) is the same -0.0 < 0.0 < NaN
-    // total order sort_array applies (pinned against the running
-    // engine by FrameCollectSpec's explicit [0.0, -0.0] case — an r22
-    // ADVICE claim to the contrary did not reproduce), and
-    // collect_list's null-dropping is replicated; other input types
-    // keep the generic two-step
+    val ranks = Seq(rank(0.25), rank(0.5), rank(0.75))
+    val names = Seq(s"${valueCol}_q1_w$w", s"${valueCol}_med_w$w", s"${valueCol}_q3_w$w")
+    // r22 frame-fold aggregate for double inputs: all three rank picks
+    // in ONE aggregate eval over a primitive sort — the sorted frame
+    // array is never materialized per row (frameAgg=false restores the
+    // r21 collectSortedDoubles + element_at two-step). Arrays.sort is
+    // the same -0.0 < 0.0 < NaN total order sort_array applies (pinned
+    // against the running engine by FrameCollectSpec's explicit
+    // [0.0, -0.0] case — an r22 ADVICE claim to the contrary did not
+    // reproduce), and collect_list's null-dropping is replicated;
+    // other input types keep the generic two-step.
+    if (df.schema(valueCol).dataType == org.apache.spark.sql.types.DoubleType &&
+        graft.plans.FrameAggKernels.aggEnabled(df.sparkSession)) {
+      val full = col("__cnt") === w
+      return df
+        .withColumn("__cnt", count(v).over(win))
+        .withColumn("__qs",
+          graft.plans.FrameAggKernels.sortedPicksAgg(v, ranks, w).over(win))
+        .withColumn(names(0), when(full, element_at(col("__qs"), 1)))
+        .withColumn(names(1), when(full, element_at(col("__qs"), 2)))
+        .withColumn(names(2), when(full, element_at(col("__qs"), 3)))
+        .drop("__cnt", "__qs")
+    }
     val sortedArr =
       if (df.schema(valueCol).dataType == org.apache.spark.sql.types.DoubleType)
         graft.plans.FrameAggKernels.collectSortedDoubles(v, w).over(win)
@@ -2893,9 +2928,9 @@ object TimeOps {
       .withColumn("__arr", sortedArr)
     val full = col("__cnt") === w
     withArr
-      .withColumn(s"${valueCol}_q1_w$w", when(full, element_at(col("__arr"), rank(0.25))))
-      .withColumn(s"${valueCol}_med_w$w", when(full, element_at(col("__arr"), rank(0.5))))
-      .withColumn(s"${valueCol}_q3_w$w", when(full, element_at(col("__arr"), rank(0.75))))
+      .withColumn(names(0), when(full, element_at(col("__arr"), ranks(0))))
+      .withColumn(names(1), when(full, element_at(col("__arr"), ranks(1))))
+      .withColumn(names(2), when(full, element_at(col("__arr"), ranks(2))))
       .drop("__cnt", "__arr")
   }
 

@@ -233,6 +233,27 @@ class FrameKernelAggSpec extends SparkSpec {
     }
   }
 
+  test("hampel med/mad agg ≡ sorted-collector two-step on null-bearing input, BIT-exact") {
+    val df = nullDf
+    val a = withAgg(true) {
+      bitsOf(TimeOps.hampel(df, "v", G, O, k = 3).withColumn("o",
+        col("is_outlier").cast("double")), Seq("value_hampel", "o"))
+    }
+    val d = withAgg(false) {
+      bitsOf(TimeOps.hampel(df, "v", G, O, k = 3).withColumn("o",
+        col("is_outlier").cast("double")), Seq("value_hampel", "o"))
+    }
+    assert(a == d)
+  }
+
+  test("rollQuantiles sorted-picks agg ≡ sorted-collector two-step on null-bearing input, BIT-exact") {
+    val df = nullDf
+    def names = Seq("v_q1_w4", "v_med_w4", "v_q3_w4")
+    val a = withAgg(true) { bitsOf(TimeOps.rollQuantiles(df, "v", G, O, w = 4), names) }
+    val d = withAgg(false) { bitsOf(TimeOps.rollQuantiles(df, "v", G, O, w = 4), names) }
+    assert(a == d)
+  }
+
   test("multi-column fused rolls (ts_pipeline_multi shape) agg ≡ two-step") {
     val rng = new scala.util.Random(31)
     val df = (for (g <- 0 until 3; t <- 0 until 35) yield
