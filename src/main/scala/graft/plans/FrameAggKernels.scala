@@ -403,16 +403,24 @@ abstract class FlatFrameAgg extends TypedImperativeAggregate[FlatFrameState] {
   protected def arity: Int
   protected def capRows: Int
 
+  // update() runs once per frame row; `children`/`arity` are defs on
+  // the subclasses (a fresh Seq per access; List.length is O(n)) —
+  // snapshot both. @transient lazy: re-derived after serialization.
+  @transient private lazy val childArr: Array[Expression] = children.toArray
+  @transient private lazy val ar: Int = arity
+
   override def createAggregationBuffer(): FlatFrameState =
     new FlatFrameState(math.max(capRows, 4) * arity)
 
   override def update(b: FlatFrameState, input: InternalRow): FlatFrameState = {
+    val arity = ar
     if ((b.n + 1) * arity > b.xs.length)
       b.xs = java.util.Arrays.copyOf(b.xs, b.xs.length * 2)
     val base = b.n * arity
+    val cs = childArr
     var k = 0
     while (k < arity) {
-      val v = children(k).eval(input)
+      val v = cs(k).eval(input)
       // children are coalesce(x, NaN) — the null arm is defensive only
       b.xs(base + k) = if (v == null) Double.NaN else v.asInstanceOf[Double]
       k += 1
